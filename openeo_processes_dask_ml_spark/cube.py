@@ -1,0 +1,206 @@
+"""CubeFrame — a labeled datacube as a long/tidy Spark DataFrame.
+
+The reference's RasterCube is an xarray.DataArray with dims like
+(time, bands, y, x) (reference: opd_ml_dev_utils/get_datacube.py:39-47).
+Here a cube is one row per cell: dimension coordinates are ordinary
+columns and the cell value is a value column. Spark columns are
+unordered, so the reference's transpose/reorder machinery
+(data_model.py:426-436, 1169-1187) disappears entirely; dimension
+*identity* (which column plays time/bands/x/y) is tracked in ``dims``
+and resolved through the alias tables in utils/dim_utils.py.
+
+Every operator below is a pure DataFrame transformation — the whole
+pipeline stays one Catalyst logical plan until an action, mirroring the
+reference's dask laziness but with an actual optimizer underneath.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.utils.dim_utils import resolve_bands, resolve_dim
+
+# Reducer name -> aggregate builder. `sd`/`variance` use the sample
+# flavors to match openEO process definitions.
+REDUCERS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "mean": F.mean,
+    "avg": F.mean,
+    "median": lambda c: F.median(c),
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "sd": F.stddev_samp,
+    "variance": F.var_samp,
+    "product": lambda c: F.exp(F.sum(F.log(c))),
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "any": lambda c: F.max(c.cast("boolean")),
+    "all": lambda c: F.min(c.cast("boolean")),
+}
+
+
+def resolve_reducer(reducer: str | Callable[[Column], Column]) -> Callable[[Column], Column]:
+    if callable(reducer):
+        return reducer
+    try:
+        return REDUCERS[reducer.lower()]
+    except KeyError:
+        raise ValueError(f"unknown reducer {reducer!r}; known: {sorted(REDUCERS)}") from None
+
+
+@dataclass(frozen=True)
+class CubeFrame:
+    """A long-form datacube: ``df`` + which columns are dimensions.
+
+    dims: logical dim name -> column name (e.g. {"time": "ts",
+    "bands": "event_type", "geometry": "user_id"}).
+    value_col: the measure column.
+    attrs: free-form metadata (CRS epsg, provenance), the analog of
+    xarray ``attrs`` (reference utils/epsg_utils.py:10-64).
+    """
+
+    df: DataFrame
+    dims: dict[str, str]
+    value_col: str = "value"
+    attrs: dict = field(default_factory=dict)
+
+    # -- dim resolution -------------------------------------------------
+    def dim_col(self, name: str) -> str:
+        """Resolve a (possibly aliased) dim name to its column."""
+        if name in self.dims:
+            return self.dims[name]
+        hit = resolve_dim(name, self.dims.keys())
+        if hit is not None:
+            return self.dims[hit]
+        raise KeyError(f"cube has no dimension {name!r}; dims: {self.dims}")
+
+    def dim_name(self, name: str) -> str:
+        if name in self.dims:
+            return name
+        hit = resolve_dim(name, self.dims.keys())
+        if hit is None:
+            raise KeyError(f"cube has no dimension {name!r}; dims: {self.dims}")
+        return hit
+
+    @property
+    def dim_cols(self) -> list[str]:
+        return list(self.dims.values())
+
+    def with_df(self, df: DataFrame) -> "CubeFrame":
+        return replace(self, df=df)
+
+    # -- openEO core processes -----------------------------------------
+    def filter_bands(self, bands: Sequence[str]) -> "CubeFrame":
+        """Subset the band dimension, names resolved through the synonym
+        table (reference data_model.py:1189-1205)."""
+        col = self.dim_col("bands")
+        available = [r[0] for r in self.df.select(col).distinct().collect()]
+        mapping = resolve_bands(bands, available)
+        missing = [b for b in bands if b not in mapping]
+        if missing:
+            raise ValueError(f"bands not found in cube: {missing}")
+        return self.with_df(self.df.filter(F.col(col).isin(list(mapping.values()))))
+
+    def filter_labels(self, dim: str, labels: Sequence) -> "CubeFrame":
+        return self.with_df(self.df.filter(F.col(self.dim_col(dim)).isin(list(labels))))
+
+    def filter_temporal(self, start, end) -> "CubeFrame":
+        """Half-open [start, end) interval, per the openEO spec."""
+        t = F.col(self.dim_col("time"))
+        df = self.df
+        if start is not None:
+            df = df.filter(t >= F.lit(start).cast("timestamp"))
+        if end is not None:
+            df = df.filter(t < F.lit(end).cast("timestamp"))
+        return self.with_df(df)
+
+    def apply(self, fn: Callable[[Column], Column]) -> "CubeFrame":
+        """Unary per-cell function — a single projection, fused by codegen."""
+        return self.with_df(
+            self.df.withColumn(self.value_col, fn(F.col(self.value_col)))
+        )
+
+    def reduce_dimension(
+        self, dimension: str, reducer: str | Callable[[Column], Column],
+        alias: str | None = None,
+    ) -> "CubeFrame":
+        """Collapse one dimension with a reducer: groupBy every remaining
+        dim. Spark runs this partial+final (map-side combine) — the
+        shuffle moves one row per output group, not per input cell."""
+        dname = self.dim_name(dimension)
+        keep = {k: v for k, v in self.dims.items() if k != dname}
+        agg = resolve_reducer(reducer)(F.col(self.value_col))
+        out_col = alias or self.value_col
+        df = self.df.groupBy(*keep.values()).agg(agg.alias(out_col))
+        return CubeFrame(df, keep, out_col, dict(self.attrs))
+
+    def aggregate_temporal_period(
+        self, period: str, reducer: str | Callable[[Column], Column]
+    ) -> "CubeFrame":
+        """Calendar-period regrouping of the time dim (reference call site
+        examples/train_rf.py:131-146): date_trunc + groupBy over all dims
+        with time replaced by the truncated period start."""
+        period_map = {
+            "hour": "hour", "day": "day", "week": "week", "month": "month",
+            "season": "quarter", "year": "year", "decade": "decade",
+        }
+        unit = period_map.get(period)
+        if unit is None:
+            raise ValueError(f"unsupported period {period!r}")
+        tcol = self.dim_col("time")
+        bucket = F.date_trunc(unit, F.col(tcol))
+        others = [v for k, v in self.dims.items() if v != tcol]
+        agg = resolve_reducer(reducer)(F.col(self.value_col))
+        df = (
+            self.df.groupBy(bucket.alias(tcol), *others)
+            .agg(agg.alias(self.value_col))
+        )
+        return self.with_df(df)
+
+    def mask(self, mask_cube: "CubeFrame", replacement=None) -> "CubeFrame":
+        """Null out (or replace) cells where the mask cube is truthy.
+
+        The mask broadcasts along dims it lacks (reference mask semantics,
+        call site examples/train_rf.py:124-130): join on the shared dims
+        only. If the mask is small (e.g. a per-time cloud flag) Spark
+        picks a broadcast join via AQE; the data cube never shuffles."""
+        shared = [d for d in self.dims if d in mask_cube.dims]
+        if not shared:
+            raise ValueError("mask shares no dimensions with the cube")
+        join_cond = [
+            self.df[self.dims[d]] == mask_cube.df[mask_cube.dims[d]] for d in shared
+        ]
+        mcol = F.col("__mask__")
+        mdf = mask_cube.df.select(
+            *[mask_cube.df[mask_cube.dims[d]] for d in shared],
+            F.col(mask_cube.value_col).cast("boolean").alias("__mask__"),
+        )
+        joined = self.df.join(mdf, join_cond, "left")
+        value = F.when(
+            F.coalesce(mcol, F.lit(False)), F.lit(replacement)
+        ).otherwise(F.col(self.value_col))
+        out = joined.select(
+            *[self.df[c] for c in self.df.columns if c != self.value_col],
+            value.alias(self.value_col),
+        )
+        return self.with_df(out)
+
+    def merge_cubes(self, other: "CubeFrame") -> "CubeFrame":
+        """Union along matching dims (openEO merge_cubes for the
+        label-disjoint case, like the reference's band-append
+        xr.concat at overrides/indices.py:29)."""
+        return self.with_df(self.df.unionByName(other.df, allowMissingColumns=True))
+
+    # -- wide/long pivots ----------------------------------------------
+    def to_wide(self, bands: Sequence[str] | None = None) -> DataFrame:
+        """Pivot bands into columns for band math. Explicit band list
+        keeps Catalyst from an extra distinct-collection job."""
+        bcol = self.dim_col("bands")
+        others = [v for v in self.dim_cols if v != bcol]
+        piv = self.df.groupBy(*others).pivot(bcol, list(bands) if bands else None)
+        return piv.agg(F.first(self.value_col))

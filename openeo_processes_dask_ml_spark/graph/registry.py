@@ -1,0 +1,243 @@
+"""Process registry: process_id -> DataFrame-transform builder.
+
+Mirrors the reference's ProcessRegistry (later registration wins,
+minibackend/openeo_minibackend.py:22-71) with two process classes:
+
+- cube processes take/return CubeFrame and compose the logical plan;
+- scalar processes operate on Spark Columns/literals, so reducer and
+  mask sub-graphs compile to Column *expressions* that fuse into
+  whole-stage codegen — never per-row interpreted Python.
+
+Reducer callbacks receive their array parameter in two shapes:
+aggregation context binds ``data`` to a Column plus an ``_agg`` marker
+(median/mean/... become aggregate functions); array-indexing context
+(array_element) binds ``data`` to a collected sorted array Column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.cube import CubeFrame, REDUCERS
+from openeo_processes_dask_ml_spark.io.load import load_collection, save_result
+from openeo_processes_dask_ml_spark.operators.arrays import array_interpolate_linear
+from openeo_processes_dask_ml_spark.operators.indices import ndvi
+
+
+class ProcessRegistry:
+    def __init__(self):
+        self._impls: dict[str, Callable[[dict, dict], Any]] = {}
+
+    def register(self, process_id: str, impl: Callable[[dict, dict], Any]) -> None:
+        # later registration wins (reference openeo_minibackend.py:50-63)
+        self._impls[process_id] = impl
+
+    def get(self, process_id: str) -> Callable[[dict, dict], Any]:
+        if process_id not in self._impls:
+            raise KeyError(
+                f"process {process_id!r} not registered; known: {sorted(self._impls)}"
+            )
+        return self._impls[process_id]
+
+    def process_ids(self) -> list[str]:
+        return sorted(self._impls)
+
+
+# -- scalar processes (Column algebra) --------------------------------------
+
+
+def _c(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+_SCALAR_BINARY = {
+    "eq": lambda x, y: _c(x) == _c(y),
+    "neq": lambda x, y: _c(x) != _c(y),
+    "gt": lambda x, y: _c(x) > _c(y),
+    "gte": lambda x, y: _c(x) >= _c(y),
+    "lt": lambda x, y: _c(x) < _c(y),
+    "lte": lambda x, y: _c(x) <= _c(y),
+    "add": lambda x, y: _c(x) + _c(y),
+    "subtract": lambda x, y: _c(x) - _c(y),
+    "multiply": lambda x, y: _c(x) * _c(y),
+    "divide": lambda x, y: _c(x) / _c(y),
+    "mod": lambda x, y: _c(x) % _c(y),
+    "power": lambda x, y: F.pow(_c(x), _c(y)),
+}
+
+
+def _register_scalars(reg: ProcessRegistry) -> None:
+    for pid, fn in _SCALAR_BINARY.items():
+        def impl(args, ctx, fn=fn):
+            return fn(args["x"], args["y"])
+
+        reg.register(pid, impl)
+
+    reg.register("and", lambda a, c: _c(a["x"]) & _c(a["y"]))
+    reg.register("or", lambda a, c: _c(a["x"]) | _c(a["y"]))
+    reg.register("not", lambda a, c: ~_c(a["x"]))
+    reg.register("absolute", lambda a, c: F.abs(_c(a["x"])))
+    reg.register("sqrt", lambda a, c: F.sqrt(_c(a["x"])))
+    reg.register("ln", lambda a, c: F.log(_c(a["x"])))
+    reg.register("is_nan", lambda a, c: F.isnan(_c(a["x"])))
+    reg.register("is_nodata", lambda a, c: _c(a["x"]).isNull())
+    reg.register(
+        "between",
+        lambda a, c: (_c(a["x"]) >= _c(a["min"])) & (_c(a["x"]) <= _c(a["max"])),
+    )
+    reg.register(
+        "array_element",
+        lambda a, c: F.element_at(
+            a["data"], int(a.get("index", 0)) + 1  # openEO is 0-based
+        ),
+    )
+    # reducers inside sub-graphs: data is bound to the value Column
+    for name in ("median", "mean", "sum", "min", "max", "sd", "variance", "count", "product"):
+        def impl(args, ctx, name=name):
+            return REDUCERS[name](_c(args["data"]))
+
+        reg.register(name, impl)
+
+
+# -- cube processes ---------------------------------------------------------
+
+
+def _as_reducer(callback_or_name) -> Callable[[Column], Column] | str:
+    """A sub-graph callback compiles to Column -> Column; the executor
+    hands us a python callable taking the bound parameter."""
+    if callable(callback_or_name):
+        return lambda col: callback_or_name(data=col)
+    return callback_or_name
+
+
+def _register_cubes(reg: ProcessRegistry) -> None:
+    def p_load_collection(args, ctx):
+        return load_collection(
+            ctx["spark"],
+            args.get("id") or args.get("collection_id"),
+            ctx["sf_dir"],
+            spatial_extent=args.get("spatial_extent"),
+            temporal_extent=args.get("temporal_extent"),
+            bands=args.get("bands"),
+            properties=args.get("properties"),
+        )
+
+    def p_filter_bands(args, ctx):
+        return args["data"].filter_bands(args["bands"])
+
+    def p_filter_temporal(args, ctx):
+        extent = args.get("extent") or [args.get("start"), args.get("end")]
+        return args["data"].filter_temporal(extent[0], extent[1])
+
+    def p_filter_labels(args, ctx):
+        return args["data"].filter_labels(args["dimension"], args["labels"])
+
+    def p_reduce_dimension(args, ctx):
+        return args["data"].reduce_dimension(
+            args["dimension"], _as_reducer(args["reducer"])
+        )
+
+    def p_aggregate_temporal_period(args, ctx):
+        return args["data"].aggregate_temporal_period(
+            args["period"], _as_reducer(args["reducer"])
+        )
+
+    def p_mask(args, ctx):
+        return args["data"].mask(args["mask"], args.get("replacement"))
+
+    def p_apply(args, ctx):
+        cb = args["process"]
+        return args["data"].apply(lambda col: cb(x=col))
+
+    def p_ndvi(args, ctx):
+        return ndvi(
+            args["data"],
+            nir=args.get("nir", "nir"),
+            red=args.get("red", "red"),
+            target_band=args.get("target_band"),
+        )
+
+    def p_interp(args, ctx):
+        return array_interpolate_linear(args["data"], args.get("dimension", "time"))
+
+    def p_merge_cubes(args, ctx):
+        return args["cube1"].merge_cubes(args["cube2"])
+
+    def p_save_result(args, ctx):
+        cube = args["data"]
+        df = cube.df if isinstance(cube, CubeFrame) else cube
+        if "path" in ctx:
+            return save_result(df, ctx["path"], args.get("format", "parquet"))
+        return df
+
+    reg.register("load_collection", p_load_collection)
+    reg.register("load_stac", p_load_collection)
+    reg.register("filter_bands", p_filter_bands)
+    reg.register("filter_temporal", p_filter_temporal)
+    reg.register("filter_labels", p_filter_labels)
+    reg.register("reduce_dimension", p_reduce_dimension)
+    reg.register("aggregate_temporal_period", p_aggregate_temporal_period)
+    reg.register("mask", p_mask)
+    reg.register("apply", p_apply)
+    reg.register("ndvi", p_ndvi)
+    reg.register("array_interpolate_linear", p_interp)
+    reg.register("merge_cubes", p_merge_cubes)
+    reg.register("save_result", p_save_result)
+
+
+def _register_ml(reg: ProcessRegistry) -> None:
+    from openeo_processes_dask_ml_spark.ml.random_forest import (
+        fit_on_features,
+        ml_fit,
+        ml_predict,
+        mlm_class_random_forest,
+        save_ml_model,
+    )
+    from openeo_processes_dask_ml_spark.mlm.descriptor import load_stac_ml
+
+    reg.register(
+        "mlm_class_random_forest",
+        lambda a, c: mlm_class_random_forest(
+            max_variables=a.get("max_variables", "sqrt"),
+            num_trees=a.get("num_trees", 100),
+            seed=a.get("seed"),
+        ),
+    )
+    reg.register(
+        "ml_fit",
+        lambda a, c: ml_fit(a["model"], a["training_set"], a.get("target", "class_name")),
+    )
+    reg.register(
+        "ml_fit_features",
+        lambda a, c: fit_on_features(
+            a["model"], a["data"], a.get("feature_col", "embedding"), a.get("label_col", "label")
+        ),
+    )
+    reg.register(
+        "ml_predict",
+        lambda a, c: ml_predict(
+            a["model"], a["data"], a.get("feature_col", "embedding")
+        ),
+    )
+    reg.register(
+        "load_stac_ml",
+        lambda a, c: load_stac_ml(
+            a.get("uri") or a.get("url"),
+            model_asset=a.get("model_asset"),
+            input_index=a.get("input_index", 0),
+            output_index=a.get("output_index", 0),
+        ),
+    )
+    reg.register("save_ml_model", lambda a, c: save_ml_model(a["data"], a["name"]))
+
+
+def default_registry() -> ProcessRegistry:
+    reg = ProcessRegistry()
+    _register_scalars(reg)
+    _register_cubes(reg)
+    _register_ml(reg)
+    return reg

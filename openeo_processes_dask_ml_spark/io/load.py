@@ -1,0 +1,124 @@
+"""Sources and sinks.
+
+``load_collection`` in the reference maps a collection id to a STAC
+catalog scan with pushed-down property filters and a fixed chunking
+(reference: minibackend/custom_processes.py:55-112). Here a collection
+id maps to a parquet table plus a cube-layout spec; property filters
+become ordinary ``filter`` calls that Catalyst pushes into the parquet
+scan (check `.explain`: PushedFilters). ``save_result`` maps the
+format dispatch at custom_processes.py:191-219 onto DataFrame writers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects; read nanos as long and truncate to micros (exactly
+# what DuckDB's TIMESTAMP_NS -> TIMESTAMP cast does).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            # integer div — double division on int64 nanos loses
+            # precision past 2^53 and shifts timestamps by 1 us
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+@dataclass(frozen=True)
+class CollectionSpec:
+    """How a flat table presents as a datacube."""
+
+    table: str
+    dims: dict[str, str]  # logical dim -> column
+    value_col: str
+
+
+# The driver's synthetic tables in cube roles (see FIXTURES.md F7):
+# events: time=ts, bands=event_type, geometry cell=user_id, value=value.
+# lineitem: time=l_shipdate, bands=l_returnflag, cell=l_suppkey.
+COLLECTIONS: dict[str, CollectionSpec] = {
+    "events": CollectionSpec(
+        "events", {"time": "ts", "bands": "event_type", "geometry": "user_id"}, "value"
+    ),
+    "lineitem": CollectionSpec(
+        "lineitem",
+        {"time": "l_shipdate", "bands": "l_returnflag", "geometry": "l_suppkey"},
+        "l_extendedprice",
+    ),
+}
+
+_FILTER_OPS = {
+    "lt": lambda c, v: c < v,
+    "lte": lambda c, v: c <= v,
+    "gt": lambda c, v: c > v,
+    "gte": lambda c, v: c >= v,
+    "eq": lambda c, v: c == v,
+    "neq": lambda c, v: c != v,
+}
+
+
+def load_collection(
+    spark: SparkSession,
+    collection_id: str,
+    sf_dir: str,
+    spatial_extent: dict | None = None,
+    temporal_extent: tuple | list | None = None,
+    bands: list[str] | None = None,
+    properties: dict[str, dict] | None = None,
+) -> CubeFrame:
+    """Collection scan with pushed-down extent/band/property filters.
+
+    ``properties`` follows the reference's reduced form
+    {column: {op: value}} (custom_processes.py:32-51) — each entry
+    becomes a WHERE predicate Catalyst pushes to the parquet reader.
+    """
+    spec = COLLECTIONS.get(collection_id)
+    if spec is None:
+        raise ValueError(
+            f"unknown collection {collection_id!r}; known: {sorted(COLLECTIONS)}"
+        )
+    df = load_table(spark, sf_dir, spec.table)
+    cube = CubeFrame(df, dict(spec.dims), spec.value_col)
+    if temporal_extent is not None:
+        cube = cube.filter_temporal(temporal_extent[0], temporal_extent[1])
+    if bands is not None:
+        cube = cube.filter_labels("bands", bands)
+    if properties:
+        for column, cond in properties.items():
+            for op, value in cond.items():
+                cube = cube.with_df(
+                    cube.df.filter(_FILTER_OPS[op](F.col(column), F.lit(value)))
+                )
+    return cube
+
+
+def save_result(df: DataFrame, path: str, format: str = "parquet", **options) -> str:
+    """Sink dispatch: parquet (default) / csv / json. Distributed write —
+    one file per partition, no driver collect."""
+    fmt = format.lower()
+    if fmt in ("netcdf", "gtiff", "zarr"):
+        # Raster container formats need geo libs not present here; the
+        # columnar sink is the Spark-native path.
+        fmt = "parquet"
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path, **options)
+    return path

@@ -1,0 +1,374 @@
+"""Batched model inference over a long-form cube — the engine core.
+
+The reference's ``run_model`` is a 12-stage plan: validate, select
+bands, scale, cast, transpose, tile, pick batch size, rechunk so one
+chunk = one batch, spill every batch to ``.npy``, run the model in a
+subprocess barrier, reload, reassemble coordinates (reference:
+data_model/data_model.py:1024-1167). The Spark re-expression deletes
+the spill/barrier entirely:
+
+  select/scale/cast  ->  Catalyst projections (codegen-fused)
+  tiling             ->  tile-key columns = floor(coord_index / T),
+                         remainder rows dropped by a WHERE
+                         (data_model.py:393-424 semantics)
+  1 chunk = 1 batch  ->  groupBy(tile/batch keys) + applyInPandas
+  .npy + subprocess  ->  executor-local model singleton, Arrow batches
+  reassembly         ->  the UDF emits output rows with regenerated
+                         coordinates; union of rows IS the cube
+                         (no combine_by_coords step)
+
+All-NaN batches skip prediction and emit NaN rows, matching
+data_model.py:899-901, 997-1006.
+
+Scale shape: the only shuffle is the groupBy on tile keys — one row per
+cell moves once; the model runs streamwise per partition; grid
+coordinate arrays (driver-held) are raster-resolution-sized, not
+data-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from openeo_processes_dask_ml_spark.cube import CubeFrame
+from openeo_processes_dask_ml_spark.mlm.descriptor import MLModelDescriptor, validate_cube
+from openeo_processes_dask_ml_spark.utils.scaling import apply_scaling
+
+BATCH_DIM_NAMES = ("batch", "batches")
+FALLBACK_BATCH_SIZE = 12  # reference data_model.py:505
+
+
+def get_batch_size(descriptor: MLModelDescriptor) -> int:
+    """The reference's decision table (data_model.py:493-536):
+    no batch dim -> 1 (or the suggestion); batch shape -1 -> suggestion
+    or fallback 12; fixed batch shape -> that shape."""
+    dims = [d.lower() for d in descriptor.input.dim_order]
+    suggestion = descriptor.batch_size_suggestion
+    batch_idx = next((i for i, d in enumerate(dims) if d in BATCH_DIM_NAMES), None)
+    if batch_idx is None:
+        return suggestion if suggestion else 1
+    shape = (
+        descriptor.input.shape[batch_idx]
+        if batch_idx < len(descriptor.input.shape)
+        else -1
+    )
+    if shape == -1:
+        return suggestion if suggestion else FALLBACK_BATCH_SIZE
+    return shape
+
+
+def tile_count(n_cells: int, tile: int) -> int:
+    """Full tiles only — the remainder is dropped
+    (data_model.py:418-422)."""
+    return n_cells // tile
+
+
+def regenerate_coords(in_coords: np.ndarray, out_len: int):
+    """Output coordinates for one dim of one tile (reference
+    resolve_batch, data_model.py:779-855):
+
+    same length      -> copy input coords            (:799-802)
+    numeric          -> linspace over tile extent    (:812-820)
+    datetime64       -> linspace over epoch ints     (:822-844)
+    string/other     -> 'l1.l2.l3-i' join + counter  (:846-853)
+    empty input      -> 0..n-1                       (reference missing-
+                                                      coords rule)
+    """
+    in_coords = np.asarray(in_coords)
+    if in_coords.size == out_len:
+        return in_coords
+    if in_coords.size == 0:
+        return np.arange(out_len)
+    if np.issubdtype(in_coords.dtype, np.datetime64):
+        ints = in_coords.astype("datetime64[ns]").astype(np.int64)
+        out = np.linspace(ints[0], ints[-1], out_len)
+        return out.astype(np.int64).astype("datetime64[ns]")
+    if np.issubdtype(in_coords.dtype, np.number):
+        return np.linspace(in_coords[0], in_coords[-1], out_len)
+    joined = ".".join(str(c) for c in in_coords)
+    return np.array([f"{joined}-{i}" for i in range(out_len)])
+
+
+def collapse_coords(in_coords: np.ndarray):
+    """Coordinate for a dim fully consumed by the model: spatial/numeric
+    -> tile center (mean, data_model.py:872-878); other -> first
+    (:879-882)."""
+    in_coords = np.asarray(in_coords)
+    if in_coords.size and np.issubdtype(in_coords.dtype, np.number):
+        return float(in_coords.mean())
+    return in_coords[0] if in_coords.size else None
+
+
+@dataclass
+class _TiledDim:
+    """One non-band model dim resolved against the cube."""
+
+    model_dim: str
+    cube_col: str
+    tile: int  # model input size on this dim (-1 -> full extent)
+    coords: np.ndarray  # global sorted coordinates (raster-resolution-sized)
+
+
+def run_model_tiled(
+    cube: CubeFrame,
+    descriptor: MLModelDescriptor,
+    predict_fn: Callable[[np.ndarray], np.ndarray],
+    out_value_col: str = "value",
+) -> DataFrame:
+    """Apply ``predict_fn`` (batch tensor in model dim_order ->
+    output tensor in output dim_order) over the cube, tiled to the
+    model's input shape.
+
+    ``predict_fn`` must be picklable; heavyweight models should lazily
+    load an executor-local singleton inside it (the Spark analog of the
+    reference's per-subprocess torch.jit.load)."""
+    from openeo_processes_dask_ml_spark.utils.dim_utils import resolve_dim
+
+    inp, outp = descriptor.input, descriptor.output
+    band_col = cube.dims.get("bands")
+    model_bands = [b.name for b in inp.bands]
+
+    # --- resolve model dims against the cube --------------------------
+    in_dims: list[tuple[str, int]] = [
+        (d, s)
+        for d, s in zip(inp.dim_order, inp.shape)
+        if d.lower() not in BATCH_DIM_NAMES
+    ]
+    cube_sizes: dict[str, int] = {}
+    coords_by_col: dict[str, np.ndarray] = {}
+    tiled: list[_TiledDim] = []
+    band_axis_dim: str | None = None
+    for d, s in in_dims:
+        role = resolve_dim(d, cube.dims.keys())
+        if role == "bands" or (role is None and d.lower() in ("band", "bands", "channel")):
+            band_axis_dim = d
+            continue
+        if role is None:
+            raise ValueError(f"model dim {d!r} not found in cube dims {cube.dims}")
+        col = cube.dims[role]
+        coords = np.array(
+            [r[0] for r in cube.df.select(col).distinct().orderBy(col).collect()]
+        )
+        cube_sizes[role] = coords.size
+        coords_by_col[col] = coords
+        tiled.append(
+            _TiledDim(d, col, s if s != -1 else coords.size, coords)
+        )
+
+    if model_bands and band_col:
+        cube_bands = [r[0] for r in cube.df.select(band_col).distinct().collect()]
+        band_map = validate_cube(
+            descriptor, list(cube.dims.keys()), cube_sizes, cube_bands
+        )
+        ordered_band_labels = [band_map[b] for b in model_bands]
+    else:
+        ordered_band_labels = []
+
+    # --- stages 3-5: select bands, scale, cast (pure projections) -----
+    df = cube.df
+    if ordered_band_labels:
+        df = df.filter(F.col(band_col).isin(ordered_band_labels))
+    if inp.value_scaling:
+        df = df.withColumn(
+            cube.value_col, apply_scaling(F.col(cube.value_col), inp.value_scaling)
+        )
+    df = df.withColumn(cube.value_col, F.col(cube.value_col).cast("double"))
+
+    # --- stage 7: tile keys; remainder dropped ------------------------
+    batch_size = get_batch_size(descriptor)
+    group_keys: list[str] = []
+    n_tiles: dict[str, int] = {}
+    for td in tiled:
+        order = {v: i for i, v in enumerate(td.coords.tolist())}
+        idx_map = F.create_map(*[F.lit(x) for kv in order.items() for x in kv])
+        full = tile_count(td.coords.size, td.tile)
+        n_tiles[td.cube_col] = full
+        idx = idx_map[F.col(td.cube_col)].cast("long")
+        df = df.withColumn(f"__idx_{td.cube_col}", idx).filter(
+            F.col(f"__idx_{td.cube_col}") < full * td.tile
+        )
+        df = df.withColumn(
+            f"__tile_{td.cube_col}", (F.col(f"__idx_{td.cube_col}") / td.tile).cast("long")
+        )
+        group_keys.append(f"__tile_{td.cube_col}")
+
+    # linear tile id -> batch id groups `batch_size` tiles per model call
+    linear = F.lit(0)
+    for td in tiled:
+        linear = linear * n_tiles[td.cube_col] + F.col(f"__tile_{td.cube_col}")
+    df = df.withColumn("__batch_id", (linear / batch_size).cast("long"))
+
+    passthrough = [
+        v
+        for k, v in cube.dims.items()
+        if v not in [t.cube_col for t in tiled] and v != band_col
+    ]
+    keys = passthrough + ["__batch_id"]
+
+    # --- output schema ------------------------------------------------
+    out_dims = [d for d in outp.dim_order if d.lower() not in BATCH_DIM_NAMES]
+    out_shape = [
+        s
+        for d, s in zip(outp.dim_order, outp.shape)
+        if d.lower() not in BATCH_DIM_NAMES
+    ]
+    in_dim_names = {td.model_dim: td for td in tiled}
+
+    fields = [df.schema[c] for c in passthrough]
+    out_cols: list[str] = []
+    for d in out_dims:
+        if d == band_axis_dim or d.lower() in ("band", "bands", "channel", "channels"):
+            col_name = band_col or "band"
+            fields.append(T.StructField(col_name, T.StringType()))
+        elif d in in_dim_names:
+            col_name = in_dim_names[d].cube_col
+            fields.append(df.schema[col_name])
+        else:
+            col_name = d
+            fields.append(T.StructField(col_name, T.DoubleType()))
+        out_cols.append(col_name)
+    # dims consumed by the model but absent from the output collapse to
+    # a single coordinate column (tile center)
+    collapsed = [
+        td for td in tiled if td.model_dim not in out_dims
+    ]
+    for td in collapsed:
+        fields.append(T.StructField(td.cube_col, T.DoubleType()))
+    fields.append(T.StructField(out_value_col, T.DoubleType()))
+    out_schema = T.StructType(fields)
+
+    tile_sizes = {td.cube_col: td.tile for td in tiled}
+    tile_coords = {td.cube_col: td.coords for td in tiled}
+    dim_order = [d for d in inp.dim_order if d.lower() not in BATCH_DIM_NAMES]
+    value_col = cube.value_col
+    n_bands = len(ordered_band_labels)
+    band_pos = {b: i for i, b in enumerate(ordered_band_labels)}
+    tiled_cols = [td.cube_col for td in tiled]
+    model_dim_of = {td.cube_col: td.model_dim for td in tiled}
+
+    def infer(pdf: pd.DataFrame) -> pd.DataFrame:
+        # assemble (n_tiles_in_batch, *tile_shape) in model dim order
+        tids = sorted(
+            pdf[[f"__tile_{c}" for c in tiled_cols]]
+            .drop_duplicates()
+            .itertuples(index=False, name=None)
+        )
+        axis_len: dict[str, int] = {}
+        for d in dim_order:
+            if d == band_axis_dim:
+                axis_len[d] = n_bands
+            else:
+                col = next(c for c in tiled_cols if model_dim_of[c] == d)
+                axis_len[d] = tile_sizes[col]
+        tensors, tile_meta = [], []
+        for tid in tids:
+            sel = pdf
+            for c, t in zip(tiled_cols, tid):
+                sel = sel[sel[f"__tile_{c}"] == t]
+            shape = tuple(axis_len[d] for d in dim_order)
+            arr = np.full(shape, np.nan)
+            index_arrays = []
+            for d in dim_order:
+                if d == band_axis_dim:
+                    index_arrays.append(
+                        sel[band_col].map(band_pos).to_numpy(dtype=np.int64)
+                    )
+                else:
+                    col = next(c for c in tiled_cols if model_dim_of[c] == d)
+                    t = tid[tiled_cols.index(col)]
+                    index_arrays.append(
+                        sel[f"__idx_{col}"].to_numpy(dtype=np.int64)
+                        - t * tile_sizes[col]
+                    )
+            arr[tuple(index_arrays)] = sel[value_col].to_numpy(dtype=np.float64)
+            tensors.append(arr)
+            tile_meta.append(tid)
+        batch = np.stack(tensors)
+
+        all_nan = np.isnan(batch).all()
+        if all_nan:
+            # sparsity skip: no model call (data_model.py:899-901)
+            out_tile_shape = [
+                s if s != -1 else axis_len.get(d, 1)
+                for d, s in zip(out_dims, out_shape)
+            ]
+            out = np.full((batch.shape[0], *out_tile_shape), np.nan)
+        else:
+            out = np.asarray(predict_fn(batch), dtype=np.float64)
+            if out.ndim == len(out_dims):  # model dropped the batch axis
+                out = out[None, ...]
+
+        rows = []
+        pass_vals = {c: pdf[c].iloc[0] for c in passthrough}
+        for bi, tid in enumerate(tile_meta):
+            coords_per_axis = []
+            for ax, d in enumerate(out_dims):
+                n_out = out.shape[1 + ax]
+                if d == band_axis_dim or d.lower() in (
+                    "band", "bands", "channel", "channels",
+                ):
+                    in_c = np.array(ordered_band_labels)
+                elif d in in_dim_names:
+                    col = in_dim_names[d].cube_col
+                    t = tid[tiled_cols.index(col)]
+                    in_c = tile_coords[col][
+                        t * tile_sizes[col] : (t + 1) * tile_sizes[col]
+                    ]
+                else:
+                    in_c = np.array([])
+                coords_per_axis.append(regenerate_coords(in_c, n_out))
+            collapsed_vals = {}
+            for td in collapsed:
+                t = tid[tiled_cols.index(td.cube_col)]
+                collapsed_vals[td.cube_col] = collapse_coords(
+                    tile_coords[td.cube_col][t * td.tile : (t + 1) * td.tile]
+                )
+            mesh = np.meshgrid(*coords_per_axis, indexing="ij") if coords_per_axis else []
+            flat_val = out[bi].ravel()
+            base = {**pass_vals, **collapsed_vals}
+            for j in range(flat_val.size):
+                row = dict(base)
+                for ax, col_name in enumerate(out_cols):
+                    row[col_name] = mesh[ax].ravel()[j] if mesh else None
+                row[out_value_col] = flat_val[j]
+                rows.append(row)
+        cols = list(out_schema.fieldNames())
+        return pd.DataFrame(rows, columns=cols)
+
+    return df.groupBy(*keys).applyInPandas(
+        lambda key, pdf: infer(pdf), schema=out_schema
+    )
+
+
+def sklearn_fast_path(
+    df: DataFrame,
+    feature_col: str,
+    predict_fn: Callable[[np.ndarray], np.ndarray],
+    out_col: str = "prediction",
+) -> DataFrame:
+    """The reference's 1-value-out fast path
+    (scikit_learn_model.py:71-132): reshape each Arrow batch to
+    (n_samples, n_features) and call predict — here a single
+    ``mapInPandas`` stage, no tiling machinery."""
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            feats = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[feature_col]]
+            )
+            out = np.asarray(predict_fn(feats), dtype=np.float64).reshape(-1)
+            res = pdf.copy()
+            res[out_col] = out
+            yield res
+
+    return df.mapInPandas(run, schema=schema)

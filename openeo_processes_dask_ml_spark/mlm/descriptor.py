@@ -1,0 +1,226 @@
+"""STAC-MLM model descriptors.
+
+Parses the ``mlm:*`` properties of a STAC Item into dataclasses and
+validates a cube against the model's input spec — the Spark analog of
+the reference's MLModel ABC (reference: data_model/data_model.py:52-102)
+and its three pre-predict checks (dims present :222-247, dim sizes
+:249-295, bands available :297-373).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+from dataclasses import dataclass, field
+
+from openeo_processes_dask_ml_spark.utils.dim_utils import resolve_bands, resolve_dim
+from openeo_processes_dask_ml_spark.utils.scaling import ValueScaling
+
+MLM_SCHEMA_PREFIX = "https://stac-extensions.github.io/mlm/"
+SUPPORTED_FRAMEWORKS = {"pytorch", "scikit-learn", "sklearn", "spark-mllib", "fake"}
+
+
+@dataclass
+class ModelBand:
+    name: str
+    format: str | None = None  # e.g. "python"
+    expression: str | None = None  # e.g. "(B08-B04)/(B08+B04)"
+
+    @classmethod
+    def parse(cls, raw) -> "ModelBand":
+        if isinstance(raw, str):
+            return cls(name=raw)
+        return cls(
+            name=raw["name"], format=raw.get("format"), expression=raw.get("expression")
+        )
+
+
+@dataclass
+class ProcessingExpression:
+    format: str
+    expression: str
+
+
+@dataclass
+class ModelInput:
+    bands: list[ModelBand] = field(default_factory=list)
+    shape: list[int] = field(default_factory=list)  # -1 = unbounded
+    dim_order: list[str] = field(default_factory=list)
+    data_type: str = "float32"
+    value_scaling: list[ValueScaling] | None = None
+    pre_processing_function: ProcessingExpression | None = None
+
+    @classmethod
+    def parse(cls, raw: dict) -> "ModelInput":
+        inp = raw.get("input", {})
+        scaling_raw = raw.get("value_scaling") or []
+        if isinstance(scaling_raw, dict):
+            scaling_raw = [scaling_raw]
+        pre = raw.get("pre_processing_function")
+        return cls(
+            bands=[ModelBand.parse(b) for b in raw.get("bands", [])],
+            shape=list(inp.get("shape", [])),
+            dim_order=list(inp.get("dim_order", [])),
+            data_type=inp.get("data_type", "float32"),
+            value_scaling=[ValueScaling.from_dict(s) for s in scaling_raw] or None,
+            pre_processing_function=(
+                ProcessingExpression(pre["format"], pre["expression"]) if pre else None
+            ),
+        )
+
+
+@dataclass
+class ModelOutput:
+    shape: list[int] = field(default_factory=list)
+    dim_order: list[str] = field(default_factory=list)
+    data_type: str = "float32"
+    post_processing_function: ProcessingExpression | None = None
+    classes: list[dict] = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, raw: dict) -> "ModelOutput":
+        res = raw.get("result", {})
+        post = raw.get("post_processing_function")
+        return cls(
+            shape=list(res.get("shape", [])),
+            dim_order=list(res.get("dim_order", [])),
+            data_type=res.get("data_type", "float32"),
+            post_processing_function=(
+                ProcessingExpression(post["format"], post["expression"]) if post else None
+            ),
+            classes=list(raw.get("classification:classes", [])),
+        )
+
+
+@dataclass
+class MLModelDescriptor:
+    """Parsed STAC-MLM Item + chosen input/output spec + artifact ref."""
+
+    item: dict
+    input: ModelInput
+    output: ModelOutput
+    framework: str
+    model_asset_href: str | None = None
+    pretrained: bool = True
+    batch_size_suggestion: int | None = None
+    artifact_path: str | None = None  # local path once staged
+
+    @property
+    def name(self) -> str:
+        return self.item.get("id", "model")
+
+
+def _select_model_asset(item: dict, model_asset: str | None) -> str | None:
+    assets = item.get("assets", {})
+    if model_asset is not None:
+        if model_asset not in assets:
+            raise ValueError(f"asset {model_asset!r} not found in item")
+        return assets[model_asset].get("href")
+    for asset in assets.values():
+        roles = asset.get("roles", []) or []
+        if "mlm:model" in roles:
+            return asset.get("href")
+    return None
+
+
+def load_stac_ml(
+    uri_or_item: str | dict,
+    model_asset: str | None = None,
+    input_index: int = 0,
+    output_index: int = 0,
+) -> MLModelDescriptor:
+    """Load + validate a STAC-MLM Item (reference
+    process_implementations/load_model.py:20-98): check the MLM schema
+    is declared, the framework is known, and the requested input/output
+    indexes exist; select the weights asset by role ``mlm:model``."""
+    if isinstance(uri_or_item, dict):
+        item = uri_or_item
+    elif uri_or_item.startswith(("http://", "https://")):
+        with urllib.request.urlopen(uri_or_item, timeout=30) as r:  # noqa: S310
+            item = json.load(r)
+    else:
+        with open(os.path.expanduser(uri_or_item)) as f:
+            item = json.load(f)
+
+    exts = item.get("stac_extensions", [])
+    if not any(e.startswith(MLM_SCHEMA_PREFIX) for e in exts):
+        raise ValueError("item does not declare the STAC-MLM extension")
+    props = item.get("properties", {})
+    framework = (props.get("mlm:framework") or "").lower()
+    if framework not in SUPPORTED_FRAMEWORKS:
+        raise ValueError(f"unsupported framework {framework!r}")
+    inputs = props.get("mlm:input", [])
+    outputs = props.get("mlm:output", [])
+    if not (0 <= input_index < len(inputs)):
+        raise IndexError(f"input_index {input_index} out of range ({len(inputs)})")
+    if not (0 <= output_index < len(outputs)):
+        raise IndexError(f"output_index {output_index} out of range ({len(outputs)})")
+
+    return MLModelDescriptor(
+        item=item,
+        input=ModelInput.parse(inputs[input_index]),
+        output=ModelOutput.parse(outputs[output_index]),
+        framework=framework,
+        model_asset_href=_select_model_asset(item, model_asset),
+        pretrained=bool(props.get("mlm:pretrained", True)),
+        batch_size_suggestion=props.get("mlm:batch_size_suggestion"),
+    )
+
+
+# -- validation against a cube ---------------------------------------------
+
+
+def check_dimensions_present(descriptor: MLModelDescriptor, cube_dims: list[str]) -> None:
+    """Every non-batch model dim must resolve to a cube dim
+    (reference data_model.py:222-247)."""
+    missing = [
+        d
+        for d in descriptor.input.dim_order
+        if d.lower() not in ("batch", "batches") and resolve_dim(d, cube_dims) is None
+    ]
+    if missing:
+        raise ValueError(f"cube lacks model dims {missing}; cube dims: {cube_dims}")
+
+
+def check_dimension_sizes(
+    descriptor: MLModelDescriptor, cube_sizes: dict[str, int]
+) -> None:
+    """Cube extent must cover the model's input tile on every model dim
+    (reference data_model.py:249-295). shape -1 = unbounded."""
+    for dim, size in zip(descriptor.input.dim_order, descriptor.input.shape):
+        if dim.lower() in ("batch", "batches") or size == -1:
+            continue
+        cube_dim = resolve_dim(dim, cube_sizes.keys())
+        if cube_dim is None:
+            continue  # presence is check #1's job
+        if cube_sizes[cube_dim] < size:
+            raise ValueError(
+                f"dim {cube_dim!r} has size {cube_sizes[cube_dim]} < model "
+                f"input {size}"
+            )
+
+
+def check_bands_available(
+    descriptor: MLModelDescriptor, cube_bands: list[str]
+) -> dict[str, str]:
+    """Every model band must be present (alias-resolved) or computable
+    from an expression (reference data_model.py:297-373). Returns the
+    name mapping model-band -> cube label."""
+    plain = [b.name for b in descriptor.input.bands if b.expression is None]
+    mapping = resolve_bands(plain, cube_bands)
+    missing = [n for n in plain if n not in mapping]
+    if missing:
+        raise ValueError(f"cube lacks model bands {missing}; cube has {cube_bands}")
+    return mapping
+
+
+def validate_cube(
+    descriptor: MLModelDescriptor,
+    cube_dims: list[str],
+    cube_sizes: dict[str, int],
+    cube_bands: list[str],
+) -> dict[str, str]:
+    check_dimensions_present(descriptor, cube_dims)
+    check_dimension_sizes(descriptor, cube_sizes)
+    return check_bands_available(descriptor, cube_bands)

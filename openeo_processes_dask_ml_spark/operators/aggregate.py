@@ -1,0 +1,115 @@
+"""aggregate_spatial — zonal statistics as a join + groupBy.
+
+Reference: overrides/aggregate.py:178-260 rasterizes polygon geometries
+onto the cube grid (one label image), then groupby(label)+reducer, then
+re-attaches feature properties. Rasterization is exactly a precomputed
+cell->zone assignment; in Spark the idiomatic form is:
+
+    cells JOIN zone_assignment ON cell-key  -> groupBy(zone).agg(reducer)
+    -> JOIN zone properties back
+
+The assignment table (one row per cell or per cell-key) is tiny relative
+to the data cube, so Spark broadcasts it — the 100 TB cube never
+shuffles for the join; only the per-zone partial aggregates move.
+
+For true polygon geometries the assignment is produced by
+``assign_cells_to_zones`` (point-in-polygon on the distinct cell grid —
+a driver-scale problem since the grid is #cells, not #rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.cube import CubeFrame, resolve_reducer
+
+
+def aggregate_spatial(
+    cube: CubeFrame,
+    zones: DataFrame,
+    zone_key: str,
+    cell_keys: Sequence[str],
+    reducer: str | Callable[[Column], Column],
+    properties: Sequence[str] = (),
+    keep_dims: Sequence[str] = ("time", "bands"),
+) -> CubeFrame:
+    """Reduce the spatial footprint of each zone to one value per
+    (zone, kept dims).
+
+    zones: DataFrame with ``zone_key``, the ``cell_keys`` columns that
+    locate cube cells inside the zone (the rasterized label image of the
+    reference), and optional property columns to carry through
+    (reference overrides/aggregate.py:256-260).
+    """
+    kept = [cube.dim_col(d) for d in keep_dims if d in cube.dims]
+    assignment = zones.select(zone_key, *cell_keys, *properties).dropDuplicates(
+        [*cell_keys]
+    )
+    joined = cube.df.join(F.broadcast(assignment), on=list(cell_keys), how="inner")
+    agg = resolve_reducer(reducer)(F.col(cube.value_col))
+    out = joined.groupBy(zone_key, *kept, *properties).agg(
+        agg.alias(cube.value_col)
+    )
+    dims = {"geometry": zone_key}
+    for d in keep_dims:
+        if d in cube.dims:
+            dims[d] = cube.dims[d]
+    return CubeFrame(out, dims, cube.value_col, dict(cube.attrs))
+
+
+def assign_cells_to_zones(
+    spark_cells: DataFrame,
+    x_col: str,
+    y_col: str,
+    zones_wkt: list[tuple[int, str]],
+) -> DataFrame:
+    """Point-in-polygon labeling of a distinct cell grid.
+
+    Pure-Python ray casting over WKT polygons, applied to the *distinct*
+    (x, y) grid — the analog of rasterio.features.rasterize at reference
+    overrides/aggregate.py:129-139. The grid is small (it is the raster
+    resolution, not the row count), so a pandas UDF over the distinct
+    grid is cheap; the result joins back broadcast.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
+        inner = wkt[wkt.index("((") + 2 : wkt.index("))")]
+        return [
+            (float(p.split()[0]), float(p.split()[1])) for p in inner.split(",")
+        ]
+
+    polys = [(zid, _parse_wkt_polygon(w)) for zid, w in zones_wkt]
+
+    def _contains(px: float, py: float, ring: list[tuple[float, float]]) -> bool:
+        inside = False
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                if px < xin:
+                    inside = not inside
+        return inside
+
+    @F.pandas_udf(T.LongType())
+    def zone_of(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for px, py in zip(xs, ys):
+            hit = -1
+            for zid, ring in polys:
+                if _contains(px, py, ring):
+                    hit = zid
+                    break
+            out.append(hit)
+        return pd.Series(out, dtype="int64")
+
+    grid = spark_cells.select(x_col, y_col).distinct()
+    return grid.withColumn("zone_id", zone_of(F.col(x_col), F.col(y_col))).filter(
+        F.col("zone_id") >= 0
+    )

@@ -1,0 +1,47 @@
+"""Spectral indices (ndvi) as band math over the long-form cube.
+
+Reference: overrides/indices.py:9-31 — computes (nir-red)/(nir+red) and,
+when ``target_band`` is set, appends it as a new band label instead of
+collapsing the band dimension.
+
+Spark strategy: a conditional aggregation (no pivot shuffle beyond the
+one groupBy) computes nir/red per remaining-dim group; the append case
+unions the derived rows back with the original cube (unionByName — a
+no-shuffle narrow op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.cube import CubeFrame
+from openeo_processes_dask_ml_spark.utils.dim_utils import resolve_bands
+
+
+def ndvi(
+    cube: CubeFrame,
+    nir: str = "nir",
+    red: str = "red",
+    target_band: str | None = None,
+) -> CubeFrame:
+    bcol = cube.dim_col("bands")
+    available = [r[0] for r in cube.df.select(bcol).distinct().collect()]
+    mapping = resolve_bands([nir, red], available)
+    if len(mapping) < 2:
+        raise ValueError(f"nir/red bands not found; have {available}")
+    nir_label, red_label = mapping[nir], mapping[red]
+
+    others = [v for v in cube.dim_cols if v != bcol]
+    val = F.col(cube.value_col)
+    nir_v = F.first(F.when(F.col(bcol) == nir_label, val), ignorenulls=True)
+    red_v = F.first(F.when(F.col(bcol) == red_label, val), ignorenulls=True)
+    nd = (
+        cube.df.filter(F.col(bcol).isin([nir_label, red_label]))
+        .groupBy(*others)
+        .agg(((nir_v - red_v) / (nir_v + red_v)).alias(cube.value_col))
+    )
+    if target_band is None:
+        keep = {k: v for k, v in cube.dims.items() if v != bcol}
+        return CubeFrame(nd, keep, cube.value_col, dict(cube.attrs))
+    appended = nd.withColumn(bcol, F.lit(target_band)).select(*cube.df.columns)
+    return cube.with_df(cube.df.unionByName(appended))

@@ -1,0 +1,346 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+All variants are built for the 100 TB shape:
+
+- exact: one hash-groupBy — partial+final agg, no pairwise work.
+- MinHash + LSH: signature -> band buckets -> equi-join on
+  (band, bucket). The only shuffle is on bucket keys; candidate
+  verification (exact Jaccard) touches candidate pairs only, never the
+  O(n^2) cross product.
+- SimHash: banded fingerprint join. With F bands and Hamming radius
+  r < F, pigeonhole guarantees every pair within radius shares at least
+  one band — the banded join is EXACT, not approximate, and replaces a
+  cross join with an equi-join.
+- n-gram Jaccard: inverted-index join on shared shingles (explode ->
+  equi-join on shingle -> per-pair count), the classic scalable exact
+  similarity join.
+- embedding cosine: see scale/similarity.py.
+
+Every hash is derived from md5 so the DuckDB oracle can replicate the
+computation bit-for-bit (`('0x' || substr(md5(s),1,15))::BIGINT` ==
+Spark `conv(substr(md5(s),1,15),16,10)`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.utils.partitioning import spread
+from openeo_processes_dask_ml_spark.utils.rounding import dround
+
+# --------------------------------------------------------------------------
+# shared expression builders
+# --------------------------------------------------------------------------
+
+
+def hash60(col: Column, seed: str | Column = "") -> Column:
+    """Deterministic 60-bit integer hash, identical to the DuckDB
+    expression ('0x' || substr(md5(s || '#' || seed),1,15))::BIGINT."""
+    seed_col = F.lit(str(seed)) if not isinstance(seed, Column) else seed.cast("string")
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit("#"), seed_col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def hash32(col: Column) -> Column:
+    """32-bit variant (first 8 md5 hex chars)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column — pure Catalyst
+    higher-order functions, no Python boundary."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-content duplicate groups: normalize -> md5 -> hash-groupBy.
+
+    Normalization is the sorted distinct token set (bag-of-words), so
+    reorderings of the same content dedup together. Output:
+    (fingerprint, n_docs, representative_id) for groups with >1 member.
+    One shuffle on the fingerprint; map-side combine shrinks it.
+    """
+    norm = F.array_join(
+        F.array_sort(F.array_distinct(tokens_expr(F.col(text_col)))), " "
+    )
+    return (
+        df.select(F.md5(norm).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("representative_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def _affine_params(k: int) -> tuple[int, int]:
+    """Deterministic universal-hash coefficients for hash k (computed in
+    Python so both engines only see literals)."""
+    return ((k + 1) * 2654435761) % MINHASH_P, ((k + 1) * 40503) % MINHASH_P
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 24,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig) where sig[k] = min over shingles of
+    (A_k * h + B_k) mod P, h = one md5-derived 60-bit hash mod P.
+
+    One md5 per shingle; the k hash family is affine rehashing
+    (universal hashing) — 24x fewer md5 evaluations than hashing per
+    (shingle, k). All products stay < 2^62, so the arithmetic is exact
+    int64 in both Spark and DuckDB.
+
+    Shape: explode distinct shingles once, then ONE groupBy(doc) with k
+    min() aggregates (map-side combined). Computing the signature as a
+    nested array-transform expression instead is a trap: Catalyst's
+    CollapseProject inlines it into every downstream band expression
+    and recomputes every hash per band."""
+    sh = shingles_expr(F.col(text_col), shingle_n)
+    base = spread(df).select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).filter(
+        F.size("shingles") >= 1
+    )
+    inv = base.select("doc_id", F.explode("shingles").alias("shingle"))
+    h0 = (hash60(F.col("shingle")) % MINHASH_P).alias("h0")
+    hashed = inv.select("doc_id", h0).select(
+        "doc_id",
+        *[
+            ((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_P).alias(f"h{k}")
+            for k, (a, b) in ((k, _affine_params(k)) for k in range(num_hashes))
+        ],
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{k}").alias(f"h{k}") for k in range(num_hashes)]
+    )
+    sig = mins.select(
+        "doc_id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig")
+    )
+    return base.join(sig, "doc_id")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard on
+    the shingle sets. Output (id_a, id_b, jaccard) with jaccard rounded
+    to 6 places, filtered to >= threshold.
+
+    Scale shape: the pairwise work is restricted to same-bucket
+    candidates; the bucket join is an equi-join Spark can shuffle-hash.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), j * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ).alias("bucket"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.explode(band_struct).alias("b")
+    ).select("doc_id", "b.band_idx", "b.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    sets = sigs.select("doc_id", "shingles")
+    jac = (
+        F.size(F.array_intersect("sa.shingles", "sb.shingles")).cast("double")
+        / F.size(F.array_union("sa.shingles", "sb.shingles"))
+    )
+    return (
+        cand.join(sets.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", jac.alias("jaccard_raw"))
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", dround(F.col("jaccard_raw"), 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via the shared-shingle inverted index:
+    explode distinct shingles, equi-join on shingle, count shared per
+    pair, |A∩B| / (|A| + |B| - |A∩B|). No cross join anywhere."""
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles_expr(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .filter(F.size("shingles") >= 1)
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("shared")
+    )
+    return (
+        shared.join(F.broadcast(sizes).alias("na"), F.col("id_a") == F.col("na.doc_id"))
+        .join(F.broadcast(sizes).alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
+        .select("id_a", "id_b", jac.alias("jaccard_raw"))
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", dround(F.col("jaccard_raw"), 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band; Hamming radius < 4 => exact banding
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit b of the fingerprint is
+    the sign of sum over tokens of (+1 if bit b of hash32(token) else
+    -1). One explode + one groupBy with 32 conditional sums — all
+    JVM-side, map-side combined."""
+    toks = (
+        df
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias("tok"),
+        )
+        .withColumn("h", hash32(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("bigint").alias("fp"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(fp_a, fp_b) <= max_hamming via banded
+    equi-join. Exact for max_hamming < SIMHASH_BANDS (pigeonhole: some
+    8-bit band must be untouched and therefore equal)."""
+    assert max_hamming < SIMHASH_BANDS
+    fps = simhash_fingerprints(df, text_col, id_col)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bandvals = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.shiftright(F.col("fp"), j * band_width)
+                .bitwiseAND(F.lit((1 << band_width) - 1))
+                .alias("bval"),
+            )
+            for j in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = fps.select("doc_id", "fp", F.explode(bandvals).alias("b")).select(
+        "doc_id", "fp", "b.band_idx", "b.bval"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,132 @@
+"""Text analysis operators for training-data pipelines.
+
+language-ID (marker-word scores), quality scoring, token counting, and
+document fingerprinting — all pure Catalyst expressions (no Python
+UDFs), so they fuse into one whole-stage-codegen projection over the
+documents scan and survive any scale-up: the cost is one pass over the
+text bytes, embarrassingly parallel, zero shuffle.
+
+Every expression has an exact DuckDB twin (replace/length arithmetic,
+regexp with RE2-safe patterns) for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.scale.dedup import hash60, shingles_expr, tokens_expr
+from openeo_processes_dask_ml_spark.utils.rounding import dround
+
+# Marker words per language. The count trick — (len(s) - len(replace(s,
+# marker, ''))) / len(marker) — is exact and identical in both engines.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "los", "de"),
+}
+
+
+def _occurrences(padded: Column, word: str) -> Column:
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, needle, " ")))
+        / (len(needle) - 1)
+    ).cast("bigint")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-occurrence score per language over the padded, lowercased,
+    whitespace-collapsed text."""
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), F.lit(" ")
+    )
+    return {
+        lang: sum(_occurrences(padded, w) for w in words)  # Column sum via +
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predicted language = argmax marker score, ties broken by the
+    fixed language order en > de > fr > es (deterministic in both
+    engines via a greatest + case chain)."""
+    scores = lang_scores(F.col(text_col))
+    order = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in order])
+    pred = F.when(F.lit(False), F.lit(""))
+    for lang in order:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].alias(f"score_{lang}") for lang in order],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: char/token counts, mean token length,
+    alpha ratio, stopword ratio, plus a composite [0,1] score."""
+    text = F.col(text_col)
+    lowered = F.trim(F.lower(text))
+    n_chars = F.length(text)
+    toks = F.split(lowered, r"\s+")
+    n_tokens = F.size(toks)
+    alpha_only = F.regexp_replace(lowered, "[^a-z]", "")
+    alpha_ratio = F.length(alpha_only) / F.greatest(n_chars, F.lit(1))
+    mean_tok_len = (F.length(F.regexp_replace(lowered, r"\s+", ""))) / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    padded = F.concat(F.lit(" "), F.regexp_replace(lowered, r"\s+", " "), F.lit(" "))
+    stop_hits = sum(
+        _occurrences(padded, w) for w in ("the", "a", "and", "of", "in")
+    )
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        dround(mean_tok_len, 4).alias("mean_token_len"),
+        dround(alpha_ratio, 4).alias("alpha_ratio"),
+        dround(stop_ratio, 4).alias("stopword_ratio"),
+        dround(score, 4).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (words are
+    split every 4 chars, the coarse byte-pair proxy)."""
+    toks = tokens_expr(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_subwords = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_subwords.cast("bigint").alias("n_subwords"),
+    )
+
+
+def document_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content fingerprint (md5 of the normalized text) plus a
+    min-shingle-hash (the 1-hash MinHash — a rolling-window content
+    signature robust to local edits)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    sh = shingles_expr(F.col(text_col), 3)
+    min_shingle = F.array_min(F.transform(sh, lambda s: hash60(s, 0)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+        min_shingle.alias("min_shingle_hash"),
+    )

@@ -1,0 +1,95 @@
+"""Mirror of the driver's correctness gate: every queries() entry with
+an oracle_sql() twin must match DuckDB on row count, column names, and
+values (order-insensitive) at sf0.001."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(rows, columns):
+    """Sort columns by name, stringify dates/times, round-trip floats."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            elif hasattr(v, "isoformat"):
+                v = v.isoformat()
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [columns[i] for i in order], out
+
+
+ORACLES = entry.oracle_sql()
+QUERIES = entry.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, name):
+    qdf = QUERIES[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in qdf.collect()]
+    spark_cols = qdf.columns
+
+    con = duck_connection()
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    s_cols, s_rows = normalize(spark_rows, spark_cols)
+    d_cols, d_rows = normalize(duck_rows, duck_cols)
+
+    assert s_cols == d_cols, f"column mismatch: spark={s_cols} duck={d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}\n"
+        f"spark sample: {s_rows[:3]}\nduck sample: {d_rows[:3]}"
+    )
+    mismatches = []
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        for c, (sv, dv) in zip(s_cols, zip(sr, dr)):
+            if isinstance(sv, float) and isinstance(dv, float):
+                if not math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-9):
+                    mismatches.append((i, c, sv, dv))
+            elif sv != dv:
+                mismatches.append((i, c, sv, dv))
+        if len(mismatches) > 5:
+            break
+    assert not mismatches, f"value mismatches (row, col, spark, duck): {mismatches[:5]}"
+
+
+def test_rows_only_queries_run(spark):
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
