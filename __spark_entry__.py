@@ -235,7 +235,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dround(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -526,6 +526,208 @@ def q_process_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apply_unary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO ``apply``: per-cell unary function as a fused projection."""
+    from openeo_processes_dask_ml_spark.io.load import load_collection
+
+    cube = load_collection(spark, "events", sf_dir)
+    out = cube.apply(lambda c: F.sqrt(F.abs(c)))
+    return out.df.filter(F.col("user_id") < 5).select(
+        "event_id", dround("value", 6).alias("value")
+    )
+
+
+def q_merge_cubes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ndvi with target_band appends a derived band (reference
+    overrides/indices.py:9-31); merge = unionByName. Output: per-band
+    row count + mean over the merged cube."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.operators.indices import ndvi
+
+    events = _t(spark, sf_dir, "events")
+    weekly = events.filter(F.col("event_type").isin(["click", "view"])).groupBy(
+        "user_id",
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        "event_type",
+    ).agg(F.avg("value").alias("value"))
+    cube = CubeFrame(
+        weekly, {"geometry": "user_id", "time": "week", "bands": "event_type"}, "value"
+    )
+    merged = ndvi(cube, nir="click", red="view", target_band="NDVI")
+    return (
+        merged.df.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.avg("value"), 4).alias("mean_value"),
+        )
+    )
+
+
+GRAPH_MASK_PIPELINE = {
+    "load": {"process_id": "load_collection", "arguments": {"id": "events"}},
+    "clicks": {
+        "process_id": "filter_bands",
+        "arguments": {"data": {"from_node": "load"}, "bands": ["click"]},
+    },
+    "wk_clicks": {
+        "process_id": "aggregate_temporal_period",
+        "arguments": {
+            "data": {"from_node": "clicks"},
+            "period": "week",
+            "reducer": "mean",
+        },
+    },
+    "errors": {
+        "process_id": "filter_bands",
+        "arguments": {"data": {"from_node": "load"}, "bands": ["error"]},
+    },
+    "wk_errors": {
+        "process_id": "aggregate_temporal_period",
+        "arguments": {
+            "data": {"from_node": "errors"},
+            "period": "week",
+            "reducer": "sum",
+        },
+    },
+    "flag": {
+        "process_id": "apply",
+        "arguments": {
+            "data": {"from_node": "wk_errors"},
+            "process": {
+                "process_graph": {
+                    "gt": {
+                        "process_id": "gt",
+                        "arguments": {"x": {"from_parameter": "x"}, "y": 200.0},
+                        "result": True,
+                    }
+                }
+            },
+        },
+    },
+    "flag_flat": {
+        "process_id": "reduce_dimension",
+        "arguments": {
+            "data": {"from_node": "flag"},
+            "dimension": "bands",
+            "reducer": "max",
+        },
+    },
+    "masked": {
+        "process_id": "mask",
+        "arguments": {
+            "data": {"from_node": "wk_clicks"},
+            "mask": {"from_node": "flag_flat"},
+        },
+        "result": True,
+    },
+}
+
+
+def q_graph_mask_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cloud-mask pattern (examples/train_rf.py:62-130):
+    a sub-graph computes a boolean mask from one band, reduce_dimension
+    collapses it, mask nulls the data cube — all compiled from a JSON
+    process graph into one Catalyst plan."""
+    from openeo_processes_dask_ml_spark.graph import execute_graph
+
+    cube = execute_graph(GRAPH_MASK_PIPELINE, spark, sf_dir)
+    return cube.df.select(
+        "user_id",
+        F.to_date("ts").alias("week"),
+        dround("value", 6).alias("value"),
+    )
+
+
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: file stream -> event-time watermark ->
+    tumbling 1-day window -> memory sink, driven with
+    Trigger.AvailableNow so the result is deterministic and equals the
+    batch computation (oracle-checkable streaming)."""
+    from openeo_processes_dask_ml_spark.streaming.rollup import run_stream_rollup_once
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out = run_stream_rollup_once(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        ts_col="ts",
+        keys=["event_type"],
+        value_col="value",
+        window="1 day",
+    )
+    return out.select(
+        F.to_date("window_start").alias("day"),
+        "event_type",
+        "n_events",
+        dround("sum_value", 2).alias("sum_value"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text bytes as an opaque binary media column
+    with typed metadata, features extracted in an Arrow-batched
+    mapInPandas stage (the decode itself is the deterministic stand-in
+    — scale/multimodal.py)."""
+    from openeo_processes_dask_ml_spark.scale.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("raw").alias("format"),
+            F.col("n_chars").cast("int").alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, feature_dim=4)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        "payload_bytes",
+        F.element_at(f, 1).alias("f0"),
+        F.element_at(f, 2).alias("f1"),
+        F.element_at(f, 3).alias("f2"),
+        F.element_at(f, 4).alias("f3"),
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority join: filter both sides, 3-way join, agg,
+    deterministic top-10."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(dround(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets — the scale
+    path for similarity search (rows-only: bucket membership is
+    hyperplane-dependent)."""
+    from openeo_processes_dask_ml_spark.scale.similarity import lsh_bucketed_ann
+
+    return lsh_bucketed_ann(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5, n_planes=4
+    )
+
+
 # ===========================================================================
 # driver API
 # ===========================================================================
@@ -566,6 +768,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "ml_predict_tiled": q_ml_predict_tiled,
         "process_graph": q_process_graph,
+        "apply_unary": q_apply_unary,
+        "merge_cubes": q_merge_cubes,
+        "graph_mask_pipeline": q_graph_mask_pipeline,
+        "streaming_rollup": q_streaming_rollup,
+        "multimodal_features": q_multimodal_features,
+        "tpch_q3": q_tpch_q3,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -790,7 +999,7 @@ SELECT l_returnflag, l_linestatus,
        floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -961,6 +1170,82 @@ SELECT vec_id, label,
           i -> embedding[i + 1]::DOUBLE * ((((i * 37) % 19) - 9) / 10.0)),
       (a, b) -> a + b)) * 10000.0 + 0.5) / 10000.0 AS score
 FROM embeddings
+"""
+
+    sql["apply_unary"] = """
+SELECT event_id, floor((sqrt(abs(value))) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM events WHERE user_id < 5
+"""
+
+    sql["merge_cubes"] = """
+WITH weekly AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+         avg(value) AS value
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1, 2, 3
+), nd AS (
+  SELECT user_id, week, 'NDVI' AS event_type,
+         (nir - red) / (nir + red) AS value
+  FROM (
+    SELECT user_id, week,
+           max(CASE WHEN event_type = 'click' THEN value END) AS nir,
+           max(CASE WHEN event_type = 'view' THEN value END) AS red
+    FROM weekly GROUP BY 1, 2
+  )
+  WHERE nir IS NOT NULL AND red IS NOT NULL
+), merged AS (
+  SELECT * FROM weekly UNION ALL SELECT * FROM nd
+)
+SELECT event_type, count(*) AS n,
+       floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS mean_value
+FROM merged WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+    sql["graph_mask_pipeline"] = """
+WITH wk_clicks AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week, avg(value) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), wk_errors AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+         (sum(value) > 200.0) AS flagged
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT c.user_id, c.week,
+       floor((CASE WHEN coalesce(e.flagged, FALSE) THEN NULL ELSE c.value END)
+             * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM wk_clicks c LEFT JOIN wk_errors e
+  ON c.user_id = e.user_id AND c.week = e.week
+"""
+
+    sql["streaming_rollup"] = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    sql["multimodal_features"] = """
+SELECT doc_id AS media_id, strlen(text) AS payload_bytes,
+       ('0x' || substr(md5(text), 1, 4))::BIGINT / 65536.0 AS f0,
+       ('0x' || substr(md5(text), 5, 4))::BIGINT / 65536.0 AS f1,
+       ('0x' || substr(md5(text), 9, 4))::BIGINT / 65536.0 AS f2,
+       ('0x' || substr(md5(text), 13, 4))::BIGINT / 65536.0 AS f3
+FROM documents
+"""
+
+    sql["tpch_q3"] = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
 
     sql["process_graph"] = """

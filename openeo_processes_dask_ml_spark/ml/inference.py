@@ -17,8 +17,9 @@ the spill/barrier entirely:
                          coordinates; union of rows IS the cube
                          (no combine_by_coords step)
 
-All-NaN batches skip prediction and emit NaN rows, matching
-data_model.py:899-901, 997-1006.
+All-NaN batches skip prediction and emit missing values, matching
+data_model.py:899-901, 997-1006 (the reference's NaN sentinel surfaces
+as SQL NULL through the Arrow boundary — Spark's missing marker).
 
 Scale shape: the only shuffle is the groupBy on tile keys — one row per
 cell moves once; the model runs streamwise per partition; grid

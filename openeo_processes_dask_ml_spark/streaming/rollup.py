@@ -1,0 +1,94 @@
+"""Structured Streaming operators.
+
+The reference is strictly batch (SURVEY §2.9) — streaming is part of
+the beyond-reference scale surface. The shapes here follow the standard
+Spark pattern: readStream -> event-time watermark -> windowed
+aggregation -> sink. ``run_stream_rollup_once`` drives the stream with
+Trigger.AvailableNow into a memory sink, which replays the full input
+in one deterministic pass — the result equals the batch computation, so
+the operator stays oracle-checkable while exercising the real streaming
+engine (state store, watermarks, incremental execution).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession, path: str, schema, ts_col: str = "ts"
+) -> DataFrame:
+    """File-source stream over a parquet path (nanos timestamps get the
+    same long->micros conversion as the batch loader). A single-file
+    path is turned into directory + glob, since the streaming source
+    requires a directory basePath."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    reader = spark.readStream.schema(schema)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    stream = reader.parquet(path)
+    if dict(stream.dtypes).get(ts_col) == "bigint":
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    return stream
+
+
+def windowed_rollup(
+    stream: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window aggregation with an event-time watermark: the
+    canonical late-data-tolerant streaming rollup. State for windows
+    older than the watermark is dropped — bounded memory at any input
+    rate."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_rollup_once(
+    spark: SparkSession,
+    path: str,
+    schema,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    window: str = "1 day",
+) -> DataFrame:
+    """Execute the rollup with Trigger.AvailableNow into a memory sink
+    and return the (now static) result."""
+    keys = keys if keys is not None else ["event_type"]
+    stream = stream_events(spark, path, schema, ts_col)
+    rolled = windowed_rollup(stream, ts_col, keys, value_col, window)
+    table = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    query = (
+        rolled.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table)

@@ -1,0 +1,232 @@
+"""Process-graph executor + registry smoke (reference
+tests/test_minibackend.py:6-20) and sub-graph compilation; plus MLM
+descriptor validation and the expression-dispatch allowlist
+(tests/utils/test_proc_expression_utils.py)."""
+
+import pytest
+
+from openeo_processes_dask_ml_spark.graph import default_registry, execute_graph
+from openeo_processes_dask_ml_spark.mlm.descriptor import (
+    MLModelDescriptor,
+    ModelInput,
+    ModelOutput,
+    check_bands_available,
+    check_dimension_sizes,
+    check_dimensions_present,
+    load_stac_ml,
+)
+from openeo_processes_dask_ml_spark.utils.proc_expression import (
+    resolve_python_expression,
+    run_process_expression,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_registry_families_registered():
+    reg = default_registry()
+    ids = reg.process_ids()
+    for pid in [
+        "load_collection", "save_result", "load_stac", "load_stac_ml",
+        "ml_predict", "ml_fit", "mlm_class_random_forest",
+        "filter_bands", "reduce_dimension", "aggregate_temporal_period",
+        "mask", "ndvi", "array_interpolate_linear", "eq", "lte", "or",
+        "array_element", "median",
+    ]:
+        assert pid in ids, pid
+
+
+def test_registry_later_registration_wins():
+    reg = default_registry()
+    reg.register("eq", lambda a, c: "overridden")
+    assert reg.get("eq")({}, {}) == "overridden"
+
+
+def test_unknown_process_raises():
+    reg = default_registry()
+    with pytest.raises(KeyError, match="not registered"):
+        reg.get("definitely_not_a_process")
+
+
+def test_graph_executes_composed_plan(spark):
+    graph = {
+        "load": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        "f": {
+            "process_id": "filter_bands",
+            "arguments": {"data": {"from_node": "load"}, "bands": ["click"]},
+        },
+        "r": {
+            "process_id": "reduce_dimension",
+            "arguments": {
+                "data": {"from_node": "f"},
+                "dimension": "time",
+                "reducer": "count",
+            },
+            "result": True,
+        },
+    }
+    cube = execute_graph(graph, spark, SF_DIR)
+    rows = cube.df.collect()
+    assert len(rows) > 0
+    assert set(cube.dims.keys()) == {"bands", "geometry"}
+
+
+def test_graph_subgraph_reducer_compiles_to_column(spark):
+    graph = {
+        "load": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        "r": {
+            "process_id": "reduce_dimension",
+            "arguments": {
+                "data": {"from_node": "load"},
+                "dimension": "time",
+                "reducer": {
+                    "process_graph": {
+                        "m": {
+                            "process_id": "mean",
+                            "arguments": {"data": {"from_parameter": "data"}},
+                            "result": True,
+                        }
+                    }
+                },
+            },
+            "result": True,
+        },
+    }
+    cube = execute_graph(graph, spark, SF_DIR)
+    assert cube.df.count() > 0
+
+
+def test_graph_requires_single_result():
+    with pytest.raises(ValueError, match="exactly one result"):
+        execute_graph({"a": {"process_id": "eq", "arguments": {}}}, None, "")
+
+
+def test_graph_unbound_parameter():
+    graph = {
+        "r": {
+            "process_id": "not",
+            "arguments": {"x": {"from_parameter": "ghost"}},
+            "result": True,
+        }
+    }
+    with pytest.raises(KeyError, match="unbound parameter"):
+        execute_graph(graph, None, "")
+
+
+# --- MLM descriptor -------------------------------------------------------
+
+
+def _item(framework="pytorch", exts=None):
+    return {
+        "type": "Feature",
+        "stac_extensions": exts
+        if exts is not None
+        else ["https://stac-extensions.github.io/mlm/v1.4.0/schema.json"],
+        "id": "m",
+        "properties": {
+            "mlm:framework": framework,
+            "mlm:input": [
+                {
+                    "bands": ["red", "nir"],
+                    "input": {
+                        "shape": [-1, 2, 4, 4],
+                        "dim_order": ["batch", "bands", "x", "y"],
+                        "data_type": "float32",
+                    },
+                }
+            ],
+            "mlm:output": [
+                {"result": {"shape": [-1, 1], "dim_order": ["batch", "out"]}}
+            ],
+        },
+        "assets": {
+            "weights": {"href": "file:///w.pt", "roles": ["mlm:model"]},
+        },
+    }
+
+
+def test_load_stac_ml_parses_and_selects_asset():
+    d = load_stac_ml(_item())
+    assert d.framework == "pytorch"
+    assert d.model_asset_href == "file:///w.pt"
+    assert d.input.shape == [-1, 2, 4, 4]
+    assert [b.name for b in d.input.bands] == ["red", "nir"]
+
+
+def test_load_stac_ml_rejects_missing_extension():
+    with pytest.raises(ValueError, match="STAC-MLM"):
+        load_stac_ml(_item(exts=[]))
+
+
+def test_load_stac_ml_rejects_unknown_framework():
+    with pytest.raises(ValueError, match="unsupported framework"):
+        load_stac_ml(_item(framework="tensorflow-quantum"))
+
+
+def test_load_stac_ml_index_bounds():
+    with pytest.raises(IndexError):
+        load_stac_ml(_item(), input_index=3)
+
+
+def _descriptor():
+    item = _item()
+    return MLModelDescriptor(
+        item=item,
+        input=ModelInput.parse(item["properties"]["mlm:input"][0]),
+        output=ModelOutput.parse(item["properties"]["mlm:output"][0]),
+        framework="pytorch",
+    )
+
+
+def test_validation_dims_present():
+    check_dimensions_present(_descriptor(), ["time", "bands", "x", "y"])
+    with pytest.raises(ValueError, match="lacks model dims"):
+        check_dimensions_present(_descriptor(), ["time", "bands", "x"])
+
+
+def test_validation_dim_sizes():
+    check_dimension_sizes(_descriptor(), {"x": 8, "y": 4})
+    with pytest.raises(ValueError, match="size 3 < model input 4"):
+        check_dimension_sizes(_descriptor(), {"x": 8, "y": 3})
+
+
+def test_validation_bands_alias_resolved():
+    m = check_bands_available(_descriptor(), ["B04", "B08", "SCL"])
+    assert m == {"red": "B04", "nir": "B08"}
+    with pytest.raises(ValueError, match="lacks model bands"):
+        check_bands_available(_descriptor(), ["B02"])
+
+
+# --- processing expressions ----------------------------------------------
+
+
+def test_python_expression_resolves_function():
+    fn = resolve_python_expression("numpy:sqrt")
+    assert fn(4.0) == 2.0
+
+
+def test_python_expression_resolves_method_path():
+    fn = resolve_python_expression("numpy:ndarray.sum")
+    import numpy as np
+
+    assert fn(np.array([1, 2, 3])) == 6
+
+
+def test_expression_allowlist_enforced():
+    with pytest.raises(PermissionError, match="allowlist"):
+        resolve_python_expression("os:system")
+
+
+def test_expression_bad_format():
+    with pytest.raises(ValueError, match="pkg.module:func"):
+        resolve_python_expression("numpy.sqrt")
+
+
+@pytest.mark.parametrize("fmt", ["uri", "docker", "rio-calc", "openeo", "gdal-calc"])
+def test_unsupported_formats(fmt):
+    with pytest.raises(NotImplementedError):
+        run_process_expression(fmt, "x", None)
+
+
+def test_python_format_runs():
+    assert run_process_expression("python", "numpy:abs", -3) == 3

@@ -1,0 +1,235 @@
+"""Inference-harness semantics vs the reference's golden tests:
+
+- batch-size decision table (reference test_datamodel.py:352-379 /
+  data_model.py:493-536)
+- tiling remainder-drop (data_model.py:418-422)
+- coordinate regeneration goldens (test_datamodel_resolve_batches.py):
+  spatial tile centers, numeric linspace, datetime linspace epoch ints,
+  missing coords 0..n-1, string label join
+- end-to-end tiled run: NaN-batch skip, passthrough dims, output grid
+"""
+
+import numpy as np
+import pytest
+
+from openeo_processes_dask_ml_spark.ml.inference import (
+    collapse_coords,
+    get_batch_size,
+    regenerate_coords,
+    tile_count,
+)
+from openeo_processes_dask_ml_spark.mlm.descriptor import (
+    MLModelDescriptor,
+    ModelInput,
+    ModelOutput,
+)
+
+
+def _descriptor(dim_order, shape, suggestion=None):
+    return MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput(shape=shape, dim_order=dim_order),
+        output=ModelOutput(),
+        framework="fake",
+        batch_size_suggestion=suggestion,
+    )
+
+
+@pytest.mark.parametrize(
+    "dim_order,shape,suggestion,expected",
+    [
+        # no batch dim, no suggestion -> 1
+        (["x", "y"], [4, 4], None, 1),
+        # no batch dim, suggestion -> suggestion
+        (["x", "y"], [4, 4], 16, 16),
+        # batch -1, no suggestion -> fallback 12 (data_model.py:505)
+        (["batch", "x", "y"], [-1, 4, 4], None, 12),
+        # batch -1 + suggestion -> suggestion
+        (["batch", "x", "y"], [-1, 4, 4], 16, 16),
+        # fixed batch shape wins
+        (["batch", "x", "y"], [8, 4, 4], 16, 8),
+        (["batch", "x", "y"], [8, 4, 4], None, 8),
+    ],
+)
+def test_batch_size_table(dim_order, shape, suggestion, expected):
+    assert get_batch_size(_descriptor(dim_order, shape, suggestion)) == expected
+
+
+def test_tiling_remainder_dropped():
+    # 5x5 cube, 2x2 model -> 2 tiles per dim; rows/cols 4 dropped
+    assert tile_count(5, 2) == 2
+    assert tile_count(4, 2) == 2
+    assert tile_count(3, 4) == 0
+
+
+def test_coords_same_length_copied():
+    c = np.array([1.0, 2.0, 3.0])
+    assert regenerate_coords(c, 3) is c
+
+
+def test_coords_numeric_linspace():
+    # reference golden: width 448 -> 8 gives linspace over tile extent
+    c = np.linspace(100, 119, 20)[:10]  # one tile of 10, step 1
+    out = regenerate_coords(c, 5)
+    assert out == pytest.approx(np.linspace(100, 109, 5))
+
+
+def test_coords_spatial_tile_center():
+    # golden: linspace(100,119,20) step1, tiled by 10 -> centers 104.5/114.5
+    full = np.linspace(100, 119, 20)
+    assert collapse_coords(full[:10]) == pytest.approx(104.5)
+    assert collapse_coords(full[10:]) == pytest.approx(114.5)
+
+
+def test_coords_datetime_linspace():
+    # golden: 5 daily stamps -> 10 = epoch-int linspace
+    days = np.array(
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"],
+        dtype="datetime64[ns]",
+    )
+    out = regenerate_coords(days, 10)
+    ints = days.astype(np.int64)
+    expected = np.linspace(ints[0], ints[-1], 10).astype(np.int64)
+    assert (out.astype(np.int64) == expected).all()
+    assert out[0] == days[0] and out[-1] == days[-1]
+
+
+def test_coords_missing_becomes_range():
+    out = regenerate_coords(np.array([]), 4)
+    assert (out == np.arange(4)).all()
+
+
+def test_coords_string_join_counter():
+    # golden: ["t1","t2","t3"] -> ["t1.t2.t3-0", "t1.t2.t3-1"]
+    out = regenerate_coords(np.array(["t1", "t2", "t3"]), 2)
+    assert out.tolist() == ["t1.t2.t3-0", "t1.t2.t3-1"]
+
+
+def test_collapse_non_numeric_takes_first():
+    assert collapse_coords(np.array(["a", "b"])) == "a"
+
+
+# --- end-to-end tiled run -------------------------------------------------
+
+
+@pytest.fixture()
+def raster_cube(spark):
+    """4x4 grid x 2 bands x 2 time steps; one spatial tile (x<2, y<2 at
+    t=2024-02) is all-NaN to exercise the sparsity skip."""
+    from datetime import datetime
+
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    rows = []
+    for t in ["2024-01-01", "2024-02-01"]:
+        for b in ["red", "nir"]:
+            for xi in range(4):
+                for yi in range(4):
+                    val = float(xi * 10 + yi)
+                    if t == "2024-02-01" and xi < 2 and yi < 2:
+                        val = float("nan")
+                    rows.append((datetime.strptime(t, "%Y-%m-%d"), b, float(xi), float(yi), val))
+    df = spark.createDataFrame(rows, ["time", "band", "x", "y", "value"])
+    return CubeFrame(df, {"time": "time", "bands": "band", "x": "x", "y": "y"}, "value")
+
+
+def test_run_model_tiled_end_to_end(spark, raster_cube):
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": ["nir", "red"],
+                "input": {
+                    "shape": [-1, 2, 2, 2],
+                    "dim_order": ["batch", "bands", "x", "y"],
+                    "data_type": "float64",
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 2, 2], "dim_order": ["batch", "x", "y"]}}
+        ),
+        framework="fake",
+        batch_size_suggestion=2,
+    )
+
+    def predict(batch):
+        # bands ordered [nir, red] per the model band list
+        return batch[:, 0] - batch[:, 1]
+
+    out = run_model_tiled(raster_cube, descriptor, predict)
+    rows = out.collect()
+    # 2 time steps x 4 tiles x (2x2 out grid) = 32 rows
+    assert len(rows) == 32
+    by_key = {(str(r["time"])[:10], r["x"], r["y"]): r["value"] for r in rows}
+    # nir - red = 0 everywhere values exist (same value per band)
+    assert by_key[("2024-01-01", 0.0, 0.0)] == 0.0
+    # the all-NaN tile was reconstituted as missing values (the
+    # reference emits NaN, data_model.py:997-1006; through Arrow the
+    # pandas NaN sentinel becomes SQL NULL — Spark's missing marker)
+    assert by_key[("2024-02-01", 0.0, 0.0)] is None
+    assert by_key[("2024-02-01", 1.0, 1.0)] is None
+    # non-NaN tiles at the same timestep still computed
+    assert by_key[("2024-02-01", 2.0, 2.0)] == 0.0
+    # output grid preserved input coords (same-length copy rule)
+    xs = sorted({r["x"] for r in rows})
+    assert xs == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_run_model_tiled_remainder_dropped(spark, raster_cube):
+    """3x3 model tile over a 4x4 grid -> 1 tile, cells 3 dropped."""
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": ["red"],
+                "input": {
+                    "shape": [-1, 1, 3, 3],
+                    "dim_order": ["batch", "bands", "x", "y"],
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 3, 3], "dim_order": ["batch", "x", "y"]}}
+        ),
+        framework="fake",
+    )
+    out = run_model_tiled(raster_cube, descriptor, lambda b: b[:, 0])
+    rows = out.collect()
+    assert len(rows) == 2 * 9  # 2 timesteps x one 3x3 tile
+    assert {r["x"] for r in rows} == {0.0, 1.0, 2.0}  # x=3 dropped
+
+
+def test_run_model_tiled_upsampling_linspace(spark, raster_cube):
+    """Model emits a 4x4 grid from a 2x2 tile -> numeric linspace
+    coordinates within the tile extent (reference golden :163-168)."""
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": ["red"],
+                "input": {
+                    "shape": [-1, 1, 2, 2],
+                    "dim_order": ["batch", "bands", "x", "y"],
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 4, 4], "dim_order": ["batch", "x", "y"]}}
+        ),
+        framework="fake",
+    )
+
+    def upsample(batch):
+        return np.repeat(np.repeat(batch[:, 0], 2, axis=1), 2, axis=2)
+
+    out = run_model_tiled(raster_cube, descriptor, upsample)
+    xs = sorted({r["x"] for r in out.collect()})
+    # tile [0,1] upsampled to 4 -> linspace(0,1,4); tile [2,3] likewise
+    assert xs == pytest.approx([0.0, 1 / 3, 2 / 3, 1.0, 2.0, 2 + 1 / 3, 2 + 2 / 3, 3.0])
