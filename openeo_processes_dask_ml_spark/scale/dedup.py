@@ -53,14 +53,47 @@ def tokens_expr(text: Column) -> Column:
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column — pure Catalyst
-    higher-order functions, no Python boundary."""
+    """Distinct word n-gram shingles of a text column as an array.
+
+    NOTE: higher-order functions are interpreted (not codegen) and the
+    tokenizer subtree gets inlined into the lambda — use only where a
+    per-row array is genuinely needed. The hot path is ``shingle_rows``
+    below (exploded form, whole-stage codegen)."""
     toks = tokens_expr(text)
     idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
     )
     return F.array_distinct(F.transform(idx, gram))
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, shingle) rows: posexplode tokens + window
+    lead() joins n consecutive tokens.
+
+    This is the scale shape: every step (split, explode, lead, concat,
+    distinct) runs in whole-stage codegen; the only data movement is
+    the window shuffle on doc_id and the distinct. The array-expression
+    alternative re-evaluates the tokenizer inside an interpreted lambda
+    — measured 6x slower at 5000 docs."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    gram = F.concat_ws(" ", F.col("tok"), *leads)
+    tail = leads[-1] if leads else F.col("tok")
+    return (
+        ex.select("doc_id", gram.alias("shingle"), tail.alias("__tail"))
+        .filter(F.col("__tail").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
 
 
 # --------------------------------------------------------------------------
@@ -121,16 +154,12 @@ def minhash_signatures(
     (shingle, k). All products stay < 2^62, so the arithmetic is exact
     int64 in both Spark and DuckDB.
 
-    Shape: explode distinct shingles once, then ONE groupBy(doc) with k
-    min() aggregates (map-side combined). Computing the signature as a
-    nested array-transform expression instead is a trap: Catalyst's
+    Shape: distinct shingle rows (codegen), then ONE groupBy(doc) with
+    k min() aggregates (map-side combined). Computing the signature as
+    a nested array-transform expression instead is a trap: Catalyst's
     CollapseProject inlines it into every downstream band expression
-    and recomputes every hash per band."""
-    sh = shingles_expr(F.col(text_col), shingle_n)
-    base = spread(df).select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).filter(
-        F.size("shingles") >= 1
-    )
-    inv = base.select("doc_id", F.explode("shingles").alias("shingle"))
+    and recomputes every hash per band. Returns (doc_id, sig)."""
+    inv = shingle_rows(df, text_col, id_col, shingle_n)
     h0 = (hash60(F.col("shingle")) % MINHASH_P).alias("h0")
     hashed = inv.select("doc_id", h0).select(
         "doc_id",
@@ -142,10 +171,9 @@ def minhash_signatures(
     mins = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{k}").alias(f"h{k}") for k in range(num_hashes)]
     )
-    sig = mins.select(
+    return mins.select(
         "doc_id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig")
     )
-    return base.join(sig, "doc_id")
 
 
 def minhash_lsh_pairs(
@@ -162,7 +190,9 @@ def minhash_lsh_pairs(
     to 6 places, filtered to >= threshold.
 
     Scale shape: the pairwise work is restricted to same-bucket
-    candidates; the bucket join is an equi-join Spark can shuffle-hash.
+    candidates; the bucket join is an equi-join Spark can shuffle-hash;
+    verification counts shared shingles through the inverted index
+    restricted to candidate pairs (never materializing per-doc arrays).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -200,14 +230,32 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sets = sigs.select("doc_id", "shingles")
-    jac = (
-        F.size(F.array_intersect("sa.shingles", "sb.shingles")).cast("double")
-        / F.size(F.array_union("sa.shingles", "sb.shingles"))
+    inv = shingle_rows(df, text_col, id_col, shingle_n)
+    return _verified_jaccard(cand, inv, threshold)
+
+
+def _verified_jaccard(
+    cand: DataFrame, inv: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from distinct (doc_id, shingle)
+    rows: shared = count of shingles present on both sides, union =
+    |A| + |B| - shared. Integer arithmetic -> the value is identical to
+    a set-intersection formulation."""
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = inv.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = inv.select(F.col("doc_id").alias("id_b"), "shingle")
+    shared = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("shared")
     )
     return (
-        cand.join(sets.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(sets.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        shared.join(F.broadcast(sizes).alias("na"), F.col("id_a") == F.col("na.doc_id"))
+        .join(F.broadcast(sizes).alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
         .select("id_a", "id_b", jac.alias("jaccard_raw"))
         .filter(F.col("jaccard_raw") >= threshold)
         .select("id_a", "id_b", dround(F.col("jaccard_raw"), 6).alias("jaccard"))
@@ -227,18 +275,10 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via the shared-shingle inverted index:
-    explode distinct shingles, equi-join on shingle, count shared per
+    distinct shingle rows, equi-join on shingle, count shared per
     pair, |A∩B| / (|A| + |B| - |A∩B|). No cross join anywhere."""
-    sh = (
-        spread(df)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            shingles_expr(F.col(text_col), shingle_n).alias("shingles"),
-        )
-        .filter(F.size("shingles") >= 1)
-    )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv = shingle_rows(df, text_col, id_col, shingle_n)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = inv.alias("a"), inv.alias("b")
     shared = (

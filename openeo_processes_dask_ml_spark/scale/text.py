@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from openeo_processes_dask_ml_spark.scale.dedup import hash60, shingles_expr, tokens_expr
+from openeo_processes_dask_ml_spark.scale.dedup import hash60, shingle_rows, tokens_expr
 from openeo_processes_dask_ml_spark.utils.rounding import dround
 
 # Marker words per language. The count trick — (len(s) - len(replace(s,
@@ -123,10 +123,12 @@ def document_fingerprints(
     min-shingle-hash (the 1-hash MinHash — a rolling-window content
     signature robust to local edits)."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    sh = shingles_expr(F.col(text_col), 3)
-    min_shingle = F.array_min(F.transform(sh, lambda s: hash60(s, 0)))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(norm).alias("fingerprint"),
-        min_shingle.alias("min_shingle_hash"),
+    mins = (
+        shingle_rows(df, text_col, id_col, 3)
+        .groupBy("doc_id")
+        .agg(F.min(hash60(F.col("shingle"), 0)).alias("min_shingle_hash"))
     )
+    fps = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
+    )
+    return fps.join(mins, "doc_id", "left")
