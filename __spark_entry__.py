@@ -717,6 +717,25 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_property_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_collection metadata property filters (reference
+    custom_processes.py:32-51): reduced {op: value} predicates pushed
+    into the parquet scan by Catalyst."""
+    from openeo_processes_dask_ml_spark.io.load import load_collection
+
+    cube = load_collection(
+        spark,
+        "events",
+        sf_dir,
+        bands=["purchase"],
+        properties={"value": {"gte": 100.0, "lt": 180.0}},
+    )
+    return cube.df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the scale
     path for similarity search (rows-only: bucket membership is
@@ -775,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "tpch_q3": q_tpch_q3,
         "ann_lsh": q_ann_lsh,
+        "property_filter": q_property_filter,
     }
 
 
@@ -1232,6 +1252,14 @@ SELECT doc_id AS media_id, strlen(text) AS payload_bytes,
        ('0x' || substr(md5(text), 9, 4))::BIGINT / 65536.0 AS f2,
        ('0x' || substr(md5(text), 13, 4))::BIGINT / 65536.0 AS f3
 FROM documents
+"""
+
+    sql["property_filter"] = """
+SELECT user_id, count(*) AS n,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events
+WHERE event_type = 'purchase' AND value >= 100.0 AND value < 180.0
+GROUP BY user_id
 """
 
     sql["tpch_q3"] = """

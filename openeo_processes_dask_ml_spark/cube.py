@@ -139,6 +139,34 @@ class CubeFrame:
         df = self.df.groupBy(*keep.values()).agg(agg.alias(out_col))
         return CubeFrame(df, keep, out_col, dict(self.attrs))
 
+    def reduce_dimension_array(
+        self,
+        dimension: str,
+        fn: Callable[[Column], Column],
+        alias: str | None = None,
+    ) -> "CubeFrame":
+        """Collapse one dimension with a whole-array callback: the
+        reducer receives the dim's values as an array ordered by the
+        dim's labels (the reference's positional sub-graph reducers,
+        e.g. array_element over the band axis at
+        examples/train_rf.py:62-103).
+
+        Built as sort_array(collect_list(struct(label, value))) so the
+        positional order is deterministic; one shuffle, same as any
+        groupBy."""
+        dname = self.dim_name(dimension)
+        dcol = self.dims[dname]
+        keep = {k: v for k, v in self.dims.items() if k != dname}
+        arr = F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(dcol).alias("k"), F.col(self.value_col).alias("v")))
+            ),
+            lambda s: s["v"],
+        )
+        out_col = alias or self.value_col
+        df = self.df.groupBy(*keep.values()).agg(fn(arr).alias(out_col))
+        return CubeFrame(df, keep, out_col, dict(self.attrs))
+
     def aggregate_temporal_period(
         self, period: str, reducer: str | Callable[[Column], Column]
     ) -> "CubeFrame":

@@ -78,6 +78,10 @@ class GraphExecutor:
                     inner = GraphExecutor(self.registry, self.context)
                     return inner.execute(sub, parameters=bound)
 
+                # let cube processes inspect the sub-graph (e.g.
+                # reduce_dimension switches to the positional/array
+                # reducer mode when array_element is used)
+                callback.process_graph = sub
                 return callback
             return {k: self._resolve(graph, v, params, cache) for k, v in value.items()}
         if isinstance(value, list):

@@ -114,6 +114,20 @@ def _as_reducer(callback_or_name) -> Callable[[Column], Column] | str:
     return callback_or_name
 
 
+def _uses_array_ops(process_graph: dict | None) -> bool:
+    """True if any node of the sub-graph indexes into the reduced
+    array (positional semantics) rather than aggregating it."""
+    if not process_graph:
+        return False
+    for node in process_graph.values():
+        if node.get("process_id") in ("array_element", "count_in_array"):
+            return True
+        for v in node.get("arguments", {}).values():
+            if isinstance(v, dict) and _uses_array_ops(v.get("process_graph")):
+                return True
+    return False
+
+
 def _register_cubes(reg: ProcessRegistry) -> None:
     def p_load_collection(args, ctx):
         return load_collection(
@@ -137,8 +151,18 @@ def _register_cubes(reg: ProcessRegistry) -> None:
         return args["data"].filter_labels(args["dimension"], args["labels"])
 
     def p_reduce_dimension(args, ctx):
+        reducer = args["reducer"]
+        # positional sub-graphs (array_element over the reduced dim,
+        # reference examples/train_rf.py:62-103) get the whole-array
+        # reducer; aggregation sub-graphs bind data to the value Column
+        if callable(reducer) and _uses_array_ops(
+            getattr(reducer, "process_graph", None)
+        ):
+            return args["data"].reduce_dimension_array(
+                args["dimension"], lambda arr: reducer(data=arr)
+            )
         return args["data"].reduce_dimension(
-            args["dimension"], _as_reducer(args["reducer"])
+            args["dimension"], _as_reducer(reducer)
         )
 
     def p_aggregate_temporal_period(args, ctx):

@@ -74,7 +74,7 @@ def assign_cells_to_zones(
     resolution, not the row count), so a pandas UDF over the distinct
     grid is cheap; the result joins back broadcast.
     """
-    import pandas as pd
+    import pandas as pd  # noqa: F401 (annotation resolution for pandas_udf)
     from pyspark.sql import types as T
 
     def _parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
@@ -97,8 +97,7 @@ def assign_cells_to_zones(
                     inside = not inside
         return inside
 
-    @F.pandas_udf(T.LongType())
-    def zone_of(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    def _zone_of(xs, ys):
         out = []
         for px, py in zip(xs, ys):
             hit = -1
@@ -108,6 +107,11 @@ def assign_cells_to_zones(
                     break
             out.append(hit)
         return pd.Series(out, dtype="int64")
+
+    _zone_of.__annotations__ = {
+        "xs": pd.Series, "ys": pd.Series, "return": pd.Series
+    }
+    zone_of = F.pandas_udf(_zone_of, T.LongType())
 
     grid = spark_cells.select(x_col, y_col).distinct()
     return grid.withColumn("zone_id", zone_of(F.col(x_col), F.col(y_col))).filter(

@@ -1,0 +1,181 @@
+"""Sources/sinks + artifact staging + array-reducer sub-graphs +
+property-based interpolation checks."""
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.io.load import load_collection, save_result
+from openeo_processes_dask_ml_spark.mlm.artifacts import (
+    cache_path_for,
+    distribute_artifact,
+    sanitize_uri,
+    stage_artifact,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_load_collection_property_filters_pushdown(spark):
+    cube = load_collection(
+        spark,
+        "events",
+        SF_DIR,
+        bands=["click", "view"],
+        properties={"value": {"gte": 50.0, "lt": 150.0}},
+    )
+    rows = cube.df.collect()
+    assert rows
+    assert all(50.0 <= r["value"] < 150.0 for r in rows)
+    assert {r["event_type"] for r in rows} <= {"click", "view"}
+    # predicate must reach the parquet scan
+    plan = cube.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(value,50.0)" in plan
+
+
+def test_unknown_collection_rejected(spark):
+    with pytest.raises(ValueError, match="unknown collection"):
+        load_collection(spark, "nope", SF_DIR)
+
+
+def test_save_result_roundtrip(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2.0)
+    path = str(tmp_path / "out")
+    save_result(df, path, format="parquet")
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert dict(back.dtypes)["v"] == "double"
+    # raster container formats fall back to the columnar sink
+    path2 = str(tmp_path / "out2")
+    save_result(df, path2, format="netcdf")
+    assert spark.read.parquet(path2).count() == 100
+
+
+def test_save_result_csv(spark, tmp_path):
+    df = spark.range(5).withColumn("v", F.col("id") * 1.5)
+    path = str(tmp_path / "csv_out")
+    save_result(df, path, format="csv")
+    back = spark.read.option("header", "true").csv(path)
+    assert back.count() == 5
+
+
+# --- artifact staging -----------------------------------------------------
+
+
+def test_sanitize_uri():
+    assert sanitize_uri("https://host/models/weights v2.pt") == "weights_v2.pt"
+    assert sanitize_uri("https://host/") == "host"
+
+
+def test_stage_artifact_local_and_cache(tmp_path):
+    src = tmp_path / "weights.bin"
+    src.write_bytes(b"model-bytes")
+    cache = str(tmp_path / "cache")
+    p1 = stage_artifact(str(src), cache_dir=cache)
+    assert open(p1, "rb").read() == b"model-bytes"
+    # cache hit: same path, survives source deletion
+    os.remove(src)
+    p2 = stage_artifact(str(src), cache_dir=cache)
+    assert p2 == p1 and os.path.exists(p2)
+    assert cache_path_for(str(src), cache) == p1
+
+
+def test_distribute_artifact(spark, tmp_path):
+    src = tmp_path / "weights.bin"
+    src.write_bytes(b"xyz")
+    name = distribute_artifact(spark, str(src), cache_dir=str(tmp_path / "c"))
+    from pyspark import SparkFiles
+
+    # resolvable on the driver-side executor (local mode shares the dir)
+    assert open(SparkFiles.get(name), "rb").read() == b"xyz"
+
+
+# --- array-mode sub-graph reducer ----------------------------------------
+
+
+def test_reduce_dimension_array_positional(spark):
+    """The reference's SCL cloud-mask pattern: a positional sub-graph
+    (array_element + comparison + or) over the band axis compiles to
+    the whole-array reducer (examples/train_rf.py:62-103)."""
+    from openeo_processes_dask_ml_spark.graph import execute_graph
+
+    graph = {
+        "load": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        "r": {
+            "process_id": "reduce_dimension",
+            "arguments": {
+                "data": {"from_node": "load"},
+                "dimension": "bands",
+                "reducer": {
+                    "process_graph": {
+                        "el0": {
+                            "process_id": "array_element",
+                            "arguments": {"data": {"from_parameter": "data"}, "index": 0},
+                        },
+                        "gt": {
+                            "process_id": "gt",
+                            "arguments": {"x": {"from_node": "el0"}, "y": 100.0},
+                            "result": True,
+                        },
+                    }
+                },
+            },
+            "result": True,
+        },
+    }
+    cube = execute_graph(graph, spark, SF_DIR)
+    rows = cube.df.limit(10).collect()
+    assert rows
+    assert "bands" not in cube.dims
+    assert all(isinstance(r[cube.value_col], (bool, type(None))) for r in rows)
+
+
+def test_reduce_dimension_array_order(spark):
+    """Array order follows the dim label sort order deterministically."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    df = spark.createDataFrame(
+        [(1, "b", 2.0), (1, "a", 1.0), (1, "c", 3.0), (2, "a", 9.0), (2, "b", 8.0), (2, "c", 7.0)],
+        ["g", "band", "value"],
+    )
+    cube = CubeFrame(df, {"geometry": "g", "bands": "band"}, "value")
+    out = cube.reduce_dimension_array("bands", lambda arr: F.element_at(arr, 1))
+    got = {r["g"]: r["value"] for r in out.df.collect()}
+    assert got == {1: 1.0, 2: 9.0}  # element 1 == band 'a'
+
+
+# --- property-based: linear interpolation --------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=4, max_size=12
+    ),
+    holes=st.sets(st.integers(min_value=1, max_value=10), min_size=1, max_size=4),
+)
+def test_interpolation_recovers_linear_series(spark, values, holes):
+    """Nulling interior points of any series and interpolating must
+    reproduce values lying on the chord between the bracketing points —
+    checked against numpy.interp."""
+    from openeo_processes_dask_ml_spark.operators.arrays import interpolate_linear_df
+
+    n = len(values)
+    holes = {h for h in holes if 0 < h < n - 1}
+    rows = [
+        (0, float(i), None if i in holes else float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, ["series", "t", "value"])
+    out = interpolate_linear_df(df, ["series"], "t", "value")
+    got = {r["t"]: r["value"] for r in out.collect()}
+
+    kept_x = [float(i) for i in range(n) if i not in holes]
+    kept_y = [float(values[i]) for i in range(n) if i not in holes]
+    for h in holes:
+        expected = np.interp(float(h), kept_x, kept_y)
+        assert got[float(h)] == pytest.approx(expected, abs=1e-9)
