@@ -736,6 +736,19 @@ def q_property_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events ``props`` column
+    (array/map/json function family, SURVEY §2.9): parse, bucket, agg."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select(F.col("event_type"), k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the scale
     path for similarity search (rows-only: bucket membership is
@@ -795,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "ann_lsh": q_ann_lsh,
         "property_filter": q_property_filter,
+        "json_extract": q_json_extract,
     }
 
 
@@ -1252,6 +1266,16 @@ SELECT doc_id AS media_id, strlen(text) AS payload_bytes,
        ('0x' || substr(md5(text), 9, 4))::BIGINT / 65536.0 AS f2,
        ('0x' || substr(md5(text), 13, 4))::BIGINT / 65536.0 AS f3
 FROM documents
+"""
+
+    sql["json_extract"] = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1, 2
 """
 
     sql["property_filter"] = """
