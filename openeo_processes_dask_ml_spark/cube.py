@@ -125,6 +125,65 @@ class CubeFrame:
             self.df.withColumn(self.value_col, fn(F.col(self.value_col)))
         )
 
+    def filter_bbox(
+        self,
+        west: float | None = None,
+        east: float | None = None,
+        south: float | None = None,
+        north: float | None = None,
+    ) -> "CubeFrame":
+        """Spatial bounding-box filter over the x/y dims ([west, east) x
+        [south, north)); predicates push to the scan."""
+        df = self.df
+        if west is not None or east is not None:
+            x = F.col(self.dim_col("x"))
+            if west is not None:
+                df = df.filter(x >= west)
+            if east is not None:
+                df = df.filter(x < east)
+        if south is not None or north is not None:
+            y = F.col(self.dim_col("y"))
+            if south is not None:
+                df = df.filter(y >= south)
+            if north is not None:
+                df = df.filter(y < north)
+        return self.with_df(df)
+
+    _CUMULATIVE = {
+        "cumsum": F.sum,
+        "cummax": F.max,
+        "cummin": F.min,
+        "cumcount": lambda c: F.count(F.lit(1)),
+    }
+
+    def apply_dimension(
+        self, dimension: str, process: str, alias: str | None = None
+    ) -> "CubeFrame":
+        """Apply a per-series process along one dim (openEO
+        apply_dimension for the length-preserving case): cumulative
+        processes run as window frames ordered by the dim — streaming
+        within partitions, series hash-distributed."""
+        from pyspark.sql import Window
+
+        dcol = self.dim_col(dimension)
+        series = [v for v in self.dim_cols if v != dcol]
+        w = (
+            Window.partitionBy(*series)
+            .orderBy(dcol)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out_col = alias or self.value_col
+        if process in self._CUMULATIVE:
+            expr = self._CUMULATIVE[process](F.col(self.value_col)).over(w)
+        elif process == "rank":
+            expr = F.row_number().over(Window.partitionBy(*series).orderBy(dcol))
+        else:
+            raise ValueError(
+                f"apply_dimension process {process!r} not supported; "
+                f"known: {sorted(self._CUMULATIVE) + ['rank']}"
+            )
+        return self.with_df(self.df.withColumn(out_col, expr))
+
     def reduce_dimension(
         self, dimension: str, reducer: str | Callable[[Column], Column],
         alias: str | None = None,

@@ -79,22 +79,72 @@ def _register_scalars(reg: ProcessRegistry) -> None:
 
     reg.register("and", lambda a, c: _c(a["x"]) & _c(a["y"]))
     reg.register("or", lambda a, c: _c(a["x"]) | _c(a["y"]))
+    reg.register("xor", lambda a, c: _c(a["x"]) != _c(a["y"]))
     reg.register("not", lambda a, c: ~_c(a["x"]))
     reg.register("absolute", lambda a, c: F.abs(_c(a["x"])))
     reg.register("sqrt", lambda a, c: F.sqrt(_c(a["x"])))
     reg.register("ln", lambda a, c: F.log(_c(a["x"])))
+    reg.register("log", lambda a, c: F.log(float(a.get("base", 10)), _c(a["x"])))
+    reg.register("exp", lambda a, c: F.exp(_c(a["p"] if "p" in a else a["x"])))
+    reg.register("floor", lambda a, c: F.floor(_c(a["x"])))
+    reg.register("ceil", lambda a, c: F.ceil(_c(a["x"])))
+    reg.register("int", lambda a, c: _c(a["x"]).cast("long"))
+    reg.register(
+        "round",
+        lambda a, c: F.round(_c(a["x"]), int(a.get("p", 0))),
+    )
+    reg.register("sgn", lambda a, c: F.signum(_c(a["x"])))
+    reg.register("sin", lambda a, c: F.sin(_c(a["x"])))
+    reg.register("cos", lambda a, c: F.cos(_c(a["x"])))
+    reg.register("tan", lambda a, c: F.tan(_c(a["x"])))
+    reg.register("arcsin", lambda a, c: F.asin(_c(a["x"])))
+    reg.register("arccos", lambda a, c: F.acos(_c(a["x"])))
+    reg.register("arctan", lambda a, c: F.atan(_c(a["x"])))
+    reg.register("pi", lambda a, c: F.lit(3.141592653589793))
+    reg.register("e", lambda a, c: F.lit(2.718281828459045))
     reg.register("is_nan", lambda a, c: F.isnan(_c(a["x"])))
     reg.register("is_nodata", lambda a, c: _c(a["x"]).isNull())
+    reg.register("is_valid", lambda a, c: _c(a["x"]).isNotNull() & ~F.isnan(_c(a["x"])))
     reg.register(
         "between",
         lambda a, c: (_c(a["x"]) >= _c(a["min"])) & (_c(a["x"]) <= _c(a["max"])),
     )
+    reg.register(
+        "clip",
+        lambda a, c: F.least(F.greatest(_c(a["x"]), _c(a["min"])), _c(a["max"])),
+    )
+    reg.register(
+        "linear_scale_range",
+        lambda a, c: (
+            (_c(a["x"]) - _c(a["inputMin"]))
+            / (_c(a["inputMax"]) - _c(a["inputMin"]))
+            * (_c(a.get("outputMax", 1)) - _c(a.get("outputMin", 0)))
+            + _c(a.get("outputMin", 0))
+        ),
+    )
+    reg.register(
+        "normalized_difference",
+        lambda a, c: (_c(a["x"]) - _c(a["y"])) / (_c(a["x"]) + _c(a["y"])),
+    )
+    reg.register(
+        "if",
+        lambda a, c: F.when(_c(a["value"]), _c(a["accept"])).otherwise(
+            _c(a.get("reject"))
+        ),
+    )
+    reg.register("constant", lambda a, c: F.lit(a["x"]))
+    reg.register("text_concat", lambda a, c: F.concat_ws(str(a.get("separator", "")), *[_c(x) for x in a["data"]]))
+    reg.register("text_contains", lambda a, c: _c(a["data"]).contains(a["pattern"]))
+    reg.register("text_begins", lambda a, c: _c(a["data"]).startswith(a["pattern"]))
+    reg.register("text_ends", lambda a, c: _c(a["data"]).endswith(a["pattern"]))
     reg.register(
         "array_element",
         lambda a, c: F.element_at(
             a["data"], int(a.get("index", 0)) + 1  # openEO is 0-based
         ),
     )
+    reg.register("array_create", lambda a, c: F.array(*[_c(x) for x in a["data"]]))
+    reg.register("count_in_array", lambda a, c: F.size(a["data"]))
     # reducers inside sub-graphs: data is bound to the value Column
     for name in ("median", "mean", "sum", "min", "max", "sd", "variance", "count", "product"):
         def impl(args, ctx, name=name):
@@ -198,6 +248,20 @@ def _register_cubes(reg: ProcessRegistry) -> None:
             return save_result(df, ctx["path"], args.get("format", "parquet"))
         return df
 
+    def p_filter_bbox(args, ctx):
+        extent = args.get("extent", {})
+        return args["data"].filter_bbox(
+            west=extent.get("west"), east=extent.get("east"),
+            south=extent.get("south"), north=extent.get("north"),
+        )
+
+    def p_apply_dimension(args, ctx):
+        return args["data"].apply_dimension(
+            args["dimension"], args["process"]
+        )
+
+    reg.register("filter_bbox", p_filter_bbox)
+    reg.register("apply_dimension", p_apply_dimension)
     reg.register("load_collection", p_load_collection)
     reg.register("load_stac", p_load_collection)
     reg.register("filter_bands", p_filter_bands)

@@ -236,12 +236,16 @@ def run_model_tiled(
             fields.append(T.StructField(col_name, T.DoubleType()))
         out_cols.append(col_name)
     # dims consumed by the model but absent from the output collapse to
-    # a single coordinate column (tile center)
+    # a single coordinate column: numeric -> tile-center mean (double);
+    # datetime/string -> first coord (keep the input column's type)
     collapsed = [
         td for td in tiled if td.model_dim not in out_dims
     ]
     for td in collapsed:
-        fields.append(T.StructField(td.cube_col, T.DoubleType()))
+        if td.coords.size and np.issubdtype(np.asarray(td.coords).dtype, np.number):
+            fields.append(T.StructField(td.cube_col, T.DoubleType()))
+        else:
+            fields.append(df.schema[td.cube_col])
     fields.append(T.StructField(out_value_col, T.DoubleType()))
     out_schema = T.StructType(fields)
 

@@ -110,6 +110,16 @@ class MLModelDescriptor:
     def name(self) -> str:
         return self.item.get("id", "model")
 
+    def stage(self, cache_dir: str | None = None) -> str:
+        """Fetch the weights asset into the content-addressed cache
+        (reference data_model.py:142-165) and remember the local path."""
+        from openeo_processes_dask_ml_spark.mlm.artifacts import stage_artifact
+
+        if self.model_asset_href is None:
+            raise ValueError("descriptor has no mlm:model asset to stage")
+        self.artifact_path = stage_artifact(self.model_asset_href, cache_dir)
+        return self.artifact_path
+
 
 def _select_model_asset(item: dict, model_asset: str | None) -> str | None:
     assets = item.get("assets", {})

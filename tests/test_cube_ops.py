@@ -1,0 +1,142 @@
+"""CubeFrame operator units: filter_bbox, apply_dimension, mask
+broadcast semantics, merge_cubes, reducers, time-tiled inference."""
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.cube import CubeFrame, resolve_reducer
+
+
+@pytest.fixture(scope="module")
+def grid_cube(spark):
+    rows = [
+        (float(x), float(y), "b1", float(x * 10 + y))
+        for x in range(4)
+        for y in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "band", "value"])
+    return CubeFrame(df, {"x": "x", "y": "y", "bands": "band"}, "value")
+
+
+def test_filter_bbox(grid_cube):
+    out = grid_cube.filter_bbox(west=1, east=3, south=0, north=2)
+    rows = out.df.collect()
+    assert {(r["x"], r["y"]) for r in rows} == {(1.0, 0.0), (1.0, 1.0), (2.0, 0.0), (2.0, 1.0)}
+
+
+def test_filter_bbox_alias_dims(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 5.0)], ["lon", "lat", "value"])
+    cube = CubeFrame(df, {"x": "lon", "y": "lat"}, "value")
+    assert cube.filter_bbox(west=0, east=2).df.count() == 1
+    assert cube.filter_bbox(west=1.5).df.count() == 0
+
+
+def test_apply_dimension_cumsum(spark):
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(5)] + [(2, i, 1.0) for i in range(3)],
+        ["g", "t", "value"],
+    )
+    cube = CubeFrame(df, {"geometry": "g", "time": "t"}, "value")
+    out = cube.apply_dimension("time", "cumsum")
+    got = {(r["g"], r["t"]): r["value"] for r in out.df.collect()}
+    assert got[(1, 4)] == 10.0
+    assert got[(2, 2)] == 3.0
+
+
+def test_apply_dimension_rank_and_unknown(spark):
+    df = spark.createDataFrame([(1, 10, 1.0), (1, 20, 2.0)], ["g", "t", "value"])
+    cube = CubeFrame(df, {"geometry": "g", "time": "t"}, "value")
+    ranked = cube.apply_dimension("time", "rank", alias="rk")
+    assert {r["rk"] for r in ranked.df.collect()} == {1, 2}
+    with pytest.raises(ValueError, match="not supported"):
+        cube.apply_dimension("time", "fft")
+
+
+def test_mask_broadcasts_along_missing_dims(spark):
+    data = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0), (2, "b", 4.0)],
+        ["t", "band", "value"],
+    )
+    mask = spark.createDataFrame([(1, True), (2, False)], ["t", "m"])
+    cube = CubeFrame(data, {"time": "t", "bands": "band"}, "value")
+    mcube = CubeFrame(mask, {"time": "t"}, "m")
+    out = cube.mask(mcube)
+    got = {(r["t"], r["band"]): r["value"] for r in out.df.collect()}
+    # t=1 masked across BOTH bands (broadcast along the missing band dim)
+    assert got[(1, "a")] is None and got[(1, "b")] is None
+    assert got[(2, "a")] == 3.0 and got[(2, "b")] == 4.0
+
+
+def test_mask_replacement_value(spark):
+    data = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["t", "value"])
+    mask = spark.createDataFrame([(1, True)], ["t", "m"])
+    cube = CubeFrame(data, {"time": "t"}, "value")
+    out = cube.mask(CubeFrame(mask, {"time": "t"}, "m"), replacement=-1.0)
+    got = {r["t"]: r["value"] for r in out.df.collect()}
+    assert got == {1: -1.0, 2: 2.0}
+
+
+def test_merge_cubes_union(grid_cube):
+    extra = grid_cube.with_df(
+        grid_cube.df.withColumn("band", F.lit("b2"))
+    )
+    merged = grid_cube.merge_cubes(extra)
+    assert merged.df.count() == 32
+    assert merged.df.select("band").distinct().count() == 2
+
+
+def test_unknown_reducer_rejected():
+    with pytest.raises(ValueError, match="unknown reducer"):
+        resolve_reducer("mode7")
+
+
+def test_product_reducer(spark):
+    df = spark.createDataFrame([("a", 2.0), ("a", 3.0), ("a", 4.0)], ["g", "value"])
+    cube = CubeFrame(df, {"geometry": "g"}, "value")
+    out = cube.reduce_dimension("geometry", "product")
+    # product via exp(sum(log)) — 24 within fp tolerance
+    assert out.df.collect()[0]["value"] == pytest.approx(24.0)
+
+
+def test_time_tiled_inference(spark):
+    """Model consumes the time dim (tile of 2 along time): datetime
+    coordinates resolve, tile, and collapse correctly."""
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+    from openeo_processes_dask_ml_spark.mlm.descriptor import (
+        MLModelDescriptor,
+        ModelInput,
+        ModelOutput,
+    )
+
+    rows = []
+    for d in range(1, 5):  # 4 daily steps -> 2 time tiles
+        for x in range(2):
+            rows.append((datetime(2024, 1, d), float(x), float(d * 10 + x)))
+    df = spark.createDataFrame(rows, ["time", "x", "value"])
+    cube = CubeFrame(df, {"time": "time", "x": "x"}, "value")
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {"input": {"shape": [-1, 2, 2], "dim_order": ["batch", "time", "x"]}}
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 2], "dim_order": ["batch", "x"]}}
+        ),
+        framework="fake",
+    )
+
+    def collapse_time(batch: np.ndarray) -> np.ndarray:
+        return batch.sum(axis=1)  # consume the time axis
+
+    out = run_model_tiled(cube, descriptor, collapse_time)
+    rows = out.collect()
+    # 2 time tiles x 2 x-cells
+    assert len(rows) == 4
+    # consumed time dim collapses to a single coordinate column
+    assert "time" in out.columns
+    got = {(str(r["time"]), r["x"]): r["value"] for r in rows}
+    # tile 1 = days 1,2: sum over time of (d*10 + x)
+    assert got[[k for k in got if k[1] == 0.0][0]] in (30.0, 70.0)
