@@ -305,12 +305,20 @@ def _register_ml(reg: ProcessRegistry) -> None:
             a["model"], a["data"], a.get("feature_col", "embedding"), a.get("label_col", "label")
         ),
     )
-    reg.register(
-        "ml_predict",
-        lambda a, c: ml_predict(
-            a["model"], a["data"], a.get("feature_col", "embedding")
-        ),
-    )
+    def p_ml_predict(a, c):
+        data = a["data"]
+        model = a["model"]
+        # raster-cube inference goes through the tiled harness; flat
+        # feature tables through the MLlib transform (reference
+        # dispatches on model type at ml_predict.py:7-15)
+        if isinstance(data, CubeFrame) and not hasattr(model, "model"):
+            from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+
+            return run_model_tiled(data, model, a["predict_fn"])
+        df = data.df if isinstance(data, CubeFrame) else data
+        return ml_predict(model, df, a.get("feature_col", "embedding"))
+
+    reg.register("ml_predict", p_ml_predict)
     reg.register(
         "load_stac_ml",
         lambda a, c: load_stac_ml(

@@ -129,8 +129,32 @@ def run_model_tiled(
 
     ``predict_fn`` must be picklable; heavyweight models should lazily
     load an executor-local singleton inside it (the Spark analog of the
-    reference's per-subprocess torch.jit.load)."""
+    reference's per-subprocess torch.jit.load).
+
+    MLM pre/post-processing expressions (reference
+    run_pytorch_model.py:18-37: pre-expr -> no_grad forward ->
+    post-expr) wrap ``predict_fn`` inside the UDF, resolved through the
+    allowlisted importlib dispatch."""
     from openeo_processes_dask_ml_spark.utils.dim_utils import resolve_dim
+
+    pre = descriptor.input.pre_processing_function
+    post = descriptor.output.post_processing_function
+    if pre or post:
+        inner = predict_fn
+        pre_fmt, pre_expr = (pre.format, pre.expression) if pre else (None, None)
+        post_fmt, post_expr = (post.format, post.expression) if post else (None, None)
+
+        def predict_fn(batch: np.ndarray) -> np.ndarray:  # noqa: F811
+            from openeo_processes_dask_ml_spark.utils.proc_expression import (
+                run_process_expression,
+            )
+
+            if pre_expr:
+                batch = np.asarray(run_process_expression(pre_fmt, pre_expr, batch))
+            out = inner(batch)
+            if post_expr:
+                out = np.asarray(run_process_expression(post_fmt, post_expr, out))
+            return out
 
     inp, outp = descriptor.input, descriptor.output
     band_col = cube.dims.get("bands")

@@ -204,6 +204,46 @@ def test_run_model_tiled_remainder_dropped(spark, raster_cube):
     assert {r["x"] for r in rows} == {0.0, 1.0, 2.0}  # x=3 dropped
 
 
+def test_run_model_tiled_pre_post_expressions(spark, raster_cube):
+    """MLM pre/post-processing expressions wrap the model call inside
+    the UDF (reference run_pytorch_model.py:18-37): pre doubles the
+    input (numpy:abs here), post negates — both allowlisted importlib
+    callables."""
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+    from openeo_processes_dask_ml_spark.mlm.descriptor import ProcessingExpression
+
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": ["red"],
+                "input": {
+                    "shape": [-1, 1, 2, 2],
+                    "dim_order": ["batch", "bands", "x", "y"],
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 2, 2], "dim_order": ["batch", "x", "y"]}}
+        ),
+        framework="fake",
+    )
+    descriptor.input.pre_processing_function = ProcessingExpression(
+        "python", "numpy:abs"
+    )
+    descriptor.output.post_processing_function = ProcessingExpression(
+        "python", "numpy:negative"
+    )
+    out = run_model_tiled(raster_cube, descriptor, lambda b: b[:, 0])
+    jan = [
+        r["value"]
+        for r in out.collect()
+        if str(r["time"])[:10] == "2024-01-01" and r["value"] is not None
+    ]
+    # values were non-negative; post negates them
+    assert jan and all(v <= 0 for v in jan)
+
+
 def test_run_model_tiled_upsampling_linspace(spark, raster_cube):
     """Model emits a 4x4 grid from a 2x2 tile -> numeric linspace
     coordinates within the tile extent (reference golden :163-168)."""
