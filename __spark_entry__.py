@@ -283,6 +283,34 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via CUBE over (region, order status)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.cube("r_name", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -809,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
+        "cube_agg": q_cube_agg,
     }
 
 
@@ -1266,6 +1295,19 @@ SELECT doc_id AS media_id, strlen(text) AS payload_bytes,
        ('0x' || substr(md5(text), 9, 4))::BIGINT / 65536.0 AS f2,
        ('0x' || substr(md5(text), 13, 4))::BIGINT / 65536.0 AS f3
 FROM documents
+"""
+
+    sql["cube_agg"] = """
+SELECT coalesce(r_name, 'ALL') AS r_name,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, o_orderstatus)
 """
 
     sql["json_extract"] = """
