@@ -283,6 +283,45 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for each purchase event, the most recent
+    click of the same user (union + carry-forward window — one shuffle,
+    no per-row range probe). Oracle uses DuckDB's native ASOF JOIN."""
+    from openeo_processes_dask_ml_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        right_cols=["click_value"], suffix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        dround("value", 2).alias("value"),
+        "click_ts",
+        dround("click_value", 2).alias("click_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user; output per-session
+    stats."""
+    from openeo_processes_dask_ml_spark.operators.asof import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    with_sessions = sessionize(events, key="user_id", ts_col="ts", gap_seconds=1800.0)
+    return with_sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets via CUBE over (region, order status)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -838,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
         "cube_agg": q_cube_agg,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1295,6 +1336,39 @@ SELECT doc_id AS media_id, strlen(text) AS payload_bytes,
        ('0x' || substr(md5(text), 9, 4))::BIGINT / 65536.0 AS f2,
        ('0x' || substr(md5(text), 13, 4))::BIGINT / 65536.0 AS f3
 FROM documents
+"""
+
+    sql["asof_join"] = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_id, p.user_id,
+       floor((p.value) * 100.0 + 0.5) / 100.0 AS value,
+       click_ts,
+       floor((click_value) * 100.0 + 0.5) / 100.0 AS click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+    sql["sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 > 1800.0
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM s GROUP BY 1, 2
 """
 
     sql["cube_agg"] = """

@@ -1,0 +1,60 @@
+"""As-of join + sessionization semantics."""
+
+from datetime import datetime
+
+from openeo_processes_dask_ml_spark.operators.asof import asof_join, sessionize
+
+
+def _ts(minute):
+    return datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10)), (2, "u", _ts(30)), (3, "u", _ts(5)), (4, "v", _ts(10))],
+        ["event_id", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(8), 80.0), ("u", _ts(20), 200.0), ("w", _ts(1), 1.0)],
+        ["key", "rts", "rv"],
+    )
+    out = asof_join(left, right, on="key", left_ts="ts", right_ts="rts", right_cols=["rv"])
+    got = {r["event_id"]: (r["rts_right"], r["rv_right"]) for r in out.collect()}
+    assert got[1] == (_ts(8), 80.0)  # latest right <= 00:10
+    assert got[2] == (_ts(20), 200.0)
+    assert got[3] == (None, None)  # nothing earlier
+    assert got[4] == (None, None)  # key with no right rows
+
+
+def test_asof_equal_timestamp_matches(spark):
+    left = spark.createDataFrame([(1, "u", _ts(10))], ["event_id", "key", "ts"])
+    right = spark.createDataFrame([("u", _ts(10), 5.0)], ["key", "rts", "rv"])
+    out = asof_join(left, right, on="key", left_ts="ts", right_ts="rts", right_cols=["rv"])
+    assert out.collect()[0]["rv_right"] == 5.0  # >= semantics (ASOF tie)
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left = spark.createDataFrame(
+        [(i, "u", _ts(i)) for i in range(30)], ["event_id", "key", "ts"]
+    )
+    right = spark.createDataFrame([("u", _ts(7), 1.0)], ["key", "rts", "rv"])
+    out = asof_join(left, right, on="key", left_ts="ts", right_ts="rts", right_cols=["rv"])
+    assert out.count() == 30
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        ("u", _ts(0), 1.0),
+        ("u", _ts(10), 1.0),   # same session (10 min gap)
+        ("u", _ts(50), 1.0),   # 40 min gap -> new session
+        ("u", _ts(55), 1.0),
+        ("v", _ts(0), 1.0),    # separate key -> own session numbering
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts", "value"])
+    out = sessionize(df, key="user", ts_col="ts", gap_seconds=1800.0)
+    got = {(r["user"], str(r["ts"])): r["session_id"] for r in out.collect()}
+    assert got[("u", str(_ts(0)))] == 1
+    assert got[("u", str(_ts(10)))] == 1
+    assert got[("u", str(_ts(50)))] == 2
+    assert got[("u", str(_ts(55)))] == 2
+    assert got[("v", str(_ts(0)))] == 1
