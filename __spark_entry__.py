@@ -447,6 +447,12 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openeo_processes_dask_ml_spark.scale.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=1)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.text import document_fingerprints
 
@@ -862,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "doc_fingerprint": q_doc_fingerprint,
         "ml_predict_linear": q_ml_predict_linear,
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
@@ -1251,6 +1258,29 @@ SELECT doc_id, len(toks) AS n_tokens,
        list_reduce(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)),
                    (a, b) -> a + b) AS n_subwords
 FROM toks
+"""
+
+    sql["tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df_count FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id, tf.term,
+         tf::DOUBLE * (SELECT count(DISTINCT doc_id) FROM documents) / df_count
+           AS tfidf
+  FROM tf JOIN dfq USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+         AS rank
+  FROM scored
+)
+SELECT doc_id, term, floor((tfidf) * 1000000.0 + 0.5) / 1000000.0 AS tfidf,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 1
 """
 
     sql["doc_fingerprint"] = """

@@ -260,8 +260,16 @@ def _register_cubes(reg: ProcessRegistry) -> None:
             args["dimension"], args["process"]
         )
 
+    def p_resample_cube_temporal(args, ctx):
+        from openeo_processes_dask_ml_spark.operators.asof import (
+            resample_cube_temporal,
+        )
+
+        return resample_cube_temporal(args["data"], args["target"])
+
     reg.register("filter_bbox", p_filter_bbox)
     reg.register("apply_dimension", p_apply_dimension)
+    reg.register("resample_cube_temporal", p_resample_cube_temporal)
     reg.register("load_collection", p_load_collection)
     reg.register("load_stac", p_load_collection)
     reg.register("filter_bands", p_filter_bands)

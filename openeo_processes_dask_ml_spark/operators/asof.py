@@ -73,6 +73,36 @@ def asof_join(
     )
 
 
+def resample_cube_temporal(cube, target, method: str = "backward"):
+    """openEO resample_cube_temporal: align this cube's time labels to
+    the target cube's time labels (nearest-earlier match per series) —
+    an as-of join of the target's time grid against the source cube."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    tcol = cube.dim_col("time")
+    target_tcol = target.dim_col("time")
+    keys = [v for k, v in cube.dims.items() if k != "time"]
+    grid = target.df.select(
+        *[target.dims[k] for k in target.dims if k != "time"],
+        F.col(target_tcol).alias("__target_ts"),
+    ).distinct()
+    joined = asof_join(
+        grid,
+        cube.df,
+        on=keys[0] if keys else target_tcol,
+        left_ts="__target_ts",
+        right_ts=tcol,
+        right_cols=[cube.value_col],
+        suffix="_src",
+    )
+    out = joined.select(
+        *keys,
+        F.col("__target_ts").alias(tcol),
+        F.col(f"{cube.value_col}_src").alias(cube.value_col),
+    )
+    return CubeFrame(out, dict(cube.dims), cube.value_col, dict(cube.attrs))
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -116,6 +116,45 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1
+) -> DataFrame:
+    """Top-k terms per document by tf-idf.
+
+    tf = in-doc term count; idf = N / docfreq (the rational variant,
+    not log-scaled — integer division is bit-exact across engines,
+    where ln() differs in the last ulp and can flip near-tie ranks).
+    Ranking breaks ties by term. Shape: one explode + two hash
+    aggregations + a broadcast idf join — no cross joins, scales with
+    corpus size."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    )
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df_count")).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", dround(F.col("tfidf"), 6).alias("tfidf"), "rank")
+    )
+
+
 def document_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -42,6 +42,26 @@ def test_asof_preserves_left_rowcount(spark):
     assert out.count() == 30
 
 
+def test_resample_cube_temporal(spark):
+    """Source cube values re-labeled onto the target cube's time grid
+    (nearest-earlier match per series)."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.operators.asof import resample_cube_temporal
+
+    src = spark.createDataFrame(
+        [("u", _ts(0), 10.0), ("u", _ts(20), 20.0)], ["g", "t", "value"]
+    )
+    target = spark.createDataFrame(
+        [("u", _ts(5), 0.0), ("u", _ts(25), 0.0)], ["g", "t", "value"]
+    )
+    src_cube = CubeFrame(src, {"geometry": "g", "time": "t"}, "value")
+    tgt_cube = CubeFrame(target, {"geometry": "g", "time": "t"}, "value")
+    out = resample_cube_temporal(src_cube, tgt_cube)
+    got = {str(r["t"]): r["value"] for r in out.df.collect()}
+    assert got[str(_ts(5))] == 10.0   # nearest earlier source = t0
+    assert got[str(_ts(25))] == 20.0  # nearest earlier source = t20
+
+
 def test_sessionize_gap_splits(spark):
     rows = [
         ("u", _ts(0), 1.0),
