@@ -322,6 +322,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apply_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO apply_dimension: cumulative process along the time dim
+    per (user, band) series."""
+    from openeo_processes_dask_ml_spark.io.load import load_collection
+
+    cube = load_collection(spark, "events", sf_dir)
+    out = cube.apply_dimension("time", "cumsum", alias="cum_value")
+    return out.df.filter(F.col("user_id") < 10).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        dround("cum_value", 2).alias("cum_value"),
+    )
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets via CUBE over (region, order status)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -886,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "apply_dimension": q_apply_dimension,
     }
 
 
@@ -1366,6 +1382,14 @@ SELECT doc_id AS media_id, strlen(text) AS payload_bytes,
        ('0x' || substr(md5(text), 9, 4))::BIGINT / 65536.0 AS f2,
        ('0x' || substr(md5(text), 13, 4))::BIGINT / 65536.0 AS f3
 FROM documents
+"""
+
+    sql["apply_dimension"] = """
+SELECT event_id, user_id, event_type,
+  floor((sum(value) OVER (PARTITION BY user_id, event_type ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0
+    AS cum_value
+FROM events WHERE user_id < 10
 """
 
     sql["asof_join"] = """

@@ -207,16 +207,23 @@ def run_model_tiled(
     df = df.withColumn(cube.value_col, F.col(cube.value_col).cast("double"))
 
     # --- stage 7: tile keys; remainder dropped ------------------------
+    # coord -> index via a broadcast join against a tiny index table
+    # (raster-resolution-sized). A create_map literal would inline the
+    # whole coordinate axis into the serialized plan — fatal for a
+    # 100k-coordinate dim; the broadcast table costs the same one
+    # driver round-trip but keeps the plan O(1).
     batch_size = get_batch_size(descriptor)
     group_keys: list[str] = []
     n_tiles: dict[str, int] = {}
+    spark = df.sparkSession
     for td in tiled:
-        order = {v: i for i, v in enumerate(td.coords.tolist())}
-        idx_map = F.create_map(*[F.lit(x) for kv in order.items() for x in kv])
         full = tile_count(td.coords.size, td.tile)
         n_tiles[td.cube_col] = full
-        idx = idx_map[F.col(td.cube_col)].cast("long")
-        df = df.withColumn(f"__idx_{td.cube_col}", idx).filter(
+        idx_rows = [(v, i) for i, v in enumerate(td.coords.tolist())]
+        idx_df = spark.createDataFrame(
+            idx_rows, schema=f"`{td.cube_col}` {df.schema[td.cube_col].dataType.simpleString()}, `__idx_{td.cube_col}` long"
+        )
+        df = df.join(F.broadcast(idx_df), td.cube_col, "inner").filter(
             F.col(f"__idx_{td.cube_col}") < full * td.tile
         )
         df = df.withColumn(
