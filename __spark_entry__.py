@@ -462,6 +462,32 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the exact-Jaccard
+    pair graph (iterative min-label propagation), labeling each doc with
+    its component's minimum id — the keep/drop grouping step of a dedup
+    pipeline. Oracle: recursive CTE transitive closure."""
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return duplicate_clusters(pairs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: per-language keep
+    rates via md5-derived bucket — reproducible across engines and
+    runs, no RNG state (the training-data split primitive)."""
+    from openeo_processes_dask_ml_spark.scale.dedup import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    rate = F.when(F.col("lang") == "en", 10).otherwise(30)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "n_chars")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.text import tfidf_top_terms
 
@@ -885,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "tfidf_top_terms": q_tfidf_top_terms,
         "doc_fingerprint": q_doc_fingerprint,
+        "dup_clusters": q_dup_clusters,
+        "stratified_sample": q_stratified_sample,
         "ml_predict_linear": q_ml_predict_linear,
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -1274,6 +1302,48 @@ SELECT doc_id, len(toks) AS n_tokens,
        list_reduce(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)),
                    (a, b) -> a + b) AS n_subwords
 FROM toks
+"""
+
+    sql["dup_clusters"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM toks WHERE len(toks) >= 3
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sh sa ON id_a = sa.doc_id
+  JOIN sh sb ON id_b = sb.doc_id
+  WHERE shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r
+  FROM reach JOIN edges e ON e.a = reach.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+    sql["stratified_sample"] = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#'), 1, 15))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
 """
 
     sql["tfidf_top_terms"] = """

@@ -259,6 +259,15 @@ class CubeFrame:
         shared = [d for d in self.dims if d in mask_cube.dims]
         if not shared:
             raise ValueError("mask shares no dimensions with the cube")
+        extra = [d for d in mask_cube.dims if d not in self.dims]
+        if extra:
+            # a mask with dims the data lacks would multiply rows in
+            # the join — reject, as openEO requires mask dims to be a
+            # subset of the data cube's
+            raise ValueError(
+                f"mask has dimensions {extra} not present in the data cube; "
+                "reduce them first"
+            )
         join_cond = [
             self.df[self.dims[d]] == mask_cube.df[mask_cube.dims[d]] for d in shared
         ]

@@ -78,3 +78,28 @@ def test_sessionize_gap_splits(spark):
     assert got[("u", str(_ts(50)))] == 2
     assert got[("u", str(_ts(55)))] == 2
     assert got[("v", str(_ts(0)))] == 1
+
+
+def test_duplicate_clusters(spark):
+    from openeo_processes_dask_ml_spark.scale.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (3, 7), (9, 9)], ["id_a", "id_b"]
+    )
+    out = duplicate_clusters(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    # chain 1-2-3-7 collapses to min id 1; 5-6 to 5; self-loop dropped
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
+
+
+def test_mask_rejects_extra_dims(spark):
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    data = spark.createDataFrame([(1, 1.0)], ["t", "value"])
+    mask = spark.createDataFrame([(1, "x", True)], ["t", "band", "m"])
+    cube = CubeFrame(data, {"time": "t"}, "value")
+    mcube = CubeFrame(mask, {"time": "t", "bands": "band"}, "m")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not present in the data cube"):
+        cube.mask(mcube)
