@@ -349,9 +349,15 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs with Hamming(fp_a, fp_b) <= max_hamming via banded
     equi-join. Exact for max_hamming < SIMHASH_BANDS (pigeonhole: some
-    8-bit band must be untouched and therefore equal)."""
+    8-bit band must be untouched and therefore equal).
+
+    The band join runs over DISTINCT fingerprints, then expands to doc
+    pairs through the fp->doc mapping: corpora cluster heavily on
+    identical fingerprints, so the quadratic-in-bucket work scales with
+    distinct sketches, not documents."""
     assert max_hamming < SIMHASH_BANDS
     fps = simhash_fingerprints(df, text_col, id_col)
+    ufps = fps.select("fp").distinct()
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     bandvals = F.array(
         *[
@@ -364,25 +370,35 @@ def simhash_pairs(
             for j in range(SIMHASH_BANDS)
         ]
     )
-    banded = fps.select("doc_id", "fp", F.explode(bandvals).alias("b")).select(
-        "doc_id", "fp", "b.band_idx", "b.bval"
+    banded = ufps.select("fp", F.explode(bandvals).alias("b")).select(
+        "fp", "b.band_idx", "b.bval"
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return (
+    # keep BOTH fp orderings: for a cross-fp doc pair the smaller doc id
+    # can live in either fingerprint; the final id_a < id_b filter picks
+    # each doc pair exactly once
+    fp_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.bval") == F.col("b.bval")),
         )
         .filter(ham <= max_hamming)
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
             ham.alias("hamming"),
         )
         .distinct()
+    )
+    da = fps.select(F.col("fp").alias("fp_a"), F.col("doc_id").alias("id_a"))
+    db = fps.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("id_b"))
+    return (
+        fp_pairs.join(da, "fp_a")
+        .join(db, "fp_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hamming")
     )
 
 
