@@ -186,20 +186,28 @@ def ann_topk_bruteforce(
     )
 
 
+def hyperplane_coeffs(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random +-1 hyperplane: coefficient i comes
+    from bit 0 of md5('p{plane}:{i}') — both engines could replicate."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"p{plane_idx}:{i}".encode()).hexdigest()[:8], 16) & 1
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def _hyperplane_sign(vec: Column, plane_idx: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: coefficient for dimension
-    i is +1/-1 from bit 0 of hash32 of 'p{plane}:{i}'. Sign of the dot
-    product = one LSH bit."""
-    coeff = lambda i: F.when(  # noqa: E731
-        F.conv(
-            F.substring(F.md5(F.lit(f"p{plane_idx}:{i}")), 1, 8), 16, 10
-        ).cast("bigint").bitwiseAND(F.lit(1)) == 1,
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
-    s = None
-    for i in range(dim):
-        term = F.element_at(vec, i + 1) * coeff(i)
-        s = term if s is None else s + term
+    """Sign of the dot product against a literal coefficient array —
+    one fold, constant-size plan (an unrolled per-dimension chain puts
+    8 planes x dim terms into the plan and the JIT gives up)."""
+    coeffs = F.array(*[F.lit(c) for c in hyperplane_coeffs(plane_idx, dim)])
+    s = F.aggregate(
+        F.zip_with(vec, coeffs, lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
 
 

@@ -140,3 +140,46 @@ def test_time_tiled_inference(spark):
     got = {(str(r["time"]), r["x"]): r["value"] for r in rows}
     # tile 1 = days 1,2: sum over time of (d*10 + x)
     assert got[[k for k in got if k[1] == 0.0][0]] in (30.0, 70.0)
+
+
+def test_filter_temporal_half_open(spark):
+    from datetime import datetime
+
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, d), float(d)) for d in range(1, 6)], ["t", "value"]
+    )
+    cube = CubeFrame(df, {"time": "t"}, "value")
+    out = cube.filter_temporal("2024-01-02", "2024-01-04")
+    days = sorted(r["value"] for r in out.df.collect())
+    assert days == [2.0, 3.0]  # [start, end): end day excluded
+
+
+def test_save_ml_model_requires_trained(tmp_path):
+    import pytest as _pytest
+
+    from openeo_processes_dask_ml_spark.ml.random_forest import (
+        mlm_class_random_forest,
+        save_ml_model,
+    )
+
+    rf = mlm_class_random_forest(num_trees=3)
+    with _pytest.raises(ValueError, match="trained"):
+        save_ml_model(rf, str(tmp_path / "m"))
+
+
+def test_multimodal_frame_sample(spark):
+    from openeo_processes_dask_ml_spark.scale.multimodal import frame_sample
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"v"), ("video", "raw", 0, 0, 25)),
+            (2, bytearray(b"i"), ("image", "raw", 4, 4, 0)),
+        ],
+        "media_id long, payload binary, meta struct<kind:string,format:string,width:int,height:int,n_frames:int>",
+    )
+    out = frame_sample(media, every_n=10)
+    rows = out.collect()
+    # video only; frames 0, 10, 20
+    assert {(r["media_id"], r["frame_idx"]) for r in rows} == {(1, 0), (1, 10), (1, 20)}
