@@ -36,7 +36,7 @@ REDUCERS: dict[str, Callable[[Column], Column]] = {
     "count": F.count,
     "sd": F.stddev_samp,
     "variance": F.var_samp,
-    "product": lambda c: F.exp(F.sum(F.log(c))),
+    "product": F.product,  # native — exp(sum(log)) breaks on zeros/negatives
     "first": lambda c: F.first(c, ignorenulls=True),
     "last": lambda c: F.last(c, ignorenulls=True),
     "any": lambda c: F.max(c.cast("boolean")),

@@ -94,11 +94,16 @@ def test_unknown_reducer_rejected():
 
 
 def test_product_reducer(spark):
-    df = spark.createDataFrame([("a", 2.0), ("a", 3.0), ("a", 4.0)], ["g", "value"])
-    cube = CubeFrame(df, {"geometry": "g"}, "value")
-    out = cube.reduce_dimension("geometry", "product")
-    # product via exp(sum(log)) — 24 within fp tolerance
-    assert out.df.collect()[0]["value"] == pytest.approx(24.0)
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, 3.0), ("a", 3, 4.0), ("b", 1, -2.0), ("b", 2, 3.0), ("c", 1, 0.0), ("c", 2, 9.0)],
+        ["g", "t", "value"],
+    )
+    cube = CubeFrame(df, {"geometry": "g", "time": "t"}, "value")
+    out = cube.reduce_dimension("time", "product")
+    got = {r["g"]: r["value"] for r in out.df.collect()}
+    assert got["a"] == pytest.approx(24.0)
+    assert got["b"] == pytest.approx(-6.0)  # negatives survive
+    assert got["c"] == 0.0                  # zeros survive
 
 
 def test_time_tiled_inference(spark):
