@@ -1486,8 +1486,8 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, ts, value,
-    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -1512,7 +1512,7 @@ GROUP BY CUBE (r_name, o_orderstatus)
 SELECT event_type,
        CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY 1, 2
