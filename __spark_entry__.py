@@ -431,9 +431,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openeo_processes_dask_ml_spark.scale.similarity import cosine_pairs
+    """Exact embedding near-dup pairs — distributed block-matrix path
+    (no driver collect; `cosine_pairs` broadcast-matrix stays as an
+    explicit small-corpus opt-in)."""
+    from openeo_processes_dask_ml_spark.scale.similarity import cosine_pairs_blocked
 
-    return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+    return cosine_pairs_blocked(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,8 +543,10 @@ def q_ml_fit_predict_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ml_predict_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batched tiled-inference harness (§2.2 stages 7-11) over a
-    raster cube synthesized from events (rows-only check; coordinate
-    semantics are unit-tested against the reference's goldens)."""
+    raster cube synthesized from events. predict_fn is a deterministic
+    band difference, so tiling, remainder drop, batch grouping and
+    coordinate reassembly are value-checked against the DuckDB oracle
+    (coordinate formulas also unit-tested against reference goldens)."""
     import numpy as np
 
     from openeo_processes_dask_ml_spark.cube import CubeFrame
@@ -865,8 +870,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the scale
-    path for similarity search (rows-only: bucket membership is
-    hyperplane-dependent)."""
+    path for similarity search. The hyperplanes are deterministic
+    (md5-derived +-1 coefficients), so the DuckDB oracle replicates the
+    exact bucket assignment and the result is value-checked."""
     from openeo_processes_dask_ml_spark.scale.similarity import lsh_bucketed_ann
 
     return lsh_bucketed_ann(
@@ -1390,6 +1396,84 @@ SELECT vec_id, label,
           i -> embedding[i + 1]::DOUBLE * ((((i * 37) % 19) - 9) / 10.0)),
       (a, b) -> a + b)) * 10000.0 + 0.5) / 10000.0 AS score
 FROM embeddings
+"""
+
+    # tiled-inference value gate: predict_fn is the deterministic
+    # band difference, so stages 7-11 (tiling, remainder drop, batch
+    # grouping, coordinate reassembly) are all SQL-expressible. The
+    # remainder drop replicates index-ranked coords kept below
+    # floor(n/tile)*tile; missing cells surface as 0.0 exactly like
+    # nan_to_num over the NaN-filled tensor.
+    sql["ml_predict_tiled"] = """
+WITH raster AS (
+  SELECT CAST(user_id % 4 AS DOUBLE) AS x,
+         CAST(CAST(floor(user_id / 4) AS BIGINT) % 4 AS DOUBLE) AS y,
+         CAST(date_trunc('month', ts) AS DATE) AS month,
+         event_type AS band,
+         avg(value) AS value
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  GROUP BY 1, 2, 3, 4
+), xs AS (
+  SELECT x, row_number() OVER (ORDER BY x) - 1 AS xi
+  FROM (SELECT DISTINCT x FROM raster)
+), ys AS (
+  SELECT y, row_number() OVER (ORDER BY y) - 1 AS yi
+  FROM (SELECT DISTINCT y FROM raster)
+), keptx AS (
+  SELECT x FROM xs WHERE xi < (SELECT count(*) FROM xs) // 2 * 2
+), kepty AS (
+  SELECT y FROM ys WHERE yi < (SELECT count(*) FROM ys) // 2 * 2
+), grid AS (
+  SELECT kx.x, ky.y, ms.month
+  FROM keptx kx, kepty ky, (SELECT DISTINCT month FROM raster) ms
+), cells AS (
+  SELECT x, y, month,
+         max(CASE WHEN band = 'click' THEN value END) AS click,
+         max(CASE WHEN band = 'view' THEN value END) AS view
+  FROM raster GROUP BY 1, 2, 3
+)
+SELECT g.month, g.x, g.y,
+       floor((CASE WHEN c.click IS NULL OR c.view IS NULL THEN 0.0
+              ELSE c.click - c.view END) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM grid g LEFT JOIN cells c ON g.x = c.x AND g.y = c.y AND g.month = c.month
+"""
+
+    # LSH bucket parity: the +-1 hyperplane coefficients come from bit 0
+    # of md5('p{plane}:{i}') in BOTH engines, and the sign fold is the
+    # same left-to-right summation, so bucket ids match bit-for-bit.
+    sql["ann_lsh"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), buckets AS (
+  SELECT n.vec_id,
+         CAST(sum(CASE WHEN list_reduce(list_transform(range(1, 65),
+                  i -> n.v[i] * (CASE WHEN ('0x' || substr(md5(
+                          'p' || p.p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 8))::BIGINT % 2 = 1
+                       THEN 1.0 ELSE -1.0 END)),
+                  (a, b) -> a + b) >= 0
+               THEN CAST(1 << p.p AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM n, (SELECT range AS p FROM range(0, 4)) p
+  GROUP BY n.vec_id
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor((list_reduce(list_transform(range(1, 65), i -> qv.v[i] * cv.v[i]),
+                           (x, y) -> x + y) / (qv.nrm * cv.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM buckets q
+  JOIN buckets c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  JOIN n qv ON qv.vec_id = q.vec_id
+  JOIN n cv ON cv.vec_id = c.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
     sql["apply_unary"] = """

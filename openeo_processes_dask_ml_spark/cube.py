@@ -232,15 +232,32 @@ class CubeFrame:
         """Calendar-period regrouping of the time dim (reference call site
         examples/train_rf.py:131-146): date_trunc + groupBy over all dims
         with time replaced by the truncated period start."""
-        period_map = {
-            "hour": "hour", "day": "day", "week": "week", "month": "month",
-            "season": "quarter", "year": "year", "decade": "decade",
-        }
-        unit = period_map.get(period)
-        if unit is None:
-            raise ValueError(f"unsupported period {period!r}")
         tcol = self.dim_col("time")
-        bucket = F.date_trunc(unit, F.col(tcol))
+        t = F.col(tcol)
+        if period == "decade":
+            # Spark's date_trunc has no 'decade' unit (returns NULL);
+            # build the decade start explicitly.
+            bucket = F.make_timestamp(
+                (F.floor(F.year(t) / 10) * 10).cast("int"),
+                F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0),
+            )
+        elif period == "season":
+            # openEO seasons are DJF/MAM/JJA/SON: December opens the
+            # NEXT winter, so quarter-truncate a one-month-shifted
+            # timestamp and shift back to the true season start.
+            bucket = F.add_months(
+                F.date_trunc("quarter", F.add_months(t, 1).cast("timestamp")),
+                -1,
+            ).cast("timestamp")
+        else:
+            period_map = {
+                "hour": "hour", "day": "day", "week": "week",
+                "month": "month", "year": "year",
+            }
+            unit = period_map.get(period)
+            if unit is None:
+                raise ValueError(f"unsupported period {period!r}")
+            bucket = F.date_trunc(unit, t)
         others = [v for k, v in self.dims.items() if v != tcol]
         agg = resolve_reducer(reducer)(F.col(self.value_col))
         df = (

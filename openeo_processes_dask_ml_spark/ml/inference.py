@@ -71,16 +71,30 @@ def tile_count(n_cells: int, tile: int) -> int:
     return n_cells // tile
 
 
-def regenerate_coords(in_coords: np.ndarray, out_len: int):
+def regenerate_coords(
+    in_coords: np.ndarray,
+    out_len: int,
+    next_coord=None,
+    coord_width=None,
+):
     """Output coordinates for one dim of one tile (reference
     resolve_batch, data_model.py:779-855):
 
-    same length      -> copy input coords            (:799-802)
-    numeric          -> linspace over tile extent    (:812-820)
-    datetime64       -> linspace over epoch ints     (:822-844)
-    string/other     -> 'l1.l2.l3-i' join + counter  (:846-853)
-    empty input      -> 0..n-1                       (reference missing-
-                                                      coords rule)
+    same length      -> copy input coords                  (:799-802)
+    numeric          -> cell-center linspace: the tile's pixel extent
+                        runs from first-width/2 to last+width/2, the
+                        out_len new cells split it evenly, and coords
+                        sit at the new cell centers            (:812-820)
+    datetime64       -> epoch-int linspace from the tile start up to
+                        (exclusive) the NEXT coordinate after the tile
+                        (endpoint=False); without a next coordinate the
+                        extent extrapolates by the mean spacing  (:822-844)
+    string/other     -> 'l1.l2.l3-i' join + counter        (:846-853)
+    empty input      -> 0..n-1                  (reference missing-coords)
+
+    ``coord_width`` is the input cell width (defaults to the tile's
+    first spacing); ``next_coord`` is the first coordinate after the
+    tile on the full axis, when one exists.
     """
     in_coords = np.asarray(in_coords)
     if in_coords.size == out_len:
@@ -88,11 +102,27 @@ def regenerate_coords(in_coords: np.ndarray, out_len: int):
     if in_coords.size == 0:
         return np.arange(out_len)
     if np.issubdtype(in_coords.dtype, np.datetime64):
-        ints = in_coords.astype("datetime64[ns]").astype(np.int64)
-        out = np.linspace(ints[0], ints[-1], out_len)
-        return out.astype(np.int64).astype("datetime64[ns]")
+        start = in_coords[0].astype("datetime64[ns]").astype(np.int64)
+        if next_coord is not None:
+            end = np.datetime64(next_coord, "ns").astype(np.int64)
+        elif in_coords.size > 1:
+            mean_diff = np.mean(in_coords[1:] - in_coords[:-1])
+            end = (in_coords[-1] + mean_diff).astype("datetime64[ns]").astype(np.int64)
+        else:
+            end = start + 1
+        out = np.linspace(start, end, out_len, endpoint=False, dtype=np.int64)
+        return out.astype("datetime64[ns]")
     if np.issubdtype(in_coords.dtype, np.number):
-        return np.linspace(in_coords[0], in_coords[-1], out_len)
+        if coord_width is None:
+            coord_width = (
+                in_coords[1] - in_coords[0] if in_coords.size > 1 else 1.0
+            )
+        image_start = in_coords[0] - coord_width / 2
+        image_end = in_coords[-1] + coord_width / 2
+        new_width = (image_end - image_start) / out_len
+        return np.linspace(
+            image_start + new_width / 2, image_end - new_width / 2, out_len
+        )
     joined = ".".join(str(c) for c in in_coords)
     return np.array([f"{joined}-{i}" for i in range(out_len)])
 
@@ -282,6 +312,7 @@ def run_model_tiled(
 
     tile_sizes = {td.cube_col: td.tile for td in tiled}
     tile_coords = {td.cube_col: td.coords for td in tiled}
+    model_dtype = inp.data_type
     dim_order = [d for d in inp.dim_order if d.lower() not in BATCH_DIM_NAMES]
     value_col = cube.value_col
     n_bands = len(ordered_band_labels)
@@ -337,12 +368,23 @@ def run_model_tiled(
             ]
             out = np.full((batch.shape[0], *out_tile_shape), np.nan)
         else:
+            # stage 5: the model sees its declared input dtype
+            # (reference preprocess_datacube, data_model.py:1248) —
+            # int8/uint8/float16 models must not get float64 tensors.
+            # Applied after the NaN sparsity check (integer casts
+            # destroy NaN markers).
+            if model_dtype not in (None, "float64", "double"):
+                batch = batch.astype(model_dtype)
             out = np.asarray(predict_fn(batch), dtype=np.float64)
             if out.ndim == len(out_dims):  # model dropped the batch axis
                 out = out[None, ...]
 
-        rows = []
+        # vectorized emission: one DataFrame per tile built from flat
+        # numpy arrays (meshgrid ravel), never per-cell Python dicts —
+        # a 224x224x24 output tile is ~1.2M cells per batch.
+        frames = []
         pass_vals = {c: pdf[c].iloc[0] for c in passthrough}
+        cols = list(out_schema.fieldNames())
         for bi, tid in enumerate(tile_meta):
             coords_per_axis = []
             for ax, d in enumerate(out_dims):
@@ -351,32 +393,50 @@ def run_model_tiled(
                     "band", "bands", "channel", "channels",
                 ):
                     in_c = np.array(ordered_band_labels)
+                    nxt, width = None, None
                 elif d in in_dim_names:
                     col = in_dim_names[d].cube_col
                     t = tid[tiled_cols.index(col)]
-                    in_c = tile_coords[col][
+                    full_axis = tile_coords[col]
+                    in_c = full_axis[
                         t * tile_sizes[col] : (t + 1) * tile_sizes[col]
                     ]
+                    end = (t + 1) * tile_sizes[col]
+                    nxt = full_axis[end] if end < full_axis.size else None
+                    width = (
+                        full_axis[1] - full_axis[0]
+                        if full_axis.size > 1
+                        else None
+                    )
                 else:
                     in_c = np.array([])
-                coords_per_axis.append(regenerate_coords(in_c, n_out))
+                    nxt, width = None, None
+                coords_per_axis.append(
+                    regenerate_coords(in_c, n_out, next_coord=nxt, coord_width=width)
+                )
             collapsed_vals = {}
             for td in collapsed:
                 t = tid[tiled_cols.index(td.cube_col)]
                 collapsed_vals[td.cube_col] = collapse_coords(
                     tile_coords[td.cube_col][t * td.tile : (t + 1) * td.tile]
                 )
-            mesh = np.meshgrid(*coords_per_axis, indexing="ij") if coords_per_axis else []
             flat_val = out[bi].ravel()
-            base = {**pass_vals, **collapsed_vals}
-            for j in range(flat_val.size):
-                row = dict(base)
+            data: dict = {}
+            if coords_per_axis:
+                mesh = np.meshgrid(*coords_per_axis, indexing="ij")
                 for ax, col_name in enumerate(out_cols):
-                    row[col_name] = mesh[ax].ravel()[j] if mesh else None
-                row[out_value_col] = flat_val[j]
-                rows.append(row)
-        cols = list(out_schema.fieldNames())
-        return pd.DataFrame(rows, columns=cols)
+                    data[col_name] = mesh[ax].ravel()
+            else:
+                for col_name in out_cols:
+                    data[col_name] = np.full(flat_val.size, None, dtype=object)
+            data[out_value_col] = flat_val
+            frame = pd.DataFrame(data)
+            for c, v in {**pass_vals, **collapsed_vals}.items():
+                frame[c] = v
+            frames.append(frame)
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(frames, ignore_index=True).reindex(columns=cols)
 
     return df.groupBy(*keys).applyInPandas(
         lambda key, pdf: infer(pdf), schema=out_schema

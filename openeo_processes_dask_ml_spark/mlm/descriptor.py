@@ -217,7 +217,18 @@ def check_bands_available(
     """Every model band must be present (alias-resolved) or computable
     from an expression (reference data_model.py:297-373). Returns the
     name mapping model-band -> cube label."""
-    plain = [b.name for b in descriptor.input.bands if b.expression is None]
+    derived = [b.name for b in descriptor.input.bands if b.expression is not None]
+    if derived:
+        # The reference also leaves expression-band computation todo
+        # (data_model.py:362-367) but fails at the check, not mid-plan —
+        # surface the gap here instead of a KeyError during tiling.
+        raise NotImplementedError(
+            f"model bands {derived} are derived from expressions "
+            f"(ModelBand.expression); computing derived bands is not "
+            f"supported — precompute them on the cube (e.g. via ndvi/"
+            f"band math) and declare them as plain bands"
+        )
+    plain = [b.name for b in descriptor.input.bands]
     mapping = resolve_bands(plain, cube_bands)
     missing = [n for n in plain if n not in mapping]
     if missing:

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     right_cols: list[str] | None = None,
@@ -31,16 +31,20 @@ def asof_join(
 ) -> DataFrame:
     """Backward as-of join. Left rows with no earlier right row keep
     NULLs. Tie (equal timestamps) matches, like DuckDB ASOF JOIN's
-    ``>=``."""
+    ``>=``. ``on`` may be a single key or a composite key list — the
+    series is defined by ALL keys together (an empty list means one
+    global series; that collapses to a single partition, so only use
+    it for small frames)."""
+    on_keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [
-        c for c in right.columns if c not in (on, right_ts)
+        c for c in right.columns if c not in (*on_keys, right_ts)
     ]
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
     r_tagged = (
         right.select(
-            F.col(on),
+            *[F.col(k) for k in on_keys],
             F.col(right_ts).alias("__ts"),
             *[F.col(c).alias(f"__r_{c}") for c in right_cols],
         )
@@ -50,7 +54,7 @@ def asof_join(
     # right rows sort before left rows at equal __ts (side 0 < 1), so a
     # same-instant right row is visible to the left row — ASOF >= ties
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*on_keys)
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -89,7 +93,7 @@ def resample_cube_temporal(cube, target, method: str = "backward"):
     joined = asof_join(
         grid,
         cube.df,
-        on=keys[0] if keys else target_tcol,
+        on=keys,
         left_ts="__target_ts",
         right_ts=tcol,
         right_cols=[cube.value_col],

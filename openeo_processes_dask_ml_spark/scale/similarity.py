@@ -149,6 +149,99 @@ def cosine_pairs(
     return base.mapInPandas(run, schema=schema)
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact pairs with cosine >= threshold — distributed block-matrix
+    path (the default; nothing is collected to the driver).
+
+    The corpus is hashed into ``n_blocks`` id-blocks; each block packs
+    into ONE row (ids + vectors). The triangle self-join produces
+    B(B+1)/2 block-pair rows, and each pair is scored with vectorized
+    numpy inside ``mapInPandas``. Work is the same O(n^2) any exact
+    pairs op costs, but spread over B^2/2 independent tasks with each
+    vector shuffled B times — no driver matrix, no per-pair Python.
+
+    Summation uses np.cumsum (a strict left fold), BIT-IDENTICAL to
+    DuckDB's list_reduce — same parity guarantee as ``cosine_pairs``.
+
+    Scale note: pick n_blocks ~ corpus_rows / block_target so a packed
+    block stays a few MB; the op stays exact-O(n^2) by nature — at
+    corpus x corpus scale use ``lsh_bucketed_ann``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    packed = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(
+            F.collect_list(F.col("vid")).alias("ids"),
+            F.collect_list(F.col("v")).alias("vecs"),
+        )
+    )
+    joined = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+        .repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_c: list[float] = []
+            for row in pdf.itertuples(index=False):
+                ia = np.asarray(row.ids_a, dtype=np.int64)
+                ib = np.asarray(row.ids_b, dtype=np.int64)
+                Va = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                Vb = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                na = np.sqrt(np.cumsum(Va * Va, axis=1)[:, -1])
+                nb = np.sqrt(np.cumsum(Vb * Vb, axis=1)[:, -1])
+                same_block = row.blk_a == row.blk_b
+                for i in range(ia.size):
+                    prods = Vb * Va[i]
+                    dots = np.cumsum(prods, axis=1)[:, -1]
+                    cos = dots / (na[i] * nb)
+                    mask = cos >= threshold
+                    if same_block:
+                        # each unordered pair shows up twice in the
+                        # same-block row; keep one orientation
+                        mask &= ia[i] < ib
+                    for j in np.nonzero(mask)[0]:
+                        lo, hi = sorted((int(ia[i]), int(ib[j])))
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        # dround twin: floor(x*1e6 + 0.5)/1e6
+                        out_c.append(np.floor(cos[j] * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return joined.mapInPandas(run, schema=schema)
+
+
 def ann_topk_bruteforce(
     df: DataFrame,
     query_ids: list[int],

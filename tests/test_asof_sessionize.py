@@ -62,6 +62,55 @@ def test_resample_cube_temporal(spark):
     assert got[str(_ts(25))] == 20.0  # nearest earlier source = t20
 
 
+def test_asof_composite_keys(spark):
+    """With a composite key list, the series is keyed by ALL columns —
+    values must not leak between rows that share only the first key."""
+    left = spark.createDataFrame(
+        [(1, "u", "A", _ts(10)), (2, "u", "B", _ts(10))],
+        ["event_id", "key", "band", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u", "A", _ts(5), 10.0), ("u", "B", _ts(5), 99.0)],
+        ["key", "band", "rts", "rv"],
+    )
+    out = asof_join(
+        left, right, on=["key", "band"], left_ts="ts", right_ts="rts",
+        right_cols=["rv"],
+    )
+    got = {r["event_id"]: r["rv_right"] for r in out.collect()}
+    assert got == {1: 10.0, 2: 99.0}
+
+
+def test_resample_cube_temporal_multi_dim(spark):
+    """bands + geometry cubes: each (geometry, band) series resamples
+    independently — band A must not receive band B's value."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.operators.asof import resample_cube_temporal
+
+    src = spark.createDataFrame(
+        [
+            ("u", "A", _ts(0), 10.0),
+            ("u", "B", _ts(1), 99.0),  # later ts than band A's source
+            ("v", "A", _ts(0), 70.0),
+        ],
+        ["g", "b", "t", "value"],
+    )
+    target = spark.createDataFrame(
+        [
+            ("u", "A", _ts(5), 0.0),
+            ("u", "B", _ts(5), 0.0),
+            ("v", "A", _ts(5), 0.0),
+        ],
+        ["g", "b", "t", "value"],
+    )
+    dims = {"geometry": "g", "bands": "b", "time": "t"}
+    out = resample_cube_temporal(
+        CubeFrame(src, dims, "value"), CubeFrame(target, dims, "value")
+    )
+    got = {(r["g"], r["b"]): r["value"] for r in out.df.collect()}
+    assert got == {("u", "A"): 10.0, ("u", "B"): 99.0, ("v", "A"): 70.0}
+
+
 def test_sessionize_gap_splits(spark):
     rows = [
         ("u", _ts(0), 1.0),

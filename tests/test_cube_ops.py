@@ -188,3 +188,45 @@ def test_multimodal_frame_sample(spark):
     rows = out.collect()
     # video only; frames 0, 10, 20
     assert {(r["media_id"], r["frame_idx"]) for r in rows} == {(1, 0), (1, 10), (1, 20)}
+
+
+def test_aggregate_temporal_decade_and_season(spark):
+    """'decade' must produce real decade starts (Spark date_trunc has no
+    decade unit and silently NULLs), and 'season' must follow openEO
+    DJF boundaries: December opens the NEXT winter."""
+    rows = [
+        (datetime(1999, 6, 1), 1.0),
+        (datetime(2003, 2, 1), 2.0),
+        (datetime(2007, 8, 1), 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["t", "value"])
+    cube = CubeFrame(df, {"time": "t"}, "value")
+    out = {str(r["t"]): r["value"] for r in
+           cube.aggregate_temporal_period("decade", "sum").df.collect()}
+    assert out == {
+        "1990-01-01 00:00:00": 1.0,
+        "2000-01-01 00:00:00": 6.0,
+    }
+
+    srows = [
+        (datetime(2023, 12, 15), 1.0),   # DJF starting 2023-12-01
+        (datetime(2024, 1, 15), 2.0),    # same winter
+        (datetime(2024, 3, 15), 8.0),    # MAM starting 2024-03-01
+        (datetime(2024, 11, 15), 16.0),  # SON starting 2024-09-01
+    ]
+    sdf = spark.createDataFrame(srows, ["t", "value"])
+    scube = CubeFrame(sdf, {"time": "t"}, "value")
+    sout = {str(r["t"]): r["value"] for r in
+            scube.aggregate_temporal_period("season", "sum").df.collect()}
+    assert sout == {
+        "2023-12-01 00:00:00": 3.0,
+        "2024-03-01 00:00:00": 8.0,
+        "2024-09-01 00:00:00": 16.0,
+    }
+
+
+def test_aggregate_temporal_unknown_period_raises(spark):
+    df = spark.createDataFrame([(datetime(2024, 1, 1), 1.0)], ["t", "value"])
+    cube = CubeFrame(df, {"time": "t"}, "value")
+    with pytest.raises(ValueError, match="unsupported period"):
+        cube.aggregate_temporal_period("fortnight", "sum")

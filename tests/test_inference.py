@@ -67,11 +67,14 @@ def test_coords_same_length_copied():
     assert regenerate_coords(c, 3) is c
 
 
-def test_coords_numeric_linspace():
-    # reference golden: width 448 -> 8 gives linspace over tile extent
+def test_coords_numeric_cell_centers():
+    # reference golden (data_model.py:812-820): pixel extent is
+    # first-w/2 .. last+w/2; new coords sit at the new cell centers.
+    # [100..109] step 1 -> extent 99.5..109.5, 5 cells of width 2 ->
+    # centers 100.5, 102.5, ..., 108.5
     c = np.linspace(100, 119, 20)[:10]  # one tile of 10, step 1
     out = regenerate_coords(c, 5)
-    assert out == pytest.approx(np.linspace(100, 109, 5))
+    assert out == pytest.approx([100.5, 102.5, 104.5, 106.5, 108.5])
 
 
 def test_coords_spatial_tile_center():
@@ -81,17 +84,26 @@ def test_coords_spatial_tile_center():
     assert collapse_coords(full[10:]) == pytest.approx(114.5)
 
 
-def test_coords_datetime_linspace():
-    # golden: 5 daily stamps -> 10 = epoch-int linspace
+def test_coords_datetime_endpoint_false():
+    # golden (data_model.py:822-844): linspace up to (exclusive) the
+    # NEXT coord after the tile; 5 daily stamps -> 10 halves the step
     days = np.array(
         ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"],
         dtype="datetime64[ns]",
     )
-    out = regenerate_coords(days, 10)
+    nxt = np.datetime64("2024-01-06", "ns")
+    out = regenerate_coords(days, 10, next_coord=nxt)
     ints = days.astype(np.int64)
-    expected = np.linspace(ints[0], ints[-1], 10).astype(np.int64)
+    expected = np.linspace(
+        ints[0], nxt.astype(np.int64), 10, endpoint=False, dtype=np.int64
+    )
     assert (out.astype(np.int64) == expected).all()
-    assert out[0] == days[0] and out[-1] == days[-1]
+    assert out[0] == days[0]
+    assert out[-1] == np.datetime64("2024-01-05T12:00:00", "ns")
+    # without a next coord: extrapolate extent by the mean spacing —
+    # same result on a uniform grid
+    out2 = regenerate_coords(days, 10)
+    assert (out2.astype(np.int64) == expected).all()
 
 
 def test_coords_missing_becomes_range():
@@ -245,8 +257,8 @@ def test_run_model_tiled_pre_post_expressions(spark, raster_cube):
 
 
 def test_run_model_tiled_upsampling_linspace(spark, raster_cube):
-    """Model emits a 4x4 grid from a 2x2 tile -> numeric linspace
-    coordinates within the tile extent (reference golden :163-168)."""
+    """Model emits a 4x4 grid from a 2x2 tile -> cell-center coords
+    over the tile's pixel extent (reference data_model.py:812-820)."""
     from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
 
     descriptor = MLModelDescriptor(
@@ -271,5 +283,70 @@ def test_run_model_tiled_upsampling_linspace(spark, raster_cube):
 
     out = run_model_tiled(raster_cube, descriptor, upsample)
     xs = sorted({r["x"] for r in out.collect()})
-    # tile [0,1] upsampled to 4 -> linspace(0,1,4); tile [2,3] likewise
-    assert xs == pytest.approx([0.0, 1 / 3, 2 / 3, 1.0, 2.0, 2 + 1 / 3, 2 + 2 / 3, 3.0])
+    # tile [0,1] (width 1) -> pixel extent -0.5..1.5, 4 new cells of
+    # width 0.5 -> centers -0.25, 0.25, 0.75, 1.25; tile [2,3] likewise
+    assert xs == pytest.approx([-0.25, 0.25, 0.75, 1.25, 1.75, 2.25, 2.75, 3.25])
+
+
+def test_run_model_tiled_casts_to_model_dtype(spark, raster_cube):
+    """Stage 5 (reference data_model.py:1248): the model must receive
+    its declared input dtype, not a blanket float64."""
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": ["red"],
+                "input": {
+                    "shape": [-1, 1, 2, 2],
+                    "dim_order": ["batch", "bands", "x", "y"],
+                    "data_type": "int8",
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 2, 2], "dim_order": ["batch", "x", "y"]}}
+        ),
+        framework="fake",
+    )
+
+    def predict(batch):
+        # signal the observed dtype through the output values
+        flag = 1.0 if batch.dtype == np.int8 else -1.0
+        return np.full(batch.shape[0:1] + batch.shape[2:], flag)
+
+    out = run_model_tiled(raster_cube, descriptor, predict)
+    vals = {r["value"] for r in out.collect() if r["value"] is not None}
+    assert vals == {1.0}
+
+
+def test_expression_bands_fail_fast():
+    """Derived-band expressions raise a clear NotImplementedError at
+    validation (the reference also leaves computation todo,
+    data_model.py:362-367, but fails at the check, not mid-plan)."""
+    from openeo_processes_dask_ml_spark.mlm.descriptor import validate_cube
+
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": [
+                    {"name": "ndvi", "format": "rio-calc",
+                     "expression": "(B08-B04)/(B08+B04)"},
+                ],
+                "input": {
+                    "shape": [-1, 1, 2, 2],
+                    "dim_order": ["batch", "bands", "x", "y"],
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 2, 2], "dim_order": ["batch", "x", "y"]}}
+        ),
+        framework="fake",
+    )
+    with pytest.raises(NotImplementedError, match="derived"):
+        validate_cube(
+            descriptor, ["bands", "x", "y"], {"x": 4, "y": 4}, ["B04", "B08"]
+        )
