@@ -491,6 +491,31 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < rate).select("doc_id", "lang", "n_chars")
 
 
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100TB-scale profiling: HLL++ distinct
+    counts and t-digest quantiles per event type. Deliberately
+    rows-only: sketch internals are engine-specific (Spark HLL++ vs
+    DuckDB HLL give different estimates on identical input), so there
+    is no cross-engine value oracle — accuracy vs exact counts is
+    asserted in tests/test_scale_ops.py instead."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_quantiles"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("value_quantiles")[0].alias("p50"),
+            F.col("value_quantiles")[1].alias("p95"),
+            "n",
+        )
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.text import tfidf_top_terms
 
@@ -919,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
+        "approx_aggregates": q_approx_aggregates,
         "ml_predict_linear": q_ml_predict_linear,
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "ml_predict_tiled": q_ml_predict_tiled,

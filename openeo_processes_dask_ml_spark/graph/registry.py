@@ -89,9 +89,12 @@ def _register_scalars(reg: ProcessRegistry) -> None:
     reg.register("floor", lambda a, c: F.floor(_c(a["x"])))
     reg.register("ceil", lambda a, c: F.ceil(_c(a["x"])))
     reg.register("int", lambda a, c: _c(a["x"]).cast("long"))
+    # openEO 'round' is specified as round-half-to-even — bround, not
+    # F.round (which is HALF_UP on the decimal repr and diverges from
+    # spec-compliant backends at half boundaries)
     reg.register(
         "round",
-        lambda a, c: F.round(_c(a["x"]), int(a.get("p", 0))),
+        lambda a, c: F.bround(_c(a["x"]), int(a.get("p", 0))),
     )
     reg.register("sgn", lambda a, c: F.signum(_c(a["x"])))
     reg.register("sin", lambda a, c: F.sin(_c(a["x"])))

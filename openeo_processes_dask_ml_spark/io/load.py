@@ -109,13 +109,55 @@ def load_collection(
     return cube
 
 
-def save_result(df: DataFrame, path: str, format: str = "parquet", **options) -> str:
-    """Sink dispatch: parquet (default) / csv / json. Distributed write —
-    one file per partition, no driver collect."""
+RASTER_FORMATS = ("netcdf", "gtiff", "zarr")
+
+
+def _try_raster_export(df: DataFrame, path: str, fmt: str) -> bool:
+    """Driver-side small-result raster export (the reference writes real
+    COGs/netcdf/zarr, minibackend/custom_processes.py:115-219). Only
+    valid for results that fit the driver; returns False when the geo
+    stack isn't importable so the caller can fall back honestly."""
+    try:
+        import xarray  # noqa: F401
+    except ImportError:
+        return False
+    pdf = df.toPandas()
+    dim_cols = [c for c in df.columns if c != df.columns[-1]]
+    ds = pdf.set_index(dim_cols).to_xarray()
+    if fmt == "netcdf":
+        ds.to_netcdf(path)
+    elif fmt == "zarr":
+        ds.to_zarr(path, mode="w")
+    else:  # gtiff needs rioxarray
+        try:
+            import rioxarray  # noqa: F401
+        except ImportError:
+            return False
+        ds[df.columns[-1]].rio.to_raster(path)
+    return True
+
+
+def save_result(
+    df: DataFrame, path: str, format: str = "parquet", **options
+) -> str:
+    """Sink dispatch: parquet (default) / csv / json distributed writes —
+    one file per partition, no driver collect. Raster container formats
+    (netcdf/gtiff/zarr) export driver-side when the geo stack is
+    installed; otherwise the data lands as parquet WITH an explicit
+    warning — never a silent format substitution."""
+    import warnings
+
     fmt = format.lower()
-    if fmt in ("netcdf", "gtiff", "zarr"):
-        # Raster container formats need geo libs not present here; the
-        # columnar sink is the Spark-native path.
+    if fmt in RASTER_FORMATS:
+        if _try_raster_export(df, path, fmt):
+            return path
+        warnings.warn(
+            f"save_result: raster format {format!r} requires the geo "
+            f"stack (xarray/rioxarray), which is not installed — "
+            f"writing parquet to {path} instead",
+            UserWarning,
+            stacklevel=2,
+        )
         fmt = "parquet"
     writer = df.write.mode("overwrite")
     if fmt == "csv":

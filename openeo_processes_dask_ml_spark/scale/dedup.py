@@ -418,13 +418,18 @@ def duplicate_clusters(
     representative): the dedup step that turns pairwise matches into
     keep/drop groups.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds. Each round is one equi-join + one
-    groupBy — no driver materialization of the graph, so components
-    of any size distribute. Near-dup components are shallow in
-    practice (dups of dups of a common source), so rounds stay small.
+    Iterative min-label propagation with pointer doubling: each round
+    every node takes the min of its own label, its neighbors' labels,
+    AND its label's label (path halving) — so convergence needs
+    O(log diameter) rounds, not O(diameter), and long duplicate chains
+    at corpus scale stay inside the iteration budget. Each round is
+    two equi-joins + one groupBy — no driver materialization of the
+    graph, so components of any size distribute. Exiting without
+    convergence warns loudly instead of silently returning partial
+    clusters.
     """
+    import warnings
+
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -440,6 +445,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -455,6 +461,17 @@ def duplicate_clusters(
                 ).alias("label"),
             )
         )
+        # pointer doubling: follow label -> label-of-label, halving the
+        # path to the component minimum each round
+        grand = updated.select(
+            F.col("node").alias("label"), F.col("label").alias("grand_label")
+        )
+        updated = updated.join(grand, "label", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("grand_label", F.col("label"))
+            ).alias("label"),
+        )
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "node")
@@ -464,7 +481,16 @@ def duplicate_clusters(
         )
         labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            f"iterations — returned labels may split components; raise "
+            f"max_iterations (rounds needed ~ log2 of component diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -101,18 +101,22 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + BPE-ish subword estimate (words are
-    split every 4 chars, the coarse byte-pair proxy)."""
-    toks = tokens_expr(F.col(text_col))
-    n_tokens = F.size(toks)
-    n_subwords = F.aggregate(
-        toks,
-        F.lit(0),
-        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
-    )
+    split every 4 chars, the coarse byte-pair proxy).
+
+    The subword sum — sum over tokens of ceil(len/4) — is pure length
+    arithmetic: greedily replacing each run of 1-4 non-space chars with
+    ONE sentinel turns a token of length l into exactly ceil(l/4)
+    sentinels, so (len after chunk-replace) - (len with tokens removed)
+    IS the subword total. Two codegen regexp passes instead of an
+    interpreted higher-order fold (the measured ~1s/100k-doc pitfall)."""
+    text = F.col(text_col)
+    n_tokens = F.size(tokens_expr(text))
+    chunked = F.length(F.regexp_replace(text, r"\S{1,4}", "\x01"))
+    stripped = F.length(F.regexp_replace(text, r"\S+", ""))
     return df.select(
         F.col(id_col).alias("doc_id"),
         n_tokens.cast("bigint").alias("n_tokens"),
-        n_subwords.cast("bigint").alias("n_subwords"),
+        (chunked - stripped).cast("bigint").alias("n_subwords"),
     )
 
 

@@ -49,9 +49,11 @@ def test_save_result_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 100
     assert dict(back.dtypes)["v"] == "double"
-    # raster container formats fall back to the columnar sink
+    # raster container formats fall back to the columnar sink WITH an
+    # explicit warning when the geo stack is absent (never silently)
     path2 = str(tmp_path / "out2")
-    save_result(df, path2, format="netcdf")
+    with pytest.warns(UserWarning, match="geo stack"):
+        save_result(df, path2, format="netcdf")
     assert spark.read.parquet(path2).count() == 100
 
 

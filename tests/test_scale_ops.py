@@ -1,0 +1,96 @@
+"""Scale-operator semantics: approx-aggregate accuracy, duplicate-
+cluster convergence (pointer doubling), banker's rounding, and the
+regex-arithmetic subword count."""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_approx_aggregates_accuracy(spark):
+    """Sketches have no cross-engine oracle; assert accuracy against
+    exact results instead (HLL++ rsd=0.02 -> well within 5%)."""
+    df = spark.range(10000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 3000).alias("u"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    got = (
+        df.groupBy("g")
+        .agg(
+            F.approx_count_distinct("u", rsd=0.02).alias("approx_u"),
+            F.percentile_approx("v", 0.5, 10000).alias("p50"),
+        )
+        .collect()
+    )
+    exact = {
+        r["g"]: (r["nu"], r["m"])
+        for r in df.groupBy("g")
+        .agg(
+            F.countDistinct("u").alias("nu"),
+            F.expr("percentile(v, 0.5)").alias("m"),
+        )
+        .collect()
+    }
+    for r in got:
+        nu, med = exact[r["g"]]
+        assert abs(r["approx_u"] - nu) / nu < 0.05
+        assert abs(r["p50"] - med) <= 1.0
+
+
+def test_duplicate_clusters_long_chain_pointer_doubling(spark):
+    """A 40-node chain has diameter 39; pointer doubling must converge
+    well inside 10 iterations (plain propagation would need 39)."""
+    from openeo_processes_dask_ml_spark.scale.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence would raise
+        out = duplicate_clusters(pairs, max_iterations=10)
+        got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_duplicate_clusters_warns_without_convergence(spark):
+    from openeo_processes_dask_ml_spark.scale.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], ["id_a", "id_b"]
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        duplicate_clusters(pairs, max_iterations=1).collect()
+
+
+def test_round_process_is_bankers(spark):
+    """openEO 'round' is round-half-to-even: 2.5 -> 2, 3.5 -> 4."""
+    from openeo_processes_dask_ml_spark.graph.registry import default_registry
+
+    reg = default_registry()
+    df = spark.createDataFrame(
+        [(0.5,), (1.5,), (2.5,), (3.5,), (-2.5,)], ["x"]
+    )
+    out = df.select(
+        reg.get("round")({"x": F.col("x")}, None).alias("r")
+    ).collect()
+    assert [r["r"] for r in out] == [0.0, 2.0, 2.0, 4.0, -2.0]
+
+
+def test_token_counts_subword_arithmetic(spark):
+    """(chunk-replace length) - (strip length) == sum(ceil(len/4))."""
+    from openeo_processes_dask_ml_spark.scale.text import token_counts
+
+    rows = [
+        (1, "abcd efghi x"),        # 1 + 2 + 1 = 4
+        (2, "  spaced   out  "),    # 2 + 1 = 3
+        (3, ""),                    # 0
+        (4, "abcdefghijkl"),        # 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["n_subwords"]) for r in token_counts(df).collect()}
+    assert got[1] == (3, 4)
+    assert got[2] == (2, 3)
+    assert got[3][1] == 0
+    assert got[4] == (1, 3)
