@@ -283,6 +283,33 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_cube_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO resample_cube_temporal: relabel the source cube onto the
+    target cube's time grid via a per-series backward as-of match over
+    ALL non-time dims (user x event_type here — the multi-dim
+    correctness case). Oracle uses DuckDB's native ASOF LEFT JOIN."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.operators.asof import resample_cube_temporal
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    # unique (series, ts) so the as-of pick is deterministic in both engines
+    src = ev.groupBy("user_id", "event_type", "ts").agg(F.max("value").alias("value"))
+    tgt = (
+        ev.select(
+            "user_id", "event_type", F.date_trunc("day", "ts").alias("ts")
+        )
+        .distinct()
+        .withColumn("value", F.lit(0.0))
+    )
+    dims = {"geometry": "user_id", "bands": "event_type", "time": "ts"}
+    out = resample_cube_temporal(
+        CubeFrame(src, dims, "value"), CubeFrame(tgt, dims, "value")
+    )
+    return out.df.select(
+        "user_id", "event_type", "ts", dround("value", 6).alias("value")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: for each purchase event, the most recent
     click of the same user (union + carry-forward window — one shuffle,
@@ -783,6 +810,35 @@ def q_graph_mask_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming custom stateful operator: per-user SESSION
+    windows (30-min gap) merged in the state store, driven with
+    Trigger.AvailableNow — equals the batch lag/cumsum sessionizer, so
+    the oracle value-checks the streaming engine's session merging."""
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_sessionize_once,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out = run_stream_sessionize_once(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        ts_col="ts",
+        key="user_id",
+        value_col="value",
+        gap="30 minutes",
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        dround("sum_value", 2).alias("sum_value"),
+    )
+
+
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: file stream -> event-time watermark ->
     tumbling 1-day window -> memory sink, driven with
@@ -893,6 +949,21 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic seeded coarse quantizer,
+    inverted lists, n_probe=2 — the kmeans-style ANN scale path; the
+    oracle replicates the full index in SQL (folds are bit-identical)."""
+    from openeo_processes_dask_ml_spark.scale.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_lists=8,
+        n_probe=2,
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the scale
     path for similarity search. The hyperplanes are deterministic
@@ -953,13 +1024,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_cubes": q_merge_cubes,
         "graph_mask_pipeline": q_graph_mask_pipeline,
         "streaming_rollup": q_streaming_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
         "multimodal_features": q_multimodal_features,
         "tpch_q3": q_tpch_q3,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
         "cube_agg": q_cube_agg,
         "asof_join": q_asof_join,
+        "resample_cube_temporal": q_resample_cube_temporal,
         "sessionize": q_sessionize,
         "apply_dimension": q_apply_dimension,
     }
@@ -1465,6 +1539,49 @@ SELECT g.month, g.x, g.y,
 FROM grid g LEFT JOIN cells c ON g.x = c.x AND g.y = c.y AND g.month = c.month
 """
 
+    # IVF parity: seeds = embeddings of ids < n_lists; assignment is
+    # argmax cosine (ties to smallest seed id); queries probe their 2
+    # nearest lists. Folds are left-assoc in both engines, so sims are
+    # bit-identical and every assignment matches.
+    sql["ann_ivf"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), seeds AS (
+  SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM n WHERE vec_id < 8
+), scored AS (
+  SELECT n.vec_id, seeds.seed_id,
+         list_reduce(list_transform(range(1, 65), i -> n.v[i] * seeds.sv[i]),
+                     (x, y) -> x + y) / (n.nrm * seeds.snrm) AS sim
+  FROM n, seeds
+), ranked_seed AS (
+  SELECT vec_id, seed_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rk
+  FROM scored
+), assigned AS (
+  SELECT vec_id, seed_id AS list_id FROM ranked_seed WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, seed_id AS list_id
+  FROM ranked_seed WHERE vec_id < 10 AND rk <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         floor((list_reduce(list_transform(range(1, 65), i -> qv.v[i] * cv.v[i]),
+                           (x, y) -> x + y) / (qv.nrm * cv.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM probes p
+  JOIN assigned a ON a.list_id = p.list_id AND a.vec_id != p.query_id
+  JOIN n qv ON qv.vec_id = p.query_id
+  JOIN n cv ON cv.vec_id = a.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
     # LSH bucket parity: the +-1 hyperplane coefficients come from bit 0
     # of md5('p{plane}:{i}') in BOTH engines, and the sign fold is the
     # same left-to-right summation, so bucket ids match bit-for-bit.
@@ -1548,6 +1665,31 @@ FROM wk_clicks c LEFT JOIN wk_errors e
   ON c.user_id = e.user_id AND c.week = e.week
 """
 
+    # Session-window parity: a new session starts when the gap to the
+    # previous event exceeds (strictly) the 1800s gap — Spark merges
+    # sessions whose [ts, ts+gap) ranges touch, i.e. gap == 1800 merges.
+    # session_end = last event + gap.
+    sql["streaming_sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 > 1800.0
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
     sql["streaming_rollup"] = """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        count(*) AS n_events,
@@ -1585,6 +1727,23 @@ SELECT event_id, p.user_id,
        floor((click_value) * 100.0 + 0.5) / 100.0 AS click_value
 FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+    sql["resample_cube_temporal"] = """
+WITH src0 AS (
+  SELECT user_id, event_type, ts, value FROM events WHERE user_id < 50
+), src AS (
+  SELECT user_id, event_type, ts, max(value) AS value
+  FROM src0 GROUP BY 1, 2, 3
+), grid AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts
+  FROM src0
+)
+SELECT g.user_id, g.event_type, g.ts,
+       floor((s.value) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM grid g ASOF LEFT JOIN src s
+  ON g.user_id = s.user_id AND g.event_type = s.event_type AND g.ts >= s.ts
 """
 
     sql["sessionize"] = """

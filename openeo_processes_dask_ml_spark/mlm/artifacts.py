@@ -40,18 +40,54 @@ def cache_path_for(uri: str, cache_dir: str | None = None) -> str:
     )
 
 
+def _download_s3(uri: str, target: str) -> None:
+    """s3://bucket/key download (reference download_utils.py:59-84):
+    credentialed client when key env vars are set, anonymous (unsigned)
+    otherwise. boto3 is not bundled here, so the path is import-gated
+    with a clear error instead of a crash mid-inference."""
+    try:
+        import boto3
+        from botocore import UNSIGNED
+        from botocore.config import Config
+    except ImportError as exc:
+        raise NotImplementedError(
+            "s3:// artifact URIs need boto3/botocore, which are not "
+            "installed in this environment — stage the artifact to "
+            "http(s) or a local path instead"
+        ) from exc
+    bucket, _, key = uri[len("s3://") :].partition("/")
+    access_key = os.environ.get("OPENEO_SPARK_S3_ACCESS_KEY_ID")
+    secret_key = os.environ.get("OPENEO_SPARK_S3_SECRET_ACCESS_KEY")
+    endpoint = os.environ.get("OPENEO_SPARK_S3_ENDPOINT")
+    if access_key and secret_key:
+        client = boto3.client(
+            "s3",
+            aws_access_key_id=access_key,
+            aws_secret_access_key=secret_key,
+            endpoint_url=endpoint,
+        )
+    else:
+        client = boto3.client(
+            "s3", endpoint_url=endpoint, config=Config(signature_version=UNSIGNED)
+        )
+    client.download_file(bucket, key, target)
+
+
 def stage_artifact(uri: str, cache_dir: str | None = None) -> str:
     """Fetch a model artifact to the local content-addressed cache
     (skip if present) and return the local path.
 
-    Supports http(s) and local/file paths — the same surface the
-    reference implements (s3 would slot in here)."""
+    Supports http(s), s3:// (credentialed or anonymous, import-gated on
+    boto3) and local/file paths — the reference's download surface
+    (download_utils.py:88-96)."""
     target = cache_path_for(uri, cache_dir)
     if os.path.exists(target):
         return target
     os.makedirs(os.path.dirname(target), exist_ok=True)
     tmp = target + ".part"
-    if uri.startswith(("http://", "https://")):
+    if uri.startswith("s3://"):
+        _download_s3(uri, tmp)
+    elif uri.startswith(("http://", "https://")):
         req = urllib.request.Request(uri)
         with urllib.request.urlopen(req, timeout=_TIMEOUT_S) as r, open(  # noqa: S310
             tmp, "wb"

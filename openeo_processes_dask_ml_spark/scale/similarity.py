@@ -279,6 +279,90 @@ def ann_topk_bruteforce(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    every vector to its nearest seed's list; queries probe their
+    ``n_probe`` nearest lists and re-rank exactly inside them.
+
+    The quantizer here is SEEDED, not trained: the seed set is the
+    embeddings of the ``n_lists`` smallest ids — deterministic, so the
+    whole index is replicable in SQL for the oracle gate. At scale
+    you'd swap the seed selection for sampled k-means centroids; the
+    index structure, probe path and cost model are identical.
+
+    Plan shape: seeds broadcast to a corpus-side cross (n_lists sims
+    per row, map-side max_by — ONE narrow shuffle for assignment, no
+    window over the corpus); probing joins the broadcast query probes
+    against the lists. Candidate work per query ~= corpus *
+    n_probe / n_lists."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    seeds = base.filter(F.col("vid") < n_lists).select(
+        F.col("vid").alias("seed_id"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("snrm"),
+    )
+    sim = (_dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("snrm"))).alias(
+        "sim"
+    )
+    scored = base.crossJoin(F.broadcast(seeds)).select(
+        "vid", "v", "nrm", "seed_id", sim
+    )
+    # nearest seed per vector: max sim, ties to the smallest seed id —
+    # an aggregation (partial map-side), deliberately not a window
+    assigned = scored.groupBy("vid").agg(
+        F.max_by(
+            F.col("seed_id"), F.struct(F.col("sim"), (-F.col("seed_id")).alias("ns"))
+        ).alias("list_id"),
+        F.first("v").alias("v"),
+        F.first("nrm").alias("nrm"),
+    )
+    wp = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("seed_id"))
+    probes = (
+        scored.filter(F.col("vid").isin(query_ids))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= n_probe)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("seed_id").alias("list_id"),
+        )
+    )
+    cos = dround(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(probes),
+            (assigned.list_id == probes.list_id)
+            & (F.col("query_id") != F.col("vid")),
+        )
+        .select("query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def hyperplane_coeffs(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random +-1 hyperplane: coefficient i comes
     from bit 0 of md5('p{plane}:{i}') — both engines could replicate."""

@@ -68,6 +68,63 @@ def windowed_rollup(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    ts_col: str,
+    key: str,
+    value_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key SESSION windows — a
+    dynamic-gap window the state store merges as events arrive (two
+    sessions fuse when their [ts, ts+gap) ranges touch). The batch
+    equivalent is the lag/cumulative-sum sessionizer in
+    operators/asof.py — same boundaries, so the streaming result stays
+    oracle-checkable."""
+    return (
+        stream.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_sessionize_once(
+    spark: SparkSession,
+    path: str,
+    schema,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Execute session windows with Trigger.AvailableNow into a memory
+    sink (complete mode keeps every session in state, so end-of-stream
+    emits all of them) and return the static result."""
+    stream = stream_events(spark, path, schema, ts_col)
+    sessions = session_windows(stream, ts_col, key, value_col, gap)
+    table = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table)
+
+
 def run_stream_rollup_once(
     spark: SparkSession,
     path: str,

@@ -181,3 +181,37 @@ def test_interpolation_recovers_linear_series(spark, values, holes):
     for h in holes:
         expected = np.interp(float(h), kept_x, kept_y)
         assert got[float(h)] == pytest.approx(expected, abs=1e-9)
+
+
+def test_s3_artifact_stage(tmp_path, monkeypatch):
+    """s3://bucket/path/key parses into (bucket, key); anonymous
+    (unsigned) client is used when no key env vars are set; the
+    download lands in the content-addressed cache."""
+    import boto3
+
+    calls = {}
+
+    class FakeClient:
+        def download_file(self, bucket, key, target):
+            calls["bucket"], calls["key"] = bucket, key
+            with open(target, "wb") as f:
+                f.write(b"s3-model-bytes")
+
+    def fake_client(service, **kwargs):
+        assert service == "s3"
+        calls["kwargs"] = kwargs
+        return FakeClient()
+
+    monkeypatch.delenv("OPENEO_SPARK_S3_ACCESS_KEY_ID", raising=False)
+    monkeypatch.setattr(boto3, "client", fake_client)
+    from openeo_processes_dask_ml_spark.mlm.artifacts import stage_artifact
+
+    p = stage_artifact(
+        "s3://models/deep/weights.pt", cache_dir=str(tmp_path / "c")
+    )
+    assert open(p, "rb").read() == b"s3-model-bytes"
+    assert calls["bucket"] == "models" and calls["key"] == "deep/weights.pt"
+    # unsigned config when anonymous (botocore UNSIGNED sentinel)
+    from botocore import UNSIGNED
+
+    assert calls["kwargs"]["config"].signature_version is UNSIGNED

@@ -1,0 +1,55 @@
+"""Structured Streaming operators driven with Trigger.AvailableNow —
+results must equal their batch equivalents (the oracle-parity
+contract for the streaming surface)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Session windows merged by the state store == the batch lag/cumsum
+    sessionizer, including the exact-gap boundary (1800s gap MERGES:
+    sessions fuse when their [ts, ts+gap) ranges touch)."""
+    from openeo_processes_dask_ml_spark.operators.asof import sessionize
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_sessionize_once,
+    )
+
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        ("u", datetime(2024, 1, 1, 0, 30, 0), 2.0),   # exactly gap -> merge
+        ("u", datetime(2024, 1, 1, 2, 0, 0), 4.0),    # > gap -> new session
+        ("v", datetime(2024, 1, 1, 0, 0, 0), 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    path = str(tmp_path / "events_stream")
+    df.write.parquet(path)
+
+    out = run_stream_sessionize_once(
+        spark, path, df.schema, ts_col="ts", key="user_id",
+        value_col="value", gap="30 minutes",
+    )
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], r["sum_value"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        ("u", "2024-01-01 00:00:00"): ("2024-01-01 01:00:00", 2, 3.0),
+        ("u", "2024-01-01 02:00:00"): ("2024-01-01 02:30:00", 1, 4.0),
+        ("v", "2024-01-01 00:00:00"): ("2024-01-01 00:30:00", 1, 8.0),
+    }
+
+    # batch equivalence: same session boundaries from the cumsum path
+    batch = sessionize(df, key="user_id", ts_col="ts", gap_seconds=1800.0)
+    agg = (
+        batch.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n"))
+        .collect()
+    )
+    batch_sessions = {(r["user_id"], str(r["start"])): r["n"] for r in agg}
+    assert batch_sessions == {
+        (u, s): n for (u, s), (_, n, _v) in got.items()
+    }
