@@ -518,6 +518,49 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < rate).select("doc_id", "lang", "n_chars")
 
 
+def q_apply_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO apply_kernel: Laplacian 3x3 focal convolution over an
+    8x8 raster derived from events — scatter (explode taps) + one hash
+    aggregation, zero-padded borders; broadcast coord-index tables."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.operators.kernel import apply_kernel
+
+    events = _t(spark, sf_dir, "events")
+    raster = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.col("user_id") % 8).cast("double").alias("x"),
+            (F.floor(F.col("user_id") / 8) % 8).cast("double").alias("y"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    cube = CubeFrame(raster, {"x": "x", "y": "y"}, "value")
+    lap = [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]]
+    out = apply_kernel(cube, lap)
+    return out.df.select("x", "y", dround("value", 6).alias("value"))
+
+
+def q_climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO climatological_normal + anomaly: per (day-of-year,
+    event_type) normals across users, subtracted from every event —
+    normals broadcast; the event stream never shuffles."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    cube = CubeFrame(ev, {"time": "ts", "bands": "event_type"}, "value")
+    normals = cube.climatological_normal("day")
+    out = cube.anomaly(normals, "day")
+    return out.df.select("event_id", dround(out.value_col, 6).alias("value"))
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate removal: first-occurrence dedup of
+    non-overlapping 8-word chunks, per-doc kept ratio."""
+    from openeo_processes_dask_ml_spark.scale.text import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf_dir, "documents"), chunk_words=8)
+
+
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100TB-scale profiling: HLL++ distinct
     counts and t-digest quantiles per event type. Deliberately
@@ -1016,6 +1059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
         "approx_aggregates": q_approx_aggregates,
+        "apply_kernel": q_apply_kernel,
+        "climatology_anomaly": q_climatology_anomaly,
+        "chunk_dedup": q_chunk_dedup,
         "ml_predict_linear": q_ml_predict_linear,
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -1496,6 +1542,74 @@ SELECT vec_id, label,
           i -> embedding[i + 1]::DOUBLE * ((((i * 37) % 19) - 9) / 10.0)),
       (a, b) -> a + b)) * 10000.0 + 0.5) / 10000.0 AS score
 FROM embeddings
+"""
+
+    # focal convolution parity: scatter each cell through the non-zero
+    # kernel taps onto its neighbors (contribution to (ix-di, iy-dj)),
+    # drop out-of-grid targets (== zero padding), sum.
+    sql["apply_kernel"] = """
+WITH raster AS (
+  SELECT CAST(user_id % 8 AS DOUBLE) AS x,
+         CAST(CAST(floor(user_id / 8) AS BIGINT) % 8 AS DOUBLE) AS y,
+         avg(value) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), xs AS (
+  SELECT x, row_number() OVER (ORDER BY x) - 1 AS ix
+  FROM (SELECT DISTINCT x FROM raster)
+), ys AS (
+  SELECT y, row_number() OVER (ORDER BY y) - 1 AS iy
+  FROM (SELECT DISTINCT y FROM raster)
+), idx AS (
+  SELECT xs.ix, ys.iy, r.v
+  FROM raster r JOIN xs ON r.x = xs.x JOIN ys ON r.y = ys.y
+), taps(di, dj, w) AS (
+  VALUES (-1, 0, 1.0), (0, -1, 1.0), (0, 0, -4.0), (0, 1, 1.0), (1, 0, 1.0)
+), contrib AS (
+  SELECT i.ix - t.di AS tx, i.iy - t.dj AS ty, i.v * t.w AS wv
+  FROM idx i, taps t
+  WHERE i.ix - t.di BETWEEN 0 AND (SELECT count(*) FROM xs) - 1
+    AND i.iy - t.dj BETWEEN 0 AND (SELECT count(*) FROM ys) - 1
+)
+SELECT xs.x, ys.y,
+       floor((sum(c.wv)) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM contrib c JOIN xs ON xs.ix = c.tx JOIN ys ON ys.iy = c.ty
+GROUP BY 1, 2
+"""
+
+    sql["climatology_anomaly"] = """
+WITH base AS (
+  SELECT event_id, event_type, ts, value FROM events WHERE user_id < 50
+), norm AS (
+  SELECT dayofyear(ts) AS d, event_type, avg(value) AS nv
+  FROM base GROUP BY 1, 2
+)
+SELECT b.event_id,
+       floor((b.value - n.nv) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM base b JOIN norm n ON dayofyear(b.ts) = n.d AND b.event_type = n.event_type
+"""
+
+    sql["chunk_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), nums AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS chunk_id
+  FROM toks
+), hashed AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(toks[(chunk_id * 8 + 1):(chunk_id * 8 + 8)], ' ')) AS h
+  FROM nums
+), flagged AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM hashed
+)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       floor((CAST(sum(kept) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS kept_ratio
+FROM flagged GROUP BY doc_id
 """
 
     # tiled-inference value gate: predict_fn is the deterministic

@@ -266,6 +266,71 @@ class CubeFrame:
         )
         return self.with_df(df)
 
+    # no annotation: plain class attribute, NOT a dataclass field
+    _CLIMATOLOGY_LABELS = {
+        "hour": F.hour,
+        "day": F.dayofyear,
+        "week": F.weekofyear,
+        "month": F.month,
+        # season label = month of the season start (12, 3, 6, 9)
+        "season": lambda c: F.month(
+            F.add_months(F.date_trunc("quarter", F.add_months(c, 1).cast("timestamp")), -1)
+        ),
+    }
+
+    def climatological_normal(self, period: str = "month") -> "CubeFrame":
+        """openEO climatological_normal: mean per recurring calendar
+        label (month-of-year, day-of-year, ...) across all years — the
+        time dim collapses to an integer period label. One hash
+        aggregation (map-side combined)."""
+        label_fn = self._CLIMATOLOGY_LABELS.get(period)
+        if label_fn is None:
+            raise ValueError(
+                f"unsupported climatology period {period!r}; "
+                f"known: {sorted(self._CLIMATOLOGY_LABELS)}"
+            )
+        tcol = self.dim_col("time")
+        others = {k: v for k, v in self.dims.items() if v != tcol}
+        df = (
+            self.df.groupBy(
+                label_fn(F.col(tcol)).cast("int").alias("period_label"),
+                *others.values(),
+            )
+            .agg(F.mean(self.value_col).alias(self.value_col))
+        )
+        dims = dict(others)
+        dims["time"] = "period_label"
+        return CubeFrame(df, dims, self.value_col, dict(self.attrs))
+
+    def anomaly(self, normals: "CubeFrame", period: str = "month") -> "CubeFrame":
+        """openEO anomaly: value minus the climatological normal of its
+        period label. The normals cube is period-labeled (one row per
+        label x series) and therefore tiny relative to the data — it
+        broadcasts; the data cube never shuffles."""
+        label_fn = self._CLIMATOLOGY_LABELS.get(period)
+        if label_fn is None:
+            raise ValueError(f"unsupported climatology period {period!r}")
+        tcol = self.dim_col("time")
+        shared = [
+            v for k, v in self.dims.items()
+            if v != tcol and k in normals.dims
+        ]
+        norm_df = normals.df.select(
+            F.col(normals.dim_col("time")).alias("period_label"),
+            *shared,
+            F.col(normals.value_col).alias("__normal"),
+        )
+        labeled = self.df.withColumn(
+            "period_label", label_fn(F.col(tcol)).cast("int")
+        )
+        joined = labeled.join(
+            F.broadcast(norm_df), ["period_label", *shared], "left"
+        )
+        out = joined.withColumn(
+            self.value_col, F.col(self.value_col) - F.col("__normal")
+        ).drop("__normal", "period_label")
+        return self.with_df(out)
+
     def mask(self, mask_cube: "CubeFrame", replacement=None) -> "CubeFrame":
         """Null out (or replace) cells where the mask cube is truthy.
 

@@ -1,0 +1,103 @@
+"""openEO ``apply_kernel`` — focal (neighborhood) convolution over the
+spatial dims, Spark-first.
+
+The reference ecosystem computes this as an xarray/scipy stencil; a
+long-form cube gets the same result as a SCATTER: every input cell
+explodes into its kernel contributions (a literal offsets array, size
+|kernel|), each contribution re-targets the neighbor cell it affects,
+and one hash aggregation sums them. That is ONE explode + ONE shuffle
+with map-side combine — no self-join per offset, no window over the
+raster — and it survives any scale-up because the shuffle key is the
+output cell.
+
+Coordinates map to dense axis indices through broadcast index tables
+(axis-sized, like the tiling path in ml/inference.py) rather than a
+global window rank, so the raster never funnels through one partition.
+
+Border semantics: contributions that would land outside the grid are
+dropped, which IS zero-padding (missing neighbors contribute 0) — the
+openEO ``border=0`` default.
+
+Definition (cross-correlation, the openEO/scipy convention):
+``out[ix, iy] = sum_{di, dj} kernel[di + ry][dj + rx] *
+in[ix + di, iy + dj]`` — equivalently each input cell (u, v)
+contributes ``kernel[di + ry][dj + rx] * value`` to ``(u - di, v - dj)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+
+def _axis_index(df, col: str, spark):
+    """coord -> dense index as a tiny broadcast table (axis-sized)."""
+    coords = [r[0] for r in df.select(col).distinct().orderBy(col).collect()]
+    idx_df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(coords)],
+        schema=f"`{col}` {dict(df.dtypes)[col]}, `__i_{col}` long",
+    )
+    return F.broadcast(idx_df), len(coords)
+
+
+def apply_kernel(
+    cube: CubeFrame,
+    kernel: list[list[float]],
+    dim_x: str = "x",
+    dim_y: str = "y",
+    factor: float = 1.0,
+) -> CubeFrame:
+    """Convolve the value over (dim_x, dim_y) per every other dim.
+
+    ``kernel`` is a (2*ry+1) x (2*rx+1) row-major weight grid (rows
+    step dim_x, columns step dim_y). Zero-weight taps are skipped at
+    plan build — a sparse kernel costs only its non-zero taps.
+    """
+    ky, kx = len(kernel), len(kernel[0])
+    if ky % 2 == 0 or kx % 2 == 0:
+        raise ValueError(f"kernel must have odd dimensions, got {ky}x{kx}")
+    ry, rx = ky // 2, kx // 2
+
+    xcol, ycol = cube.dim_col(dim_x), cube.dim_col(dim_y)
+    others = [v for v in cube.dims.values() if v not in (xcol, ycol)]
+    spark = cube.df.sparkSession
+
+    xi_df, nx = _axis_index(cube.df, xcol, spark)
+    yi_df, ny = _axis_index(cube.df, ycol, spark)
+
+    taps = [
+        F.struct(
+            F.lit(di - ry).alias("di"),
+            F.lit(dj - rx).alias("dj"),
+            F.lit(float(kernel[di][dj])).alias("w"),
+        )
+        for di in range(ky)
+        for dj in range(kx)
+        if kernel[di][dj] != 0.0
+    ]
+    indexed = cube.df.join(xi_df, xcol).join(yi_df, ycol)
+    contrib = indexed.select(
+        *others,
+        F.explode(F.array(*taps)).alias("o"),
+        F.col(f"__i_{xcol}").alias("ix"),
+        F.col(f"__i_{ycol}").alias("iy"),
+        F.col(cube.value_col).alias("v"),
+    ).select(
+        *others,
+        (F.col("ix") - F.col("o.di")).alias("tx"),
+        (F.col("iy") - F.col("o.dj")).alias("ty"),
+        (F.col("v") * F.col("o.w")).alias("wv"),
+    ).filter(
+        (F.col("tx") >= 0) & (F.col("tx") < nx)
+        & (F.col("ty") >= 0) & (F.col("ty") < ny)
+    )
+    summed = contrib.groupBy(*others, "tx", "ty").agg(
+        (F.sum("wv") * F.lit(factor)).alias(cube.value_col)
+    )
+    out = (
+        summed.join(xi_df.withColumnRenamed(f"__i_{xcol}", "tx"), "tx")
+        .join(yi_df.withColumnRenamed(f"__i_{ycol}", "ty"), "ty")
+        .select(*others, xcol, ycol, cube.value_col)
+    )
+    return CubeFrame(out, dict(cube.dims), cube.value_col, dict(cube.attrs))

@@ -120,6 +120,62 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Cross-corpus boilerplate removal: split every document into
+    non-overlapping ``chunk_words``-word chunks, keep only the FIRST
+    occurrence of each distinct chunk corpus-wide (ordered by doc id,
+    then chunk position), and report per-document totals + kept ratio.
+
+    Plan shape: one posexplode, one chunk-reassembly aggregation, a
+    first-occurrence window partitioned BY CHUNK HASH (cardinality ~
+    distinct chunks, so no single hot partition), one per-doc
+    aggregation. All shuffles are hash-partitioned on high-cardinality
+    keys — the classic exact paragraph/boilerplate dedup at corpus
+    scale."""
+    toks = tokens_expr(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "word")
+    )
+    chunks = (
+        exploded.withColumn("chunk_id", (F.col("pos") / chunk_words).cast("long"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+            ).alias("chunk_text")
+        )
+        .withColumn("chunk_hash", F.md5(F.col("chunk_text")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+    flagged = chunks.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+        .withColumn(
+            "kept_ratio",
+            dround(F.col("n_kept") / F.col("n_chunks"), 4),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1
 ) -> DataFrame:

@@ -230,3 +230,77 @@ def test_aggregate_temporal_unknown_period_raises(spark):
     cube = CubeFrame(df, {"time": "t"}, "value")
     with pytest.raises(ValueError, match="unsupported period"):
         cube.aggregate_temporal_period("fortnight", "sum")
+
+
+def test_apply_kernel_laplacian_golden(spark):
+    """3x3 Laplacian over a 3x3 ramp, zero-padded borders — center cell
+    golden: 1*v(0,1)+1*v(1,0)-4*v(1,1)+1*v(1,2)+1*v(2,1)."""
+    from openeo_processes_dask_ml_spark.operators.kernel import apply_kernel
+
+    rows = [
+        (float(x), float(y), float(x * 3 + y))
+        for x in range(3)
+        for y in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "value"])
+    cube = CubeFrame(df, {"x": "x", "y": "y"}, "value")
+    lap = [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]]
+    out = {(r["x"], r["y"]): r["value"] for r in apply_kernel(cube, lap).df.collect()}
+    # center (1,1): v=4; neighbors 1,3,5,7 -> 1+3+5+7-16 = 0
+    assert out[(1.0, 1.0)] == 0.0
+    # corner (0,0): v=0; in-grid neighbors v(0,1)=1, v(1,0)=3 -> 4 - 0 = 4
+    assert out[(0.0, 0.0)] == 4.0
+    assert len(out) == 9
+
+
+def test_apply_kernel_rejects_even_kernel(spark):
+    from openeo_processes_dask_ml_spark.operators.kernel import apply_kernel
+
+    df = spark.createDataFrame([(0.0, 0.0, 1.0)], ["x", "y", "value"])
+    cube = CubeFrame(df, {"x": "x", "y": "y"}, "value")
+    with pytest.raises(ValueError, match="odd"):
+        apply_kernel(cube, [[1.0, 1.0]])
+
+
+def test_climatological_normal_and_anomaly(spark):
+    """Normals = mean per recurring label across years; anomaly
+    subtracts them per cell."""
+    rows = [
+        (datetime(2023, 1, 15), "a", 10.0),
+        (datetime(2024, 1, 20), "a", 20.0),   # month 1 normal = 15
+        (datetime(2023, 6, 1), "a", 40.0),    # month 6 normal = 40
+        (datetime(2024, 1, 1), "b", 100.0),   # month 1 / band b = 100
+    ]
+    df = spark.createDataFrame(rows, ["t", "band", "value"])
+    cube = CubeFrame(df, {"time": "t", "bands": "band"}, "value")
+    normals = cube.climatological_normal("month")
+    got_norm = {
+        (r["period_label"], r["band"]): r["value"]
+        for r in normals.df.collect()
+    }
+    assert got_norm == {(1, "a"): 15.0, (6, "a"): 40.0, (1, "b"): 100.0}
+    anom = cube.anomaly(normals, "month")
+    got = {
+        (str(r["t"])[:10], r["band"]): r["value"] for r in anom.df.collect()
+    }
+    assert got[("2023-01-15", "a")] == -5.0
+    assert got[("2024-01-20", "a")] == 5.0
+    assert got[("2023-06-01", "a")] == 0.0
+    assert got[("2024-01-01", "b")] == 0.0
+
+
+def test_chunk_dedup_first_occurrence(spark):
+    """A chunk repeated across docs is kept only in the earliest doc."""
+    from openeo_processes_dask_ml_spark.scale.text import chunk_dedup
+
+    rows = [
+        (1, "a b c d"),        # chunks (size 2): "a b", "c d"
+        (2, "a b x y"),        # "a b" already seen in doc 1
+        (3, "c d"),            # seen in doc 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_ratio"])
+        for r in chunk_dedup(df, chunk_words=2).collect()
+    }
+    assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
