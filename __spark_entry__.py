@@ -561,6 +561,72 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(_t(spark, sf_dir, "documents"), chunk_words=8)
 
 
+def q_resample_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO resample_spatial: coarsen a 64x64 event-count raster to
+    16x16 (resolution 4, mean) — one hash aggregation keyed on the
+    OUTPUT pixel; cell values are counts (FP-exact) so the mean is
+    order-independent across engines."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    events = _t(spark, sf_dir, "events")
+    raster = (
+        events.groupBy(
+            (F.col("user_id") % 64).cast("double").alias("x"),
+            (F.floor(F.col("user_id") / 64) % 64).cast("double").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    cube = CubeFrame(raster, {"x": "x", "y": "y"}, "value")
+    out = cube.resample_spatial(4.0, "mean", align="center")
+    return out.df.select("x", "y", dround("value", 6).alias("value"))
+
+
+def q_quantiles_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO quantiles + extrema reducers: exact linear-interpolated
+    quartiles and [min, max] of event value per event_type."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame, quantiles_reducer
+
+    ev = _t(spark, sf_dir, "events")
+    cube = CubeFrame(ev, {"bands": "event_type", "other": "event_id"}, "value")
+    q = cube.quantiles("other", [0.25, 0.5, 0.75])
+    qdf = q.df.select(
+        "event_type",
+        dround(F.element_at(q.value_col, 1), 6).alias("q25"),
+        dround(F.element_at(q.value_col, 2), 6).alias("q50"),
+        dround(F.element_at(q.value_col, 3), 6).alias("q75"),
+    )
+    ext = cube.reduce_dimension("other", "extrema", alias="ext")
+    edf = ext.df.select(
+        "event_type",
+        dround(F.element_at("ext", 1), 6).alias("vmin"),
+        dround(F.element_at("ext", 2), 6).alias("vmax"),
+    )
+    return qdf.join(edf, "event_type")
+
+
+def q_cumulative_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO apply_dimension with cumulative processes: per-user daily
+    event counts -> running sum / max / product along the time dim.
+    Window frames ordered by day, series hash-distributed by user —
+    inputs are integer counts so every engine folds identically."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cube = CubeFrame(daily, {"time": "d", "geometry": "user_id"}, "n")
+    c = cube.apply_dimension("time", "cumsum", alias="cum_n")
+    c = c.apply_dimension("time", "cummax", alias="cummax_n")
+    with_factor = c.df.withColumn("factor", 1 + F.col("n") / 100.0)
+    fcube = CubeFrame(with_factor, dict(c.dims), "factor")
+    out = fcube.apply_dimension("time", "cumproduct", alias="cum_prod").df
+    return out.select(
+        "user_id", "d", "n", "cum_n", "cummax_n",
+        dround("cum_prod", 6).alias("cum_prod"),
+    )
+
+
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100TB-scale profiling: HLL++ distinct
     counts and t-digest quantiles per event type. Deliberately
@@ -1062,6 +1128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_kernel": q_apply_kernel,
         "climatology_anomaly": q_climatology_anomaly,
         "chunk_dedup": q_chunk_dedup,
+        "resample_spatial": q_resample_spatial,
+        "quantiles_extrema": q_quantiles_extrema,
+        "cumulative_ops": q_cumulative_ops,
         "ml_predict_linear": q_ml_predict_linear,
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -1610,6 +1679,43 @@ SELECT doc_id, count(*) AS n_chunks,
        CAST(sum(kept) AS BIGINT) AS n_kept,
        floor((CAST(sum(kept) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS kept_ratio
 FROM flagged GROUP BY doc_id
+"""
+
+    sql["resample_spatial"] = """
+WITH raster AS (
+  SELECT CAST(user_id % 64 AS DOUBLE) AS x,
+         CAST(CAST(floor(user_id / 64) AS BIGINT) % 64 AS DOUBLE) AS y,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT (floor(x / 4.0) + 0.5) * 4.0 AS x,
+       (floor(y / 4.0) + 0.5) * 4.0 AS y,
+       floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM raster GROUP BY 1, 2
+"""
+
+    sql["quantiles_extrema"] = """
+SELECT event_type,
+       floor(quantile_cont(value, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS q25,
+       floor(quantile_cont(value, 0.50) * 1000000.0 + 0.5) / 1000000.0 AS q50,
+       floor(quantile_cont(value, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS q75,
+       floor(min(value) * 1000000.0 + 0.5) / 1000000.0 AS vmin,
+       floor(max(value) * 1000000.0 + 0.5) / 1000000.0 AS vmax
+FROM events GROUP BY event_type
+"""
+
+    sql["cumulative_ops"] = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+)
+SELECT user_id, d, CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+       CAST(max(n) OVER w AS BIGINT) AS cummax_n,
+       floor(product(1 + n / 100.0) OVER w * 1000000.0 + 0.5) / 1000000.0 AS cum_prod
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
     # tiled-inference value gate: predict_fn is the deterministic

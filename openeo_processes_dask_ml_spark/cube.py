@@ -41,7 +41,25 @@ REDUCERS: dict[str, Callable[[Column], Column]] = {
     "last": lambda c: F.last(c, ignorenulls=True),
     "any": lambda c: F.max(c.cast("boolean")),
     "all": lambda c: F.min(c.cast("boolean")),
+    # openEO extrema: [min, max] in one aggregation pass.
+    "extrema": lambda c: F.array(F.min(c), F.max(c)),
 }
+
+
+def quantiles_reducer(probabilities: Sequence[float]) -> Callable[[Column], Column]:
+    """openEO ``quantiles`` as a reducer factory: exact linear-interpolated
+    quantiles (Spark ``percentile``, NOT percentile_approx — the openEO
+    process is defined on the exact distribution). Returns an
+    array<double> of len(probabilities).
+
+    Exact percentile aggregates the full group; for 100 TB cubes prefer
+    ``F.percentile_approx`` (t-digest, mergeable sketches) — exposed via
+    the ``approx`` flag on :meth:`CubeFrame.quantiles`.
+    """
+    probs = [float(p) for p in probabilities]
+    if not all(0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probabilities must be in [0, 1], got {probs}")
+    return lambda c: F.percentile(c, F.array(*[F.lit(p) for p in probs]))
 
 
 def resolve_reducer(reducer: str | Callable[[Column], Column]) -> Callable[[Column], Column]:
@@ -153,6 +171,7 @@ class CubeFrame:
         "cumsum": F.sum,
         "cummax": F.max,
         "cummin": F.min,
+        "cumproduct": F.product,
         "cumcount": lambda c: F.count(F.lit(1)),
     }
 
@@ -330,6 +349,63 @@ class CubeFrame:
             self.value_col, F.col(self.value_col) - F.col("__normal")
         ).drop("__normal", "period_label")
         return self.with_df(out)
+
+    def resample_spatial(
+        self,
+        resolution: float,
+        method: str | Callable[[Column], Column] = "mean",
+        align: str = "center",
+    ) -> "CubeFrame":
+        """openEO ``resample_spatial`` for the aggregate (down-sampling)
+        case: snap every (x, y) coordinate to a grid of the target
+        ``resolution`` and reduce the cells that land in the same target
+        pixel. ``align='center'`` labels output pixels at cell centers,
+        ``'corner'`` at the lower-left corner.
+
+        One hash aggregation over (bucketed x, bucketed y, other dims)
+        with map-side combine — the canonical raster pyramid step; the
+        shuffle moves one row per OUTPUT pixel. Reprojection between
+        CRSs is out of scope (no geo libs in this environment) — only
+        same-CRS grid coarsening, the reference's common case.
+        """
+        if resolution <= 0:
+            raise ValueError(f"resolution must be positive, got {resolution}")
+        offset = 0.5 if align == "center" else 0.0
+        if align not in ("center", "corner"):
+            raise ValueError(f"align must be 'center' or 'corner', got {align!r}")
+        res = float(resolution)
+
+        def bucket(col: str) -> Column:
+            return (F.floor(F.col(col) / res) + offset) * res
+
+        xcol, ycol = self.dim_col("x"), self.dim_col("y")
+        others = [v for v in self.dim_cols if v not in (xcol, ycol)]
+        agg = resolve_reducer(method)(F.col(self.value_col))
+        df = (
+            self.df.groupBy(
+                bucket(xcol).alias(xcol), bucket(ycol).alias(ycol), *others
+            )
+            .agg(agg.alias(self.value_col))
+        )
+        return self.with_df(df)
+
+    def quantiles(
+        self,
+        dimension: str,
+        probabilities: Sequence[float],
+        approx: bool = False,
+    ) -> "CubeFrame":
+        """openEO ``quantiles`` as a dimension reducer. ``approx=True``
+        switches to ``percentile_approx`` (t-digest sketch, mergeable —
+        the 100 TB path); exact mode collects per-group sorted state and
+        is for modest group sizes."""
+        if approx:
+            reducer = lambda c: F.percentile_approx(  # noqa: E731
+                c, F.array(*[F.lit(float(p)) for p in probabilities]), F.lit(10000)
+            )
+        else:
+            reducer = quantiles_reducer(probabilities)
+        return self.reduce_dimension(dimension, reducer)
 
     def mask(self, mask_cube: "CubeFrame", replacement=None) -> "CubeFrame":
         """Null out (or replace) cells where the mask cube is truthy.

@@ -304,3 +304,58 @@ def test_chunk_dedup_first_occurrence(spark):
         for r in chunk_dedup(df, chunk_words=2).collect()
     }
     assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
+
+
+def test_resample_spatial_mean_golden(spark):
+    """4x4 grid at res 1 -> res 2 mean: each output pixel averages its
+    2x2 block; center-aligned labels land at (1.0, 3.0)."""
+    rows = [
+        (float(x), float(y), float(x * 4 + y))
+        for x in range(4)
+        for y in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "value"])
+    cube = CubeFrame(df, {"x": "x", "y": "y"}, "value")
+    out = {
+        (r["x"], r["y"]): r["value"]
+        for r in cube.resample_spatial(2.0, "mean").df.collect()
+    }
+    # block x in {0,1}, y in {0,1}: values 0,1,4,5 -> mean 2.5; label (1.0, 1.0)
+    assert out[(1.0, 1.0)] == 2.5
+    # block x in {2,3}, y in {2,3}: values 10,11,14,15 -> 12.5
+    assert out[(3.0, 3.0)] == 12.5
+    assert len(out) == 4
+
+
+def test_resample_spatial_corner_align_and_validation(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 1.0), (1.0, 1.0, 3.0)], ["x", "y", "value"])
+    cube = CubeFrame(df, {"x": "x", "y": "y"}, "value")
+    out = {(r["x"], r["y"]): r["value"]
+           for r in cube.resample_spatial(2.0, "mean", align="corner").df.collect()}
+    assert out == {(0.0, 0.0): 2.0}
+    with pytest.raises(ValueError, match="positive"):
+        cube.resample_spatial(0)
+    with pytest.raises(ValueError, match="align"):
+        cube.resample_spatial(2.0, align="middle")
+
+
+def test_quantiles_and_extrema(spark):
+    """Exact quartiles of 1..5 are 2, 3, 4; extrema [1, 5]."""
+    rows = [("a", i, float(i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["band", "i", "value"])
+    cube = CubeFrame(df, {"bands": "band", "other": "i"}, "value")
+    [q] = cube.quantiles("other", [0.25, 0.5, 0.75]).df.collect()
+    assert list(q["value"]) == [2.0, 3.0, 4.0]
+    [e] = cube.reduce_dimension("other", "extrema").df.collect()
+    assert list(e["value"]) == [1.0, 5.0]
+    with pytest.raises(ValueError, match="probabilities"):
+        cube.quantiles("other", [1.5])
+
+
+def test_apply_dimension_cumproduct(spark):
+    rows = [(1, 1, 2.0), (1, 2, 3.0), (1, 3, 0.5)]
+    df = spark.createDataFrame(rows, ["g", "t", "value"])
+    cube = CubeFrame(df, {"geometry": "g", "time": "t"}, "value")
+    out = cube.apply_dimension("time", "cumproduct", alias="cp")
+    got = {r["t"]: r["cp"] for r in out.df.collect()}
+    assert got == {1: 2.0, 2: 6.0, 3: 3.0}
