@@ -627,6 +627,56 @@ def q_cumulative_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hours_of_day(c):
+    """Fractional hour-of-day from a timestamp: integer-micros modulo
+    (exact) then one double division — mirrors DuckDB epoch_us."""
+    return (F.unix_micros(c) % 86400000000) / 3600000000.0
+
+
+def q_fit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO fit_curve: per-event-type harmonic daily curve
+    a0 + a1*cos(2*pi*h/24) + a2*sin(...) fitted by distributed normal
+    equations — one map-side-combined aggregation (9 doubles per
+    series), Cramer solve in pure Catalyst expressions. No Python, no
+    iteration; the 100 TB plan is a single shuffle of k*(k+3)/2 sums."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.operators.curve import (
+        fit_curve,
+        harmonic_basis,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cube = CubeFrame(ev, {"time": "ts", "bands": "event_type"}, "value")
+    fitted = fit_curve(cube, "time", _hours_of_day, harmonic_basis(24.0))
+    return fitted.df.select(
+        "event_type",
+        dround("a0", 6).alias("a0"),
+        dround("a1", 6).alias("a1"),
+        dround("a2", 6).alias("a2"),
+    )
+
+
+def q_predict_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO predict_curve: evaluate the fitted harmonic on an hourly
+    label grid — parameter table broadcasts, labels never shuffle."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.operators.curve import (
+        fit_curve,
+        harmonic_basis,
+        predict_curve,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cube = CubeFrame(ev, {"time": "ts", "bands": "event_type"}, "value")
+    basis = harmonic_basis(24.0)
+    fitted = fit_curve(cube, "time", _hours_of_day, basis)
+    labels = spark.range(24).select(F.col("id").cast("double").alias("t_h"))
+    pred = predict_curve(fitted, labels, "t_h", lambda c: c, basis)
+    return pred.df.select(
+        "event_type", "t_h", dround("value", 6).alias("value")
+    )
+
+
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100TB-scale profiling: HLL++ distinct
     counts and t-digest quantiles per event type. Deliberately
@@ -1131,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_spatial": q_resample_spatial,
         "quantiles_extrema": q_quantiles_extrema,
         "cumulative_ops": q_cumulative_ops,
+        "fit_curve": q_fit_curve,
+        "predict_curve": q_predict_curve,
         "ml_predict_linear": q_ml_predict_linear,
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -1716,6 +1768,57 @@ SELECT user_id, d, CAST(n AS BIGINT) AS n,
 FROM daily
 WINDOW w AS (PARTITION BY user_id ORDER BY d
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+    # fit_curve: normal-equation sums + Cramer's rule, written with the
+    # SAME expression structure as operators/curve.py so FP rounding
+    # agrees to the ulp (only the commutative sum order differs).
+    _fit_curve_solved = """
+WITH b AS (
+  SELECT event_type, value AS y,
+         cos(((epoch_us(ts) % 86400000000) / 3600000000.0) * ((2 * pi()) / 24.0)) AS c,
+         sin(((epoch_us(ts) % 86400000000) / 3600000000.0) * ((2 * pi()) / 24.0)) AS s
+  FROM events
+), sums AS (
+  SELECT event_type,
+         sum(1.0) AS s_00, sum(c) AS s_01, sum(s) AS s_02,
+         sum(c * c) AS s_11, sum(c * s) AS s_12, sum(s * s) AS s_22,
+         sum(y) AS r_0, sum(c * y) AS r_1, sum(s * y) AS r_2
+  FROM b GROUP BY event_type
+), solved AS (
+  SELECT event_type,
+    (s_00 * (s_11 * s_22 - s_12 * s_12)
+     - s_01 * (s_01 * s_22 - s_12 * s_02)
+     + s_02 * (s_01 * s_12 - s_11 * s_02)) AS det,
+    (r_0 * (s_11 * s_22 - s_12 * s_12)
+     - s_01 * (r_1 * s_22 - s_12 * r_2)
+     + s_02 * (r_1 * s_12 - s_11 * r_2)) AS d0,
+    (s_00 * (r_1 * s_22 - s_12 * r_2)
+     - r_0 * (s_01 * s_22 - s_12 * s_02)
+     + s_02 * (s_01 * r_2 - r_1 * s_02)) AS d1,
+    (s_00 * (s_11 * r_2 - r_1 * s_12)
+     - s_01 * (s_01 * r_2 - r_1 * s_02)
+     + r_0 * (s_01 * s_12 - s_11 * s_02)) AS d2
+  FROM sums
+)
+"""
+
+    sql["fit_curve"] = _fit_curve_solved + """
+SELECT event_type,
+       floor((d0 / det) * 1000000.0 + 0.5) / 1000000.0 AS a0,
+       floor((d1 / det) * 1000000.0 + 0.5) / 1000000.0 AS a1,
+       floor((d2 / det) * 1000000.0 + 0.5) / 1000000.0 AS a2
+FROM solved
+"""
+
+    sql["predict_curve"] = _fit_curve_solved + """
+, grid AS (SELECT CAST(unnest(range(0, 24)) AS DOUBLE) AS t_h)
+SELECT event_type, t_h,
+       floor(((d0 / det) * 1.0
+              + (d1 / det) * cos(t_h * ((2 * pi()) / 24.0))
+              + (d2 / det) * sin(t_h * ((2 * pi()) / 24.0)))
+             * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM solved CROSS JOIN grid
 """
 
     # tiled-inference value gate: predict_fn is the deterministic
