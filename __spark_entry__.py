@@ -627,6 +627,25 @@ def q_cumulative_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dimension_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO dimension manipulation composed: rename_labels on the
+    band dim, trim_cube to drop all-null day slices at the edges, then
+    a count reduce — all metadata-light operations on the long cube."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.dayofmonth("ts").alias("day"),
+        "event_type",
+        F.when(F.dayofmonth("ts").between(5, 25), F.col("value")).alias("value"),
+    )
+    cube = CubeFrame(base, {"time": "day", "bands": "event_type"}, "value")
+    cube = cube.rename_labels("bands", ["purchase_evt"], ["purchase"])
+    trimmed = cube.trim_cube()
+    out = trimmed.reduce_dimension("time", "count", alias="n")
+    return out.df.select(F.col("event_type").alias("band"), "n")
+
+
 def _hours_of_day(c):
     """Fractional hour-of-day from a timestamp: integer-micros modulo
     (exact) then one double division — mirrors DuckDB epoch_us."""
@@ -1183,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_ops": q_cumulative_ops,
         "fit_curve": q_fit_curve,
         "predict_curve": q_predict_curve,
+        "dimension_ops": q_dimension_ops,
         "ml_predict_linear": q_ml_predict_linear,
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -1819,6 +1839,17 @@ SELECT event_type, t_h,
               + (d2 / det) * sin(t_h * ((2 * pi()) / 24.0)))
              * 1000000.0 + 0.5) / 1000000.0 AS value
 FROM solved CROSS JOIN grid
+"""
+
+    # trim_cube drops day slices whose values are entirely NULL (here:
+    # outside [5, 25]); the count reducer counts non-null values.
+    sql["dimension_ops"] = """
+SELECT CASE WHEN event_type = 'purchase' THEN 'purchase_evt'
+            ELSE event_type END AS band,
+       count(*) AS n
+FROM events
+WHERE day(ts) BETWEEN 5 AND 25
+GROUP BY 1
 """
 
     # tiled-inference value gate: predict_fn is the deterministic

@@ -450,6 +450,89 @@ class CubeFrame:
         xr.concat at overrides/indices.py:29)."""
         return self.with_df(self.df.unionByName(other.df, allowMissingColumns=True))
 
+    # -- dimension manipulation ----------------------------------------
+    def add_dimension(self, name: str, label, type: str = "other") -> "CubeFrame":
+        """openEO add_dimension: a new size-1 dim holding ``label`` for
+        every cell — one literal column, no data movement."""
+        if name in self.dims:
+            raise ValueError(f"dimension {name!r} already exists")
+        col = f"__dim_{name}"
+        dims = dict(self.dims)
+        dims[name] = col
+        return CubeFrame(
+            self.df.withColumn(col, F.lit(label)), dims, self.value_col,
+            dict(self.attrs),
+        )
+
+    def drop_dimension(self, name: str) -> "CubeFrame":
+        """openEO drop_dimension: remove a dim that has exactly one
+        label (DimensionLabelCountMismatch otherwise — checked with one
+        tiny 2-row-limit aggregation, not a full distinct)."""
+        dname = self.dim_name(name)
+        dcol = self.dims[dname]
+        n = self.df.select(dcol).distinct().limit(2).count()
+        if n > 1:
+            raise ValueError(
+                f"drop_dimension: dimension {dname!r} has more than one "
+                "label (DimensionLabelCountMismatch)"
+            )
+        dims = {k: v for k, v in self.dims.items() if k != dname}
+        return CubeFrame(
+            self.df.drop(dcol), dims, self.value_col, dict(self.attrs)
+        )
+
+    def rename_dimension(self, source: str, target: str) -> "CubeFrame":
+        """openEO rename_dimension: relabel the logical dim name; the
+        backing column is untouched (zero-cost metadata operation)."""
+        sname = self.dim_name(source)
+        if target in self.dims:
+            raise ValueError(f"dimension {target!r} already exists")
+        dims = {(target if k == sname else k): v for k, v in self.dims.items()}
+        return CubeFrame(self.df, dims, self.value_col, dict(self.attrs))
+
+    def rename_labels(
+        self, dimension: str, target: Sequence, source: Sequence
+    ) -> "CubeFrame":
+        """openEO rename_labels: map ``source[i] -> target[i]`` on one
+        dim. A small when-chain projection — label renames are O(10)
+        entries, so no join is warranted."""
+        if len(target) != len(source):
+            raise ValueError("rename_labels: target/source length mismatch")
+        dcol = self.dim_col(dimension)
+        expr = F.col(dcol)
+        out = expr
+        for s, t in zip(source, target):
+            out = F.when(expr == F.lit(s), F.lit(t)).otherwise(out)
+        return self.with_df(self.df.withColumn(dcol, out))
+
+    def dimension_labels(self, dimension: str) -> DataFrame:
+        """openEO dimension_labels: the distinct labels of one dim,
+        sorted — returned as a DataFrame (stays distributed; collect at
+        the edge if you need a list)."""
+        dcol = self.dim_col(dimension)
+        return self.df.select(dcol).distinct().orderBy(dcol)
+
+    def trim_cube(self) -> "CubeFrame":
+        """openEO trim_cube: drop outer slices that contain only
+        nodata. Long form: ONE aggregation computes, per dim, the
+        min/max label carrying any non-null value; the 1-row bounds
+        table broadcasts back as a cross join and every dim filters to
+        its bounds. Two passes over the data, no collect."""
+        val = F.col(self.value_col)
+        aggs = []
+        for col in self.dim_cols:
+            keep = F.when(val.isNotNull(), F.col(col))
+            aggs.append(F.min(keep).alias(f"__lo_{col}"))
+            aggs.append(F.max(keep).alias(f"__hi_{col}"))
+        bounds = self.df.agg(*aggs)
+        df = self.df.crossJoin(F.broadcast(bounds))
+        for col in self.dim_cols:
+            df = df.filter(
+                F.col(col).between(F.col(f"__lo_{col}"), F.col(f"__hi_{col}"))
+            )
+        drop = [c for col in self.dim_cols for c in (f"__lo_{col}", f"__hi_{col}")]
+        return self.with_df(df.drop(*drop))
+
     # -- wide/long pivots ----------------------------------------------
     def to_wide(self, bands: Sequence[str] | None = None) -> DataFrame:
         """Pivot bands into columns for band math. Explicit band list

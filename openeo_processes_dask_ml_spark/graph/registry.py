@@ -270,6 +270,68 @@ def _register_cubes(reg: ProcessRegistry) -> None:
 
         return resample_cube_temporal(args["data"], args["target"])
 
+    def p_add_dimension(args, ctx):
+        return args["data"].add_dimension(
+            args["name"], args["label"], args.get("type", "other")
+        )
+
+    def p_drop_dimension(args, ctx):
+        return args["data"].drop_dimension(args["name"])
+
+    def p_rename_dimension(args, ctx):
+        return args["data"].rename_dimension(args["source"], args["target"])
+
+    def p_rename_labels(args, ctx):
+        return args["data"].rename_labels(
+            args["dimension"], args["target"], args.get("source") or []
+        )
+
+    def p_dimension_labels(args, ctx):
+        return args["data"].dimension_labels(args["dimension"])
+
+    def p_trim_cube(args, ctx):
+        return args["data"].trim_cube()
+
+    def p_apply_kernel(args, ctx):
+        from openeo_processes_dask_ml_spark.operators.kernel import apply_kernel
+
+        return apply_kernel(
+            args["data"], args["kernel"], factor=args.get("factor", 1.0)
+        )
+
+    def p_climatological_normal(args, ctx):
+        return args["data"].climatological_normal(
+            args.get("frequency", args.get("period", "month"))
+        )
+
+    def p_anomaly(args, ctx):
+        return args["data"].anomaly(
+            args["normals"], args.get("frequency", args.get("period", "month"))
+        )
+
+    def p_resample_spatial(args, ctx):
+        return args["data"].resample_spatial(
+            args["resolution"],
+            method=args.get("method", "mean"),
+            align=args.get("align", "center"),
+        )
+
+    def p_quantiles_cube(args, ctx):
+        return args["data"].quantiles(
+            args["dimension"], args["probabilities"]
+        )
+
+    reg.register("add_dimension", p_add_dimension)
+    reg.register("drop_dimension", p_drop_dimension)
+    reg.register("rename_dimension", p_rename_dimension)
+    reg.register("rename_labels", p_rename_labels)
+    reg.register("dimension_labels", p_dimension_labels)
+    reg.register("trim_cube", p_trim_cube)
+    reg.register("apply_kernel", p_apply_kernel)
+    reg.register("climatological_normal", p_climatological_normal)
+    reg.register("anomaly", p_anomaly)
+    reg.register("resample_spatial", p_resample_spatial)
+    reg.register("quantiles", p_quantiles_cube)
     reg.register("filter_bbox", p_filter_bbox)
     reg.register("apply_dimension", p_apply_dimension)
     reg.register("resample_cube_temporal", p_resample_cube_temporal)

@@ -359,3 +359,46 @@ def test_apply_dimension_cumproduct(spark):
     out = cube.apply_dimension("time", "cumproduct", alias="cp")
     got = {r["t"]: r["cp"] for r in out.df.collect()}
     assert got == {1: 2.0, 2: 6.0, 3: 3.0}
+
+
+def test_add_drop_rename_dimension(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["t", "value"])
+    cube = CubeFrame(df, {"time": "t"}, "value")
+    c2 = cube.add_dimension("bands", "B04")
+    assert set(c2.dims) == {"time", "bands"}
+    assert c2.df.select(c2.dim_col("bands")).distinct().collect()[0][0] == "B04"
+    with pytest.raises(ValueError, match="already exists"):
+        c2.add_dimension("bands", "B08")
+    # size-1 dim drops; multi-label dim refuses
+    c3 = c2.drop_dimension("bands")
+    assert set(c3.dims) == {"time"}
+    with pytest.raises(ValueError, match="more than one"):
+        c2.drop_dimension("time")
+    c4 = cube.rename_dimension("time", "t_idx")
+    assert c4.dims == {"t_idx": "t"}
+    with pytest.raises(ValueError, match="already exists"):
+        c4.rename_dimension("t_idx", "t_idx")
+
+
+def test_rename_labels_and_dimension_labels(spark):
+    rows = [("B4", 1.0), ("B8", 2.0), ("B4", 3.0)]
+    df = spark.createDataFrame(rows, ["band", "value"])
+    cube = CubeFrame(df, {"bands": "band"}, "value")
+    renamed = cube.rename_labels("bands", ["red", "nir"], ["B4", "B8"])
+    labels = [r[0] for r in renamed.dimension_labels("bands").collect()]
+    assert labels == ["nir", "red"]
+    with pytest.raises(ValueError, match="length mismatch"):
+        cube.rename_labels("bands", ["only_target"], [])
+
+
+def test_trim_cube_drops_all_null_edges(spark):
+    """Labels 0 and 3 hold only nulls -> trimmed; interior null kept."""
+    rows = [
+        (0, None), (1, 1.0), (2, None), (3, None),
+    ]
+    df = spark.createDataFrame(rows, "t int, value double")
+    # add a real second row at t=2 so the interior label survives
+    df = df.union(spark.createDataFrame([(2, 5.0)], "t int, value double"))
+    cube = CubeFrame(df, {"time": "t"}, "value")
+    got = sorted(r["t"] for r in cube.trim_cube().df.collect())
+    assert got == [1, 2, 2]

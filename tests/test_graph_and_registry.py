@@ -230,3 +230,60 @@ def test_unsupported_formats(fmt):
 
 def test_python_format_runs():
     assert run_process_expression("python", "numpy:abs", -3) == 3
+
+
+def test_graph_dimension_manipulation_pipeline(spark):
+    """add_dimension -> rename_dimension -> rename_labels -> trim_cube
+    compose through the executor."""
+    graph = {
+        "load": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        "add": {
+            "process_id": "add_dimension",
+            "arguments": {"data": {"from_node": "load"}, "name": "source",
+                          "label": "sensor_a"},
+        },
+        "ren": {
+            "process_id": "rename_dimension",
+            "arguments": {"data": {"from_node": "add"}, "source": "source",
+                          "target": "origin"},
+        },
+        "lab": {
+            "process_id": "rename_labels",
+            "arguments": {"data": {"from_node": "ren"}, "dimension": "origin",
+                          "target": ["sensor_b"], "source": ["sensor_a"]},
+        },
+        "trim": {
+            "process_id": "trim_cube",
+            "arguments": {"data": {"from_node": "lab"}},
+            "result": True,
+        },
+    }
+    cube = execute_graph(graph, spark, SF_DIR)
+    assert "origin" in cube.dims
+    row = cube.df.select(cube.dim_col("origin")).distinct().collect()
+    assert [r[0] for r in row] == ["sensor_b"]
+
+
+def test_graph_resample_and_kernel_registered(spark):
+    """resample_spatial and apply_kernel execute from a process graph
+    over a small synthetic raster cube."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    df = spark.createDataFrame(
+        [(float(x), float(y), 1.0) for x in range(4) for y in range(4)],
+        ["x", "y", "value"],
+    )
+    cube = CubeFrame(df, {"x": "x", "y": "y"}, "value")
+    reg = default_registry()
+    out = reg.get("resample_spatial")(
+        {"data": cube, "resolution": 2.0}, {}
+    )
+    assert out.df.count() == 4
+    k = reg.get("apply_kernel")(
+        {"data": cube, "kernel": [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]]},
+        {},
+    )
+    # interior cells of a constant raster convolve to 0 under laplacian
+    interior = {r["value"] for r in k.df.filter(
+        (k.df.x > 0) & (k.df.x < 3) & (k.df.y > 0) & (k.df.y < 3)).collect()}
+    assert interior == {0.0}
