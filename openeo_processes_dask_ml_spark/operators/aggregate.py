@@ -60,6 +60,54 @@ def aggregate_spatial(
     return CubeFrame(out, dims, cube.value_col, dict(cube.attrs))
 
 
+def mask_polygon(
+    cube: CubeFrame,
+    zones_wkt: list[tuple[int, str]],
+    replacement=None,
+    inside: bool = False,
+    x_dim: str = "x",
+    y_dim: str = "y",
+) -> CubeFrame:
+    """openEO mask_polygon: cells whose center does NOT fall inside any
+    polygon are replaced with ``replacement`` (NULL by default);
+    ``inside=True`` inverts (replace covered cells instead).
+
+    The polygon test runs once per DISTINCT grid cell
+    (``assign_cells_to_zones``) and the resulting cell list broadcasts
+    back — the data cube itself never shuffles, matching the
+    reference's rasterize-then-mask shape (overrides/aggregate.py)."""
+    xcol, ycol = cube.dim_col(x_dim), cube.dim_col(y_dim)
+    covered = (
+        assign_cells_to_zones(cube.df, xcol, ycol, zones_wkt)
+        .select(xcol, ycol)
+        .withColumn("__in_poly", F.lit(True))
+    )
+    joined = cube.df.join(F.broadcast(covered), [xcol, ycol], "left")
+    keep = F.col("__in_poly").isNull() if inside else F.col("__in_poly").isNotNull()
+    value = F.when(keep, F.col(cube.value_col)).otherwise(F.lit(replacement))
+    out = joined.select(
+        *[cube.df[c] for c in cube.df.columns if c != cube.value_col],
+        value.alias(cube.value_col),
+    )
+    return cube.with_df(out)
+
+
+def filter_spatial(
+    cube: CubeFrame,
+    zones_wkt: list[tuple[int, str]],
+    x_dim: str = "x",
+    y_dim: str = "y",
+) -> CubeFrame:
+    """openEO filter_spatial: keep only cells covered by the given
+    polygons — a broadcast inner join against the labeled distinct
+    grid (predicate side is #cells, not #rows)."""
+    xcol, ycol = cube.dim_col(x_dim), cube.dim_col(y_dim)
+    covered = assign_cells_to_zones(cube.df, xcol, ycol, zones_wkt).select(
+        xcol, ycol
+    )
+    return cube.with_df(cube.df.join(F.broadcast(covered), [xcol, ycol], "inner"))
+
+
 def assign_cells_to_zones(
     spark_cells: DataFrame,
     x_col: str,
