@@ -1165,9 +1165,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver checks the first 50 entries each round; queries that have
+    # not yet produced a green CORRECTNESS row go FIRST, long-stable green
+    # queries rotate to the tail (VERDICT r2 item 1).
     return {
-        "filter_bands": q_filter_bands,
-        "filter_temporal": q_filter_temporal,
+        "property_filter": q_property_filter,
+        "json_extract": q_json_extract,
+        "cube_agg": q_cube_agg,
+        "asof_join": q_asof_join,
+        "resample_cube_temporal": q_resample_cube_temporal,
+        "sessionize": q_sessionize,
+        "apply_dimension": q_apply_dimension,
         "reduce_dimension": q_reduce_dimension,
         "aggregate_temporal_period": q_aggregate_temporal_period,
         "ndvi_bandmath": q_ndvi_bandmath,
@@ -1175,22 +1183,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_interpolate_linear": q_interpolate,
         "scale_values": q_scale_values,
         "aggregate_spatial": q_aggregate_spatial,
-        "tpch_q1": q_tpch_q1,
-        "top_k_orders": q_top_k_orders,
         "rollup_revenue": q_rollup_revenue,
         "window_running_sum": q_window_running_sum,
-        "set_ops": q_set_ops,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
-        "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "doc_fingerprint": q_doc_fingerprint,
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
         "approx_aggregates": q_approx_aggregates,
@@ -1207,7 +1210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "ml_predict_tiled": q_ml_predict_tiled,
         "process_graph": q_process_graph,
-        "apply_unary": q_apply_unary,
         "merge_cubes": q_merge_cubes,
         "graph_mask_pipeline": q_graph_mask_pipeline,
         "streaming_rollup": q_streaming_rollup,
@@ -1216,13 +1218,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "property_filter": q_property_filter,
-        "json_extract": q_json_extract,
-        "cube_agg": q_cube_agg,
-        "asof_join": q_asof_join,
-        "resample_cube_temporal": q_resample_cube_temporal,
-        "sessionize": q_sessionize,
-        "apply_dimension": q_apply_dimension,
+        # --- long-stable green queries below: outside the driver's 50-query
+        # window this round; rotate back in future rounds ---
+        "filter_bands": q_filter_bands,
+        "filter_temporal": q_filter_temporal,
+        "tpch_q1": q_tpch_q1,
+        "top_k_orders": q_top_k_orders,
+        "set_ops": q_set_ops,
+        "apply_unary": q_apply_unary,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_language_id": q_text_language_id,
     }
 
 
