@@ -1910,7 +1910,7 @@ WITH v AS (
          sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
   FROM v
 ), seeds AS (
-  SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM n WHERE vec_id < 8
+  SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM n ORDER BY vec_id LIMIT 8
 ), scored AS (
   SELECT n.vec_id, seeds.seed_id,
          list_reduce(list_transform(range(1, 65), i -> n.v[i] * seeds.sv[i]),

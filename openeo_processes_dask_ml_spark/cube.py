@@ -323,9 +323,11 @@ class CubeFrame:
 
     def anomaly(self, normals: "CubeFrame", period: str = "month") -> "CubeFrame":
         """openEO anomaly: value minus the climatological normal of its
-        period label. The normals cube is period-labeled (one row per
-        label x series) and therefore tiny relative to the data — it
-        broadcasts; the data cube never shuffles."""
+        period label. The normals cube has one row per label x series;
+        for per-pixel series that side is itself raster-sized, so we do
+        NOT force a broadcast — a plain equi-join lets AQE pick
+        broadcast when the normals side is small and falls back to a
+        shuffled hash join when it is not."""
         label_fn = self._CLIMATOLOGY_LABELS.get(period)
         if label_fn is None:
             raise ValueError(f"unsupported climatology period {period!r}")
@@ -342,9 +344,7 @@ class CubeFrame:
         labeled = self.df.withColumn(
             "period_label", label_fn(F.col(tcol)).cast("int")
         )
-        joined = labeled.join(
-            F.broadcast(norm_df), ["period_label", *shared], "left"
-        )
+        joined = labeled.join(norm_df, ["period_label", *shared], "left")
         out = joined.withColumn(
             self.value_col, F.col(self.value_col) - F.col("__normal")
         ).drop("__normal", "period_label")

@@ -246,9 +246,18 @@ def _register_cubes(reg: ProcessRegistry) -> None:
 
     def p_save_result(args, ctx):
         cube = args["data"]
-        df = cube.df if isinstance(cube, CubeFrame) else cube
+        if isinstance(cube, CubeFrame):
+            df = cube.df
+            # the cube knows its value/dim columns — pass them so the
+            # raster exporter never infers them from column position
+            vcol, dcols = cube.value_col, list(cube.dims.values())
+        else:
+            df, vcol, dcols = cube, None, None
         if "path" in ctx:
-            return save_result(df, ctx["path"], args.get("format", "parquet"))
+            return save_result(
+                df, ctx["path"], args.get("format", "parquet"),
+                value_col=vcol, dim_cols=dcols,
+            )
         return df
 
     def p_filter_bbox(args, ctx):

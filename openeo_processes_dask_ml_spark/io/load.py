@@ -112,17 +112,31 @@ def load_collection(
 RASTER_FORMATS = ("netcdf", "gtiff", "zarr")
 
 
-def _try_raster_export(df: DataFrame, path: str, fmt: str) -> bool:
+def _try_raster_export(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    value_col: str | None = None,
+    dim_cols: list[str] | None = None,
+) -> bool:
     """Driver-side small-result raster export (the reference writes real
     COGs/netcdf/zarr, minibackend/custom_processes.py:115-219). Only
     valid for results that fit the driver; returns False when the geo
-    stack isn't importable so the caller can fall back honestly."""
+    stack isn't importable so the caller can fall back honestly.
+
+    ``value_col``/``dim_cols`` are explicit when the caller (CubeFrame)
+    knows them; the last-column fallback is only for bare DataFrames and
+    would mis-index a frame whose value column is not last.
+    """
     try:
         import xarray  # noqa: F401
     except ImportError:
         return False
+    if value_col is None:
+        value_col = df.columns[-1]
+    if dim_cols is None:
+        dim_cols = [c for c in df.columns if c != value_col]
     pdf = df.toPandas()
-    dim_cols = [c for c in df.columns if c != df.columns[-1]]
     ds = pdf.set_index(dim_cols).to_xarray()
     if fmt == "netcdf":
         ds.to_netcdf(path)
@@ -133,12 +147,17 @@ def _try_raster_export(df: DataFrame, path: str, fmt: str) -> bool:
             import rioxarray  # noqa: F401
         except ImportError:
             return False
-        ds[df.columns[-1]].rio.to_raster(path)
+        ds[value_col].rio.to_raster(path)
     return True
 
 
 def save_result(
-    df: DataFrame, path: str, format: str = "parquet", **options
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    value_col: str | None = None,
+    dim_cols: list[str] | None = None,
+    **options,
 ) -> str:
     """Sink dispatch: parquet (default) / csv / json distributed writes —
     one file per partition, no driver collect. Raster container formats
@@ -149,7 +168,7 @@ def save_result(
 
     fmt = format.lower()
     if fmt in RASTER_FORMATS:
-        if _try_raster_export(df, path, fmt):
+        if _try_raster_export(df, path, fmt, value_col, dim_cols):
             return path
         warnings.warn(
             f"save_result: raster format {format!r} requires the geo "

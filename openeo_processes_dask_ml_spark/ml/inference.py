@@ -76,6 +76,7 @@ def regenerate_coords(
     out_len: int,
     next_coord=None,
     coord_width=None,
+    full_axis=None,
 ):
     """Output coordinates for one dim of one tile (reference
     resolve_batch, data_model.py:779-855):
@@ -94,7 +95,11 @@ def regenerate_coords(
 
     ``coord_width`` is the input cell width (defaults to the tile's
     first spacing); ``next_coord`` is the first coordinate after the
-    tile on the full axis, when one exists.
+    tile on the full axis, when one exists. ``full_axis`` is the whole
+    dimension's coordinate array: the datetime mean-spacing fallback
+    uses it (reference data_model.py:834 computes the mean over
+    coords_for_dim, i.e. the FULL axis) so irregular axes and size-1
+    last tiles match the reference goldens.
     """
     in_coords = np.asarray(in_coords)
     if in_coords.size == out_len:
@@ -103,10 +108,11 @@ def regenerate_coords(
         return np.arange(out_len)
     if np.issubdtype(in_coords.dtype, np.datetime64):
         start = in_coords[0].astype("datetime64[ns]").astype(np.int64)
+        axis = np.asarray(full_axis) if full_axis is not None else in_coords
         if next_coord is not None:
             end = np.datetime64(next_coord, "ns").astype(np.int64)
-        elif in_coords.size > 1:
-            mean_diff = np.mean(in_coords[1:] - in_coords[:-1])
+        elif axis.size > 1:
+            mean_diff = np.mean(axis[1:] - axis[:-1])
             end = (in_coords[-1] + mean_diff).astype("datetime64[ns]").astype(np.int64)
         else:
             end = start + 1
@@ -411,8 +417,16 @@ def run_model_tiled(
                 else:
                     in_c = np.array([])
                     nxt, width = None, None
+                axis = (
+                    tile_coords[in_dim_names[d].cube_col]
+                    if d in in_dim_names
+                    else None
+                )
                 coords_per_axis.append(
-                    regenerate_coords(in_c, n_out, next_coord=nxt, coord_width=width)
+                    regenerate_coords(
+                        in_c, n_out, next_coord=nxt, coord_width=width,
+                        full_axis=axis,
+                    )
                 )
             collapsed_vals = {}
             for td in collapsed:

@@ -150,15 +150,21 @@ def predict_curve(
     out_col: str = "value",
 ) -> CubeFrame:
     """Evaluate fitted parameters on a label grid: cross-join the
-    (broadcast, one-row-per-series) parameter table with ``labels`` and
-    compute ``sum_i a_i * basis_i(t)`` as one projection."""
+    parameter table with the (broadcast) label grid and compute
+    ``sum_i a_i * basis_i(t)`` as one projection.
+
+    The LABELS side is broadcast, not the params side: openEO
+    ``predict_curve`` is per-pixel, so params has one row per series
+    (billions at raster scale) while the label grid is a handful of
+    timestamps. Broadcasting params would OOM executors at scale.
+    """
     k = len(basis)
     t = t_fn(F.col(dimension_col))
     pred = None
     for i, fn in enumerate(basis):
         term = F.col(f"{param_prefix}{i}") * fn(t)
         pred = term if pred is None else pred + term
-    joined = labels.crossJoin(F.broadcast(params.df))
+    joined = params.df.crossJoin(F.broadcast(labels))
     dims = dict(params.dims)
     dims["time"] = dimension_col
     return CubeFrame(

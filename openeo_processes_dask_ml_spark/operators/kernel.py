@@ -18,10 +18,12 @@ Border semantics: contributions that would land outside the grid are
 dropped, which IS zero-padding (missing neighbors contribute 0) — the
 openEO ``border=0`` default.
 
-Definition (cross-correlation, the openEO/scipy convention):
-``out[ix, iy] = sum_{di, dj} kernel[di + ry][dj + rx] *
-in[ix + di, iy + dj]`` — equivalently each input cell (u, v)
-contributes ``kernel[di + ry][dj + rx] * value`` to ``(u - di, v - dj)``.
+Definition (TRUE convolution, matching upstream openeo-processes-dask
+which applies ``scipy.ndimage.convolve`` — the kernel is flipped):
+``out[ix, iy] = sum_{di, dj} kernel[ky-1-(di+ry)][kx-1-(dj+rx)] *
+in[ix + di, iy + dj]``. For symmetric kernels this equals
+cross-correlation; for asymmetric kernels (Sobel etc.) the flip
+matters and upstream's convolve semantics win.
 """
 
 from __future__ import annotations
@@ -66,15 +68,18 @@ def apply_kernel(
     xi_df, nx = _axis_index(cube.df, xcol, spark)
     yi_df, ny = _axis_index(cube.df, ycol, spark)
 
+    # Convolution flips the kernel (scipy.ndimage.convolve semantics,
+    # as used by upstream apply_kernel): the tap at offset (di-ry,
+    # dj-rx) carries the weight from the MIRRORED kernel cell.
     taps = [
         F.struct(
             F.lit(di - ry).alias("di"),
             F.lit(dj - rx).alias("dj"),
-            F.lit(float(kernel[di][dj])).alias("w"),
+            F.lit(float(kernel[ky - 1 - di][kx - 1 - dj])).alias("w"),
         )
         for di in range(ky)
         for dj in range(kx)
-        if kernel[di][dj] != 0.0
+        if kernel[ky - 1 - di][kx - 1 - dj] != 0.0
     ]
     indexed = cube.df.join(xi_df, xcol).join(yi_df, ycol)
     contrib = indexed.select(

@@ -310,7 +310,10 @@ def ivf_topk(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nrm", _norm(F.col("v")))
-    seeds = base.filter(F.col("vid") < n_lists).select(
+    # the n_lists smallest ids — orderBy+limit, NOT filter(vid < n_lists),
+    # so sparse or non-zero-based id spaces still yield exactly n_lists
+    # seeds (a tiny top-k: Spark takes it without a global sort)
+    seeds = base.orderBy("vid").limit(n_lists).select(
         F.col("vid").alias("seed_id"),
         F.col("v").alias("sv"),
         F.col("nrm").alias("snrm"),

@@ -253,6 +253,45 @@ def test_apply_kernel_laplacian_golden(spark):
     assert len(out) == 9
 
 
+def test_apply_kernel_asymmetric_matches_convolution(spark):
+    """An asymmetric (Sobel-ish) kernel must follow scipy.ndimage.convolve
+    semantics (kernel FLIPPED), like upstream openeo-processes-dask —
+    cross-correlation would mirror the result. Expected values computed
+    with an explicit numpy convolution loop (zero padding)."""
+    import numpy as np
+
+    from openeo_processes_dask_ml_spark.operators.kernel import apply_kernel
+
+    rng = np.arange(16, dtype=float).reshape(4, 4)  # in[x, y] = 4x + y
+    kern = np.array([[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]])
+    ry, rx = 1, 1
+    expected = np.zeros_like(rng)
+    for i in range(4):
+        for j in range(4):
+            acc = 0.0
+            for a in range(3):
+                for b in range(3):
+                    ii, jj = i - a + ry, j - b + rx
+                    if 0 <= ii < 4 and 0 <= jj < 4:
+                        acc += rng[ii, jj] * kern[a, b]
+            expected[i, j] = acc
+
+    rows = [
+        (float(x), float(y), float(rng[x, y])) for x in range(4) for y in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "value"])
+    cube = CubeFrame(df, {"x": "x", "y": "y"}, "value")
+    out = {
+        (r["x"], r["y"]): r["value"]
+        for r in apply_kernel(cube, kern.tolist()).df.collect()
+    }
+    for i in range(4):
+        for j in range(4):
+            assert out[(float(i), float(j))] == pytest.approx(expected[i, j]), (
+                i, j, out[(float(i), float(j))], expected[i, j],
+            )
+
+
 def test_apply_kernel_rejects_even_kernel(spark):
     from openeo_processes_dask_ml_spark.operators.kernel import apply_kernel
 

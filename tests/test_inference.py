@@ -106,6 +106,32 @@ def test_coords_datetime_endpoint_false():
     assert (out2.astype(np.int64) == expected).all()
 
 
+def test_coords_datetime_full_axis_spacing():
+    """Irregular axis: the mean-spacing fallback must use the FULL axis
+    (reference data_model.py:834), not the tile's own coords — and a
+    size-1 last tile must not hit the degenerate end=start+1 branch."""
+    full = np.array(
+        ["2024-01-01", "2024-01-02", "2024-01-04", "2024-01-08"],
+        dtype="datetime64[ns]",
+    )  # spacings 1d, 2d, 4d -> mean 7/3 d
+    last_tile = full[3:]  # size-1 tile, no next coord
+    out = regenerate_coords(last_tile, 2, full_axis=full)
+    start = full[3].astype(np.int64)
+    mean_diff = np.mean(full[1:] - full[:-1])
+    end = (full[3] + mean_diff).astype("datetime64[ns]").astype(np.int64)
+    expected = np.linspace(start, end, 2, endpoint=False, dtype=np.int64)
+    assert (out.astype(np.int64) == expected).all()
+    # two-element tile on the irregular axis: full-axis mean, not the
+    # tile's own single spacing
+    tile = full[2:]  # spacing would be 4d tile-local; full-axis mean is 7/3 d
+    out2 = regenerate_coords(tile, 4, full_axis=full)
+    end2 = (full[3] + mean_diff).astype("datetime64[ns]").astype(np.int64)
+    expected2 = np.linspace(
+        full[2].astype(np.int64), end2, 4, endpoint=False, dtype=np.int64
+    )
+    assert (out2.astype(np.int64) == expected2).all()
+
+
 def test_coords_missing_becomes_range():
     out = regenerate_coords(np.array([]), 4)
     assert (out == np.arange(4)).all()
