@@ -458,9 +458,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-dup pairs — distributed block-matrix path
-    (no driver collect; `cosine_pairs` broadcast-matrix stays as an
-    explicit small-corpus opt-in)."""
+    """Embedding near-dup pairs — banded-LSH candidates + exact verify,
+    the 100 TB default (collision work ~ 27% of n^2 at this synthetic
+    threshold, ~1% at real-world 0.85+ thresholds). Deterministic md5
+    hyperplanes, so the oracle replicates the whole pipeline."""
+    from openeo_processes_dask_ml_spark.scale.similarity import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs — distributed block-matrix audit
+    path for the LSH default (no driver collect; `cosine_pairs`
+    broadcast-matrix stays as an explicit small-corpus opt-in)."""
     from openeo_processes_dask_ml_spark.scale.similarity import cosine_pairs_blocked
 
     return cosine_pairs_blocked(_t(spark, sf_dir, "embeddings"), threshold=0.45)
@@ -1190,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_exact": q_dedup_embedding_exact,
         "ann_topk": q_ann_topk,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
@@ -1302,6 +1313,64 @@ JOIN sh sa ON cand.id_a = sa.doc_id
 JOIN sh sb ON cand.id_b = sb.doc_id
 WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
       / len(list_distinct(sa.shingles || sb.shingles)) >= {threshold}
+"""
+
+
+def _lsh_pairs_oracle(
+    threshold: float = 0.45,
+    planes_per_band: int = 7,
+    n_bands: int = 40,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of cosine_pairs_lsh: the SAME md5-derived hyperplanes
+    (inlined as literal +-1 arrays so DuckDB doesn't recompute 9M md5s),
+    the same banded buckets, candidate join, and exact verify."""
+    from openeo_processes_dask_ml_spark.scale.similarity import hyperplane_coeffs
+
+    plane_rows = ",\n    ".join(
+        "({p}, {b}, {j}, [{cs}])".format(
+            p=p,
+            b=p // planes_per_band,
+            j=p % planes_per_band,
+            cs=", ".join(
+                "1.0" if c > 0 else "-1.0" for c in hyperplane_coeffs(p, dim)
+            ),
+        )
+        for p in range(planes_per_band * n_bands)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), planes(p, band, j, c) AS (
+  VALUES
+    {plane_rows}
+), buckets AS (
+  SELECT n.vec_id, planes.band,
+         CAST(sum(CASE WHEN list_reduce(
+                list_transform(range(1, {dim + 1}), i -> n.v[i] * planes.c[i]),
+                (a, b) -> a + b) >= 0
+              THEN CAST(1 << planes.j AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM n, planes
+  GROUP BY n.vec_id, planes.band
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         list_reduce(list_transform(range(1, {dim + 1}), i -> va.v[i] * vb.v[i]),
+                     (x, y) -> x + y) / (va.nrm * vb.nrm) AS raw
+  FROM cand c
+  JOIN n va ON va.vec_id = c.id_a
+  JOIN n vb ON vb.vec_id = c.id_b
+)
+SELECT id_a, id_b,
+       floor(raw * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM scored WHERE raw >= {threshold}
 """
 
 
@@ -1523,7 +1592,9 @@ WHERE shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
     sql["dedup_minhash_lsh"] = _minhash_oracle()
     sql["dedup_simhash"] = _simhash_oracle()
 
-    sql["dedup_embedding"] = """
+    sql["dedup_embedding"] = _lsh_pairs_oracle(threshold=0.45)
+
+    sql["dedup_embedding_exact"] = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ), n AS (

@@ -36,11 +36,17 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding",
+    "dedup_embedding_exact",
     "ann_topk",
+    "ann_ivf",
     "text_quality",
     "token_count",
     "ml_predict_linear",
+    "ml_predict_tiled",
     "process_graph",
+    "apply_kernel",
+    "fit_curve",
+    "streaming_sessionize",
 ]
 
 
@@ -65,7 +71,9 @@ def main() -> None:
     # warm-up: JVM + codegen + parquet footer reads
     qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # 3 reps: sf0.1 run-to-run noise (r2 saw 1.5-7 s swings on simhash)
+    # makes 2-rep minima unreliable for regression detection
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")

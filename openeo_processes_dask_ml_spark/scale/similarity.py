@@ -222,24 +222,184 @@ def cosine_pairs_blocked(
                 na = np.sqrt(np.cumsum(Va * Va, axis=1)[:, -1])
                 nb = np.sqrt(np.cumsum(Vb * Vb, axis=1)[:, -1])
                 same_block = row.blk_a == row.blk_b
-                for i in range(ia.size):
-                    prods = Vb * Va[i]
-                    dots = np.cumsum(prods, axis=1)[:, -1]
-                    cos = dots / (na[i] * nb)
+                # One batched cumsum per memory-bounded tile of A
+                # (tile x |B| x dim doubles <= ~64 MB) instead of a
+                # Python loop per left row. cumsum along axis=2 is the
+                # same strict left fold per (i, j) lane as the per-row
+                # version — bit-identical to DuckDB's list_reduce, so
+                # oracle hash parity is preserved.
+                dim = Va.shape[1] if Va.ndim == 2 else 1
+                tile = max(1, int(64e6 // max(ib.size * dim * 8, 1)))
+                for s in range(0, ia.size, tile):
+                    Vc = Va[s : s + tile]
+                    dots = np.cumsum(
+                        Vc[:, None, :] * Vb[None, :, :], axis=2
+                    )[:, :, -1]
+                    cos = dots / (na[s : s + tile, None] * nb[None, :])
                     mask = cos >= threshold
                     if same_block:
                         # each unordered pair shows up twice in the
                         # same-block row; keep one orientation
-                        mask &= ia[i] < ib
-                    for j in np.nonzero(mask)[0]:
-                        lo, hi = sorted((int(ia[i]), int(ib[j])))
-                        out_a.append(lo)
-                        out_b.append(hi)
+                        mask &= ia[s : s + tile, None] < ib[None, :]
+                    ii, jj = np.nonzero(mask)
+                    if ii.size:
+                        a_ids = ia[s + ii]
+                        b_ids = ib[jj]
+                        out_a.extend(np.minimum(a_ids, b_ids).tolist())
+                        out_b.extend(np.maximum(a_ids, b_ids).tolist())
                         # dround twin: floor(x*1e6 + 0.5)/1e6
-                        out_c.append(np.floor(cos[j] * 1e6 + 0.5) / 1e6)
+                        out_c.extend(
+                            (np.floor(cos[ii, jj] * 1e6 + 0.5) / 1e6).tolist()
+                        )
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
     return joined.mapInPandas(run, schema=schema)
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+    planes_per_band: int = 7,
+    n_bands: int = 40,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs via banded hyperplane LSH + exact verify —
+    the 100 TB default for embedding near-dup detection (the exact
+    O(n^2) ``cosine_pairs_blocked`` stays as the audit path).
+
+    Each vector gets ``n_bands`` bucket ids (one per band of
+    ``planes_per_band`` md5-derived hyperplane sign bits); candidate
+    pairs collide in at least one band; candidates are verified with
+    the EXACT cosine and filtered at ``threshold``. Output is a subset
+    of the exact pairs — recall is governed by the band parameters
+    (more/shorter bands -> higher recall, more candidates), and the
+    whole computation is deterministic (md5 planes), so the DuckDB
+    oracle replicates it bit-for-bit.
+
+    Plan shape: bucketing is ONE narrow Arrow-batched projection (numpy
+    cumsum folds — bit-identical to DuckDB's list_reduce); candidates
+    come from packing each (band, bucket) group and exploding ordered
+    in-bucket combinations — one keyed shuffle, no self-join;
+    verification is one Arrow-batched pass, and the dedup across bands
+    runs on the (tiny) verified output. Pairwise work ~=
+    collision_rate * n^2, never a full cross join. A pathologically hot
+    bucket (many near-identical vectors) concentrates in one group —
+    the standard LSH skew caveat; raise planes_per_band to split it.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_planes = planes_per_band * n_bands
+    coeffs = np.array(
+        [hyperplane_coeffs(p, dim) for p in range(n_planes)], dtype=np.float64
+    )
+
+    # spread: single-file inputs otherwise run the CPU-bound bucketize
+    # on one core (and everything here is per-row independent)
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
+    bucket_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def bucketize(batches):
+        shifts = 1 << np.arange(planes_per_band, dtype=np.int64)
+        bands = np.arange(n_bands, dtype=np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vid"].to_numpy(np.int64)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            out = []
+            # memory-bounded tiles: tile x n_planes x dim doubles <= ~64 MB
+            tile = max(1, int(64e6 // max(n_planes * dim * 8, 1)))
+            for s in range(0, V.shape[0], tile):
+                Vc = V[s : s + tile]
+                # strict left fold per (row, plane) lane — bit-identical
+                # to DuckDB list_reduce, so bucket ids agree exactly
+                dots = np.cumsum(
+                    Vc[:, None, :] * coeffs[None, :, :], axis=2
+                )[:, :, -1]
+                signs = (dots >= 0).astype(np.int64)
+                buckets = (
+                    signs.reshape(-1, n_bands, planes_per_band) * shifts
+                ).sum(axis=2)
+                rows = Vc.shape[0]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vid": np.repeat(vids[s : s + rows], n_bands),
+                            "band": np.tile(bands, rows),
+                            "bucket": buckets.reshape(-1),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    # ONE bucketize pass; same-bucket pairs come from packing each
+    # (band, bucket) group and exploding index-ordered combinations —
+    # no self-join (which would run bucketize twice) and no candidate
+    # distinct (duplicates across bands survive to the verify step,
+    # whose output is tiny, and are deduped there).
+    buckets = base.mapInPandas(bucketize, schema=bucket_schema)
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list("vid").alias("vids"))
+        .filter(F.size("vids") > 1)
+    )
+    cand = (
+        grouped.select(F.explode("vids").alias("id_a"), F.col("vids"))
+        .select("id_a", F.explode("vids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    # re-spread AFTER the explode: the packed-buckets shuffle is tiny in
+    # bytes, so AQE coalesces it to ~1 partition — which would run the
+    # exploded candidate set (and the verify pass) on one core
+    cand = _spread(cand)
+    withv = cand.join(
+        base.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Va = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            Vb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            dots = np.cumsum(Va * Vb, axis=1)[:, -1]
+            na = np.sqrt(np.cumsum(Va * Va, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(Vb * Vb, axis=1)[:, -1])
+            cos = dots / (na * nb)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(np.int64)[keep],
+                    "id_b": pdf["id_b"].to_numpy(np.int64)[keep],
+                    # dround twin: floor(x*1e6 + 0.5)/1e6
+                    "cosine": np.floor(cos[keep] * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    return withv.mapInPandas(verify, schema=out_schema).distinct()
 
 
 def ann_topk_bruteforce(
@@ -288,16 +448,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    train_quantizer: bool = False,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     every vector to its nearest seed's list; queries probe their
     ``n_probe`` nearest lists and re-rank exactly inside them.
 
-    The quantizer here is SEEDED, not trained: the seed set is the
-    embeddings of the ``n_lists`` smallest ids — deterministic, so the
-    whole index is replicable in SQL for the oracle gate. At scale
-    you'd swap the seed selection for sampled k-means centroids; the
-    index structure, probe path and cost model are identical.
+    Quantizer: by default SEEDED — the embeddings of the ``n_lists``
+    smallest ids, deterministic so the whole index is replicable in SQL
+    for the oracle gate. With ``train_quantizer=True`` the seeds are
+    sampled k-means centroids (MLlib KMeans over ``sample_fraction`` of
+    the corpus, fixed seed) — the production-shaped path; the index
+    structure, probe path and cost model are identical either way.
 
     Plan shape: seeds broadcast to a corpus-side cross (n_lists sims
     per row, map-side max_by — ONE narrow shuffle for assignment, no
@@ -310,14 +473,33 @@ def ivf_topk(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nrm", _norm(F.col("v")))
-    # the n_lists smallest ids — orderBy+limit, NOT filter(vid < n_lists),
-    # so sparse or non-zero-based id spaces still yield exactly n_lists
-    # seeds (a tiny top-k: Spark takes it without a global sort)
-    seeds = base.orderBy("vid").limit(n_lists).select(
-        F.col("vid").alias("seed_id"),
-        F.col("v").alias("sv"),
-        F.col("nrm").alias("snrm"),
-    )
+    if train_quantizer:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        sample = base if sample_fraction >= 1.0 else base.sample(
+            fraction=sample_fraction, seed=42
+        )
+        model = KMeans(
+            k=n_lists, seed=42, maxIter=20, featuresCol="__fv"
+        ).fit(sample.withColumn("__fv", array_to_vector("v")))
+        # centroids are tiny (n_lists x dim) — a literal broadcast table
+        seeds = df.sparkSession.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "seed_id long, sv array<double>",
+        ).withColumn("snrm", _norm(F.col("sv")))
+    else:
+        # the n_lists smallest ids — orderBy+limit, NOT filter(vid <
+        # n_lists), so sparse or non-zero-based id spaces still yield
+        # exactly n_lists seeds (a tiny top-k, no global sort)
+        seeds = base.orderBy("vid").limit(n_lists).select(
+            F.col("vid").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nrm").alias("snrm"),
+        )
     sim = (_dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("snrm"))).alias(
         "sim"
     )

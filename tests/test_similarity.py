@@ -46,3 +46,53 @@ def test_blocked_pairs_no_duplicates(spark, emb_df):
     keys = [(r["id_a"], r["id_b"]) for r in out]
     assert len(keys) == len(set(keys)) == 40 * 39 // 2
     assert all(a < b for a, b in keys)
+
+
+def test_lsh_pairs_candidate_recall(spark, emb_df):
+    """The banded-LSH near-dup path must (a) never emit a pair the exact
+    path wouldn't (verification is exact), and (b) recall ~all true
+    pairs at a real near-dup threshold (0.9: clustered fixture vectors
+    agree on most hyperplanes; recall is deterministic — md5 planes)."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        cosine_pairs_blocked,
+        cosine_pairs_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_blocked(emb_df, threshold=0.9, n_blocks=4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_lsh(emb_df, threshold=0.9, dim=8).collect()
+    }
+    assert set(lsh) <= set(exact), "LSH emitted a non-exact pair"
+    assert len(exact) > 20
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} below floor"
+    for k, v in lsh.items():
+        assert v == exact[k]
+
+
+def test_ivf_trained_quantizer_recall(spark, emb_df):
+    """The k-means-trained IVF variant must hit high recall@k vs the
+    exact brute-force baseline on the clustered fixture (centroids
+    land on the 6 clusters; probing 3 of 5 lists covers neighbors)."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        ann_topk_bruteforce,
+        ivf_topk,
+    )
+
+    queries = list(range(8))
+    exact = {}
+    for r in ann_topk_bruteforce(emb_df, queries, k=3, dim=8).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in ivf_topk(
+        emb_df, queries, k=3, n_lists=5, n_probe=3, dim=8,
+        train_quantizer=True,
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & exact[q]) for q in queries)
+    total = sum(len(exact[q]) for q in queries)
+    assert hits / total >= 0.9, f"recall@3 {hits / total:.3f}"
