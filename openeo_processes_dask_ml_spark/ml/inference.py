@@ -232,8 +232,24 @@ def run_model_tiled(
     else:
         ordered_band_labels = []
 
-    # --- stages 3-5: select bands, scale, cast (pure projections) -----
+    # --- derived bands (ModelBand.expression) materialize first ------
     df = cube.df
+    if model_bands and band_col:
+        from openeo_processes_dask_ml_spark.mlm.band_expr import (
+            append_derived_bands,
+        )
+        from openeo_processes_dask_ml_spark.mlm.descriptor import (
+            derived_bands_to_compute,
+        )
+
+        to_compute = derived_bands_to_compute(inp.bands, cube_bands)
+        if to_compute:
+            others = [v for v in cube.dims.values() if v != band_col]
+            df = append_derived_bands(
+                df, band_col, others, cube.value_col, to_compute, cube_bands
+            )
+
+    # --- stages 3-5: select bands, scale, cast (pure projections) -----
     if ordered_band_labels:
         df = df.filter(F.col(band_col).isin(ordered_band_labels))
     if inp.value_scaling:

@@ -211,28 +211,62 @@ def check_dimension_sizes(
             )
 
 
+def derived_bands_to_compute(
+    bands: list[ModelBand], cube_bands: list[str]
+) -> list[ModelBand]:
+    """The model bands that must be COMPUTED from their expression: they
+    carry one, and the cube doesn't already provide the band directly
+    (reference data_model.py:340-343 prefers the direct band)."""
+    direct = resolve_bands(
+        [b.name for b in bands if b.expression is not None or b.format is not None],
+        cube_bands,
+    )
+    return [
+        b
+        for b in bands
+        if (b.expression is not None or b.format is not None)
+        and b.name not in direct
+    ]
+
+
 def check_bands_available(
     descriptor: MLModelDescriptor, cube_bands: list[str]
 ) -> dict[str, str]:
     """Every model band must be present (alias-resolved) or computable
     from an expression (reference data_model.py:297-373). Returns the
-    name mapping model-band -> cube label."""
-    derived = [b.name for b in descriptor.input.bands if b.expression is not None]
-    if derived:
-        # The reference also leaves expression-band computation todo
-        # (data_model.py:362-367) but fails at the check, not mid-plan —
-        # surface the gap here instead of a KeyError during tiling.
-        raise NotImplementedError(
-            f"model bands {derived} are derived from expressions "
-            f"(ModelBand.expression); computing derived bands is not "
-            f"supported — precompute them on the cube (e.g. via ndvi/"
-            f"band math) and declare them as plain bands"
-        )
-    plain = [b.name for b in descriptor.input.bands]
+    name mapping model-band -> cube label; derived bands map to their
+    own name (they materialize as new band rows before tiling).
+
+    Where the reference stops at "computable" with two `todo`s
+    (data_model.py:362-367), this check actually verifies both: the
+    expression parses against the supported band-math grammar, and
+    every band it references resolves against the cube.
+    """
+    from openeo_processes_dask_ml_spark.mlm.band_expr import referenced_bands
+
+    to_compute = derived_bands_to_compute(descriptor.input.bands, cube_bands)
+    compute_names = {b.name for b in to_compute}
+    for b in to_compute:
+        if (b.format is None) != (b.expression is None):
+            # reference parity: both-or-neither (data_model.py:352-360)
+            raise ValueError(
+                f'Properties "format" and "expression" are both required, '
+                f"but only one was given for band with name {b.name}."
+            )
+        refs = referenced_bands(b.expression)
+        rmap = resolve_bands(refs, cube_bands)
+        missing_refs = [r for r in refs if r not in rmap]
+        if missing_refs:
+            raise ValueError(
+                f"derived band {b.name!r} references bands {missing_refs} "
+                f"not present in the cube; cube has {cube_bands}"
+            )
+    plain = [b.name for b in descriptor.input.bands if b.name not in compute_names]
     mapping = resolve_bands(plain, cube_bands)
     missing = [n for n in plain if n not in mapping]
     if missing:
         raise ValueError(f"cube lacks model bands {missing}; cube has {cube_bands}")
+    mapping.update({n: n for n in compute_names})
     return mapping
 
 

@@ -347,10 +347,11 @@ def test_run_model_tiled_casts_to_model_dtype(spark, raster_cube):
     assert vals == {1.0}
 
 
-def test_expression_bands_fail_fast():
-    """Derived-band expressions raise a clear NotImplementedError at
-    validation (the reference also leaves computation todo,
-    data_model.py:362-367, but fails at the check, not mid-plan)."""
+def test_expression_bands_validate_and_map():
+    """Derived-band expressions now VALIDATE (parse + referenced bands
+    resolved) and map to their own name; computation happens before
+    tiling (tests/test_band_expr.py). The reference leaves this todo
+    (data_model.py:362-367)."""
     from openeo_processes_dask_ml_spark.mlm.descriptor import validate_cube
 
     descriptor = MLModelDescriptor(
@@ -372,7 +373,7 @@ def test_expression_bands_fail_fast():
         ),
         framework="fake",
     )
-    with pytest.raises(NotImplementedError, match="derived"):
-        validate_cube(
-            descriptor, ["bands", "x", "y"], {"x": 4, "y": 4}, ["B04", "B08"]
-        )
+    mapping = validate_cube(
+        descriptor, ["bands", "x", "y"], {"x": 4, "y": 4}, ["B04", "B08"]
+    )
+    assert mapping["ndvi"] == "ndvi"

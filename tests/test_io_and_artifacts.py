@@ -57,6 +57,42 @@ def test_save_result_roundtrip(spark, tmp_path):
     assert spark.read.parquet(path2).count() == 100
 
 
+def test_gtiff_slice_naming_and_nan_skip():
+    """The multi-time GTiff zip logic (reference
+    custom_processes.py:121-184): member names carry the %Y-%m-%dT%H-%M-%SZ
+    stamp, and all-NaN timesteps are skipped. Pure-pandas pieces tested
+    here; the rio write itself is import-gated (no rioxarray in sandbox)."""
+    import numpy as np
+    import pandas as pd
+
+    from openeo_processes_dask_ml_spark.io.load import (
+        _gtiff_slice_name,
+        _nonnan_time_slices,
+    )
+
+    name = _gtiff_slice_name(pd.Timestamp("2024-03-01 12:30:00"), "abc123")
+    assert name == "openeo_output__2024-03-01T12-30-00Z_abc123.tif"
+
+    pdf = pd.DataFrame(
+        {
+            "time": ["t1", "t1", "t2", "t2", "t3", "t3"],
+            "x": [0, 1, 0, 1, 0, 1],
+            "value": [1.0, np.nan, np.nan, np.nan, 3.0, 4.0],
+        }
+    )
+    assert _nonnan_time_slices(pdf, "time", "value") == ["t1", "t3"]
+
+
+def test_save_result_gtiff_gated_fallback(spark, tmp_path):
+    """gtiff (like netcdf) falls back to parquet with the explicit
+    warning while rioxarray is absent — never a silent substitution."""
+    df = spark.range(4).withColumn("v", F.col("id") * 1.0)
+    path = str(tmp_path / "tif_out")
+    with pytest.warns(UserWarning, match="geo stack"):
+        save_result(df, path, format="gtiff")
+    assert spark.read.parquet(path).count() == 4
+
+
 def test_save_result_csv(spark, tmp_path):
     df = spark.range(5).withColumn("v", F.col("id") * 1.5)
     path = str(tmp_path / "csv_out")
