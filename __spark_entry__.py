@@ -550,6 +550,125 @@ def q_apply_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df.select("x", "y", dround("value", 6).alias("value"))
 
 
+def q_apply_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO apply_neighborhood: 3x3 focal MEDIAN over an 8x8 count
+    raster — same scatter+hash-agg plan as apply_kernel but with an
+    arbitrary (non-linear) reducer a convolution can't express; border
+    cells reduce over their shrinking in-grid window. Counts are
+    integer-valued doubles, so the median (selection or exact halves)
+    is engine-exact."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.operators.kernel import apply_neighborhood
+
+    events = _t(spark, sf_dir, "events")
+    raster = (
+        events.groupBy(
+            (F.col("user_id") % 8).cast("double").alias("x"),
+            (F.floor(F.col("user_id") / 8) % 8).cast("double").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    cube = CubeFrame(raster, {"x": "x", "y": "y"}, "value")
+    out = apply_neighborhood(cube, 3, 3, "median")
+    return out.df.select("x", "y", dround("value", 6).alias("value"))
+
+
+def q_aggregate_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO aggregate_temporal: median per event_type over EXPLICIT
+    half-open dekad intervals — the tiny interval table broadcasts into
+    a range join; only per-label partials shuffle."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    events = _t(spark, sf_dir, "events")
+    cube = CubeFrame(
+        events.select("ts", "event_type", "value"),
+        {"time": "ts", "bands": "event_type"},
+        "value",
+    )
+    out = cube.aggregate_temporal(
+        [
+            ("2024-01-01", "2024-01-11"),
+            ("2024-01-11", "2024-01-21"),
+            ("2024-01-21", "2024-01-31"),
+        ],
+        "median",
+        labels=["dekad1", "dekad2", "dekad3"],
+    )
+    return out.df.select(
+        F.col("ts").alias("period"),
+        "event_type",
+        dround("value", 6).alias("value"),
+    )
+
+
+def q_resample_cube_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO resample_cube_spatial: snap a 64x64 count raster onto a
+    16x16 target cube's grid (params derived from the target's axis
+    coords) — one hash aggregation keyed on the OUTPUT pixel; integer
+    counts make the mean engine-exact."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    events = _t(spark, sf_dir, "events")
+    source = CubeFrame(
+        events.groupBy(
+            (F.col("user_id") % 64).cast("double").alias("x"),
+            (F.floor(F.col("user_id") / 64) % 64).cast("double").alias("y"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("value")),
+        {"x": "x", "y": "y"},
+        "value",
+    )
+    target = CubeFrame(
+        events.groupBy(
+            ((F.col("user_id") % 16) * 4).cast("double").alias("x"),
+            ((F.floor(F.col("user_id") / 16) % 16) * 4).cast("double").alias("y"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("value")),
+        {"x": "x", "y": "y"},
+        "value",
+    )
+    out = source.resample_cube_spatial(target, "mean")
+    return out.df.select("x", "y", dround("value", 6).alias("value"))
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO array ordering processes (sort / order / rearrange)
+    through the graph registry, over per-user event-value arrays built
+    in deterministic (ts, event_id) order. rearrange(vals, order(vals))
+    must reproduce sort(vals) — asserted as a column."""
+    from openeo_processes_dask_ml_spark.graph.registry import default_registry
+
+    reg = default_registry()
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 10) & (F.col("event_type") == "click")
+    )
+    arrs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "value"))
+                ),
+                lambda s: s["value"],
+            ).alias("vals")
+        )
+    )
+    sort_p, order_p, rearr_p = reg.get("sort"), reg.get("order"), reg.get("rearrange")
+    vals = F.col("vals")
+    sorted_arr = sort_p({"data": vals}, {})
+    order_arr = order_p({"data": vals}, {})
+    rearranged = rearr_p({"data": vals, "order": order_arr}, {})
+    return arrs.select(
+        "user_id",
+        F.size(vals).cast("long").alias("n"),
+        dround(F.element_at(sorted_arr, 1), 6).alias("s1"),
+        dround(F.element_at(sorted_arr, 2), 6).alias("s2"),
+        dround(F.element_at(sorted_arr, 3), 6).alias("s3"),
+        F.element_at(order_arr, 1).cast("long").alias("o1"),
+        F.element_at(order_arr, 2).cast("long").alias("o2"),
+        F.element_at(order_arr, 3).cast("long").alias("o3"),
+        (rearranged == sorted_arr).alias("roundtrip_ok"),
+    )
+
+
 def q_climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """openEO climatological_normal + anomaly: per (day-of-year,
     event_type) normals across users, subtracted from every event —
@@ -735,6 +854,39 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.text import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=1)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails -> <EMAIL>, phone runs -> <PHONE>) with
+    masked-entity counts. The synthetic corpus holds no PII, so both
+    engines append the SAME deterministic contact line per doc first —
+    a real cross-engine test of the scrub regexes with live matches."""
+    from openeo_processes_dask_ml_spark.scale.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    out = pii_scrub(injected)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("scrubbed").alias("scrub_md5")
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (distinct-token
+    ratio, top-token fraction, top-bigram fraction)."""
+    from openeo_processes_dask_ml_spark.scale.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,6 +1195,25 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark over a file
+    stream (state bounded by the event-time watermark), driven with
+    Trigger.AvailableNow — emitted keys equal batch DISTINCT, so the
+    streaming state machine is oracle-checkable."""
+    from openeo_processes_dask_ml_spark.streaming.rollup import run_stream_dedup_once
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out = run_stream_dedup_once(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        ts_col="ts",
+        keys=["user_id", "event_type"],
+    )
+    return out.select("user_id", "event_type")
+
+
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: file stream -> event-time watermark ->
     tumbling 1-day window -> memory sink, driven with
@@ -1202,6 +1373,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_cube_temporal": q_resample_cube_temporal,
         "sessionize": q_sessionize,
         "apply_dimension": q_apply_dimension,
+        # --- new this round: never checked before, keep inside window ---
+        "apply_neighborhood": q_apply_neighborhood,
+        "aggregate_temporal": q_aggregate_temporal,
+        "resample_cube_spatial": q_resample_cube_spatial,
+        "array_ops": q_array_ops,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "streaming_dedup": q_streaming_dedup,
         "reduce_dimension": q_reduce_dimension,
         "aggregate_temporal_period": q_aggregate_temporal_period,
         "ndvi_bandmath": q_ndvi_bandmath,
@@ -1754,6 +1933,60 @@ SELECT doc_id, term, floor((tfidf) * 1000000.0 + 0.5) / 1000000.0 AS tfidf,
 FROM ranked WHERE rank <= 1
 """
 
+    sql["pii_scrub"] = """
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR
+              || '@example.com or +1 (555) 010-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+), scrub AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS no_email
+  FROM injected
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(no_email,
+            '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(no_email,
+            '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
+FROM scrub
+"""
+
+    sql["repetition_stats"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  FROM documents
+), tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(l) AS tok FROM toks)
+  GROUP BY 1, 2
+), tstats AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok
+  FROM tok_counts GROUP BY 1
+), big_counts AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bg
+        FROM toks)
+  GROUP BY 1, 2
+), bstats AS (
+  SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigrams
+  FROM big_counts GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       floor((t.n_distinct / t.n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS distinct_ratio,
+       floor((t.top_tok / t.n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS top_token_fraction,
+       floor(coalesce(b.top_bigram / b.n_bigrams, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_fraction
+FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
+"""
+
     sql["doc_fingerprint"] = """
 WITH toks AS (
   SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -1826,6 +2059,96 @@ SELECT xs.x, ys.y,
        floor((sum(c.wv)) * 1000000.0 + 0.5) / 1000000.0 AS value
 FROM contrib c JOIN xs ON xs.ix = c.tx JOIN ys ON ys.iy = c.ty
 GROUP BY 1, 2
+"""
+
+    # focal median: gather each target's in-grid neighborhood via the
+    # same dense-index mapping, median per target (shrinking borders)
+    sql["apply_neighborhood"] = """
+WITH raster AS (
+  SELECT CAST(user_id % 8 AS DOUBLE) AS x,
+         CAST(CAST(floor(user_id / 8) AS BIGINT) % 8 AS DOUBLE) AS y,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events
+  GROUP BY 1, 2
+), xs AS (
+  SELECT x, row_number() OVER (ORDER BY x) - 1 AS ix
+  FROM (SELECT DISTINCT x FROM raster)
+), ys AS (
+  SELECT y, row_number() OVER (ORDER BY y) - 1 AS iy
+  FROM (SELECT DISTINCT y FROM raster)
+), idx AS (
+  SELECT xs.ix, ys.iy, r.v
+  FROM raster r JOIN xs ON r.x = xs.x JOIN ys ON r.y = ys.y
+)
+SELECT xs.x, ys.y,
+       floor(median(c.v) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM (
+  SELECT n.ix - d.di AS tx, n.iy - d.dj AS ty, n.v
+  FROM idx n, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) d(di, dj)
+  WHERE n.ix - d.di BETWEEN 0 AND (SELECT count(*) FROM xs) - 1
+    AND n.iy - d.dj BETWEEN 0 AND (SELECT count(*) FROM ys) - 1
+) c
+JOIN xs ON xs.ix = c.tx JOIN ys ON ys.iy = c.ty
+GROUP BY 1, 2
+"""
+
+    sql["aggregate_temporal"] = """
+WITH ivals(label, s, e) AS (
+  VALUES ('dekad1', '2024-01-01'::TIMESTAMP, '2024-01-11'::TIMESTAMP),
+         ('dekad2', '2024-01-11'::TIMESTAMP, '2024-01-21'::TIMESTAMP),
+         ('dekad3', '2024-01-21'::TIMESTAMP, '2024-01-31'::TIMESTAMP)
+)
+SELECT i.label AS period, ev.event_type,
+       floor(median(ev.value) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM events ev JOIN ivals i ON ev.ts >= i.s AND ev.ts < i.e
+GROUP BY 1, 2
+"""
+
+    sql["resample_cube_spatial"] = """
+WITH source AS (
+  SELECT CAST(user_id % 64 AS DOUBLE) AS x,
+         CAST(CAST(floor(user_id / 64) AS BIGINT) % 64 AS DOUBLE) AS y,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT floor(x / 4.0 + 0.5) * 4.0 AS x,
+       floor(y / 4.0 + 0.5) * 4.0 AS y,
+       floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM source
+GROUP BY 1, 2
+"""
+
+    # order = 0-based stable argsort; DuckDB twin computes each
+    # element's stable rank, then inverts the permutation
+    sql["array_ops"] = """
+WITH arrs AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events
+  WHERE user_id < 10 AND event_type = 'click'
+  GROUP BY user_id
+), ranked AS (
+  SELECT user_id, vals, len(vals) AS n,
+         list_sort(vals) AS sorted_vals,
+         list_transform(range(1, len(vals) + 1),
+           i -> len(list_filter(range(1, len(vals) + 1),
+                j -> vals[j] < vals[i] OR (vals[j] = vals[i] AND j < i)))
+         ) AS ranks
+  FROM arrs
+), ordered AS (
+  SELECT user_id, vals, n, sorted_vals,
+         list_transform(range(0, n), k -> list_position(ranks, k) - 1) AS ord
+  FROM ranked
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       floor(sorted_vals[1] * 1000000.0 + 0.5) / 1000000.0 AS s1,
+       floor(sorted_vals[2] * 1000000.0 + 0.5) / 1000000.0 AS s2,
+       floor(sorted_vals[3] * 1000000.0 + 0.5) / 1000000.0 AS s3,
+       CAST(ord[1] AS BIGINT) AS o1,
+       CAST(ord[2] AS BIGINT) AS o2,
+       CAST(ord[3] AS BIGINT) AS o3,
+       list_transform(ord, i -> vals[i + 1]) = sorted_vals AS roundtrip_ok
+FROM ordered
 """
 
     sql["climatology_anomaly"] = """
@@ -2152,6 +2475,10 @@ SELECT user_id,
        count(*) AS n_events,
        floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
 FROM s GROUP BY user_id, sid
+"""
+
+    sql["streaming_dedup"] = """
+SELECT DISTINCT user_id, event_type FROM events
 """
 
     sql["streaming_rollup"] = """

@@ -285,6 +285,55 @@ class CubeFrame:
         )
         return self.with_df(df)
 
+    def aggregate_temporal(
+        self,
+        intervals: Sequence[tuple],
+        reducer: str | Callable[[Column], Column],
+        labels: Sequence[str] | None = None,
+    ) -> "CubeFrame":
+        """openEO ``aggregate_temporal``: reduce over EXPLICIT
+        half-open ``[start, end)`` intervals (the calendar-period
+        variant is :meth:`aggregate_temporal_period`).
+
+        The interval table is tiny (a handful of rows) — it broadcasts
+        into a range join (start <= t < end), so the data cube never
+        shuffles for the assignment; only the per-label partial
+        aggregates move. Overlapping intervals are allowed per the
+        openEO spec (a row lands in every interval that covers it).
+        The time dim becomes a string label dim (openEO: labels
+        default to the interval starts).
+        """
+        if labels is None:
+            labels = [str(s) for s, _ in intervals]
+        if len(labels) != len(intervals):
+            raise ValueError(
+                f"{len(intervals)} intervals but {len(labels)} labels"
+            )
+        tcol = self.dim_col("time")
+        spark = self.df.sparkSession
+        ivals = spark.createDataFrame(
+            [
+                (str(lab), str(s), str(e))
+                for lab, (s, e) in zip(labels, intervals)
+            ],
+            schema="__label string, __start string, __end string",
+        ).select(
+            F.col("__label"),
+            F.col("__start").cast("timestamp").alias("__start"),
+            F.col("__end").cast("timestamp").alias("__end"),
+        )
+        t = F.col(tcol)
+        joined = self.df.join(
+            F.broadcast(ivals), (t >= F.col("__start")) & (t < F.col("__end"))
+        )
+        others = [v for k, v in self.dims.items() if v != tcol]
+        agg = resolve_reducer(reducer)(F.col(self.value_col))
+        df = (
+            joined.groupBy(F.col("__label").alias(tcol), *others)
+            .agg(agg.alias(self.value_col))
+        )
+        return self.with_df(df)
+
     # no annotation: plain class attribute, NOT a dataclass field
     _CLIMATOLOGY_LABELS = {
         "hour": F.hour,
@@ -388,6 +437,75 @@ class CubeFrame:
             .agg(agg.alias(self.value_col))
         )
         return self.with_df(df)
+
+    def resample_cube_spatial(
+        self,
+        target: "CubeFrame",
+        method: str | Callable[[Column], Column] = "mean",
+    ) -> "CubeFrame":
+        """openEO ``resample_cube_spatial``: resample THIS cube onto the
+        spatial grid of ``target``. The target grid parameters (origin +
+        step per axis) come from the target's distinct axis coordinates
+        — an axis-sized driver computation, like the tiling path in
+        ml/inference.py — then every source cell snaps to the NEAREST
+        target grid line and the collisions reduce with ``method``.
+
+        Same plan as :meth:`resample_spatial`: one hash aggregation with
+        map-side combine; the data cube shuffles one row per OUTPUT
+        pixel. Requires a regular target grid (uniform spacing).
+        """
+        agg = resolve_reducer(method)(F.col(self.value_col))
+        xcol, ycol = self.dim_col("x"), self.dim_col("y")
+
+        def grid_params(col: str) -> tuple[float, float]:
+            coords = [
+                r[0]
+                for r in target.df.select(target.dim_col_of(col, self))
+                .distinct()
+                .orderBy(target.dim_col_of(col, self))
+                .collect()
+            ]
+            if len(coords) < 2:
+                return float(coords[0]) if coords else 0.0, 1.0
+            import numpy as np
+
+            arr = np.asarray(coords, dtype=float)
+            steps = np.diff(arr)
+            if not np.allclose(steps, steps[0]):
+                raise ValueError(
+                    f"target grid on {col!r} is irregular; "
+                    "resample_cube_spatial needs a uniform target grid"
+                )
+            return float(arr[0]), float(steps[0])
+
+        x0, xs = grid_params(xcol)
+        y0, ys = grid_params(ycol)
+
+        def snap(col: str, origin: float, step: float) -> Column:
+            # floor(v + 0.5), not round(): identical half-way behavior
+            # in Spark and DuckDB (see utils/rounding.dround rationale)
+            return (
+                F.floor((F.col(col) - origin) / step + 0.5) * step + origin
+            )
+
+        others = [v for v in self.dim_cols if v not in (xcol, ycol)]
+        df = (
+            self.df.groupBy(
+                snap(xcol, x0, xs).alias(xcol),
+                snap(ycol, y0, ys).alias(ycol),
+                *others,
+            )
+            .agg(agg.alias(self.value_col))
+        )
+        return self.with_df(df)
+
+    def dim_col_of(self, col: str, source: "CubeFrame") -> str:
+        """The column in THIS cube playing the same dim role as ``col``
+        does in ``source`` (e.g. source 'x' -> this cube's x column)."""
+        for role, c in source.dims.items():
+            if c == col:
+                return self.dim_col(role)
+        raise ValueError(f"column {col!r} is not a dim of the source cube")
 
     def quantiles(
         self,

@@ -148,6 +148,49 @@ def _register_scalars(reg: ProcessRegistry) -> None:
     )
     reg.register("array_create", lambda a, c: F.array(*[_c(x) for x in a["data"]]))
     reg.register("count_in_array", lambda a, c: F.size(a["data"]))
+    # openEO array ordering processes. `sort` orders values; `order`
+    # returns the permutation (0-based indices that would sort the
+    # array); `rearrange` applies an index permutation. All pure
+    # Catalyst: sort via array_sort, order via sorting (value, idx)
+    # structs, rearrange via transform + element_at.
+    reg.register(
+        "sort",
+        lambda a, c: F.array_sort(a["data"])
+        if a.get("asc", True)
+        else F.reverse(F.array_sort(a["data"])),
+    )
+    reg.register(
+        "order",
+        lambda a, c: F.transform(
+            F.array_sort(
+                F.zip_with(
+                    a["data"],
+                    F.sequence(F.lit(0), F.size(a["data"]) - 1),
+                    lambda v, i: F.struct(v.alias("v"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        )
+        if a.get("asc", True)
+        else F.reverse(
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        a["data"],
+                        F.sequence(F.lit(0), F.size(a["data"]) - 1),
+                        lambda v, i: F.struct(v.alias("v"), i.alias("i")),
+                    )
+                ),
+                lambda s: s["i"],
+            )
+        ),
+    )
+    reg.register(
+        "rearrange",
+        lambda a, c: F.transform(
+            a["order"], lambda i: F.element_at(a["data"], i.cast("int") + 1)
+        ),
+    )
     # reducers inside sub-graphs: data is bound to the value Column
     for name in ("median", "mean", "sum", "min", "max", "sd", "variance", "count", "product"):
         def impl(args, ctx, name=name):
@@ -308,6 +351,28 @@ def _register_cubes(reg: ProcessRegistry) -> None:
             args["data"], args["kernel"], factor=args.get("factor", 1.0)
         )
 
+    def p_apply_neighborhood(args, ctx):
+        from openeo_processes_dask_ml_spark.operators.kernel import (
+            apply_neighborhood,
+        )
+
+        size = args.get("size", [{"value": 3}, {"value": 3}])
+        sx = size[0]["value"] if isinstance(size[0], dict) else int(size[0])
+        sy = size[1]["value"] if isinstance(size[1], dict) else int(size[1])
+        return apply_neighborhood(
+            args["data"], sx, sy, args.get("reducer", args.get("process", "mean"))
+        )
+
+    def p_aggregate_temporal(args, ctx):
+        return args["data"].aggregate_temporal(
+            args["intervals"], args.get("reducer", "mean"), args.get("labels")
+        )
+
+    def p_resample_cube_spatial(args, ctx):
+        return args["data"].resample_cube_spatial(
+            args["target"], args.get("method", "mean")
+        )
+
     def p_climatological_normal(args, ctx):
         return args["data"].climatological_normal(
             args.get("frequency", args.get("period", "month"))
@@ -337,6 +402,9 @@ def _register_cubes(reg: ProcessRegistry) -> None:
     reg.register("dimension_labels", p_dimension_labels)
     reg.register("trim_cube", p_trim_cube)
     reg.register("apply_kernel", p_apply_kernel)
+    reg.register("apply_neighborhood", p_apply_neighborhood)
+    reg.register("aggregate_temporal", p_aggregate_temporal)
+    reg.register("resample_cube_spatial", p_resample_cube_spatial)
     reg.register("climatological_normal", p_climatological_normal)
     reg.register("anomaly", p_anomaly)
     reg.register("resample_spatial", p_resample_spatial)

@@ -43,6 +43,71 @@ def _axis_index(df, col: str, spark):
     return F.broadcast(idx_df), len(coords)
 
 
+def apply_neighborhood(
+    cube: CubeFrame,
+    size_x: int,
+    size_y: int,
+    reducer,
+    dim_x: str = "x",
+    dim_y: str = "y",
+) -> CubeFrame:
+    """openEO ``apply_neighborhood`` for reducing neighborhoods: every
+    output cell gets ``reducer`` applied over its (2*rx+1) x (2*ry+1)
+    spatial neighborhood (``size_x = 2*rx+1`` etc., odd).
+
+    Same SCATTER shape as :func:`apply_kernel` — each input cell
+    explodes to the |window| output cells it participates in, then ONE
+    hash aggregation keyed on the output cell applies the reducer.
+    Unlike a convolution, the reducer is arbitrary (median, min, max,
+    sd, ...), which a weighted sum can't express. Border cells reduce
+    over their in-grid neighbors only (shrinking window — the openEO
+    border default of ignoring missing neighbors).
+    """
+    from openeo_processes_dask_ml_spark.cube import resolve_reducer
+
+    if size_x % 2 == 0 or size_y % 2 == 0:
+        raise ValueError(
+            f"neighborhood must have odd extents, got {size_x}x{size_y}"
+        )
+    rx, ry = size_x // 2, size_y // 2
+    xcol, ycol = cube.dim_col(dim_x), cube.dim_col(dim_y)
+    others = [v for v in cube.dims.values() if v not in (xcol, ycol)]
+    spark = cube.df.sparkSession
+
+    xi_df, nx = _axis_index(cube.df, xcol, spark)
+    yi_df, ny = _axis_index(cube.df, ycol, spark)
+
+    offsets = [
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di in range(-rx, rx + 1)
+        for dj in range(-ry, ry + 1)
+    ]
+    indexed = cube.df.join(xi_df, xcol).join(yi_df, ycol)
+    contrib = indexed.select(
+        *others,
+        F.explode(F.array(*offsets)).alias("o"),
+        F.col(f"__i_{xcol}").alias("ix"),
+        F.col(f"__i_{ycol}").alias("iy"),
+        F.col(cube.value_col).alias("v"),
+    ).select(
+        *others,
+        (F.col("ix") - F.col("o.di")).alias("tx"),
+        (F.col("iy") - F.col("o.dj")).alias("ty"),
+        "v",
+    ).filter(
+        (F.col("tx") >= 0) & (F.col("tx") < nx)
+        & (F.col("ty") >= 0) & (F.col("ty") < ny)
+    )
+    agg = resolve_reducer(reducer)(F.col("v"))
+    summed = contrib.groupBy(*others, "tx", "ty").agg(agg.alias(cube.value_col))
+    out = (
+        summed.join(xi_df.withColumnRenamed(f"__i_{xcol}", "tx"), "tx")
+        .join(yi_df.withColumnRenamed(f"__i_{ycol}", "ty"), "ty")
+        .select(*others, xcol, ycol, cube.value_col)
+    )
+    return CubeFrame(out, dict(cube.dims), cube.value_col, dict(cube.attrs))
+
+
 def apply_kernel(
     cube: CubeFrame,
     kernel: list[list[float]],

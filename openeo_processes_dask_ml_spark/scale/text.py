@@ -215,6 +215,88 @@ def tfidf_top_terms(
     )
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Training-data PII scrubbing: mask emails then phone-like digit
+    runs with typed placeholders, and count what was masked.
+
+    Pure codegen regex passes (both patterns are RE2-safe, so a DuckDB
+    oracle replicates them exactly); emails scrub FIRST so their digit
+    fragments can't half-match as phones. At 100 TB this is a narrow
+    projection — no shuffle at all."""
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(no_email, F.lit(PII_PHONE_RE))
+    scrubbed = F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters: distinct-token ratio, the
+    fraction held by the most frequent token, and the fraction of
+    bigram slots held by the most frequent bigram — the standard
+    repetitious-document signals for training-data curation.
+
+    Shape: one posexplode + lead window (the shingle plan), two hash
+    aggregations — everything whole-stage codegen, shuffles keyed on
+    doc_id / (doc_id, gram)."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok").over(w)
+    grams = ex.select(
+        "doc_id",
+        "tok",
+        F.when(nxt.isNotNull(), F.concat_ws(" ", F.col("tok"), nxt)).alias(
+            "bigram"
+        ),
+    )
+    tok_stats = (
+        grams.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.max("count").alias("top_tok"),
+        )
+    )
+    big_stats = (
+        grams.filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram"), F.sum("count").alias("n_bigrams"))
+    )
+    joined = tok_stats.join(big_stats, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        dround(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        dround(F.col("top_tok") / F.col("n_tokens"), 6).alias("top_token_fraction"),
+        dround(
+            F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_fraction"),
+    )
+
+
 def document_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -125,6 +125,50 @@ def run_stream_sessionize_once(
     return spark.table(table)
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first occurrence of each
+    key combination, with state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — duplicate suppression is
+    guaranteed only within the watermark horizon, which is exactly the
+    bound that keeps state finite at an unbounded input rate)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def run_stream_dedup_once(
+    spark: SparkSession,
+    path: str,
+    schema,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    watermark: str = "40 days",
+) -> DataFrame:
+    """Execute streaming dedup with Trigger.AvailableNow into a memory
+    sink and return the static result. The default watermark exceeds
+    the test data's full 30-day event span, so no key state is evicted
+    mid-stream and the emitted keys equal batch ``dropDuplicates`` —
+    oracle-checkable regardless of micro-batch boundaries."""
+    keys = keys if keys is not None else ["user_id", "event_type"]
+    stream = stream_events(spark, path, schema, ts_col)
+    deduped = streaming_dedup(stream, ts_col, keys, watermark)
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table)
+
+
 def run_stream_rollup_once(
     spark: SparkSession,
     path: str,

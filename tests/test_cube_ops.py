@@ -292,6 +292,93 @@ def test_apply_kernel_asymmetric_matches_convolution(spark):
             )
 
 
+def test_apply_neighborhood_focal_median(spark):
+    """3x3 focal median over a 3x3 ramp; border windows shrink to the
+    in-grid cells (corner = 4 cells, median of even count = midpoint)."""
+    from openeo_processes_dask_ml_spark.operators.kernel import apply_neighborhood
+
+    rows = [
+        (float(x), float(y), float(x * 3 + y)) for x in range(3) for y in range(3)
+    ]
+    cube = CubeFrame(
+        spark.createDataFrame(rows, ["x", "y", "value"]),
+        {"x": "x", "y": "y"}, "value",
+    )
+    out = {
+        (r["x"], r["y"]): r["value"]
+        for r in apply_neighborhood(cube, 3, 3, "median").df.collect()
+    }
+    assert out[(1.0, 1.0)] == 4.0  # full window: median of 0..8
+    # corner (0,0): cells {0,1,3,4} -> (1+3)/2
+    assert out[(0.0, 0.0)] == 2.0
+    assert len(out) == 9
+    with pytest.raises(ValueError, match="odd"):
+        apply_neighborhood(cube, 2, 3, "median")
+
+
+def test_aggregate_temporal_explicit_intervals(spark):
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 2), 1.0),
+            (datetime(2024, 1, 12), 3.0),
+            (datetime(2024, 1, 12, 5), 5.0),
+            (datetime(2024, 2, 1), 100.0),  # outside every interval
+        ],
+        ["t", "value"],
+    )
+    cube = CubeFrame(df, {"time": "t"}, "value")
+    out = {
+        r["t"]: r["value"]
+        for r in cube.aggregate_temporal(
+            [("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21")],
+            "sum",
+            labels=["a", "b"],
+        ).df.collect()
+    }
+    assert out == {"a": 1.0, "b": 8.0}
+    # default labels = interval starts; overlapping intervals allowed
+    out2 = {
+        r["t"]: r["value"]
+        for r in cube.aggregate_temporal(
+            [("2024-01-01", "2024-01-31"), ("2024-01-10", "2024-01-13")],
+            "sum",
+        ).df.collect()
+    }
+    assert out2["2024-01-01"] == 9.0
+    assert out2["2024-01-10"] == 8.0
+    with pytest.raises(ValueError, match="labels"):
+        cube.aggregate_temporal([("2024-01-01", "2024-01-02")], "sum", ["x", "y"])
+
+
+def test_resample_cube_spatial_snaps_to_target_grid(spark):
+    src = spark.createDataFrame(
+        [(float(x), float(y), float(x)) for x in range(8) for y in range(8)],
+        ["x", "y", "value"],
+    )
+    tgt = spark.createDataFrame(
+        [(float(x * 4), float(y * 4), 0.0) for x in range(2) for y in range(2)],
+        ["x", "y", "value"],
+    )
+    source = CubeFrame(src, {"x": "x", "y": "y"}, "value")
+    target = CubeFrame(tgt, {"x": "x", "y": "y"}, "value")
+    out = source.resample_cube_spatial(target, "count")
+    got = {(r["x"], r["y"]): r["value"] for r in out.df.collect()}
+    # snap grid {0,4}: x in [0,2) -> 0 ... wait, floor(x/4+0.5): x<2 -> 0,
+    # 2<=x<6 -> 4, 6<=x -> 8 (extends beyond target extent by snapping)
+    assert got[(0.0, 0.0)] == 4.0  # 2 xs x 2 ys
+    assert got[(4.0, 4.0)] == 16.0  # 4 xs x 4 ys
+    # irregular target grid rejected
+    bad = CubeFrame(
+        spark.createDataFrame(
+            [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (5.0, 0.0, 0.0)],
+            ["x", "y", "value"],
+        ),
+        {"x": "x", "y": "y"}, "value",
+    )
+    with pytest.raises(ValueError, match="irregular"):
+        source.resample_cube_spatial(bad, "mean")
+
+
 def test_apply_kernel_rejects_even_kernel(spark):
     from openeo_processes_dask_ml_spark.operators.kernel import apply_kernel
 

@@ -36,6 +36,32 @@ def test_registry_families_registered():
         assert pid in ids, pid
 
 
+def test_array_sort_order_rearrange_processes(spark):
+    """openEO sort / order / rearrange: order is the 0-based stable
+    argsort, rearrange applies a permutation, and
+    rearrange(data, order(data)) == sort(data)."""
+    import pyspark.sql.functions as F
+
+    reg = default_registry()
+    df = spark.createDataFrame([([3.0, 1.0, 2.0, 1.0],)], ["vals"])
+    vals = F.col("vals")
+    row = df.select(
+        reg.get("sort")({"data": vals}, {}).alias("asc"),
+        reg.get("sort")({"data": vals, "asc": False}, {}).alias("desc"),
+        reg.get("order")({"data": vals}, {}).alias("ord"),
+        reg.get("rearrange")(
+            {"data": vals, "order": reg.get("order")({"data": vals}, {})}, {}
+        ).alias("roundtrip"),
+        reg.get("rearrange")({"data": vals, "order": F.array(
+            F.lit(2), F.lit(0), F.lit(1), F.lit(3))}, {}).alias("perm"),
+    ).collect()[0]
+    assert row["asc"] == [1.0, 1.0, 2.0, 3.0]
+    assert row["desc"] == [3.0, 2.0, 1.0, 1.0]
+    assert row["ord"] == [1, 3, 2, 0]  # stable: the two 1.0s keep order
+    assert row["roundtrip"] == [1.0, 1.0, 2.0, 3.0]
+    assert row["perm"] == [2.0, 3.0, 1.0, 1.0]
+
+
 def test_registry_later_registration_wins():
     reg = default_registry()
     reg.register("eq", lambda a, c: "overridden")

@@ -53,3 +53,28 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert batch_sessions == {
         (u, s): n for (u, s), (_, n, _v) in got.items()
     }
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over the file stream emits exactly
+    the batch-DISTINCT key set when the watermark covers the span."""
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_dedup_once,
+    )
+
+    rows = [
+        ("u", "click", datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        ("u", "click", datetime(2024, 1, 2, 0, 0, 0), 2.0),  # dup key
+        ("u", "view", datetime(2024, 1, 1, 0, 0, 0), 3.0),
+        ("v", "click", datetime(2024, 1, 3, 0, 0, 0), 4.0),
+        ("v", "click", datetime(2024, 1, 3, 0, 0, 1), 5.0),  # dup key
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "value"])
+    path = str(tmp_path / "events_dedup")
+    df.write.parquet(path)
+    out = run_stream_dedup_once(
+        spark, path, df.schema, ts_col="ts", keys=["user_id", "event_type"]
+    )
+    got = {(r["user_id"], r["event_type"]) for r in out.collect()}
+    assert got == {("u", "click"), ("u", "view"), ("v", "click")}
+    assert out.count() == 3
