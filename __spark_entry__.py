@@ -669,6 +669,40 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mask_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO mask_polygon + filter_spatial over a 16x16 raster: the
+    WKT ray-cast labels the DISTINCT grid once and broadcasts back —
+    the raster never shuffles. Polygon edges sit on half-integers so
+    no cell center is on a boundary (engine-exact containment); the
+    oracle replicates the two rectangles as range predicates."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.operators.aggregate import (
+        filter_spatial,
+        mask_polygon,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    raster = (
+        events.groupBy(
+            (F.col("user_id") % 16).cast("double").alias("x"),
+            (F.floor(F.col("user_id") / 16) % 16).cast("double").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    cube = CubeFrame(raster, {"x": "x", "y": "y"}, "value")
+    zones = [
+        (1, "POLYGON ((1.5 1.5, 6.5 1.5, 6.5 4.5, 1.5 4.5, 1.5 1.5))"),
+        (2, "POLYGON ((9.5 9.5, 14.5 9.5, 14.5 12.5, 9.5 12.5, 9.5 9.5))"),
+    ]
+    masked = mask_polygon(cube, zones, replacement=-1.0)
+    kept = filter_spatial(cube, zones)
+    n_kept = kept.df.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[0]["n"]
+    return masked.df.select(
+        "x", "y", dround("value", 6).alias("value"),
+        F.lit(n_kept).cast("long").alias("n_inside"),
+    )
+
+
 def q_climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """openEO climatological_normal + anomaly: per (day-of-year,
     event_type) normals across users, subtracted from every event —
@@ -1381,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
+        "mask_polygon": q_mask_polygon,
         "reduce_dimension": q_reduce_dimension,
         "aggregate_temporal_period": q_aggregate_temporal_period,
         "ndvi_bandmath": q_ndvi_bandmath,
@@ -2149,6 +2184,26 @@ SELECT user_id, CAST(n AS BIGINT) AS n,
        CAST(ord[3] AS BIGINT) AS o3,
        list_transform(ord, i -> vals[i + 1]) = sorted_vals AS roundtrip_ok
 FROM ordered
+"""
+
+    sql["mask_polygon"] = """
+WITH raster AS (
+  SELECT CAST(user_id % 16 AS DOUBLE) AS x,
+         CAST(CAST(floor(user_id / 16) AS BIGINT) % 16 AS DOUBLE) AS y,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events
+  GROUP BY 1, 2
+), covered AS (
+  SELECT x, y FROM raster
+  WHERE (x > 1.5 AND x < 6.5 AND y > 1.5 AND y < 4.5)
+     OR (x > 9.5 AND x < 14.5 AND y > 9.5 AND y < 12.5)
+)
+SELECT r.x, r.y,
+       CASE WHEN c.x IS NOT NULL
+            THEN floor(r.v * 1000000.0 + 0.5) / 1000000.0
+            ELSE -1.0 END AS value,
+       (SELECT count(*) FROM covered) AS n_inside
+FROM raster r LEFT JOIN covered c ON r.x = c.x AND r.y = c.y
 """
 
     sql["climatology_anomaly"] = """

@@ -290,6 +290,58 @@ def test_graph_dimension_manipulation_pipeline(spark):
     assert [r[0] for r in row] == ["sensor_b"]
 
 
+def test_graph_new_round3_processes(spark):
+    """aggregate_temporal (explicit intervals), apply_neighborhood and
+    resample_cube_spatial execute through the graph registry."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    reg = default_registry()
+    graph = {
+        "load": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        "agg": {
+            "process_id": "aggregate_temporal",
+            "arguments": {
+                "data": {"from_node": "load"},
+                "intervals": [
+                    ("2024-01-01", "2024-01-16"),
+                    ("2024-01-16", "2024-01-31"),
+                ],
+                "labels": ["h1", "h2"],
+                "reducer": "median",
+            },
+            "result": True,
+        },
+    }
+    cube = execute_graph(graph, spark, SF_DIR)
+    labels = {r[0] for r in cube.df.select(cube.dim_col("time")).distinct().collect()}
+    assert labels == {"h1", "h2"}
+
+    raster = CubeFrame(
+        spark.createDataFrame(
+            [(float(x), float(y), float(x)) for x in range(4) for y in range(4)],
+            ["x", "y", "value"],
+        ),
+        {"x": "x", "y": "y"}, "value",
+    )
+    focal = reg.get("apply_neighborhood")(
+        {"data": raster, "size": [{"value": 3}, {"value": 3}], "reducer": "max"},
+        {},
+    )
+    got = {(r["x"], r["y"]): r["value"] for r in focal.df.collect()}
+    assert got[(0.0, 0.0)] == 1.0 and got[(3.0, 3.0)] == 3.0
+
+    target = CubeFrame(
+        spark.createDataFrame(
+            [(0.0, 0.0, 0.0), (2.0, 2.0, 0.0)], ["x", "y", "value"]
+        ),
+        {"x": "x", "y": "y"}, "value",
+    )
+    coarse = reg.get("resample_cube_spatial")(
+        {"data": raster, "target": target, "method": "count"}, {}
+    )
+    assert coarse.df.count() <= 9
+
+
 def test_graph_resample_and_kernel_registered(spark):
     """resample_spatial and apply_kernel execute from a process graph
     over a small synthetic raster cube."""
