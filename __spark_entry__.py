@@ -861,26 +861,43 @@ def q_predict_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100TB-scale profiling: HLL++ distinct
-    counts and t-digest quantiles per event type. Deliberately
-    rows-only: sketch internals are engine-specific (Spark HLL++ vs
-    DuckDB HLL give different estimates on identical input), so there
-    is no cross-engine value oracle — accuracy vs exact counts is
-    asserted in tests/test_scale_ops.py instead."""
+    counts and t-digest quantiles per event type. Sketch ESTIMATES are
+    engine-specific (Spark HLL++ vs DuckDB HLL differ on identical
+    input), so the oracle checks the deterministic CONTRACT instead:
+    exact row/distinct counts, plus booleans asserting each sketch
+    estimate (computed from the real sketches here) landed within its
+    documented error bound — HLL++ rsd 2% (checked at 5%), t-digest
+    quantiles within the 1/accuracy rank tolerance (checked against
+    exact quantile neighborhoods at p50 +- 2%)."""
     events = _t(spark, sf_dir, "events")
-    return (
+    sketch = (
         events.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_quantiles"),
             F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("percentile(value, array(0.48, 0.52, 0.93, 0.97))").alias(
+                "exact_q"
+            ),
         )
-        .select(
-            "event_type",
-            "approx_users",
-            F.col("value_quantiles")[0].alias("p50"),
-            F.col("value_quantiles")[1].alias("p95"),
-            "n",
-        )
+    )
+    p50 = F.col("value_quantiles")[0]
+    p95 = F.col("value_quantiles")[1]
+    return sketch.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            (F.col("approx_users") >= F.col("exact_users") * 0.95)
+            & (F.col("approx_users") <= F.col("exact_users") * 1.05)
+        ).alias("hll_within_5pct"),
+        ((p50 >= F.col("exact_q")[0]) & (p50 <= F.col("exact_q")[1])).alias(
+            "p50_within_rank_tol"
+        ),
+        ((p95 >= F.col("exact_q")[2]) & (p95 <= F.col("exact_q")[3])).alias(
+            "p95_within_rank_tol"
+        ),
     )
 
 
@@ -1229,6 +1246,29 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join with watermarks on both sides:
+    purchases paired with the same user's clicks in the preceding hour
+    (the attribution shape), driven with Trigger.AvailableNow — equals
+    the batch range join, so the join state machine is oracle-checked."""
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_interval_join_once,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out = run_stream_interval_join_once(
+        spark, f"{sf_dir}/events.parquet", schema,
+        key="user_id", ts_col="ts",
+        left_type="purchase", right_type="click", lookback="1 hour",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        "user_id",
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark over a file
     stream (state bounded by the event-time watermark), driven with
@@ -1415,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_interval_join": q_streaming_interval_join,
         "mask_polygon": q_mask_polygon,
         "reduce_dimension": q_reduce_dimension,
         "aggregate_temporal_period": q_aggregate_temporal_period,
@@ -2054,6 +2095,19 @@ SELECT
   (SELECT count(DISTINCT label) FROM embeddings) AS label_idx_max
 """
 
+    # contract oracle for sketch aggregates (see q_approx_aggregates):
+    # exact counts from the raw table, sketch-accuracy booleans stated
+    sql["approx_aggregates"] = """
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS exact_users,
+       true AS hll_within_5pct,
+       true AS p50_within_rank_tol,
+       true AS p95_within_rank_tol
+FROM events
+GROUP BY event_type
+"""
+
     sql["ml_predict_linear"] = """
 SELECT vec_id, label,
   floor((list_reduce(
@@ -2534,6 +2588,15 @@ FROM s GROUP BY user_id, sid
 
     sql["streaming_dedup"] = """
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+    sql["streaming_interval_join"] = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
 """
 
     sql["streaming_rollup"] = """

@@ -169,6 +169,85 @@ def run_stream_dedup_once(
     return spark.table(table)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: pair each left event with the right
+    events of the same key whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` (the attribution-window shape,
+    e.g. purchases joined to the clicks that preceded them).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    the time skew, so Spark can evict state for rows past the watermark
+    + lookback horizon — the requirement for an unbounded stream-stream
+    join to run in finite memory. The join is key-equi + time-range:
+    state is hash-partitioned on the key, never a cross join."""
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__lts"),
+        *[c for c in left.columns if c not in (key, left_ts)],
+    ).withWatermark("__lts", watermark)
+    r = right.select(
+        F.col(key).alias("__rk"),
+        F.col(right_ts).alias("__rts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key, right_ts)
+        ],
+    ).withWatermark("__rts", watermark)
+    cond = (
+        (F.col("__k") == F.col("__rk"))
+        & (F.col("__rts") >= F.col("__lts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("__rts") <= F.col("__lts"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .drop("__rk")
+        .withColumnRenamed("__k", key)
+        .withColumnRenamed("__lts", left_ts)
+        .withColumnRenamed("__rts", f"r_{right_ts}")
+    )
+
+
+def run_stream_interval_join_once(
+    spark: SparkSession,
+    path: str,
+    schema,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Attribution join driven with Trigger.AvailableNow: purchases
+    joined to the same user's clicks within the lookback window —
+    equals the batch range join, so the stream-stream join state
+    machine is oracle-checkable."""
+    stream = stream_events(spark, path, schema, ts_col)
+    left = stream.filter(F.col("event_type") == left_type).drop("event_type")
+    right = stream.filter(F.col("event_type") == right_type).drop("event_type")
+    joined = stream_interval_join(
+        left, right, key, ts_col, ts_col, lookback=lookback
+    )
+    table = f"stream_ijoin_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table)
+
+
 def run_stream_rollup_once(
     spark: SparkSession,
     path: str,

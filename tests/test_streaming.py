@@ -78,3 +78,32 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     got = {(r["user_id"], r["event_type"]) for r in out.collect()}
     assert got == {("u", "click"), ("u", "view"), ("v", "click")}
     assert out.count() == 3
+
+
+def test_stream_interval_join_attribution(spark, tmp_path):
+    """Purchases pair with same-user clicks inside the lookback window
+    (inclusive bounds), and with nothing outside it."""
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_interval_join_once,
+    )
+
+    rows = [
+        (1, "u", "click", datetime(2024, 1, 1, 9, 0, 0), 1.0),
+        (2, "u", "click", datetime(2024, 1, 1, 9, 30, 0), 1.0),
+        (3, "u", "purchase", datetime(2024, 1, 1, 10, 0, 0), 9.0),
+        (4, "u", "click", datetime(2024, 1, 1, 10, 30, 0), 1.0),  # after
+        (5, "v", "click", datetime(2024, 1, 1, 9, 59, 0), 1.0),  # other user
+        (6, "w", "purchase", datetime(2024, 1, 1, 12, 0, 0), 2.0),  # no clicks
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    path = str(tmp_path / "events_ijoin")
+    df.write.parquet(path)
+    out = run_stream_interval_join_once(
+        spark, path, df.schema, key="user_id", ts_col="ts",
+        left_type="purchase", right_type="click", lookback="1 hour",
+    )
+    pairs = {(r["event_id"], r["r_event_id"]) for r in out.collect()}
+    # click at 9:00 is exactly ts - 1h -> inclusive lower bound
+    assert pairs == {(3, 1), (3, 2)}
