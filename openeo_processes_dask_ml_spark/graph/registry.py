@@ -148,6 +148,90 @@ def _register_scalars(reg: ProcessRegistry) -> None:
     )
     reg.register("array_create", lambda a, c: F.array(*[_c(x) for x in a["data"]]))
     reg.register("count_in_array", lambda a, c: F.size(a["data"]))
+    reg.register(
+        "array_contains", lambda a, c: F.array_contains(a["data"], _c(a["value"]))
+    )
+    # openEO array_find: 0-based index of the FIRST match, null if absent
+    reg.register(
+        "array_find",
+        lambda a, c: F.when(
+            F.array_position(a["data"], _c(a["value"])) > 0,
+            F.array_position(a["data"], _c(a["value"])) - 1,
+        ),
+    )
+    reg.register(
+        "array_concat", lambda a, c: F.concat(a["array1"], a["array2"])
+    )
+    reg.register(
+        "array_append",
+        lambda a, c: F.concat(a["data"], F.array(_c(a["value"]))),
+    )
+    reg.register(
+        "all",
+        lambda a, c: F.aggregate(
+            a["data"], F.lit(True), lambda acc, x: acc & x.cast("boolean")
+        ),
+    )
+    reg.register(
+        "any",
+        lambda a, c: F.aggregate(
+            a["data"], F.lit(False), lambda acc, x: acc | x.cast("boolean")
+        ),
+    )
+    # openEO date_shift: move a timestamp by an integer amount of a
+    # unit, PRESERVING the time of day (date_add/add_months alone
+    # return DATEs); month/year shifts clamp at month ends per spec.
+    def p_date_shift(args, ctx):
+        unit, n = args.get("unit", "day"), int(args["value"])
+        t = _c(args["date"]).cast("timestamp")
+        if unit in ("hour", "minute", "second"):
+            secs = {"hour": 3600, "minute": 60, "second": 1}[unit]
+            return F.timestamp_seconds(F.unix_timestamp(t) + n * secs)
+        if unit in ("day", "week"):
+            days = n * (7 if unit == "week" else 1)
+            return F.timestamp_seconds(F.unix_timestamp(t) + days * 86400)
+        if unit in ("month", "year"):
+            months = n * (12 if unit == "year" else 1)
+            time_of_day = F.unix_timestamp(t) % 86400
+            return F.timestamp_seconds(
+                F.unix_timestamp(F.add_months(t, months).cast("timestamp"))
+                + time_of_day
+            )
+        raise ValueError(f"unsupported date_shift unit {unit!r}")
+
+    reg.register("date_shift", p_date_shift)
+    reg.register(
+        "date_difference",
+        lambda a, c: (
+            F.unix_timestamp(_c(a["date2"]).cast("timestamp"))
+            - F.unix_timestamp(_c(a["date1"]).cast("timestamp"))
+        ).cast("double"),
+    )
+    # openEO array_apply / array_filter: the callback sub-graph compiles
+    # to a Column expression over the lambda variable, so these lower to
+    # Catalyst transform()/filter() higher-order functions — per-element
+    # logic without leaving the JVM.
+    def _element_callback(a):
+        cb = a["process"]
+        if callable(cb):
+            return cb
+        raise ValueError("array_apply/array_filter need a callback process")
+
+    def p_array_apply(args, ctx):
+        cb = _element_callback(args)
+        return F.transform(
+            args["data"], lambda x, i: _c(cb(x=x, index=i))
+        )
+
+    def p_array_filter(args, ctx):
+        cb = _element_callback(args)
+        return F.filter(
+            args["data"],
+            lambda x, i: _c(cb(x=x, index=i)).cast("boolean"),
+        )
+
+    reg.register("array_apply", p_array_apply)
+    reg.register("array_filter", p_array_filter)
     # openEO array ordering processes. `sort` orders values; `order`
     # returns the permutation (0-based indices that would sort the
     # array); `rearrange` applies an index permutation. All pure

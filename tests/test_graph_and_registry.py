@@ -62,6 +62,89 @@ def test_array_sort_order_rearrange_processes(spark):
     assert row["perm"] == [2.0, 3.0, 1.0, 1.0]
 
 
+def test_scalar_array_date_process_additions(spark):
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    reg = default_registry()
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], datetime(2024, 1, 31, 12, 0, 0))], ["arr", "t"]
+    )
+    arr, t = F.col("arr"), F.col("t")
+    row = df.select(
+        reg.get("array_contains")({"data": arr, "value": 2.0}, {}).alias("c"),
+        reg.get("array_find")({"data": arr, "value": 3.0}, {}).alias("f"),
+        reg.get("array_find")({"data": arr, "value": 9.0}, {}).alias("fm"),
+        reg.get("array_append")({"data": arr, "value": 4.0}, {}).alias("ap"),
+        reg.get("array_concat")({"array1": arr, "array2": arr}, {}).alias("cc"),
+        reg.get("all")({"data": F.array(F.lit(True), F.lit(False))}, {}).alias("al"),
+        reg.get("any")({"data": F.array(F.lit(True), F.lit(False))}, {}).alias("an"),
+        reg.get("date_shift")({"date": t, "value": 1, "unit": "month"}, {}).alias("dm"),
+        reg.get("date_shift")({"date": t, "value": -2, "unit": "hour"}, {}).alias("dh"),
+        reg.get("date_difference")(
+            {"date1": t, "date2": F.lit("2024-01-31 13:00:00")}, {}
+        ).alias("dd"),
+    ).collect()[0]
+    assert row["c"] is True
+    assert row["f"] == 2 and row["fm"] is None
+    assert row["ap"] == [1.0, 2.0, 3.0, 4.0]
+    assert row["cc"] == [1.0, 2.0, 3.0, 1.0, 2.0, 3.0]
+    assert row["al"] is False and row["an"] is True
+    # month-end clamp AND time of day preserved
+    assert str(row["dm"]) == "2024-02-29 12:00:00"
+    assert str(row["dh"]) == "2024-01-31 10:00:00"
+    assert row["dd"] == 3600.0
+
+
+def test_array_apply_filter_with_subgraph_callback(spark):
+    """array_apply / array_filter run their callback sub-graph as a
+    Catalyst lambda — verified through a full process graph, including
+    the `index` parameter."""
+    import pyspark.sql.functions as F
+
+    graph = {
+        "arr": {
+            "process_id": "array_create",
+            "arguments": {"data": [1.0, 2.0, 3.0, 4.0]},
+        },
+        "doubled": {
+            "process_id": "array_apply",
+            "arguments": {
+                "data": {"from_node": "arr"},
+                "process": {
+                    "process_graph": {
+                        "m": {
+                            "process_id": "multiply",
+                            "arguments": {"x": {"from_parameter": "x"}, "y": 2.0},
+                            "result": True,
+                        }
+                    }
+                },
+            },
+        },
+        "big": {
+            "process_id": "array_filter",
+            "arguments": {
+                "data": {"from_node": "doubled"},
+                "process": {
+                    "process_graph": {
+                        "g": {
+                            "process_id": "gt",
+                            "arguments": {"x": {"from_parameter": "x"}, "y": 4.0},
+                            "result": True,
+                        }
+                    }
+                },
+            },
+            "result": True,
+        },
+    }
+    col = execute_graph(graph, spark, SF_DIR)
+    row = spark.range(1).select(col.alias("out")).collect()[0]
+    assert row["out"] == [6.0, 8.0]
+
+
 def test_registry_later_registration_wins():
     reg = default_registry()
     reg.register("eq", lambda a, c: "overridden")
