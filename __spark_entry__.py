@@ -1269,6 +1269,25 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running spend carried in the state store, one alert per crossed
+    500-unit threshold. Deterministic (ts, event_id) fold order makes
+    the doubles bit-identical to the batch window twin."""
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_spend_alerts_once,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out = run_stream_spend_alerts_once(
+        spark, f"{sf_dir}/events.parquet", schema, threshold=500.0
+    )
+    return out.select(
+        "user_id", "ts", dround("total", 6).alias("total"), "level"
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark over a file
     stream (state bounded by the event-time watermark), driven with
@@ -1456,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
+        "streaming_spend_alerts": q_streaming_spend_alerts,
         "mask_polygon": q_mask_polygon,
         "reduce_dimension": q_reduce_dimension,
         "aggregate_temporal_period": q_aggregate_temporal_period,
@@ -2588,6 +2608,25 @@ FROM s GROUP BY user_id, sid
 
     sql["streaming_dedup"] = """
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+    sql["streaming_spend_alerts"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+), p AS (
+  SELECT user_id, ts, cum,
+    coalesce(lag(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             0.0) AS prev
+  FROM s
+)
+SELECT user_id, ts,
+       floor(cum * 1000000.0 + 0.5) / 1000000.0 AS total,
+       CAST(floor(cum / 500.0) AS BIGINT) AS level
+FROM p
+WHERE floor(cum / 500.0) > floor(prev / 500.0)
 """
 
     sql["streaming_interval_join"] = """

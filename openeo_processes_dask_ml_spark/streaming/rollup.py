@@ -19,16 +19,24 @@ from pyspark.sql import functions as F
 
 
 def stream_events(
-    spark: SparkSession, path: str, schema, ts_col: str = "ts"
+    spark: SparkSession,
+    path: str,
+    schema,
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a parquet path (nanos timestamps get the
     same long->micros conversion as the batch loader). A single-file
     path is turned into directory + glob, since the streaming source
-    requires a directory basePath."""
+    requires a directory basePath. ``max_files_per_trigger`` forces
+    multi-micro-batch execution (tests use it to prove state carries
+    across batches)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import os
 
     reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path.endswith(".parquet") and os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
@@ -239,6 +247,97 @@ def run_stream_interval_join_once(
     table = f"stream_ijoin_{uuid.uuid4().hex[:8]}"
     query = (
         joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table)
+
+
+def spend_alert_stream(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    threshold: float = 500.0,
+) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    — semantics no built-in window expresses: a per-key running total
+    carried across micro-batches in the state store, emitting one alert
+    row whenever the cumulative value crosses another multiple of
+    ``threshold``.
+
+    Within a batch the rows are folded in (ts, id) order, so the float
+    accumulation is a deterministic left fold — the batch twin (window
+    running sum + lag) produces bit-identical doubles and the operator
+    stays oracle-checkable. State per key is ONE double; memory is
+    O(active keys) regardless of stream length.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("level", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("total", T.DoubleType())])
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0.0
+        uid = key_tuple[0]
+        out_ts, out_tot, out_lvl = [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                before = total
+                total = total + float(v)
+                if math.floor(total / threshold) > math.floor(
+                    before / threshold
+                ):
+                    out_ts.append(ts)
+                    out_tot.append(total)
+                    out_lvl.append(int(math.floor(total / threshold)))
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(out_ts),
+                "ts": out_ts,
+                "total": out_tot,
+                "level": out_lvl,
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_stream_spend_alerts_once(
+    spark: SparkSession,
+    path: str,
+    schema,
+    threshold: float = 500.0,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive the custom stateful operator with Trigger.AvailableNow and
+    return the static alert set."""
+    stream = stream_events(
+        spark, path, schema, "ts", max_files_per_trigger=max_files_per_trigger
+    )
+    alerts = spend_alert_stream(stream, threshold=threshold)
+    table = f"stream_alerts_{uuid.uuid4().hex[:8]}"
+    query = (
+        alerts.writeStream.format("memory")
         .queryName(table)
         .outputMode("append")
         .trigger(availableNow=True)

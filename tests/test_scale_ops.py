@@ -94,3 +94,59 @@ def test_token_counts_subword_arithmetic(spark):
     assert got[2] == (2, 3)
     assert got[3][1] == 0
     assert got[4] == (1, 3)
+
+
+def test_salted_groupby_matches_plain(spark):
+    """Salted two-phase aggregation == plain aggregation on a skewed
+    key distribution (90% of rows on one key)."""
+    from openeo_processes_dask_ml_spark.utils.skew import salted_groupby
+
+    rows = [("hot", float(i)) for i in range(900)] + [
+        (f"k{i % 10}", float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in salted_groupby(
+            df,
+            ["k"],
+            partial_aggs=[
+                F.count("*").alias("pn"),
+                F.sum("v").alias("ps"),
+                F.max("v").alias("pm"),
+            ],
+            merge_aggs=[
+                F.sum("pn").alias("n"),
+                F.sum("ps").alias("s"),
+                F.max("pm").alias("mx"),
+            ],
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_replicate_broadcast_join_matches_plain(spark):
+    from openeo_processes_dask_ml_spark.utils.skew import replicate_broadcast_join
+
+    big = spark.createDataFrame(
+        [("hot", float(i)) for i in range(500)]
+        + [("cold", 1.0), ("missing", 2.0)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame([("hot", 10.0), ("cold", 20.0)], ["k", "w"])
+    out = replicate_broadcast_join(big, small, ["k"], n_salts=4)
+    assert out.count() == 501  # 'missing' dropped by inner join
+    assert out.filter(F.col("k") == "hot").count() == 500
+    assert set(out.columns) == {"k", "v", "w"}
+    s = out.agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
+    want = (
+        big.join(small, "k").agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
+    )
+    assert s == want

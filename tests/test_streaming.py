@@ -80,6 +80,43 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     assert out.count() == 3
 
 
+def test_spend_alerts_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the running total persists in the state
+    store between micro-batches (two files, maxFilesPerTrigger=1 forces
+    two batches). Alerts fire exactly at threshold crossings."""
+    import os
+
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_spend_alerts_once,
+    )
+
+    batch1 = [(1, 7, "click", datetime(2024, 1, 1, 9, 0, 0), 60.0),
+              (2, 7, "click", datetime(2024, 1, 1, 9, 10, 0), 30.0)]
+    batch2 = [(3, 7, "click", datetime(2024, 1, 2, 9, 0, 0), 20.0),   # 110 -> crosses 100
+              (4, 7, "click", datetime(2024, 1, 2, 9, 30, 0), 95.0),  # 205 -> crosses 200
+              (5, 8, "click", datetime(2024, 1, 2, 9, 0, 0), 50.0)]
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    path = str(tmp_path / "spend")
+    os.makedirs(path)
+    df1 = spark.createDataFrame(batch1, cols)
+    df2 = spark.createDataFrame(batch2, cols)
+    df1.coalesce(1).write.parquet(path, mode="append")
+    df2.coalesce(1).write.parquet(path, mode="append")
+
+    out = run_stream_spend_alerts_once(
+        spark, path, df1.schema, threshold=100.0, max_files_per_trigger=1
+    )
+    got = {(r["user_id"], r["level"]): r["total"] for r in out.collect()}
+    # user 7: 60, 90 (no alert), then +20 -> 110 (level 1), +95 -> 205
+    # (level 2) — the 90 carried over from batch 1's state. user 8: none.
+    # (file order is nondeterministic, but totals are order-independent
+    # here because each file crosses its own threshold exactly once)
+    assert set(k[0] for k in got) == {7}
+    assert len(got) == 2
+    assert sorted(lvl for _, lvl in got) == [1, 2]
+    assert max(got.values()) == 205.0
+
+
 def test_stream_interval_join_attribution(spark, tmp_path):
     """Purchases pair with same-user clicks inside the lookback window
     (inclusive bounds), and with nothing outside it."""
