@@ -940,6 +940,33 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking via a Python UDTF (Spark 4
+    `udtf` + LATERAL correlated call) — the one-row-to-many splitter a
+    training pipeline runs before tokenize/embed stages."""
+    from openeo_processes_dask_ml_spark.scale.chunking import chunk_documents
+
+    return chunk_documents(
+        spark, _t(spark, sf_dir, "documents"), chunk_size=64, stride=48
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (scale, code stats, L2
+    reconstruction error) — pure Catalyst array expressions with strict
+    left folds for oracle parity."""
+    from openeo_processes_dask_ml_spark.scale.quantize import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter with per-rule audit columns."""
+    from openeo_processes_dask_ml_spark.scale.text import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.text import document_fingerprints
 
@@ -1476,6 +1503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_spend_alerts": q_streaming_spend_alerts,
+        "text_chunks": q_text_chunks,
+        "embedding_quantize": q_embedding_quantize,
+        "quality_filter": q_quality_filter,
+        # ml_fit_predict_rf's contract oracle is new this round — keep it
+        # inside the window so the upgrade from no_oracle gets verified
+        "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "mask_polygon": q_mask_polygon,
         "reduce_dimension": q_reduce_dimension,
         "aggregate_temporal_period": q_aggregate_temporal_period,
@@ -1509,7 +1542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_curve": q_predict_curve,
         "dimension_ops": q_dimension_ops,
         "ml_predict_linear": q_ml_predict_linear,
-        "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "ml_predict_tiled": q_ml_predict_tiled,
         "process_graph": q_process_graph,
         "merge_cubes": q_merge_cubes,
@@ -2627,6 +2659,83 @@ SELECT user_id, ts,
        CAST(floor(cum / 500.0) AS BIGINT) AS level
 FROM p
 WHERE floor(cum / 500.0) > floor(prev / 500.0)
+"""
+
+    sql["text_chunks"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS words
+  FROM documents
+)
+SELECT w.doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       array_to_string(words[i*48+1 : i*48+64], ' ') AS chunk_text,
+       CAST(len(words[i*48+1 : i*48+64]) AS INT) AS n_words
+FROM w, LATERAL (
+  SELECT unnest(range(0, CAST(ceil(len(words) / 48.0) AS BIGINT))) AS i
+)
+"""
+
+    sql["embedding_quantize"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT)) AS q
+  FROM s WHERE scale > 0
+)
+SELECT vec_id,
+  floor(scale * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+  list_reduce(q, (a, b) -> a + b) AS code_sum,
+  list_aggregate(q, 'min') AS code_min,
+  list_aggregate(q, 'max') AS code_max,
+  floor(sqrt(list_reduce(
+      list_transform(range(1, 65),
+                     i -> (v[i] - q[i] * scale / 127.0) * (v[i] - q[i] * scale / 127.0)),
+      (a, b) -> a + b)) * 1000000.0 + 0.5) / 1000000.0 AS err
+FROM q
+"""
+
+    sql["quality_filter"] = r"""
+WITH c AS (
+  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS c FROM documents
+), f AS (
+  SELECT doc_id, c,
+    CASE WHEN length(c) = 0 THEN 0
+         ELSE length(c) - length(replace(c, ' ', '')) + 1 END AS n_words,
+    length(replace(c, ' ', '')) AS n_chars,
+    length(c) - length(replace(c, '#', '')) AS n_hash,
+    (length(c) - length(replace(c, '...', ''))) / 3 AS n_ellipsis,
+    ' ' || lower(c) || ' ' AS padded
+  FROM c
+), g AS (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl,
+    CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) / n_words ELSE 0.0 END AS symbol_ratio,
+    (CASE WHEN length(padded) > length(replace(padded, ' the ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' a ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' and ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' of ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' in ', ' ')) THEN 1 ELSE 0 END
+    ) AS stop_hits
+  FROM f
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  floor(mean_wl * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+  floor(symbol_ratio * 1000000.0 + 0.5) / 1000000.0 AS symbol_ratio,
+  CAST(stop_hits AS INT) AS stop_hits,
+  (n_words >= 30 AND n_words <= 100000) AS ok_words,
+  (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_word_len,
+  (symbol_ratio <= 0.1) AS ok_symbols,
+  (stop_hits >= 2) AS ok_stopwords,
+  ((n_words >= 30 AND n_words <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+   AND (symbol_ratio <= 0.1) AND (stop_hits >= 2)) AS keep
+FROM g
 """
 
     sql["streaming_interval_join"] = """

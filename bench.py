@@ -41,6 +41,9 @@ HEADLINE = [
     "ann_ivf",
     "text_quality",
     "token_count",
+    "quality_filter",
+    "embedding_quantize",
+    "text_chunks",
     "ml_predict_linear",
     "ml_predict_tiled",
     "process_graph",

@@ -313,3 +313,79 @@ def document_fingerprints(
         F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint")
     )
     return fps.join(mins, "doc_id", "left")
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule filter: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio ('#' and '...'), and a distinct-
+    stopword floor. Emits the per-rule verdicts AND the combined keep
+    flag so downstream pipelines can audit why a document dropped.
+
+    Two stages with an exchange barrier between them: stage 1 is ONE
+    narrow projection over the text bytes where every regex count is
+    computed exactly once (CollapseProject would otherwise inline the
+    whitespace-collapse regex into every downstream consumer — the
+    measured ~10x recompute pitfall); stage 2 is pure scalar arithmetic
+    over ~50-byte feature rows. The tiny-feature shuffle doubles as the
+    collapse barrier AND spreads the single-file scan across cores; at
+    100 TB it moves (id, 6 ints) per KB-sized document — negligible
+    next to the scan. The DuckDB twin mirrors the formulas
+    term-for-term.
+    """
+    text = F.col(text_col)
+    c = F.regexp_replace(F.trim(text), r"\s+", " ")
+    # '#'/'...' counts and stopword indicators don't care about
+    # whitespace collapse — compute them over the raw text (one regex
+    # pass each, no shared subtree to duplicate).
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell3 = F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    stop_flags = [
+        F.lower(text).rlike(rf"(^|\s){w}(\s|$)").cast("int").alias(f"s_{w}")
+        for w in ("the", "a", "and", "of", "in")
+    ]
+    feats = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(c).alias("len_c"),
+        F.length(F.regexp_replace(c, " ", "")).alias("n_chars"),
+        n_hash.alias("n_hash"),
+        n_ell3.alias("n_ell3"),
+        *stop_flags,
+    )
+    from openeo_processes_dask_ml_spark.utils.partitioning import spread
+
+    feats = spread(feats)
+
+    n_words = F.when(F.col("len_c") == 0, F.lit(0)).otherwise(
+        F.col("len_c") - F.col("n_chars") + 1
+    )
+    mean_wl = F.when(n_words > 0, F.col("n_chars") / n_words).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0, (F.col("n_hash") + F.col("n_ell3") / 3) / n_words
+    ).otherwise(F.lit(0.0))
+    stop_hits = sum(F.col(f"s_{w}") for w in ("the", "a", "and", "of", "in"))
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
+    ok_sym = symbol_ratio <= max_symbol_ratio
+    ok_stop = stop_hits >= min_stop_hits
+    return feats.select(
+        F.col("doc_id"),
+        n_words.cast("bigint").alias("n_words"),
+        dround(mean_wl, 6).alias("mean_word_len"),
+        dround(symbol_ratio, 6).alias("symbol_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_sym & ok_stop).alias("keep"),
+    )

@@ -150,3 +150,67 @@ def test_replicate_broadcast_join_matches_plain(spark):
         big.join(small, "k").agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
     )
     assert s == want
+
+
+def test_chunk_documents_udtf(spark):
+    """UDTF chunking: overlapping word windows, short docs -> 1 chunk,
+    stride walk covers every word."""
+    from openeo_processes_dask_ml_spark.scale.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "a b c"), (3, "  ")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(spark, docs, chunk_size=16, stride=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 100 words, ceil(100/8)=13 chunks; first full, walk by 8
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert len(c1) == 13
+    assert c1[0]["chunk_text"].split(" ")[:3] == ["w0", "w1", "w2"]
+    assert c1[1]["chunk_text"].split(" ")[0] == "w8"
+    assert c1[0]["n_words"] == 16
+    assert c1[12]["n_words"] == 4  # words 96..99
+    # doc 2: 3 words -> one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    # doc 3: empty after trim -> one empty-token chunk (string_split parity)
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == ""
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from openeo_processes_dask_ml_spark.scale.quantize import (
+        quantize_embeddings,
+        quantized_codes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [2.0, 2.0, -2.0, 1.0]),
+         (3, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert set(out) == {1, 2}  # zero vector dropped
+    assert out[1]["scale"] == 1.0
+    assert out[1]["code_min"] == -127 and out[1]["code_max"] == 64
+    assert out[2]["code_min"] == -127 and out[2]["code_max"] == 127
+    # reconstruction error bounded by quantization step
+    assert all(r["err"] <= 2.0 / 254 * 2 for r in out.values())
+    codes = {r["vec_id"]: r["codes"] for r in quantized_codes(df).collect()}
+    assert codes[1] == [64, -127, 32, 0]
+
+
+def test_quality_filter_rules(spark):
+    from openeo_processes_dask_ml_spark.scale.text import quality_filter
+
+    good = "the quick brown fox and the lazy dog of winter " * 5  # 50 words
+    short = "the and of tiny"
+    symbolic = ("the and of " + "# " * 37).strip()  # 40 words, 37 hashes
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbolic)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in quality_filter(df, min_words=20).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_words"] is False
+    assert out[3]["keep"] is False and out[3]["ok_symbols"] is False
+    assert out[1]["stop_hits"] >= 3
