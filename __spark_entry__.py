@@ -516,6 +516,20 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline output: pair graph -> connected
+    components -> canonical representative per cluster (largest text,
+    ties to smallest id), every document labeled keep/drop."""
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        canonical_docs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return canonical_docs(docs, pairs)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling: per-language keep
     rates via md5-derived bucket — reproducible across engines and
@@ -741,6 +755,46 @@ def q_resample_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cube = CubeFrame(raster, {"x": "x", "y": "y"}, "value")
     out = cube.resample_spatial(4.0, "mean", align="center")
+    return out.df.select("x", "y", dround("value", 6).alias("value"))
+
+
+def q_flatten_unflatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO flatten_dimensions + unflatten_dimension round trip:
+    (time, bands) -> 'day~band' labels -> back to components, with the
+    flattened label carried alongside to prove the join format."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy(
+        F.dayofmonth("ts").alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    cube = CubeFrame(base, {"time": "day", "bands": "event_type"}, "value")
+    flat = cube.flatten_dimensions(["time", "bands"], "slice")
+    flat = flat.with_df(
+        flat.df.withColumn("slice_label", F.col(flat.dim_col("slice")))
+    )
+    unf = flat.unflatten_dimension("slice", ["time", "bands"])
+    return unf.df.select(
+        F.col("slice_label").alias("slice"),
+        F.col(unf.dim_col("time")).alias("day"),
+        F.col(unf.dim_col("bands")).alias("band"),
+        F.col("value").alias("n"),
+    )
+
+
+def q_aggregate_spatial_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO aggregate_spatial_window: mean over non-overlapping 8x8
+    pixel windows of a 64x64 event-count raster; trim boundary keeps
+    only full windows (all full here — exercised branch, stable rows)."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    events = _t(spark, sf_dir, "events")
+    raster = events.groupBy(
+        (F.col("user_id") % 64).cast("double").alias("x"),
+        (F.floor(F.col("user_id") / 64) % 64).cast("double").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    cube = CubeFrame(raster, {"x": "x", "y": "y"}, "value")
+    out = cube.aggregate_spatial_window("mean", [8, 8], boundary="pad")
     return out.df.select("x", "y", dround("value", 6).alias("value"))
 
 
@@ -1506,6 +1560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "embedding_quantize": q_embedding_quantize,
         "quality_filter": q_quality_filter,
+        "dedup_canonical": q_dedup_canonical,
+        "flatten_unflatten": q_flatten_unflatten,
+        "aggregate_spatial_window": q_aggregate_spatial_window,
         # ml_fit_predict_rf's contract oracle is new this round — keep it
         # inside the window so the upgrade from no_oracle gets verified
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
@@ -2659,6 +2716,79 @@ SELECT user_id, ts,
        CAST(floor(cum / 500.0) AS BIGINT) AS level
 FROM p
 WHERE floor(cum / 500.0) > floor(prev / 500.0)
+"""
+
+
+    sql["dedup_canonical"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM toks WHERE len(toks) >= 3
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sh sa ON id_a = sa.doc_id
+  JOIN sh sb ON id_b = sb.doc_id
+  WHERE shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r
+  FROM reach JOIN edges e ON e.a = reach.node
+), clu AS (
+  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN clu c ON d.doc_id = c.doc_id
+), ranked AS (
+  SELECT doc_id, cluster_id,
+         first_value(doc_id) OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id) AS canonical_id
+  FROM labeled
+)
+SELECT doc_id, cluster_id, canonical_id,
+       doc_id = canonical_id AS is_canonical
+FROM ranked
+"""
+
+
+    sql["flatten_unflatten"] = """
+WITH c AS (
+  SELECT day(ts) AS day, event_type, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(day AS VARCHAR) || '~' || event_type AS slice,
+       CAST(day AS VARCHAR) AS day,
+       event_type AS band,
+       n
+FROM c
+"""
+
+    sql["aggregate_spatial_window"] = """
+WITH raster AS (
+  SELECT CAST(user_id % 64 AS DOUBLE) AS x,
+         CAST(CAST(floor(user_id / 64) AS BIGINT) % 64 AS DOUBLE) AS y,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT floor(x / 8.0) AS x, floor(y / 8.0) AS y,
+       floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM raster GROUP BY 1, 2
 """
 
     sql["text_chunks"] = r"""

@@ -623,6 +623,96 @@ class CubeFrame:
             out = F.when(expr == F.lit(s), F.lit(t)).otherwise(out)
         return self.with_df(self.df.withColumn(dcol, out))
 
+    def flatten_dimensions(
+        self,
+        dimensions: Sequence[str],
+        target_dimension: str,
+        label_separator: str = "~",
+    ) -> "CubeFrame":
+        """openEO flatten_dimensions: combine several dims into one
+        whose labels are the separator-joined component labels. Pure
+        projection (concat_ws) — no shuffle, no data movement; the
+        flattened cube keeps the same row count."""
+        if target_dimension in self.dims:
+            raise ValueError(
+                f"flatten_dimensions: target {target_dimension!r} exists "
+                "(TargetDimensionExists)"
+            )
+        names = [self.dim_name(d) for d in dimensions]
+        cols = [self.dims[n] for n in names]
+        new_col = f"__dim_{target_dimension}"
+        expr = F.concat_ws(
+            label_separator, *[F.col(c).cast("string") for c in cols]
+        )
+        dims = {k: v for k, v in self.dims.items() if k not in names}
+        dims[target_dimension] = new_col
+        return CubeFrame(
+            self.df.withColumn(new_col, expr).drop(*cols),
+            dims,
+            self.value_col,
+            dict(self.attrs),
+        )
+
+    def unflatten_dimension(
+        self,
+        dimension: str,
+        target_dimensions: Sequence[str],
+        label_separator: str = "~",
+    ) -> "CubeFrame":
+        """openEO unflatten_dimension: split a flattened dim back into
+        components (string labels — the flatten/unflatten pair is
+        label-preserving, not dtype-preserving, matching the spec's
+        string label_separator join). Pure projection."""
+        import re as _re
+
+        dname = self.dim_name(dimension)
+        dcol = self.dims[dname]
+        for t in target_dimensions:
+            if t in self.dims and t != dname:
+                raise ValueError(
+                    f"unflatten_dimension: target {t!r} exists"
+                )
+        parts = F.split(F.col(dcol), _re.escape(label_separator))
+        df = self.df
+        dims = {k: v for k, v in self.dims.items() if k != dname}
+        for i, t in enumerate(target_dimensions):
+            col = f"__dim_{t}"
+            df = df.withColumn(col, parts[i])
+            dims[t] = col
+        return CubeFrame(df.drop(dcol), dims, self.value_col, dict(self.attrs))
+
+    def aggregate_spatial_window(
+        self,
+        reducer: str | Callable[[Column], Column],
+        size: Sequence[float],
+        boundary: str = "pad",
+    ) -> "CubeFrame":
+        """openEO aggregate_spatial_window: reduce non-overlapping
+        ``size = [sx, sy]`` pixel windows; output labels are the window
+        indices. One hash aggregation keyed on (other dims, wx, wy) —
+        map-side partial aggregation makes it a single balanced shuffle
+        of one row per output window at any scale. ``boundary='trim'``
+        keeps only full windows (cell count == sx*sy), computed in the
+        same aggregation — no second pass."""
+        sx, sy = float(size[0]), float(size[1])
+        xcol, ycol = self.dim_col("x"), self.dim_col("y")
+        red = resolve_reducer(reducer)
+        others = [c for c in self.dim_cols if c not in (xcol, ycol)]
+        wx = F.floor(F.col(xcol) / sx).cast("double")
+        wy = F.floor(F.col(ycol) / sy).cast("double")
+        agg = (
+            self.df.groupBy(*others, wx.alias(xcol), wy.alias(ycol))
+            .agg(
+                red(F.col(self.value_col)).alias(self.value_col),
+                F.count(F.lit(1)).alias("__cells"),
+            )
+        )
+        if boundary == "trim":
+            agg = agg.filter(F.col("__cells") == int(sx * sy))
+        elif boundary != "pad":
+            raise ValueError(f"aggregate_spatial_window: boundary {boundary!r}")
+        return self.with_df(agg.drop("__cells"))
+
     def dimension_labels(self, dimension: str) -> DataFrame:
         """openEO dimension_labels: the distinct labels of one dim,
         sorted — returned as a DataFrame (stays distributed; collect at

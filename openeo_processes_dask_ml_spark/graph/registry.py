@@ -428,6 +428,27 @@ def _register_cubes(reg: ProcessRegistry) -> None:
     def p_trim_cube(args, ctx):
         return args["data"].trim_cube()
 
+    def p_flatten_dimensions(args, ctx):
+        return args["data"].flatten_dimensions(
+            args["dimensions"],
+            args["target_dimension"],
+            args.get("label_separator") or "~",
+        )
+
+    def p_unflatten_dimension(args, ctx):
+        return args["data"].unflatten_dimension(
+            args["dimension"],
+            args["target_dimensions"],
+            args.get("label_separator") or "~",
+        )
+
+    def p_aggregate_spatial_window(args, ctx):
+        return args["data"].aggregate_spatial_window(
+            _as_reducer(args["reducer"]),
+            args["size"],
+            boundary=args.get("boundary", "pad"),
+        )
+
     def p_apply_kernel(args, ctx):
         from openeo_processes_dask_ml_spark.operators.kernel import apply_kernel
 
@@ -485,6 +506,9 @@ def _register_cubes(reg: ProcessRegistry) -> None:
     reg.register("rename_labels", p_rename_labels)
     reg.register("dimension_labels", p_dimension_labels)
     reg.register("trim_cube", p_trim_cube)
+    reg.register("flatten_dimensions", p_flatten_dimensions)
+    reg.register("unflatten_dimension", p_unflatten_dimension)
+    reg.register("aggregate_spatial_window", p_aggregate_spatial_window)
     reg.register("apply_kernel", p_apply_kernel)
     reg.register("apply_neighborhood", p_apply_neighborhood)
     reg.register("aggregate_temporal", p_aggregate_temporal)

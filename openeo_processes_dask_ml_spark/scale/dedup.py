@@ -494,3 +494,45 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Complete the dedup pipeline: cluster the pair graph, then pick
+    one canonical representative per cluster (largest ``size_col``,
+    ties to the smallest id) and label EVERY document with its cluster,
+    its canonical id, and whether it is the keeper. Unclustered
+    documents are their own singleton cluster.
+
+    Shape at scale: connected components (see
+    :func:`duplicate_clusters`) + one left join to attach labels + ONE
+    window over ``cluster_id`` — ``first_value`` over the ordered
+    window yields the canonical id without a second join, so the whole
+    selection step is a single shuffle keyed on cluster_id. Cluster
+    sizes are near-dup group sizes (small, bounded), so no skew salt is
+    needed.
+    """
+    from pyspark.sql import Window
+
+    clusters = duplicate_clusters(pairs)
+    labeled = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(size_col).alias("__sz"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("__sz"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out = labeled.withColumn("canonical_id", F.first("doc_id").over(w))
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )

@@ -1,0 +1,44 @@
+
+
+def test_flatten_unflatten_roundtrip(spark):
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    df = spark.createDataFrame(
+        [(1, "red", 10.0), (1, "nir", 20.0), (2, "red", 30.0)],
+        ["t", "band", "value"],
+    )
+    cube = CubeFrame(df, {"time": "t", "bands": "band"}, "value")
+    flat = cube.flatten_dimensions(["time", "bands"], "slice")
+    labels = {r[0] for r in flat.df.select(flat.dim_col("slice")).collect()}
+    assert labels == {"1~red", "1~nir", "2~red"}
+    unf = flat.unflatten_dimension("slice", ["time", "bands"])
+    rows = {
+        (r[unf.dim_col("time")], r[unf.dim_col("bands")], r["value"])
+        for r in unf.df.collect()
+    }
+    assert rows == {("1", "red", 10.0), ("1", "nir", 20.0), ("2", "red", 30.0)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        cube.flatten_dimensions(["time"], "bands")
+
+
+def test_aggregate_spatial_window_trim_and_pad(spark):
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    # 3x2 raster, 2x2 windows: window (0,0) full, window (1,0) has
+    # only x=2 column (2 cells) -> trimmed
+    rows = [(float(x), float(y), float(10 * x + y)) for x in range(3) for y in range(2)]
+    cube = CubeFrame(
+        spark.createDataFrame(rows, ["x", "y", "value"]),
+        {"x": "x", "y": "y"},
+        "value",
+    )
+    pad = {
+        (r["x"], r["y"]): r["value"]
+        for r in cube.aggregate_spatial_window("mean", [2, 2], "pad").df.collect()
+    }
+    assert pad[(0.0, 0.0)] == (0.0 + 1.0 + 10.0 + 11.0) / 4
+    assert pad[(1.0, 0.0)] == (20.0 + 21.0) / 2
+    trim = cube.aggregate_spatial_window("mean", [2, 2], "trim").df.collect()
+    assert {(r["x"], r["y"]) for r in trim} == {(0.0, 0.0)}
