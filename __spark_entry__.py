@@ -530,6 +530,14 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_docs(docs, pairs)
 
 
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup: shared-shingle Jaccard prefilter -> exact
+    Levenshtein verify on candidates only (JVM builtin both engines)."""
+    from openeo_processes_dask_ml_spark.scale.dedup import fuzzy_dedup_pairs
+
+    return fuzzy_dedup_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling: per-language keep
     rates via md5-derived bucket — reproducible across engines and
@@ -1561,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "quality_filter": q_quality_filter,
         "dedup_canonical": q_dedup_canonical,
+        "dedup_fuzzy": q_dedup_fuzzy,
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
         # ml_fit_predict_rf's contract oracle is new this round — keep it
@@ -2789,6 +2798,44 @@ WITH raster AS (
 SELECT floor(x / 8.0) AS x, floor(y / 8.0) AS y,
        floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS value
 FROM raster GROUP BY 1, 2
+"""
+
+
+    sql["dedup_fuzzy"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM toks WHERE len(toks) >= 3
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), cands AS (
+  SELECT id_a, id_b,
+         shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) AS jraw
+  FROM shared
+  JOIN sh sa ON id_a = sa.doc_id
+  JOIN sh sb ON id_b = sb.doc_id
+  WHERE shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.3
+), nt AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents
+), verified AS (
+  SELECT id_a, id_b,
+         floor(jraw * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+         CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_dist,
+         floor((levenshtein(ta.t, tb.t)::DOUBLE
+                / greatest(length(ta.t), length(tb.t))) * 1000000.0 + 0.5)
+           / 1000000.0 AS norm_dist
+  FROM cands
+  JOIN nt ta ON id_a = ta.doc_id
+  JOIN nt tb ON id_b = tb.doc_id
+)
+SELECT * FROM verified WHERE norm_dist <= 0.4
 """
 
     sql["text_chunks"] = r"""

@@ -44,6 +44,7 @@ HEADLINE = [
     "quality_filter",
     "embedding_quantize",
     "text_chunks",
+    "dedup_fuzzy",
     "ml_predict_linear",
     "ml_predict_tiled",
     "process_graph",

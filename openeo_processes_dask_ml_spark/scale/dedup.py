@@ -536,3 +536,59 @@ def canonical_docs(
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+def fuzzy_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    candidate_jaccard: float = 0.3,
+    max_norm_dist: float = 0.4,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with a Jaccard prefilter: candidate
+    pairs come from the shared-shingle inverted index (never O(n^2)),
+    and only candidates pay the O(len_a * len_b) Levenshtein verify —
+    the standard fuzzy-dedup shape (cheap sketch recall, exact verify
+    precision).
+
+    The verify metric is the length-normalized edit distance over the
+    whitespace-normalized lowercased text, computed JVM-side with the
+    builtin ``levenshtein`` (DuckDB's builtin matches character-for-
+    character, keeping the oracle exact). At corpus scale the verify
+    joins shuffle only the candidate pairs plus two text lookups keyed
+    on doc id.
+    """
+    cands = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, threshold=candidate_jaccard
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    texts = df.select(F.col(id_col).alias("doc_id"), norm.alias("t"))
+    paired = (
+        cands.join(
+            texts.select(
+                F.col("doc_id").alias("id_a"), F.col("t").alias("ta")
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("id_b"), F.col("t").alias("tb")
+            ),
+            "id_b",
+        )
+    )
+    dist = F.levenshtein("ta", "tb")
+    norm_dist = dist.cast("double") / F.greatest(
+        F.length("ta"), F.length("tb")
+    )
+    return (
+        paired.select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            dist.cast("bigint").alias("edit_dist"),
+            dround(norm_dist, 6).alias("norm_dist"),
+        )
+        .filter(F.col("norm_dist") <= max_norm_dist)
+    )
