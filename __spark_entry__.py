@@ -806,6 +806,48 @@ def q_aggregate_spatial_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df.select("x", "y", dround("value", 6).alias("value"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    3-gram with the held-out eval slice (doc_id % 97 == 0) are flagged
+    with hit counts. Blocklist is broadcast; corpus never shuffles."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, eval_docs, n=3)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-language token streams
+    cut into 256-token context windows; per doc emits its chunk span
+    and whether it crosses a window boundary. Pure prefix-sum window."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), capacity=256)
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash shard assignment for training export:
+    per-shard doc/token totals and id ranges. One hash agg over a scan."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import training_shards
+
+    return training_shards(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: 3 longest documents per (lang, source) by
+    n_chars, doc_id tie-break — row_number window, no global sort."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import top_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return top_per_group(
+        docs, ["lang", "source"], "n_chars", k=3, tiebreak_col="doc_id"
+    )
+
+
 def q_quantiles_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """openEO quantiles + extrema reducers: exact linear-interpolated
     quartiles and [min, max] of event value per event_type."""
@@ -1572,19 +1614,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy": q_dedup_fuzzy,
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "training_shards": q_training_shards,
+        "topk_per_group": q_topk_per_group,
         # ml_fit_predict_rf's contract oracle is new this round — keep it
         # inside the window so the upgrade from no_oracle gets verified
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "mask_polygon": q_mask_polygon,
-        "reduce_dimension": q_reduce_dimension,
-        "aggregate_temporal_period": q_aggregate_temporal_period,
-        "ndvi_bandmath": q_ndvi_bandmath,
         "mask": q_mask,
         "array_interpolate_linear": q_interpolate,
         "scale_values": q_scale_values,
         "aggregate_spatial": q_aggregate_spatial,
         "rollup_revenue": q_rollup_revenue,
-        "window_running_sum": q_window_running_sum,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1628,6 +1670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_unary": q_apply_unary,
         "doc_fingerprint": q_doc_fingerprint,
         "text_language_id": q_text_language_id,
+        "reduce_dimension": q_reduce_dimension,
+        "aggregate_temporal_period": q_aggregate_temporal_period,
+        "ndvi_bandmath": q_ndvi_bandmath,
+        "window_running_sum": q_window_running_sum,
     }
 
 
@@ -2836,6 +2882,70 @@ WITH toks AS (
   JOIN nt tb ON id_b = tb.doc_id
 )
 SELECT * FROM verified WHERE norm_dist <= 0.4
+"""
+
+    sql["decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+  FROM toks WHERE len(t) >= 3
+), ev AS (
+  SELECT DISTINCT unnest(gs) AS shingle FROM g WHERE doc_id % 97 = 0
+), tr AS (
+  SELECT doc_id, unnest(gs) AS shingle FROM g WHERE doc_id % 97 != 0
+)
+SELECT tr.doc_id AS doc_id, count(*) AS n_hits, min(tr.shingle) AS sample_gram
+FROM tr JOIN ev USING (shingle)
+GROUP BY 1
+"""
+
+    sql["pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id, lang AS stream,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, stream, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_end
+  FROM t
+)
+SELECT doc_id, stream, n_tokens,
+       CAST(stream_end - n_tokens AS BIGINT) AS stream_start,
+       CAST(floor((stream_end - n_tokens) / 256.0) AS BIGINT) AS first_chunk,
+       CAST(floor((stream_end - 1) / 256.0) AS BIGINT) AS last_chunk,
+       CAST(floor((stream_end - 1) / 256.0)
+            - floor((stream_end - n_tokens) / 256.0) + 1 AS BIGINT) AS n_chunks,
+       floor((stream_end - 1) / 256.0)
+           > floor((stream_end - n_tokens) / 256.0) AS crosses_boundary
+FROM c
+"""
+
+    sql["training_shards"] = r"""
+WITH s AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 15))::BIGINT
+             % 16 AS shard,
+         doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS nt
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM s GROUP BY 1
+"""
+
+    sql["topk_per_group"] = r"""
+WITH r AS (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+             PARTITION BY lang, source
+             ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars, rk FROM r WHERE rk <= 3
 """
 
     sql["text_chunks"] = r"""

@@ -45,6 +45,9 @@ HEADLINE = [
     "embedding_quantize",
     "text_chunks",
     "dedup_fuzzy",
+    "decontaminate",
+    "pack_sequences",
+    "training_shards",
     "ml_predict_linear",
     "ml_predict_tiled",
     "process_graph",

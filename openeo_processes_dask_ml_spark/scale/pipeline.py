@@ -1,0 +1,203 @@
+"""Training-data pipeline operators: decontamination, sequence
+packing, shard export, per-group top-k.
+
+These are the corpus-preparation steps that sit between dedup/quality
+filtering (scale/dedup.py, scale/text.py) and the training job itself.
+All are built for the 100 TB shape:
+
+- decontaminate: the benchmark blocklist is tiny relative to the
+  corpus (MBs of eval n-grams vs TBs of training text), so the
+  blocklist side is broadcast and the corpus is scanned exactly once —
+  no corpus shuffle at all.
+- pack_sequences: concat-and-chunk packing (the standard LLM
+  pretraining layout — documents are concatenated per stream and the
+  token stream is sliced into fixed-size context windows, documents
+  crossing chunk boundaries). A pure prefix-sum window per stream key:
+  one shuffle, no Python.
+- training_shards: deterministic md5-hash shard assignment — stable
+  across runs and engines, so a re-run writes byte-identical shard
+  membership. One hash agg for the stats; the writer pays one
+  repartition (the shuffle that buys shard-aligned files).
+- top_per_group: the grouped top-k pattern (row_number over a
+  per-group window with an id tie-break) — returns k rows per group
+  without a global sort.
+
+Hashes derive from md5 so the DuckDB oracle replicates them
+bit-for-bit (see scale/dedup.py::hash60).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.scale.dedup import hash60, shingle_rows, tokens_expr
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with the
+    evaluation set (benchmark decontamination, as in GPT-3 appendix C /
+    Gopher section A.3 — those use n=13; the synthetic test corpus is
+    short-doc so tests use n=3).
+
+    Shape: the eval side collapses to DISTINCT n-grams (the blocklist)
+    and is broadcast; the training corpus explodes to (doc_id, gram)
+    rows once (paying the one shingle-window shuffle every shingle op
+    pays) and equi-joins the blocklist map-side — the join itself moves
+    no corpus data, and the final aggregation only sees matching rows
+    (corpus-tiny).
+
+    Returns one row per contaminated doc: ``doc_id``, ``n_hits`` (how
+    many distinct blocklisted grams appear in it), ``sample_gram``
+    (lexicographic min, for auditability).
+    """
+    blocklist = (
+        shingle_rows(eval_docs, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    grams = shingle_rows(train, text_col, id_col, n)
+    return (
+        grams.join(F.broadcast(blocklist), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("shingle").alias("sample_gram"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: per stream (``stream_col``),
+    documents are laid end-to-end in ``id_col`` order and the token
+    stream is cut into context windows of ``capacity`` tokens.
+
+    Emits, per document: its token count, its byte-offset analogue
+    ``stream_start`` (tokens before it in the stream), the first and
+    last chunk indexes it lands in, how many chunks it spans, and
+    whether it crosses a chunk boundary (the fraction of
+    boundary-crossing docs is the packing-efficiency metric).
+
+    Pure prefix sum: one window shuffle keyed on the stream. At 100 TB
+    the stream key should include a shard component (a global
+    single-stream cumsum would serialize); ``training_shards`` provides
+    exactly that key.
+    """
+    n_tokens = F.size(tokens_expr(F.col(text_col)))
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_end = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stream_col).alias("stream"),
+        n_tokens.alias("n_tokens"),
+        F.sum(n_tokens).over(w).alias("stream_end"),
+    )
+    start = (F.col("stream_end") - F.col("n_tokens")).alias("stream_start")
+    first_chunk = F.floor((F.col("stream_end") - F.col("n_tokens")) / capacity)
+    last_chunk = F.floor((F.col("stream_end") - 1) / capacity)
+    return with_end.select(
+        "doc_id",
+        "stream",
+        "n_tokens",
+        start,
+        first_chunk.alias("first_chunk"),
+        last_chunk.alias("last_chunk"),
+        (last_chunk - first_chunk + 1).alias("n_chunks"),
+        (last_chunk > first_chunk).alias("crosses_boundary"),
+    )
+
+
+def shard_expr(id_col: str, n_shards: int) -> F.Column:
+    """Deterministic shard id in [0, n_shards): md5-derived, engine-
+    portable (DuckDB: ``('0x'||substr(md5(id||'#shard'),1,15))::BIGINT
+    % n``)."""
+    return (
+        hash60(F.col(id_col).cast("string"), "shard") % F.lit(n_shards)
+    ).alias("shard")
+
+
+def training_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard statistics for a deterministic hash-sharded export:
+    doc count, token total, id range. One hash aggregation (map-side
+    combine shrinks each partition to ``n_shards`` rows before the
+    shuffle), so this scales as a pure scan."""
+    n_tokens = F.size(tokens_expr(F.col(text_col)))
+    return (
+        df.select(shard_expr(id_col, n_shards), F.col(id_col), n_tokens.alias("nt"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the sharded training layout: one directory per
+    shard (``shard=K/``), rows sorted by id within each shard so a
+    reader streams deterministically. The single repartition on the
+    shard column is the only shuffle — it aligns file boundaries with
+    shard boundaries so each training worker reads exactly its files.
+    """
+    (
+        df.withColumn("shard", shard_expr(id_col, n_shards))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def top_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int = 3,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group via row_number — the scalable grouped
+    top-k (each group's window sorts locally after one hash partition;
+    no global sort, no collect). A deterministic tie-break column keeps
+    ranks engine-portable (memory: rankings need an id tie-break)."""
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    keys = [order]
+    if tiebreak_col is not None:
+        keys.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*keys)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("rk", F.col("rk").cast("bigint"))
+    )

@@ -1,0 +1,100 @@
+"""Training-data pipeline ops: decontamination, packing, sharding,
+grouped top-k (scale/pipeline.py)."""
+
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.scale.pipeline import (
+    decontaminate,
+    pack_sequences,
+    top_per_group,
+    training_shards,
+    write_training_shards,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps", "en"),  # shares 'quick brown fox'
+            (2, "totally unrelated words here", "en"),
+            (3, "a quick brown fox too", "en"),
+        ],
+    )
+    eval_docs = _docs(spark, [(100, "quick brown fox", "en")])
+    out = decontaminate(train, eval_docs, n=3).collect()
+    hit = {r["doc_id"]: r for r in out}
+    assert set(hit) == {1, 3}
+    assert hit[1]["n_hits"] == 1
+    assert hit[1]["sample_gram"] == "quick brown fox"
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # the same blocklisted gram repeated in a doc counts once
+    train = _docs(spark, [(1, "x y z x y z", "en")])
+    eval_docs = _docs(spark, [(9, "x y z", "en")])
+    out = decontaminate(train, eval_docs, n=3).collect()
+    assert len(out) == 1 and out[0]["n_hits"] == 1
+
+
+def test_pack_sequences_chunk_spans(spark):
+    # capacity 4; stream 'en' docs of 3,3,2 tokens -> ends 3,6,8
+    df = _docs(
+        spark,
+        [(1, "a b c", "en"), (2, "d e f", "en"), (3, "g h", "en"),
+         (4, "k l m n o", "fr")],
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, capacity=4).collect()}
+    r1, r2, r3, r4 = out[1], out[2], out[3], out[4]
+    assert (r1["stream_start"], r1["first_chunk"], r1["last_chunk"]) == (0, 0, 0)
+    # doc 2 spans tokens [3,6) -> chunks 0..1, crosses the boundary
+    assert (r2["first_chunk"], r2["last_chunk"], r2["n_chunks"]) == (0, 1, 2)
+    assert r2["crosses_boundary"]
+    # doc 3 spans [6,8) -> chunk 1 only
+    assert (r3["first_chunk"], r3["last_chunk"]) == (1, 1)
+    assert not r3["crosses_boundary"]
+    # fr stream starts fresh: 5 tokens spans chunks 0..1
+    assert (r4["stream_start"], r4["n_chunks"]) == (0, 2)
+
+
+def test_training_shards_partition_and_stats(spark):
+    df = _docs(spark, [(i, "w " * (i + 1), "en") for i in range(40)])
+    stats = training_shards(df, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in stats) == 40
+    assert set(r["shard"] for r in stats) <= {0, 1, 2, 3}
+    # deterministic: same assignment on re-run
+    again = {r["shard"]: r["n_docs"] for r in training_shards(df, 4).collect()}
+    assert again == {r["shard"]: r["n_docs"] for r in stats}
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    df = _docs(spark, [(i, f"doc {i}", "en") for i in range(20)])
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 20
+    assert "shard" in back.columns
+    # membership matches the stats op exactly
+    stats = {r["shard"]: r["n_docs"]
+             for r in training_shards(df, 4).collect()}
+    written = {r["shard"]: r["n"]
+               for r in back.groupBy("shard").agg(
+                   F.count(F.lit(1)).alias("n")).collect()}
+    assert written == stats
+
+
+def test_top_per_group_ranks_with_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "a", 5), (4, "b", 1)],
+        ["doc_id", "g", "v"],
+    )
+    out = top_per_group(df, ["g"], "v", k=2, tiebreak_col="doc_id").collect()
+    got = {(r["g"], r["rk"]): r["doc_id"] for r in out}
+    # equal v=10 resolved by ascending doc_id
+    assert got[("a", 1)] == 1 and got[("a", 2)] == 2
+    assert got[("b", 1)] == 4
+    assert ("a", 3) not in got
