@@ -105,6 +105,18 @@ def _register_scalars(reg: ProcessRegistry) -> None:
     reg.register("arctan", lambda a, c: F.atan(_c(a["x"])))
     reg.register("pi", lambda a, c: F.lit(3.141592653589793))
     reg.register("e", lambda a, c: F.lit(2.718281828459045))
+    # openEO arctan2(y, x): angle of the vector (x, y)
+    reg.register("arctan2", lambda a, c: F.atan2(_c(a["y"]), _c(a["x"])))
+    reg.register("sinh", lambda a, c: F.sinh(_c(a["x"])))
+    reg.register("cosh", lambda a, c: F.cosh(_c(a["x"])))
+    reg.register("tanh", lambda a, c: F.tanh(_c(a["x"])))
+    reg.register("arsinh", lambda a, c: F.asinh(_c(a["x"])))
+    reg.register("arcosh", lambda a, c: F.acosh(_c(a["x"])))
+    reg.register("artanh", lambda a, c: F.atanh(_c(a["x"])))
+    reg.register(
+        "is_infinite",
+        lambda a, c: F.abs(_c(a["x"]).cast("double")) == F.lit(float("inf")),
+    )
     reg.register("is_nan", lambda a, c: F.isnan(_c(a["x"])))
     reg.register("is_nodata", lambda a, c: _c(a["x"]).isNull())
     reg.register("is_valid", lambda a, c: _c(a["x"]).isNotNull() & ~F.isnan(_c(a["x"])))
@@ -166,6 +178,38 @@ def _register_scalars(reg: ProcessRegistry) -> None:
         "array_append",
         lambda a, c: F.concat(a["data"], F.array(_c(a["value"]))),
     )
+    # openEO array_labels: label list of the array — 0-based indices for
+    # unlabeled arrays (the only array representation here)
+    reg.register(
+        "array_labels",
+        lambda a, c: F.sequence(F.lit(0), F.size(a["data"]) - 1),
+    )
+
+    # openEO array_modify: replace/insert/remove a segment —
+    # data[0:index] ++ values ++ data[index+length:]
+    def p_array_modify(args, ctx):
+        data = args["data"]
+        values = args.get("values")
+        index = int(args["index"])
+        length = int(args.get("length", 1))
+        head = F.slice(data, 1, index)
+        tail = F.slice(
+            data,
+            index + length + 1,
+            F.greatest(F.size(data) - (index + length), F.lit(0)),
+        )
+        parts = [head]
+        if values is not None:
+            vals = (
+                values
+                if isinstance(values, Column)
+                else F.array(*[_c(v) for v in values])
+            )
+            parts.append(vals)
+        parts.append(tail)
+        return F.concat(*parts)
+
+    reg.register("array_modify", p_array_modify)
     reg.register(
         "all",
         lambda a, c: F.aggregate(
@@ -200,6 +244,16 @@ def _register_scalars(reg: ProcessRegistry) -> None:
         raise ValueError(f"unsupported date_shift unit {unit!r}")
 
     reg.register("date_shift", p_date_shift)
+    # openEO date_between: x in [min, max], exclude_max makes the upper
+    # bound exclusive
+    def p_date_between(args, ctx):
+        t = _c(args["x"]).cast("timestamp")
+        lo = _c(args["min"]).cast("timestamp")
+        hi = _c(args["max"]).cast("timestamp")
+        upper = (t < hi) if args.get("exclude_max", False) else (t <= hi)
+        return (t >= lo) & upper
+
+    reg.register("date_between", p_date_between)
     reg.register(
         "date_difference",
         lambda a, c: (
@@ -276,7 +330,8 @@ def _register_scalars(reg: ProcessRegistry) -> None:
         ),
     )
     # reducers inside sub-graphs: data is bound to the value Column
-    for name in ("median", "mean", "sum", "min", "max", "sd", "variance", "count", "product"):
+    for name in ("median", "mean", "sum", "min", "max", "sd", "variance",
+                 "count", "product", "first", "last", "extrema"):
         def impl(args, ctx, name=name):
             return REDUCERS[name](_c(args["data"]))
 
@@ -500,6 +555,38 @@ def _register_cubes(reg: ProcessRegistry) -> None:
             args["dimension"], args["probabilities"]
         )
 
+    def p_mask_polygon(args, ctx):
+        from openeo_processes_dask_ml_spark.operators.aggregate import (
+            mask_polygon,
+        )
+
+        return mask_polygon(
+            args["data"],
+            args["mask"],
+            replacement=args.get("replacement"),
+            inside=args.get("inside", False),
+        )
+
+    def p_filter_spatial(args, ctx):
+        from openeo_processes_dask_ml_spark.operators.aggregate import (
+            filter_spatial,
+        )
+
+        return filter_spatial(args["data"], args["geometries"])
+
+    def p_apply_polygon(args, ctx):
+        from openeo_processes_dask_ml_spark.operators.aggregate import (
+            apply_polygon,
+        )
+
+        cb = args["process"]
+        return apply_polygon(
+            args["data"],
+            args["polygons"],
+            lambda col: _c(cb(x=col)),
+            mask_value=args.get("mask_value"),
+        )
+
     reg.register("add_dimension", p_add_dimension)
     reg.register("drop_dimension", p_drop_dimension)
     reg.register("rename_dimension", p_rename_dimension)
@@ -517,6 +604,9 @@ def _register_cubes(reg: ProcessRegistry) -> None:
     reg.register("anomaly", p_anomaly)
     reg.register("resample_spatial", p_resample_spatial)
     reg.register("quantiles", p_quantiles_cube)
+    reg.register("mask_polygon", p_mask_polygon)
+    reg.register("filter_spatial", p_filter_spatial)
+    reg.register("apply_polygon", p_apply_polygon)
     reg.register("filter_bbox", p_filter_bbox)
     reg.register("apply_dimension", p_apply_dimension)
     reg.register("resample_cube_temporal", p_resample_cube_temporal)

@@ -108,6 +108,26 @@ def filter_spatial(
     return cube.with_df(cube.df.join(F.broadcast(covered), [xcol, ycol], "inner"))
 
 
+def _parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
+    inner = wkt[wkt.index("((") + 2 : wkt.index("))")]
+    return [
+        (float(p.split()[0]), float(p.split()[1])) for p in inner.split(",")
+    ]
+
+
+def _contains(px: float, py: float, ring: list[tuple[float, float]]) -> bool:
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            if px < xin:
+                inside = not inside
+    return inside
+
+
 def assign_cells_to_zones(
     spark_cells: DataFrame,
     x_col: str,
@@ -125,25 +145,7 @@ def assign_cells_to_zones(
     import pandas as pd  # noqa: F401 (annotation resolution for pandas_udf)
     from pyspark.sql import types as T
 
-    def _parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
-        inner = wkt[wkt.index("((") + 2 : wkt.index("))")]
-        return [
-            (float(p.split()[0]), float(p.split()[1])) for p in inner.split(",")
-        ]
-
     polys = [(zid, _parse_wkt_polygon(w)) for zid, w in zones_wkt]
-
-    def _contains(px: float, py: float, ring: list[tuple[float, float]]) -> bool:
-        inside = False
-        n = len(ring)
-        for i in range(n):
-            x1, y1 = ring[i]
-            x2, y2 = ring[(i + 1) % n]
-            if (y1 > py) != (y2 > py):
-                xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
-                if px < xin:
-                    inside = not inside
-        return inside
 
     def _zone_of(xs, ys):
         out = []
@@ -165,3 +167,62 @@ def assign_cells_to_zones(
     return grid.withColumn("zone_id", zone_of(F.col(x_col), F.col(y_col))).filter(
         F.col("zone_id") >= 0
     )
+
+
+def apply_polygon(
+    cube: "CubeFrame",
+    zones_wkt: list[tuple[int, str]],
+    process,
+    mask_value=None,
+    x_dim: str = "x",
+    y_dim: str = "y",
+) -> "CubeFrame":
+    """openEO apply_polygon: apply ``process`` (Column -> Column) to all
+    cells whose center falls inside a polygon; cells outside every
+    polygon are set to ``mask_value`` (null by default, per spec).
+    Overlapping polygons raise, matching the spec's GeometriesOverlap
+    exception (reference delegates to openeo-processes-dask's
+    apply_polygon with the same contract).
+
+    Scale shape: the polygon test and the overlap check both run on the
+    DISTINCT grid (raster-resolution-sized, not row-count-sized); the
+    labeled grid broadcasts back onto the cube, which never shuffles.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    xcol, ycol = cube.dim_col(x_dim), cube.dim_col(y_dim)
+    polys = [(zid, _parse_wkt_polygon(w)) for zid, w in zones_wkt]
+
+    def _hits_of(xs, ys):
+        out = []
+        for px, py in zip(xs, ys):
+            out.append(sum(1 for _, ring in polys if _contains(px, py, ring)))
+        return pd.Series(out, dtype="int64")
+
+    _hits_of.__annotations__ = {
+        "xs": pd.Series, "ys": pd.Series, "return": pd.Series
+    }
+    hits_of = F.pandas_udf(_hits_of, T.LongType())
+
+    grid = cube.df.select(xcol, ycol).distinct()
+    labeled = grid.withColumn("__hits", hits_of(F.col(xcol), F.col(ycol)))
+    overlaps = labeled.filter(F.col("__hits") > 1).limit(1).count()
+    if overlaps:
+        raise ValueError(
+            "apply_polygon: polygons overlap (GeometriesOverlap)"
+        )
+    covered = labeled.filter(F.col("__hits") == 1).select(xcol, ycol)
+    joined = cube.df.join(
+        F.broadcast(covered.withColumn("__in_poly", F.lit(True))),
+        [xcol, ycol],
+        "left",
+    )
+    value = F.when(
+        F.col("__in_poly").isNotNull(), process(F.col(cube.value_col))
+    ).otherwise(F.lit(mask_value))
+    out = joined.select(
+        *[cube.df[c] for c in cube.df.columns if c != cube.value_col],
+        value.alias(cube.value_col),
+    )
+    return cube.with_df(out)

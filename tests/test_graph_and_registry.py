@@ -448,3 +448,125 @@ def test_graph_resample_and_kernel_registered(spark):
     interior = {r["value"] for r in k.df.filter(
         (k.df.x > 0) & (k.df.x < 3) & (k.df.y > 0) & (k.df.y < 3)).collect()}
     assert interior == {0.0}
+
+
+def test_new_scalar_processes(spark):
+    """arctan2/hyperbolics/is_infinite/date_between compile to the
+    expected Column results."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    reg = default_registry()
+    df = spark.range(1).select(
+        F.lit(1.0).alias("one"), F.lit(0.5).alias("half")
+    )
+    row = df.select(
+        reg.get("arctan2")({"y": F.col("one"), "x": F.col("one")}, {}).alias("a2"),
+        reg.get("sinh")({"x": F.col("one")}, {}).alias("sh"),
+        reg.get("cosh")({"x": F.col("one")}, {}).alias("ch"),
+        reg.get("tanh")({"x": F.col("one")}, {}).alias("th"),
+        reg.get("arsinh")({"x": F.col("one")}, {}).alias("ash"),
+        reg.get("arcosh")({"x": F.col("one")}, {}).alias("ach"),
+        reg.get("artanh")({"x": F.col("half")}, {}).alias("ath"),
+        reg.get("is_infinite")({"x": F.lit(float("inf"))}, {}).alias("inf1"),
+        reg.get("is_infinite")({"x": F.col("one")}, {}).alias("inf0"),
+    ).collect()[0]
+    assert abs(row["a2"] - math.pi / 4) < 1e-12
+    assert abs(row["sh"] - math.sinh(1)) < 1e-12
+    assert abs(row["ch"] - math.cosh(1)) < 1e-12
+    assert abs(row["th"] - math.tanh(1)) < 1e-12
+    assert abs(row["ash"] - math.asinh(1)) < 1e-12
+    assert abs(row["ach"] - math.acosh(1)) < 1e-12
+    assert abs(row["ath"] - math.atanh(0.5)) < 1e-12
+    assert row["inf1"] is True and row["inf0"] is False
+
+    db = reg.get("date_between")
+    r = spark.range(1).select(
+        db({"x": F.lit("2024-01-15"), "min": F.lit("2024-01-01"),
+            "max": F.lit("2024-01-15")}, {}).alias("incl"),
+        db({"x": F.lit("2024-01-15"), "min": F.lit("2024-01-01"),
+            "max": F.lit("2024-01-15"), "exclude_max": True}, {}).alias("excl"),
+    ).collect()[0]
+    assert r["incl"] is True and r["excl"] is False
+
+
+def test_array_modify_and_labels(spark):
+    from pyspark.sql import functions as F
+
+    reg = default_registry()
+    arr = F.array(*[F.lit(v) for v in [10, 20, 30, 40]])
+    row = spark.range(1).select(
+        reg.get("array_modify")(
+            {"data": arr, "values": [99], "index": 1, "length": 2}, {}
+        ).alias("replaced"),
+        reg.get("array_modify")(
+            {"data": arr, "values": [1, 2], "index": 0, "length": 0}, {}
+        ).alias("inserted"),
+        reg.get("array_modify")(
+            {"data": arr, "index": 3, "length": 1}, {}
+        ).alias("removed"),
+        reg.get("array_labels")({"data": arr}, {}).alias("labels"),
+    ).collect()[0]
+    assert row["replaced"] == [10, 99, 40]
+    assert row["inserted"] == [1, 2, 10, 20, 30, 40]
+    assert row["removed"] == [10, 20, 30]
+    assert row["labels"] == [0, 1, 2, 3]
+
+
+def test_first_last_extrema_reducers(spark):
+    """first/last/extrema work as reduce_dimension reducers through the
+    registry (first/last follow label order via the cube's own sort)."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", 2.0, 30.0), ("a", 3.0, 20.0)],
+        ["band", "t", "value"],
+    )
+    cube = CubeFrame(df, {"bands": "band", "time": "t"}, "value")
+    ext = cube.reduce_dimension("time", "extrema")
+    assert ext.df.collect()[0]["value"] == [10.0, 30.0]
+
+
+def test_polygon_processes_registered(spark):
+    """mask_polygon / filter_spatial / apply_polygon execute through the
+    registry; apply_polygon raises on overlapping polygons."""
+    import pytest as _pytest
+
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    df = spark.createDataFrame(
+        [(float(x), float(y), float(x + y)) for x in range(4) for y in range(4)],
+        ["x", "y", "value"],
+    )
+    cube = CubeFrame(df, {"x": "x", "y": "y"}, "value")
+    reg = default_registry()
+    square = [(1, "POLYGON ((-0.5 -0.5, 1.5 -0.5, 1.5 1.5, -0.5 1.5, -0.5 -0.5))")]
+
+    kept = reg.get("filter_spatial")({"data": cube, "geometries": square}, {})
+    assert kept.df.count() == 4  # the 2x2 corner
+
+    masked = reg.get("mask_polygon")({"data": cube, "mask": square}, {})
+    assert masked.df.filter(masked.df.value.isNotNull()).count() == 4
+
+    doubled = reg.get("apply_polygon")(
+        {
+            "data": cube,
+            "polygons": square,
+            "process": lambda x: x * 2,
+            "mask_value": -1.0,
+        },
+        {},
+    )
+    got = {(r["x"], r["y"]): r["value"] for r in doubled.df.collect()}
+    assert got[(1.0, 1.0)] == 4.0  # inside: doubled
+    assert got[(3.0, 3.0)] == -1.0  # outside: mask_value
+
+    overlapping = square + [
+        (2, "POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))")
+    ]
+    with _pytest.raises(ValueError, match="GeometriesOverlap"):
+        reg.get("apply_polygon")(
+            {"data": cube, "polygons": overlapping,
+             "process": lambda x: x}, {},
+        )
