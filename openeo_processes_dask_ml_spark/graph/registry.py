@@ -54,6 +54,15 @@ def _c(v) -> Column:
     return v if isinstance(v, Column) else F.lit(v)
 
 
+def _curve_t_fn(df, colname: str) -> Callable[[Column], Column]:
+    """t mapping for fit_curve/predict_curve: timestamp dims become
+    fractional days since epoch, numeric dims pass through as double."""
+    dtype = dict(df.dtypes).get(colname, "")
+    if "timestamp" in dtype or "date" in dtype:
+        return lambda c: F.unix_timestamp(c) / F.lit(86400.0)
+    return lambda c: c.cast("double")
+
+
 _SCALAR_BINARY = {
     "eq": lambda x, y: _c(x) == _c(y),
     "neq": lambda x, y: _c(x) != _c(y),
@@ -587,6 +596,86 @@ def _register_cubes(reg: ProcessRegistry) -> None:
             mask_value=args.get("mask_value"),
         )
 
+    def p_fit_curve(args, ctx):
+        # openEO fit_curve(data, parameters, function, dimension): the
+        # function sub-graph is restricted to the bases the closed-form
+        # Cramer solver supports (reference leaves fit_curve to openeo-
+        # processes-dask). Named-basis adapter: "harmonic" (period) or
+        # "polynomial" (degree), t = fractional days since epoch for
+        # timestamp dims, raw value otherwise.
+        from openeo_processes_dask_ml_spark.operators.curve import (
+            fit_curve,
+            harmonic_basis,
+            polynomial_basis,
+        )
+
+        cube = args["data"]
+        dim = args.get("dimension", "time")
+        basis_kind = str(args.get("basis", "polynomial")).lower()
+        if basis_kind == "harmonic":
+            basis = harmonic_basis(float(args.get("period", 1.0)))
+        else:
+            basis = polynomial_basis(int(args.get("degree", 1)))
+        t_fn = _curve_t_fn(cube.df, cube.dim_col(dim))
+        return fit_curve(cube, dim, t_fn, basis)
+
+    def p_predict_curve(args, ctx):
+        from openeo_processes_dask_ml_spark.operators.curve import (
+            harmonic_basis,
+            polynomial_basis,
+            predict_curve,
+        )
+
+        params = args["parameters"]
+        labels = args["labels"]  # DataFrame with the label column
+        dim_col = args.get("dimension", "time")
+        basis_kind = str(args.get("basis", "polynomial")).lower()
+        if basis_kind == "harmonic":
+            basis = harmonic_basis(float(args.get("period", 1.0)))
+        else:
+            basis = polynomial_basis(int(args.get("degree", 1)))
+        t_fn = _curve_t_fn(labels, dim_col)
+        return predict_curve(params, labels, dim_col, t_fn, basis)
+
+    def p_aggregate_spatial(args, ctx):
+        # openEO aggregate_spatial(data, geometries, reducer): label the
+        # distinct (x, y) grid by point-in-polygon against the WKT zones
+        # (same ray-cast used by mask_polygon), then one zonal hash agg.
+        from openeo_processes_dask_ml_spark.operators.aggregate import (
+            aggregate_spatial,
+            assign_cells_to_zones,
+        )
+
+        cube = args["data"]
+        zones_wkt = args["geometries"]  # list of (zone_id, wkt)
+        xcol, ycol = cube.dim_col("x"), cube.dim_col("y")
+        assignment = assign_cells_to_zones(cube.df, xcol, ycol, zones_wkt)
+        return aggregate_spatial(
+            cube,
+            assignment,
+            "zone_id",
+            [xcol, ycol],
+            _as_reducer(args["reducer"]),
+        )
+
+    def p_inspect(args, ctx):
+        # openEO inspect: pass data through unchanged; the message goes
+        # to the driver log (no logging backend in the graph context).
+        import logging
+
+        logging.getLogger("openeo_processes_dask_ml_spark.graph").log(
+            logging.getLevelName(str(args.get("level", "info")).upper())
+            if str(args.get("level", "info")).upper() in ("DEBUG", "INFO", "WARNING", "ERROR")
+            else logging.INFO,
+            "inspect: %s",
+            args.get("message", ""),
+        )
+        return args["data"]
+
+    reg.register("fit_curve", p_fit_curve)
+    reg.register("predict_curve", p_predict_curve)
+    reg.register("aggregate_spatial", p_aggregate_spatial)
+    reg.register("inspect", p_inspect)
     reg.register("add_dimension", p_add_dimension)
     reg.register("drop_dimension", p_drop_dimension)
     reg.register("rename_dimension", p_rename_dimension)
