@@ -31,6 +31,11 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Testdata timestamps are parquet timestamp[us] without a timezone,
+    # which Spark 4 would otherwise surface as TIMESTAMP_NTZ — a type
+    # unix_timestamp/unix_micros reject and DuckDB's naive TIMESTAMP
+    # doesn't hash-match. Read them as session-tz TIMESTAMP instead.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLS.get(name, ()):

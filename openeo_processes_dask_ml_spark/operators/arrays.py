@@ -47,7 +47,16 @@ def interpolate_linear_df(
         .rowsBetween(0, Window.unboundedFollowing)
     )
     v = F.col(value_col)
-    x = F.col(order_col).cast("double")
+    # Timestamp order columns: TIMESTAMP_NTZ has no direct cast to double
+    # (parquet timestamp[us] without tz reads as NTZ under Spark 4's
+    # inferTimestampNTZ), so hop through TIMESTAMP_LTZ first. Only
+    # coordinate *differences* enter the interpolation formula, so the
+    # session-timezone offset introduced by the hop cancels out.
+    dtype = dict(df.dtypes).get(order_col, "")
+    if "timestamp" in dtype:
+        x = F.col(order_col).cast("timestamp_ltz").cast("double")
+    else:
+        x = F.col(order_col).cast("double")
     x_prev = F.last(F.when(v.isNotNull(), x), ignorenulls=True).over(w_before)
     v_prev = F.last(v, ignorenulls=True).over(w_before)
     x_next = F.first(F.when(v.isNotNull(), x), ignorenulls=True).over(w_after)

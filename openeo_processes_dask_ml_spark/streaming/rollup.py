@@ -32,6 +32,7 @@ def stream_events(
     multi-micro-batch execution (tests use it to prove state carries
     across batches)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     import os
 
     reader = spark.readStream.schema(schema)
