@@ -819,7 +819,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing: per-language token streams
+    """Concat-and-chunk sequence packing: md5-sharded token streams
+    (the scale-safe default — parallel prefix sums across 256 shards)
     cut into 256-token context windows; per doc emits its chunk span
     and whether it crosses a window boundary. Pure prefix-sum window."""
     from openeo_processes_dask_ml_spark.scale.pipeline import pack_sequences
@@ -960,6 +961,91 @@ def q_predict_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = predict_curve(fitted, labels, "t_h", lambda c: c, basis)
     return pred.df.select(
         "event_type", "t_h", dround("value", 6).alias("value")
+    )
+
+
+def q_graph_fit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fit_curve + predict_curve driven through the PROCESS-GRAPH
+    adapters (graph/registry.py p_fit_curve/p_predict_curve) rather
+    than the operator API: exercises the named-basis selection and the
+    `_curve_t_fn` timestamp->fractional-days mapping end-to-end
+    (reference contract: minibackend/execute_graph.py:6-17). The plan
+    is the same single-shuffle normal-equation fit; the label grid
+    broadcasts into the prediction projection."""
+    from openeo_processes_dask_ml_spark.graph import execute_graph
+
+    labels = spark.range(24).select(
+        (F.lit(20600.0) + F.col("id").cast("double") / 24.0).alias("t_d")
+    )
+    graph = {
+        "load": {"process_id": "load_collection", "arguments": {"id": "events"}},
+        "daily": {
+            "process_id": "reduce_dimension",
+            "arguments": {
+                "data": {"from_node": "load"},
+                "dimension": "geometry",
+                "reducer": "sum",
+            },
+        },
+        "fit": {
+            "process_id": "fit_curve",
+            "arguments": {
+                "data": {"from_node": "daily"},
+                "dimension": "time",
+                "basis": "harmonic",
+                "period": 1.0,
+            },
+        },
+        "pred": {
+            "process_id": "predict_curve",
+            "arguments": {
+                "parameters": {"from_node": "fit"},
+                "labels": labels,
+                "dimension": "t_d",
+                "basis": "harmonic",
+                "period": 1.0,
+            },
+            "result": True,
+        },
+    }
+    cube = execute_graph(graph, spark, sf_dir)
+    return cube.df.select(
+        "event_type", "t_d", dround("value", 6).alias("value")
+    )
+
+
+def q_graph_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_spatial driven through the PROCESS-GRAPH adapter
+    (graph/registry.py p_aggregate_spatial): WKT zones ray-cast onto
+    the DISTINCT 16x16 grid of the events_grid collection, assignment
+    broadcast back, one zonal hash agg keyed (zone, time, band). The
+    raster rows never shuffle for the polygon test."""
+    from openeo_processes_dask_ml_spark.graph import execute_graph
+
+    graph = {
+        "load": {
+            "process_id": "load_collection",
+            "arguments": {"id": "events_grid", "bands": ["click", "view"]},
+        },
+        "zonal": {
+            "process_id": "aggregate_spatial",
+            "arguments": {
+                "data": {"from_node": "load"},
+                "geometries": [
+                    (1, "POLYGON ((1.5 1.5, 6.5 1.5, 6.5 4.5, 1.5 4.5, 1.5 1.5))"),
+                    (2, "POLYGON ((9.5 9.5, 14.5 9.5, 14.5 12.5, 9.5 12.5, 9.5 9.5))"),
+                ],
+                "reducer": "mean",
+            },
+            "result": True,
+        },
+    }
+    cube = execute_graph(graph, spark, sf_dir)
+    return cube.df.select(
+        F.col("zone_id").cast("long").alias("zone_id"),
+        "ts",
+        "event_type",
+        dround("value", 6).alias("value"),
     )
 
 
@@ -1359,6 +1445,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = run_stream_sessionize_once(
         spark,
@@ -1389,6 +1476,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = run_stream_interval_join_once(
         spark, f"{sf_dir}/events.parquet", schema,
@@ -1413,6 +1501,7 @@ def q_streaming_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = run_stream_spend_alerts_once(
         spark, f"{sf_dir}/events.parquet", schema, threshold=500.0
@@ -1431,6 +1520,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = run_stream_dedup_once(
         spark,
@@ -1451,6 +1541,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = run_stream_rollup_once(
         spark,
@@ -1591,10 +1682,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver checks the first 50 entries each round; queries that have
-    # not yet produced a green CORRECTNESS row go FIRST, long-stable green
-    # queries rotate to the tail (VERDICT r2 item 1).
+    # ROTATION PROTOCOL (standing, VERDICT r2 item 1 / r4 item 1): the
+    # driver checks only the FIRST 50 entries each round. Queries whose
+    # latest green CORRECTNESS row is OLDEST go first; queries green in the
+    # immediately-previous round rotate to the tail. With ~80 queries and a
+    # 50-slot window this 2-round rotation re-verifies every query at least
+    # every other round. When editing: (1) new/changed queries -> front,
+    # (2) then oldest-green, (3) last-round greens -> tail.
+    #
+    # r5 window: the 29 queries last verified in r2 (before the Spark-4
+    # TIMESTAMP_NTZ semantics change) + queries whose plan/oracle changed
+    # this round (dedup jaccard broadcast removal, pack_sequences default,
+    # graph adapter queries). r4-green queries rotate to the tail.
     return {
+        # --- last green r2, pre-NTZ-fix: re-verify first ---
+        "ml_predict_tiled": q_ml_predict_tiled,
+        "ml_predict_linear": q_ml_predict_linear,
+        "process_graph": q_process_graph,
+        "graph_mask_pipeline": q_graph_mask_pipeline,
+        "fit_curve": q_fit_curve,
+        "predict_curve": q_predict_curve,
+        "dimension_ops": q_dimension_ops,
+        "resample_spatial": q_resample_spatial,
+        "quantiles_extrema": q_quantiles_extrema,
+        "cumulative_ops": q_cumulative_ops,
+        "merge_cubes": q_merge_cubes,
+        "set_ops": q_set_ops,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "top_k_orders": q_top_k_orders,
+        "streaming_rollup": q_streaming_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "multimodal_features": q_multimodal_features,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "filter_bands": q_filter_bands,
+        "filter_temporal": q_filter_temporal,
+        "apply_unary": q_apply_unary,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_language_id": q_text_language_id,
+        "reduce_dimension": q_reduce_dimension,
+        "aggregate_temporal_period": q_aggregate_temporal_period,
+        "ndvi_bandmath": q_ndvi_bandmath,
+        "window_running_sum": q_window_running_sum,
+        # --- new or plan-changed this round ---
+        "graph_fit_curve": q_graph_fit_curve,
+        "graph_zonal": q_graph_zonal,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "pack_sequences": q_pack_sequences,
+        # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
         "cube_agg": q_cube_agg,
@@ -1602,7 +1739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_cube_temporal": q_resample_cube_temporal,
         "sessionize": q_sessionize,
         "apply_dimension": q_apply_dimension,
-        # --- new this round: never checked before, keep inside window ---
         "apply_neighborhood": q_apply_neighborhood,
         "aggregate_temporal": q_aggregate_temporal,
         "resample_cube_spatial": q_resample_cube_spatial,
@@ -1612,6 +1748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_spend_alerts": q_streaming_spend_alerts,
+        # --- slot >50: green in r4, outside the window this round;
+        # rotate back to the front in r6 ---
         "text_chunks": q_text_chunks,
         "embedding_quantize": q_embedding_quantize,
         "quality_filter": q_quality_filter,
@@ -1620,11 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
         "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
         "training_shards": q_training_shards,
         "topk_per_group": q_topk_per_group,
-        # ml_fit_predict_rf's contract oracle is new this round — keep it
-        # inside the window so the upgrade from no_oracle gets verified
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "mask_polygon": q_mask_polygon,
         "mask": q_mask,
@@ -1633,8 +1768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_spatial": q_aggregate_spatial,
         "rollup_revenue": q_rollup_revenue,
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_exact": q_dedup_embedding_exact,
@@ -1648,37 +1781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_kernel": q_apply_kernel,
         "climatology_anomaly": q_climatology_anomaly,
         "chunk_dedup": q_chunk_dedup,
-        "resample_spatial": q_resample_spatial,
-        "quantiles_extrema": q_quantiles_extrema,
-        "cumulative_ops": q_cumulative_ops,
-        "fit_curve": q_fit_curve,
-        "predict_curve": q_predict_curve,
-        "dimension_ops": q_dimension_ops,
-        "ml_predict_linear": q_ml_predict_linear,
-        "ml_predict_tiled": q_ml_predict_tiled,
-        "process_graph": q_process_graph,
-        "merge_cubes": q_merge_cubes,
-        "graph_mask_pipeline": q_graph_mask_pipeline,
-        "streaming_rollup": q_streaming_rollup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "multimodal_features": q_multimodal_features,
-        "tpch_q3": q_tpch_q3,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        # --- long-stable green queries below: outside the driver's 50-query
-        # window this round; rotate back in future rounds ---
-        "filter_bands": q_filter_bands,
-        "filter_temporal": q_filter_temporal,
-        "tpch_q1": q_tpch_q1,
-        "top_k_orders": q_top_k_orders,
-        "set_ops": q_set_ops,
-        "apply_unary": q_apply_unary,
-        "doc_fingerprint": q_doc_fingerprint,
-        "text_language_id": q_text_language_id,
-        "reduce_dimension": q_reduce_dimension,
-        "aggregate_temporal_period": q_aggregate_temporal_period,
-        "ndvi_bandmath": q_ndvi_bandmath,
-        "window_running_sum": q_window_running_sum,
     }
 
 
@@ -2552,6 +2654,71 @@ SELECT event_type, t_h,
 FROM solved CROSS JOIN grid
 """
 
+    # graph_fit_curve: same Cramer structure as fit_curve, but t is the
+    # graph adapter's fractional-days-since-epoch mapping (period = 1
+    # day) over the geometry-reduced series, and the result is the
+    # hourly prediction grid.
+    sql["graph_fit_curve"] = """
+WITH red AS (
+  SELECT ts, event_type, sum(value) AS y FROM events GROUP BY ts, event_type
+), b AS (
+  SELECT event_type, y,
+         cos(((epoch_us(ts) // 1000000) / 86400.0) * ((2 * pi()) / 1.0)) AS c,
+         sin(((epoch_us(ts) // 1000000) / 86400.0) * ((2 * pi()) / 1.0)) AS s
+  FROM red
+), sums AS (
+  SELECT event_type,
+         sum(1.0) AS s_00, sum(c) AS s_01, sum(s) AS s_02,
+         sum(c * c) AS s_11, sum(c * s) AS s_12, sum(s * s) AS s_22,
+         sum(y) AS r_0, sum(c * y) AS r_1, sum(s * y) AS r_2
+  FROM b GROUP BY event_type
+), solved AS (
+  SELECT event_type,
+    (s_00 * (s_11 * s_22 - s_12 * s_12)
+     - s_01 * (s_01 * s_22 - s_12 * s_02)
+     + s_02 * (s_01 * s_12 - s_11 * s_02)) AS det,
+    (r_0 * (s_11 * s_22 - s_12 * s_12)
+     - s_01 * (r_1 * s_22 - s_12 * r_2)
+     + s_02 * (r_1 * s_12 - s_11 * r_2)) AS d0,
+    (s_00 * (r_1 * s_22 - s_12 * r_2)
+     - r_0 * (s_01 * s_22 - s_12 * s_02)
+     + s_02 * (s_01 * r_2 - r_1 * s_02)) AS d1,
+    (s_00 * (s_11 * r_2 - r_1 * s_12)
+     - s_01 * (s_01 * r_2 - r_1 * s_02)
+     + r_0 * (s_01 * s_12 - s_11 * s_02)) AS d2
+  FROM sums
+), grid AS (
+  SELECT 20600.0 + CAST(unnest(range(0, 24)) AS DOUBLE) / 24.0 AS t_d
+)
+SELECT event_type, t_d,
+       floor(((d0 / det) * 1.0
+              + (d1 / det) * cos(t_d * ((2 * pi()) / 1.0))
+              + (d2 / det) * sin(t_d * ((2 * pi()) / 1.0)))
+             * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM solved CROSS JOIN grid
+"""
+
+    # graph_zonal: the two WKT rectangles of the graph query become
+    # range predicates on the derived 16x16 grid (cell centers are
+    # integers; polygon edges sit on half-integers).
+    sql["graph_zonal"] = """
+WITH cells AS (
+  SELECT CAST(user_id % 16 AS DOUBLE) AS x,
+         CAST((user_id // 16) % 16 AS DOUBLE) AS y,
+         ts, event_type, value
+  FROM events WHERE event_type IN ('click', 'view')
+), z AS (
+  SELECT CASE WHEN x > 1.5 AND x < 6.5 AND y > 1.5 AND y < 4.5 THEN 1
+              WHEN x > 9.5 AND x < 14.5 AND y > 9.5 AND y < 12.5 THEN 2
+         END AS zone_id, ts, event_type, value
+  FROM cells
+)
+SELECT CAST(zone_id AS BIGINT) AS zone_id, ts, event_type,
+       floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS value
+FROM z WHERE zone_id IS NOT NULL
+GROUP BY zone_id, ts, event_type
+"""
+
     # trim_cube drops day slices whose values are entirely NULL (here:
     # outside [5, 25]); the count reducer counts non-null values.
     sql["dimension_ops"] = """
@@ -2909,7 +3076,9 @@ GROUP BY 1
 
     sql["pack_sequences"] = r"""
 WITH t AS (
-  SELECT doc_id, lang AS stream,
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 15))::BIGINT
+             % 256 AS stream,
          len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
   FROM documents
 ), c AS (

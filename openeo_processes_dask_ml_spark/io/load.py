@@ -34,8 +34,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Testdata timestamps are parquet timestamp[us] without a timezone,
     # which Spark 4 would otherwise surface as TIMESTAMP_NTZ — a type
     # unix_timestamp/unix_micros reject and DuckDB's naive TIMESTAMP
-    # doesn't hash-match. Read them as session-tz TIMESTAMP instead.
+    # doesn't hash-match. Read them as session-tz TIMESTAMP instead,
+    # and pin the session timezone to UTC so string rendering/parsing
+    # of those instants matches DuckDB's naive timestamps on any
+    # machine (ADVICE r4: without this, the LTZ interpretation floats
+    # with the host timezone).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLS.get(name, ()):
@@ -48,11 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @dataclass(frozen=True)
 class CollectionSpec:
-    """How a flat table presents as a datacube."""
+    """How a flat table presents as a datacube.
+
+    ``derive`` adds computed columns (name, SQL expr) after the scan —
+    pure projections, fused into the read by whole-stage codegen, so a
+    derived-grid collection costs nothing extra at 100 TB.
+    """
 
     table: str
     dims: dict[str, str]  # logical dim -> column
     value_col: str
+    derive: tuple = ()  # ((column, sql_expr), ...)
 
 
 # The driver's synthetic tables in cube roles (see FIXTURES.md F7):
@@ -66,6 +77,18 @@ COLLECTIONS: dict[str, CollectionSpec] = {
         "lineitem",
         {"time": "l_shipdate", "bands": "l_returnflag", "geometry": "l_suppkey"},
         "l_extendedprice",
+    ),
+    # events presented as a 16x16 raster (x = user_id mod 16,
+    # y = user_id div 16 mod 16) so graph pipelines can exercise the
+    # spatial processes (aggregate_spatial, mask_polygon) end-to-end.
+    "events_grid": CollectionSpec(
+        "events",
+        {"x": "x", "y": "y", "time": "ts", "bands": "event_type"},
+        "value",
+        derive=(
+            ("x", "CAST(user_id % 16 AS DOUBLE)"),
+            ("y", "CAST((user_id DIV 16) % 16 AS DOUBLE)"),
+        ),
     ),
 }
 
@@ -100,6 +123,8 @@ def load_collection(
             f"unknown collection {collection_id!r}; known: {sorted(COLLECTIONS)}"
         )
     df = load_table(spark, sf_dir, spec.table)
+    for col, expr in spec.derive:
+        df = df.withColumn(col, F.expr(expr))
     cube = CubeFrame(df, dict(spec.dims), spec.value_col)
     if temporal_extent is not None:
         cube = cube.filter_temporal(temporal_extent[0], temporal_extent[1])

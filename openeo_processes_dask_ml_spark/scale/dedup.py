@@ -253,13 +253,51 @@ def _verified_jaccard(
     jac = F.col("shared").cast("double") / (
         F.col("na.n_sh") + F.col("nb.n_sh") - F.col("shared")
     )
+    # NO broadcast hint on `sizes`: it has one row per DOCUMENT, so at
+    # corpus scale it is billions of rows — broadcasting it would OOM
+    # the driver and every executor. The join key is a plain id; a
+    # shuffle join is correct, and AQE may still elect a broadcast at
+    # runtime when the corpus is actually small.
     return (
-        shared.join(F.broadcast(sizes).alias("na"), F.col("id_a") == F.col("na.doc_id"))
-        .join(F.broadcast(sizes).alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
+        shared.join(sizes.alias("na"), F.col("id_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
         .select("id_a", "id_b", jac.alias("jaccard_raw"))
         .filter(F.col("jaccard_raw") >= threshold)
         .select("id_a", "id_b", dround(F.col("jaccard_raw"), 6).alias("jaccard"))
     )
+
+
+def _drop_hot_shingles(
+    df: DataFrame,
+    inv: DataFrame,
+    id_col: str,
+    max_df_frac: float,
+    min_df_cap: int,
+) -> DataFrame:
+    """Remove shingles whose document frequency exceeds
+    ``max(min_df_cap, max_df_frac * n_docs)`` from a candidate-
+    generation index.
+
+    A stop-word trigram shared by f*n docs creates an (f*n)^2-row join
+    group in the inverted-index self-join — the standard skew killer in
+    production near-dup pipelines. Hot shingles carry no discriminative
+    signal, and verification always reruns against the FULL index, so
+    any surfaced pair still gets its exact Jaccard; only pairs whose
+    shared shingles are ALL ultra-common can be missed. The hot list is
+    provably tiny (at most total_rows / cap shingles), so the anti-join
+    broadcasts it."""
+    n_docs = df.select(id_col).agg(F.count(F.lit(1)).alias("__n_docs"))
+    cap = F.greatest(
+        F.lit(float(min_df_cap)), F.col("__n_docs") * F.lit(max_df_frac)
+    )
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") > cap)
+        .select("shingle")
+    )
+    return inv.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 # --------------------------------------------------------------------------
@@ -273,35 +311,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df_frac: float = 0.2,
+    min_df_cap: int = 128,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via the shared-shingle inverted index:
     distinct shingle rows, equi-join on shingle, count shared per
-    pair, |A∩B| / (|A| + |B| - |A∩B|). No cross join anywhere."""
-    inv = shingle_rows(df, text_col, id_col, shingle_n)
-    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pair, |A∩B| / (|A| + |B| - |A∩B|). No cross join anywhere.
 
-    a, b = inv.alias("a"), inv.alias("b")
-    shared = (
+    The self-join runs on a hot-shingle-capped index
+    (``_drop_hot_shingles``) so one ultra-common shingle cannot create
+    a quadratic join group; shared counts and sizes come from the FULL
+    index, so every surfaced pair carries its exact Jaccard."""
+    inv = shingle_rows(df, text_col, id_col, shingle_n)
+    inv_cand = _drop_hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
+
+    a, b = inv_cand.alias("a"), inv_cand.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
     )
-    jac = F.col("shared").cast("double") / (
-        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("shared")
-    )
-    return (
-        shared.join(F.broadcast(sizes).alias("na"), F.col("id_a") == F.col("na.doc_id"))
-        .join(F.broadcast(sizes).alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
-        .select("id_a", "id_b", jac.alias("jaccard_raw"))
-        .filter(F.col("jaccard_raw") >= threshold)
-        .select("id_a", "id_b", dround(F.col("jaccard_raw"), 6).alias("jaccard"))
-    )
+    return _verified_jaccard(cand, inv, threshold)
 
 
 # --------------------------------------------------------------------------

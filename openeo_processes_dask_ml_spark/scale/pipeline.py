@@ -80,11 +80,12 @@ def pack_sequences(
     capacity: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
-    stream_col: str = "lang",
+    stream_col: str | None = None,
+    n_streams: int = 256,
 ) -> DataFrame:
-    """Concat-and-chunk sequence packing: per stream (``stream_col``),
-    documents are laid end-to-end in ``id_col`` order and the token
-    stream is cut into context windows of ``capacity`` tokens.
+    """Concat-and-chunk sequence packing: per stream, documents are
+    laid end-to-end in ``id_col`` order and the token stream is cut
+    into context windows of ``capacity`` tokens.
 
     Emits, per document: its token count, its byte-offset analogue
     ``stream_start`` (tokens before it in the stream), the first and
@@ -92,20 +93,29 @@ def pack_sequences(
     whether it crosses a chunk boundary (the fraction of
     boundary-crossing docs is the packing-efficiency metric).
 
-    Pure prefix sum: one window shuffle keyed on the stream. At 100 TB
-    the stream key should include a shard component (a global
-    single-stream cumsum would serialize); ``training_shards`` provides
-    exactly that key.
+    Pure prefix sum: one window shuffle keyed on the stream. The
+    DEFAULT stream key is the deterministic md5 shard (``shard_expr``
+    over ``n_streams`` shards) so the cumsum parallelizes across
+    ``n_streams`` independent windows — a natural-key default like
+    language would cap parallelism at the number of distinct languages
+    and serialize at 100 TB. Pass ``stream_col`` explicitly (e.g.
+    ``"lang"``) when streams must follow a semantic grouping.
     """
+    if stream_col is None:
+        stream = (
+            hash60(F.col(id_col).cast("string"), "shard") % F.lit(n_streams)
+        )
+    else:
+        stream = F.col(stream_col)
     n_tokens = F.size(tokens_expr(F.col(text_col)))
     w = (
-        Window.partitionBy(stream_col)
+        Window.partitionBy(stream)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_end = df.select(
         F.col(id_col).alias("doc_id"),
-        F.col(stream_col).alias("stream"),
+        stream.alias("stream"),
         n_tokens.alias("n_tokens"),
         F.sum(n_tokens).over(w).alias("stream_end"),
     )

@@ -33,6 +33,7 @@ def stream_events(
     across batches)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     import os
 
     reader = spark.readStream.schema(schema)

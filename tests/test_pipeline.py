@@ -48,7 +48,10 @@ def test_pack_sequences_chunk_spans(spark):
         [(1, "a b c", "en"), (2, "d e f", "en"), (3, "g h", "en"),
          (4, "k l m n o", "fr")],
     )
-    out = {r["doc_id"]: r for r in pack_sequences(df, capacity=4).collect()}
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, capacity=4, stream_col="lang").collect()
+    }
     r1, r2, r3, r4 = out[1], out[2], out[3], out[4]
     assert (r1["stream_start"], r1["first_chunk"], r1["last_chunk"]) == (0, 0, 0)
     # doc 2 spans tokens [3,6) -> chunks 0..1, crosses the boundary
@@ -59,6 +62,24 @@ def test_pack_sequences_chunk_spans(spark):
     assert not r3["crosses_boundary"]
     # fr stream starts fresh: 5 tokens spans chunks 0..1
     assert (r4["stream_start"], r4["n_chunks"]) == (0, 2)
+
+
+def test_pack_sequences_default_shard_streams(spark):
+    """Default stream key is the md5 shard (scale-safe parallel prefix
+    sums), deterministic across runs and bounded by n_streams."""
+    df = _docs(spark, [(i, "w " * 5, "en") for i in range(30)])
+    out = pack_sequences(df, capacity=8, n_streams=4).collect()
+    streams = {r["stream"] for r in out}
+    assert streams <= {0, 1, 2, 3} and len(streams) > 1
+    again = {r["doc_id"]: r["stream"] for r in pack_sequences(df, capacity=8, n_streams=4).collect()}
+    assert again == {r["doc_id"]: r["stream"] for r in out}
+    # within a stream, starts are consecutive prefix sums in id order
+    for s in streams:
+        rows = sorted((r for r in out if r["stream"] == s), key=lambda r: r["doc_id"])
+        acc = 0
+        for r in rows:
+            assert r["stream_start"] == acc
+            acc += r["n_tokens"]
 
 
 def test_training_shards_partition_and_stats(spark):

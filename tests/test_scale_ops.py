@@ -214,3 +214,47 @@ def test_quality_filter_rules(spark):
     assert out[2]["keep"] is False and out[2]["ok_words"] is False
     assert out[3]["keep"] is False and out[3]["ok_symbols"] is False
     assert out[1]["stop_hits"] >= 3
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """One shingle shared by every doc must be dropped from candidate
+    generation (skew guard), while true near-dup pairs found through
+    non-hot shingles keep their EXACT full-index Jaccard."""
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        _drop_hot_shingles,
+        ngram_jaccard_pairs,
+        shingle_rows,
+    )
+
+    hot = "alpha beta gamma "  # one trigram present in all docs
+    docs = [(i, hot + f"unique{i} token{i} word{i} extra{i}") for i in range(20)]
+    # docs 100/101 are near-identical through NON-hot shingles
+    docs += [
+        (100, hot + "red green blue yellow purple orange"),
+        (101, hot + "red green blue yellow purple cyan"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    inv = shingle_rows(df, "text", "doc_id", 3)
+    capped = _drop_hot_shingles(df, inv, "doc_id", max_df_frac=0.5, min_df_cap=5)
+    # the all-docs shingle is gone from the candidate index
+    kept = {r["shingle"] for r in capped.select("shingle").distinct().collect()}
+    assert "alpha beta gamma" not in kept and len(kept) > 0
+
+    pairs = ngram_jaccard_pairs(
+        df, threshold=0.4, max_df_frac=0.5, min_df_cap=5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (100, 101) in found
+    # exact Jaccard from the FULL index: docs share "alpha beta gamma",
+    # "beta gamma red", and 3 of the color trigrams' overlap
+    a = {"alpha beta gamma", "beta gamma red", "gamma red green",
+         "red green blue", "green blue yellow", "blue yellow purple",
+         "yellow purple orange"}
+    b = {"alpha beta gamma", "beta gamma red", "gamma red green",
+         "red green blue", "green blue yellow", "blue yellow purple",
+         "yellow purple cyan"}
+    expect = round(len(a & b) / len(a | b), 6)
+    assert abs(found[(100, 101)] - expect) < 1e-9
+    # none of the hot-only pairs (unique tails) qualify
+    assert all(k == (100, 101) for k in found)
