@@ -295,6 +295,46 @@ def _register_scalars(reg: ProcessRegistry) -> None:
 
     reg.register("array_apply", p_array_apply)
     reg.register("array_filter", p_array_filter)
+    reg.register("array_length", lambda a, c: F.size(a["data"]))
+
+    # openEO cumulative processes (cumsum/cumproduct/cummax/cummin):
+    # result[i] aggregates data[0..i]; nulls stay null in place and are
+    # skipped (ignore_nodata=True, the default) or poison the rest of
+    # the series (False), per the spec's examples. Lowered to Catalyst
+    # transform + slice + aggregate — O(k^2) in the ARRAY length, which
+    # is a band/time axis (tens), never the row count.
+    def _cumulative_impl(kind):
+        def impl(args, ctx):
+            data = args["data"]
+            ignore = bool(args.get("ignore_nodata", True))
+
+            def agg_prefix(i):
+                prefix = F.slice(data, 1, i + 1)
+                clean = F.filter(prefix, lambda v: v.isNotNull())
+                if kind == "cumsum":
+                    r = F.aggregate(
+                        clean, F.lit(0.0), lambda acc, v: acc + v.cast("double")
+                    )
+                elif kind == "cumproduct":
+                    r = F.aggregate(
+                        clean, F.lit(1.0), lambda acc, v: acc * v.cast("double")
+                    )
+                elif kind == "cummax":
+                    r = F.array_max(clean)
+                else:
+                    r = F.array_min(clean)
+                if not ignore:
+                    r = F.when(~F.exists(prefix, lambda v: v.isNull()), r)
+                return r
+
+            return F.transform(
+                data, lambda x, i: F.when(x.isNotNull(), agg_prefix(i))
+            )
+
+        return impl
+
+    for _kind in ("cumsum", "cumproduct", "cummax", "cummin"):
+        reg.register(_kind, _cumulative_impl(_kind))
     # openEO array ordering processes. `sort` orders values; `order`
     # returns the permutation (0-based indices that would sort the
     # array); `rearrange` applies an index permutation. All pure

@@ -1,11 +1,13 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media are opaque ``binary`` columns with a typed metadata struct; decode
-and feature-extraction run as Arrow-batched ``mapInPandas`` stages. The
-decode step itself is STUBBED (no image/audio libs in this container):
-`decode_image` raises NotImplementedError, and `fake_decode_features`
-is the deterministic stand-in used by tests — the Spark-side plumbing
-(schema, partitioning, UDF signature, batch shape) is real.
+and feature-extraction run as Arrow-batched ``mapInPandas`` stages.
+``decode_image`` REALLY decodes PPM/PGM (binary P5/P6) and uncompressed
+24/32-bit BMP with pure numpy — no imaging library needed; other
+formats fall through to PIL when importable and raise a clear
+NotImplementedError otherwise. ``fake_decode_features`` remains the
+deterministic stand-in for opaque formats (``format='raw'``) so
+synthetic fixtures stay format-agnostic.
 
 Scale shape: media bytes never leave their partition; the extractor
 streams Arrow batches, so executor memory is bounded by
@@ -15,8 +17,10 @@ streams Arrow batches, so executor memory is bounded by
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,13 +55,103 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes, fmt: str):
-    """Real decode requires PIL/opencv — not available in this
-    container. The call site (extract_features) is the integration
-    point; swap this function in a full deployment."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this environment"
-    )
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, HxWx3) / PGM (P5, HxW) decoder — header parse +
+    one frombuffer reshape. Supports maxval <= 255."""
+    if not payload or payload[:1] != b"P" or payload[1:2] not in b"56":
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if payload[1:2] == b"6" else 1
+    # header = magic + 3 ints (w, h, maxval), '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    n = w * h * channels
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP decoder: header structs +
+    row-padded frombuffer, bottom-up flip, BGR(A)->RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up, h = h > 0, abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+
+
+_PURE_DECODERS = {"ppm": _decode_pnm, "pgm": _decode_pnm, "bmp": _decode_bmp}
+
+
+def decode_image(payload: bytes, fmt: str) -> np.ndarray:
+    """Decode an image payload to an HxW[x3] uint8 array. PPM/PGM/BMP
+    decode with pure numpy; any other format needs PIL (import-gated:
+    clear NotImplementedError when absent)."""
+    dec = _PURE_DECODERS.get((fmt or "").lower())
+    if dec is not None:
+        return dec(payload)
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError:
+        raise NotImplementedError(
+            f"decoding {fmt!r} requires PIL, not present in this environment "
+            f"(pure-numpy formats: {sorted(_PURE_DECODERS)})"
+        ) from None
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps — the standard
+    pre-embedding normalization step, pure numpy."""
+    h, w = arr.shape[:2]
+    yi = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
+    xi = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
+    return arr[yi][:, xi]
+
+
+def image_features(arr: np.ndarray, n: int = 8) -> list[float]:
+    """Deterministic pixel-statistic feature vector in [0, 1]: per-
+    channel means and stds, then a gray histogram filling to n dims."""
+    px = arr.astype(np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    chans = px.shape[2]
+    feats: list[float] = []
+    for c in range(chans):
+        feats.append(float(px[:, :, c].mean()) / 255.0)
+        feats.append(float(px[:, :, c].std()) / 255.0)
+    gray = px.mean(axis=2)
+    k = max(n - len(feats), 0)
+    if k:
+        hist, _ = np.histogram(gray, bins=k, range=(0.0, 255.0001))
+        feats.extend((hist / max(gray.size, 1)).tolist())
+    return feats[:n] + [0.0] * max(n - len(feats), 0)
 
 
 def fake_decode_features(payload: bytes, n: int = 8) -> list[float]:
@@ -68,7 +162,20 @@ def fake_decode_features(payload: bytes, n: int = 8) -> list[float]:
 
 
 def extract_features(media_df: DataFrame, feature_dim: int = 8) -> DataFrame:
-    """mapInPandas feature extraction over binary media rows."""
+    """mapInPandas feature extraction over binary media rows: image
+    rows in a pure-numpy-decodable format (ppm/pgm/bmp) get REAL
+    pixel-statistic features; opaque formats get the deterministic
+    md5 stand-in."""
+
+    def one_feature(payload, meta) -> list[float]:
+        fmt = (meta or {}).get("format")
+        if (
+            payload is not None
+            and (meta or {}).get("kind") == "image"
+            and (fmt or "").lower() in _PURE_DECODERS
+        ):
+            return image_features(decode_image(bytes(payload), fmt), feature_dim)
+        return fake_decode_features(payload, feature_dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,7 +187,8 @@ def extract_features(media_df: DataFrame, feature_dim: int = 8) -> DataFrame:
                         len(p) if p is not None else 0 for p in pdf["payload"]
                     ],
                     "feature": [
-                        fake_decode_features(p, feature_dim) for p in pdf["payload"]
+                        one_feature(p, m)
+                        for p, m in zip(pdf["payload"], pdf["meta"])
                     ],
                 }
             )

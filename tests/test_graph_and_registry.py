@@ -570,3 +570,83 @@ def test_polygon_processes_registered(spark):
             {"data": cube, "polygons": overlapping,
              "process": lambda x: x}, {},
         )
+
+
+def test_registry_openeo_spec_parity():
+    """The registry covers the openEO process surface the reference
+    backend exposes (minibackend/openeo_minibackend.py:50-63 registers
+    all of openeo-processes-dask): every spec process a graph from the
+    reference ecosystem can name must resolve. Labeled-array, vector,
+    UDF and SLURM processes are documented non-goals (SURVEY §7)."""
+    from openeo_processes_dask_ml_spark.graph.registry import default_registry
+
+    required = {
+        # cubes
+        "load_collection", "load_stac", "save_result", "merge_cubes",
+        "reduce_dimension", "apply", "apply_dimension", "apply_kernel",
+        "apply_neighborhood", "apply_polygon", "add_dimension",
+        "drop_dimension", "rename_dimension", "rename_labels",
+        "dimension_labels", "trim_cube", "flatten_dimensions",
+        "unflatten_dimension", "filter_bands", "filter_bbox",
+        "filter_labels", "filter_spatial", "filter_temporal",
+        "aggregate_spatial", "aggregate_spatial_window",
+        "aggregate_temporal", "aggregate_temporal_period",
+        "resample_cube_spatial", "resample_cube_temporal",
+        "resample_spatial", "mask", "mask_polygon", "ndvi",
+        "climatological_normal", "anomaly", "fit_curve", "predict_curve",
+        "inspect",
+        # ML (reference's own additions)
+        "load_stac_ml", "ml_fit", "ml_predict", "mlm_class_random_forest",
+        "save_ml_model",
+        # math / comparison / logic
+        "absolute", "add", "subtract", "multiply", "divide", "mod",
+        "power", "sqrt", "exp", "ln", "log", "floor", "ceil", "int",
+        "round", "clip", "sgn", "min", "max", "mean", "median", "sum",
+        "product", "sd", "variance", "quantiles", "extrema", "e", "pi",
+        "constant", "linear_scale_range", "normalized_difference",
+        "eq", "neq", "gt", "gte", "lt", "lte", "between", "if", "and",
+        "or", "xor", "not", "all", "any", "is_nan", "is_nodata",
+        "is_valid", "is_infinite",
+        # trig
+        "cos", "sin", "tan", "arccos", "arcsin", "arctan", "arctan2",
+        "cosh", "sinh", "tanh", "arcosh", "arsinh", "artanh",
+        # arrays
+        "array_element", "array_create", "array_concat", "array_append",
+        "array_contains", "array_find", "array_labels", "array_apply",
+        "array_filter", "array_modify", "array_length", "count",
+        "first", "last", "order", "rearrange", "sort",
+        "cumsum", "cumproduct", "cummax", "cummin",
+        # text / date
+        "text_begins", "text_contains", "text_ends", "text_concat",
+        "date_shift", "date_between", "date_difference",
+        # interpolation
+        "array_interpolate_linear",
+    }
+    have = set(default_registry().process_ids())
+    missing = sorted(required - have)
+    assert not missing, f"registry missing openEO processes: {missing}"
+
+
+def test_cumulative_array_processes(spark):
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_ml_spark.graph.registry import default_registry
+
+    reg = default_registry()
+    df = spark.createDataFrame(
+        [([1.0, 3.0, None, 3.0],)], "data array<double>"
+    )
+    out = df.select(
+        reg.get("cumsum")({"data": F.col("data")}, {}).alias("s"),
+        reg.get("cumsum")({"data": F.col("data"), "ignore_nodata": False}, {}).alias("s_strict"),
+        reg.get("cumproduct")({"data": F.col("data")}, {}).alias("p"),
+        reg.get("cummax")({"data": F.col("data")}, {}).alias("mx"),
+        reg.get("cummin")({"data": F.col("data")}, {}).alias("mn"),
+        reg.get("array_length")({"data": F.col("data")}, {}).alias("n"),
+    ).collect()[0]
+    assert out["s"] == [1.0, 4.0, None, 7.0]          # spec example
+    assert out["s_strict"] == [1.0, 4.0, None, None]  # nodata poisons
+    assert out["p"] == [1.0, 3.0, None, 9.0]
+    assert out["mx"] == [1.0, 3.0, None, 3.0]
+    assert out["mn"] == [1.0, 1.0, None, 1.0]
+    assert out["n"] == 4
