@@ -267,6 +267,33 @@ def _verified_jaccard(
     )
 
 
+def _hot_shingles(
+    df: DataFrame,
+    inv: DataFrame,
+    id_col: str,
+    max_df_frac: float,
+    min_df_cap: int,
+) -> DataFrame:
+    """Shingles whose document frequency exceeds
+    ``max(min_df_cap, max_df_frac * n_docs)``.
+
+    A stop-word trigram shared by f*n docs creates an (f*n)^2-row join
+    group in the inverted-index self-join — the standard skew killer in
+    production near-dup pipelines. The hot list is provably tiny (at
+    most total_index_rows / cap shingles), so it always broadcasts."""
+    n_docs = df.select(id_col).agg(F.count(F.lit(1)).alias("__n_docs"))
+    cap = F.greatest(
+        F.lit(float(min_df_cap)), F.col("__n_docs") * F.lit(max_df_frac)
+    )
+    return (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") > cap)
+        .select("shingle")
+    )
+
+
 def _drop_hot_shingles(
     df: DataFrame,
     inv: DataFrame,
@@ -274,29 +301,9 @@ def _drop_hot_shingles(
     max_df_frac: float,
     min_df_cap: int,
 ) -> DataFrame:
-    """Remove shingles whose document frequency exceeds
-    ``max(min_df_cap, max_df_frac * n_docs)`` from a candidate-
-    generation index.
-
-    A stop-word trigram shared by f*n docs creates an (f*n)^2-row join
-    group in the inverted-index self-join — the standard skew killer in
-    production near-dup pipelines. Hot shingles carry no discriminative
-    signal, and verification always reruns against the FULL index, so
-    any surfaced pair still gets its exact Jaccard; only pairs whose
-    shared shingles are ALL ultra-common can be missed. The hot list is
-    provably tiny (at most total_rows / cap shingles), so the anti-join
-    broadcasts it."""
-    n_docs = df.select(id_col).agg(F.count(F.lit(1)).alias("__n_docs"))
-    cap = F.greatest(
-        F.lit(float(min_df_cap)), F.col("__n_docs") * F.lit(max_df_frac)
-    )
-    hot = (
-        inv.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("__df") > cap)
-        .select("shingle")
-    )
+    """Candidate-generation index with hot shingles removed (see
+    ``_hot_shingles``)."""
+    hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
     return inv.join(F.broadcast(hot), "shingle", "left_anti")
 
 
@@ -318,24 +325,53 @@ def ngram_jaccard_pairs(
     distinct shingle rows, equi-join on shingle, count shared per
     pair, |A∩B| / (|A| + |B| - |A∩B|). No cross join anywhere.
 
-    The self-join runs on a hot-shingle-capped index
-    (``_drop_hot_shingles``) so one ultra-common shingle cannot create
-    a quadratic join group; shared counts and sizes come from the FULL
-    index, so every surfaced pair carries its exact Jaccard."""
+    Skew guard with exactness preserved: the self-join runs on the
+    COLD index only (shingles with document frequency <= cap —
+    ``_hot_shingles``), so one stop-word trigram cannot create a
+    quadratic join group. Each doc's HOT shingles — a provably tiny
+    set, at most index_rows/cap distinct values — ride along on the
+    per-doc stats table, and the pair's shared count is corrected with
+    ``array_intersect`` in the same join that attaches sizes:
+    shared = shared_cold + |hot_A ∩ hot_B|, exact for every surfaced
+    pair with zero extra shuffles. Only pairs whose shared shingles
+    are ALL ultra-common can be missed — at Jaccard >= 0.5 such pairs
+    carry no discriminative signal."""
     inv = shingle_rows(df, text_col, id_col, shingle_n)
-    inv_cand = _drop_hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
+    hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
+    flagged = inv.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), "shingle", "left"
+    )
+    stats = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.collect_set(F.when(F.col("__hot"), F.col("shingle"))).alias("hot_set"),
+    )
+    inv_cold = flagged.filter(F.col("__hot").isNull()).select("doc_id", "shingle")
 
-    a, b = inv_cand.alias("a"), inv_cand.alias("b")
-    cand = (
+    a, b = inv_cold.alias("a"), inv_cold.alias("b")
+    shared_cold = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_cold"))
     )
-    return _verified_jaccard(cand, inv, threshold)
+    shared = F.col("shared_cold") + F.size(
+        F.array_intersect(F.col("na.hot_set"), F.col("nb.hot_set"))
+    )
+    jac = shared.cast("double") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - shared
+    )
+    return (
+        shared_cold.join(stats.alias("na"), F.col("id_a") == F.col("na.doc_id"))
+        .join(stats.alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
+        .select("id_a", "id_b", jac.alias("jaccard_raw"))
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", dround(F.col("jaccard_raw"), 6).alias("jaccard"))
+    )
 
 
 # --------------------------------------------------------------------------
