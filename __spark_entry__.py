@@ -467,6 +467,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-quantizer clustering
+    (seeded, SQL-replayable) + exact within-cluster cosine; duplicates
+    report their best keeper. Pairwise work is bounded per cluster —
+    the n_lists knob scales it to corpus size."""
+    from openeo_processes_dask_ml_spark.scale.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_lists=8
+    )
+
+
 def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs — distributed block-matrix audit
     path for the LSH default (no driver collect; `cosine_pairs`
@@ -1731,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
+        "semantic_dedup": q_semantic_dedup,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -2812,6 +2825,50 @@ WITH v AS (
   FROM cand
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    # semantic_dedup: same seeded-quantizer CTEs as ann_ivf, then exact
+    # within-cluster cosine and a best-keeper pick per duplicate. The
+    # fold order of every dot product matches Spark's zip_with +
+    # aggregate, so the pre-round doubles (and the cos DESC ordering)
+    # are bit-identical.
+    sql["semantic_dedup"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), seeds AS (
+  SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM n ORDER BY vec_id LIMIT 8
+), scored AS (
+  SELECT n.vec_id, seeds.seed_id,
+         list_reduce(list_transform(range(1, 65), i -> n.v[i] * seeds.sv[i]),
+                     (x, y) -> x + y) / (n.nrm * seeds.snrm) AS sim
+  FROM n, seeds
+), ranked_seed AS (
+  SELECT vec_id, seed_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rk
+  FROM scored
+), assigned AS (
+  SELECT vec_id, seed_id AS list_id FROM ranked_seed WHERE rk = 1
+), pairs AS (
+  SELECT a.list_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_transform(range(1, 65), i -> na.v[i] * nb.v[i]),
+                     (x, y) -> x + y) / (na.nrm * nb.nrm) AS cos
+  FROM assigned a
+  JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+), q AS (
+  SELECT * FROM pairs WHERE cos >= 0.4
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a) AS rk
+  FROM q
+)
+SELECT id_b AS vec_id, list_id, id_a AS dup_of,
+       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM ranked WHERE rk = 1
 """
 
     # LSH bucket parity: the +-1 hyperplane coefficients come from bit 0

@@ -469,6 +469,54 @@ def ivf_topk(
     n_probe / n_lists."""
     from pyspark.sql import Window
 
+    base, scored, assigned = _coarse_assign(
+        df, n_lists, vec_col, id_col, train_quantizer, sample_fraction
+    )
+    wp = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("seed_id"))
+    probes = (
+        scored.filter(F.col("vid").isin(query_ids))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= n_probe)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("seed_id").alias("list_id"),
+        )
+    )
+    cos = dround(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(probes),
+            (assigned.list_id == probes.list_id)
+            & (F.col("query_id") != F.col("vid")),
+        )
+        .select("query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _coarse_assign(
+    df: DataFrame,
+    n_lists: int,
+    vec_col: str,
+    id_col: str,
+    train_quantizer: bool,
+    sample_fraction: float,
+):
+    """Coarse-quantizer list assignment shared by ``ivf_topk`` and
+    ``semantic_dedup``: (base, scored, assigned) where assigned maps
+    every vector to its nearest seed's list (map-side max_by, one
+    narrow shuffle)."""
     base = df.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -515,36 +563,65 @@ def ivf_topk(
         F.first("v").alias("v"),
         F.first("nrm").alias("nrm"),
     )
-    wp = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("seed_id"))
-    probes = (
-        scored.filter(F.col("vid").isin(query_ids))
-        .withColumn("rk", F.row_number().over(wp))
-        .filter(F.col("rk") <= n_probe)
-        .select(
-            F.col("vid").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qnrm"),
-            F.col("seed_id").alias("list_id"),
-        )
+    return base, scored, assigned
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_quantizer: bool = False,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public method: Abbas et
+    al. 2023, arXiv:2303.09540): cluster embeddings with a coarse
+    quantizer, then compute exact pairwise cosine only WITHIN each
+    cluster; an item is a semantic duplicate when some lower-id item in
+    its cluster is closer than ``threshold``. Returns one row per
+    duplicate: (vec_id, list_id, dup_of, cosine) where dup_of is the
+    best-matching keeper (highest cosine, ties to the smallest id).
+
+    Scale shape: assignment is the IVF quantizer (seeds broadcast, one
+    narrow shuffle); the pairwise stage is an equi-join on list_id, so
+    work is sum over clusters of |c|^2, never corpus^2 — n_lists must
+    grow with the corpus (SemDeDup uses ~10^5 clusters at billions of
+    docs) to keep |c| bounded. Seeded quantizer by default so the whole
+    pipeline replays in SQL; ``train_quantizer=True`` switches to the
+    sampled-k-means production path."""
+    _, _, assigned = _coarse_assign(
+        df, n_lists, vec_col, id_col, train_quantizer, sample_fraction
     )
-    cos = dround(
-        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+    a = assigned.select(
+        F.col("vid").alias("id_a"),
+        F.col("list_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    cand = (
-        assigned.join(
-            F.broadcast(probes),
-            (assigned.list_id == probes.list_id)
-            & (F.col("query_id") != F.col("vid")),
-        )
-        .select("query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine"))
+    b = assigned.select(
+        F.col("vid").alias("id_b"),
+        F.col("list_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    cos_raw = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, ["list_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("list_id", "id_a", "id_b", cos_raw.alias("cos"))
+        .filter(F.col("cos") >= threshold)
     )
     return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        pairs.groupBy(F.col("id_b").alias("vec_id"), "list_id")
+        .agg(
+            F.max_by(
+                F.col("id_a"),
+                F.struct(F.col("cos"), (-F.col("id_a")).alias("ni")),
+            ).alias("dup_of"),
+            F.max("cos").alias("cos_raw"),
+        )
+        .select("vec_id", "list_id", "dup_of", dround(F.col("cos_raw"), 6).alias("cosine"))
     )
 
 

@@ -96,3 +96,34 @@ def test_ivf_trained_quantizer_recall(spark, emb_df):
     hits = sum(len(got.get(q, set()) & exact[q]) for q in queries)
     total = sum(len(exact[q]) for q in queries)
     assert hits / total >= 0.9, f"recall@3 {hits / total:.3f}"
+
+
+def test_semantic_dedup_within_cluster_semantics(spark):
+    """Duplicates are detected within a coarse cluster; the best keeper
+    wins; and cross-cluster near-pairs are (by design) not surfaced —
+    the documented SemDeDup approximation."""
+    from openeo_processes_dask_ml_spark.scale.similarity import semantic_dedup
+
+    # 2 seeds (ids 0, 1) on orthogonal axes; 10/11 ride with seed 0,
+    # 20 rides with seed 1
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.9, 0.1, 0.0, 0.0]),   # near-dup of 0, same cluster
+        (11, [0.95, 0.05, 0.0, 0.0]),  # nearer dup of 0 and of 10
+        (20, [0.0, 0.9, 0.0, 0.1]),   # near-dup of 1, other cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.9, n_lists=2).collect()}
+    # 10 and 11 are dups inside cluster 0; keeper is the best match
+    assert 10 in out and out[10]["dup_of"] == 0 and out[10]["list_id"] == 0
+    assert 11 in out and out[11]["dup_of"] in (0, 10)
+    # 20 is a dup of 1 inside cluster 1
+    assert 20 in out and out[20]["dup_of"] == 1 and out[20]["list_id"] == 1
+    # seeds themselves (smallest ids) are never marked duplicates
+    assert 0 not in out and 1 not in out
+    # determinism
+    again = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.9, n_lists=2).collect()}
+    assert {k: (v["dup_of"], v["cosine"]) for k, v in out.items()} == {
+        k: (v["dup_of"], v["cosine"]) for k, v in again.items()
+    }
