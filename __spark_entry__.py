@@ -479,6 +479,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated 20-token spans per document (Lee et
+    al. 2022): one span-hash aggregation + one join back — no pairwise
+    doc work. Docs whose text repeats across (or within) the corpus get
+    a nonzero dup_frac."""
+    from openeo_processes_dask_ml_spark.scale.text import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"), span_tokens=20)
+
+
 def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs — distributed block-matrix audit
     path for the LSH default (no driver collect; `cosine_pairs`
@@ -1744,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "semantic_dedup": q_semantic_dedup,
+        "duplicated_spans": q_duplicated_spans,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -2576,6 +2587,29 @@ WITH toks AS (
 SELECT doc_id, count(*) AS n_chunks,
        CAST(sum(kept) AS BIGINT) AS n_kept,
        floor((CAST(sum(kept) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS kept_ratio
+FROM flagged GROUP BY doc_id
+"""
+
+    # duplicated_spans: the oracle groups by the SPAN TEXT itself where
+    # Spark groups by its md5 — equality semantics are identical, so
+    # the dup classification matches without replicating the hash.
+    sql["duplicated_spans"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+), spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(l) - 19, 0) + 1),
+                               i -> array_to_string(l[i:(i + 19)], ' '))) AS s
+  FROM toks
+), counts AS (
+  SELECT s, count(*) AS n_occ FROM spans GROUP BY s
+), flagged AS (
+  SELECT doc_id, CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END AS dup
+  FROM spans JOIN counts USING (s)
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(dup) AS BIGINT) AS n_dup_spans,
+       floor((CAST(sum(dup) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
 FROM flagged GROUP BY doc_id
 """
 

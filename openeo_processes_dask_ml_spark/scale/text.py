@@ -389,3 +389,61 @@ def quality_filter(
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_wl & ok_sym & ok_stop).alias("keep"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    span_tokens: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span statistics (public method:
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499). Every ``span_tokens``-token sliding
+    window is fingerprinted; a span whose fingerprint occurs at least
+    ``min_count`` times across the corpus (any document, self-repeats
+    included) is duplicated text. Returns per-document
+    (doc_id, n_spans, n_dup_spans, dup_frac).
+
+    Scale shape: explode + window-lead span build (whole-stage
+    codegen), ONE hash aggregation on the span fingerprint (map-side
+    combined — a boilerplate span shared by millions of docs is one
+    carrying-a-count row, never a quadratic group), one shuffle join
+    back on the fingerprint, one per-doc agg. No pairwise document
+    join anywhere; this is the aggregate-side equivalent of the
+    reference method's suffix array.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, span_tokens)]
+    span = F.concat_ws(" ", F.col("tok"), *leads)
+    spans = (
+        ex.select("doc_id", F.md5(span).alias("h"), leads[-1].alias("__t"))
+        .filter(F.col("__t").isNotNull())
+        .select("doc_id", "h")
+    )
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    flagged = spans.join(counts, "h").select(
+        "doc_id", (F.col("n_occ") >= min_count).alias("dup")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("dup").cast("bigint")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            dround(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+            ).alias("dup_frac"),
+        )
+    )

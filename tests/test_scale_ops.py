@@ -258,3 +258,30 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert abs(found[(100, 101)] - expect) < 1e-9
     # none of the hot-only pairs (unique tails) qualify
     assert all(k == (100, 101) for k in found)
+
+
+def test_duplicated_spans_exact_substr(spark):
+    """A span repeated across docs (and a self-repeat) is flagged;
+    unique text is not; short docs yield no spans."""
+    from openeo_processes_dask_ml_spark.scale.text import duplicated_spans
+
+    shared = "one two three four five"
+    rows = [
+        (1, shared + " apple banana"),
+        (2, shared + " cherry mango"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (4, "w x y"),  # < span_tokens -> zero spans, absent from output
+        (5, shared + " " + shared),  # self-repeat
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in duplicated_spans(df, span_tokens=5).collect()}
+    assert 4 not in out
+    # doc 1: spans starting at 0..2 -> 3 spans; the first (shared) is
+    # also doc 2's first span -> 1 dup
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+    # doc 5: "one two three four five one two three four five" -> the
+    # shared 5-gram occurs at positions 0 and 5 (self-repeat), both dup
+    assert out[5]["n_dup_spans"] >= 2
+    assert 0 < out[1]["dup_frac"] < 1
