@@ -3,11 +3,11 @@
 Media are opaque ``binary`` columns with a typed metadata struct; decode
 and feature-extraction run as Arrow-batched ``mapInPandas`` stages.
 ``decode_image`` REALLY decodes PPM/PGM (binary P5/P6) and uncompressed
-24/32-bit BMP with pure numpy — no imaging library needed; other
-formats fall through to PIL when importable and raise a clear
-NotImplementedError otherwise. ``fake_decode_features`` remains the
-deterministic stand-in for opaque formats (``format='raw'``) so
-synthetic fixtures stay format-agnostic.
+24/32-bit BMP, and ``decode_audio`` decodes RIFF/WAVE PCM — all pure
+numpy, no media library needed; other formats fall through to PIL when
+importable and raise a clear NotImplementedError otherwise.
+``fake_decode_features`` remains the deterministic stand-in for opaque
+formats (``format='raw'``) so synthetic fixtures stay format-agnostic.
 
 Scale shape: media bytes never leave their partition; the extractor
 streams Arrow batches, so executor memory is bounded by
@@ -168,13 +168,12 @@ def extract_features(media_df: DataFrame, feature_dim: int = 8) -> DataFrame:
     md5 stand-in."""
 
     def one_feature(payload, meta) -> list[float]:
-        fmt = (meta or {}).get("format")
-        if (
-            payload is not None
-            and (meta or {}).get("kind") == "image"
-            and (fmt or "").lower() in _PURE_DECODERS
-        ):
+        kind = (meta or {}).get("kind")
+        fmt = ((meta or {}).get("format") or "").lower()
+        if payload is not None and kind == "image" and fmt in _PURE_DECODERS:
             return image_features(decode_image(bytes(payload), fmt), feature_dim)
+        if payload is not None and kind == "audio" and fmt == "wav":
+            return audio_features(*decode_audio(bytes(payload)), n=feature_dim)
         return fake_decode_features(payload, feature_dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -208,3 +207,54 @@ def frame_sample(media_df: DataFrame, every_n: int = 10) -> DataFrame:
         .select("media_id", F.posexplode(frames).alias("pos", "frame_idx"))
         .select("media_id", "frame_idx")
     )
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload with 8/16/32-bit integer or 32-bit
+    float PCM to (samples[n, channels] float64 in [-1, 1], sample_rate)
+    — pure numpy, no audio library. Compressed codecs raise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format == 1 and bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 8:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 32:
+        arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV format {audio_format} / {bits}-bit needs an audio library"
+        )
+    n = (len(arr) // n_channels) * n_channels
+    return arr[:n].reshape(-1, n_channels), sample_rate
+
+
+def audio_features(samples: np.ndarray, sample_rate: int, n: int = 8) -> list[float]:
+    """Deterministic audio features: duration (s), RMS, peak, zero-
+    crossing rate, then per-channel RMS filling to n dims."""
+    mono = samples.mean(axis=1)
+    feats = [
+        float(len(mono)) / sample_rate if sample_rate else 0.0,
+        float(np.sqrt((mono**2).mean())) if len(mono) else 0.0,
+        float(np.abs(mono).max()) if len(mono) else 0.0,
+        float((np.diff(np.signbit(mono)) != 0).mean()) if len(mono) > 1 else 0.0,
+    ]
+    for c in range(samples.shape[1]):
+        ch = samples[:, c]
+        feats.append(float(np.sqrt((ch**2).mean())) if len(ch) else 0.0)
+    return feats[:n] + [0.0] * max(n - len(feats), 0)

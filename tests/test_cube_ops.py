@@ -610,3 +610,61 @@ def test_extract_features_real_decode_path(spark):
     assert out[1]["feature"] == image_features(decode_image(ppm, "ppm"), 6)
     assert out[2]["feature"] == fake_decode_features(b"opaque-bytes", 6)
     assert out[1]["payload_bytes"] == len(ppm)
+
+
+def _wav_bytes(samples, sample_rate=8000, channels=1):
+    """16-bit PCM RIFF/WAVE payload from float samples in [-1, 1]."""
+    import struct as st
+
+    import numpy as np
+
+    pcm = (np.asarray(samples) * 32767.0).astype("<i2").tobytes()
+    fmt = st.pack("<HHIIHH", 1, channels, sample_rate,
+                  sample_rate * channels * 2, channels * 2, 16)
+    chunks = b"fmt " + st.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + st.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_audio_wav_and_features():
+    import numpy as np
+
+    from openeo_processes_dask_ml_spark.scale.multimodal import (
+        audio_features,
+        decode_audio,
+    )
+
+    t = np.arange(800) / 8000.0
+    sine = np.sin(2 * np.pi * 440 * t)
+    arr, rate = decode_audio(_wav_bytes(sine))
+    assert rate == 8000 and arr.shape == (800, 1)
+    assert abs(arr[:, 0] - sine).max() < 1e-3  # 16-bit quantization
+    f = audio_features(arr, rate, 8)
+    assert len(f) == 8
+    assert abs(f[0] - 0.1) < 1e-9            # duration 800/8000 s
+    assert abs(f[1] - np.sqrt(0.5)) < 0.01   # sine RMS
+    assert 0.99 < f[2] <= 1.0                # peak
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_audio(b"nonsense")
+
+
+def test_extract_features_audio_path(spark):
+    import numpy as np
+
+    from openeo_processes_dask_ml_spark.scale.multimodal import (
+        audio_features,
+        decode_audio,
+        extract_features,
+    )
+
+    wav = _wav_bytes(np.sin(np.arange(400) / 10.0))
+    rows = [(7, bytearray(wav), ("audio", "wav", 0, 0, 1))]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,n_frames:int>",
+    )
+    out = extract_features(df, feature_dim=6).collect()[0]
+    assert out["feature"] == audio_features(*decode_audio(wav), n=6)
