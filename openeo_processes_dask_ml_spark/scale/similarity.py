@@ -584,32 +584,51 @@ def semantic_dedup(
     best-matching keeper (highest cosine, ties to the smallest id).
 
     Scale shape: assignment is the IVF quantizer (seeds broadcast, one
-    narrow shuffle); the pairwise stage is an equi-join on list_id, so
-    work is sum over clusters of |c|^2, never corpus^2 — n_lists must
-    grow with the corpus (SemDeDup uses ~10^5 clusters at billions of
-    docs) to keep |c| bounded. Seeded quantizer by default so the whole
-    pipeline replays in SQL; ``train_quantizer=True`` switches to the
-    sampled-k-means production path."""
+    narrow shuffle); the pairwise stage is a triangle-blocked equi-join
+    keyed (list_id, block) — parallelism n_lists * n_blocks, not
+    n_lists — and work is sum over clusters of |c|^2, never corpus^2.
+    n_lists must grow with the corpus (SemDeDup uses ~10^5 clusters at
+    billions of docs) to keep |c| bounded. Seeded quantizer by default
+    so the whole pipeline replays in SQL; ``train_quantizer=True``
+    switches to the sampled-k-means production path."""
+    n_blocks = 8
     _, _, assigned = _coarse_assign(
         df, n_lists, vec_col, id_col, train_quantizer, sample_fraction
     )
-    a = assigned.select(
-        F.col("vid").alias("id_a"),
+    blocked = assigned.withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)))
+    # triangle blocking: the left side carries one row per partner
+    # block >= its own, so every unordered pair lands in exactly one
+    # (list_id, block-pair) join group; ids normalize afterwards
+    a = blocked.select(
+        F.col("vid").alias("vid_a"),
         F.col("list_id"),
+        F.col("blk").alias("blk_a"),
+        F.explode(
+            F.sequence(F.col("blk"), F.lit(n_blocks - 1))
+        ).alias("pb"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
-    b = assigned.select(
-        F.col("vid").alias("id_b"),
+    b = blocked.select(
+        F.col("vid").alias("vid_b"),
         F.col("list_id"),
+        F.col("blk").alias("pb"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     cos_raw = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(b, ["list_id"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("list_id", "id_a", "id_b", cos_raw.alias("cos"))
+        a.join(b, ["list_id", "pb"])
+        .filter(
+            (F.col("blk_a") != F.col("pb")) | (F.col("vid_a") < F.col("vid_b"))
+        )
+        .filter(F.col("vid_a") != F.col("vid_b"))
+        .select(
+            "list_id",
+            F.least(F.col("vid_a"), F.col("vid_b")).alias("id_a"),
+            F.greatest(F.col("vid_a"), F.col("vid_b")).alias("id_b"),
+            cos_raw.alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
     return (
