@@ -562,11 +562,46 @@ class CubeFrame:
         )
         return self.with_df(out)
 
-    def merge_cubes(self, other: "CubeFrame") -> "CubeFrame":
-        """Union along matching dims (openEO merge_cubes for the
-        label-disjoint case, like the reference's band-append
-        xr.concat at overrides/indices.py:29)."""
-        return self.with_df(self.df.unionByName(other.df, allowMissingColumns=True))
+    def merge_cubes(
+        self,
+        other: "CubeFrame",
+        overlap_resolver=None,
+    ) -> "CubeFrame":
+        """openEO merge_cubes. Label-disjoint case (the reference's
+        band-append xr.concat at overrides/indices.py:29): one
+        unionByName, no shuffle. With ``overlap_resolver`` (a
+        Column x Column -> Column callable, the compiled sub-graph):
+        full outer join on the dimension columns; cells present in both
+        cubes combine through the resolver, one-sided cells pass
+        through — the openEO overlapping-cube semantics. The join keys
+        are the dim columns, so Spark plans an ordinary shuffle (or
+        broadcast) equi-join; no driver-side alignment."""
+        if overlap_resolver is None:
+            return self.with_df(
+                self.df.unionByName(other.df, allowMissingColumns=True)
+            )
+        if set(self.dims) != set(other.dims):
+            raise ValueError(
+                f"merge_cubes: dimension mismatch {sorted(self.dims)} vs "
+                f"{sorted(other.dims)}"
+            )
+        dcols = list(self.dims.values())
+        a = self.df.select(*dcols, F.col(self.value_col).alias("__va"))
+        b = other.df.select(
+            *[
+                F.col(other.dims[d]).alias(self.dims[d])
+                for d in self.dims
+            ],
+            F.col(other.value_col).alias("__vb"),
+        )
+        joined = a.join(b, on=dcols, how="full_outer")
+        va, vb = F.col("__va"), F.col("__vb")
+        value = (
+            F.when(va.isNotNull() & vb.isNotNull(), overlap_resolver(va, vb))
+            .otherwise(F.coalesce(va, vb))
+        )
+        out = joined.select(*dcols, value.alias(self.value_col))
+        return CubeFrame(out, dict(self.dims), self.value_col, dict(self.attrs))
 
     # -- dimension manipulation ----------------------------------------
     def add_dimension(self, name: str, label, type: str = "other") -> "CubeFrame":

@@ -473,7 +473,11 @@ def _register_cubes(reg: ProcessRegistry) -> None:
         return array_interpolate_linear(args["data"], args.get("dimension", "time"))
 
     def p_merge_cubes(args, ctx):
-        return args["cube1"].merge_cubes(args["cube2"])
+        resolver = args.get("overlap_resolver")
+        fn = (
+            (lambda x, y: resolver(x=x, y=y)) if callable(resolver) else None
+        )
+        return args["cube1"].merge_cubes(args["cube2"], overlap_resolver=fn)
 
     def p_save_result(args, ctx):
         cube = args["data"]

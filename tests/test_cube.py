@@ -42,3 +42,58 @@ def test_aggregate_spatial_window_trim_and_pad(spark):
     assert pad[(1.0, 0.0)] == (20.0 + 21.0) / 2
     trim = cube.aggregate_spatial_window("mean", [2, 2], "trim").df.collect()
     assert {(r["x"], r["y"]) for r in trim} == {(0.0, 0.0)}
+
+
+def test_merge_cubes_overlap_resolver(spark):
+    """Overlapping cells combine through the resolver; one-sided cells
+    pass through; no resolver keeps the disjoint union behavior."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    a = CubeFrame(
+        spark.createDataFrame(
+            [(1, "b1", 10.0), (2, "b1", 20.0)], ["t", "band", "value"]
+        ),
+        {"time": "t", "bands": "band"},
+        "value",
+    )
+    b = CubeFrame(
+        spark.createDataFrame(
+            [(2, "b1", 5.0), (3, "b1", 7.0)], ["t", "band", "value"]
+        ),
+        {"time": "t", "bands": "band"},
+        "value",
+    )
+    merged = a.merge_cubes(b, overlap_resolver=F.greatest)
+    got = {r["t"]: r["value"] for r in merged.df.collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 7.0}
+    # disjoint union path unchanged
+    assert a.merge_cubes(b).df.count() == 4
+
+
+def test_merge_cubes_overlap_resolver_via_graph(spark):
+    """The graph adapter binds the overlap_resolver sub-graph's x/y."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.graph.registry import default_registry
+
+    reg = default_registry()
+    a = CubeFrame(
+        spark.createDataFrame([(1, 2.0), (2, 4.0)], ["t", "value"]),
+        {"time": "t"},
+        "value",
+    )
+    b = CubeFrame(
+        spark.createDataFrame([(2, 10.0)], ["t", "value"]),
+        {"time": "t"},
+        "value",
+    )
+
+    def resolver(x=None, y=None):
+        return x + y
+
+    out = reg.get("merge_cubes")(
+        {"cube1": a, "cube2": b, "overlap_resolver": resolver}, {}
+    )
+    got = {r["t"]: r["value"] for r in out.df.collect()}
+    assert got == {1: 2.0, 2: 14.0}
