@@ -54,6 +54,11 @@ HEADLINE = [
     "apply_kernel",
     "fit_curve",
     "streaming_sessionize",
+    # round 5 additions
+    "semantic_dedup",
+    "duplicated_spans",
+    "graph_fit_curve",
+    "graph_zonal",
 ]
 
 

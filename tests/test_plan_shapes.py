@@ -1,0 +1,93 @@
+"""Physical-plan regression guards: the scale properties the engine
+relies on (filter pushdown to parquet, column pruning, no corpus-sized
+broadcast hints) asserted against the actual Catalyst plans, so a
+refactor that silently loses them fails CI — not a 100 TB run."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_property_filter_pushes_to_parquet(spark):
+    from openeo_processes_dask_ml_spark.io.load import load_collection
+
+    cube = load_collection(
+        spark, "events", SF_DIR, properties={"user_id": {"lt": 10}}
+    )
+    plan = _plan(cube.df.select("event_id", "value"))
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    from openeo_processes_dask_ml_spark.io.load import load_table
+
+    df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema  # untouched columns pruned
+
+
+def test_jaccard_sizes_join_not_hint_broadcast(spark):
+    """The per-document stats table must not carry a broadcast HINT
+    (VERDICT r4 #1): at corpus scale it is billions of rows. Size-based
+    planning may still elect a broadcast on toy data — the guard is on
+    the logical plan's hints, not the physical choice."""
+    from openeo_processes_dask_ml_spark.scale.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    optimized = _optimized(ngram_jaccard_pairs(docs))
+    # the only broadcast hints allowed are the tiny hot-shingle list
+    # and the 1-row doc count — both appear before optimization folds
+    # them; a hint on the doc-keyed stats table would surface here
+    assert "ResolvedHint" not in optimized
+
+
+def test_decontaminate_broadcasts_blocklist_only(spark):
+    from openeo_processes_dask_ml_spark.scale.pipeline import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 5 == 0).limit(20)
+    plan = _plan(decontaminate(train, eval_docs))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ann_topk_never_shuffles_corpus_for_join(spark):
+    """Brute-force ANN joins the broadcast query side against the
+    corpus — the corpus side must not have an Exchange introduced by
+    the join itself (only the final top-k agg shuffles)."""
+    from openeo_processes_dask_ml_spark.scale.similarity import ann_topk_bruteforce
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(ann_topk_bruteforce(emb, list(range(5)), k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fit_curve_single_aggregate_no_python(spark):
+    """fit_curve is one hash aggregation + Catalyst Cramer solve: no
+    Python evaluation nodes anywhere in the plan."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.operators.curve import (
+        fit_curve,
+        harmonic_basis,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cube = CubeFrame(ev, {"time": "ts", "bands": "event_type"}, "value")
+    fitted = fit_curve(
+        cube, "time", lambda c: F.unix_micros(c) / 3.6e9, harmonic_basis(24.0)
+    )
+    plan = _plan(fitted.df)
+    assert "HashAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
