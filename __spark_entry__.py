@@ -489,6 +489,48 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(_t(spark, sf_dir, "documents"), span_tokens=20)
 
 
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline as ONE Catalyst plan: Gopher
+    quality rules -> exact dedup (normalized-text hash, min-id keeper)
+    -> token counting -> md5 shard assignment -> per-shard stats.
+    Composing the library operators keeps every stage in the same
+    optimizer scope: the quality projection fuses into the scan, the
+    dedup agg is map-side combined, and only (id, hash, count) rows
+    ever shuffle."""
+    from openeo_processes_dask_ml_spark.scale.dedup import tokens_expr
+    from openeo_processes_dask_ml_spark.scale.pipeline import shard_expr
+    from openeo_processes_dask_ml_spark.scale.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    kept_ids = quality_filter(docs).filter(F.col("keep")).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+    norm_hash = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    hashed = kept.select(
+        "doc_id",
+        norm_hash.alias("h"),
+        F.size(tokens_expr(F.col("text"))).alias("n_tok"),
+    )
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    uniq = hashed.join(keepers, "h").filter(F.col("doc_id") == F.col("keeper"))
+    return (
+        uniq.select("doc_id", "n_tok", shard_expr("doc_id", 8))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            dround(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "avg_tokens",
+        )
+    )
+
+
 def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs — distributed block-matrix audit
     path for the LSH default (no driver collect; `cosine_pairs`
@@ -1755,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "semantic_dedup": q_semantic_dedup,
         "duplicated_spans": q_duplicated_spans,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -3250,6 +3293,58 @@ SELECT vec_id,
                      i -> (v[i] - q[i] * scale / 127.0) * (v[i] - q[i] * scale / 127.0)),
       (a, b) -> a + b)) * 1000000.0 + 0.5) / 1000000.0 AS err
 FROM q
+"""
+
+    # pipeline_end_to_end: composes the quality_filter rules, exact
+    # dedup on the normalized-text md5, the pack_sequences tokenizer
+    # and the training_shards md5 shard — every fragment individually
+    # oracle-proven; the aggregate sums are exact int64 so avg divides
+    # identically in both engines.
+    sql["pipeline_end_to_end"] = r"""
+WITH c AS (
+  SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS c FROM documents
+), f AS (
+  SELECT doc_id, text, c,
+    CASE WHEN length(c) = 0 THEN 0
+         ELSE length(c) - length(replace(c, ' ', '')) + 1 END AS n_words,
+    length(replace(c, ' ', '')) AS n_chars,
+    length(c) - length(replace(c, '#', '')) AS n_hash,
+    (length(c) - length(replace(c, '...', ''))) / 3 AS n_ellipsis,
+    ' ' || lower(c) || ' ' AS padded
+  FROM c
+), g AS (
+  SELECT doc_id, text, n_words,
+    CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl,
+    CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) / n_words ELSE 0.0 END AS symbol_ratio,
+    (CASE WHEN length(padded) > length(replace(padded, ' the ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' a ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' and ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' of ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' in ', ' ')) THEN 1 ELSE 0 END
+    ) AS stop_hits
+  FROM f
+), kept AS (
+  SELECT doc_id, text FROM g
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND symbol_ratio <= 0.1 AND stop_hits >= 2
+), hashed AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+  FROM kept
+), keepers AS (
+  SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h
+), uniq AS (
+  SELECT hashed.doc_id, hashed.n_tok FROM hashed
+  JOIN keepers ON hashed.h = keepers.h AND hashed.doc_id = keepers.keeper
+)
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 15))::BIGINT
+           % 8 AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       floor(avg(n_tok) * 10000.0 + 0.5) / 10000.0 AS avg_tokens
+FROM uniq GROUP BY shard
 """
 
     sql["quality_filter"] = r"""
