@@ -1,0 +1,196 @@
+"""Property-based and randomized-oracle tests.
+
+Hypothesis drives the pure-numpy codecs (fast, no Spark per example);
+the Spark operators get seeded randomized corpora compared against
+brute-force Python oracles in a single job each.
+"""
+
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# ---------------------------------------------------------------------------
+# codec round-trips (pure numpy — hypothesis-friendly)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    data=st.data(),
+)
+def test_ppm_roundtrip(w, h, data):
+    from openeo_processes_dask_ml_spark.scale.multimodal import decode_image
+
+    px = data.draw(
+        st.lists(
+            st.tuples(*[st.integers(0, 255)] * 3),
+            min_size=w * h, max_size=w * h,
+        )
+    )
+    body = bytes(v for p in px for v in p)
+    payload = f"P6\n# c\n{w} {h}\n255\n".encode() + body
+    arr = decode_image(payload, "ppm")
+    assert arr.shape == (h, w, 3)
+    assert arr.reshape(-1, 3).tolist() == [list(p) for p in px]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    data=st.data(),
+)
+def test_wav_roundtrip(n, rate, data):
+    import struct as stl
+
+    from openeo_processes_dask_ml_spark.scale.multimodal import decode_audio
+
+    ints = data.draw(st.lists(st.integers(-32768, 32767), min_size=n, max_size=n))
+    pcm = np.array(ints, dtype="<i2").tobytes()
+    fmt = stl.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    payload = (
+        b"RIFF" + stl.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + stl.pack("<I", len(fmt)) + fmt
+        + b"data" + stl.pack("<I", len(pcm)) + pcm
+    )
+    arr, got_rate = decode_audio(payload)
+    assert got_rate == rate and arr.shape == (n, 1)
+    assert np.array_equal((arr[:, 0] * 32768.0).round(), np.array(ints, dtype=np.float64))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 8), h=st.integers(1, 8),
+    tw=st.integers(1, 12), th=st.integers(1, 12),
+)
+def test_resize_nearest_properties(w, h, tw, th):
+    from openeo_processes_dask_ml_spark.scale.multimodal import resize_nearest
+
+    arr = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    out = resize_nearest(arr, tw, th)
+    assert out.shape == (th, tw, 3)
+    # every output pixel exists in the input; same-size resize is identity
+    assert set(map(tuple, out.reshape(-1, 3))) <= set(map(tuple, arr.reshape(-1, 3)))
+    assert np.array_equal(resize_nearest(arr, w, h), arr)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(max_size=64))
+def test_decoders_reject_garbage(payload):
+    from openeo_processes_dask_ml_spark.scale.multimodal import (
+        _decode_bmp,
+        _decode_pnm,
+        decode_audio,
+    )
+
+    for dec in (_decode_pnm, _decode_bmp, decode_audio):
+        try:
+            dec(payload)
+        except (ValueError, NotImplementedError, IndexError, Exception):
+            pass  # must raise or return — never hang/crash the worker
+
+
+# ---------------------------------------------------------------------------
+# randomized brute-force oracles (one Spark job per test)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_matches_bruteforce(spark):
+    from openeo_processes_dask_ml_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    left = [(k, rng.randint(0, 100)) for k in range(4) for _ in range(25)]
+    # unique right timestamps per key: with duplicates the as-of winner
+    # among equal timestamps is unspecified (same as DuckDB ASOF)
+    right = [
+        (k, rt, rng.random())
+        for k in range(4)
+        for rt in rng.sample(range(101), 10)
+    ]
+    ldf = spark.createDataFrame(left, ["k", "lt"])
+    rdf = spark.createDataFrame(right, ["k", "rt", "val"])
+    got = {
+        (r["k"], r["lt"], i): r["val_right"]
+        for i, r in enumerate(
+            asof_join(ldf, rdf, "k", "lt", "rt").orderBy("k", "lt").collect()
+        )
+    }
+    # brute force: latest right with rt <= lt per key
+    expect = []
+    for k, lt in sorted(left):
+        cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= lt]
+        expect.append(max(cands)[1] if cands else None)
+    assert [got[key] for key in sorted(got)] == expect
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    from openeo_processes_dask_ml_spark.scale.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> real overlaps
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 15))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expect = {}
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.3:
+                expect[(ida, idb)] = round(j, 6)
+    # default DF cap never triggers on 30 docs (min_df_cap=128), so the
+    # exact pair set must match the brute force bit-for-bit
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-9)
+
+
+def test_cumulative_processes_match_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_ml_spark.graph.registry import default_registry
+
+    reg = default_registry()
+    rng = random.Random(3)
+    arrays = [
+        [rng.choice([None, round(rng.uniform(-5, 5), 3)]) for _ in range(rng.randint(1, 10))]
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(i, a) for i, a in enumerate(arrays)], "i long, data array<double>")
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            reg.get("cumsum")({"data": F.col("data")}, {}).alias("s"),
+            reg.get("cummax")({"data": F.col("data")}, {}).alias("mx"),
+        ).collect()
+    }
+    for i, arr in enumerate(arrays):
+        acc, mx = 0.0, None
+        for j, v in enumerate(arr):
+            if v is None:
+                assert out[i]["s"][j] is None and out[i]["mx"][j] is None
+            else:
+                acc += v
+                mx = v if mx is None else max(mx, v)
+                assert out[i]["s"][j] == pytest.approx(acc, abs=1e-9)
+                assert out[i]["mx"][j] == pytest.approx(mx, abs=1e-9)
