@@ -1281,6 +1281,50 @@ def q_ml_fit_predict_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical ML flow (examples/train_rf.py) driven
+    through the PROCESS GRAPH: mlm_class_random_forest -> ml_fit ->
+    ml_predict via the registry adapters, checked with the same
+    contract oracle as the direct-API query (tree outputs are
+    engine-specific; the contract around them is not)."""
+    from openeo_processes_dask_ml_spark.graph import execute_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    graph = {
+        "model": {
+            "process_id": "mlm_class_random_forest",
+            "arguments": {"max_variables": "sqrt", "num_trees": 50, "seed": 42},
+        },
+        "fit": {
+            "process_id": "ml_fit_features",
+            "arguments": {
+                "model": {"from_node": "model"},
+                "data": emb,
+                "feature_col": "embedding",
+                "label_col": "label",
+            },
+        },
+        "pred": {
+            "process_id": "ml_predict",
+            "arguments": {"model": {"from_node": "fit"}, "data": emb},
+            "result": True,
+        },
+    }
+    pred = execute_graph(graph, spark, sf_dir)
+    labels = [r[0] for r in emb.select("label").distinct().collect()]
+    p = F.col("prediction")
+    out_of_domain = F.coalesce(~p.isin(labels), F.lit(False))
+    return pred.agg(
+        F.count("*").cast("long").alias("n_predictions"),
+        F.sum(out_of_domain.cast("long")).alias("n_out_of_domain"),
+        F.sum(p.isNull().cast("long")).alias("n_null_predictions"),
+        F.countDistinct("label").cast("long").alias("n_classes"),
+        F.max(F.size("embedding")).cast("long").alias("n_features"),
+        F.lit(1).cast("long").alias("label_idx_min"),
+        F.lit(len(labels)).cast("long").alias("label_idx_max"),
+    )
+
+
 def q_ml_predict_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batched tiled-inference harness (§2.2 stages 7-11) over a
     raster cube synthesized from events. predict_fn is a deterministic
@@ -1798,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "duplicated_spans": q_duplicated_spans,
         "pipeline_end_to_end": q_pipeline_end_to_end,
+        "graph_ml_pipeline": q_graph_ml_pipeline,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -2432,6 +2477,11 @@ SELECT
   CAST(1 AS BIGINT) AS label_idx_min,
   (SELECT count(DISTINCT label) FROM embeddings) AS label_idx_max
 """
+
+    # graph_ml_pipeline states the same contract as ml_fit_predict_rf —
+    # the graph adapters must not change what the fit/predict protocol
+    # guarantees
+    sql["graph_ml_pipeline"] = sql["ml_fit_predict_rf"]
 
     # contract oracle for sketch aggregates (see q_approx_aggregates):
     # exact counts from the raw table, sketch-accuracy booleans stated
