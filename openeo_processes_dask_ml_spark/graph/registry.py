@@ -716,6 +716,50 @@ def _register_cubes(reg: ProcessRegistry) -> None:
         )
         return args["data"]
 
+    def p_run_udf(args, ctx):
+        # openEO run_udf: user code over the datacube. The udf is a
+        # "pkg.module:func" reference resolved through the SAME
+        # allowlist as MLM processing expressions (no arbitrary source
+        # exec — the reference gates its expression surface the same
+        # way, utils/proc_expression_utils.py). The callable receives
+        # each Arrow batch's value vector as a numpy array and returns
+        # a same-length array; execution is mapInPandas, so user code
+        # never runs row-at-a-time.
+        from openeo_processes_dask_ml_spark.utils.proc_expression import (
+            resolve_python_expression,
+        )
+
+        data = args["data"]
+        runtime = str(args.get("runtime", "Python")).lower()
+        if runtime not in ("python", "python3"):
+            raise NotImplementedError(f"run_udf runtime {runtime!r} not supported")
+        if not isinstance(data, CubeFrame):
+            raise ValueError("run_udf expects a datacube 'data'")
+        fn = resolve_python_expression(args["udf"])
+        vcol = data.value_col
+        cube = data.with_df(
+            data.df.withColumn(vcol, F.col(vcol).cast("double"))
+        )
+        schema = cube.df.schema
+
+        def run(batches):
+            import numpy as np
+
+            for pdf in batches:
+                vals = pdf[vcol].to_numpy(dtype=float)
+                out = np.asarray(fn(vals), dtype=float)
+                if out.shape != vals.shape:
+                    raise ValueError(
+                        f"run_udf callable changed the batch shape "
+                        f"{vals.shape} -> {out.shape}"
+                    )
+                pdf = pdf.copy()
+                pdf[vcol] = out
+                yield pdf
+
+        return cube.with_df(cube.df.mapInPandas(run, schema=schema))
+
+    reg.register("run_udf", p_run_udf)
     reg.register("fit_curve", p_fit_curve)
     reg.register("predict_curve", p_predict_curve)
     reg.register("aggregate_spatial", p_aggregate_spatial)

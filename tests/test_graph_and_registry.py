@@ -619,8 +619,8 @@ def test_registry_openeo_spec_parity():
         # text / date
         "text_begins", "text_contains", "text_ends", "text_concat",
         "date_shift", "date_between", "date_difference",
-        # interpolation
-        "array_interpolate_linear",
+        # interpolation / UDF
+        "array_interpolate_linear", "run_udf",
     }
     have = set(default_registry().process_ids())
     missing = sorted(required - have)
@@ -650,3 +650,33 @@ def test_cumulative_array_processes(spark):
     assert out["mx"] == [1.0, 3.0, None, 3.0]
     assert out["mn"] == [1.0, 1.0, None, 1.0]
     assert out["n"] == 4
+
+
+def test_run_udf_numpy_callable(spark):
+    """run_udf resolves an allowlisted pkg.module:func and applies it
+    per Arrow batch over the cube values."""
+    import math
+
+    import pytest as _pytest
+
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.graph.registry import default_registry
+
+    reg = default_registry()
+    cube = CubeFrame(
+        spark.createDataFrame([(1, 4.0), (2, 9.0), (3, 16.0)], ["t", "value"]),
+        {"time": "t"},
+        "value",
+    )
+    out = reg.get("run_udf")(
+        {"data": cube, "udf": "numpy:sqrt", "runtime": "Python"}, {}
+    )
+    got = {r["t"]: r["value"] for r in out.df.collect()}
+    assert got == {1: 2.0, 2: 3.0, 3: 4.0}
+    assert math.isclose(sum(got.values()), 9.0)
+    # non-allowlisted package refused
+    with _pytest.raises(PermissionError):
+        reg.get("run_udf")({"data": cube, "udf": "os:system"}, {})
+    # non-python runtime gated
+    with _pytest.raises(NotImplementedError):
+        reg.get("run_udf")({"data": cube, "udf": "numpy:sqrt", "runtime": "R"}, {})
