@@ -46,11 +46,23 @@ class GraphExecutor:
         cache: dict[str, Any] = {}
         return self._eval_node(graph, _result_node(graph), parameters or {}, cache)
 
+    _IN_PROGRESS = object()  # cycle sentinel
+
     def _eval_node(
         self, graph: dict, node_id: str, params: dict, cache: dict
     ) -> Any:
         if node_id in cache:
+            if cache[node_id] is self._IN_PROGRESS:
+                raise ValueError(
+                    f"process graph cycle detected at node {node_id!r}"
+                )
             return cache[node_id]
+        if node_id not in graph:
+            raise KeyError(
+                f"from_node references unknown node {node_id!r}; "
+                f"graph nodes: {sorted(graph)}"
+            )
+        cache[node_id] = self._IN_PROGRESS
         node = graph[node_id]
         process_id = node["process_id"]
         impl = self.registry.get(process_id)

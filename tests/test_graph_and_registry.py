@@ -680,3 +680,20 @@ def test_run_udf_numpy_callable(spark):
     # non-python runtime gated
     with _pytest.raises(NotImplementedError):
         reg.get("run_udf")({"data": cube, "udf": "numpy:sqrt", "runtime": "R"}, {})
+
+
+def test_graph_cycle_and_unknown_node_errors(spark):
+    cyclic = {
+        "a": {"process_id": "add",
+              "arguments": {"x": {"from_node": "b"}, "y": 1}},
+        "b": {"process_id": "add",
+              "arguments": {"x": {"from_node": "a"}, "y": 1}, "result": True},
+    }
+    with pytest.raises(ValueError, match="cycle"):
+        execute_graph(cyclic, spark, SF_DIR)
+    dangling = {
+        "a": {"process_id": "add",
+              "arguments": {"x": {"from_node": "nope"}, "y": 1}, "result": True},
+    }
+    with pytest.raises(KeyError, match="unknown node"):
+        execute_graph(dangling, spark, SF_DIR)
