@@ -1640,6 +1640,31 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type")
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment: the event stream joins a broadcast
+    customer dimension (no join state, unlike stream-stream) and feeds
+    a watermarked 1-day windowed aggregate per market segment —
+    AvailableNow makes it equal the batch join+agg."""
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_static_enrich_once,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    cust = _t(spark, sf_dir, "customer")
+    out = run_stream_static_enrich_once(
+        spark, f"{sf_dir}/events.parquet", schema, cust
+    )
+    return out.select(
+        F.to_date("window_start").alias("day"),
+        "segment",
+        F.col("n_events").cast("long").alias("n_events"),
+        dround(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: file stream -> event-time watermark ->
     tumbling 1-day window -> memory sink, driven with
@@ -1843,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
+        "streaming_enrich": q_streaming_enrich,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -3442,6 +3468,14 @@ JOIN events c
   ON p.user_id = c.user_id
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+    sql["streaming_enrich"] = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, c_mktsegment AS segment,
+       count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
 """
 
     sql["streaming_rollup"] = """

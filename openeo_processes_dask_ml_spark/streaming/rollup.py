@@ -373,3 +373,74 @@ def run_stream_rollup_once(
     )
     query.awaitTermination()
     return spark.table(table)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    static_df: DataFrame,
+    stream_key: str,
+    static_key: str,
+    ts_col: str,
+    segment_col: str,
+    value_col: str,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STATIC enrichment join + downstream windowed aggregate —
+    the third join mode next to stream-stream (interval join) and
+    stateful dedup. The static dimension broadcasts into every
+    micro-batch (no join state at all, unlike stream-stream), then the
+    watermarked tumbling window aggregates the enriched stream per
+    (window, segment)."""
+    dim = F.broadcast(
+        static_df.select(
+            F.col(static_key).alias("__k"), F.col(segment_col).alias("segment")
+        )
+    )
+    enriched = stream.join(dim, stream[stream_key] == F.col("__k"), "inner")
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_static_enrich_once(
+    spark: SparkSession,
+    path: str,
+    schema,
+    static_df: DataFrame,
+    stream_key: str = "user_id",
+    static_key: str = "c_custkey",
+    ts_col: str = "ts",
+    segment_col: str = "c_mktsegment",
+    value_col: str = "value",
+    window: str = "1 day",
+) -> DataFrame:
+    """Drive the enrichment with Trigger.AvailableNow into a memory
+    sink (complete mode emits every window at end-of-stream), equal to
+    the batch join+agg — oracle-checkable."""
+    stream = stream_events(spark, path, schema, ts_col)
+    agg = stream_static_enrich(
+        stream, static_df, stream_key, static_key, ts_col, segment_col,
+        value_col, window,
+    )
+    table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table)

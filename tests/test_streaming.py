@@ -144,3 +144,39 @@ def test_stream_interval_join_attribution(spark, tmp_path):
     pairs = {(r["event_id"], r["r_event_id"]) for r in out.collect()}
     # click at 9:00 is exactly ts - 1h -> inclusive lower bound
     assert pairs == {(3, 1), (3, 2)}
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static enrichment equals the batch join+agg, and the
+    static side is planned as a broadcast join (no stream-stream join
+    state)."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_ml_spark.io.load import load_table
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_static_enrich_once,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    cust = load_table(spark, sf, "customer")
+    got = {
+        (str(r["window_start"]), r["segment"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in run_stream_static_enrich_once(
+            spark, f"{sf}/events.parquet", schema, cust
+        ).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    expect = {
+        (str(r["w"]), r["segment"]): (r["n"], round(r["s"], 6))
+        for r in ev.join(
+            cust, ev.user_id == cust.c_custkey
+        )
+        .groupBy(
+            F.date_trunc("day", "ts").alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
