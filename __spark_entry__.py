@@ -580,6 +580,19 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: the split key is the
+    duplicate CLUSTER (connected components over the exact-Jaccard
+    pair graph), so near-duplicates never straddle a split boundary —
+    the eval-contamination guard of a dedup-aware pipeline."""
+    from openeo_processes_dask_ml_spark.scale.dedup import ngram_jaccard_pairs
+    from openeo_processes_dask_ml_spark.scale.pipeline import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return leakage_safe_split(docs, pairs)
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup pipeline output: pair graph -> connected
     components -> canonical representative per cluster (largest text,
@@ -1869,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "streaming_enrich": q_streaming_enrich,
+        "leakage_safe_split": q_leakage_safe_split,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -2386,6 +2400,56 @@ WITH RECURSIVE toks AS (
   FROM reach JOIN edges e ON e.a = reach.node
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+    # leakage_safe_split: the dup_clusters transitive closure, every
+    # document pulled in (singletons = own cluster), md5 bucket of the
+    # CLUSTER id decides the split.
+    sql["leakage_safe_split"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM toks WHERE len(toks) >= 3
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sh sa ON id_a = sa.doc_id
+  JOIN sh sb ON id_b = sb.doc_id
+  WHERE shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r
+  FROM reach JOIN edges e ON e.a = reach.node
+), comp AS (
+  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp USING (doc_id)
+), bucketed AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '#split'), 1, 15))::BIGINT
+             % 100 AS b
+  FROM labeled
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM bucketed
 """
 
     sql["stratified_sample"] = """

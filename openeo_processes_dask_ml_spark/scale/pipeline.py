@@ -211,3 +211,47 @@ def top_per_group(
         .filter(F.col("rk") <= k)
         .withColumn("rk", F.col("rk").cast("bigint"))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple = (90, 5, 5),
+) -> DataFrame:
+    """Group-aware train/val/test assignment: the split key is the
+    duplicate CLUSTER, not the document, so near-duplicates can never
+    straddle a split boundary — the eval-contamination guard of a
+    dedup-aware training pipeline. Singleton documents are their own
+    cluster. Assignment is the deterministic md5 bucket of the cluster
+    id against ``fractions`` (percent train/val/test).
+
+    Scale shape: connected components over the pair graph (pointer-
+    doubled label propagation), one left join to pull every document
+    in, and a pure-codegen bucket projection — the corpus shuffles
+    once on doc_id for the join.
+    """
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        duplicate_clusters,
+        hash60,
+    )
+
+    f_train, f_val, f_test = fractions
+    if f_train + f_val + f_test != 100:
+        raise ValueError("fractions must sum to 100")
+    clusters = duplicate_clusters(pairs)
+    labeled = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = hash60(F.col("cluster_id").cast("string"), "split") % F.lit(100)
+    split = (
+        F.when(bucket < f_train, F.lit("train"))
+        .when(bucket < f_train + f_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return labeled.select("doc_id", "cluster_id", split.alias("split"))

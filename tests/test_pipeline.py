@@ -119,3 +119,32 @@ def test_top_per_group_ranks_with_tiebreak(spark):
     assert got[("a", 1)] == 1 and got[("a", 2)] == 2
     assert got[("b", 1)] == 4
     assert ("a", 3) not in got
+
+
+def test_leakage_safe_split_no_cross_split_pairs(spark):
+    """Every duplicate pair lands entirely inside one split; singletons
+    get their own cluster; fractions are respected in expectation."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import leakage_safe_split
+
+    # clusters: {1,2,3} chained, {10,11}, singletons 20..29
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11] + list(range(20, 30))], ["doc_id"]
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 15
+    # chained cluster shares one split and one cluster id (min member)
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+    assert out[10]["cluster_id"] == out[11]["cluster_id"] == 10
+    assert out[10]["split"] == out[11]["split"]
+    # singletons cluster to themselves
+    for i in range(20, 30):
+        assert out[i]["cluster_id"] == i
+    assert {r["split"] for r in out.values()} <= {"train", "val", "test"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 100"):
+        leakage_safe_split(docs, pairs, fractions=(80, 10, 5))
