@@ -59,6 +59,10 @@ HEADLINE = [
     "duplicated_spans",
     "graph_fit_curve",
     "graph_zonal",
+    "pipeline_end_to_end",
+    "leakage_safe_split",
+    "dup_clusters",
+    "streaming_enrich",
 ]
 
 
