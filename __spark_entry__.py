@@ -1942,19 +1942,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _simhash_oracle() -> str:
+    # mirrors scale/dedup.py SIMHASH_BITS (48) and hash48: 12 md5 hex
+    # chars give the identical 48-bit token hash in both engines
     bit_sums = ",\n      ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(32)
+        for b in range(48)
     )
     fp_expr = " + ".join(
-        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(48)
     )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
   FROM documents
 ), hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM toks
 ), sums AS (
   SELECT doc_id,
       {bit_sums}
