@@ -580,6 +580,16 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality proxy: corpus-trained unigram model (top-k
+    vocab, add-0.5 smoothing, OOV bucket), each doc scored by mean
+    negative log2 token probability. The probability table is bounded
+    by vocab_size, so it broadcasts at any corpus scale."""
+    from openeo_processes_dask_ml_spark.scale.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"), vocab_size=4096)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-aware train/val/test split: the split key is the
     duplicate CLUSTER (connected components over the exact-Jaccard
@@ -1883,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "streaming_enrich": q_streaming_enrich,
         "leakage_safe_split": q_leakage_safe_split,
+        "unigram_logprob": q_unigram_logprob,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -2402,6 +2413,33 @@ WITH RECURSIVE toks AS (
   FROM reach JOIN edges e ON e.a = reach.node
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+    # unigram_logprob: corpus-trained unigram LM with deterministic
+    # top-k vocab (count desc, token asc) and add-0.5 smoothing; the
+    # per-token probabilities are exact rationals divided identically
+    # in both engines, so only log2/avg carry ulp noise under the 1e-6
+    # rounding.
+    sql["unigram_logprob"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), c AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), vocab AS (
+  SELECT t, c FROM c ORDER BY c DESC, t LIMIT 4096
+), tot AS (
+  SELECT (SELECT sum(c) FROM c) AS total,
+         (SELECT count(*) FROM vocab) AS v
+), scored AS (
+  SELECT tok.doc_id,
+         log2((coalesce(vocab.c, 0) + 0.5)
+              / (tot.total + 0.5 * (tot.v + 1))) AS lp
+  FROM tok LEFT JOIN vocab USING (t) CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       floor((-avg(lp)) * 1000000.0 + 0.5) / 1000000.0 AS lm_score
+FROM scored GROUP BY doc_id
 """
 
     # leakage_safe_split: the dup_clusters transitive closure, every

@@ -447,3 +447,55 @@ def duplicated_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 65536,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Language-model quality proxy (public method: Wenzek et al. 2020,
+    CCNet, arXiv:1911.00359 — perplexity filtering; unigram variant):
+    train a unigram model on the corpus itself — top ``vocab_size``
+    tokens by frequency with add-k smoothing and an OOV bucket — and
+    score every document by its mean negative log2 token probability.
+    Low score = fluent, common text; high = rare/gibberish. The usual
+    use is a percentile cut, like ``quality_filter``'s rule verdicts.
+
+    Scale shape: one explode + hash agg for token counts, a top-k for
+    the vocabulary (BOUNDED by vocab_size, so the probability table is
+    genuinely broadcastable at any corpus size — unlike a full vocab
+    join), one broadcast join back, one per-doc agg. Total/vocab-size
+    scalars ride along on a broadcast 1-row frame; nothing collects.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("t"),
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.orderBy(F.col("c").desc(), F.col("t")).limit(vocab_size)
+    totals = counts.agg(
+        F.sum("c").alias("__total"), F.count(F.lit(1)).alias("__nv")
+    ).crossJoin(vocab.agg(F.count(F.lit(1)).alias("__v")))
+    k = float(smoothing)
+    denom = F.col("__total") + k * (F.col("__v") + 1)
+    p = (F.coalesce(F.col("c"), F.lit(0)).cast("double") + k) / denom
+    scored = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", F.log2(p).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.avg("lp")).alias("raw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            dround(F.col("raw"), 6).alias("lm_score"),
+        )
+    )

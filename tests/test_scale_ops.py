@@ -285,3 +285,27 @@ def test_duplicated_spans_exact_substr(spark):
     # shared 5-gram occurs at positions 0 and 5 (self-repeat), both dup
     assert out[5]["n_dup_spans"] >= 2
     assert 0 < out[1]["dup_frac"] < 1
+
+
+def test_unigram_logprob_ranks_fluency(spark):
+    """Docs made of corpus-common tokens score lower (better) than docs
+    of rare tokens; OOV tokens hit the smoothing bucket; deterministic
+    vocab cutoff."""
+    import math
+
+    from openeo_processes_dask_ml_spark.scale.text import unigram_logprob
+
+    common = "the cat sat on the mat " * 10
+    rows = [(1, common), (2, common), (3, common),
+            (4, "zyx qwv kjh zyx qwv kjh"),  # rare tokens
+            (5, common)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df, vocab_size=5).collect()}
+    assert out[1]["lm_score"] == out[2]["lm_score"]  # identical docs
+    assert out[4]["lm_score"] > out[1]["lm_score"]   # rare >> common
+    assert out[1]["n_tokens"] == 60
+    # vocab_size=5 keeps exactly the 5 common tokens (the/cat/sat/on/
+    # mat); every token of doc 4 is OOV -> the same smoothing bucket
+    k, total, v = 0.5, 60 * 4 + 6, 5
+    oov_lp = -math.log2(k / (total + k * (v + 1)))
+    assert abs(out[4]["lm_score"] - round(oov_lp, 6)) < 1e-6
