@@ -590,6 +590,15 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_t(spark, sf_dir, "documents"), vocab_size=4096)
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality split: exact corpus percentiles
+    of the unigram LM score broadcast into a codegen bucket projection
+    (percentile_approx is the documented swap-in at extreme scale)."""
+    from openeo_processes_dask_ml_spark.scale.text import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"), vocab_size=4096)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-aware train/val/test split: the split key is the
     duplicate CLUSTER (connected components over the exact-Jaccard
@@ -1894,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich": q_streaming_enrich,
         "leakage_safe_split": q_leakage_safe_split,
         "unigram_logprob": q_unigram_logprob,
+        "ccnet_buckets": q_ccnet_buckets,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -2440,6 +2450,42 @@ WITH tok AS (
 SELECT doc_id, count(*) AS n_tokens,
        floor((-avg(lp)) * 1000000.0 + 0.5) / 1000000.0 AS lm_score
 FROM scored GROUP BY doc_id
+"""
+
+    # ccnet_buckets: the unigram pipeline + quantile_cont cuts (Spark
+    # exact `percentile` <-> DuckDB `quantile_cont` interpolation parity
+    # is already proven by quantiles_extrema); cuts compare against the
+    # ROUNDED scores in both engines.
+    sql["ccnet_buckets"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), c AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), vocab AS (
+  SELECT t, c FROM c ORDER BY c DESC, t LIMIT 4096
+), tot AS (
+  SELECT (SELECT sum(c) FROM c) AS total,
+         (SELECT count(*) FROM vocab) AS v
+), scored AS (
+  SELECT tok.doc_id,
+         log2((coalesce(vocab.c, 0) + 0.5)
+              / (tot.total + 0.5 * (tot.v + 1))) AS lp
+  FROM tok LEFT JOIN vocab USING (t) CROSS JOIN tot
+), docs AS (
+  SELECT doc_id,
+         floor((-avg(lp)) * 1000000.0 + 0.5) / 1000000.0 AS lm_score
+  FROM scored GROUP BY doc_id
+), cuts AS (
+  SELECT quantile_cont(lm_score, 0.3333333333333333) AS lo,
+         quantile_cont(lm_score, 0.6666666666666666) AS hi
+  FROM docs
+)
+SELECT doc_id, lm_score,
+       CASE WHEN lm_score <= lo THEN 'head'
+            WHEN lm_score <= hi THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM docs CROSS JOIN cuts
 """
 
     # leakage_safe_split: the dup_clusters transitive closure, every

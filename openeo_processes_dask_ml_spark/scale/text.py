@@ -499,3 +499,36 @@ def unigram_logprob(
             dround(F.col("raw"), 6).alias("lm_score"),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 65536,
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020): documents
+    bucketed by corpus percentiles of the unigram LM score — head =
+    most fluent third, tail = least. Returns (doc_id, lm_score,
+    bucket).
+
+    The two cut values are one exact-percentile aggregation over the
+    scores (at extreme scale swap in percentile_approx — the t-digest
+    cut moves by at most the sketch rank error); they broadcast as a
+    1-row frame into a pure-codegen bucket projection.
+    """
+    scores = unigram_logprob(df, text_col, id_col, vocab_size)
+    lo, hi = float(cuts[0]), float(cuts[1])
+    cuts_df = scores.agg(
+        F.expr(f"percentile(lm_score, {lo!r})").alias("__lo"),
+        F.expr(f"percentile(lm_score, {hi!r})").alias("__hi"),
+    )
+    bucket = (
+        F.when(F.col("lm_score") <= F.col("__lo"), F.lit("head"))
+        .when(F.col("lm_score") <= F.col("__hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scores.crossJoin(F.broadcast(cuts_df)).select(
+        "doc_id", "lm_score", bucket.alias("bucket")
+    )

@@ -309,3 +309,20 @@ def test_unigram_logprob_ranks_fluency(spark):
     k, total, v = 0.5, 60 * 4 + 6, 5
     oov_lp = -math.log2(k / (total + k * (v + 1)))
     assert abs(out[4]["lm_score"] - round(oov_lp, 6)) < 1e-6
+
+
+def test_ccnet_buckets_thirds(spark):
+    from openeo_processes_dask_ml_spark.scale.text import ccnet_buckets
+
+    common = "the cat sat on the mat " * 8
+    rows = [(i, common) for i in range(1, 7)]
+    rows += [(7, common + "unusual marsupial"), (8, common + "qqq www")]
+    rows += [(9, "zyx qwv kjh lmn opr stu " * 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(df, vocab_size=8).collect()}
+    assert len(out) == 9
+    # fully-common docs are head; the gibberish doc is tail
+    assert all(out[i] == "head" for i in range(1, 7))
+    assert out[9] == "tail"
+    # the slightly-noised docs never rank better than fully-common ones
+    assert out[7] != "head" and out[8] != "head"
