@@ -590,6 +590,23 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_t(spark, sf_dir, "documents"), vocab_size=4096)
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture re-weighting: data-derived per-source keep rates
+    so surviving token mass matches a 50/30/20 target over three
+    sources (others excluded); deterministic md5 selection."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import mixture_sample
+
+    out = mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        targets={"src0": 50, "src1": 30, "src2": 20},
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "rate", "keep",
+    )
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail quality split: exact corpus percentiles
     of the unigram LM score broadcast into a codegen bucket projection
@@ -1904,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "unigram_logprob": q_unigram_logprob,
         "ccnet_buckets": q_ccnet_buckets,
+        "mixture_sample": q_mixture_sample,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -2423,6 +2441,37 @@ WITH RECURSIVE toks AS (
   FROM reach JOIN edges e ON e.a = reach.node
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+    # mixture_sample: rates are exact-rational arithmetic over token
+    # masses with identical operation order in both engines; the keep
+    # decision compares the UNROUNDED rate so the md5 bucket splits
+    # identically.
+    sql["mixture_sample"] = r"""
+WITH nt AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+  FROM documents
+), mass AS (
+  SELECT source, sum(n_tokens) AS mass FROM nt GROUP BY source
+), shares AS (
+  SELECT source, mass,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                     WHEN 'src2' THEN 0.2 ELSE 0.0 END AS share
+  FROM mass
+), sc AS (
+  SELECT min(mass / share) AS s FROM shares WHERE share > 0
+), rates AS (
+  SELECT source,
+         CASE WHEN share > 0 THEN least(1.0, share * sc.s / mass)
+              ELSE 0.0 END AS rate
+  FROM shares CROSS JOIN sc
+)
+SELECT nt.doc_id, nt.source, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+       floor(rate * 1000000.0 + 0.5) / 1000000.0 AS rate,
+       (('0x' || substr(md5(CAST(nt.doc_id AS VARCHAR) || '#mix'), 1, 15))::BIGINT
+            % 1000000) < rate * 1000000 AS keep
+FROM nt JOIN rates USING (source)
 """
 
     # unigram_logprob: corpus-trained unigram LM with deterministic

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from openeo_processes_dask_ml_spark.scale.dedup import hash60, shingle_rows, tokens_expr
+from openeo_processes_dask_ml_spark.utils.rounding import dround
 
 
 def decontaminate(
@@ -255,3 +256,78 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return labeled.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic mixture re-weighting: down-sample each source so
+    the SURVIVING token mass matches the ``targets`` proportions (the
+    static mixture-balancing step of corpus assembly; data-dependent
+    rates, unlike ``stratified_sample``'s fixed ones).
+
+    rate(source) = min(1, target_share * limiting_mass / source_mass),
+    where the limiting source is the one whose full token mass is the
+    binding constraint — so rates are maximal (no source is cut more
+    than the mixture requires, at least one rate is 1.0). Selection is
+    the md5 hash bucket of the doc id against the source's rate:
+    deterministic, re-runnable, engine-portable.
+
+    Scale shape: one hash agg for per-source token mass (rows =
+    #sources, broadcast back), one codegen projection for the keep
+    decision. Nothing collects.
+    """
+    total_targets = sum(targets.values())
+    shares = {s: v / total_targets for s, v in targets.items()}
+    n_tokens = F.size(tokens_expr(F.col(text_col)))
+    mass = (
+        df.select(F.col(source_col).alias("source"), n_tokens.alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("mass"))
+    )
+    share_col = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(p)) for s, p in shares.items()],
+        F.lit(0.0),
+    )
+    with_share = mass.withColumn("share", share_col)
+    # limiting source: minimal mass/share ratio == the scale everything
+    # else must shrink to
+    scale = with_share.filter(F.col("share") > 0).agg(
+        F.min(F.col("mass") / F.col("share")).alias("__scale")
+    )
+    rates = (
+        with_share.crossJoin(F.broadcast(scale))
+        .select(
+            "source",
+            "mass",
+            F.when(
+                F.col("share") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.col("share") * F.col("__scale") / F.col("mass"),
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rate"),
+        )
+    )
+    bucket = hash60(F.col(id_col).cast("string"), "mix") % F.lit(1000000)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            n_tokens.alias("n_tokens"),
+        )
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            dround(F.col("rate"), 6).alias("rate"),
+            (bucket < F.col("rate") * 1000000).alias("keep"),
+        )
+    )

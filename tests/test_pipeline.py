@@ -148,3 +148,34 @@ def test_leakage_safe_split_no_cross_split_pairs(spark):
 
     with _pytest.raises(ValueError, match="sum to 100"):
         leakage_safe_split(docs, pairs, fractions=(80, 10, 5))
+
+
+def test_mixture_sample_rates_and_mass(spark):
+    """Rates are maximal (one source keeps rate 1.0), zero-target
+    sources are excluded, and surviving token mass approximates the
+    target mixture."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import mixture_sample
+
+    rows = []
+    did = 0
+    for src, n_docs, words in [("a", 200, 10), ("b", 200, 10), ("c", 100, 10)]:
+        for _ in range(n_docs):
+            rows.append((did, "w " * words, "en", src))
+            did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = mixture_sample(df, targets={"a": 50, "b": 25, "c": 25}).collect()
+    rates = {r["source"]: r["rate"] for r in out}
+    # mass a=b=2000, c=1000 tokens. scale = min(2000/.5, 2000/.25,
+    # 1000/.25) = 4000 -> rate a=1.0, b=0.5, c=1.0
+    assert rates == {"a": 1.0, "b": 0.5, "c": 1.0}
+    kept = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + (r["n_tokens"] if r["keep"] else 0)
+    assert kept["a"] == 2000 and kept["c"] == 1000  # rate-1.0 sources intact
+    assert 700 <= kept["b"] <= 1300  # ~50% of 2000, hash-bucket variance
+    # determinism
+    again = {(r["doc_id"], r["keep"]) for r in mixture_sample(df, targets={"a": 50, "b": 25, "c": 25}).collect()}
+    assert again == {(r["doc_id"], r["keep"]) for r in out}
+    # excluded source
+    out2 = mixture_sample(df, targets={"a": 1})
+    assert all(r["keep"] is False for r in out2.collect() if r["source"] != "a")
