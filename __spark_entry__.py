@@ -590,6 +590,19 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_t(spark, sf_dir, "documents"), vocab_size=4096)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: odd-id documents (the 'new crawl') checked
+    against even-id documents (the 'already ingested' corpus) by
+    normalized-text hash — one pre-aggregated equi-join, no pairwise
+    work."""
+    from openeo_processes_dask_ml_spark.scale.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    return incremental_dedup(new, seen)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture re-weighting: data-derived per-source keep rates
     so surviving token mass matches a 50/30/20 target over three
@@ -1922,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "ccnet_buckets": q_ccnet_buckets,
         "mixture_sample": q_mixture_sample,
+        "incremental_dedup": q_incremental_dedup,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -2441,6 +2455,19 @@ WITH RECURSIVE toks AS (
   FROM reach JOIN edges e ON e.a = reach.node
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+    sql["incremental_dedup"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+), seen AS (
+  SELECT h, min(doc_id) AS dup_of FROM h WHERE doc_id % 2 = 0 GROUP BY h
+)
+SELECT n.doc_id, seen.dup_of IS NULL AS is_novel, seen.dup_of
+FROM h n LEFT JOIN seen USING (h)
+WHERE n.doc_id % 2 = 1
 """
 
     # mixture_sample: rates are exact-rational arithmetic over token

@@ -63,6 +63,10 @@ HEADLINE = [
     "leakage_safe_split",
     "dup_clusters",
     "streaming_enrich",
+    "unigram_logprob",
+    "ccnet_buckets",
+    "mixture_sample",
+    "incremental_dedup",
 ]
 
 

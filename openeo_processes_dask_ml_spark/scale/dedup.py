@@ -678,3 +678,43 @@ def fuzzy_dedup_pairs(
         )
         .filter(F.col("norm_dist") <= max_norm_dist)
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot dedup: flag documents of a NEW batch that already
+    exist (by normalized-text hash) in a previously-ingested corpus —
+    the incremental-crawl shape, where the historical side is orders of
+    magnitude larger than the delta and must never be re-paired with
+    itself.
+
+    Returns one row per new doc: (doc_id, is_novel, dup_of) where
+    dup_of is the smallest matching historical id (NULL when novel).
+
+    Scale shape: both sides reduce to (hash, min_id) aggregates —
+    map-side combined, one row per distinct text — and meet in ONE
+    equi-join on the hash. The historical side is pre-aggregated, so
+    the join input is its distinct-text count, not its row count; no
+    pairwise work anywhere.
+    """
+    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+    new_hashed = new_df.select(
+        F.col(id_col).alias("doc_id"), norm.alias("h")
+    )
+    seen_min = (
+        seen_df.select(norm.alias("h"), F.col(id_col).alias("sid"))
+        .groupBy("h")
+        .agg(F.min("sid").alias("dup_of"))
+    )
+    return (
+        new_hashed.join(seen_min, "h", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("is_novel"),
+            "dup_of",
+        )
+    )

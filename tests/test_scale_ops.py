@@ -326,3 +326,21 @@ def test_ccnet_buckets_thirds(spark):
     assert out[9] == "tail"
     # the slightly-noised docs never rank better than fully-common ones
     assert out[7] != "head" and out[8] != "head"
+
+
+def test_incremental_dedup_cross_snapshot(spark):
+    from openeo_processes_dask_ml_spark.scale.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(2, "hello world"), (4, "hello  WORLD "), (6, "other text")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "Hello world"), (3, "brand new content"), (5, "other text")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(new, seen).collect()}
+    # doc 1 normalizes to 'hello world' — matches seen 2 AND 4; min wins
+    assert out[1]["is_novel"] is False and out[1]["dup_of"] == 2
+    assert out[3]["is_novel"] is True and out[3]["dup_of"] is None
+    assert out[5]["is_novel"] is False and out[5]["dup_of"] == 6
