@@ -590,6 +590,21 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_t(spark, sf_dir, "documents"), vocab_size=4096)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the top-5 most
+    similar vectors BELOW the semantic-dup band (cosine < 0.45 here —
+    the dedup_embedding threshold) — anchors broadcast, corpus never
+    shuffles."""
+    from openeo_processes_dask_ml_spark.scale.similarity import hard_negatives
+
+    return hard_negatives(
+        _t(spark, sf_dir, "embeddings"),
+        anchor_ids=list(range(10)),
+        k=5,
+        dup_threshold=0.45,
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot dedup: odd-id documents (the 'new crawl') checked
     against even-id documents (the 'already ingested' corpus) by
@@ -1936,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "mixture_sample": q_mixture_sample,
         "incremental_dedup": q_incremental_dedup,
+        "hard_negatives": q_hard_negatives,
         # --- r4-green fillers up to slot 50 (oldest-green first) ---
         "property_filter": q_property_filter,
         "json_extract": q_json_extract,
@@ -2455,6 +2471,33 @@ WITH RECURSIVE toks AS (
   FROM reach JOIN edges e ON e.a = reach.node
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+    # hard_negatives: the ann_topk CTEs with the dup band filtered out
+    # BEFORE ranking (rounded cosine, so the band edge splits
+    # identically in both engines)
+    sql["hard_negatives"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), scored AS (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+         floor((list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]),
+                           (x, y) -> x + y) / (q.nrm * c.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+), banded AS (
+  SELECT * FROM scored WHERE cosine < 0.45
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+            ORDER BY cosine DESC, negative_id) AS rank
+  FROM banded
+)
+SELECT anchor_id, negative_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
 """
 
     sql["incremental_dedup"] = r"""

@@ -714,3 +714,52 @@ def lsh_bucketed_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchor_ids: list[int],
+    k: int = 5,
+    dup_threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the standard
+    retrieval-training recipe, e.g. DPR — Karpukhin et al. 2020,
+    arXiv:2004.04906): for each anchor, the k MOST similar corpus items
+    whose cosine stays BELOW ``dup_threshold`` — similar enough to be
+    hard, not so similar they are the same content (those are the
+    semantic-dup band that would poison the negatives).
+
+    Same plan shape as the exact ANN baseline: anchors broadcast, the
+    corpus never shuffles for the join, one top-k window per anchor on
+    (rounded cosine desc, id asc) for deterministic cross-engine ties.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    anchors = base.filter(F.col("vid").isin(anchor_ids)).select(
+        F.col("vid").alias("anchor_id"), F.col("v").alias("qv")
+    )
+    cos = dround(cosine_expr(F.col("qv"), F.col("v"), dim), 6)
+    scored = (
+        _spread(base)
+        .join(F.broadcast(anchors), F.col("anchor_id") != F.col("vid"))
+        .select("anchor_id", F.col("vid").alias("negative_id"), cos.alias("cosine"))
+        .filter(F.col("cosine") < dup_threshold)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id", "negative_id", "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

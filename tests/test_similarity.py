@@ -127,3 +127,20 @@ def test_semantic_dedup_within_cluster_semantics(spark):
     assert {k: (v["dup_of"], v["cosine"]) for k, v in out.items()} == {
         k: (v["dup_of"], v["cosine"]) for k, v in again.items()
     }
+
+
+def test_hard_negatives_excludes_dup_band(spark):
+    from openeo_processes_dask_ml_spark.scale.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # anchor
+        (1, [0.99, 0.01, 0.0, 0.0]),  # near-dup (cos ~ 1) -> excluded
+        (2, [0.8, 0.6, 0.0, 0.0]),    # hard negative (cos = 0.8)
+        (3, [0.6, 0.8, 0.0, 0.0]),    # negative (cos = 0.6)
+        (4, [0.0, 0.0, 1.0, 0.0]),    # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = hard_negatives(df, [0], k=2, dup_threshold=0.9, dim=4).collect()
+    got = [(r["rank"], r["negative_id"], r["cosine"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert [g[1] for g in got] == [2, 3]  # near-dup 1 skipped, ranked by cosine
+    assert abs(got[0][2] - 0.8) < 1e-6 and abs(got[1][2] - 0.6) < 1e-6
