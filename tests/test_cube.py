@@ -97,3 +97,21 @@ def test_merge_cubes_overlap_resolver_via_graph(spark):
     )
     got = {r["t"]: r["value"] for r in out.df.collect()}
     assert got == {1: 2.0, 2: 14.0}
+
+
+def test_merge_cubes_overlap_resolver_dim_mismatch_raises(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    a = CubeFrame(
+        spark.createDataFrame([(1, 2.0)], ["t", "value"]), {"time": "t"}, "value"
+    )
+    b = CubeFrame(
+        spark.createDataFrame([(1, "x", 2.0)], ["t", "band", "value"]),
+        {"time": "t", "bands": "band"},
+        "value",
+    )
+    with _pytest.raises(ValueError, match="dimension mismatch"):
+        a.merge_cubes(b, overlap_resolver=F.greatest)

@@ -697,3 +697,25 @@ def test_graph_cycle_and_unknown_node_errors(spark):
     }
     with pytest.raises(KeyError, match="unknown node"):
         execute_graph(dangling, spark, SF_DIR)
+
+
+def test_cumulative_processes_empty_and_all_null(spark):
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_ml_spark.graph.registry import default_registry
+
+    reg = default_registry()
+    df = spark.createDataFrame(
+        [(1, []), (2, [None, None])], "i long, data array<double>"
+    )
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            reg.get("cumsum")({"data": F.col("data")}, {}).alias("s"),
+            reg.get("cummin")({"data": F.col("data")}, {}).alias("mn"),
+            reg.get("array_length")({"data": F.col("data")}, {}).alias("n"),
+        ).collect()
+    }
+    assert out[1]["s"] == [] and out[1]["n"] == 0
+    assert out[2]["s"] == [None, None] and out[2]["mn"] == [None, None]
