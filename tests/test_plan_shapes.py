@@ -91,3 +91,26 @@ def test_fit_curve_single_aggregate_no_python(spark):
     assert "HashAggregate" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_semantic_dedup_pair_join_keyed_on_block(spark):
+    """The within-cluster pair join must be keyed (list_id, block) —
+    not list_id alone — so parallelism doesn't cap at n_lists."""
+    from openeo_processes_dask_ml_spark.scale.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _optimized(semantic_dedup(emb, threshold=0.4, n_lists=4))
+    # the partner-block explode introduces the pb key; its name must
+    # appear in a join condition alongside list_id
+    assert "pb" in plan and "list_id" in plan
+
+
+def test_duplicated_spans_no_pairwise_join(spark):
+    """Span dedup is agg + join-back on the fingerprint: the plan must
+    not contain any doc-to-doc self-join (no inequality join on ids)."""
+    from openeo_processes_dask_ml_spark.scale.text import duplicated_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(duplicated_spans(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
