@@ -1901,9 +1901,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (2) then oldest-green, (3) last-round greens -> tail.
     #
     # r5 window: the 29 queries last verified in r2 (before the Spark-4
-    # TIMESTAMP_NTZ semantics change) + queries whose plan/oracle changed
-    # this round (dedup jaccard broadcast removal, pack_sequences default,
-    # graph adapter queries). r4-green queries rotate to the tail.
+    # TIMESTAMP_NTZ semantics change) at slots 1-29, then the queries
+    # new or plan-changed this round (graph adapters, jaccard
+    # restructure, pack_sequences default, semantic/span/incremental
+    # dedup, LM quality family, mixture, splits, streaming enrich,
+    # hard negatives) at slots 30-46, then r4-green fillers to slot 50.
+    # Everything below slot 50 was green in r4 and MUST rotate to the
+    # front in r6.
     return {
         # --- last green r2, pre-NTZ-fix: re-verify first ---
         "ml_predict_tiled": q_ml_predict_tiled,
