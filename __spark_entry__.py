@@ -1869,6 +1869,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the TRAINED coarse quantizer (VERDICT r5 #6):
+    seeds are sampled-k-means centroids (MLlib KMeans, fixed seed) —
+    the production-shaped path. Centroid arithmetic is not replicable
+    in SQL, so there is deliberately no oracle_sql entry: the driver
+    records the rows-only contract (10 queries x k=5 ranked rows), and
+    recall-vs-bruteforce is unit-tested (test_similarity.py)."""
+    from openeo_processes_dask_ml_spark.scale.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_lists=8,
+        n_probe=2,
+        train_quantizer=True,
+        sample_fraction=0.5,
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the scale
     path for similarity search. The hyperplanes are deterministic
@@ -1900,68 +1920,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every other round. When editing: (1) new/changed queries -> front,
     # (2) then oldest-green, (3) last-round greens -> tail.
     #
-    # r5 window: the 29 queries last verified in r2 (before the Spark-4
-    # TIMESTAMP_NTZ semantics change) at slots 1-29, then the queries
-    # new or plan-changed this round (graph adapters, jaccard
-    # restructure, pack_sequences default, semantic/span/incremental
-    # dedup, LM quality family, mixture, splits, streaming enrich,
-    # hard negatives) at slots 30-46, then r4-green fillers to slot 50.
-    # Everything below slot 50 was green in r4 and MUST rotate to the
-    # front in r6.
+    # r6 window (slots 1-50): first the 6 queries NEW or PLAN-CHANGED
+    # this round (_coarse_assign join-back rewrite -> ann_ivf /
+    # ann_ivf_trained / semantic_dedup; merge_cubes null-aware resolver;
+    # hot-shingle-aware oracles -> dedup_ngram_jaccard /
+    # leakage_safe_split), then ALL 42 queries the r5 window did not
+    # check (sessionize..streaming_spend_alerts sat just past slot 50 —
+    # ADVICE r5 — plus the 31 r4-green tail entries, incl. the 48-bit
+    # dedup_simhash never driver-verified, and the oracle-changed
+    # dup_clusters/dedup_canonical/dedup_fuzzy), then 2 r5-green
+    # canaries. The 43 r5-greens rotate to the tail and MUST come back
+    # to the front in r7.
     return {
-        # --- last green r2, pre-NTZ-fix: re-verify first ---
-        "ml_predict_tiled": q_ml_predict_tiled,
-        "ml_predict_linear": q_ml_predict_linear,
-        "process_graph": q_process_graph,
-        "graph_mask_pipeline": q_graph_mask_pipeline,
-        "fit_curve": q_fit_curve,
-        "predict_curve": q_predict_curve,
-        "dimension_ops": q_dimension_ops,
-        "resample_spatial": q_resample_spatial,
-        "quantiles_extrema": q_quantiles_extrema,
-        "cumulative_ops": q_cumulative_ops,
-        "merge_cubes": q_merge_cubes,
-        "set_ops": q_set_ops,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "top_k_orders": q_top_k_orders,
-        "streaming_rollup": q_streaming_rollup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "multimodal_features": q_multimodal_features,
-        "ann_lsh": q_ann_lsh,
+        # --- new or plan/oracle-changed this round ---
+        "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf": q_ann_ivf,
-        "filter_bands": q_filter_bands,
-        "filter_temporal": q_filter_temporal,
-        "apply_unary": q_apply_unary,
-        "doc_fingerprint": q_doc_fingerprint,
-        "text_language_id": q_text_language_id,
-        "reduce_dimension": q_reduce_dimension,
-        "aggregate_temporal_period": q_aggregate_temporal_period,
-        "ndvi_bandmath": q_ndvi_bandmath,
-        "window_running_sum": q_window_running_sum,
-        # --- new or plan-changed this round ---
-        "graph_fit_curve": q_graph_fit_curve,
-        "graph_zonal": q_graph_zonal,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "pack_sequences": q_pack_sequences,
         "semantic_dedup": q_semantic_dedup,
-        "duplicated_spans": q_duplicated_spans,
-        "pipeline_end_to_end": q_pipeline_end_to_end,
-        "graph_ml_pipeline": q_graph_ml_pipeline,
-        "streaming_enrich": q_streaming_enrich,
+        "merge_cubes": q_merge_cubes,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "leakage_safe_split": q_leakage_safe_split,
-        "unigram_logprob": q_unigram_logprob,
-        "ccnet_buckets": q_ccnet_buckets,
-        "mixture_sample": q_mixture_sample,
-        "incremental_dedup": q_incremental_dedup,
-        "hard_negatives": q_hard_negatives,
-        # --- r4-green fillers up to slot 50 (oldest-green first) ---
-        "property_filter": q_property_filter,
-        "json_extract": q_json_extract,
-        "cube_agg": q_cube_agg,
-        "asof_join": q_asof_join,
-        "resample_cube_temporal": q_resample_cube_temporal,
+        "dup_clusters": q_dup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        # --- not checked in r5 (slots 51+ last round; green r4) ---
         "sessionize": q_sessionize,
         "apply_dimension": q_apply_dimension,
         "apply_neighborhood": q_apply_neighborhood,
@@ -1973,13 +1954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_spend_alerts": q_streaming_spend_alerts,
-        # --- slot >50: green in r4, outside the window this round;
-        # rotate back to the front in r6 ---
         "text_chunks": q_text_chunks,
         "embedding_quantize": q_embedding_quantize,
         "quality_filter": q_quality_filter,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_fuzzy": q_dedup_fuzzy,
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
         "decontaminate": q_decontaminate,
@@ -2000,12 +1977,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
         "approx_aggregates": q_approx_aggregates,
         "apply_kernel": q_apply_kernel,
         "climatology_anomaly": q_climatology_anomaly,
         "chunk_dedup": q_chunk_dedup,
+        # --- r5-green canaries filling to slot 50 ---
+        "pipeline_end_to_end": q_pipeline_end_to_end,
+        "graph_ml_pipeline": q_graph_ml_pipeline,
+        # --- slot >50: green in r5, outside the window this round;
+        # rotate back to the front in r7 ---
+        "ml_predict_tiled": q_ml_predict_tiled,
+        "ml_predict_linear": q_ml_predict_linear,
+        "process_graph": q_process_graph,
+        "graph_mask_pipeline": q_graph_mask_pipeline,
+        "fit_curve": q_fit_curve,
+        "predict_curve": q_predict_curve,
+        "dimension_ops": q_dimension_ops,
+        "resample_spatial": q_resample_spatial,
+        "quantiles_extrema": q_quantiles_extrema,
+        "cumulative_ops": q_cumulative_ops,
+        "set_ops": q_set_ops,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "top_k_orders": q_top_k_orders,
+        "streaming_rollup": q_streaming_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "multimodal_features": q_multimodal_features,
+        "ann_lsh": q_ann_lsh,
+        "filter_bands": q_filter_bands,
+        "filter_temporal": q_filter_temporal,
+        "apply_unary": q_apply_unary,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_language_id": q_text_language_id,
+        "reduce_dimension": q_reduce_dimension,
+        "aggregate_temporal_period": q_aggregate_temporal_period,
+        "ndvi_bandmath": q_ndvi_bandmath,
+        "window_running_sum": q_window_running_sum,
+        "graph_fit_curve": q_graph_fit_curve,
+        "graph_zonal": q_graph_zonal,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "pack_sequences": q_pack_sequences,
+        "duplicated_spans": q_duplicated_spans,
+        "streaming_enrich": q_streaming_enrich,
+        "unigram_logprob": q_unigram_logprob,
+        "ccnet_buckets": q_ccnet_buckets,
+        "mixture_sample": q_mixture_sample,
+        "incremental_dedup": q_incremental_dedup,
+        "hard_negatives": q_hard_negatives,
+        "property_filter": q_property_filter,
+        "json_extract": q_json_extract,
+        "cube_agg": q_cube_agg,
+        "asof_join": q_asof_join,
+        "resample_cube_temporal": q_resample_cube_temporal,
     }
 
 
@@ -2345,9 +2369,19 @@ WITH toks AS (
   FROM toks WHERE len(toks) >= 3
 ), inv AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle, count(*) AS dfc FROM inv GROUP BY 1
 ), shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  -- candidacy mirrors the engine's hot-shingle DF cap (scale/dedup.py
+  -- _hot_shingles, ADVICE r5): a pair is a candidate only when it
+  -- shares >=1 shingle at or below greatest(128, 0.2*n_docs); the
+  -- Jaccard itself stays exact over the FULL shingle sets
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         max(CASE WHEN d.dfc <= greatest(128.0,
+                      0.2 * (SELECT count(*) FROM documents))
+                  THEN 1 ELSE 0 END) AS has_cold
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN dfreq d ON d.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -2355,7 +2389,8 @@ SELECT id_a, id_b,
 FROM shared
 JOIN sh sa ON id_a = sa.doc_id
 JOIN sh sb ON id_b = sb.doc_id
-WHERE shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
+WHERE has_cold = 1
+  AND shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
 """
 
     sql["dedup_minhash_lsh"] = _minhash_oracle()
@@ -2452,16 +2487,27 @@ WITH RECURSIVE toks AS (
   FROM toks WHERE len(toks) >= 3
 ), inv AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle, count(*) AS dfc FROM inv GROUP BY 1
 ), shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  -- candidacy mirrors the engine's hot-shingle DF cap (scale/dedup.py
+  -- _hot_shingles, ADVICE r5): a pair is a candidate only when it
+  -- shares >=1 shingle at or below greatest(128, 0.2*n_docs); the
+  -- Jaccard itself stays exact over the FULL shingle sets
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         max(CASE WHEN d.dfc <= greatest(128.0,
+                      0.2 * (SELECT count(*) FROM documents))
+                  THEN 1 ELSE 0 END) AS has_cold
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN dfreq d ON d.shingle = a.shingle
   GROUP BY 1, 2
 ), pairs AS (
   SELECT id_a, id_b
   FROM shared
   JOIN sh sa ON id_a = sa.doc_id
   JOIN sh sb ON id_b = sb.doc_id
-  WHERE shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
+  WHERE has_cold = 1
+    AND shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
@@ -2624,16 +2670,27 @@ WITH RECURSIVE toks AS (
   FROM toks WHERE len(toks) >= 3
 ), inv AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle, count(*) AS dfc FROM inv GROUP BY 1
 ), shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  -- candidacy mirrors the engine's hot-shingle DF cap (scale/dedup.py
+  -- _hot_shingles, ADVICE r5): a pair is a candidate only when it
+  -- shares >=1 shingle at or below greatest(128, 0.2*n_docs); the
+  -- Jaccard itself stays exact over the FULL shingle sets
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         max(CASE WHEN d.dfc <= greatest(128.0,
+                      0.2 * (SELECT count(*) FROM documents))
+                  THEN 1 ELSE 0 END) AS has_cold
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN dfreq d ON d.shingle = a.shingle
   GROUP BY 1, 2
 ), pairs AS (
   SELECT id_a, id_b
   FROM shared
   JOIN sh sa ON id_a = sa.doc_id
   JOIN sh sb ON id_b = sb.doc_id
-  WHERE shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
+  WHERE has_cold = 1
+    AND shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
@@ -3439,16 +3496,27 @@ WITH RECURSIVE toks AS (
   FROM toks WHERE len(toks) >= 3
 ), inv AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle, count(*) AS dfc FROM inv GROUP BY 1
 ), shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  -- candidacy mirrors the engine's hot-shingle DF cap (scale/dedup.py
+  -- _hot_shingles, ADVICE r5): a pair is a candidate only when it
+  -- shares >=1 shingle at or below greatest(128, 0.2*n_docs); the
+  -- Jaccard itself stays exact over the FULL shingle sets
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         max(CASE WHEN d.dfc <= greatest(128.0,
+                      0.2 * (SELECT count(*) FROM documents))
+                  THEN 1 ELSE 0 END) AS has_cold
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN dfreq d ON d.shingle = a.shingle
   GROUP BY 1, 2
 ), pairs AS (
   SELECT id_a, id_b
   FROM shared
   JOIN sh sa ON id_a = sa.doc_id
   JOIN sh sb ON id_b = sb.doc_id
-  WHERE shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
+  WHERE has_cold = 1
+    AND shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
@@ -3512,9 +3580,19 @@ WITH toks AS (
   FROM toks WHERE len(toks) >= 3
 ), inv AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle, count(*) AS dfc FROM inv GROUP BY 1
 ), shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  -- candidacy mirrors the engine's hot-shingle DF cap (scale/dedup.py
+  -- _hot_shingles, ADVICE r5): a pair is a candidate only when it
+  -- shares >=1 shingle at or below greatest(128, 0.2*n_docs); the
+  -- Jaccard itself stays exact over the FULL shingle sets
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         max(CASE WHEN d.dfc <= greatest(128.0,
+                      0.2 * (SELECT count(*) FROM documents))
+                  THEN 1 ELSE 0 END) AS has_cold
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN dfreq d ON d.shingle = a.shingle
   GROUP BY 1, 2
 ), cands AS (
   SELECT id_a, id_b,
@@ -3522,7 +3600,8 @@ WITH toks AS (
   FROM shared
   JOIN sh sa ON id_a = sa.doc_id
   JOIN sh sb ON id_b = sb.doc_id
-  WHERE shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.3
+  WHERE has_cold = 1
+    AND shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.3
 ), nt AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents
 ), verified AS (

@@ -586,19 +586,32 @@ class CubeFrame:
                 f"{sorted(other.dims)}"
             )
         dcols = list(self.dims.values())
-        a = self.df.select(*dcols, F.col(self.value_col).alias("__va"))
+        # presence flags, NOT value-null checks: openEO delegates null
+        # handling at overlapping cells to the resolver sub-graph (e.g.
+        # sum with ignore_nodata=false must propagate null), so the
+        # resolver runs whenever both ROWS exist even if a value is
+        # null; coalesce-style pass-through is only for cells present
+        # in exactly one cube (ADVICE r5, cube.py:601)
+        a = self.df.select(
+            *dcols,
+            F.col(self.value_col).alias("__va"),
+            F.lit(True).alias("__pa"),
+        )
         b = other.df.select(
             *[
                 F.col(other.dims[d]).alias(self.dims[d])
                 for d in self.dims
             ],
             F.col(other.value_col).alias("__vb"),
+            F.lit(True).alias("__pb"),
         )
         joined = a.join(b, on=dcols, how="full_outer")
         va, vb = F.col("__va"), F.col("__vb")
+        pa, pb = F.col("__pa"), F.col("__pb")
         value = (
-            F.when(va.isNotNull() & vb.isNotNull(), overlap_resolver(va, vb))
-            .otherwise(F.coalesce(va, vb))
+            F.when(pa.isNotNull() & pb.isNotNull(), overlap_resolver(va, vb))
+            .when(pa.isNotNull(), va)
+            .otherwise(vb)
         )
         out = joined.select(*dcols, value.alias(self.value_col))
         return CubeFrame(out, dict(self.dims), self.value_col, dict(self.attrs))

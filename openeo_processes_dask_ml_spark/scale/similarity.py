@@ -555,14 +555,23 @@ def _coarse_assign(
         "vid", "v", "nrm", "seed_id", sim
     )
     # nearest seed per vector: max sim, ties to the smallest seed id —
-    # an aggregation (partial map-side), deliberately not a window
-    assigned = scored.groupBy("vid").agg(
-        F.max_by(
-            F.col("seed_id"), F.struct(F.col("sim"), (-F.col("seed_id")).alias("ns"))
-        ).alias("list_id"),
-        F.first("v").alias("v"),
-        F.first("nrm").alias("nrm"),
+    # an aggregation (partial map-side), deliberately not a window.
+    # Only (vid, seed_id, sim) enters the shuffle: carrying v/nrm here
+    # would move n_lists copies of every vector through one exchange
+    # (the 100-TB killer at SemDeDup-scale n_lists). The vectors rejoin
+    # afterwards via an equi-join on vid — one narrow copy each, and
+    # both sides hash-partition on vid so the exchange is shared.
+    lists = (
+        scored.select("vid", "seed_id", "sim")
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                F.col("seed_id"),
+                F.struct(F.col("sim"), (-F.col("seed_id")).alias("ns")),
+            ).alias("list_id")
+        )
     )
+    assigned = base.join(lists, "vid").select("vid", "list_id", "v", "nrm")
     return base, scored, assigned
 
 

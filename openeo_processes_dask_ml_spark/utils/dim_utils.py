@@ -82,9 +82,18 @@ def resolve_dim(name: str, available: Iterable[str]) -> str | None:
     return None
 
 
+_RES_SUFFIX = __import__("re").compile(r"_(\d+)m$")
+
+
 def canonical_band(name: str) -> str:
-    """Canonical spelling for a band name (identity if unknown)."""
-    return _BAND_CANON.get(name.lower(), name.lower())
+    """Canonical spelling for a band name (identity if unknown).
+
+    Provider asset names that carry a resolution suffix (CDSE's
+    ``B04_10m`` style, reference get_datacube.py:190-215) reduce to the
+    same canonical band as their plain spelling — the suffix is a
+    storage detail, not a different physical band."""
+    low = _RES_SUFFIX.sub("", name.lower())
+    return _BAND_CANON.get(low, low)
 
 
 def resolve_bands(requested: Iterable[str], available: Iterable[str]) -> dict[str, str]:

@@ -16,8 +16,29 @@ import os
 from collections.abc import Callable
 
 DEFAULT_ALLOWED_PACKAGES = ("numpy", "math", "openeo_processes_dask_ml_spark")
+# For EXTERNAL roots (numpy, math) only these exact named callables
+# resolve (ADVICE r5: run_udf exposes this resolver to arbitrary graph
+# JSON, so whole-package roots are too wide — e.g. numpy.lib.npyio
+# loaders). The engine's own package stays prefix-allowed: its surface
+# is this repo's code. Extend via OPENEO_SPARK_PROC_EXPRESSION_NAMES
+# (';'-separated 'pkg.module:attr' entries).
+DEFAULT_NAMED_CALLABLES = frozenset(
+    {
+        "numpy:abs", "numpy:absolute", "numpy:negative", "numpy:sqrt",
+        "numpy:exp", "numpy:log", "numpy:log1p", "numpy:log2",
+        "numpy:log10", "numpy:clip", "numpy:tanh", "numpy:sign",
+        "numpy:square", "numpy:cbrt", "numpy:reciprocal",
+        "numpy:rint", "numpy:floor", "numpy:ceil", "numpy:trunc",
+        "numpy:ndarray.sum", "numpy:ndarray.mean",
+        "math:sqrt", "math:exp", "math:log", "math:tanh",
+        "math:floor", "math:ceil",
+    }
+)
 ENABLE_ENV = "OPENEO_SPARK_ENABLE_PROC_EXPRESSIONS"
 ALLOWLIST_ENV = "OPENEO_SPARK_PROC_EXPRESSION_PACKAGES"
+NAMES_ENV = "OPENEO_SPARK_PROC_EXPRESSION_NAMES"
+# roots where any module:attr under the package resolves (trusted code)
+PREFIX_ALLOWED_ROOTS = ("openeo_processes_dask_ml_spark",)
 
 UNSUPPORTED_FORMATS = ("uri", "docker", "rio-calc", "openeo", "gdal-calc")
 
@@ -27,6 +48,15 @@ def _allowed_packages() -> tuple[str, ...]:
     if env:
         return tuple(p.strip() for p in env.split(";") if p.strip())
     return DEFAULT_ALLOWED_PACKAGES
+
+
+def _named_callables() -> frozenset:
+    env = os.environ.get(NAMES_ENV)
+    if env:
+        return DEFAULT_NAMED_CALLABLES | {
+            n.strip() for n in env.split(";") if n.strip()
+        }
+    return DEFAULT_NAMED_CALLABLES
 
 
 def expressions_enabled() -> bool:
@@ -50,6 +80,11 @@ def resolve_python_expression(expression: str) -> Callable:
     if root not in allowed:
         raise PermissionError(
             f"package {root!r} not in the expression allowlist {allowed}"
+        )
+    if root not in PREFIX_ALLOWED_ROOTS and expression not in _named_callables():
+        raise PermissionError(
+            f"{expression!r} is not an allowlisted named callable; external "
+            f"roots resolve only exact entries (extend via {NAMES_ENV})"
         )
     module = importlib.import_module(module_path)
     obj = module

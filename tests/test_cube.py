@@ -115,3 +115,35 @@ def test_merge_cubes_overlap_resolver_dim_mismatch_raises(spark):
     )
     with _pytest.raises(ValueError, match="dimension mismatch"):
         a.merge_cubes(b, overlap_resolver=F.greatest)
+
+
+def test_merge_cubes_resolver_sees_null_at_overlap(spark):
+    """When both cubes have a ROW at a cell but one value is null, the
+    resolver sub-graph (not coalesce) decides the null semantics: a
+    null-propagating resolver like subtract yields null, it must not
+    silently pass the non-null side through (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    a = CubeFrame(
+        spark.createDataFrame(
+            [(1, "b1", 10.0), (2, "b1", None), (4, "b1", 4.0)],
+            "t int, band string, value double",
+        ),
+        {"time": "t", "bands": "band"},
+        "value",
+    )
+    b = CubeFrame(
+        spark.createDataFrame(
+            [(1, "b1", None), (2, "b1", 5.0), (3, "b1", 7.0)],
+            "t int, band string, value double",
+        ),
+        {"time": "t", "bands": "band"},
+        "value",
+    )
+    merged = a.merge_cubes(b, overlap_resolver=lambda x, y: x - y)
+    got = {r["t"]: r["value"] for r in merged.df.collect()}
+    # t=1,2: both rows exist, one value null -> subtract propagates null
+    # t=3,4: one-sided -> pass through
+    assert got == {1: None, 2: None, 3: 7.0, 4: 4.0}

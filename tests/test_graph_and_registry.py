@@ -719,3 +719,24 @@ def test_cumulative_processes_empty_and_all_null(spark):
     }
     assert out[1]["s"] == [] and out[1]["n"] == 0
     assert out[2]["s"] == [None, None] and out[2]["mn"] == [None, None]
+
+
+def test_expression_named_callable_narrowing():
+    """External roots (numpy/math) resolve only exact named callables
+    (ADVICE r5): an unlisted-but-importable numpy attr is refused even
+    though the package root is allowlisted."""
+    import pytest as _pytest
+
+    from openeo_processes_dask_ml_spark.utils.proc_expression import (
+        resolve_python_expression as _resolve,
+    )
+
+    with _pytest.raises(PermissionError, match="named callable"):
+        _resolve("numpy:load")  # file loader: importable, not allowlisted
+    with _pytest.raises(PermissionError, match="named callable"):
+        _resolve("numpy.lib.npyio:load")
+    # own-package callables stay prefix-allowed
+    fn = _resolve(
+        "openeo_processes_dask_ml_spark.utils.proc_expression:expressions_enabled"
+    )
+    assert callable(fn)

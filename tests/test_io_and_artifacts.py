@@ -325,3 +325,125 @@ def test_s3_staging_without_boto3_raises_clear_gate(tmp_path):
         pass
     with _pytest.raises(NotImplementedError, match="boto3"):
         stage_artifact("s3://bucket/key", cache_dir=str(tmp_path))
+
+
+def test_export_gtiff_multi_time_zip_flow(tmp_path):
+    """End-to-end multi-time export flow (reference
+    custom_processes.py:121-184) with the rio writer stubbed: a
+    2-live + 1-all-NaN timestep cube produces a .zip with exactly two
+    .tif members named per timestep, and the loose temp .tifs are
+    removed. The real rio write is import-gated; the zip/naming/skip
+    orchestration is what this guards."""
+    import os
+    import zipfile
+
+    import numpy as np
+    import pandas as pd
+
+    from openeo_processes_dask_ml_spark.io.load import _export_gtiff
+
+    class FakeRio:
+        def to_raster(self, path, **kw):
+            with open(path, "wb") as f:
+                f.write(b"TIF")
+
+    class FakeSlice:
+        rio = FakeRio()
+
+    class FakeDA:
+        def sel(self, sel):
+            return FakeSlice()
+
+        def isel(self, sel):
+            return FakeSlice()
+
+    class FakeDS(dict):
+        pass
+
+    ds = FakeDS(value=FakeDA())
+    pdf = pd.DataFrame(
+        {
+            "time": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02"),
+                     pd.Timestamp("2024-01-03")] * 2,
+            "x": [0, 0, 0, 1, 1, 1],
+            "value": [1.0, np.nan, 3.0, 2.0, np.nan, 4.0],
+        }
+    )
+    out = str(tmp_path / "cube.gtiff")
+    result = _export_gtiff(ds, pdf, out, "value", ["time", "x"])
+    assert result.endswith(".zip") and os.path.exists(result)
+    with zipfile.ZipFile(result) as zf:
+        members = zf.namelist()
+    assert len(members) == 2  # 2024-01-02 slice is all-NaN -> skipped
+    assert all(m.endswith(".tif") for m in members)
+    stamps = sorted(m.split("openeo_output__")[1][:20] for m in members)
+    assert stamps[0].startswith("2024-01-01") and stamps[1].startswith("2024-01-03")
+    # loose temp members cleaned up
+    loose = [p for p in os.listdir(tmp_path) if p.endswith(".tif")]
+    assert loose == []
+
+
+def test_band_conversion_tables_and_routing():
+    """Provider band tables + catalog routing (reference
+    get_datacube.py:190-234, custom_processes.py:63-94): canonical
+    requests rewrite to provider asset names per backend/collection,
+    ids route to the right catalog, bad backends are rejected."""
+    from openeo_processes_dask_ml_spark.io.load import (
+        DATA_BACKENDS,
+        parse_collection_id,
+        to_provider_bands,
+    )
+
+    assert parse_collection_id("sentinel-2-l2a") == (
+        "planetarycomputer", "sentinel-2-l2a",
+    )
+    assert parse_collection_id("cdse/sentinel-2-l2a") == (
+        "cdse", "sentinel-2-l2a",
+    )
+    with pytest.raises(ValueError, match="not available"):
+        parse_collection_id("nosuch/collection")
+    with pytest.raises(ValueError, match="parse"):
+        parse_collection_id("a/b/c")
+    assert "stac.dataspace.copernicus.eu" in DATA_BACKENDS["cdse"]
+
+    # CDSE L2A: resolution-suffixed assets; requests resolve through
+    # the alias groups first (b04 == red)
+    assert to_provider_bands(
+        "cdse/sentinel-2-l2a", ["red", "b04", "nir", "scl"]
+    ) == ["B04_10m", "B04_10m", "B08_10m", "scl"]
+    assert to_provider_bands("cdse/sentinel-2-global-mosaics", ["red"]) == ["B04"]
+    # planetarycomputer matches every collection via the "*" entry
+    assert to_provider_bands("planetarycomputer/anything", ["red", "scl"]) == [
+        "B04", "SCL",
+    ]
+    assert to_provider_bands("sentinel-2-l2a", ["swir16"]) == ["B11"]
+    # aws uses canonical names: identity
+    assert to_provider_bands("aws/sentinel-2-l2a", ["red"]) == ["red"]
+
+
+def test_cdse_collection_canonicalizes_and_resolves_b04(spark):
+    """End-to-end through a CDSE-flavored collection: stored band labels
+    are provider asset names (B04_10m), load canonicalizes them to
+    common names, and a filter_bands request for 'b04' resolves through
+    the alias groups to the red band."""
+    from openeo_processes_dask_ml_spark.io.load import load_collection
+
+    cube = load_collection(spark, "events_s2_cdse", "/root/testdata/sf0.001")
+    labels = {
+        r[0] for r in cube.df.select(cube.dim_col("bands")).distinct().collect()
+    }
+    assert "red" in labels and "nir" in labels
+    assert not any(lb.startswith("B0") for lb in labels)
+
+    red = cube.filter_bands(["b04"])
+    got = {r[0] for r in red.df.select(red.dim_col("bands")).distinct().collect()}
+    assert got == {"red"}
+
+
+def test_routed_collection_raises_with_resolved_url(spark):
+    from openeo_processes_dask_ml_spark.io.load import load_collection
+
+    with pytest.raises(NotImplementedError, match="planetarycomputer.microsoft.com"):
+        load_collection(
+            spark, "planetarycomputer/sentinel-2-l2a", "/root/testdata/sf0.001"
+        )

@@ -114,3 +114,24 @@ def test_duplicated_spans_no_pairwise_join(spark):
     plan = _plan(duplicated_spans(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_coarse_assign_shuffle_excludes_vectors(spark):
+    """IVF/SemDeDup list assignment (VERDICT r5 #3): the groupBy that
+    picks each vector's nearest seed must shuffle only (vid, seed_id,
+    sim) — never the vector column. Carrying v through that exchange
+    moves n_lists copies of every embedding (10^3-10^5 at SemDeDup
+    scale) through one shuffle. The vectors rejoin via an equi-join on
+    vid afterwards — one narrow copy each."""
+    from openeo_processes_dask_ml_spark.scale.similarity import _coarse_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, _, assigned = _coarse_assign(emb, 4, "embedding", "vec_id", False, 1.0)
+    plan = _plan(assigned)
+    # every HashAggregate (partial + final of the max_by) must be
+    # vector-free; the array column may appear only in scans/joins
+    for frag in plan.split("HashAggregate")[1:]:
+        header = frag.splitlines()[0]
+        assert " v#" not in header and "first(v" not in header, header
+    # and the rejoin is a plain equi-join on vid
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
