@@ -618,6 +618,22 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(new, seen)
 
 
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR-dup detection: odd-id documents (the 'new
+    crawl') LSH-banded against even-id documents (the 'ingested'
+    corpus); candidates verified with exact Jaccard; each new doc
+    labeled novel or mapped to its best historical match. The
+    historical side is never self-joined — delta-proportional work."""
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    return incremental_minhash_dedup(new, seen, threshold=0.5)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture re-weighting: data-derived per-source keep rates
     so surviving token mass matches a 50/30/20 target over three
@@ -1889,6 +1905,19 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC scan): vectors compress to m=8
+    codebook codes, queries rank candidates by summed lookup-table
+    distances — the memory-scale ANN path (32x compression of the scan
+    side). Seeded codebooks, ordered folds: the oracle replays the
+    whole index (encode + ADC) in SQL and the result is value-checked."""
+    from openeo_processes_dask_ml_spark.scale.similarity import pq_topk
+
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the scale
     path for similarity search. The hyperplanes are deterministic
@@ -1933,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the front in r7.
     return {
         # --- new or plan/oracle-changed this round ---
+        "ann_pq": q_ann_pq,
+        "incremental_minhash": q_incremental_minhash,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf": q_ann_ivf,
         "semantic_dedup": q_semantic_dedup,
@@ -1982,11 +2013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_kernel": q_apply_kernel,
         "climatology_anomaly": q_climatology_anomaly,
         "chunk_dedup": q_chunk_dedup,
-        # --- r5-green canaries filling to slot 50 ---
+        # --- r5-green canary filling to slot 50 ---
         "pipeline_end_to_end": q_pipeline_end_to_end,
-        "graph_ml_pipeline": q_graph_ml_pipeline,
         # --- slot >50: green in r5, outside the window this round;
         # rotate back to the front in r7 ---
+        "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
         "ml_predict_linear": q_ml_predict_linear,
         "process_graph": q_process_graph,
@@ -2394,6 +2425,58 @@ WHERE has_cold = 1
 """
 
     sql["dedup_minhash_lsh"] = _minhash_oracle()
+
+    # incremental_minhash: the minhash CTEs with the corpus split into
+    # new (odd ids) vs ingested (even ids); candidates are new x seen
+    # band-bucket collisions, verified with exact Jaccard, best match
+    # per new doc (ties to the smallest historical id)
+    sql["incremental_minhash"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM toks WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, 24),
+             s -> list_min(list_transform(shingles,
+                  x -> ((((s + 1) * 2654435761) % 2147483647)
+                        * (('0x' || substr(md5(x || '#'), 1, 15))::BIGINT % 2147483647)
+                        + ((s + 1) * 40503) % 2147483647) % 2147483647))) AS sig
+  FROM sh
+), banded AS (
+  SELECT doc_id, t.range AS band_idx,
+         md5(array_to_string(list_transform(
+             sig[t.range * 3 + 1 : t.range * 3 + 3],
+             v -> v::VARCHAR), ',')) AS bucket
+  FROM sig CROSS JOIN range(8) t
+), cand AS (
+  SELECT n.doc_id AS id_a, s.doc_id AS id_b
+  FROM banded n JOIN banded s
+    ON n.band_idx = s.band_idx AND n.bucket = s.bucket
+  WHERE n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / len(list_distinct(sa.shingles || sb.shingles)) AS jraw
+  FROM cand
+  JOIN sh sa ON cand.id_a = sa.doc_id
+  JOIN sh sb ON cand.id_b = sb.doc_id
+  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+), best AS (
+  SELECT id_a AS doc_id, id_b AS dup_of, jraw,
+         row_number() OVER (PARTITION BY id_a ORDER BY jraw DESC, id_b) AS rn
+  FROM scored
+)
+SELECT d.doc_id, b.dup_of IS NULL AS is_novel, b.dup_of,
+       floor(b.jraw * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN (SELECT doc_id, dup_of, jraw FROM best WHERE rn = 1) b USING (doc_id)
+"""
     sql["dedup_simhash"] = _simhash_oracle()
 
     sql["dedup_embedding"] = _lsh_pairs_oracle(threshold=0.45)
@@ -3271,6 +3354,52 @@ FROM grid g LEFT JOIN cells c ON g.x = c.x AND g.y = c.y AND g.month = c.month
     # argmax cosine (ties to smallest seed id); queries probe their 2
     # nearest lists. Folds are left-assoc in both engines, so sims are
     # bit-identical and every assignment matches.
+    # ann_pq: replay the full PQ index in SQL — seeded codebooks
+    # (subvectors of the 16 smallest ids), per-(vec, subspace) argmin
+    # codes (ties to the smallest codeword, mirroring the strict-<
+    # Catalyst fold), per-query ADC tables, ordered-fold distance sums
+    sql["ann_pq"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM v ORDER BY vec_id LIMIT 16
+), cb AS (
+  SELECT t.j, seeds.c, seeds.v[t.j * 8 + 1 : t.j * 8 + 8] AS w
+  FROM seeds CROSS JOIN range(8) t(j)
+), subdist AS (
+  SELECT v.vec_id, cb.j, cb.c,
+         list_reduce(
+           list_transform(range(1, 9),
+             i -> (v.v[cb.j * 8 + i] - cb.w[i]) * (v.v[cb.j * 8 + i] - cb.w[i])),
+           (a, b) -> a + b) AS d
+  FROM v CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM subdist
+  ) WHERE rn = 1
+), adc AS (
+  SELECT vec_id AS query_id, j, c, d FROM subdist WHERE vec_id < 10
+), approx AS (
+  SELECT a.query_id, codes.vec_id AS neighbor_id,
+         list_reduce(list(a.d ORDER BY a.j), (x, y) -> x + y) AS dist
+  FROM codes JOIN adc a ON codes.j = a.j AND codes.c = a.c
+  WHERE a.query_id != codes.vec_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         floor(dist * 1000000.0 + 0.5) / 1000000.0 AS approx_dist,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY floor(dist * 1000000.0 + 0.5) / 1000000.0, neighbor_id)
+           AS rank
+  FROM approx
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
     sql["ann_ivf"] = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

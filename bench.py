@@ -40,6 +40,7 @@ HEADLINE = [
     "ann_topk",
     "ann_ivf",
     "ann_ivf_trained",
+    "ann_pq",
     "text_quality",
     "token_count",
     "quality_filter",
@@ -68,6 +69,8 @@ HEADLINE = [
     "ccnet_buckets",
     "mixture_sample",
     "incremental_dedup",
+    # round 6 additions
+    "incremental_minhash",
 ]
 
 

@@ -182,6 +182,33 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band_idx, bucket) rows: each band's signature slice
+    hashed to one bucket id — the LSH banding shared by the self-join
+    and incremental variants."""
+    rows = num_hashes // bands
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), j * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ).alias("bucket"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_struct).alias("b")).select(
+        "doc_id", "b.band_idx", "b.bucket"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -202,27 +229,7 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-
-    band_struct = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), j * rows + 1, rows),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ).alias("bucket"),
-            )
-            for j in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", F.explode(band_struct).alias("b")
-    ).select("doc_id", "b.band_idx", "b.bucket")
+    banded = _band_rows(sigs, num_hashes, bands)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -717,4 +724,91 @@ def incremental_dedup(
             F.col("dup_of").isNull().alias("is_novel"),
             "dup_of",
         )
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-snapshot NEAR-duplicate detection: flag documents of a new
+    crawl batch whose Jaccard similarity to some previously-ingested
+    document reaches ``threshold`` — the fuzzy twin of
+    ``incremental_dedup`` (which only catches byte-identical text).
+
+    Returns one row per new doc: (doc_id, is_novel, dup_of, jaccard)
+    where dup_of is the best-matching historical id (highest exact
+    Jaccard, ties to the smallest id; NULL when novel).
+
+    Scale shape: both sides reduce to LSH band buckets (the historical
+    side's banded table is a per-snapshot artifact — at crawl scale,
+    persist it once and only the delta recomputes); candidates come
+    from ONE new-side x seen-side equi-join on (band, bucket) — the
+    historical corpus is never self-joined — and exact-Jaccard
+    verification touches candidate pairs only, through the inverted
+    index. Work scales with |delta| x collision rate, not |corpus|^2.
+    """
+    new_ids = new_df.select(F.col(id_col).alias("doc_id"))
+    nb = _band_rows(
+        minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_n),
+        num_hashes,
+        bands,
+    )
+    sb = _band_rows(
+        minhash_signatures(seen_df, text_col, id_col, num_hashes, shingle_n),
+        num_hashes,
+        bands,
+    )
+    cand = (
+        nb.alias("n")
+        .join(
+            sb.alias("s"),
+            (F.col("n.band_idx") == F.col("s.band_idx"))
+            & (F.col("n.bucket") == F.col("s.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("id_a"), F.col("s.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    inv_new = shingle_rows(new_df, text_col, id_col, shingle_n)
+    inv_seen = shingle_rows(seen_df, text_col, id_col, shingle_n)
+    sizes_new = inv_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes_seen = inv_seen.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        cand.join(inv_new.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            inv_seen.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("shared")
+    )
+    best = (
+        shared.join(sizes_new.alias("na"), F.col("id_a") == F.col("na.doc_id"))
+        .join(sizes_seen.alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
+        .select("id_a", "id_b", jac.alias("jraw"))
+        .filter(F.col("jraw") >= threshold)
+        .groupBy(F.col("id_a").alias("doc_id"))
+        .agg(
+            F.max_by(
+                F.col("id_b"), F.struct(F.col("jraw"), (-F.col("id_b")).alias("ni"))
+            ).alias("dup_of"),
+            F.max("jraw").alias("jraw"),
+        )
+    )
+    return new_ids.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNull().alias("is_novel"),
+        "dup_of",
+        dround(F.col("jraw"), 6).alias("jaccard"),
     )

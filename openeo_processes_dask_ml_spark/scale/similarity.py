@@ -772,3 +772,235 @@ def hard_negatives(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN
+# --------------------------------------------------------------------------
+
+
+def _lloyd_np(X: "np.ndarray", k: int, iters: int = 20) -> "np.ndarray":
+    """Deterministic Lloyd k-means for PQ codebook training: centroids
+    init at evenly spaced rows of the (already vid-ordered) sample, so
+    identical input -> identical codebook. Empty clusters keep their
+    previous centroid."""
+    idx = np.linspace(0, len(X) - 1, k).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def _l2sq_py(a: list, b: list) -> float:
+    """Ordered-fold squared L2 on python floats — IEEE-identical to the
+    Catalyst zip_with/aggregate fold and DuckDB's list_reduce."""
+    s = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        s += d * d
+    return s
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    train_codebooks: bool = False,
+    sample_fraction: float = 1.0,
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN (public method: Jegou, Douze, Schmid
+    2011, "Product Quantization for Nearest Neighbor Search"): split
+    each vector into ``m`` subspaces, quantize each subspace against a
+    ``ks``-codeword codebook, and answer queries with asymmetric
+    distance computation (ADC) — a per-query lookup table of
+    query-subvector -> codeword distances, so a candidate's approximate
+    distance is ``m`` table lookups summed, never a full d-dim product.
+
+    THE memory-scale path for 100 TB ANN: the scan side carries ``m``
+    small ints per vector (8 codes vs 256 bytes of float64 — a 32x
+    compression); codebooks (m*ks*d/m doubles) and per-query ADC tables
+    (m*ks doubles) broadcast. The corpus never shuffles vectors — codes
+    are computed in ONE codegen projection (no shuffle), and the only
+    exchange is the final per-query top-k window over
+    (query_id, neighbor_id, dist) rows.
+
+    Codebooks are SEEDED by default — subvectors of the ``ks`` smallest
+    ids — so the whole index replays in SQL for the oracle gate (same
+    policy as ``ivf_topk``). ``train_codebooks=True`` switches to
+    per-subspace Lloyd k-means on a deterministic driver-side sample
+    (the production path, better distortion; not SQL-replicable, so
+    recall-tested instead). ``rerank=R`` re-ranks the top-R ADC
+    candidates by EXACT squared L2 (fetched via a narrow id join — only
+    R*|queries| vectors move), the standard ADC+R refinement.
+    Determinism: every fold (codeword distances, ADC sums) is an
+    ordered left fold, bit-identical across engines; ranking is on the
+    ROUNDED distance with id tie-breaks.
+    """
+    from pyspark.sql import Window
+
+    d_sub = dim // m
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    if train_codebooks:
+        # per-subspace Lloyd k-means on a seeded sample — the sample is
+        # a bounded driver collect (sample_fraction of the corpus; at
+        # real scale pass a small fraction, PQ training needs ~100k
+        # points regardless of corpus size)
+        sample = base if sample_fraction >= 1.0 else base.sample(
+            fraction=sample_fraction, seed=42
+        )
+        rows = sample.orderBy("vid").collect()
+        X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+        cb = [
+            _lloyd_np(X[:, j * d_sub:(j + 1) * d_sub], ks).tolist()
+            for j in range(m)
+        ]
+    else:
+        # codebooks: ks * dim doubles — a bounded driver collect
+        # (ks rows), embedded as literals so encoding is pure codegen
+        seeds = base.orderBy("vid").limit(ks).collect()
+        cb = [
+            [
+                [float(r["v"][j * d_sub + t]) for t in range(d_sub)]
+                for r in seeds
+            ]
+            for j in range(m)
+        ]
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in code]) for code in sub])
+            for sub in cb
+        ]
+    )
+
+    def _sub_dist(vcol: Column, j: Column, c: Column) -> Column:
+        # squared L2 between subspace-j slice of v and codeword (j, c)
+        sub = F.slice(vcol, j * d_sub + 1, d_sub)
+        code = F.element_at(F.element_at(cb_lit, j + 1), c + 1)
+        return F.aggregate(
+            F.zip_with(sub, code, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # argmin codeword per subspace: materialize the ks distances once
+    # (transform), then fold for the minimum — strict < keeps the FIRST
+    # minimum, ties to the smallest c, mirroring the oracle's
+    # ORDER BY (d, c). (A when-branch argmin would re-evaluate each
+    # 8-dim distance twice; this halves the encode cost.)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(ks - 1)),
+                    lambda c: _sub_dist(F.col("v"), j, c),
+                ),
+                F.sequence(F.lit(0), F.lit(ks - 1)),
+                lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+            ),
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )["c"],
+    )
+    encoded = base.select("vid", codes.alias("codes"))
+
+    # per-query ADC tables, computed driver-side on python floats with
+    # the same ordered folds (len(query_ids) * m * ks doubles — tiny)
+    qrows = base.filter(F.col("vid").isin(query_ids)).collect()
+    adc_rows = [
+        (
+            int(r["vid"]),
+            [
+                [
+                    _l2sq_py(
+                        [float(x) for x in r["v"][j * d_sub:(j + 1) * d_sub]],
+                        cb[j][c],
+                    )
+                    for c in range(ks)
+                ]
+                for j in range(m)
+            ],
+        )
+        for r in qrows
+    ]
+    adc_df = df.sparkSession.createDataFrame(
+        adc_rows, "query_id long, adc array<array<double>>"
+    )
+
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("adc"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(adc_df))
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            dround(approx, 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank and rerank > k:
+        # ADC+R refinement: exact squared L2 on the top-R candidates
+        # only — R*|queries| vectors fetched through a narrow id join,
+        # the corpus still never moves wholesale
+        cand = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        qv_df = df.sparkSession.createDataFrame(
+            [(int(r["vid"]), [float(x) for x in r["v"]]) for r in qrows],
+            "query_id long, qv array<double>",
+        )
+        exact = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        refined = (
+            cand.join(base, cand.neighbor_id == base.vid)
+            .join(F.broadcast(qv_df), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                dround(exact, 6).alias("exact_dist"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            refined.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "exact_dist", "rank")
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )

