@@ -618,6 +618,18 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(new, seen)
 
 
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal: the cleaned corpus (duplicated
+    20-token windows removed, canonical first occurrence kept) — the
+    rewrite half of the Lee et al. 2022 method; one fingerprint agg +
+    join back, indexed array filter per doc, no pairwise work."""
+    from openeo_processes_dask_ml_spark.scale.text import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(_t(spark, sf_dir, "documents"))
+
+
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot NEAR-dup detection: odd-id documents (the 'new
     crawl') LSH-banded against even-id documents (the 'ingested'
@@ -1964,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or plan/oracle-changed this round ---
         "ann_pq": q_ann_pq,
         "incremental_minhash": q_incremental_minhash,
+        "span_removal": q_span_removal,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf": q_ann_ivf,
         "semantic_dedup": q_semantic_dedup,
@@ -1971,7 +1984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "leakage_safe_split": q_leakage_safe_split,
         "dup_clusters": q_dup_clusters,
-        "dedup_canonical": q_dedup_canonical,
         "dedup_fuzzy": q_dedup_fuzzy,
         # --- not checked in r5 (slots 51+ last round; green r4) ---
         "sessionize": q_sessionize,
@@ -2016,7 +2028,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r5-green canary filling to slot 50 ---
         "pipeline_end_to_end": q_pipeline_end_to_end,
         # --- slot >50: green in r5, outside the window this round;
-        # rotate back to the front in r7 ---
+        # rotate back to the front in r7. dedup_canonical sits first:
+        # its oracle gained the same shared hot-shingle CTE as
+        # dup_clusters / leakage_safe_split / dedup_ngram_jaccard (all
+        # in-window this round) but its own Spark plan is unchanged
+        # and r4-green — the one deferral the 50-slot budget forced ---
+        "dedup_canonical": q_dedup_canonical,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
         "ml_predict_linear": q_ml_predict_linear,
@@ -3125,6 +3142,48 @@ FROM flagged GROUP BY doc_id
     # duplicated_spans: the oracle groups by the SPAN TEXT itself where
     # Spark groups by its md5 — equality semantics are identical, so
     # the dup classification matches without replicating the hash.
+    # span_removal: canonical occurrence = smallest (doc_id, pos) per
+    # span fingerprint; every other occurrence is a removal interval;
+    # a token is dropped iff covered (DuckDB indexed lambdas are
+    # 1-based, hence the i - 1)
+    sql["span_removal"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+), hs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(l) - 19, 0) + 1),
+             i -> {'pos': i - 1,
+                   'h': md5(array_to_string(l[i:(i + 19)], ' '))})) AS s
+  FROM toks
+), flat AS (
+  SELECT doc_id, s.pos AS pos, s.h AS h FROM hs
+), ranked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS n_occ,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM flat
+), iv AS (
+  SELECT doc_id, list({'s': pos, 'e': pos + 19}) AS ivs
+  FROM ranked WHERE n_occ >= 2 AND rn > 1
+  GROUP BY doc_id
+), outp AS (
+  SELECT t.doc_id,
+         CASE WHEN iv.ivs IS NULL THEN t.l
+              ELSE list_filter(t.l, (x, i) ->
+                  len(list_filter(iv.ivs,
+                      v -> (i - 1) >= v.s AND (i - 1) <= v.e)) = 0)
+         END AS kept,
+         len(t.l) AS n_tokens
+  FROM toks t LEFT JOIN iv USING (doc_id)
+)
+SELECT doc_id,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed
+FROM outp
+"""
+
     sql["duplicated_spans"] = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents

@@ -71,6 +71,7 @@ HEADLINE = [
     "incremental_dedup",
     # round 6 additions
     "incremental_minhash",
+    "span_removal",
 ]
 
 

@@ -532,3 +532,89 @@ def ccnet_buckets(
     return scores.crossJoin(F.broadcast(cuts_df)).select(
         "doc_id", "lm_score", bucket.alias("bucket")
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    span_tokens: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (the rewrite half of Lee et al. 2022,
+    arXiv:2107.06499): where ``duplicated_spans`` only measures, this
+    emits the cleaned corpus. Every ``span_tokens``-token window whose
+    fingerprint occurs >= ``min_count`` times corpus-wide is duplicated
+    text; the occurrence with the smallest (doc_id, position) is kept
+    as canonical, every other occurrence becomes a removal interval,
+    and a token is dropped iff some removal interval covers it.
+    Output: (doc_id, clean_text, n_tokens, n_removed) over NORMALIZED
+    (trim/lower/single-space) tokens — the form every other text
+    operator in this module scores.
+
+    Scale shape: the span build is the duplicated_spans explode+lead
+    (codegen); canonical selection is ONE hash aggregation on the
+    fingerprint (map-side combined — a boilerplate span in millions of
+    docs is one min-struct row); removal intervals flow back through
+    one fingerprint join; interval coverage is evaluated per document
+    with an indexed array filter — intervals per doc are bounded by
+    its own span count, so no range join and no pairwise work.
+    """
+    from pyspark.sql import Window
+
+    toks_df = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("l")
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, span_tokens)]
+    span = F.concat_ws(" ", F.col("tok"), *leads)
+    spans = (
+        ex.select(
+            "doc_id", "pos", F.md5(span).alias("h"), leads[-1].alias("__t")
+        )
+        .filter(F.col("__t").isNotNull())
+        .select("doc_id", "pos", "h")
+    )
+    stats = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("canon"),
+    )
+    removal = (
+        spans.join(stats.filter(F.col("n_occ") >= min_count), "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("pos") == F.col("canon.pos"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + span_tokens - 1).alias("e"),
+        )
+    )
+    iv = removal.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ivs")
+    )
+    kept = F.when(F.col("ivs").isNull(), F.col("l")).otherwise(
+        F.filter(
+            F.col("l"),
+            lambda x, i: ~F.exists(
+                F.col("ivs"), lambda v: (i >= v["s"]) & (i <= v["e"])
+            ),
+        )
+    )
+    return (
+        toks_df.join(iv, "doc_id", "left")
+        .select("doc_id", kept.alias("kept"), F.size("l").alias("n_tokens"))
+        .select(
+            "doc_id",
+            F.array_join(F.col("kept"), " ").alias("clean_text"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.size("kept")).cast("bigint").alias("n_removed"),
+        )
+    )

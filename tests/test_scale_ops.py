@@ -378,3 +378,58 @@ def test_incremental_minhash_dedup_semantics(spark):
     assert out[1]["is_novel"] is False and out[1]["dup_of"] == 0
     assert out[1]["jaccard"] > 0.8
     assert out[3]["is_novel"] is True and out[3]["dup_of"] is None
+
+
+def test_incremental_minhash_artifact_path_identical(spark):
+    """The persisted-snapshot path (seen_bands/seen_inv from
+    snapshot_minhash_artifacts) must produce byte-identical results to
+    the recompute path — it is a caching strategy, not a semantics
+    change."""
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        incremental_minhash_dedup,
+        snapshot_minhash_artifacts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    bands, inv = snapshot_minhash_artifacts(seen)
+    direct = incremental_minhash_dedup(new, seen).orderBy("doc_id").collect()
+    cached = (
+        incremental_minhash_dedup(new, seen, seen_bands=bands, seen_inv=inv)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert direct == cached
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """Span removal: the canonical (smallest doc_id, pos) occurrence of
+    a duplicated 20-token window survives, the other occurrence is cut,
+    unique docs pass through verbatim, and a doc that is entirely one
+    duplicated span empties out."""
+    from openeo_processes_dask_ml_spark.scale.text import (
+        remove_duplicated_spans,
+    )
+
+    span = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, span + " unique tail zero"),
+            (1, "leading words here " + span),
+            (2, "totally unrelated short text"),
+            (3, span),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs).collect()}
+    # doc 0 holds the canonical occurrence at pos 0 -> untouched
+    assert out[0]["n_removed"] == 0
+    assert out[0]["clean_text"].startswith("w0 w1")
+    # doc 1's copy is non-canonical -> its 20 span tokens are cut
+    assert out[1]["n_removed"] == 20
+    assert out[1]["clean_text"] == "leading words here"
+    # unique doc untouched
+    assert out[2]["n_removed"] == 0
+    # doc 3 is the span and nothing else -> empties
+    assert out[3]["n_removed"] == 20 and out[3]["clean_text"] == ""
