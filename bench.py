@@ -72,6 +72,7 @@ HEADLINE = [
     # round 6 additions
     "incremental_minhash",
     "span_removal",
+    "streaming_incremental_dedup",
 ]
 
 

@@ -444,3 +444,71 @@ def run_stream_static_enrich_once(
     )
     query.awaitTermination()
     return spark.table(table)
+
+
+def stream_incremental_dedup(
+    stream: DataFrame,
+    seen_min: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming crawl-ingestion dedup: each micro-batch of NEW
+    documents checks its normalized-text hash against a STATIC
+    pre-aggregated historical index (hash -> smallest ingested id) —
+    the streaming twin of ``scale.dedup.incremental_dedup``.
+
+    Stream-static left joins are STATELESS (the static side is just a
+    broadcast or shuffled table per micro-batch, no state store), so
+    this runs at unbounded ingest rates; the historical index is the
+    same persist-once snapshot artifact the batch op uses. Emits
+    (doc_id, is_novel, dup_of) per new document."""
+    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+    hashed = stream.select(F.col(id_col).alias("doc_id"), norm.alias("h"))
+    return hashed.join(F.broadcast(seen_min), "h", "left").select(
+        "doc_id",
+        F.col("dup_of").isNull().alias("is_novel"),
+        "dup_of",
+    )
+
+
+def run_stream_incremental_dedup_once(
+    spark: SparkSession,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive streaming incremental dedup with Trigger.AvailableNow:
+    odd-id documents stream in as the 'new crawl', even-id documents
+    form the static historical index — the result equals the batch
+    ``incremental_dedup`` on the same split, so the stream-static plan
+    is oracle-checkable."""
+    import os
+
+    batch = spark.read.parquet(path)
+    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+    seen_min = (
+        batch.filter(F.col(id_col) % 2 == 0)
+        .select(norm.alias("h"), F.col(id_col).alias("sid"))
+        .groupBy("h")
+        .agg(F.min("sid").alias("dup_of"))
+    )
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    spath = path
+    if spath.endswith(".parquet") and os.path.isfile(spath):
+        reader = reader.option("pathGlobFilter", os.path.basename(spath))
+        spath = os.path.dirname(spath)
+    stream = reader.parquet(spath).filter(F.col(id_col) % 2 == 1)
+    out = stream_incremental_dedup(stream, seen_min, text_col, id_col)
+    table = f"stream_incr_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table)

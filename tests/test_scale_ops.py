@@ -433,3 +433,30 @@ def test_remove_duplicated_spans_semantics(spark):
     assert out[2]["n_removed"] == 0
     # doc 3 is the span and nothing else -> empties
     assert out[3]["n_removed"] == 20 and out[3]["clean_text"] == ""
+
+
+def test_text_ops_null_and_empty_safety(spark):
+    """SQL null semantics across the text family: a NULL text yields a
+    row of NULL metrics (never a crash, never a fabricated -1 from
+    size(null)); empty text yields defined zeros. Guards the behavior a
+    user hits on real crawls, where the fixture has no nulls."""
+    from openeo_processes_dask_ml_spark.scale.text import (
+        quality_scores,
+        remove_duplicated_spans,
+        token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "normal text here")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert q[0]["n_tokens"] is None and q[0]["quality_score"] is None
+    assert q[1]["n_chars"] == 0 and q[1]["alpha_ratio"] == 0.0
+    t = {r["doc_id"]: r for r in token_counts(df).collect()}
+    assert t[0]["n_tokens"] is None
+    assert t[2]["n_tokens"] == 3
+    s = {r["doc_id"]: r for r in remove_duplicated_spans(df).collect()}
+    assert set(s) == {0, 1, 2}  # null doc still emits a row
+    assert s[0]["clean_text"] is None and s[0]["n_removed"] is None
+    assert s[2]["clean_text"] == "normal text here"

@@ -180,3 +180,51 @@ def test_stream_static_enrich_matches_batch(spark):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_stream_incremental_dedup_across_microbatches(spark, tmp_path):
+    """Stream-static incremental dedup: duplicates of the historical
+    corpus are flagged in whatever micro-batch they arrive (two files,
+    maxFilesPerTrigger=1 forces two batches), novels pass; the join is
+    stateless so batch boundaries cannot change the result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_incremental_dedup_once,
+    )
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(0, "shared history text alpha"), (1, "Shared  History text ALPHA "),
+         (2, "only in history")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(
+        [(3, "brand new content"), (4, "ONLY in history"),
+         (5, "shared history text alpha")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(d + "/f2")
+    # flatten the two writes into one directory of parquet files
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(d + "/f*/*.parquet"))):
+        shutil.move(f, f"{d}/part{i}.parquet")
+    shutil.rmtree(d + "/f1")
+    shutil.rmtree(d + "/f2")
+
+    out = {
+        r["doc_id"]: r
+        for r in run_stream_incremental_dedup_once(
+            spark, d, max_files_per_trigger=1
+        ).collect()
+    }
+    # odd ids are the stream: 1 dups 0 (normalization collapses case/
+    # whitespace), 3 is novel, 5 dups 0
+    assert set(out) == {1, 3, 5}
+    assert out[1]["is_novel"] is False and out[1]["dup_of"] == 0
+    assert out[3]["is_novel"] is True and out[3]["dup_of"] is None
+    assert out[5]["is_novel"] is False and out[5]["dup_of"] == 0
