@@ -73,6 +73,7 @@ HEADLINE = [
     "incremental_minhash",
     "span_removal",
     "streaming_incremental_dedup",
+    "decontaminate_fuzzy",
 ]
 
 

@@ -444,8 +444,38 @@ def simhash_pairs(
     distinct sketches, not documents."""
     assert max_hamming < SIMHASH_BANDS
     fps = simhash_fingerprints(df, text_col, id_col)
+    return hamming_pairs(
+        fps,
+        id_col="doc_id",
+        fp_col="fp",
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_BANDS,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic banded Hamming-distance pair join over any integer
+    fingerprint column (SimHash text sketches, perceptual image hashes,
+    ...): pairs with Hamming <= ``max_hamming``, EXACT for
+    max_hamming < bands (pigeonhole: some band must be untouched and
+    therefore equal) — an equi-join on band values, never a cross join.
+
+    The band join runs over DISTINCT fingerprints, then expands to id
+    pairs through the fp->id mapping: corpora cluster heavily on
+    identical fingerprints, so the quadratic-in-bucket work scales with
+    distinct sketches, not rows."""
+    assert max_hamming < bands
+    fps = fps.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("fp"))
     ufps = fps.select("fp").distinct()
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    band_width = bits // bands
     bandvals = F.array(
         *[
             F.struct(
@@ -454,7 +484,7 @@ def simhash_pairs(
                 .bitwiseAND(F.lit((1 << band_width) - 1))
                 .alias("bval"),
             )
-            for j in range(SIMHASH_BANDS)
+            for j in range(bands)
         ]
     )
     banded = ufps.select("fp", F.explode(bandvals).alias("b")).select(
@@ -462,9 +492,9 @@ def simhash_pairs(
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    # keep BOTH fp orderings: for a cross-fp doc pair the smaller doc id
-    # can live in either fingerprint; the final id_a < id_b filter picks
-    # each doc pair exactly once
+    # keep BOTH fp orderings: for a cross-fp pair the smaller id can
+    # live in either fingerprint; the final id_a < id_b filter picks
+    # each id pair exactly once
     fp_pairs = (
         a.join(
             b,
@@ -479,8 +509,8 @@ def simhash_pairs(
         )
         .distinct()
     )
-    da = fps.select(F.col("fp").alias("fp_a"), F.col("doc_id").alias("id_a"))
-    db = fps.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("id_b"))
+    da = fps.select(F.col("fp").alias("fp_a"), F.col("__id").alias("id_a"))
+    db = fps.select(F.col("fp").alias("fp_b"), F.col("__id").alias("id_b"))
     return (
         fp_pairs.join(da, "fp_a")
         .join(db, "fp_b")

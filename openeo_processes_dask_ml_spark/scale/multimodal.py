@@ -258,3 +258,63 @@ def audio_features(samples: np.ndarray, sample_rate: int, n: int = 8) -> list[fl
         ch = samples[:, c]
         feats.append(float(np.sqrt((ch**2).mean())) if len(ch) else 0.0)
     return feats[:n] + [0.0] * max(n - len(feats), 0)
+
+
+def ahash48(arr: np.ndarray) -> int:
+    """48-bit average hash (aHash, the classic perceptual image hash):
+    grayscale, nearest-resize to 8x6, bit b set iff pixel b exceeds the
+    image mean. Robust to small pixel noise and uniform brightness
+    shifts; 48 bits so the fingerprint rides the same BIGINT banded
+    Hamming machinery as SimHash (dedup.hamming_pairs)."""
+    px = arr.astype(np.float64)
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    small = resize_nearest(px, 8, 6)
+    flat = small.reshape(-1)
+    bits = flat > flat.mean()
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h
+
+
+def image_ahash(media_df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, fp) perceptual hashes: REAL decode (PPM/PGM/BMP pure
+    numpy, PIL-gated otherwise) + aHash, Arrow-batched mapInPandas —
+    one scan over the binary payloads, 6 bytes of index per image."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["meta"]
+            ):
+                arr = decode_image(bytes(payload), meta["format"])
+                ids.append(int(mid))
+                fps.append(ahash48(arr))
+            yield pd.DataFrame({"media_id": ids, "fp": fps})
+
+    return media_df.mapInPandas(run, schema=schema)
+
+
+def image_neardup_pairs(
+    media_df: DataFrame, id_col: str = "media_id", max_hamming: int = 3
+) -> DataFrame:
+    """Image near-duplicate pairs: aHash fingerprints -> banded Hamming
+    equi-join (exact for Hamming <= 3 by pigeonhole over 4 bands).
+    The image-side cost is ONE decode pass; the pair side works on
+    48-bit ints only — the multimodal twin of SimHash text dedup."""
+    from openeo_processes_dask_ml_spark.scale.dedup import hamming_pairs
+
+    fps = image_ahash(media_df, id_col)
+    return hamming_pairs(fps, id_col="media_id", fp_col="fp")

@@ -331,3 +331,38 @@ def mixture_sample(
             (bucket < F.col("rate") * 1000000).alias("keep"),
         )
     )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training documents whose
+    exact Jaccard similarity to some EVAL document reaches
+    ``threshold`` — catches paraphrased/partial eval leakage that the
+    exact n-gram blocklist (``decontaminate``) misses when no single
+    13-gram survives the paraphrase verbatim.
+
+    Same machinery as cross-snapshot near-dup
+    (``dedup.incremental_minhash_dedup`` with the eval set as the
+    'seen' side): eval-side LSH bands are tiny and effectively
+    broadcast, candidates are train x eval band collisions only, exact
+    verification touches candidates. Returns one row per CONTAMINATED
+    training doc: (doc_id, eval_id, jaccard) with the best-matching
+    eval doc — the drop list a pipeline applies before training.
+    """
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    flagged = incremental_minhash_dedup(
+        train, eval_docs, text_col, id_col, threshold=threshold
+    )
+    return flagged.filter(~F.col("is_novel")).select(
+        "doc_id",
+        F.col("dup_of").alias("eval_id"),
+        "jaccard",
+    )

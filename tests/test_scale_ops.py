@@ -460,3 +460,30 @@ def test_text_ops_null_and_empty_safety(spark):
     assert set(s) == {0, 1, 2}  # null doc still emits a row
     assert s[0]["clean_text"] is None and s[0]["n_removed"] is None
     assert s[2]["clean_text"] == "normal text here"
+
+
+def test_decontaminate_fuzzy_catches_paraphrase(spark):
+    """Fuzzy decontamination flags a training doc that is a light
+    paraphrase of an eval doc (high Jaccard, but no long verbatim
+    n-gram run needed), while unrelated training docs pass."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        decontaminate_fuzzy,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the model must answer which river flows through the "
+               "ancient capital during the spring festival season")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "the model must answer which river flows through the "
+             "ancient capital during the autumn festival season"),
+         (2, "completely unrelated training text about gradient "
+             "descent optimizers and learning rate schedules")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate_fuzzy(
+        train, ev, threshold=0.5
+    ).collect()}
+    assert set(out) == {1}
+    assert out[1]["eval_id"] == 100 and out[1]["jaccard"] > 0.5
