@@ -150,3 +150,19 @@ def test_pq_scan_side_never_shuffles_vectors(spark):
     for frag in plan.split("Exchange")[1:]:
         header = frag.splitlines()[0]
         assert " v#" not in header, header
+
+
+def test_incremental_minhash_no_corpus_broadcast_hint(spark):
+    """Cross-snapshot near-dup: neither side of the band-collision join
+    may carry a broadcast HINT — at crawl scale both the delta and the
+    historical band table can be billions of rows; size-based planning
+    decides at runtime."""
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    optimized = _optimized(incremental_minhash_dedup(new, seen))
+    assert "ResolvedHint" not in optimized

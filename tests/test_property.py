@@ -194,3 +194,42 @@ def test_cumulative_processes_match_numpy(spark):
                 mx = v if mx is None else max(mx, v)
                 assert out[i]["s"][j] == pytest.approx(acc, abs=1e-9)
                 assert out[i]["mx"][j] == pytest.approx(mx, abs=1e-9)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_span_removal_token_conservation(spark, texts):
+    """Property: for every document, len(clean tokens) + n_removed ==
+    n_tokens, n_removed >= 0, and a corpus with no duplicated 5-token
+    window passes through verbatim."""
+    from openeo_processes_dask_ml_spark.scale.text import (
+        remove_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    out = remove_duplicated_spans(docs, span_tokens=5).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        toks = texts[r["doc_id"]]
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
+        if not toks:
+            # split("") quirk: empty text tokenizes to [''] — one
+            # empty token, nothing removable
+            assert r["n_tokens"] == 1 and r["n_removed"] == 0
+            continue
+        assert r["n_tokens"] == len(toks)
+        n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert n_clean + r["n_removed"] == r["n_tokens"]
