@@ -2047,17 +2047,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every other round. When editing: (1) new/changed queries -> front,
     # (2) then oldest-green, (3) last-round greens -> tail.
     #
-    # r6 window (slots 1-50): first the 6 queries NEW or PLAN-CHANGED
-    # this round (_coarse_assign join-back rewrite -> ann_ivf /
-    # ann_ivf_trained / semantic_dedup; merge_cubes null-aware resolver;
+    # r6 window (slots 1-50): 11 queries NEW or PLAN/ORACLE-CHANGED
+    # this round (ann_pq, incremental_minhash, span_removal,
+    # streaming_incremental_dedup, decontaminate_fuzzy; _coarse_assign
+    # join-back rewrite -> ann_ivf / ann_ivf_trained / semantic_dedup;
     # hot-shingle-aware oracles -> dedup_ngram_jaccard /
-    # leakage_safe_split), then ALL 42 queries the r5 window did not
-    # check (sessionize..streaming_spend_alerts sat just past slot 50 —
-    # ADVICE r5 — plus the 31 r4-green tail entries, incl. the 48-bit
-    # dedup_simhash never driver-verified, and the oracle-changed
-    # dup_clusters/dedup_canonical/dedup_fuzzy), then 2 r5-green
-    # canaries. The 43 r5-greens rotate to the tail and MUST come back
-    # to the front in r7.
+    # leakage_safe_split / dup_clusters) + ALL 39 queries the r5 window
+    # did not check (sessionize..streaming_spend_alerts sat just past
+    # slot 50 — ADVICE r5 — plus the r4-green tail, incl. the 48-bit
+    # dedup_simhash never driver-verified). Four changed/new queries
+    # did not fit the 50-slot budget and sit first past the boundary
+    # with per-entry justification (each hash-matched a local sf0.01
+    # driver-sim this round): dedup_canonical, dedup_fuzzy,
+    # merge_cubes, image_neardup. Tail (r5-green) MUST rotate to the
+    # front in r7, deferred four first.
     return {
         # --- new or plan/oracle-changed this round ---
         "ann_pq": q_ann_pq,

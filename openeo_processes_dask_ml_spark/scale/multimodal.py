@@ -318,3 +318,59 @@ def image_neardup_pairs(
 
     fps = image_ahash(media_df, id_col)
     return hamming_pairs(fps, id_col="media_id", fp_col="fp")
+
+
+def audio_fingerprint48(samples: np.ndarray, sample_rate: int) -> int:
+    """48-bit audio fingerprint (simplified Haitsma-Kalker / Philips
+    scheme, public method): frame the mono signal into 49 equal frames,
+    bit f set iff frame f+1 has more energy than frame f. Sign-of-
+    difference bits are invariant to uniform gain and robust to small
+    additive noise — the audio analog of aHash, riding the same BIGINT
+    banded Hamming join (dedup.hamming_pairs)."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n_frames = 49
+    if len(mono) < n_frames:
+        mono = np.pad(mono, (0, n_frames - len(mono)))
+    edges = (np.arange(n_frames + 1) * (len(mono) / n_frames)).astype(int)
+    energy = np.array(
+        [float((mono[edges[i]:edges[i + 1]] ** 2).sum()) for i in range(n_frames)]
+    )
+    bits = np.diff(energy) > 0
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h
+
+
+def audio_neardup_pairs(
+    media_df: DataFrame, id_col: str = "media_id", max_hamming: int = 3
+) -> DataFrame:
+    """Audio near-duplicate pairs: real WAV decode -> 48-bit energy-
+    transition fingerprint -> banded Hamming equi-join. Same scale
+    shape as the image/text variants: one decode pass, 6 index bytes
+    per clip, pair work on ints only."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from openeo_processes_dask_ml_spark.scale.dedup import hamming_pairs
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                samples, rate = decode_audio(bytes(payload))
+                ids.append(int(mid))
+                fps.append(audio_fingerprint48(samples, rate))
+            yield pd.DataFrame({"media_id": ids, "fp": fps})
+
+    fps = media_df.mapInPandas(run, schema=schema)
+    return hamming_pairs(fps, id_col="media_id", fp_col="fp",
+                         max_hamming=max_hamming)

@@ -714,3 +714,49 @@ def test_image_neardup_pairs_finds_copies_not_strangers(spark):
     # executor hash equals the local reference computation
     local = ahash48(decode_image(bytes(rows[0][1]), "ppm"))
     assert isinstance(local, int) and 0 <= local < (1 << 48)
+
+
+def _wav_bytes(samples, rate=8000):
+    """Minimal PCM16 mono RIFF/WAVE payload."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def test_audio_neardup_pairs_gain_and_noise_robust(spark):
+    """Audio fingerprint dedup: a half-gain copy and a lightly-noised
+    copy of the same clip pair with the original (sign-of-energy-diff
+    bits are gain-invariant); a different melody pairs with nobody."""
+    import numpy as np
+
+    from openeo_processes_dask_ml_spark.scale.multimodal import (
+        audio_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    t = np.arange(8000) / 8000.0
+    # amplitude-modulated tone: strong frame-to-frame energy structure
+    base = np.sin(2 * np.pi * 440 * t) * (0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 3 * t)))
+    other = np.sin(2 * np.pi * 523 * t) * (0.2 + 0.8 * np.abs(np.cos(2 * np.pi * 5 * t)))
+    rows = [
+        (0, bytearray(_wav_bytes(base))),
+        (1, bytearray(_wav_bytes(base * 0.5))),              # gain change
+        (2, bytearray(_wav_bytes(base + rng.randn(8000) * 0.01))),  # noise
+        (3, bytearray(_wav_bytes(other))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_neardup_pairs(media).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 0
+    assert (0, 2) in got and got[(0, 2)] <= 3
+    assert not any(3 in k for k in got)
