@@ -233,3 +233,33 @@ def test_span_removal_token_conservation(spark, texts):
         assert r["n_tokens"] == len(toks)
         n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
         assert n_clean + r["n_removed"] == r["n_tokens"]
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=0, max_value=(1 << 48) - 1),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_hamming_pairs_exact_vs_bruteforce(spark, fps):
+    """Property: the banded Hamming join surfaces EXACTLY the pairs a
+    brute-force O(n^2) scan finds at Hamming <= 3 — the pigeonhole
+    guarantee (4 bands, radius 3) shared by SimHash, image aHash and
+    audio fingerprints."""
+    from openeo_processes_dask_ml_spark.scale.dedup import hamming_pairs
+
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(df, id_col="doc_id", fp_col="fp").collect()
+    }
+    want = {}
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = bin(fps[i] ^ fps[j]).count("1")
+            if h <= 3:
+                want[(i, j)] = h
+    assert got == want
