@@ -93,3 +93,22 @@ def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_entry_surface_consistency():
+    """Driver-contract invariants: every bench HEADLINE name resolves to
+    a queries() entry, every oracle_sql key has a query, no duplicate
+    query keys, and the rows-only set is exactly the documented one."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+    entry = importlib.import_module("__spark_entry__")
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    missing_bench = [n for n in bench.HEADLINE if n not in qs]
+    assert missing_bench == [], missing_bench
+    orphans = [n for n in osql if n not in qs]
+    assert orphans == [], orphans
+    rows_only = sorted(n for n in qs if n not in osql)
+    assert rows_only == ["ann_ivf_trained"], rows_only
