@@ -806,6 +806,131 @@ def _l2sq_py(a: list, b: list) -> float:
     return s
 
 
+def _pq_codebooks(
+    base: DataFrame,
+    m: int,
+    ks: int,
+    d_sub: int,
+    train_codebooks: bool,
+    sample_fraction: float,
+) -> list:
+    """Per-subspace codebooks as a python nested list [m][ks][d_sub].
+
+    Seeded default: subvectors of the ``ks`` smallest ids (bounded
+    driver collect of ks rows, SQL-replicable). Trained: per-subspace
+    Lloyd k-means on a seeded sample — at real scale pass a small
+    ``sample_fraction``; PQ training needs ~100k points regardless of
+    corpus size."""
+    if train_codebooks:
+        sample = base if sample_fraction >= 1.0 else base.sample(
+            fraction=sample_fraction, seed=42
+        )
+        rows = sample.orderBy("vid").collect()
+        X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+        return [
+            _lloyd_np(X[:, j * d_sub:(j + 1) * d_sub], ks).tolist()
+            for j in range(m)
+        ]
+    seeds = base.orderBy("vid").limit(ks).collect()
+    return [
+        [
+            [float(r["v"][j * d_sub + t]) for t in range(d_sub)]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+
+
+def _pq_encode(
+    base: DataFrame, cb: list, m: int, ks: int, d_sub: int
+) -> DataFrame:
+    """(vid, codes) — the compressed index, ONE codegen projection with
+    the codebooks embedded as literals (no shuffle, no Python)."""
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in code]) for code in sub])
+            for sub in cb
+        ]
+    )
+
+    def _sub_dist(vcol: Column, j: Column, c: Column) -> Column:
+        # squared L2 between subspace-j slice of v and codeword (j, c)
+        sub = F.slice(vcol, j * d_sub + 1, d_sub)
+        code = F.element_at(F.element_at(cb_lit, j + 1), c + 1)
+        return F.aggregate(
+            F.zip_with(sub, code, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # argmin codeword per subspace: materialize the ks distances once
+    # (transform), then fold for the minimum — strict < keeps the FIRST
+    # minimum, ties to the smallest c, mirroring the oracle's
+    # ORDER BY (d, c). (A when-branch argmin would re-evaluate each
+    # d_sub-dim distance twice; this halves the encode cost.)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(ks - 1)),
+                    lambda c: _sub_dist(F.col("v"), j, c),
+                ),
+                F.sequence(F.lit(0), F.lit(ks - 1)),
+                lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+            ),
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )["c"],
+    )
+    return base.select("vid", codes.alias("codes"))
+
+
+def _pq_adc_score(
+    spark, encoded: DataFrame, cb: list, queries: list, m: int, ks: int,
+    d_sub: int,
+) -> DataFrame:
+    """(query_id, neighbor_id, approx_dist): broadcast per-query ADC
+    lookup tables against the codes table — the scan side touches m
+    small ints per row, never a vector."""
+    adc_rows = [
+        (
+            qid,
+            [
+                [
+                    _l2sq_py(qv[j * d_sub:(j + 1) * d_sub], cb[j][c])
+                    for c in range(ks)
+                ]
+                for j in range(m)
+            ],
+        )
+        for qid, qv in queries
+    ]
+    adc_df = spark.createDataFrame(
+        adc_rows, "query_id long, adc array<array<double>>"
+    )
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("adc"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    return (
+        encoded.crossJoin(F.broadcast(adc_df))
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            dround(approx, 6).alias("approx_dist"),
+        )
+    )
+
+
 def pq_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -854,113 +979,14 @@ def pq_topk(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    if train_codebooks:
-        # per-subspace Lloyd k-means on a seeded sample — the sample is
-        # a bounded driver collect (sample_fraction of the corpus; at
-        # real scale pass a small fraction, PQ training needs ~100k
-        # points regardless of corpus size)
-        sample = base if sample_fraction >= 1.0 else base.sample(
-            fraction=sample_fraction, seed=42
-        )
-        rows = sample.orderBy("vid").collect()
-        X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
-        cb = [
-            _lloyd_np(X[:, j * d_sub:(j + 1) * d_sub], ks).tolist()
-            for j in range(m)
-        ]
-    else:
-        # codebooks: ks * dim doubles — a bounded driver collect
-        # (ks rows), embedded as literals so encoding is pure codegen
-        seeds = base.orderBy("vid").limit(ks).collect()
-        cb = [
-            [
-                [float(r["v"][j * d_sub + t]) for t in range(d_sub)]
-                for r in seeds
-            ]
-            for j in range(m)
-        ]
-    cb_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in code]) for code in sub])
-            for sub in cb
-        ]
-    )
-
-    def _sub_dist(vcol: Column, j: Column, c: Column) -> Column:
-        # squared L2 between subspace-j slice of v and codeword (j, c)
-        sub = F.slice(vcol, j * d_sub + 1, d_sub)
-        code = F.element_at(F.element_at(cb_lit, j + 1), c + 1)
-        return F.aggregate(
-            F.zip_with(sub, code, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # argmin codeword per subspace: materialize the ks distances once
-    # (transform), then fold for the minimum — strict < keeps the FIRST
-    # minimum, ties to the smallest c, mirroring the oracle's
-    # ORDER BY (d, c). (A when-branch argmin would re-evaluate each
-    # 8-dim distance twice; this halves the encode cost.)
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.aggregate(
-            F.zip_with(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(ks - 1)),
-                    lambda c: _sub_dist(F.col("v"), j, c),
-                ),
-                F.sequence(F.lit(0), F.lit(ks - 1)),
-                lambda d, c: F.struct(d.alias("d"), c.alias("c")),
-            ),
-            F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")
-            ),
-            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
-        )["c"],
-    )
-    encoded = base.select("vid", codes.alias("codes"))
+    cb = _pq_codebooks(base, m, ks, d_sub, train_codebooks, sample_fraction)
+    encoded = _pq_encode(base, cb, m, ks, d_sub)
 
     # per-query ADC tables, computed driver-side on python floats with
     # the same ordered folds (len(query_ids) * m * ks doubles — tiny)
     qrows = base.filter(F.col("vid").isin(query_ids)).collect()
-    adc_rows = [
-        (
-            int(r["vid"]),
-            [
-                [
-                    _l2sq_py(
-                        [float(x) for x in r["v"][j * d_sub:(j + 1) * d_sub]],
-                        cb[j][c],
-                    )
-                    for c in range(ks)
-                ]
-                for j in range(m)
-            ],
-        )
-        for r in qrows
-    ]
-    adc_df = df.sparkSession.createDataFrame(
-        adc_rows, "query_id long, adc array<array<double>>"
-    )
-
-    approx = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("adc"), j + 1),
-            F.element_at(F.col("codes"), j + 1) + 1,
-        ),
-    )
-    scored = (
-        encoded.crossJoin(F.broadcast(adc_df))
-        .filter(F.col("query_id") != F.col("vid"))
-        .select(
-            "query_id",
-            F.col("vid").alias("neighbor_id"),
-            dround(approx, 6).alias("approx_dist"),
-        )
-    )
+    queries = [(int(r["vid"]), [float(x) for x in r["v"]]) for r in qrows]
+    scored = _pq_adc_score(df.sparkSession, encoded, cb, queries, m, ks, d_sub)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -999,6 +1025,85 @@ def pq_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "exact_dist", "rank")
         )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+def build_pq_index(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    train_codebooks: bool = False,
+    sample_fraction: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """FAISS-style build/query split for PQ ANN: returns
+    (codebooks_df, codes_df) — the persist-once index artifacts.
+
+    ``codebooks_df``: (j, c, w array<double>) — m*ks rows, tiny.
+    ``codes_df``: (vid, codes array<int>) — m small ints per vector,
+    the 32x-compressed scan side. Write both with ``.write.parquet``;
+    a query session then serves any number of top-k requests through
+    ``pq_topk_from_index`` without touching the raw vectors — the
+    build-once / query-many lifecycle an embedding store runs at
+    100 TB (same artifact pattern as ``dedup.snapshot_minhash_artifacts``).
+    """
+    d_sub = dim // m
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cb = _pq_codebooks(base, m, ks, d_sub, train_codebooks, sample_fraction)
+    cb_df = df.sparkSession.createDataFrame(
+        [(j, c, cb[j][c]) for j in range(m) for c in range(ks)],
+        "j int, c int, w array<double>",
+    )
+    return cb_df, _pq_encode(base, cb, m, ks, d_sub)
+
+
+def pq_topk_from_index(
+    codebooks_df: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Serve top-k from persisted PQ index artifacts: collect the
+    codebooks (m*ks rows — bounded by construction) and the query
+    vectors (bounded by the request batch), build ADC tables, scan the
+    codes. The raw corpus vectors are never read.
+
+    Output matches ``pq_topk``: (query_id, neighbor_id, approx_dist,
+    rank), ADC-ranked with rounded-distance + id tie-breaks."""
+    from pyspark.sql import Window
+
+    cb_rows = codebooks_df.collect()
+    m = 1 + max(r["j"] for r in cb_rows)
+    ks = 1 + max(r["c"] for r in cb_rows)
+    cb = [[None] * ks for _ in range(m)]
+    for r in cb_rows:
+        cb[r["j"]][r["c"]] = [float(x) for x in r["w"]]
+    d_sub = len(cb[0][0])
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias(
+            "qv"
+        ),
+    ).collect()
+    qs = [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in qrows]
+    scored = _pq_adc_score(
+        codes_df.sparkSession, codes_df.select("vid", "codes"), cb, qs, m,
+        ks, d_sub,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

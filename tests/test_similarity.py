@@ -192,3 +192,36 @@ def test_pq_trained_codebooks_and_rerank_exact(spark, emb_df):
     for r in got:
         expect = float(((rows[r["query_id"]] - rows[r["neighbor_id"]]) ** 2).sum())
         assert r["exact_dist"] == pytest.approx(expect, abs=1e-5)
+
+
+def test_pq_index_lifecycle_roundtrip(spark, emb_df, tmp_path):
+    """Build-once / query-many: PQ index artifacts written to parquet
+    and reloaded must serve exactly the same top-k as the direct
+    pq_topk call — the persisted index is a cache, not a semantics
+    change, and queries never read the raw vectors."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        build_pq_index,
+        pq_topk,
+        pq_topk_from_index,
+    )
+
+    cb_df, codes_df = build_pq_index(emb_df, m=4, ks=8, dim=8)
+    cb_path, codes_path = str(tmp_path / "cb"), str(tmp_path / "codes")
+    cb_df.write.parquet(cb_path)
+    codes_df.write.parquet(codes_path)
+
+    qids = [0, 1, 2]
+    queries = emb_df.filter(emb_df.vec_id.isin(qids)).select(
+        emb_df.vec_id.alias("query_id"), emb_df.embedding.alias("qv")
+    )
+    served = pq_topk_from_index(
+        spark.read.parquet(cb_path), spark.read.parquet(codes_path),
+        queries, k=3,
+    ).collect()
+    direct = pq_topk(emb_df, qids, k=3, m=4, ks=8, dim=8).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["approx_dist"]) for r in served]
+    ) == sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["approx_dist"]) for r in direct]
+    )
