@@ -2016,6 +2016,19 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC): coarse inverted lists prune candidates, PQ
+    codes rank them by asymmetric distance — the billion-scale vector-
+    store index, composed from the verified IVF and PQ pieces. Seeded
+    quantizer + seeded codebooks: the whole two-level index replays in
+    SQL and the result is value-checked."""
+    from openeo_processes_dask_ml_spark.scale.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the scale
     path for similarity search. The hyperplanes are deterministic
@@ -2134,6 +2147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.01 driver-sim and its contract was verified at sf0.1
         # (247,500 pairs) — rotates into the window in r7
         "image_neardup": q_image_neardup,
+        # ann_ivfpq: NEW in r6, same post-window situation as
+        # image_neardup — hash-matched a local sf0.01 driver-sim;
+        # rotates into the window in r7
+        "ann_ivfpq": q_ann_ivfpq,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -3617,6 +3634,78 @@ WITH v AS (
              ORDER BY floor(dist * 1000000.0 + 0.5) / 1000000.0, neighbor_id)
            AS rank
   FROM approx
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+    # ann_ivfpq: the ann_ivf coarse-quantizer CTEs (seeded lists +
+    # probes) composed with the ann_pq CTEs (seeded codebooks, codes,
+    # per-query ADC tables); candidates = probed lists, distance =
+    # ordered-fold ADC sum
+    sql["ann_ivfpq"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), seeds AS (
+  SELECT vec_id AS seed_id, v AS sv, nrm AS snrm FROM n ORDER BY vec_id LIMIT 8
+), scored AS (
+  SELECT n.vec_id, seeds.seed_id,
+         list_reduce(list_transform(range(1, 65), i -> n.v[i] * seeds.sv[i]),
+                     (x, y) -> x + y) / (n.nrm * seeds.snrm) AS sim
+  FROM n, seeds
+), ranked_seed AS (
+  SELECT vec_id, seed_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rk
+  FROM scored
+), assigned AS (
+  SELECT vec_id, seed_id AS list_id FROM ranked_seed WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, seed_id AS list_id
+  FROM ranked_seed WHERE vec_id < 10 AND rk <= 2
+), pqseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM v ORDER BY vec_id LIMIT 16
+), cb AS (
+  SELECT t.j, pqseeds.c, pqseeds.v[t.j * 8 + 1 : t.j * 8 + 8] AS w
+  FROM pqseeds CROSS JOIN range(8) t(j)
+), subdist AS (
+  SELECT v.vec_id, cb.j, cb.c,
+         list_reduce(
+           list_transform(range(1, 9),
+             i -> (v.v[cb.j * 8 + i] - cb.w[i]) * (v.v[cb.j * 8 + i] - cb.w[i])),
+           (a, b) -> a + b) AS d
+  FROM v CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM subdist
+  ) WHERE rn = 1
+), adc AS (
+  SELECT vec_id AS query_id, j, c, d FROM subdist WHERE vec_id < 10
+), candpairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p
+  JOIN assigned a ON a.list_id = p.list_id AND a.vec_id != p.query_id
+  GROUP BY 1, 2
+), dist AS (
+  SELECT cp.query_id, cp.neighbor_id,
+         list_reduce(list(ad.d ORDER BY ad.j), (x, y) -> x + y) AS dist
+  FROM candpairs cp
+  JOIN codes cd ON cd.vec_id = cp.neighbor_id
+  JOIN adc ad ON ad.query_id = cp.query_id AND ad.j = cd.j AND ad.c = cd.c
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         floor(dist * 1000000.0 + 0.5) / 1000000.0 AS approx_dist,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY floor(dist * 1000000.0 + 0.5) / 1000000.0, neighbor_id)
+           AS rank
+  FROM dist
 )
 SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5

@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_trained",
     "ann_pq",
+    "ann_ivfpq",
     "text_quality",
     "token_count",
     "quality_filter",

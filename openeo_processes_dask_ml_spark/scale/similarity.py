@@ -1109,3 +1109,130 @@ def pq_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jegou et al. 2011): the coarse quantizer prunes
+    the corpus to ``n_probe`` inverted lists per query, and candidates
+    rank by PQ asymmetric distance — the index most billion-scale
+    vector stores run, composed here from the existing IVF assignment
+    (``_coarse_assign``) and PQ pieces (``_pq_encode``/ADC).
+
+    Scale shape: candidate work per query ~= corpus * n_probe /
+    n_lists ROWS OF m SMALL INTS — both pruning (list ids) and ranking
+    (codes) operate on the compressed index; raw vectors are touched
+    only by the optional exact top-R ``rerank`` (R*|queries| narrow id
+    fetches). Seeded quantizer + seeded codebooks keep the whole index
+    SQL-replicable.
+
+    Output: (query_id, neighbor_id, approx_dist, rank) — or exact_dist
+    when ``rerank`` is set."""
+    from pyspark.sql import Window
+
+    d_sub = dim // m
+    base, scored, assigned = _coarse_assign(
+        df, n_lists, vec_col, id_col, False, 1.0
+    )
+    cb = _pq_codebooks(base, m, ks, d_sub, False, 1.0)
+    encoded = _pq_encode(base, cb, m, ks, d_sub).join(
+        assigned.select("vid", "list_id"), "vid"
+    )
+
+    # per-query probes: the n_probe most-similar seeds (tiny window
+    # over |queries| * n_lists rows), plus the query vector for ADC
+    wp = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("seed_id"))
+    probes = (
+        scored.filter(F.col("vid").isin(query_ids))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= n_probe)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("seed_id").alias("list_id"),
+        )
+    )
+    qrows = base.filter(F.col("vid").isin(query_ids)).collect()
+    queries = [(int(r["vid"]), [float(x) for x in r["v"]]) for r in qrows]
+    adc_rows = [
+        (
+            qid,
+            [
+                [
+                    _l2sq_py(qv[j * d_sub:(j + 1) * d_sub], cb[j][c])
+                    for c in range(ks)
+                ]
+                for j in range(m)
+            ],
+        )
+        for qid, qv in queries
+    ]
+    adc_df = df.sparkSession.createDataFrame(
+        adc_rows, "query_id long, adc array<array<double>>"
+    ).join(probes, "query_id")
+
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("adc"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    cand = (
+        encoded.join(F.broadcast(adc_df), "list_id")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            dround(approx, 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank and rerank > k:
+        short = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        qv_df = df.sparkSession.createDataFrame(
+            queries, "query_id long, qv array<double>"
+        )
+        exact = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        refined = (
+            short.join(base, short.neighbor_id == base.vid)
+            .join(F.broadcast(qv_df), "query_id")
+            .select(
+                "query_id", "neighbor_id", dround(exact, 6).alias("exact_dist")
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            refined.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "exact_dist", "rank")
+        )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )

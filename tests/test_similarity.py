@@ -225,3 +225,39 @@ def test_pq_index_lifecycle_roundtrip(spark, emb_df, tmp_path):
     ) == sorted(
         [(r["query_id"], r["rank"], r["neighbor_id"], r["approx_dist"]) for r in direct]
     )
+
+
+def test_ivfpq_topk_clustered_recall_and_contract(spark, emb_df):
+    """IVF-PQ composition: ranks are 1..k with non-decreasing ADC
+    distance; on the clustered fixture the pruned+compressed index
+    still recovers most true neighbors, and exact re-rank recovers
+    more than the ADC ordering alone."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        ann_topk_bruteforce,
+        ivfpq_topk,
+    )
+
+    qids = list(range(6))
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(emb_df, qids, k=3, dim=8).collect()
+    }
+    got = ivfpq_topk(
+        emb_df, qids, k=3, n_lists=4, n_probe=2, m=4, ks=8, dim=8
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["approx_dist"]))
+    assert set(per_q) == set(qids)
+    for entries in per_q.values():
+        entries.sort()
+        assert [e[0] for e in entries] == [1, 2, 3]
+        assert [e[1] for e in entries] == sorted(e[1] for e in entries)
+    base_recall = len({(r["query_id"], r["neighbor_id"]) for r in got} & truth) / len(truth)
+    assert base_recall >= 0.3, base_recall
+
+    rr = ivfpq_topk(
+        emb_df, qids, k=3, n_lists=4, n_probe=2, m=4, ks=8, dim=8, rerank=10
+    ).collect()
+    rr_recall = len({(r["query_id"], r["neighbor_id"]) for r in rr} & truth) / len(truth)
+    assert rr_recall >= base_recall
