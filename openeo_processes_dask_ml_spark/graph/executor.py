@@ -113,3 +113,22 @@ def execute_graph(
     reg = registry or default_registry()
     ex = GraphExecutor(reg, {"spark": spark, "sf_dir": sf_dir, **context})
     return ex.execute(graph)
+
+
+def execute_graph_file(
+    path: str,
+    spark,
+    sf_dir: str,
+    registry: ProcessRegistry | None = None,
+    **context,
+) -> Any:
+    """Execute a process graph stored as JSON (reference parity:
+    minibackend/execute_graph.py:execute_graph_file). Accepts both the
+    bare node dict and the openEO job wrapper {"process_graph": {...}}."""
+    import json
+
+    with open(path) as f:
+        graph = json.load(f)
+    if isinstance(graph.get("process_graph"), dict):
+        graph = graph["process_graph"]
+    return execute_graph(graph, spark, sf_dir, registry, **context)

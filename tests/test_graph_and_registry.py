@@ -740,3 +740,29 @@ def test_expression_named_callable_narrowing():
         "openeo_processes_dask_ml_spark.utils.proc_expression:expressions_enabled"
     )
     assert callable(fn)
+
+
+def test_execute_graph_file_both_wrappers(spark, tmp_path):
+    """File execution (reference minibackend execute_graph_file): the
+    bare node dict and the openEO job wrapper {"process_graph": ...}
+    both load and run."""
+    import json
+
+    from openeo_processes_dask_ml_spark.graph.executor import (
+        execute_graph_file,
+    )
+
+    graph = {
+        "add1": {
+            "process_id": "add",
+            "arguments": {"x": 2, "y": 3},
+            "result": True,
+        }
+    }
+    bare = tmp_path / "bare.json"
+    bare.write_text(json.dumps(graph))
+    wrapped = tmp_path / "wrapped.json"
+    wrapped.write_text(json.dumps({"process_graph": graph}))
+    for p in (bare, wrapped):
+        col = execute_graph_file(str(p), spark, SF_DIR)
+        assert spark.range(1).select(col.alias("v")).collect()[0]["v"] == 5
