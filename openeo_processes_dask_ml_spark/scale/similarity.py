@@ -1236,3 +1236,118 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_quantizer: bool = False,
+    sample_fraction: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Persist-once IVF artifacts: (seeds_df, lists_df).
+
+    ``seeds_df``: (seed_id, sv array<double>, snrm) — n_lists rows.
+    ``lists_df``: (vid, list_id, v array<double>, nrm) — the inverted
+    lists, partitionable by list_id on write so a query session scans
+    only its probed lists. Same build-once / query-many lifecycle as
+    ``build_pq_index``; ``ivf_topk_from_index`` serves requests from
+    the reloaded artifacts."""
+    base, _, assigned = _coarse_assign(
+        df, n_lists, vec_col, id_col, train_quantizer, sample_fraction
+    )
+    # rebuild the seeds table the assignment used — same deterministic
+    # logic as _coarse_assign, bounded to n_lists rows either way
+    if train_quantizer:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        sample = base if sample_fraction >= 1.0 else base.sample(
+            fraction=sample_fraction, seed=42
+        )
+        model = KMeans(
+            k=n_lists, seed=42, maxIter=20, featuresCol="__fv"
+        ).fit(sample.withColumn("__fv", array_to_vector("v")))
+        seeds = df.sparkSession.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "seed_id long, sv array<double>",
+        ).withColumn("snrm", _norm(F.col("sv")))
+    else:
+        seeds = base.orderBy("vid").limit(n_lists).select(
+            F.col("vid").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nrm").alias("snrm"),
+        )
+    return seeds, assigned.select("vid", "list_id", "v", "nrm")
+
+
+def ivf_topk_from_index(
+    seeds_df: DataFrame,
+    lists_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Serve IVF top-k from persisted artifacts: probe assignment runs
+    driver-side against the collected seeds (n_lists rows — bounded by
+    construction), then the probed inverted lists re-rank exactly.
+    Cosine fold order matches ``ivf_topk`` bit-for-bit."""
+    from pyspark.sql import Window
+
+    seed_rows = [
+        (int(r["seed_id"]), [float(x) for x in r["sv"]], float(r["snrm"]))
+        for r in seeds_df.collect()
+    ]
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias(
+            "qv"
+        ),
+    ).collect()
+
+    def _dot_py(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    probe_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        qnrm = sum(x * x for x in qv) ** 0.5
+        sims = [
+            (_dot_py(qv, sv) / (qnrm * snrm), sid)
+            for sid, sv, snrm in seed_rows
+        ]
+        # top n_probe by (sim desc, seed asc) — ivf_topk's ordering
+        for sim, sid in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]:
+            probe_rows.append((int(r["qid"]), qv, qnrm, sid))
+    probes = queries.sparkSession.createDataFrame(
+        probe_rows,
+        "query_id long, qv array<double>, qnrm double, list_id long",
+    )
+    cos = dround(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    cand = (
+        lists_df.join(
+            F.broadcast(probes),
+            (lists_df.list_id == probes.list_id)
+            & (F.col("query_id") != F.col("vid")),
+        )
+        .select("query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

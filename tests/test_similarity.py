@@ -261,3 +261,35 @@ def test_ivfpq_topk_clustered_recall_and_contract(spark, emb_df):
     ).collect()
     rr_recall = len({(r["query_id"], r["neighbor_id"]) for r in rr} & truth) / len(truth)
     assert rr_recall >= base_recall
+
+
+def test_ivf_index_lifecycle_roundtrip(spark, emb_df, tmp_path):
+    """Persisted IVF artifacts (seeds + inverted lists, lists
+    partitioned by list_id on write) must serve the same top-k as the
+    direct ivf_topk call."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    seeds_df, lists_df = build_ivf_index(emb_df, n_lists=4)
+    sp, lp = str(tmp_path / "seeds"), str(tmp_path / "lists")
+    seeds_df.write.parquet(sp)
+    lists_df.write.partitionBy("list_id").parquet(lp)
+
+    qids = [0, 1, 2]
+    queries = emb_df.filter(emb_df.vec_id.isin(qids)).select(
+        emb_df.vec_id.alias("query_id"), emb_df.embedding.alias("qv")
+    )
+    served = ivf_topk_from_index(
+        spark.read.parquet(sp), spark.read.parquet(lp), queries,
+        k=3, n_probe=2,
+    ).collect()
+    direct = ivf_topk(
+        emb_df, qids, k=3, n_lists=4, n_probe=2, dim=8
+    ).collect()
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in rows
+    )
+    assert norm(served) == norm(direct)
