@@ -686,13 +686,23 @@ def lsh_bucketed_ann(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket per vector, candidate
     set = same-bucket vectors, exact cosine re-rank within bucket.
 
+    ``multiprobe=r`` additionally probes every bucket within Hamming
+    distance ``r`` of the query's bucket (flip up to r plane bits) —
+    the standard multi-probe LSH trick (Lv et al. 2007): near-boundary
+    neighbors land a few bits away, so probing sum(C(n_planes, i))
+    buckets per query recovers much of the recall extra hash tables
+    would, at zero extra index cost. The corpus side is untouched —
+    only the tiny broadcast query table fans out; candidate work per
+    query is corpus * probes / 2^n_planes.
+
     At scale: corpus bucketing is a narrow projection; the join is an
     equi-join on (bucket), so pairwise work is corpus_size/2^n_planes
-    per query on average."""
+    per (probed bucket, query) on average."""
     from pyspark.sql import Window
 
     base = df.select(
@@ -707,6 +717,20 @@ def lsh_bucketed_ann(
     queries = bucketed.filter(F.col("vid").isin(query_ids)).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
+    if multiprobe:
+        from itertools import combinations
+
+        masks = [0] + [
+            sum(1 << p for p in bits)
+            for r in range(1, multiprobe + 1)
+            for bits in combinations(range(n_planes), r)
+        ]
+        probe_set = F.array_distinct(
+            F.array(*[F.col("qb").bitwiseXOR(F.lit(mk)) for mk in masks])
+        )
+        queries = queries.select(
+            "query_id", "qv", F.explode(probe_set).alias("qb")
+        )
     cos = dround(cosine_expr(F.col("qv"), F.col("v")), 6)
     scored = (
         bucketed.join(

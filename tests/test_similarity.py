@@ -293,3 +293,29 @@ def test_ivf_index_lifecycle_roundtrip(spark, emb_df, tmp_path):
         (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in rows
     )
     assert norm(served) == norm(direct)
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multi-probe LSH probes all Hamming-1 buckets: recall vs brute
+    force must be at least the single-bucket recall (strictly better on
+    this corpus), with no duplicate (query, neighbor) rows."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        ann_topk_bruteforce,
+        lsh_bucketed_ann,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(10))
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(emb, qids, k=5).collect()
+    }
+    plain_rows = lsh_bucketed_ann(emb, qids, k=5).collect()
+    multi_rows = lsh_bucketed_ann(emb, qids, k=5, multiprobe=3).collect()
+    plain = {(r["query_id"], r["neighbor_id"]) for r in plain_rows}
+    multi = {(r["query_id"], r["neighbor_id"]) for r in multi_rows}
+    assert len(multi_rows) == len(multi)  # no dup pairs from probing
+    r_plain = len(plain & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_multi >= r_plain
+    assert r_multi >= 0.1, (r_plain, r_multi)
