@@ -677,11 +677,12 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy decontamination: training docs (ids not divisible by 97)
-    whose exact Jaccard to some eval doc (ids % 7 == 0 — a wider split
-    than the exact blocklist query's % 97 so the fixture actually has
-    cross-split near-dups to flag) reaches 0.3 — paraphrase-robust eval
-    leakage detection via eval-side LSH bands + candidate-only verify."""
+    """Fuzzy decontamination: training docs (ids not divisible by 7)
+    whose exact Jaccard to some eval doc (ids % 7 == 0 — deliberately
+    WIDER than the exact blocklist query's % 97 split so the fixture
+    actually has cross-split near-dups to flag) reaches 0.3 —
+    paraphrase-robust eval leakage detection via eval-side LSH bands
+    + candidate-only verify."""
     from openeo_processes_dask_ml_spark.scale.pipeline import decontaminate_fuzzy
 
     docs = _t(spark, sf_dir, "documents")
@@ -2795,7 +2796,8 @@ FROM documents a JOIN documents b
 """
 
     # decontaminate_fuzzy: the incremental-minhash CTEs with the
-    # train/eval %97 split, contaminated rows only
+    # train/eval % 7 split (wider than the exact blocklist's % 97 so
+    # cross-split near-dups exist), contaminated rows only
     sql["decontaminate_fuzzy"] = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
@@ -3357,8 +3359,11 @@ WITH toks AS (
   FROM toks t LEFT JOIN iv USING (doc_id)
 )
 SELECT doc_id,
-       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
-       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       -- DuckDB array_to_string([]) is NULL where Spark array_join([])
+       -- is '' — but a NULL INPUT text must stay NULL in both engines,
+       -- so the coalesce applies only when tokens exist
+       CASE WHEN kept IS NULL THEN NULL
+            ELSE coalesce(array_to_string(kept, ' '), '') END AS clean_text,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_tokens - len(kept) AS BIGINT) AS n_removed
 FROM outp

@@ -30,11 +30,11 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
-    """Reader confs the fixture data requires, applied once per session
-    (VERDICT r5 minor: repeated conf.set per load_table call works but
-    obscures scoping — set them on first load and remember)."""
-    if getattr(spark, "_opdm_confs_set", False):
-        return
+    """Reader confs the fixture data requires, re-asserted on EVERY
+    load: memoizing them (tried, reverted) lets an application that
+    flips spark.sql.session.timeZone between loads silently read the
+    timezone-less fixture timestamps under the wrong zone — the runtime
+    conf.set is a local map write, so re-asserting costs nothing."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Testdata timestamps are parquet timestamp[us] without a timezone,
     # which Spark 4 would otherwise surface as TIMESTAMP_NTZ — a type
@@ -46,7 +46,6 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     # with the host timezone).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark._opdm_confs_set = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -107,6 +107,31 @@ def shingle_rows(
 # --------------------------------------------------------------------------
 
 
+def normalized_text_hash(text_col: Column) -> Column:
+    """md5 of trim/lower/single-space-normalized text — the exact-dup
+    identity shared by ``incremental_dedup``, its streaming twin and
+    the DuckDB oracles (twin expression:
+    ``md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))``).
+    Defined ONCE so batch and streaming can never drift apart."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " "))
+
+
+def seen_text_index(
+    seen_df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(h, dup_of) — the pre-aggregated historical index (one row per
+    distinct normalized text, smallest ingested id) both the batch and
+    streaming incremental dedup join against; persistable per snapshot."""
+    return (
+        seen_df.select(
+            normalized_text_hash(F.col(text_col)).alias("h"),
+            F.col(id_col).alias("sid"),
+        )
+        .groupBy("h")
+        .agg(F.min("sid").alias("dup_of"))
+    )
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -738,15 +763,11 @@ def incremental_dedup(
     the join input is its distinct-text count, not its row count; no
     pairwise work anywhere.
     """
-    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
     new_hashed = new_df.select(
-        F.col(id_col).alias("doc_id"), norm.alias("h")
+        F.col(id_col).alias("doc_id"),
+        normalized_text_hash(F.col(text_col)).alias("h"),
     )
-    seen_min = (
-        seen_df.select(norm.alias("h"), F.col(id_col).alias("sid"))
-        .groupBy("h")
-        .agg(F.min("sid").alias("dup_of"))
-    )
+    seen_min = seen_text_index(seen_df, text_col, id_col)
     return (
         new_hashed.join(seen_min, "h", "left")
         .select(

@@ -317,7 +317,9 @@ def image_neardup_pairs(
     from openeo_processes_dask_ml_spark.scale.dedup import hamming_pairs
 
     fps = image_ahash(media_df, id_col)
-    return hamming_pairs(fps, id_col="media_id", fp_col="fp")
+    return hamming_pairs(
+        fps, id_col="media_id", fp_col="fp", max_hamming=max_hamming
+    )
 
 
 def audio_fingerprint48(samples: np.ndarray, sample_rate: int) -> int:

@@ -469,7 +469,7 @@ def ivf_topk(
     n_probe / n_lists."""
     from pyspark.sql import Window
 
-    base, scored, assigned = _coarse_assign(
+    base, scored, assigned, _ = _coarse_assign(
         df, n_lists, vec_col, id_col, train_quantizer, sample_fraction
     )
     wp = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("seed_id"))
@@ -514,7 +514,7 @@ def _coarse_assign(
     sample_fraction: float,
 ):
     """Coarse-quantizer list assignment shared by ``ivf_topk`` and
-    ``semantic_dedup``: (base, scored, assigned) where assigned maps
+    ``semantic_dedup``: (base, scored, assigned, seeds) where assigned maps
     every vector to its nearest seed's list (map-side max_by, one
     narrow shuffle)."""
     base = df.select(
@@ -572,7 +572,7 @@ def _coarse_assign(
         )
     )
     assigned = base.join(lists, "vid").select("vid", "list_id", "v", "nrm")
-    return base, scored, assigned
+    return base, scored, assigned, seeds
 
 
 def semantic_dedup(
@@ -601,7 +601,7 @@ def semantic_dedup(
     so the whole pipeline replays in SQL; ``train_quantizer=True``
     switches to the sampled-k-means production path."""
     n_blocks = 8
-    _, _, assigned = _coarse_assign(
+    _, _, assigned, _ = _coarse_assign(
         df, n_lists, vec_col, id_col, train_quantizer, sample_fraction
     )
     blocked = assigned.withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)))
@@ -808,6 +808,11 @@ def _lloyd_np(X: "np.ndarray", k: int, iters: int = 20) -> "np.ndarray":
     init at evenly spaced rows of the (already vid-ordered) sample, so
     identical input -> identical codebook. Empty clusters keep their
     previous centroid."""
+    if len(X) == 0:
+        raise ValueError(
+            "PQ codebook training sample is empty — raise sample_fraction "
+            "or train on a larger corpus"
+        )
     idx = np.linspace(0, len(X) - 1, k).astype(int)
     C = X[idx].copy()
     for _ in range(iters):
@@ -1015,44 +1020,50 @@ def pq_topk(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
     )
     if rerank and rerank > k:
-        # ADC+R refinement: exact squared L2 on the top-R candidates
-        # only — R*|queries| vectors fetched through a narrow id join,
-        # the corpus still never moves wholesale
-        cand = (
+        short = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= rerank)
             .select("query_id", "neighbor_id")
         )
-        qv_df = df.sparkSession.createDataFrame(
-            [(int(r["vid"]), [float(x) for x in r["v"]]) for r in qrows],
-            "query_id long, qv array<double>",
-        )
-        exact = F.aggregate(
-            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        refined = (
-            cand.join(base, cand.neighbor_id == base.vid)
-            .join(F.broadcast(qv_df), "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                dround(exact, 6).alias("exact_dist"),
-            )
-        )
-        w2 = Window.partitionBy("query_id").orderBy(
-            F.col("exact_dist").asc(), F.col("neighbor_id").asc()
-        )
-        return (
-            refined.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "exact_dist", "rank")
-        )
+        return _exact_rerank(short, base, queries, k)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+def _exact_rerank(
+    short: DataFrame, base: DataFrame, queries: list, k: int
+) -> DataFrame:
+    """ADC+R refinement shared by ``pq_topk`` and ``ivfpq_topk``: exact
+    squared L2 on the shortlisted (query_id, neighbor_id) candidates —
+    R*|queries| vectors fetched through a narrow id join, the corpus
+    never moves wholesale. Ranks by (rounded exact distance, id)."""
+    from pyspark.sql import Window
+
+    qv_df = base.sparkSession.createDataFrame(
+        queries, "query_id long, qv array<double>"
+    )
+    exact = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    refined = (
+        short.join(base, short.neighbor_id == base.vid)
+        .join(F.broadcast(qv_df), "query_id")
+        .select(
+            "query_id", "neighbor_id", dround(exact, 6).alias("exact_dist")
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "exact_dist", "rank")
     )
 
 
@@ -1166,7 +1177,7 @@ def ivfpq_topk(
     from pyspark.sql import Window
 
     d_sub = dim // m
-    base, scored, assigned = _coarse_assign(
+    base, scored, assigned, _ = _coarse_assign(
         df, n_lists, vec_col, id_col, False, 1.0
     )
     cb = _pq_codebooks(base, m, ks, d_sub, False, 1.0)
@@ -1232,29 +1243,7 @@ def ivfpq_topk(
             .filter(F.col("rank") <= rerank)
             .select("query_id", "neighbor_id")
         )
-        qv_df = df.sparkSession.createDataFrame(
-            queries, "query_id long, qv array<double>"
-        )
-        exact = F.aggregate(
-            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        refined = (
-            short.join(base, short.neighbor_id == base.vid)
-            .join(F.broadcast(qv_df), "query_id")
-            .select(
-                "query_id", "neighbor_id", dround(exact, 6).alias("exact_dist")
-            )
-        )
-        w2 = Window.partitionBy("query_id").orderBy(
-            F.col("exact_dist").asc(), F.col("neighbor_id").asc()
-        )
-        return (
-            refined.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "exact_dist", "rank")
-        )
+        return _exact_rerank(short, base, queries, k)
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -1278,34 +1267,9 @@ def build_ivf_index(
     only its probed lists. Same build-once / query-many lifecycle as
     ``build_pq_index``; ``ivf_topk_from_index`` serves requests from
     the reloaded artifacts."""
-    base, _, assigned = _coarse_assign(
+    _, _, assigned, seeds = _coarse_assign(
         df, n_lists, vec_col, id_col, train_quantizer, sample_fraction
     )
-    # rebuild the seeds table the assignment used — same deterministic
-    # logic as _coarse_assign, bounded to n_lists rows either way
-    if train_quantizer:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        sample = base if sample_fraction >= 1.0 else base.sample(
-            fraction=sample_fraction, seed=42
-        )
-        model = KMeans(
-            k=n_lists, seed=42, maxIter=20, featuresCol="__fv"
-        ).fit(sample.withColumn("__fv", array_to_vector("v")))
-        seeds = df.sparkSession.createDataFrame(
-            [
-                (i, [float(x) for x in c])
-                for i, c in enumerate(model.clusterCenters())
-            ],
-            "seed_id long, sv array<double>",
-        ).withColumn("snrm", _norm(F.col("sv")))
-    else:
-        seeds = base.orderBy("vid").limit(n_lists).select(
-            F.col("vid").alias("seed_id"),
-            F.col("v").alias("sv"),
-            F.col("nrm").alias("snrm"),
-        )
     return seeds, assigned.select("vid", "list_id", "v", "nrm")
 
 

@@ -462,8 +462,14 @@ def stream_incremental_dedup(
     this runs at unbounded ingest rates; the historical index is the
     same persist-once snapshot artifact the batch op uses. Emits
     (doc_id, is_novel, dup_of) per new document."""
-    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
-    hashed = stream.select(F.col(id_col).alias("doc_id"), norm.alias("h"))
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        normalized_text_hash,
+    )
+
+    hashed = stream.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_text_hash(F.col(text_col)).alias("h"),
+    )
     return hashed.join(F.broadcast(seen_min), "h", "left").select(
         "doc_id",
         F.col("dup_of").isNull().alias("is_novel"),
@@ -485,13 +491,11 @@ def run_stream_incremental_dedup_once(
     is oracle-checkable."""
     import os
 
+    from openeo_processes_dask_ml_spark.scale.dedup import seen_text_index
+
     batch = spark.read.parquet(path)
-    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
-    seen_min = (
-        batch.filter(F.col(id_col) % 2 == 0)
-        .select(norm.alias("h"), F.col(id_col).alias("sid"))
-        .groupBy("h")
-        .agg(F.min("sid").alias("dup_of"))
+    seen_min = seen_text_index(
+        batch.filter(F.col(id_col) % 2 == 0), text_col, id_col
     )
     reader = spark.readStream.schema(batch.schema)
     if max_files_per_trigger is not None:

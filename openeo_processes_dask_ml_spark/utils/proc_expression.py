@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import importlib
 import os
+import types
 from collections.abc import Callable
 
 DEFAULT_ALLOWED_PACKAGES = ("numpy", "math", "openeo_processes_dask_ml_spark")
@@ -90,8 +91,28 @@ def resolve_python_expression(expression: str) -> Callable:
     obj = module
     for part in attr_path.split("."):
         obj = getattr(obj, part)
+        # traversal must never step INTO a module: an engine module that
+        # imports os/pickle would otherwise expose the whole stdlib as
+        # 'pkg.module:os.system' under the prefix-allowed root
+        if isinstance(obj, types.ModuleType):
+            raise PermissionError(
+                f"{expression!r} traverses into module {part!r}; address "
+                "the target module directly in the module path"
+            )
     if not callable(obj):
         raise TypeError(f"{expression!r} resolved to a non-callable")
+    if root in PREFIX_ALLOWED_ROOTS:
+        # the resolved callable must actually BE engine code, not a
+        # stdlib/third-party object re-exported by an engine module
+        # (e.g. 'pkg.utils:partial' or a bound alias) — otherwise the
+        # prefix allowance is a laundering hole for arbitrary callables
+        owner = getattr(obj, "__module__", None) or ""
+        if not owner.startswith(root):
+            raise PermissionError(
+                f"{expression!r} resolves to a callable defined in "
+                f"{owner or 'an unknown module'!r}, outside the "
+                f"prefix-allowed package {root!r}"
+            )
     return obj
 
 

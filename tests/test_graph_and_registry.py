@@ -766,3 +766,50 @@ def test_execute_graph_file_both_wrappers(spark, tmp_path):
     for p in (bare, wrapped):
         col = execute_graph_file(str(p), spark, SF_DIR)
         assert spark.range(1).select(col.alias("v")).collect()[0]["v"] == 5
+
+
+def test_expression_prefix_root_cannot_launder_stdlib():
+    """The prefix-allowed engine root must not expose re-exported
+    stdlib callables (review finding): attribute traversal may not step
+    into modules, and the resolved callable must be DEFINED in the
+    engine package — 'pkg.module:os.system' and re-exported outside
+    callables are both refused."""
+    import pytest as _pytest
+
+    from openeo_processes_dask_ml_spark.utils.proc_expression import (
+        resolve_python_expression as _resolve,
+    )
+
+    # os is importable inside engine modules — traversal must refuse it
+    with _pytest.raises(PermissionError, match="traverses into module"):
+        _resolve(
+            "openeo_processes_dask_ml_spark.utils.proc_expression:os.system"
+        )
+    # a submodule alias also trips the traversal guard
+    with _pytest.raises(PermissionError, match="traverses into module"):
+        _resolve(
+            "openeo_processes_dask_ml_spark.utils.proc_expression:"
+            "importlib.import_module"
+        )
+    # a foreign callable bound directly into an engine module namespace
+    # is refused by the definition-owner check
+    import os as _os
+
+    from openeo_processes_dask_ml_spark.utils import proc_expression as _pe
+
+    _pe._test_foreign = _os.path.join
+    try:
+        with _pytest.raises(PermissionError, match="outside the"):
+            _resolve(
+                "openeo_processes_dask_ml_spark.utils.proc_expression:"
+                "_test_foreign"
+            )
+    finally:
+        del _pe._test_foreign
+    # genuine engine callables still resolve
+    assert callable(
+        _resolve(
+            "openeo_processes_dask_ml_spark.utils.proc_expression:"
+            "expressions_enabled"
+        )
+    )

@@ -126,7 +126,7 @@ def test_coarse_assign_shuffle_excludes_vectors(spark):
     from openeo_processes_dask_ml_spark.scale.similarity import _coarse_assign
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    _, _, assigned = _coarse_assign(emb, 4, "embedding", "vec_id", False, 1.0)
+    _, _, assigned, _ = _coarse_assign(emb, 4, "embedding", "vec_id", False, 1.0)
     plan = _plan(assigned)
     # every HashAggregate (partial + final of the max_by) must be
     # vector-free; the array column may appear only in scans/joins
