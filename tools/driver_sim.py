@@ -1,0 +1,98 @@
+"""Local simulation of the driver's correctness gate at an arbitrary SF.
+
+Runs each queries() entry and its oracle_sql() twin side-by-side on the
+same parquet tables, compares row count / column names / normalized
+values, and prints one status line per query.  Usage:
+
+    python tools/driver_sim.py [sf_dir] [first_n] [name ...]
+
+Defaults: sf_dir=/root/testdata/sf0.01, first_n=50 (the driver's
+verification window).  Naming specific queries overrides first_n.
+"""
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else round(v, 9)
+            elif hasattr(v, "isoformat"):
+                v = v.isoformat()
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [columns[i] for i in order], out
+
+
+def compare(spark, con, name, fn, sql):
+    qdf = fn(spark, SF_DIR)
+    s_cols, s_rows = normalize([tuple(r) for r in qdf.collect()], qdf.columns)
+    if sql is None:
+        return f"rows-only ({len(s_rows)} rows)"
+    res = con.execute(sql)
+    d_cols, d_rows = normalize(
+        res.fetchall(), [d[0] for d in res.description]
+    )
+    if s_cols != d_cols:
+        return f"FAIL cols spark={s_cols} duck={d_cols}"
+    if len(s_rows) != len(d_rows):
+        return f"FAIL rows spark={len(s_rows)} duck={len(d_rows)}"
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        for c, (sv, dv) in zip(s_cols, zip(sr, dr)):
+            if isinstance(sv, float) and isinstance(dv, float):
+                if not math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-9):
+                    return f"FAIL value row{i} {c}: {sv} != {dv}"
+            elif sv != dv:
+                return f"FAIL value row{i} {c}: {sv!r} != {dv!r}"
+    return f"ok ({len(s_rows)} rows)"
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    SF_DIR = args[0] if args else "/root/testdata/sf0.01"
+    first_n = int(args[1]) if len(args) > 1 else 50
+    names = args[2:]
+
+    from openeo_processes_dask_ml_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    todo = names or list(qs)[:first_n]
+    failures = 0
+    for name in todo:
+        t0 = time.time()
+        try:
+            status = compare(spark, con, name, qs[name], osql.get(name))
+        except Exception as e:  # noqa: BLE001
+            status = f"ERROR {type(e).__name__}: {e}"
+        dt = time.time() - t0
+        if not status.startswith(("ok", "rows-only")):
+            failures += 1
+        print(f"{name:32s} {status}  [{dt:.1f}s]", flush=True)
+    print(f"done: {len(todo)} queries, {failures} failures")
+    sys.exit(1 if failures else 0)
