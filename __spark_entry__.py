@@ -2042,6 +2042,67 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-dup: tf-idf cosine over the term-postings inverted
+    index with integer weights (order-free exact sums; see
+    scale/text.py::tfidf_cosine_pairs). Fixture note: the synthetic
+    vocabulary is 31 terms with df ~0.8N, so the query lifts the
+    hot-term cut to 0.9 (the cap is exercised structurally — the
+    broadcast df join and vocab filter run — while keeping a non-empty
+    vocabulary); production default 0.2 drops stop-terms."""
+    from openeo_processes_dask_ml_spark.scale.text import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9, max_df_frac=0.9
+    )
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by shingle containment |A∩B|/|A| — catches
+    quote-expansion pairs Jaccard misses. Same inverted-index +
+    hot-shingle-exactness plan as dedup_ngram_jaccard."""
+    from openeo_processes_dask_ml_spark.scale.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware LM quality score: interpolated bigram log-prob
+    (Jelinek-Mercer) — flags word-salad text the unigram filter passes.
+    The bigram table shuffles keyed on (w1,w2); only the vocab-bounded
+    unigram table broadcasts."""
+    from openeo_processes_dask_ml_spark.scale.text import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"), vocab_size=4096)
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (eval slice doc_id % 89): the
+    blocklist broadcasts as a bitset, train grams are pruned by an
+    Arrow-vectorized k-bit probe, and survivors are exactly verified —
+    output bit-identical to the exact join, which is what the oracle
+    runs."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        bloom_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 89 == 0)
+    train = docs.filter(F.col("doc_id") % 89 != 0)
+    return bloom_decontaminate(train, eval_docs, n=3, m_bits=1 << 20)
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL dimensionality reduction 64 -> 4 with the deterministic
+    md5-sign matrix (Achlioptas ±1 projection): pure projection over
+    the embeddings scan, strict left-fold dots, no shuffle."""
+    from openeo_processes_dask_ml_spark.scale.quantize import (
+        random_projection,
+    )
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=4)
+
+
 # ===========================================================================
 # driver API
 # ===========================================================================
@@ -2152,6 +2213,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image_neardup — hash-matched a local sf0.01 driver-sim;
         # rotates into the window in r7
         "ann_ivfpq": q_ann_ivfpq,
+        # tfidf_cosine..random_projection: NEW in r6 (late batch),
+        # same post-window situation — each verified green by
+        # tools/driver_sim.py at sf0.01; rotate into the window in r7
+        "tfidf_cosine": q_tfidf_cosine,
+        "containment": q_containment,
+        "bigram_logprob": q_bigram_logprob,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "random_projection": q_random_projection,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -2366,6 +2435,38 @@ WITH padded AS (
 )
 SELECT doc_id, score_en, score_de, score_fr, score_es, {case} AS pred_lang
 FROM (SELECT *, {greatest} AS best FROM scored)
+"""
+
+
+def _random_projection_oracle(out_dim: int, dim: int) -> str:
+    """Rebuilds the engine's deterministic ±1 JL matrix
+    (scale/similarity.py::hyperplane_coeffs — md5-sign rows) as SQL
+    literals, and mirrors the strict left-fold dot: list_reduce over
+    list_transform is ((p1+p2)+p3)…, identical to the engine's
+    aggregate(zip_with(...), 0.0, +) because 0.0 + p1 == p1 exactly."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        hyperplane_coeffs,
+    )
+
+    projs = []
+    for j in range(out_dim):
+        coeffs = hyperplane_coeffs(j, dim)
+        lit = "[" + ", ".join(str(c) for c in coeffs) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> v[i] * ({lit}::DOUBLE[])[i]), (a, b) -> a + b)"
+        )
+        projs.append(
+            f"floor(({dot}) * 1000000.0 + 0.5) / 1000000.0 AS p{j}"
+        )
+    cols = ",\n       ".join(projs)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+)
+SELECT vec_id,
+       {cols}
+FROM v
 """
 
 
@@ -4405,5 +4506,149 @@ WITH m AS (
 SELECT user_id, week, floor((avg(v)) * 1000000.0 + 0.5) / 1000000.0 AS value
 FROM m GROUP BY user_id, week
 """
+
+    # tfidf_cosine: integer weights (min(tf,255) * min(N//df, 10000))
+    # over the df-capped vocabulary, so norm² / dot aggregations sum
+    # BIGINTs — order-free and bit-exact in both engines; only the
+    # final cosine touches doubles.
+    sql["tfidf_cosine"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS dfc FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), vocab AS (
+  SELECT term,
+         least(CAST(floor((SELECT n FROM nd)::DOUBLE / dfc) AS BIGINT),
+               10000) AS idf
+  FROM dfreq
+  WHERE dfc::DOUBLE <= greatest(128.0, 0.9 * (SELECT n FROM nd))
+), posts AS (
+  SELECT doc_id, term, least(tf, 255) * idf AS w
+  FROM tf JOIN vocab USING (term)
+), norms AS (
+  SELECT doc_id, sum(w * w) AS nrm2 FROM posts GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+  FROM posts a JOIN posts b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), cosed AS (
+  SELECT id_a, id_b,
+         dot::DOUBLE / (sqrt(na.nrm2::DOUBLE) * sqrt(nb.nrm2::DOUBLE)) AS raw
+  FROM dots
+  JOIN norms na ON id_a = na.doc_id
+  JOIN norms nb ON id_b = nb.doc_id
+)
+SELECT id_a, id_b, floor(raw * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM cosed WHERE raw >= 0.9
+"""
+
+    # containment: jaccard's inverted-index oracle with the asymmetric
+    # |A∩B|/|A| measure; candidacy mirrors the engine's hot-shingle DF
+    # cap exactly as in dedup_ngram_jaccard (ADVICE r5), the scores
+    # stay exact over the FULL shingle sets.
+    sql["containment"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM toks WHERE len(toks) >= 3
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle, count(*) AS dfc FROM inv GROUP BY 1
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         max(CASE WHEN d.dfc <= greatest(128.0,
+                      0.2 * (SELECT count(*) FROM documents))
+                  THEN 1 ELSE 0 END) AS has_cold
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN dfreq d ON d.shingle = a.shingle
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b,
+         shared::DOUBLE / len(sa.shingles) AS ca_raw,
+         shared::DOUBLE / len(sb.shingles) AS cb_raw,
+         has_cold
+  FROM shared
+  JOIN sh sa ON id_a = sa.doc_id
+  JOIN sh sb ON id_b = sb.doc_id
+)
+SELECT id_a, id_b,
+       floor(ca_raw * 1000000.0 + 0.5) / 1000000.0 AS containment_a,
+       floor(cb_raw * 1000000.0 + 0.5) / 1000000.0 AS containment_b,
+       CASE WHEN ca_raw >= cb_raw THEN 'a' ELSE 'b' END AS contained
+FROM scored
+WHERE has_cold = 1 AND greatest(ca_raw, cb_raw) >= 0.7
+"""
+
+    # bigram_logprob: Jelinek-Mercer interpolated bigram LM (lam=0.75,
+    # add-0.5, vocab 4096 + OOV). c1 counts w1 occurrences *as bigram
+    # heads* (doc-final tokens excluded), matching the engine's
+    # bi-derived count.
+    sql["bigram_logprob"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), uni AS (
+  SELECT t, count(*) AS c
+  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY t
+), vocab AS (
+  SELECT t, c FROM uni ORDER BY c DESC, t LIMIT 4096
+), tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS total,
+         (SELECT count(*) FROM vocab) AS v
+), bi AS (
+  SELECT doc_id, u.g.w1 AS w1, u.g.w2 AS w2
+  FROM toks, unnest(list_transform(range(1, len(toks)),
+       i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u(g)
+), bic AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+), w1c AS (
+  SELECT w1, count(*) AS c1 FROM bi GROUP BY 1
+), scored AS (
+  SELECT bi.doc_id,
+         log2(0.75 * ((coalesce(bic.c12, 0) + 0.5)
+                      / (coalesce(w1c.c1, 0) + 0.5 * (tot.v + 1)))
+              + 0.25 * ((coalesce(vocab.c, 0) + 0.5)
+                        / (tot.total + 0.5 * (tot.v + 1)))) AS lp
+  FROM bi
+  LEFT JOIN bic USING (w1, w2)
+  LEFT JOIN w1c USING (w1)
+  LEFT JOIN vocab ON vocab.t = bi.w2
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       floor((-avg(lp)) * 1000000.0 + 0.5) / 1000000.0 AS lm2_score
+FROM scored GROUP BY doc_id
+"""
+
+    # bloom_decontaminate: the Bloom layer is verify-exact, so the
+    # oracle is the plain exact-join decontamination on the % 89 split.
+    sql["bloom_decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+  FROM toks WHERE len(t) >= 3
+), ev AS (
+  SELECT DISTINCT unnest(gs) AS shingle FROM g WHERE doc_id % 89 = 0
+), tr AS (
+  SELECT doc_id, unnest(gs) AS shingle FROM g WHERE doc_id % 89 != 0
+)
+SELECT tr.doc_id AS doc_id, count(*) AS n_hits, min(tr.shingle) AS sample_gram
+FROM tr JOIN ev USING (shingle)
+GROUP BY 1
+"""
+
+    sql["random_projection"] = _random_projection_oracle(out_dim=4, dim=64)
 
     return sql

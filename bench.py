@@ -75,6 +75,11 @@ HEADLINE = [
     "span_removal",
     "streaming_incremental_dedup",
     "decontaminate_fuzzy",
+    "tfidf_cosine",
+    "containment",
+    "bigram_logprob",
+    "bloom_decontaminate",
+    "random_projection",
 ]
 
 

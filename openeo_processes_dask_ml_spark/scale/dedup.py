@@ -350,18 +350,17 @@ def _drop_hot_shingles(
 # --------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
+def _pair_shared_shingles(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    max_df_frac: float = 0.2,
-    min_df_cap: int = 128,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_df_frac: float,
+    min_df_cap: int,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via the shared-shingle inverted index:
-    distinct shingle rows, equi-join on shingle, count shared per
-    pair, |A∩B| / (|A| + |B| - |A∩B|). No cross join anywhere.
+    """(id_a, id_b, shared, n_a, n_b) for every candidate pair sharing
+    at least one COLD shingle — the common core of
+    ``ngram_jaccard_pairs`` and ``containment_pairs``.
 
     Skew guard with exactness preserved: the self-join runs on the
     COLD index only (shingles with document frequency <= cap —
@@ -372,8 +371,8 @@ def ngram_jaccard_pairs(
     ``array_intersect`` in the same join that attaches sizes:
     shared = shared_cold + |hot_A ∩ hot_B|, exact for every surfaced
     pair with zero extra shuffles. Only pairs whose shared shingles
-    are ALL ultra-common can be missed — at Jaccard >= 0.5 such pairs
-    carry no discriminative signal."""
+    are ALL ultra-common can be missed — such pairs carry no
+    discriminative signal for either overlap measure."""
     inv = shingle_rows(df, text_col, id_col, shingle_n)
     hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
     flagged = inv.join(
@@ -400,15 +399,90 @@ def ngram_jaccard_pairs(
     shared = F.col("shared_cold") + F.size(
         F.array_intersect(F.col("na.hot_set"), F.col("nb.hot_set"))
     )
-    jac = shared.cast("double") / (
-        F.col("na.n_sh") + F.col("nb.n_sh") - shared
-    )
     return (
         shared_cold.join(stats.alias("na"), F.col("id_a") == F.col("na.doc_id"))
         .join(stats.alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
-        .select("id_a", "id_b", jac.alias("jaccard_raw"))
+        .select(
+            "id_a",
+            "id_b",
+            shared.alias("shared"),
+            F.col("na.n_sh").alias("n_a"),
+            F.col("nb.n_sh").alias("n_b"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.2,
+    min_df_cap: int = 128,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via the shared-shingle inverted index:
+    distinct shingle rows, equi-join on shingle, count shared per
+    pair, |A∩B| / (|A| + |B| - |A∩B|). No cross join anywhere.
+    Candidate generation and the hot-shingle skew guard (exactness
+    preserved) live in ``_pair_shared_shingles``."""
+    pairs = _pair_shared_shingles(
+        df, text_col, id_col, shingle_n, max_df_frac, min_df_cap
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jaccard_raw"))
         .filter(F.col("jaccard_raw") >= threshold)
         .select("id_a", "id_b", dround(F.col("jaccard_raw"), 6).alias("jaccard"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_df_frac: float = 0.2,
+    min_df_cap: int = 128,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT:
+    C(A|B) = |A∩B| / |A| (Broder 1997's containment measure). Jaccard
+    misses subset/superset relations — a document embedded whole inside
+    a 10x-longer page scores Jaccard ~0.1 but containment ~1.0, and
+    such quote-expansions are a major duplication mode in web corpora
+    (the motivation for suffix-based dedup in Lee et al. 2022).
+
+    Emits pairs where max(C(A|B), C(B|A)) >= threshold with both
+    directional scores; ``contained`` names the side whose shingles
+    are covered (the smaller/quoted document, ties to 'a'). Same
+    inverted-index plan and hot-shingle exactness guard as
+    ``ngram_jaccard_pairs`` via ``_pair_shared_shingles`` — no cross
+    join, join groups bounded by the DF cap."""
+    pairs = _pair_shared_shingles(
+        df, text_col, id_col, shingle_n, max_df_frac, min_df_cap
+    )
+    c_a = F.col("shared").cast("double") / F.col("n_a")
+    c_b = F.col("shared").cast("double") / F.col("n_b")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            c_a.alias("ca_raw"),
+            c_b.alias("cb_raw"),
+        )
+        .filter(F.greatest(F.col("ca_raw"), F.col("cb_raw")) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            dround(F.col("ca_raw"), 6).alias("containment_a"),
+            dround(F.col("cb_raw"), 6).alias("containment_b"),
+            F.when(F.col("ca_raw") >= F.col("cb_raw"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("contained"),
+        )
     )
 
 

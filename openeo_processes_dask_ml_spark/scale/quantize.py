@@ -91,3 +91,50 @@ def quantized_codes(
             lambda x: F.floor(x / F.col("scale") * lv + F.lit(0.5)).cast("tinyint"),
         ).alias("codes"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    deterministic +-1 projection matrix (Achlioptas 2001's
+    database-friendly random projection — sign matrices preserve
+    pairwise distances within the JL bound at 1/sqrt(out_dim)
+    scaling, and need no float random state).
+
+    Row j of the matrix is ``similarity.hyperplane_coeffs(j, dim)`` —
+    md5-derived signs, so the DuckDB oracle rebuilds the IDENTICAL
+    matrix and the projection is reproducible across engines, runs,
+    and languages. Each output coordinate is a strict left-fold
+    dot product (zip_with + aggregate over a literal coefficient
+    array <-> list_transform + list_reduce), the repo's bit-exact
+    float pattern.
+
+    Emits (id, p0..p{out_dim-1}) as double columns, each dround(6).
+    100 TB shape: a pure projection over the embeddings scan — no
+    shuffle, whole plan short of the fold stays in codegen; shrinking
+    64-float vectors to out_dim floats cuts downstream ANN/cluster
+    shuffle bytes by 64/out_dim.
+    """
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        hyperplane_coeffs,
+    )
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    inv_scale = 1.0  # keep raw sums; callers can rescale by 1/sqrt(k)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        coeffs = hyperplane_coeffs(j, dim)
+        lit = F.array(*[F.lit(c) for c in coeffs])
+        dot = F.aggregate(
+            F.zip_with(v, lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(dround(dot * F.lit(inv_scale), 6).alias(f"p{j}"))
+    return df.select(*cols)

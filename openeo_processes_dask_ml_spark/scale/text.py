@@ -618,3 +618,186 @@ def remove_duplicated_spans(
             (F.col("n_tokens") - F.size("kept")).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    max_df_frac: float = 0.2,
+    min_df_cap: int = 128,
+    tf_cap: int = 255,
+    idf_cap: int = 10_000,
+) -> DataFrame:
+    """Weighted near-duplicate pairs: cosine similarity of tf-idf
+    vectors via the term-postings inverted index (the sparse-vector
+    sibling of ``dedup.ngram_jaccard_pairs`` — weighted overlap instead
+    of set overlap, so boilerplate-heavy docs that share only common
+    words score LOW while docs sharing rare vocabulary score high).
+
+    Vocabulary = terms with document frequency <= max(min_df_cap,
+    max_df_frac * n_docs) — the standard stop-term cut, and the skew
+    guard: it bounds every postings join group, so one ultra-common
+    term cannot create a quadratic stage. The cut is part of the
+    operator's semantics (weights, norms, and cosines are all defined
+    over the capped vocabulary) and the DuckDB oracle applies the same
+    cut, keeping the comparison exact rather than fixture-dependent.
+
+    Exactness across engines: weights are INTEGERS —
+    w = min(tf, tf_cap) * min(n_docs // df, idf_cap) — so the norm²
+    and pair-dot aggregations sum BIGINTs (order-free, bit-exact in
+    any engine at any parallelism), and only the final
+    dot / (sqrt(n²_a) * sqrt(n²_b)) touches floating point, computed
+    from identical integers on both sides. The two caps are the int64
+    overflow guard: w <= 2.55e6, so a 100k-distinct-term document's
+    norm² stays below 6.6e17 < 2^63. Sublinear tf capping and idf
+    ceilings are standard IR practice (Salton & Buckley 1988), not a
+    concession.
+
+    Scale shape (100 TB): one explode + (doc,term) hash agg, one term
+    hash agg for df (broadcast), the capped-vocab postings self-join
+    keyed on term, one (id_a,id_b) hash agg. No cross join; join-group
+    sizes bounded by the df cap.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    n_docs_df = df.select(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    cap = F.greatest(
+        F.lit(float(min_df_cap)), F.col("__n_docs") * F.lit(max_df_frac)
+    )
+    vocab = (
+        dfreq.crossJoin(F.broadcast(n_docs_df))
+        .filter(F.col("dfc").cast("double") <= cap)
+        .select(
+            "term",
+            F.least(
+                F.floor(F.col("__n_docs") / F.col("dfc")), F.lit(idf_cap)
+            )
+            .cast("bigint")
+            .alias("idf"),
+        )
+    )
+    w = (
+        F.least(F.col("tf"), F.lit(tf_cap)).cast("bigint") * F.col("idf")
+    ).alias("w")
+    posts = tf.join(vocab, "term").select("doc_id", "term", w)
+    norms = posts.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("nrm2")
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na.nrm2").cast("double"))
+        * F.sqrt(F.col("nb.nrm2").cast("double"))
+    )
+    return (
+        dots.join(norms.alias("na"), F.col("id_a") == F.col("na.doc_id"))
+        .join(norms.alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
+        .select("id_a", "id_b", cos.alias("raw"))
+        .filter(F.col("raw") >= threshold)
+        .select("id_a", "id_b", dround(F.col("raw"), 6).alias("cosine"))
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 65536,
+    smoothing: float = 0.5,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Bigram language-model quality score: mean negative log2 of the
+    interpolated bigram probability — the context-aware upgrade of
+    ``unigram_logprob`` (Jelinek-Mercer interpolation, the classic
+    smoothing from Jelinek & Mercer 1980 / Chen & Goodman 1999):
+
+        p(w2|w1) = lam * (c(w1,w2) + k) / (c(w1) + k*(V+1))
+                 + (1-lam) * p_unigram(w2)
+
+    Word-salad text that passes a unigram filter (common words, random
+    order) scores high here because its bigrams are unseen. Returns
+    (doc_id, n_bigrams, lm2_score); docs with < 2 tokens are dropped
+    (no bigram evidence).
+
+    Scale shape: the bigram build is the shingle plan (posexplode +
+    lead over the doc_id window — codegen); counts are two hash aggs;
+    the bigram table is NOT broadcast (it is corpus-sized) — the score
+    join is an equi-join on the bigram key, co-partitioned with the
+    count agg that produced it, so the only wide exchange is keyed on
+    (w1,w2). The unigram table is vocab_size-bounded and broadcasts.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "w1"),
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        ex.select(
+            "doc_id",
+            "w1",
+            F.lead("w1", 1).over(wnd).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    uni = ex.groupBy(F.col("w1").alias("t")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = uni.orderBy(F.col("c").desc(), F.col("t")).limit(vocab_size)
+    totals = uni.agg(
+        F.sum("c").alias("__total")
+    ).crossJoin(vocab.agg(F.count(F.lit(1)).alias("__v")))
+    k = float(smoothing)
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    w1c = bi.groupBy(F.col("w1").alias("t")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    p_uni = (F.coalesce(F.col("vc"), F.lit(0)).cast("double") + k) / (
+        F.col("__total") + k * (F.col("__v") + 1)
+    )
+    p_bi = (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + k) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + k * (F.col("__v") + 1)
+    )
+    p = F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
+    scored = (
+        bi.join(bic, ["w1", "w2"], "left")
+        .join(w1c.withColumnRenamed("t", "w1"), "w1", "left")
+        .join(
+            F.broadcast(vocab.select(F.col("t").alias("w2"), F.col("c").alias("vc"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", F.log2(p).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.avg("lp")).alias("raw"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            dround(F.col("raw"), 6).alias("lm2_score"),
+        )
+    )

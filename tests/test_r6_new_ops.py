@@ -1,0 +1,199 @@
+"""Semantics of the round-6 late-batch operators: tf-idf cosine pairs,
+containment pairs, bigram LM scoring, Bloom-prefiltered
+decontamination, and deterministic random projection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.scale.dedup import containment_pairs
+from openeo_processes_dask_ml_spark.scale.pipeline import (
+    bloom_decontaminate,
+    decontaminate,
+)
+from openeo_processes_dask_ml_spark.scale.quantize import random_projection
+from openeo_processes_dask_ml_spark.scale.text import (
+    bigram_logprob,
+    tfidf_cosine_pairs,
+)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------- tfidf
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    df = docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, threshold=0.5, max_df_frac=1.0).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_tfidf_cosine_weights_rare_terms_higher(spark):
+    # docs 1/2 share only the ubiquitous term; docs 3/4 share the rare
+    # one — identical tf patterns, but idf must rank (3,4) higher.
+    df = docs(
+        spark,
+        [
+            (1, "common filler1"),
+            (2, "common filler2"),
+            (3, "rareterm filler3"),
+            (4, "rareterm filler4"),
+            (5, "common padding1"),
+            (6, "common padding2"),
+            (7, "common padding3"),
+            (8, "common padding4"),
+        ],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, threshold=0.01, max_df_frac=1.0).collect()
+    }
+    assert got[(3, 4)] > got[(1, 2)]
+
+
+def test_tfidf_cosine_hot_cut_drops_stop_terms(spark):
+    # 'the' appears in every doc; with the cap at 0.5N it leaves the
+    # vocabulary, so the all-stop-term pair disappears.
+    df = docs(
+        spark,
+        [
+            (1, "the the the"),
+            (2, "the the the"),
+            (3, "unique1 the x1"),
+            (4, "unique2 the x2"),
+            (5, "unique3 the x3"),
+            (6, "unique4 the x4"),
+        ],
+    )
+    pairs = tfidf_cosine_pairs(
+        df, threshold=0.5, max_df_frac=0.5, min_df_cap=1
+    ).collect()
+    assert pairs == []
+
+
+# ----------------------------------------------------------- containment
+
+
+def test_containment_subset_doc_scores_one(spark):
+    quoted = "alpha beta gamma delta epsilon zeta"
+    page = quoted + " " + " ".join(f"extra{i}" for i in range(30))
+    df = docs(spark, [(1, quoted), (2, page), (3, "unrelated words only here")])
+    rows = containment_pairs(df, threshold=0.7).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a"] == 1.0  # every shingle of 1 is in 2
+    assert r["containment_b"] < 0.2
+    assert r["contained"] == "a"
+    # jaccard would have rejected this pair at any usual threshold
+    inter, union = 4, 4 + 31  # 4 shared trigrams of doc1; doc2 has 35
+    assert inter / union < 0.15
+
+
+def test_containment_symmetric_for_identical_docs(spark):
+    df = docs(spark, [(1, "a b c d e"), (2, "a b c d e")])
+    r = containment_pairs(df, threshold=0.7).collect()[0]
+    assert r["containment_a"] == r["containment_b"] == 1.0
+    assert r["contained"] == "a"  # tie goes to a
+
+
+# ---------------------------------------------------------------- bigram
+
+
+def test_bigram_logprob_flags_word_salad(spark):
+    # same unigram distribution, different bigram structure: the
+    # repeated fluent phrase must score LOWER (more probable) than the
+    # scrambled order.
+    fluent = " ".join(["the cat sat on the mat"] * 6)
+    salad = " ".join(["mat the on sat the cat"[::-1]] * 1)
+    salad = "mat cat the sat mat on the sat cat on mat the"
+    df = docs(spark, [(1, fluent), (2, fluent), (3, fluent), (4, salad)])
+    got = {r["doc_id"]: r["lm2_score"] for r in bigram_logprob(df).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] > got[1]
+
+
+def test_bigram_logprob_drops_single_token_docs(spark):
+    df = docs(spark, [(1, "solo"), (2, "two tokens")])
+    got = {r["doc_id"]: r["n_bigrams"] for r in bigram_logprob(df).collect()}
+    assert got == {2: 1}
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    rows = [
+        (i, f"w{i} w{i + 1} w{i + 2} w{i + 3} common tail phrase")
+        for i in range(40)
+    ]
+    df = docs(spark, rows)
+    ev = df.filter(F.col("doc_id") % 7 == 0)
+    tr = df.filter(F.col("doc_id") % 7 != 0)
+    exact = {
+        (r["doc_id"], r["n_hits"], r["sample_gram"])
+        for r in decontaminate(tr, ev, n=3).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_hits"], r["sample_gram"])
+        for r in bloom_decontaminate(tr, ev, n=3, m_bits=1 << 14).collect()
+    }
+    assert bloom == exact
+    assert exact  # non-degenerate fixture
+
+
+def test_bloom_decontaminate_tiny_filter_still_exact(spark):
+    """With m_bits absurdly small every gram is a Bloom hit — the
+    verify join must still reduce the result to the exact answer."""
+    df = docs(spark, [(1, "a b c d"), (2, "x y z w"), (3, "a b c q")])
+    ev = df.filter(F.col("doc_id") == 1)
+    tr = df.filter(F.col("doc_id") != 1)
+    got = bloom_decontaminate(tr, ev, n=3, m_bits=1 << 6, k_hashes=2).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in got] == [(3, 1)]
+
+
+def test_bloom_rejects_non_power_of_two():
+    with pytest.raises(ValueError):
+        bloom_decontaminate(None, None, m_bits=1000)
+
+
+# ------------------------------------------------------------ projection
+
+
+def test_random_projection_deterministic_and_linear(spark):
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)]), (2, [2.0 * i for i in range(64)])],
+        ["vec_id", "embedding"],
+    )
+    a = {r["vec_id"]: (r["p0"], r["p1"], r["p2"], r["p3"])
+         for r in random_projection(df, out_dim=4).collect()}
+    b = {r["vec_id"]: (r["p0"], r["p1"], r["p2"], r["p3"])
+         for r in random_projection(df, out_dim=4).collect()}
+    assert a == b  # deterministic across runs
+    for i in range(4):
+        assert a[2][i] == pytest.approx(2.0 * a[1][i], abs=1e-5)
+
+
+def test_random_projection_preserves_distance_scale(spark):
+    """JL sanity on the fixture embeddings: projected distances of
+    identical vectors are zero and distinct vectors are non-zero."""
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64), (3, [-1.0] * 64)],
+        ["vec_id", "embedding"],
+    )
+    p = {r["vec_id"]: (r["p0"], r["p1"], r["p2"], r["p3"])
+         for r in random_projection(df, out_dim=4).collect()}
+    assert p[1] == p[2]
+    assert p[3] == tuple(-x for x in p[1])
