@@ -2130,12 +2130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # leakage_safe_split / dup_clusters) + ALL 39 queries the r5 window
     # did not check (sessionize..streaming_spend_alerts sat just past
     # slot 50 — ADVICE r5 — plus the r4-green tail, incl. the 48-bit
-    # dedup_simhash never driver-verified). Four changed/new queries
-    # did not fit the 50-slot budget and sit first past the boundary
-    # with per-entry justification (each hash-matched a local sf0.01
-    # driver-sim this round): dedup_canonical, dedup_fuzzy,
-    # merge_cubes, image_neardup. Tail (r5-green) MUST rotate to the
-    # front in r7, deferred four first.
+    # dedup_simhash never driver-verified). Changed/new queries that
+    # did not fit the 50-slot budget sit first past the boundary with
+    # per-entry justification (each verified green by
+    # tools/driver_sim.py at sf0.01 this round): dedup_canonical,
+    # dedup_fuzzy, merge_cubes, image_neardup, ann_ivfpq, plus the
+    # late r6 batch tfidf_cosine, containment, bigram_logprob,
+    # bloom_decontaminate, random_projection. Tail (r5-green) MUST
+    # rotate to the front in r7, deferred new-in-r6 entries first.
     return {
         # --- new or plan/oracle-changed this round ---
         "ann_pq": q_ann_pq,

@@ -155,6 +155,7 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     threshold: float = 0.8,
     n_blocks: int = 8,
+    assoc_exact: bool = False,
 ) -> DataFrame:
     """Exact pairs with cosine >= threshold — distributed block-matrix
     path (the default; nothing is collected to the driver).
@@ -168,6 +169,12 @@ def cosine_pairs_blocked(
 
     Summation uses np.cumsum (a strict left fold), BIT-IDENTICAL to
     DuckDB's list_reduce — same parity guarantee as ``cosine_pairs``.
+    Callers whose vectors are INTEGER-VALUED with bounded sums (every
+    partial sum < 2^53, e.g. tf-idf integer weights) may pass
+    ``assoc_exact=True``: float64 addition of such integers is exact
+    under ANY association, so BLAS ``matmul`` replaces the cumsum —
+    ~20x less memory traffic (no (rows_a, rows_b, dim) intermediate)
+    with the identical result. Never set it for float embeddings.
 
     Scale note: pick n_blocks ~ corpus_rows / block_target so a packed
     block stays a few MB; the op stays exact-O(n^2) by nature — at
@@ -219,8 +226,12 @@ def cosine_pairs_blocked(
                 ib = np.asarray(row.ids_b, dtype=np.int64)
                 Va = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
                 Vb = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
-                na = np.sqrt(np.cumsum(Va * Va, axis=1)[:, -1])
-                nb = np.sqrt(np.cumsum(Vb * Vb, axis=1)[:, -1])
+                if assoc_exact:
+                    na = np.sqrt(np.einsum("ij,ij->i", Va, Va))
+                    nb = np.sqrt(np.einsum("ij,ij->i", Vb, Vb))
+                else:
+                    na = np.sqrt(np.cumsum(Va * Va, axis=1)[:, -1])
+                    nb = np.sqrt(np.cumsum(Vb * Vb, axis=1)[:, -1])
                 same_block = row.blk_a == row.blk_b
                 # One batched cumsum per memory-bounded tile of A
                 # (tile x |B| x dim doubles <= ~64 MB) instead of a
@@ -229,12 +240,18 @@ def cosine_pairs_blocked(
                 # version — bit-identical to DuckDB's list_reduce, so
                 # oracle hash parity is preserved.
                 dim = Va.shape[1] if Va.ndim == 2 else 1
-                tile = max(1, int(64e6 // max(ib.size * dim * 8, 1)))
+                if assoc_exact:
+                    tile = ia.size  # matmul needs no 3-D intermediate
+                else:
+                    tile = max(1, int(64e6 // max(ib.size * dim * 8, 1)))
                 for s in range(0, ia.size, tile):
                     Vc = Va[s : s + tile]
-                    dots = np.cumsum(
-                        Vc[:, None, :] * Vb[None, :, :], axis=2
-                    )[:, :, -1]
+                    if assoc_exact:
+                        dots = Vc @ Vb.T
+                    else:
+                        dots = np.cumsum(
+                            Vc[:, None, :] * Vb[None, :, :], axis=2
+                        )[:, :, -1]
                     cos = dots / (na[s : s + tile, None] * nb[None, :])
                     mask = cos >= threshold
                     if same_block:

@@ -166,3 +166,58 @@ def test_incremental_minhash_no_corpus_broadcast_hint(spark):
     seen = docs.filter(F.col("doc_id") % 2 == 0)
     optimized = _optimized(incremental_minhash_dedup(new, seen))
     assert "ResolvedHint" not in optimized
+
+
+def test_tfidf_sparse_path_no_vector_broadcast(spark):
+    """Sparse (inverted-index) tf-idf path: the postings self-join must
+    carry no broadcast hint on the doc-keyed postings (corpus-sized at
+    100 TB); only the vocab/df side may be hinted."""
+    from openeo_processes_dask_ml_spark.scale.text import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # dense_vocab_max=0 forces the sparse path regardless of fixture
+    sparse = tfidf_cosine_pairs(
+        docs, threshold=0.9, max_df_frac=0.9, dense_vocab_max=0
+    )
+    optimized = _optimized(sparse)
+    assert "ResolvedHint" not in optimized
+    plan = _plan(sparse)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_dense_path_engages_on_tiny_vocab(spark):
+    """On a tiny capped vocabulary the adaptive plan must pivot to the
+    blocked dense-matrix engine (mapInPandas), not the postings
+    self-join — and both paths must agree exactly."""
+    from openeo_processes_dask_ml_spark.scale.text import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dense = tfidf_cosine_pairs(docs, threshold=0.9, max_df_frac=0.9)
+    assert "mapInPandas" in _plan(dense) or "MapInPandas" in _plan(dense)
+    sparse = tfidf_cosine_pairs(
+        docs, threshold=0.9, max_df_frac=0.9, dense_vocab_max=0
+    )
+    d = {(r["id_a"], r["id_b"]): r["cosine"] for r in dense.collect()}
+    s = {(r["id_a"], r["id_b"]): r["cosine"] for r in sparse.collect()}
+    assert d == s and d  # bit-identical and non-degenerate
+
+
+def test_bloom_probe_prunes_before_verify_join(spark):
+    """The Bloom probe (Python UDF filter) must sit BELOW the exact
+    verify join in the plan — the join's probe side only carries
+    Bloom survivors."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        bloom_decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 89 == 0)
+    tr = docs.filter(F.col("doc_id") % 89 != 0)
+    plan = _plan(bloom_decontaminate(tr, ev, n=3, m_bits=1 << 16))
+    # the eval/arrow python filter appears in the plan
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    join_pos = plan.find("Join")
+    udf_pos = max(plan.find("ArrowEvalPython"), plan.find("BatchEvalPython"))
+    # plans print top-down: the probe operator must appear AFTER the
+    # join node in the text (deeper in the tree = later lines)
+    assert udf_pos > join_pos > -1
