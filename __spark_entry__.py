@@ -2092,6 +2092,21 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(train, eval_docs, n=3, m_bits=1 << 20)
 
 
+def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split bin packing of docs into 128-token training sequences
+    (greedy next-fit per md5 stream) — prefix-dependent, so it is the
+    documented applyInPandas case: one stream-keyed shuffle, a
+    sequential pass per stream, parallel across streams. Oracle is a
+    recursive CTE over the same per-stream order."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        bin_pack_sequences,
+    )
+
+    return bin_pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=128, n_streams=16
+    )
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL dimensionality reduction 64 -> 4 with the deterministic
     md5-sign matrix (Achlioptas ±1 projection): pure projection over
@@ -2215,7 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image_neardup — hash-matched a local sf0.01 driver-sim;
         # rotates into the window in r7
         "ann_ivfpq": q_ann_ivfpq,
-        # tfidf_cosine..random_projection: NEW in r6 (late batch),
+        # tfidf_cosine..bin_pack: NEW in r6 (late batch),
         # same post-window situation — each verified green by
         # tools/driver_sim.py at sf0.01; rotate into the window in r7
         "tfidf_cosine": q_tfidf_cosine,
@@ -2223,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "bloom_decontaminate": q_bloom_decontaminate,
         "random_projection": q_random_projection,
+        "bin_pack": q_bin_pack,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -4652,5 +4668,34 @@ GROUP BY 1
 """
 
     sql["random_projection"] = _random_projection_oracle(out_dim=4, dim=64)
+
+    # bin_pack: greedy next-fit is deterministic given the per-stream
+    # doc_id order, so a recursive CTE replays the engine's sequential
+    # placement exactly (new bin iff the bin is non-empty and the doc
+    # does not fit; an oversized doc still lands alone in its own bin).
+    sql["bin_pack"] = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 15))::BIGINT
+             % 16 AS stream,
+         len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
+  FROM documents
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY stream ORDER BY doc_id) AS rn
+  FROM t
+), rec AS (
+  SELECT stream, rn, doc_id, n_tokens,
+         0::BIGINT AS bin_idx, n_tokens AS bin_fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.stream, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN r.bin_fill + o.n_tokens > 128
+              THEN r.bin_idx + 1 ELSE r.bin_idx END,
+         CASE WHEN r.bin_fill + o.n_tokens > 128
+              THEN o.n_tokens ELSE r.bin_fill + o.n_tokens END
+  FROM rec r JOIN o ON o.stream = r.stream AND o.rn = r.rn + 1
+)
+SELECT doc_id, stream, n_tokens, bin_idx, bin_fill FROM rec
+"""
 
     return sql

@@ -80,6 +80,7 @@ HEADLINE = [
     "bigram_logprob",
     "bloom_decontaminate",
     "random_projection",
+    "bin_pack",
 ]
 
 

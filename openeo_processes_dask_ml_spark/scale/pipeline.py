@@ -462,3 +462,75 @@ def bloom_decontaminate(
             F.min("shingle").alias("sample_gram"),
         )
     )
+
+
+def bin_pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_streams: int = 256,
+) -> DataFrame:
+    """Greedy next-fit BIN PACKING of documents into fixed-capacity
+    training sequences — the no-split sibling of ``pack_sequences``
+    (that one concatenates and CUTS; this one never splits a
+    document, the padding-free "sample packing" layout of T5 /
+    GPT-NeoX-style pretraining). Per stream, documents are taken in
+    ``id_col`` order; a document joins the current bin iff it fits in
+    the remaining capacity, else it opens a new bin. A document longer
+    than ``capacity`` gets a bin of its own (callers decide whether to
+    truncate — the operator reports, it does not destroy data).
+
+    Emits (doc_id, stream, n_tokens, bin_idx, bin_fill): bin_idx is
+    per-stream, bin_fill the bin's running token count through this
+    doc — sum of per-bin waste = capacity*bins - sum(n_tokens) is the
+    padding the layout saves.
+
+    Scale shape: next-fit is PREFIX-DEPENDENT (each placement depends
+    on the previous fill), so no window expression computes it; this
+    is the documented applyInPandas case — one shuffle keyed on the
+    md5 stream, a sequential numpy pass per stream, parallel across
+    ``n_streams`` independent streams. Size n_streams so a stream's
+    (doc_id, n_tokens) rows fit an Arrow batch comfortably: at 10^12
+    docs and n_streams=2^20 a stream is ~10^6 8-byte pairs. The
+    DuckDB twin is a recursive CTE over the same per-stream order —
+    greedy next-fit is deterministic, so both engines agree exactly.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    stream = (
+        hash60(F.col(id_col).cast("string"), "shard") % F.lit(n_streams)
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        stream.alias("stream"),
+        F.size(tokens_expr(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("stream", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bin_idx", T.LongType()),
+            T.StructField("bin_fill", T.LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = np.empty(len(pdf), dtype=np.int64)
+        fills = np.empty(len(pdf), dtype=np.int64)
+        b, f = 0, 0
+        for i, n in enumerate(pdf["n_tokens"].to_numpy()):
+            if f > 0 and f + n > capacity:
+                b += 1
+                f = 0
+            f += n
+            bins[i] = b
+            fills[i] = f
+        pdf["bin_idx"] = bins
+        pdf["bin_fill"] = fills
+        return pdf
+
+    return base.groupBy("stream").applyInPandas(pack, schema=schema)

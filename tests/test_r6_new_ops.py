@@ -197,3 +197,44 @@ def test_random_projection_preserves_distance_scale(spark):
          for r in random_projection(df, out_dim=4).collect()}
     assert p[1] == p[2]
     assert p[3] == tuple(-x for x in p[1])
+
+
+# ------------------------------------------------------------- bin pack
+
+
+def test_bin_pack_next_fit_semantics(spark):
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        bin_pack_sequences,
+    )
+
+    # one stream so the packing order is just doc_id order
+    df = docs(
+        spark,
+        [
+            (1, "a b c"),          # 3 tokens -> bin 0 (fill 3)
+            (2, "d e f g"),        # 4 -> bin 0 full at 7? cap 8: fill 7
+            (3, "h i"),            # 2 -> 7+2>8 -> bin 1 (fill 2)
+            (4, " ".join(["x"] * 20)),  # oversized: own bin 2 (fill 20)
+            (5, "y"),              # after oversized: 20+1>8 -> bin 3
+        ],
+    )
+    rows = {
+        r["doc_id"]: (r["bin_idx"], r["bin_fill"])
+        for r in bin_pack_sequences(
+            df, capacity=8, n_streams=1
+        ).collect()
+    }
+    assert rows == {1: (0, 3), 2: (0, 7), 3: (1, 2), 4: (2, 20), 5: (3, 1)}
+
+
+def test_bin_pack_fill_bounded_by_capacity(spark):
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        bin_pack_sequences,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bin_pack_sequences(df, capacity=128, n_streams=16)
+    bad = out.filter(
+        (F.col("bin_fill") > 128) & (F.col("n_tokens") <= 128)
+    ).count()
+    assert bad == 0  # only oversized docs may overflow their bin
