@@ -419,10 +419,14 @@ def bloom_decontaminate(
             for i in range(k_hashes)
         ]
 
+    # persisted: fully evaluated once for the bitset build, reused by
+    # the verify join — without this the eval tokenize/distinct
+    # pipeline (the operator's 10^9-gram motivating case) runs twice
     blocklist = (
         shingle_rows(eval_docs, text_col, id_col, n)
         .select("shingle")
         .distinct()
+        .persist()
     )
     words = (
         blocklist.select(
@@ -496,7 +500,6 @@ def bin_pack_sequences(
     DuckDB twin is a recursive CTE over the same per-stream order —
     greedy next-fit is deterministic, so both engines agree exactly.
     """
-    import pandas as pd
     from pyspark.sql import types as T
 
     stream = (

@@ -125,7 +125,6 @@ def random_projection(
 
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(first["d"]) if first else 0
-    inv_scale = 1.0  # keep raw sums; callers can rescale by 1/sqrt(k)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cols = [F.col(id_col)]
     for j in range(out_dim):
@@ -136,5 +135,5 @@ def random_projection(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cols.append(dround(dot * F.lit(inv_scale), 6).alias(f"p{j}"))
+        cols.append(dround(dot, 6).alias(f"p{j}"))
     return df.select(*cols)

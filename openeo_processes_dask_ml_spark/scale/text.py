@@ -708,10 +708,19 @@ def tfidf_cosine_pairs(
     posts = tf.join(vocab, "term").select("doc_id", "term", w)
 
     # dense path only while every float64 sum stays exact (see docstring)
-    dense_exact = dense_vocab_max * (tf_cap * idf_cap) ** 2 < 2**53
+    dense_exact = (
+        dense_vocab_max > 0
+        and dense_vocab_max * (tf_cap * idf_cap) ** 2 < 2**53
+    )
     if threshold > 0 and dense_exact:
-        terms = [r["term"] for r in vocab.select("term").collect()
-                 ] if vocab.count() <= dense_vocab_max else None
+        # ONE bounded driver action decides the plan: limit(max+1)
+        # caps the collect regardless of true vocabulary size
+        head = vocab.select("term").limit(dense_vocab_max + 1).collect()
+        terms = (
+            [r["term"] for r in head]
+            if len(head) <= dense_vocab_max
+            else None
+        )
         if terms is not None:
             from openeo_processes_dask_ml_spark.scale.similarity import (
                 cosine_pairs_blocked,
@@ -749,7 +758,9 @@ def tfidf_cosine_pairs(
                     ).alias("v"),
                 )
             )
-            n_blocks = max(2, min(16, dense.count() // 512 + 1))
+            # size blocks from the RAW doc count (one cheap scan) —
+            # counting `dense` would re-execute the whole pivot
+            n_blocks = max(2, min(16, df.count() // 512 + 1))
             return cosine_pairs_blocked(
                 dense,
                 vec_col="v",

@@ -26,6 +26,10 @@ TABLES = [
 
 
 def normalize(rows, columns):
+    # NOTE: rows are aligned by sorting on stringified rounded values —
+    # intentionally ORDER-STRICT, because the real driver md5-hashes the
+    # sorted rows: a float that rounds differently across engines would
+    # fail the real gate too, and this sim must mirror that.
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
