@@ -2107,6 +2107,69 @@ def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): six-table join with the
+    dimension chain region->nation broadcast explicitly (tiny dims),
+    the fact-fact joins left to Catalyst/AQE. Date filter pushed to
+    the orders scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = F.broadcast(
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dround(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): lineitem pre-aggregated
+    with map-side combine, HAVING filter BEFORE the joins (the
+    aggregation-first plan that keeps the join probe side tiny), then
+    orders+customer attach, deterministic top-20."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            dround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL dimensionality reduction 64 -> 4 with the deterministic
     md5-sign matrix (Achlioptas ±1 projection): pure projection over
@@ -2239,6 +2302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "random_projection": q_random_projection,
         "bin_pack": q_bin_pack,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q18": q_tpch_q18,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -4696,6 +4761,36 @@ WITH RECURSIVE t AS (
   FROM rec r JOIN o ON o.stream = r.stream AND o.rn = r.rn + 1
 )
 SELECT doc_id, stream, n_tokens, bin_idx, bin_fill FROM rec
+"""
+
+    sql["tpch_q5"] = """
+SELECT n_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+    sql["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+)
+SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       floor(o_totalprice * 100.0 + 0.5) / 100.0 AS o_totalprice,
+       total_qty::DOUBLE AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 20
 """
 
     return sql

@@ -81,6 +81,8 @@ HEADLINE = [
     "bloom_decontaminate",
     "random_projection",
     "bin_pack",
+    "tpch_q5",
+    "tpch_q18",
 ]
 
 

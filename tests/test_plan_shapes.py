@@ -221,3 +221,25 @@ def test_bloom_probe_prunes_before_verify_join(spark):
     # plans print top-down: the probe operator must appear AFTER the
     # join node in the text (deeper in the tree = later lines)
     assert udf_pos > join_pos > -1
+
+
+def test_tpch_q5_broadcasts_dimension_chain(spark):
+    """Q5's nation-region chain must reach the join as a broadcast —
+    the fact-side shuffle must never carry the dims."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_tpch_q5(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    """Q18 must pre-aggregate lineitem (HAVING before the joins): the
+    physical plan's first HashAggregate must consume the lineitem scan
+    directly, not a join output."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_tpch_q18(spark, SF_DIR))
+    # the filter on the aggregated quantity appears below the joins
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert -1 < join_pos < agg_pos  # join nodes print above the agg subtree
