@@ -263,3 +263,118 @@ def test_hamming_pairs_exact_vs_bruteforce(spark, fps):
             if h <= 3:
                 want[(i, j)] = h
     assert got == want
+
+
+def test_bin_pack_matches_bruteforce(spark):
+    """Seeded random doc lengths vs a pure-Python next-fit replay."""
+    rng = random.Random(61)
+    rows = [(i, " ".join("w" for _ in range(rng.randint(1, 40))))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from openeo_processes_dask_ml_spark.scale.dedup import hash60  # noqa: F401
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        bin_pack_sequences,
+    )
+
+    cap, n_streams = 32, 4
+    got = {
+        r["doc_id"]: (r["stream"], r["bin_idx"], r["bin_fill"])
+        for r in bin_pack_sequences(
+            df, capacity=cap, n_streams=n_streams
+        ).collect()
+    }
+    # python oracle: same md5 stream, same next-fit
+    import hashlib
+
+    def stream_of(doc_id):
+        h = hashlib.md5(f"{doc_id}#shard".encode()).hexdigest()[:15]
+        return int(h, 16) % n_streams
+
+    lens = {i: len(t.split()) for i, t in rows}
+    expect = {}
+    for s in range(n_streams):
+        b, f = 0, 0
+        for i in sorted(d for d in lens if stream_of(d) == s):
+            n = lens[i]
+            if f > 0 and f + n > cap:
+                b += 1
+                f = 0
+            f += n
+            expect[i] = (s, b, f)
+    assert got == expect
+
+
+def test_tfidf_dense_sparse_agree_on_random_corpus(spark):
+    """Random corpora over a small vocabulary: the adaptive dense path
+    and the forced sparse path must emit identical pairs (the
+    integer-weight exactness argument, exercised beyond the fixture)."""
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from openeo_processes_dask_ml_spark.scale.text import tfidf_cosine_pairs
+
+    kw = dict(threshold=0.8, max_df_frac=1.0)
+    dense = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, **kw).collect()
+    }
+    sparse = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, dense_vocab_max=0, **kw).collect()
+    }
+    assert dense == sparse
+    assert dense  # random corpus over 12 terms always yields pairs
+
+
+def test_containment_matches_bruteforce(spark):
+    """Random corpus: containment_pairs vs a Python set-shingle replay
+    (candidacy: pairs sharing >= 1 below-cap shingle)."""
+    rng = random.Random(23)
+    base = ["alpha beta gamma delta epsilon zeta eta theta"]
+    rows = []
+    for i in range(60):
+        words = base[0].split()
+        k = rng.randint(3, len(words))
+        rows.append((i, " ".join(words[:k]) + f" tail{rng.randint(0, 5)}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from openeo_processes_dask_ml_spark.scale.dedup import containment_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+
+    shs = {i: sh(t) for i, t in rows}
+    n = len(rows)
+    from collections import Counter
+
+    dfreq = Counter(s for v in shs.values() for s in v)
+    cap = max(128.0, 0.2 * n)
+    expect = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            inter = shs[a] & shs[b]
+            if not inter or not shs[a] or not shs[b]:
+                continue
+            if not any(dfreq[s] <= cap for s in inter):
+                continue  # hot-only pairs are out of candidacy
+            ca = len(inter) / len(shs[a])
+            cb = len(inter) / len(shs[b])
+            if max(ca, cb) >= 0.9:
+                import math as m
+
+                r6 = lambda x: m.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+                expect[(a, b)] = (r6(ca), r6(cb))
+    assert got == expect
+    assert expect  # prefix corpus guarantees containment pairs
