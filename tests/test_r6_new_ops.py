@@ -237,3 +237,44 @@ def test_bin_pack_fill_bounded_by_capacity(spark):
         (F.col("bin_fill") > 128) & (F.col("n_tokens") <= 128)
     ).count()
     assert bad == 0  # only oversized docs may overflow their bin
+
+
+# ------------------------------------------------------------ edge cases
+
+
+def test_new_ops_empty_corpus(spark):
+    """Every late-batch operator must return an empty, well-typed frame
+    on an empty corpus (no driver exceptions from count()/collect()
+    plan decisions)."""
+    from pyspark.sql import types as T
+
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        bin_pack_sequences,
+        bloom_decontaminate,
+    )
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+    assert tfidf_cosine_pairs(empty, threshold=0.5).count() == 0
+    assert containment_pairs(empty).count() == 0
+    assert bigram_logprob(empty).count() == 0
+    assert bin_pack_sequences(empty).count() == 0
+    assert bloom_decontaminate(empty, empty, n=3, m_bits=1 << 10).count() == 0
+
+
+def test_random_projection_empty(spark):
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ])
+    )
+    out = random_projection(empty, out_dim=2)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "p0", "p1"]
