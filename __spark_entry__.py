@@ -2107,6 +2107,31 @@ def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: per-(day, event_type) counts
+    maintained incrementally by the stream (bounded state), rank
+    evaluated over the sink — the two-layer leaderboard shape. Driven
+    with Trigger.AvailableNow, equals the batch computation."""
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_topk_once,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return run_stream_topk_once(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        ts_col="ts",
+        key="event_type",
+        value_col="value",
+        window="1 day",
+        k=3,
+    )
+
+
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local-supplier volume): six-table join with the
     dimension chain region->nation broadcast explicitly (tiny dims),
@@ -2304,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_pack": q_bin_pack,
         "tpch_q5": q_tpch_q5,
         "tpch_q18": q_tpch_q18,
+        "streaming_topk": q_streaming_topk,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -4791,6 +4817,20 @@ FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey LIMIT 20
+"""
+
+    sql["streaming_topk"] = """
+WITH agg AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY day
+            ORDER BY n_events DESC, event_type) AS rank
+  FROM agg
+)
+SELECT day, event_type, n_events, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
 """
 
     return sql

@@ -83,6 +83,7 @@ HEADLINE = [
     "bin_pack",
     "tpch_q5",
     "tpch_q18",
+    "streaming_topk",
 ]
 
 

@@ -516,3 +516,43 @@ def run_stream_incremental_dedup_once(
     )
     query.awaitTermination()
     return spark.table(table)
+
+
+def run_stream_topk_once(
+    spark: SparkSession,
+    path: str,
+    schema,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 day",
+    k: int = 3,
+) -> DataFrame:
+    """Windowed TOP-K over a stream — the standard two-layer shape:
+    the STREAM maintains the per-(window, key) counts incrementally
+    (bounded state: watermark drops closed windows), and the RANKING
+    runs as a batch query over the sink, because a global per-window
+    rank cannot be emitted incrementally in append mode (a late row
+    can reorder the board until the window closes). This is how
+    production leaderboards work: streaming pre-aggregation + rank at
+    serving time. Driven with Trigger.AvailableNow, the composition is
+    deterministic and equals the batch computation — oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    rolled = run_stream_rollup_once(
+        spark, path, schema, ts_col, [key], value_col, window
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col(key)
+    )
+    return (
+        rolled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.to_date("window_start").alias("day"),
+            key,
+            "n_events",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
