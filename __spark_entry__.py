@@ -2239,8 +2239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/driver_sim.py at sf0.01 this round): dedup_canonical,
     # dedup_fuzzy, merge_cubes, image_neardup, ann_ivfpq, plus the
     # late r6 batch tfidf_cosine, containment, bigram_logprob,
-    # bloom_decontaminate, random_projection. Tail (r5-green) MUST
-    # rotate to the front in r7, deferred new-in-r6 entries first.
+    # bloom_decontaminate, random_projection, bin_pack, tpch_q5,
+    # tpch_q18, streaming_topk. Tail (r5-green) MUST rotate to the
+    # front in r7, deferred new-in-r6 entries first.
     return {
         # --- new or plan/oracle-changed this round ---
         "ann_pq": q_ann_pq,
