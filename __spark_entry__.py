@@ -2107,6 +2107,15 @@ def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-mass-proportional sampling per source
+    (Efraimidis-Spirakis priorities from md5 uniforms): same sample on
+    every engine/run/retry. One per-group window, no global sort."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed top-k: per-(day, event_type) counts
     maintained incrementally by the stream (bounded state), rank
@@ -2331,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q18": q_tpch_q18,
         "streaming_topk": q_streaming_topk,
+        "weighted_sample": q_weighted_sample,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -4832,6 +4842,30 @@ WITH agg AS (
 )
 SELECT day, event_type, n_events, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 3
+"""
+
+    # weighted_sample: ES priority = ln(u)/w with u = (md5_60(id)+1)/2^60
+    # — deterministic uniforms, so both engines draw the same sample;
+    # ln() agrees to ~1 ulp and the md5 keys make rank-flipping ties
+    # practically impossible (same acceptance as unigram_logprob).
+    sql["weighted_sample"] = r"""
+WITH base AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE AS w,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wsample'), 1, 15))::BIGINT + 1)::DOUBLE
+            / 1152921504606846976.0) /
+         len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE AS priority
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) > 0
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY priority DESC, doc_id) AS rank
+  FROM base
+)
+SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens,
+       CAST(rank AS INT) AS rank,
+       floor(priority * 1000000.0 + 0.5) / 1000000.0 AS priority
+FROM r WHERE rank <= 5
 """
 
     return sql

@@ -84,6 +84,7 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q18",
     "streaming_topk",
+    "weighted_sample",
 ]
 
 

@@ -537,3 +537,53 @@ def bin_pack_sequences(
         return pdf
 
     return base.groupBy("stream").applyInPandas(pack, schema=schema)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, per group:
+    Efraimidis-Spirakis priority sampling (Efraimidis & Spirakis 2006)
+    with md5-derived uniforms — each row gets priority u^(1/w) (here
+    compared as ln(u)/w, the monotone-equivalent form), and the top-k
+    priorities per group are the sample. Weight = token count, so the
+    sample is token-mass-proportional — the standard way to draw a
+    corpus-representative subset for eval/inspection without a global
+    shuffle of the data itself.
+
+    Deterministic: u comes from md5(id), so every engine, run, and
+    retry draws the SAME sample (the property random() never gives a
+    distributed pipeline). One window per group + id tie-break; no
+    global sort. At 100 TB the window shuffles (group, priority) pairs
+    only — the text stays where it is and is re-joined by id
+    downstream if needed.
+    """
+    two60 = float(1 << 60)
+    w = F.size(tokens_expr(F.col(text_col))).cast("double")
+    u = (hash60(F.col(id_col).cast("string"), "wsample") + F.lit(1)).cast(
+        "double"
+    ) / F.lit(two60)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        w.alias("w"),
+        (F.log(u) / w).alias("priority"),
+    ).filter(F.col("w") > 0)
+    wnd = Window.partitionBy("grp").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        base.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "doc_id",
+            F.col("w").cast("bigint").alias("n_tokens"),
+            F.col("rank").cast("int").alias("rank"),
+            dround(F.col("priority"), 6).alias("priority"),
+        )
+    )

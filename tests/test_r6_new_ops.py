@@ -278,3 +278,30 @@ def test_random_projection_empty(spark):
     out = random_projection(empty, out_dim=2)
     assert out.count() == 0
     assert out.columns == ["vec_id", "p0", "p1"]
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from openeo_processes_dask_ml_spark.scale.pipeline import weighted_sample
+
+    rows = [(i, "w " * (200 if i < 10 else 2), "s") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    a = sorted(r["doc_id"] for r in weighted_sample(df, k=10).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, k=10).collect())
+    assert a == b  # same sample every run
+    # token-mass bias: the 10 heavy docs hold ~91% of the mass; at
+    # least half the sample must come from them (md5 priorities are
+    # fixed, so this is a deterministic assertion, not flaky)
+    heavy = sum(1 for i in a if i < 10)
+    assert heavy >= 5
+
+
+def test_weighted_sample_k_per_group(spark):
+    from openeo_processes_dask_ml_spark.scale.pipeline import weighted_sample
+
+    rows = [(i, "a b c", f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = weighted_sample(df, k=4).groupBy("source").count().collect()
+    assert {r["count"] for r in out} == {4}
