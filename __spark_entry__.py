@@ -2107,6 +2107,18 @@ def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of lineitem (long form:
+    one row per column). All aggregates evaluate in a single scan;
+    exact NDV here for the oracle gate, HLL++ at 100 TB."""
+    from openeo_processes_dask_ml_spark.io.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"],
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-mass-proportional sampling per source
     (Efraimidis-Spirakis priorities from md5 uniforms): same sample on
@@ -2341,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "streaming_topk": q_streaming_topk,
         "weighted_sample": q_weighted_sample,
+        "profile_table": q_profile_table,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -4867,5 +4880,16 @@ SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens,
        floor(priority * 1000000.0 + 0.5) / 1000000.0 AS priority
 FROM r WHERE rank <= 5
 """
+
+    prof_cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    sql["profile_table"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column, count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM lineitem"""
+        for c in prof_cols
+    )
 
     return sql

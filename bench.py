@@ -85,6 +85,7 @@ HEADLINE = [
     "tpch_q18",
     "streaming_topk",
     "weighted_sample",
+    "profile_table",
 ]
 
 

@@ -305,3 +305,23 @@ def test_weighted_sample_k_per_group(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     out = weighted_sample(df, k=4).groupBy("source").count().collect()
     assert {r["count"] for r in out} == {4}
+
+
+# -------------------------------------------------------------- profiling
+
+
+def test_profile_table_one_pass_and_values(spark):
+    from openeo_processes_dask_ml_spark.io.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 5.0, "b"), (3, 5.0, None), (4, 7.5, "a")],
+        ["id", "v", "s"],
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_distinct"] == 4
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
+    assert got["s"]["min_value"] == "a" and got["s"]["max_value"] == "b"
+    # approx mode still runs (HLL++ path for 100 TB)
+    approx = {r["column"]: r["n_distinct"]
+              for r in profile_table(df, exact_ndv=False).collect()}
+    assert approx["id"] >= 3
