@@ -9,10 +9,15 @@ are profiled (vs one pass per column in naive ANALYZE loops).
 
 ``exact_ndv`` toggles exact ``count(DISTINCT)`` (cross-engine
 deterministic — the oracle gate needs it) vs HyperLogLog++
-``approx_count_distinct`` (the 100 TB default: exact NDV over many
-columns multiplies shuffle work, the sketch is one pass and ~2%
-error). The output is LONG form — one row per column — so profiling
-900 columns doesn't produce a 4500-column row.
+``approx_count_distinct`` (the 100 TB default). The difference is not
+cosmetic: k exact DISTINCTs in one aggregation compile to Catalyst's
+Expand operator — every input row is REPLICATED k times into the
+shuffle — measured 232.8 s exact vs 17.2 s HLL++ on 30M rows x 4
+columns (13.5x; the sketch merges map-side, no Expand). At 100 TB,
+exact NDV over many columns is the classic accidental-quadratic; use
+the sketch unless a gate needs determinism. The output is LONG form —
+one row per column — so profiling 900 columns doesn't produce a
+4500-column row.
 """
 
 from __future__ import annotations
