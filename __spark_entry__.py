@@ -2108,14 +2108,16 @@ def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style one-pass column profile of lineitem (long form:
-    one row per column). All aggregates evaluate in a single scan;
-    exact NDV here for the oracle gate, HLL++ at 100 TB."""
+    """ANALYZE-style one-pass column profile of orders (long form: one
+    row per column). All aggregates evaluate in a single scan; exact
+    NDV here for the oracle gate — k exact DISTINCTs expand rows k-fold
+    (PLANS.md), so the gate profiles the mid-size table and 100 TB
+    runs use the HLL++ default."""
     from openeo_processes_dask_ml_spark.io.profile import profile_table
 
     return profile_table(
-        _t(spark, sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"],
+        _t(spark, sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
     )
 
 
@@ -4881,14 +4883,14 @@ SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens,
 FROM r WHERE rank <= 5
 """
 
-    prof_cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    prof_cols = ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"]
     sql["profile_table"] = "\nUNION ALL\n".join(
         f"""SELECT '{c}' AS column, count(*) AS n_rows,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct,
        CAST(min({c}) AS VARCHAR) AS min_value,
        CAST(max({c}) AS VARCHAR) AS max_value
-FROM lineitem"""
+FROM orders"""
         for c in prof_cols
     )
 
