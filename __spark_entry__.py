@@ -2229,6 +2229,53 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=4)
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (scale/web.py): the documents table
+    gains a deterministically derived raw URL (varying case, www
+    prefix, default port, trailing slash, tracking params, fragment —
+    every normalization step does real work), then one row per
+    canonical URL survives (max n_chars, tie min doc_id). The oracle
+    mirrors both the derivation and the RE2-safe normalization in
+    DuckDB SQL. All codegen + one window; no UDFs."""
+    from openeo_processes_dask_ml_spark.scale.web import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:443/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (d % 7).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=s"),
+        d.cast("string"),
+        F.lit("&id="),
+        (d % 7).cast("string"),
+        F.lit("&b=2&a=1#sec"),
+        d.cast("string"),
+    )
+    return url_dedup(docs.withColumn("url", url))
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (scale/bpe.py): corpus
+    reduces once to its unique-word frequency table, then 20 merge
+    iterations of JVM-only pair counting + argmax + F.aggregate fold
+    rewrite. Deterministic tie-break (count desc, left, right) makes
+    the merge table engine-independent, but the argmax-then-rewrite
+    loop is not one SQL statement — deliberately no oracle_sql entry
+    (rows-only driver check); the merge sequence is pinned against a
+    pure-Python reference trainer in tests/test_bpe.py."""
+    from openeo_processes_dask_ml_spark.scale.bpe import bpe_train
+
+    merges, _ = bpe_train(
+        _t(spark, sf_dir, "documents"), num_merges=20, min_pair_count=2
+    )
+    return merges
+
+
 # ===========================================================================
 # driver API
 # ===========================================================================
@@ -2356,6 +2403,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk": q_streaming_topk,
         "weighted_sample": q_weighted_sample,
         "profile_table": q_profile_table,
+        # url_dedup / bpe_merges: NEW in r6 (final batch), same
+        # post-window situation — url_dedup hash-matched a local
+        # sf0.01 driver-sim; bpe_merges is rows-only by design (see
+        # its docstring) with the merge table pinned to a pure-Python
+        # reference in tests/test_bpe.py; both rotate into the window
+        # in r7
+        "url_dedup": q_url_dedup,
+        "bpe_merges": q_bpe_merges,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -4881,6 +4936,52 @@ SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens,
        CAST(rank AS INT) AS rank,
        floor(priority * 1000000.0 + 0.5) / 1000000.0 AS priority
 FROM r WHERE rank <= 5
+"""
+
+    # url_dedup: mirrors both the synthetic URL derivation (q_url_dedup)
+    # and scale/web.py's RE2-safe canonicalization — same regexes, same
+    # tracking-param prefix set, same keeper window.
+    sql["url_dedup"] = r"""
+WITH urls AS (
+  SELECT doc_id, n_chars,
+    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/' || lang ||
+    '/page-' || CAST(doc_id % 7 AS VARCHAR) ||
+    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+    '?utm_source=s' || CAST(doc_id AS VARCHAR) ||
+    '&id=' || CAST(doc_id % 7 AS VARCHAR) ||
+    '&b=2&a=1#sec' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, n_chars,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      '^www\.', ''), ':(80|443)$', '') AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+    regexp_extract(url, '\?([^#]*)', 1) AS rawquery
+  FROM urls
+), norm AS (
+  SELECT doc_id, n_chars, scheme, host,
+    CASE WHEN p = '' THEN '/'
+         WHEN p <> '/' AND p LIKE '%/' THEN substr(p, 1, length(p) - 1)
+         ELSE p END AS path,
+    array_to_string(list_sort(list_filter(string_split(rawquery, '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid=|gclid=|ref=)'))),
+      '&') AS q
+  FROM parts
+), canon AS (
+  SELECT doc_id, n_chars,
+    scheme || '://' || host || path ||
+    CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+  FROM norm
+), ranked AS (
+  SELECT canonical_url, doc_id,
+    row_number() OVER (PARTITION BY canonical_url
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY canonical_url) AS n_dups
+  FROM canon
+)
+SELECT canonical_url, doc_id, n_dups FROM ranked WHERE rn = 1
 """
 
     prof_cols = ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"]

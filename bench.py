@@ -86,6 +86,8 @@ HEADLINE = [
     "streaming_topk",
     "weighted_sample",
     "profile_table",
+    "url_dedup",
+    "bpe_merges",
 ]
 
 

@@ -1,0 +1,215 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merge
+learning) — beyond-reference LLM-pipeline operator.
+
+The classic single-node trainer (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units") keeps a dict of word
+frequencies and repeatedly merges the most frequent adjacent symbol
+pair. The distributed shape here follows the same two-level reduction
+every production trainer uses:
+
+1. ONE corpus-scale pass reduces the corpus to its unique-word
+   frequency table (``word_frequencies``) — a map-side-combinable
+   groupBy. This is the only stage proportional to corpus bytes; at
+   100 TB the word table is ~10^7-10^8 rows (Heaps' law), i.e. tiny
+   relative to the corpus and comfortably distributed.
+2. Each merge iteration runs entirely on the word table:
+   - pair counting: explode adjacent symbol pairs weighted by word
+     frequency, groupBy(left, right) + sum — map-side combined, all
+     JVM codegen;
+   - global argmax: orderBy(count desc, left, right).limit(1) — one
+     driver row, deterministic tie-break so every engine/run learns
+     the identical merge sequence;
+   - rewrite: a left-to-right non-overlapping merge pass expressed as
+     an ``F.aggregate`` fold over the symbol array — no Python UDF,
+     stays inside whole-stage codegen.
+   The word table is localCheckpointed per iteration so the k-deep
+   lineage never replays (same discipline as
+   scale/dedup.py::duplicate_clusters).
+
+Encoding then becomes a broadcast join against the trained word table
+(word -> final symbol sequence): at inference the corpus never folds
+merges symbol-by-symbol — unseen words fall back to character splits
+with the merge fold applied only to that (rare) remainder.
+
+No oracle SQL twin: merge learning is argmax-then-rewrite iterative
+and not expressible in one SQL statement; correctness is pinned by
+unit tests against a pure-Python reference implementation
+(tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace-split words — the one corpus-scale
+    stage; everything after runs on unique words only."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _char_symbols(word: Column) -> Column:
+    """Initial symbol sequence: characters plus a terminal end-of-word
+    marker (the Sennrich convention, so merges can't cross words)."""
+    return F.concat(
+        F.split(word, ""),  # Spark: per-character split
+        F.array(F.lit(END_OF_WORD)),
+    )
+
+
+def _merge_pass(syms: Column, left: str, right: str) -> Column:
+    """One left-to-right, non-overlapping application of merge rule
+    (left, right) -> left+right, as a JVM-side fold.
+
+    Replace-last is exact for a single rule per pass: a freshly merged
+    token equals ``left + right`` which can never equal ``left``
+    (``right`` is non-empty), so a merge output never chains into a
+    second merge within the same pass — matching the reference
+    trainer's one-rule-per-iteration semantics.
+    """
+    merged = F.lit(left + right)
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent-pair counts weighted by word freq.
+    Overlapping occurrences all count (standard BPE counting)."""
+    pairs = words.where(F.size("syms") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> struct(syms[i - 1] as left, syms[i] as right))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.left", "p.right").agg(F.sum("freq").alias("cnt"))
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 30,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``num_merges`` BPE merges; returns (merges_df, words_df).
+
+    merges_df: (rank, left, right, merged, pair_count) — the learned
+    merge table in application order. words_df: (word, freq, syms) —
+    every seen word already encoded under all learned merges (the
+    broadcast encode dictionary).
+
+    Stops early when the best remaining pair occurs fewer than
+    ``min_pair_count`` times (merging hapax pairs only memorizes
+    noise). Determinism: ties broken by (count desc, left asc,
+    right asc), so reruns and other cluster sizes learn the same
+    table.
+    """
+    spark = df.sparkSession
+    words = (
+        word_frequencies(df, text_col)
+        .withColumn("syms", _char_symbols(F.col("word")))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for rank in range(num_merges):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
+        merges.append((rank, left, right, left + right, int(cnt)))
+        prev = words
+        words = words.withColumn(
+            "syms", _merge_pass(F.col("syms"), left, right)
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+    return merges_df, words
+
+
+def bpe_vocab(merges_df: DataFrame, words_df: DataFrame) -> DataFrame:
+    """(token, freq) final subword vocabulary: every symbol surviving
+    in the encoded word table, frequency-weighted."""
+    return (
+        words_df.select(F.explode("syms").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges_df: DataFrame,
+    words_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents under a trained BPE table: (id, tokens).
+
+    The corpus joins its (distinct-per-row) words against the
+    broadcast trained dictionary — no merge folding on the hot path.
+    Unseen words (possible when encoding a different corpus than the
+    training one) fall back to character symbols with the merge table
+    folded over them, applied only to the OOV remainder.
+    """
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "word"
+        ),
+    ).where(F.col("word") != "")
+    dictionary = F.broadcast(words_df.select("word", F.col("syms").alias("dict_syms")))
+    joined = toks.join(dictionary, "word", "left")
+    oov = _char_symbols(F.col("word"))
+    for left, right in merges:
+        oov = _merge_pass(oov, left, right)
+    encoded = joined.withColumn(
+        "syms", F.coalesce(F.col("dict_syms"), oov)
+    )
+    return (
+        encoded.groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "syms"))
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+    )

@@ -1,0 +1,93 @@
+"""URL canonicalization and URL-based deduplication — the first
+dedup stage of every web-crawl training pipeline (CommonCrawl / CCNet
+/ RefinedWeb dedupe by normalized URL before any content hashing).
+
+All transforms are built-in string/array functions (regexp_extract,
+filter, array_sort, array_join) — pure whole-stage codegen, no UDFs,
+map-side combinable. The regexes are RE2-safe (no lookbehind or
+backreferences) so a DuckDB oracle can mirror them verbatim.
+
+Normalization steps (each one is load-bearing in real crawls):
+  1. scheme and host lowercased; leading ``www.`` stripped
+  2. explicit default ports ``:80`` / ``:443`` stripped
+  3. fragment (``#...``) dropped
+  4. tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
+     ``ref``), remaining params sorted for order-insensitivity
+  5. trailing slash on a non-root path stripped
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# RE2-safe pieces shared with the DuckDB oracle (__spark_entry__.py)
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+TRACKING_PARAM_RE = "^(utm_|fbclid=|gclid=|ref=)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of ``url`` as a Column expression."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    host = F.regexp_replace(host, "^www\\.", "")
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (path != "/") & path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    return df.withColumn(out_col, canonical_url(F.col(url_col)))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """One row per canonical URL: (canonical_url, doc_id of the kept
+    document, n_dups). Keeper = highest ``quality_col``, ties to the
+    lowest id — a single window over the canonical-URL hash partition
+    (distributed; no skew risk beyond genuine URL hot-spots, which at
+    crawl scale are bounded by per-site page counts)."""
+    canon = url_canonicalize(df, url_col).select(
+        "canonical_url", F.col(id_col).alias("doc_id"), F.col(quality_col).alias("q")
+    )
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    return (
+        canon.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_dups", F.count("*").over(Window.partitionBy("canonical_url"))
+        )
+        .where(F.col("rn") == 1)
+        .select("canonical_url", "doc_id", "n_dups")
+    )

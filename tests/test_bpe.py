@@ -1,0 +1,153 @@
+"""Distributed BPE trainer vs a pure-Python reference implementation.
+
+The reference below is the textbook Sennrich trainer (dict of word
+freqs, count pairs, merge argmax left-to-right) with the same
+deterministic tie-break the Spark path uses: (count desc, left asc,
+right asc)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.scale.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    bpe_train,
+    bpe_vocab,
+    word_frequencies,
+)
+
+
+def ref_bpe(word_freqs, num_merges, min_pair_count=2):
+    words = {}
+    for w, f in word_freqs.items():
+        k = tuple(list(w) + [END_OF_WORD])
+        words[k] = words.get(k, 0) + f
+    merges = []
+    for rank in range(num_merges):
+        counts = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, left, right, left + right, cnt))
+        out = {}
+        for syms, f in words.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    ns.append(left + right)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            k = tuple(ns)
+            out[k] = out.get(k, 0) + f
+        words = out
+    return merges, words
+
+
+CORPUS = [
+    (0, "low low low lower lowest"),
+    (1, "new newer newest new new"),
+    (2, "wide wider widest low new"),
+    (3, "low lower newer newer wide"),
+    (4, "newest lowest widest widest"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id int, text string")
+
+
+def _ref_word_freqs():
+    wf = {}
+    for _, t in CORPUS:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    return wf
+
+
+def test_word_frequencies(spark, docs):
+    got = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert got == _ref_word_freqs()
+
+
+def test_merge_table_matches_reference(spark, docs):
+    merges_df, words_df = bpe_train(docs, num_merges=12)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    want, ref_words = ref_bpe(_ref_word_freqs(), 12)
+    assert got == want
+    # final encoded word table matches the reference's rewritten dict
+    got_words = {
+        tuple(r["syms"]): r["freq"]
+        for r in words_df.select("syms", "freq").collect()
+    }
+    assert got_words == ref_words
+
+
+def test_min_pair_count_stops_early(spark, docs):
+    merges_df, _ = bpe_train(docs, num_merges=500, min_pair_count=3)
+    rows = merges_df.collect()
+    assert 0 < len(rows) < 500
+    assert all(r["pair_count"] >= 3 for r in rows)
+
+
+def test_overlapping_pairs_merge_left_to_right(spark):
+    # 'aaaa' under rule (a,a): left-to-right non-overlap -> [aa, aa, </w>]
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa")], "doc_id int, text string"
+    )
+    merges_df, words_df = bpe_train(docs, num_merges=1)
+    m = merges_df.collect()[0]
+    assert (m["left"], m["right"]) == ("a", "a")
+    syms = words_df.collect()[0]["syms"]
+    assert syms == ["aa", "aa", END_OF_WORD]
+
+
+def test_vocab_covers_all_symbols(spark, docs):
+    merges_df, words_df = bpe_train(docs, num_merges=8)
+    vocab = {r["token"]: r["freq"] for r in bpe_vocab(merges_df, words_df).collect()}
+    # every symbol of every encoded word is in the vocab
+    for r in words_df.collect():
+        for s in r["syms"]:
+            assert s in vocab
+    # frequency mass conserved: sum over words of len(syms)*freq
+    assert sum(vocab.values()) == sum(
+        len(r["syms"]) * r["freq"] for r in words_df.collect()
+    )
+
+
+def test_encode_roundtrip_and_oov(spark, docs):
+    merges_df, words_df = bpe_train(docs, num_merges=10)
+    # encode a corpus containing an UNSEEN word: falls back to char
+    # split + merge folds, must equal training-side treatment
+    new = spark.createDataFrame(
+        [(7, "low lowest unseenword")], "doc_id int, text string"
+    )
+    enc = {r["id"]: r["tokens"] for r in bpe_encode(new, merges_df, words_df).collect()}
+    toks = enc[7]
+    # concatenating tokens and stripping markers reproduces the text
+    flat = "".join(toks).replace(END_OF_WORD, "")
+    assert flat == "lowlowestunseenword"
+    # seen words use the trained dictionary entries verbatim
+    dict_syms = {
+        r["word"]: r["syms"] for r in words_df.select("word", "syms").collect()
+    }
+    assert toks[: len(dict_syms["low"])] == dict_syms["low"]
+
+
+def test_determinism_across_runs(spark, docs):
+    a, _ = bpe_train(docs, num_merges=6)
+    b, _ = bpe_train(docs, num_merges=6)
+    assert a.collect() == b.collect()

@@ -111,4 +111,6 @@ def test_entry_surface_consistency():
     orphans = [n for n in osql if n not in qs]
     assert orphans == [], orphans
     rows_only = sorted(n for n in qs if n not in osql)
-    assert rows_only == ["ann_ivf_trained"], rows_only
+    # ann_ivf_trained: k-means centroids not SQL-replicable;
+    # bpe_merges: argmax-then-rewrite iteration not one SQL statement
+    assert rows_only == ["ann_ivf_trained", "bpe_merges"], rows_only

@@ -1,0 +1,94 @@
+"""URL canonicalization / URL dedup unit tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.scale.web import (
+    canonical_url,
+    url_canonicalize,
+    url_dedup,
+)
+
+
+def _canon(spark, url):
+    return (
+        spark.range(1)
+        .select(canonical_url(F.lit(url)).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        # case + www + default port
+        (
+            "HTTPS://WWW.Example.COM:443/a/b",
+            "https://example.com/a/b",
+        ),
+        ("http://example.com:80/", "http://example.com/"),
+        # fragment dropped
+        ("https://example.com/a#section-2", "https://example.com/a"),
+        # tracking params dropped, remainder sorted
+        (
+            "https://example.com/p?utm_source=x&b=2&a=1&gclid=zz",
+            "https://example.com/p?a=1&b=2",
+        ),
+        # ref= dropped, fbclid dropped
+        (
+            "https://example.com/p?ref=tw&fbclid=abc",
+            "https://example.com/p",
+        ),
+        # trailing slash on non-root path stripped; root kept
+        ("https://example.com/a/b/", "https://example.com/a/b"),
+        ("https://example.com/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        # params that merely START with 'ref' chars survive (refresh=1)
+        (
+            "https://example.com/p?refresh=1",
+            "https://example.com/p?refresh=1",
+        ),
+        # utm must be prefix-anchored: 'xutm_a' survives
+        (
+            "https://example.com/p?xutm_a=1&utm_a=2",
+            "https://example.com/p?xutm_a=1",
+        ),
+    ],
+)
+def test_canonical_url(spark, raw, want):
+    assert _canon(spark, raw) == want
+
+
+def test_refresh_not_ref(spark):
+    # 'ref=' exactly, not every param starting with 'ref'
+    assert (
+        _canon(spark, "https://e.com/p?ref=abc&reference=x")
+        == "https://e.com/p?reference=x"
+    )
+
+
+def test_url_dedup_keeps_best_quality(spark):
+    rows = [
+        (1, "https://WWW.example.com/a?utm_source=x", 100),
+        (2, "https://example.com/a", 300),
+        (3, "https://example.com/a/", 300),  # tie on quality -> min id
+        (4, "https://example.com/b", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string, n_chars int")
+    got = {
+        r["canonical_url"]: (r["doc_id"], r["n_dups"])
+        for r in url_dedup(df).collect()
+    }
+    assert got == {
+        "https://example.com/a": (2, 3),
+        "https://example.com/b": (4, 1),
+    }
+
+
+def test_canonicalize_adds_column(spark):
+    df = spark.createDataFrame(
+        [(1, "http://A.com/x/")], "doc_id int, url string"
+    )
+    out = url_canonicalize(df)
+    assert out.columns == ["doc_id", "url", "canonical_url"]
+    assert out.collect()[0]["canonical_url"] == "http://a.com/x"
