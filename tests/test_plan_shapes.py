@@ -243,3 +243,39 @@ def test_tpch_q18_aggregates_before_join(spark):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert -1 < join_pos < agg_pos  # join nodes print above the agg subtree
+
+
+def test_url_dedup_prunes_scan_and_stays_codegen(spark):
+    """url_dedup must read only the columns it uses (text — the widest
+    column — pruned from the scan) and contain no Python evaluation:
+    the whole canonicalization is built-in string/array functions."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_url_dedup(spark, SF_DIR))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # widest column pruned
+    assert "source" in read_schema and "n_chars" in read_schema
+    assert "EvalPython" not in plan  # no UDFs anywhere
+
+
+def test_bpe_pair_counts_combine_map_side(spark):
+    """BPE pair counting must partial-aggregate before its shuffle
+    (map-side combine): at 10^8 unique words the exploded pair stream
+    is the iteration's dominant flow."""
+    from openeo_processes_dask_ml_spark.scale.bpe import (
+        _char_symbols,
+        _pair_counts,
+        word_frequencies,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = word_frequencies(docs).withColumn(
+        "syms", _char_symbols(F.col("word"))
+    )
+    plan = _plan(_pair_counts(words))
+    # two HashAggregates around one Exchange = partial + final
+    assert plan.count("HashAggregate") >= 2
+    first_agg = plan.rfind("HashAggregate")
+    exchange = plan.rfind("Exchange")
+    assert first_agg > exchange  # partial agg sits below the shuffle
+    assert "EvalPython" not in plan
