@@ -92,3 +92,50 @@ def test_canonicalize_adds_column(spark):
     out = url_canonicalize(df)
     assert out.columns == ["doc_id", "url", "canonical_url"]
     assert out.collect()[0]["canonical_url"] == "http://a.com/x"
+
+
+def test_canonical_invariance_bulk(spark):
+    """Invariance + idempotence over 200 constructed URLs: a clean URL
+    and its messy variant (www + uppercase host + default port +
+    trailing slash + shuffled params + tracking params + fragment)
+    canonicalize identically, and canonicalization is idempotent."""
+    import random
+
+    rnd = random.Random(42)
+    rows = []
+    for i in range(200):
+        scheme = rnd.choice(["http", "https"])
+        host = f"h{rnd.randrange(50)}.example.org"
+        segs = "/".join(f"s{rnd.randrange(9)}" for _ in range(rnd.randrange(4)))
+        path = "/" + segs if segs else "/"
+        params = [f"k{j}={rnd.randrange(9)}" for j in range(rnd.randrange(4))]
+        clean_q = "&".join(sorted(params))
+        clean = scheme + "://" + host + path + ("?" + clean_q if clean_q else "")
+        messy_params = params[:]
+        rnd.shuffle(messy_params)
+        messy_params.insert(
+            rnd.randrange(len(messy_params) + 1), f"utm_campaign=c{i}"
+        )
+        port = ":443" if scheme == "https" else ":80"
+        messy = (
+            scheme.upper()
+            + "://WWW."
+            + host.upper()
+            + port
+            + path
+            + ("/" if path != "/" and rnd.random() < 0.5 else "")
+            + "?"
+            + "&".join(messy_params)
+            + f"#frag{i}"
+        )
+        rows.append((i, clean, messy))
+    df = spark.createDataFrame(rows, "i int, clean string, messy string")
+    out = df.select(
+        "i",
+        canonical_url(F.col("clean")).alias("cc"),
+        canonical_url(F.col("messy")).alias("cm"),
+    ).withColumn("ccc", canonical_url(F.col("cc")))
+    bad = out.where(
+        (F.col("cc") != F.col("cm")) | (F.col("cc") != F.col("ccc"))
+    ).collect()
+    assert bad == [], bad[:5]
