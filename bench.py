@@ -88,6 +88,7 @@ HEADLINE = [
     "profile_table",
     "url_dedup",
     "bpe_merges",
+    "cluster_balanced_sample",
 ]
 
 

@@ -766,6 +766,55 @@ def lsh_bucketed_ann(
     )
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cluster: int = 32,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_quantizer: bool = False,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """Cluster-balanced sampling (the curation shape of DINOv2 /
+    SemDeDup pipelines, public method: Oquab et al. 2023,
+    arXiv:2304.07193 §data curation): assign every embedding to a
+    coarse cluster, then keep up to ``per_cluster`` items from each,
+    chosen by deterministic md5 priority — uniform within a cluster,
+    so over-represented topics are flattened instead of dominating the
+    sample the way uniform corpus sampling would.
+
+    Returns (vec_id, list_id, cluster_size, rank) for kept rows.
+
+    Scale shape: assignment is the shared IVF coarse quantizer
+    (broadcast seeds, one narrow (vid, seed, sim) shuffle —
+    ``_coarse_assign``); selection is one grouped-top-k window keyed
+    by list_id. Production n_lists is 10^3-10^5 (it must grow with the
+    corpus, same rule as semantic_dedup), so window partitions stay
+    bounded at ~corpus/n_lists rows. Seeded quantizer by default (the
+    whole query replays in SQL); ``train_quantizer=True`` is the
+    sampled-k-means production path."""
+    from pyspark.sql import Window
+
+    _, _, assigned, _ = _coarse_assign(
+        df, n_lists, vec_col, id_col, train_quantizer, sample_fraction
+    )
+    pri = F.conv(
+        F.substring(F.md5(F.concat(F.col("vid").cast("string"), F.lit("#cbs"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    slim = assigned.select("vid", "list_id").withColumn("pri", pri)
+    w = Window.partitionBy("list_id").orderBy(F.col("pri"), F.col("vid"))
+    return (
+        slim.withColumn("rank", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(Window.partitionBy("list_id")))
+        .filter(F.col("rank") <= per_cluster)
+        .select(
+            F.col("vid").alias("vec_id"), "list_id", "cluster_size", "rank"
+        )
+    )
+
+
 def hard_negatives(
     df: DataFrame,
     anchor_ids: list[int],

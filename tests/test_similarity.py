@@ -319,3 +319,27 @@ def test_lsh_multiprobe_improves_recall(spark):
     r_multi = len(multi & truth) / len(truth)
     assert r_multi >= r_plain
     assert r_multi >= 0.1, (r_plain, r_multi)
+
+
+def test_cluster_balanced_sample_properties(spark):
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    total = emb.count()
+    out = cluster_balanced_sample(emb, per_cluster=10, n_lists=4).collect()
+    # per-cluster cap respected, ranks dense from 1
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["list_id"], []).append(r["rank"])
+    assert len(by_cluster) <= 4
+    for ranks in by_cluster.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
+    # cluster sizes sum to the corpus (every vector assigned exactly once)
+    sizes = {r["list_id"]: r["cluster_size"] for r in out}
+    assert sum(sizes.values()) == total
+    # deterministic
+    again = cluster_balanced_sample(emb, per_cluster=10, n_lists=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
