@@ -177,11 +177,17 @@ def bpe_encode(
 ) -> DataFrame:
     """Encode documents under a trained BPE table: (id, tokens).
 
-    The corpus joins its (distinct-per-row) words against the
-    broadcast trained dictionary — no merge folding on the hot path.
-    Unseen words (possible when encoding a different corpus than the
-    training one) fall back to character symbols with the merge table
-    folded over them, applied only to the OOV remainder.
+    The corpus joins its words against the trained dictionary — no
+    merge folding on the hot path. The join strategy is deliberately
+    left to Catalyst/AQE: on toy corpora the dictionary broadcasts on
+    its size; at crawl scale the word table is ~10^8 rows (too big to
+    broadcast) and the equi-join shuffles both sides on the word key,
+    which is the correct plan there. Unseen words (possible when
+    encoding a different corpus than the training one) fall back to
+    character symbols with the merge table folded over them, applied
+    only to the OOV remainder; the fold expression nests one level per
+    merge, so for very large merge tables prefer re-training-corpus
+    coverage (the dictionary path) over deep OOV folds.
     """
     merges = [
         (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
@@ -192,7 +198,7 @@ def bpe_encode(
             "pos", "word"
         ),
     ).where(F.col("word") != "")
-    dictionary = F.broadcast(words_df.select("word", F.col("syms").alias("dict_syms")))
+    dictionary = words_df.select("word", F.col("syms").alias("dict_syms"))
     joined = toks.join(dictionary, "word", "left")
     oov = _char_symbols(F.col("word"))
     for left, right in merges:

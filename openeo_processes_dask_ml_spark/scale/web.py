@@ -30,7 +30,12 @@ TRACKING_PARAM_RE = "^(utm_|fbclid=|gclid=|ref=)"
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonical form of ``url`` as a Column expression."""
+    """Canonical form of ``url`` as a Column expression.
+
+    Malformed inputs (no ``scheme://``) degrade deterministically:
+    every regexp_extract misses, producing ``":///"``-style keys —
+    identical in Spark and the DuckDB oracle, so such rows group
+    together rather than erroring (crawl data always contains some)."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     host = F.regexp_replace(host, "^www\\.", "")
