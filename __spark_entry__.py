@@ -2424,12 +2424,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk": q_streaming_topk,
         "weighted_sample": q_weighted_sample,
         "profile_table": q_profile_table,
-        # url_dedup / bpe_merges: NEW in r6 (final batch), same
-        # post-window situation — url_dedup hash-matched a local
-        # sf0.01 driver-sim; bpe_merges is rows-only by design (see
-        # its docstring) with the merge table pinned to a pure-Python
-        # reference in tests/test_bpe.py; both rotate into the window
-        # in r7
+        # url_dedup / bpe_merges / cluster_balanced_sample: NEW in r6
+        # (final batch), same post-window situation — url_dedup
+        # (sf0.01 AND sf0.1) and cluster_balanced_sample (sf0.01)
+        # hash-matched local driver-sims; bpe_merges is rows-only by
+        # design (see its docstring) with the merge table pinned to a
+        # pure-Python reference in tests/test_bpe.py; all three rotate
+        # into the window in r7
         "url_dedup": q_url_dedup,
         "bpe_merges": q_bpe_merges,
         "cluster_balanced_sample": q_cluster_balanced_sample,
