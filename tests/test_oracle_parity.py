@@ -114,3 +114,35 @@ def test_entry_surface_consistency():
     # ann_ivf_trained: k-means centroids not SQL-replicable;
     # bpe_merges: argmax-then-rewrite iteration not one SQL statement
     assert rows_only == ["ann_ivf_trained", "bpe_merges"], rows_only
+
+
+def test_driver_window_composition_pinned():
+    """The first 50 queries() entries ARE the driver's r6 verification
+    window — its composition is deliberate (rotation protocol in the
+    queries() header). Pin it so an accidental reorder fails CI
+    instead of silently skewing the rotation. When rotating for a new
+    round, update this pin IN THE SAME COMMIT as the dict reorder."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    window = list(entry.queries().keys())[:50]
+    assert window == [
+        "ann_pq", "incremental_minhash", "span_removal",
+        "streaming_incremental_dedup", "decontaminate_fuzzy",
+        "ann_ivf_trained", "ann_ivf", "semantic_dedup",
+        "dedup_ngram_jaccard", "leakage_safe_split", "dup_clusters",
+        "sessionize", "apply_dimension", "apply_neighborhood",
+        "aggregate_temporal", "resample_cube_spatial", "array_ops",
+        "pii_scrub", "repetition_stats", "streaming_dedup",
+        "streaming_interval_join", "streaming_spend_alerts",
+        "text_chunks", "embedding_quantize", "quality_filter",
+        "flatten_unflatten", "aggregate_spatial_window", "decontaminate",
+        "training_shards", "topk_per_group", "ml_fit_predict_rf",
+        "mask_polygon", "mask", "array_interpolate_linear",
+        "scale_values", "aggregate_spatial", "rollup_revenue",
+        "dedup_exact", "dedup_simhash", "dedup_embedding",
+        "dedup_embedding_exact", "ann_topk", "text_quality",
+        "token_count", "tfidf_top_terms", "stratified_sample",
+        "approx_aggregates", "apply_kernel", "climatology_anomaly",
+        "chunk_dedup",
+    ]
