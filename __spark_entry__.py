@@ -2229,19 +2229,15 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=4)
 
 
-def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-canonicalization dedup (scale/web.py): the documents table
-    gains a deterministically derived raw URL (varying case, www
-    prefix, default port, trailing slash, tracking params, fragment —
-    every normalization step does real work), then one row per
-    canonical URL survives (max n_chars, tie min doc_id). The oracle
-    mirrors both the derivation and the RE2-safe normalization in
-    DuckDB SQL. All codegen + one window; no UDFs."""
-    from openeo_processes_dask_ml_spark.scale.web import url_dedup
-
-    docs = _t(spark, sf_dir, "documents")
+def _web_url_expr() -> F.Column:
+    """Deterministic synthetic raw URL for the documents table (shared
+    by q_url_dedup and q_pipeline_web_ingest; SQL twin:
+    _WEB_URL_CANON_CTES). Varying case, www prefix, default port,
+    trailing slash, tracking params, fragment — every normalization
+    step does real work; (source, lang, doc_id%7) keys force dup
+    groups."""
     d = F.col("doc_id")
-    url = F.concat(
+    return F.concat(
         F.lit("HTTPS://WWW."),
         F.upper("source"),
         F.lit(".Example.COM:443/"),
@@ -2256,7 +2252,55 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("&b=2&a=1#sec"),
         d.cast("string"),
     )
-    return url_dedup(docs.withColumn("url", url))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (scale/web.py): the documents table
+    gains a deterministically derived raw URL (_web_url_expr), then
+    one row per canonical URL survives (max n_chars, tie min doc_id).
+    The oracle mirrors both the derivation and the RE2-safe
+    normalization in DuckDB SQL. All codegen + one window; no UDFs."""
+    from openeo_processes_dask_ml_spark.scale.web import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return url_dedup(docs.withColumn("url", _web_url_expr()))
+
+
+def q_pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus ingest as ONE Catalyst plan: URL-canonicalization
+    dedup -> Gopher quality rules -> exact (normalized-hash) text
+    dedup -> deterministic md5 sharding with per-shard token stats.
+    Every stage reuses the shared operator (scale/web.url_dedup,
+    scale/text.quality_filter, scale/dedup.normalized_text_hash,
+    scale/pipeline.training_shards) and every stage is SQL-expressible,
+    so unlike pipeline_end_to_end's quality subset this one composes
+    the URL stage too and the oracle replays the full chain. Scale
+    shape: three narrow survivor joins on doc_id (each side
+    hash-partitioned on the same key) between stages that are
+    themselves one window / one agg each."""
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        normalized_text_hash,
+    )
+    from openeo_processes_dask_ml_spark.scale.pipeline import training_shards
+    from openeo_processes_dask_ml_spark.scale.text import quality_filter
+    from openeo_processes_dask_ml_spark.scale.web import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    url_kept = url_dedup(docs.withColumn("url", _web_url_expr())).select(
+        "doc_id"
+    )
+    base = docs.join(url_kept, "doc_id")
+    q_kept = (
+        quality_filter(base).where(F.col("keep")).select("doc_id")
+    )
+    base = base.join(q_kept, "doc_id")
+    dedup_kept = (
+        base.select("doc_id", normalized_text_hash(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return training_shards(base.join(dedup_kept, "doc_id"), n_shards=8)
 
 
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2434,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "bpe_merges": q_bpe_merges,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "pipeline_web_ingest": q_pipeline_web_ingest,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -4998,11 +5043,11 @@ SELECT vec_id, list_id, cluster_size, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 40
 """
 
-    # url_dedup: mirrors both the synthetic URL derivation (q_url_dedup)
-    # and scale/web.py's RE2-safe canonicalization — same regexes, same
-    # tracking-param prefix set, same keeper window.
-    sql["url_dedup"] = r"""
-WITH urls AS (
+    # Shared URL derivation + canonicalization CTE chain (twin of
+    # _web_url_expr + scale/web.py's RE2-safe canonical_url): used by
+    # url_dedup and pipeline_web_ingest so the two oracles can never
+    # drift apart.
+    web_url_ctes = r"""urls AS (
   SELECT doc_id, n_chars,
     'HTTPS://WWW.' || upper(source) || '.Example.COM:443/' || lang ||
     '/page-' || CAST(doc_id % 7 AS VARCHAR) ||
@@ -5034,15 +5079,75 @@ WITH urls AS (
     scheme || '://' || host || path ||
     CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
   FROM norm
-), ranked AS (
+), url_ranked AS (
   SELECT canonical_url, doc_id,
     row_number() OVER (PARTITION BY canonical_url
                        ORDER BY n_chars DESC, doc_id ASC) AS rn,
     count(*) OVER (PARTITION BY canonical_url) AS n_dups
   FROM canon
+)"""
+
+    sql["url_dedup"] = (
+        "WITH "
+        + web_url_ctes
+        + "\nSELECT canonical_url, doc_id, n_dups FROM url_ranked WHERE rn = 1\n"
+    )
+
+    # pipeline_web_ingest: the full chain — URL keeper -> quality rules
+    # (same formulas as the quality_filter oracle) -> normalized-hash
+    # exact dedup -> md5 sharding (same salt as training_shards).
+    sql["pipeline_web_ingest"] = (
+        "WITH "
+        + web_url_ctes
+        + r""", url_kept AS (
+  SELECT doc_id FROM url_ranked WHERE rn = 1
+), qc AS (
+  SELECT d.doc_id, d.text,
+         regexp_replace(trim(d.text), '\s+', ' ', 'g') AS c
+  FROM documents d JOIN url_kept u ON d.doc_id = u.doc_id
+), qf AS (
+  SELECT doc_id, text, c,
+    CASE WHEN length(c) = 0 THEN 0
+         ELSE length(c) - length(replace(c, ' ', '')) + 1 END AS n_words,
+    length(replace(c, ' ', '')) AS n_chars,
+    length(c) - length(replace(c, '#', '')) AS n_hash,
+    (length(c) - length(replace(c, '...', ''))) / 3 AS n_ellipsis,
+    ' ' || lower(c) || ' ' AS padded
+  FROM qc
+), qg AS (
+  SELECT doc_id, text, n_words,
+    CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl,
+    CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) / n_words ELSE 0.0 END AS symbol_ratio,
+    (CASE WHEN length(padded) > length(replace(padded, ' the ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' a ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' and ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' of ', ' ')) THEN 1 ELSE 0 END
+     + CASE WHEN length(padded) > length(replace(padded, ' in ', ' ')) THEN 1 ELSE 0 END
+    ) AS stop_hits
+  FROM qf
+), q_kept AS (
+  SELECT doc_id, text FROM qg
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND symbol_ratio <= 0.1 AND stop_hits >= 2
+), dedup_kept AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        FROM q_kept)
+  GROUP BY h
+), s AS (
+  SELECT ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#shard'), 1, 15))::BIGINT
+             % 8 AS shard,
+         d.doc_id,
+         len(string_split_regex(trim(lower(d.text)), '\s+')) AS nt
+  FROM documents d JOIN dedup_kept k ON d.doc_id = k.doc_id
 )
-SELECT canonical_url, doc_id, n_dups FROM ranked WHERE rn = 1
+SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM s GROUP BY 1
 """
+    )
 
     prof_cols = ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"]
     sql["profile_table"] = "\nUNION ALL\n".join(

@@ -89,6 +89,7 @@ HEADLINE = [
     "url_dedup",
     "bpe_merges",
     "cluster_balanced_sample",
+    "pipeline_web_ingest",
 ]
 
 

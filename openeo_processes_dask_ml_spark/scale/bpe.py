@@ -168,6 +168,29 @@ def bpe_vocab(merges_df: DataFrame, words_df: DataFrame) -> DataFrame:
     )
 
 
+def save_bpe_artifacts(
+    merges_df: DataFrame, words_df: DataFrame, path: str
+) -> None:
+    """Persist a trained tokenizer: ``<path>/merges`` (the k-row merge
+    table) and ``<path>/words`` (the encoded word dictionary) as
+    parquet — the build-once/encode-many lifecycle (same pattern as
+    the PQ/IVF index artifacts in scale/similarity.py). The word
+    dictionary is the expensive part to recompute; persisting it means
+    encode sessions never replay the merge loop."""
+    merges_df.write.mode("overwrite").parquet(f"{path}/merges")
+    words_df.select("word", "freq", "syms").write.mode("overwrite").parquet(
+        f"{path}/words"
+    )
+
+
+def load_bpe_artifacts(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(merges_df, words_df) from ``save_bpe_artifacts`` output."""
+    return (
+        spark.read.parquet(f"{path}/merges"),
+        spark.read.parquet(f"{path}/words"),
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges_df: DataFrame,

@@ -151,3 +151,21 @@ def test_determinism_across_runs(spark, docs):
     a, _ = bpe_train(docs, num_merges=6)
     b, _ = bpe_train(docs, num_merges=6)
     assert a.collect() == b.collect()
+
+
+def test_artifact_lifecycle_roundtrip(spark, docs, tmp_path):
+    from openeo_processes_dask_ml_spark.scale.bpe import (
+        load_bpe_artifacts,
+        save_bpe_artifacts,
+    )
+
+    merges, words = bpe_train(docs, num_merges=8)
+    save_bpe_artifacts(merges, words, str(tmp_path / "bpe"))
+    m2, w2 = load_bpe_artifacts(spark, str(tmp_path / "bpe"))
+    assert sorted(map(tuple, merges.collect())) == sorted(
+        map(tuple, m2.collect())
+    )
+    new = spark.createDataFrame([(3, "low newest wide")], "doc_id int, text string")
+    direct = bpe_encode(new, merges, words).collect()
+    reloaded = bpe_encode(new, m2, w2).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, reloaded))
