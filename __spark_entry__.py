@@ -2286,21 +2286,30 @@ def q_pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.web import url_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    url_kept = url_dedup(docs.withColumn("url", _web_url_expr())).select(
-        "doc_id"
+    # each stage CARRIES text to the next (one narrow shuffle per
+    # stage) instead of emitting ids and join-backing the corpus — a
+    # 50x probe of the join-back shape measured ~2x the wall of this
+    # one (SCALE_NOTES r6). Zero joins in the whole plan: window ->
+    # projection -> min_by agg -> shard agg.
+    url_kept = url_dedup(
+        docs.withColumn("url", _web_url_expr()), carry=("text",)
     )
-    base = docs.join(url_kept, "doc_id")
     q_kept = (
-        quality_filter(base).where(F.col("keep")).select("doc_id")
+        quality_filter(url_kept, carry=("text",))
+        .where(F.col("keep"))
+        .select("doc_id", "text")
     )
-    base = base.join(q_kept, "doc_id")
     dedup_kept = (
-        base.select("doc_id", normalized_text_hash(F.col("text")).alias("h"))
+        q_kept.select(
+            "doc_id", "text", normalized_text_hash(F.col("text")).alias("h")
+        )
         .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .agg(
+            F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("w")
+        )
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.text").alias("text"))
     )
-    return training_shards(base.join(dedup_kept, "doc_id"), n_shards=8)
+    return training_shards(dedup_kept, n_shards=8)
 
 
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

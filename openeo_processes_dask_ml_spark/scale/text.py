@@ -325,6 +325,7 @@ def quality_filter(
     max_mean_wl: float = 10.0,
     max_symbol_ratio: float = 0.1,
     min_stop_hits: int = 2,
+    carry: tuple = (),
 ) -> DataFrame:
     """Gopher-style rule filter: word-count bounds, mean-word-length
     bounds, symbol-to-word ratio ('#' and '...'), and a distinct-
@@ -341,6 +342,10 @@ def quality_filter(
     100 TB it moves (id, 6 ints) per KB-sized document — negligible
     next to the scan. The DuckDB twin mirrors the formulas
     term-for-term.
+
+    ``carry`` names extra columns to keep on the output rows (they
+    ride the feature shuffle — one narrow pass — instead of a
+    join-back of the whole table; see q_pipeline_web_ingest).
     """
     text = F.col(text_col)
     c = F.regexp_replace(F.trim(text), r"\s+", " ")
@@ -355,6 +360,7 @@ def quality_filter(
     ]
     feats = df.select(
         F.col(id_col).alias("doc_id"),
+        *carry,
         F.length(c).alias("len_c"),
         F.length(F.regexp_replace(c, " ", "")).alias("n_chars"),
         n_hash.alias("n_hash"),
@@ -379,6 +385,7 @@ def quality_filter(
     ok_stop = stop_hits >= min_stop_hits
     return feats.select(
         F.col("doc_id"),
+        *carry,
         n_words.cast("bigint").alias("n_words"),
         dround(mean_wl, 6).alias("mean_word_len"),
         dround(symbol_ratio, 6).alias("symbol_ratio"),

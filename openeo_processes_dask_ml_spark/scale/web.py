@@ -76,14 +76,23 @@ def url_dedup(
     url_col: str = "url",
     id_col: str = "doc_id",
     quality_col: str = "n_chars",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per canonical URL: (canonical_url, doc_id of the kept
-    document, n_dups). Keeper = highest ``quality_col``, ties to the
-    lowest id — a single window over the canonical-URL hash partition
-    (distributed; no skew risk beyond genuine URL hot-spots, which at
-    crawl scale are bounded by per-site page counts)."""
+    document, n_dups, *carry). Keeper = highest ``quality_col``, ties
+    to the lowest id — a single window over the canonical-URL hash
+    partition (distributed; no skew risk beyond genuine URL hot-spots,
+    which at crawl scale are bounded by per-site page counts).
+
+    ``carry`` names extra columns to keep on the survivor rows: they
+    ride the one window shuffle instead of a second join-back shuffle
+    of the whole table — the cheaper plan whenever a downstream stage
+    needs them (see q_pipeline_web_ingest)."""
     canon = url_canonicalize(df, url_col).select(
-        "canonical_url", F.col(id_col).alias("doc_id"), F.col(quality_col).alias("q")
+        "canonical_url",
+        F.col(id_col).alias("doc_id"),
+        F.col(quality_col).alias("q"),
+        *carry,
     )
     w = Window.partitionBy("canonical_url").orderBy(
         F.desc("q"), F.asc("doc_id")
@@ -94,5 +103,5 @@ def url_dedup(
             "n_dups", F.count("*").over(Window.partitionBy("canonical_url"))
         )
         .where(F.col("rn") == 1)
-        .select("canonical_url", "doc_id", "n_dups")
+        .select("canonical_url", "doc_id", "n_dups", *carry)
     )
