@@ -502,8 +502,16 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.text import quality_filter
 
     docs = _t(spark, sf_dir, "documents")
-    kept_ids = quality_filter(docs).filter(F.col("keep")).select("doc_id")
-    kept = docs.join(kept_ids, "doc_id")
+    # carry text through the quality stage and dedup via min_by — the
+    # zero-join shape (see the pipeline_web_ingest 50x probe in
+    # SCALE_NOTES: the former emit-ids + join-back version both
+    # re-shuffled the corpus and re-evaluated the shared subtree once
+    # per downstream join)
+    kept = (
+        quality_filter(docs, carry=("text",))
+        .filter(F.col("keep"))
+        .select("doc_id", "text")
+    )
     norm_hash = F.md5(
         F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     )
@@ -512,8 +520,11 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_hash.alias("h"),
         F.size(tokens_expr(F.col("text"))).alias("n_tok"),
     )
-    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
-    uniq = hashed.join(keepers, "h").filter(F.col("doc_id") == F.col("keeper"))
+    uniq = (
+        hashed.groupBy("h")
+        .agg(F.min_by(F.struct("doc_id", "n_tok"), F.col("doc_id")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.n_tok").alias("n_tok"))
+    )
     return (
         uniq.select("doc_id", "n_tok", shard_expr("doc_id", 8))
         .groupBy("shard")
@@ -2487,6 +2498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "bpe_merges": q_bpe_merges,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        # pipeline_web_ingest: NEW in r6 (final batch) — full composed
+        # chain hash-matched a local sf0.01 driver-sim (twice: both
+        # the join-back and the final carried-column plan); rotates
+        # into the window in r7. NOTE pipeline_end_to_end's plan also
+        # changed late in r6 (same zero-join rewrite, semantics
+        # unchanged) and hash-matched a local sf0.01 driver-sim after
+        # the change — it too must sit in the r7 window.
         "pipeline_web_ingest": q_pipeline_web_ingest,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,

@@ -279,3 +279,17 @@ def test_bpe_pair_counts_combine_map_side(spark):
     exchange = plan.rfind("Exchange")
     assert first_agg > exchange  # partial agg sits below the shuffle
     assert "EvalPython" not in plan
+
+
+def test_web_ingest_pipeline_has_zero_joins(spark):
+    """pipeline_web_ingest must stay the carried-column shape: window
+    -> projection -> min_by agg -> shard agg, NO joins (the join-back
+    version re-shuffled the corpus and re-evaluated the shared URL
+    subtree per stage — 23x slower at 50x, SCALE_NOTES r6)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_pipeline_web_ingest(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    # exactly one parquet scan: the corpus is read once
+    assert plan.count("Scan parquet") == 1
