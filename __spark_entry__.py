@@ -2539,6 +2539,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_zonal": q_graph_zonal,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
+        # duplicated_spans: plan changed late in r6 (count-over-window
+        # instead of groupBy + join-back, 1.7 -> 1.1 s; span_removal got
+        # the same rewrite but already sits in the r6 window) —
+        # hash-matched a local sf0.01 driver-sim after the change;
+        # must sit in the r7 window.
         "duplicated_spans": q_duplicated_spans,
         "streaming_enrich": q_streaming_enrich,
         "unigram_logprob": q_unigram_logprob,

@@ -435,10 +435,14 @@ def duplicated_spans(
         .filter(F.col("__t").isNotNull())
         .select("doc_id", "h")
     )
-    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
-    flagged = spans.join(counts, "h").select(
-        "doc_id", (F.col("n_occ") >= min_count).alias("dup")
-    )
+    # occurrence count via a window on the fingerprint partition, NOT
+    # groupBy + join-back: the join shape evaluates the whole
+    # explode+lead span build twice (shared-subtree duplication — see
+    # the pipeline_web_ingest lesson in SCALE_NOTES r6); the window
+    # builds spans once and pays the same single shuffle on h.
+    flagged = spans.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).select("doc_id", (F.col("n_occ") >= min_count).alias("dup"))
     return (
         flagged.groupBy("doc_id")
         .agg(
@@ -560,10 +564,9 @@ def remove_duplicated_spans(
     operator in this module scores.
 
     Scale shape: the span build is the duplicated_spans explode+lead
-    (codegen); canonical selection is ONE hash aggregation on the
-    fingerprint (map-side combined — a boilerplate span in millions of
-    docs is one min-struct row); removal intervals flow back through
-    one fingerprint join; interval coverage is evaluated per document
+    (codegen); canonical selection is a min-struct
+    window on the fingerprint partition (one shuffle on h, span build
+    evaluated once); interval coverage is evaluated per document
     with an indexed array filter — intervals per doc are bounded by
     its own span count, so no range join and no pairwise work.
     """
@@ -586,12 +589,19 @@ def remove_duplicated_spans(
         .filter(F.col("__t").isNotNull())
         .select("doc_id", "pos", "h")
     )
-    stats = spans.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("canon"),
-    )
+    # n_occ and the canonical (min doc_id, pos) occurrence as window
+    # aggregates on the fingerprint partition — NOT groupBy + join-back,
+    # which would evaluate the explode+lead span build twice (shared-
+    # subtree duplication; see the pipeline_web_ingest lesson in
+    # SCALE_NOTES r6). One shuffle on h either way; this shape builds
+    # spans once.
+    wh = Window.partitionBy("h")
     removal = (
-        spans.join(stats.filter(F.col("n_occ") >= min_count), "h")
+        spans.withColumn("n_occ", F.count(F.lit(1)).over(wh))
+        .withColumn(
+            "canon", F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(wh)
+        )
+        .filter(F.col("n_occ") >= min_count)
         .filter(
             ~(
                 (F.col("doc_id") == F.col("canon.doc_id"))
