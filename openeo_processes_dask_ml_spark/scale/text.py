@@ -440,6 +440,11 @@ def duplicated_spans(
     # explode+lead span build twice (shared-subtree duplication — see
     # the pipeline_web_ingest lesson in SCALE_NOTES r6); the window
     # builds spans once and pays the same single shuffle on h.
+    # Trade-off, documented: a pathologically hot fingerprint (one
+    # boilerplate span in >>10^7 docs) buffers its occurrences in one
+    # spill-safe window partition, where the groupBy shape would have
+    # map-side combined it; below that regime the window wins (1.7 ->
+    # 1.1 s at sf0.1), past it prefer the join shape.
     flagged = spans.withColumn(
         "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
     ).select("doc_id", (F.col("n_occ") >= min_count).alias("dup"))
@@ -594,7 +599,9 @@ def remove_duplicated_spans(
     # which would evaluate the explode+lead span build twice (shared-
     # subtree duplication; see the pipeline_web_ingest lesson in
     # SCALE_NOTES r6). One shuffle on h either way; this shape builds
-    # spans once.
+    # spans once. Same hot-fingerprint trade-off as duplicated_spans:
+    # spill-safe window buffering vs map-side combine — the window wins
+    # except under pathological boilerplate skew.
     wh = Window.partitionBy("h")
     removal = (
         spans.withColumn("n_occ", F.count(F.lit(1)).over(wh))
