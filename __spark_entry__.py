@@ -2338,6 +2338,61 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation as a first-class verified operator
+    (utils/skew.py): events aggregate per event_type — a genuinely
+    hot-key layout (5 types over the whole table) — through BOTH
+    utilities: the big side joins a tiny per-type dim via
+    replicate_broadcast_join (salted key spreads each hot key over 8
+    tasks), then salted_groupby two-phase aggregation (balanced first
+    shuffle, tiny merge). Result is bit-equal to the plain join +
+    GROUP BY the oracle runs — salting must never change answers."""
+    from openeo_processes_dask_ml_spark.utils.skew import (
+        replicate_broadcast_join,
+        salted_groupby,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type").cast("double"))
+    )
+    joined = replicate_broadcast_join(ev, dim, ["event_type"], n_salts=8)
+    return salted_groupby(
+        joined,
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value") * F.col("type_weight")).alias("s"),
+            F.max("value").alias("m"),
+        ],
+        [
+            F.sum("c").cast("bigint").alias("n_events"),
+            dround(F.sum("s"), 4).alias("weighted_value"),
+            F.max("m").alias("max_value"),
+        ],
+        n_salts=16,
+    )
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (scale/pipeline.py::corpus_diff): old = documents
+    minus every 10th doc, with every 7th doc's text amended (' v2') —
+    so all four statuses occur; new = documents as-is. One narrow
+    full-outer join on the id over (id, normalized hash) rows."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, docs)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (scale/bpe.py): corpus
     reduces once to its unique-word frequency table, then 20 merge
@@ -2507,6 +2562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged) and hash-matched a local sf0.01 driver-sim after
         # the change — it too must sit in the r7 window.
         "pipeline_web_ingest": q_pipeline_web_ingest,
+        # skew_salted_agg / corpus_diff: NEW in r6 (final batch), same
+        # post-window situation — both hash-matched local sf0.01
+        # driver-sims; rotate into the window in r7
+        "skew_salted_agg": q_skew_salted_agg,
+        "corpus_diff": q_corpus_diff,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "graph_ml_pipeline": q_graph_ml_pipeline,
         "ml_predict_tiled": q_ml_predict_tiled,
@@ -5181,6 +5241,45 @@ SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
 FROM s GROUP BY 1
 """
     )
+
+    # skew_salted_agg: salting must be invisible in the answer — the
+    # oracle is the PLAIN join + GROUP BY.
+    sql["skew_salted_agg"] = r"""
+WITH dim AS (
+  SELECT DISTINCT event_type, CAST(length(event_type) AS DOUBLE) AS type_weight
+  FROM events
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       floor(sum(e.value * d.type_weight) * 10000.0 + 0.5) / 10000.0 AS weighted_value,
+       max(e.value) AS max_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1
+"""
+
+    # corpus_diff: same old/new derivation and normalized-hash identity
+    # as q_corpus_diff.
+    sql["corpus_diff"] = r"""
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+), o AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h_old
+  FROM old
+), n AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h_new
+  FROM documents
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h_old <> n.h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
 
     prof_cols = ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"]
     sql["profile_table"] = "\nUNION ALL\n".join(

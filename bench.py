@@ -90,6 +90,8 @@ HEADLINE = [
     "bpe_merges",
     "cluster_balanced_sample",
     "pipeline_web_ingest",
+    "skew_salted_agg",
+    "corpus_diff",
 ]
 
 

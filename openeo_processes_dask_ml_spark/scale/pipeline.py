@@ -587,3 +587,44 @@ def weighted_sample(
             dround(F.col("priority"), 6).alias("priority"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per document
+    id with status 'added' (only in new), 'removed' (only in old),
+    'changed' (normalized text hash differs) or 'unchanged' — the
+    dataset-versioning primitive behind incremental retraining
+    decisions and crawl-to-crawl audit reports.
+
+    Scale shape: both sides reduce to (id, normalized hash) narrow
+    rows before ONE full-outer equi-join on the id (co-partitioned
+    hash shuffle, no text movement); status is pure codegen. Content
+    identity is ``normalized_text_hash`` — the same identity
+    incremental_dedup and the streaming twin use, so diff and dedup
+    can never disagree about what "changed" means."""
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        normalized_text_hash,
+    )
+
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_text_hash(F.col(text_col)).alias("h_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_text_hash(F.col(text_col)).alias("h_new"),
+    )
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id", status.alias("status")
+    )

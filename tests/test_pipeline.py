@@ -179,3 +179,19 @@ def test_mixture_sample_rates_and_mass(spark):
     # excluded source
     out2 = mixture_sample(df, targets={"a": 1})
     assert all(r["keep"] is False for r in out2.collect() if r["source"] != "a")
+
+
+def test_corpus_diff_statuses(spark):
+    from openeo_processes_dask_ml_spark.scale.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y"), (3, "same text")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "x y z"), (3, "Same   TEXT "), (4, "brand new")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # doc 3: differs only by case/whitespace -> normalized-unchanged
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
