@@ -60,6 +60,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched source reader: parquet (the scale default),
+    csv, json(lines), orc, text.
+
+    Scale rules enforced here rather than left to callers:
+    - csv/json REQUIRE an explicit schema: ``inferSchema``/sampled
+      inference is a full extra pass over the data (at 100 TB, a
+      100 TB pass) and its result can drift between runs — a schema
+      string costs one line and keeps the plan deterministic. Column
+      pruning still reaches the reader; note that csv/json row formats
+      cannot skip column BYTES on disk the way parquet does, so
+      convert-to-parquet is step one of any real pipeline
+      (``save_result(..., format='parquet')``).
+    - mode defaults to FAILFAST: silently null-ing malformed rows
+      (PERMISSIVE) turns data corruption into wrong answers downstream;
+      opt into PERMISSIVE explicitly with a corrupt-record column if
+      quarantining is wanted.
+    """
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        return spark.read.options(**options).parquet(path)
+    if fmt == "orc":
+        return spark.read.options(**options).orc(path)
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(
+                f"{fmt} sources require an explicit schema: inference is "
+                "an extra full pass over the data and non-deterministic "
+                "across runs (pass schema='col TYPE, ...')"
+            )
+        options.setdefault("mode", "FAILFAST")
+        if fmt == "csv":
+            options.setdefault("header", "true")
+            return spark.read.schema(schema).options(**options).csv(path)
+        return spark.read.schema(schema).options(**options).json(path)
+    if fmt == "text":
+        return spark.read.options(**options).text(path)
+    raise ValueError(f"unsupported source format: {fmt!r}")
+
+
 @dataclass(frozen=True)
 class CollectionSpec:
     """How a flat table presents as a datacube.

@@ -447,3 +447,39 @@ def test_routed_collection_raises_with_resolved_url(spark):
         load_collection(
             spark, "planetarycomputer/sentinel-2-l2a", "/root/testdata/sf0.001"
         )
+
+
+def test_load_source_csv_json_roundtrip(spark, tmp_path):
+    from openeo_processes_dask_ml_spark.io.load import load_source
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, name string, v double"
+    )
+    csv_p, json_p = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.option("header", "true").csv(csv_p)
+    df.write.json(json_p)
+    schema = "id int, name string, v double"
+    got_csv = load_source(spark, csv_p, "csv", schema=schema)
+    got_json = load_source(spark, json_p, "json", schema=schema)
+    want = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, got_csv.collect())) == want
+    assert sorted(map(tuple, got_json.collect())) == want
+    # schema is mandatory for row formats (no silent inference pass)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="explicit schema"):
+        load_source(spark, csv_p, "csv")
+
+
+def test_load_source_csv_failfast_on_malformed(spark, tmp_path):
+    from openeo_processes_dask_ml_spark.io.load import load_source
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.csv").write_text("id,v\n1,2.0\nnot_an_int,x\n")
+    df = load_source(spark, str(p), "csv", schema="id int, v double")
+    import pytest as _pytest
+
+    # surfaces as Py4JJavaError wrapping SparkException(Malformed...)
+    with _pytest.raises(Exception, match="FAILFAST|Malformed|MALFORMED"):
+        df.collect()
