@@ -293,3 +293,22 @@ def test_web_ingest_pipeline_has_zero_joins(spark):
     assert "EvalPython" not in plan
     # exactly one parquet scan: the corpus is read once
     assert plan.count("Scan parquet") == 1
+
+
+def test_shard_read_back_prunes_partitions(spark, tmp_path):
+    """The sharded training layout must actually prune on read: a
+    filter on the shard column appears as a PartitionFilter on the
+    scan (directory pruning — non-matching shards are never opened),
+    not a post-scan Filter."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path).filter(F.col("shard") == 2)
+    plan = _plan(back)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "shard" in pf
+    assert back.select("doc_id").count() > 0
