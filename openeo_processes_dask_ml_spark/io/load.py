@@ -484,3 +484,34 @@ def save_result(
         writer = writer.option("header", "true")
     getattr(writer, fmt)(path, **options)
     return path
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet table into files of
+    ~``target_file_bytes`` and return the output file count.
+
+    The small-files problem is operational, not logical: a 100 TB
+    table accreted from streaming micro-batches or per-shard appends
+    can hold millions of KB-sized files, and every downstream scan
+    pays one open/footer-read per file (plus driver-side listing).
+    Sizing is measured through the Hadoop FileSystem API (works for
+    local/HDFS/S3A alike), so the repartition count reflects actual
+    bytes rather than row guesses. The rewrite is one shuffle-free
+    coalesce when shrinking; Spark picks repartition when growing.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    total = fs.getContentSummary(hpath).getLength()
+    n_out = max(1, -(-int(total) // int(target_file_bytes)))
+    df = spark.read.parquet(path)
+    n_in = len(df.inputFiles())
+    writer = (df.coalesce(n_out) if n_out <= n_in else df.repartition(n_out))
+    writer.write.mode("overwrite").parquet(out_path)
+    return n_out

@@ -483,3 +483,17 @@ def test_load_source_csv_failfast_on_malformed(spark, tmp_path):
     # surfaces as Py4JJavaError wrapping SparkException(Malformed...)
     with _pytest.raises(Exception, match="FAILFAST|Malformed|MALFORMED"):
         df.collect()
+
+
+def test_compact_table_collapses_small_files(spark, tmp_path):
+    from openeo_processes_dask_ml_spark.io.load import compact_table
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(32).write.parquet(src)  # fragment: 32 tiny files
+    n_out = compact_table(spark, src, dst)
+    assert n_out == 1  # tiny table -> one target-size file
+    back = spark.read.parquet(dst)
+    assert len(back.inputFiles()) == 1
+    assert back.count() == docs.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
