@@ -26,10 +26,11 @@ every production trainer uses:
    lineage never replays (same discipline as
    scale/dedup.py::duplicate_clusters).
 
-Encoding then becomes a broadcast join against the trained word table
-(word -> final symbol sequence): at inference the corpus never folds
-merges symbol-by-symbol — unseen words fall back to character splits
-with the merge fold applied only to that (rare) remainder.
+Encoding then becomes a dictionary join against the trained word table
+(word -> final symbol sequence; broadcast when small — AQE decides, see
+``bpe_encode``): at inference the corpus never folds merges
+symbol-by-symbol — unseen words fall back to character splits with the
+merge fold applied only to that (rare) remainder.
 
 No oracle SQL twin: merge learning is argmax-then-rewrite iterative
 and not expressible in one SQL statement; correctness is pinned by
