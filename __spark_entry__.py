@@ -2440,10 +2440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_simhash never driver-verified). Late-round full-surface
     # checks: the ENTIRE surface ran green through tools/driver_sim.py
     # in end-of-r6 sessions — 113/113 at sf0.01 AND sf0.001 mid-round,
-    # then 115/115 and finally 117/117 at sf0.01 again AFTER the
-    # final additions (cluster_balanced_sample, pipeline_web_ingest,
-    # skew_salted_agg, corpus_diff) and the late plan rewrites (span
-    # window shape, zero-join pipelines) — every pass 0 failures, all
+    # then, after the final additions (cluster_balanced_sample,
+    # pipeline_web_ingest, skew_salted_agg, corpus_diff) and the late
+    # plan rewrites (span window shape, zero-join pipelines), the
+    # complete 117-query surface at ALL THREE SFs — 117/117 green at
+    # sf0.001, sf0.01 and sf0.1, every pass 0 failures, all
     # hash-matched except the 2 documented rows-only entries
     # (ann_ivf_trained, bpe_merges). Changed/new queries that
     # did not fit the 50-slot budget sit first past the boundary with
