@@ -2120,15 +2120,16 @@ def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style one-pass column profile of orders (long form: one
-    row per column). All aggregates evaluate in a single scan; exact
-    NDV here for the oracle gate — k exact DISTINCTs expand rows k-fold
-    (PLANS.md), so the gate profiles the mid-size table and 100 TB
-    runs use the HLL++ default."""
+    row per column). All aggregates evaluate in a single scan; the gate
+    OPTS IN to exact NDV for cross-engine determinism — k exact
+    DISTINCTs expand rows k-fold (PLANS.md, 13.5x measured), so the
+    library default is the Expand-free HLL++ sketch (VERDICT r6 #3)."""
     from openeo_processes_dask_ml_spark.io.profile import profile_table
 
     return profile_table(
         _t(spark, sf_dir, "orders"),
         columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
+        exact_ndv=True,
     )
 
 

@@ -85,6 +85,16 @@ def load_source(
       quarantining is wanted.
     """
     fmt = fmt.lower()
+    if fmt in ("parquet", "orc", "text") and schema is not None:
+        # consistency with the strict csv/json posture (ADVICE r6):
+        # parquet/orc carry their own schema and text is fixed
+        # (value string) — silently ignoring a passed schema would hide
+        # a caller's wrong expectation instead of surfacing it
+        raise ValueError(
+            f"{fmt} sources do not take a schema (parquet/orc are "
+            "self-describing; text is always `value string`) — drop the "
+            "schema argument or cast/select after the read"
+        )
     if fmt == "parquet":
         return spark.read.options(**options).parquet(path)
     if fmt == "orc":
@@ -493,7 +503,10 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """Small-files compaction: rewrite a parquet table into files of
-    ~``target_file_bytes`` and return the output file count.
+    ~``target_file_bytes`` and return the ACTUAL output file count
+    (measured on the written table — the computed partition target can
+    overshoot it when coalesce is bounded by the scan's partition
+    count or when empty partitions write no file; ADVICE r6).
 
     The small-files problem is operational, not logical: a 100 TB
     table accreted from streaming micro-batches or per-shard appends
@@ -514,4 +527,4 @@ def compact_table(
     n_in = len(df.inputFiles())
     writer = (df.coalesce(n_out) if n_out <= n_in else df.repartition(n_out))
     writer.write.mode("overwrite").parquet(out_path)
-    return n_out
+    return len(spark.read.parquet(out_path).inputFiles())

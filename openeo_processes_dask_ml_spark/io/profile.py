@@ -8,8 +8,9 @@ is one read of the projected columns regardless of how many columns
 are profiled (vs one pass per column in naive ANALYZE loops).
 
 ``exact_ndv`` toggles exact ``count(DISTINCT)`` (cross-engine
-deterministic — the oracle gate needs it) vs HyperLogLog++
-``approx_count_distinct`` (the 100 TB default). The difference is not
+deterministic — the oracle gate opts in explicitly) vs HyperLogLog++
+``approx_count_distinct`` (the DEFAULT, because it is the only shape
+that survives 100 TB). The difference is not
 cosmetic: k exact DISTINCTs in one aggregation compile to Catalyst's
 Expand operator — every input row is REPLICATED k times into the
 shuffle — measured 232.8 s exact vs 17.2 s HLL++ on 30M rows x 4
@@ -29,7 +30,7 @@ from pyspark.sql import functions as F
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
-    exact_ndv: bool = True,
+    exact_ndv: bool = False,
 ) -> DataFrame:
     """One-pass column profile: (column, n_rows, n_nulls, n_distinct,
     min_value, max_value) with min/max rendered as strings so numeric,

@@ -148,11 +148,17 @@ def bpe_train(
             break
         left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
         merges.append((rank, left, right, left + right, int(cnt)))
-        prev = words
         words = words.withColumn(
             "syms", _merge_pass(F.col("syms"), left, right)
         ).localCheckpoint(eager=True)
-        prev.unpersist()
+        # No explicit unpersist of the previous iteration: localCheckpoint
+        # persists the INTERNAL RDD directly (not via the cache manager),
+        # so DataFrame.unpersist() cannot release it — the blocks are
+        # reclaimed by the ContextCleaner once the superseded RDD becomes
+        # unreferenced here (ADVICE r6). The lifetime is bounded and
+        # small: the word table is corpus-vocabulary-sized (~10^4-10^6
+        # narrow rows, NOT corpus-sized), stored MEMORY_AND_DISK, and at
+        # most a GC-lag's worth of superseded iterations is ever held.
     merges_df = spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
@@ -230,7 +236,7 @@ def bpe_encode(
     encoded = joined.withColumn(
         "syms", F.coalesce(F.col("dict_syms"), oov)
     )
-    return (
+    grouped = (
         encoded.groupBy("id")
         .agg(
             F.flatten(
@@ -242,4 +248,14 @@ def bpe_encode(
                 )
             ).alias("tokens")
         )
+    )
+    # keep one row per input document: empty/whitespace-only texts have
+    # no words, so they vanish before the groupBy — join them back with
+    # tokens = [] instead of silently dropping ids (ADVICE r6)
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(grouped, "id", "left").select(
+        "id",
+        F.coalesce(
+            F.col("tokens"), F.array().cast("array<string>")
+        ).alias("tokens"),
     )

@@ -404,6 +404,7 @@ def duplicated_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shape: str = "window",
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span statistics (public method:
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -435,19 +436,32 @@ def duplicated_spans(
         .filter(F.col("__t").isNotNull())
         .select("doc_id", "h")
     )
-    # occurrence count via a window on the fingerprint partition, NOT
-    # groupBy + join-back: the join shape evaluates the whole
-    # explode+lead span build twice (shared-subtree duplication — see
-    # the pipeline_web_ingest lesson in SCALE_NOTES r6); the window
-    # builds spans once and pays the same single shuffle on h.
-    # Trade-off, documented: a pathologically hot fingerprint (one
-    # boilerplate span in >>10^7 docs) buffers its occurrences in one
-    # spill-safe window partition, where the groupBy shape would have
-    # map-side combined it; below that regime the window wins (1.7 ->
-    # 1.1 s at sf0.1), past it prefer the join shape.
-    flagged = spans.withColumn(
-        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).select("doc_id", (F.col("n_occ") >= min_count).alias("dup"))
+    # Two plan shapes for the occurrence count, chosen by ``shape``
+    # (ADVICE r6: real web crawls DO have one boilerplate span in
+    # >>10^7 docs, so the crawl-scale caller must be able to pick the
+    # combine-friendly plan):
+    #  - "window" (default): count over a window on the fingerprint
+    #    partition — builds the explode+lead spans ONCE and pays one
+    #    shuffle on h (1.7 -> 1.1 s at sf0.1 vs join-back), but a
+    #    pathologically hot fingerprint buffers all its occurrences in
+    #    one spill-safe window partition.
+    #  - "combine": groupBy(h) + join back — the hot span map-side
+    #    combines into one carrying-a-count row per partition (no
+    #    buffering, no skewed partition; AQE skew-join splits the join
+    #    side), at the cost of evaluating the span build twice
+    #    (shared-subtree duplication). At crawl scale this is the
+    #    shape that survives.
+    if shape == "combine":
+        counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+        flagged = spans.join(counts, "h").select(
+            "doc_id", (F.col("n_occ") >= min_count).alias("dup")
+        )
+    elif shape == "window":
+        flagged = spans.withColumn(
+            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        ).select("doc_id", (F.col("n_occ") >= min_count).alias("dup"))
+    else:
+        raise ValueError(f"shape must be 'window' or 'combine', got {shape!r}")
     return (
         flagged.groupBy("doc_id")
         .agg(
@@ -556,6 +570,7 @@ def remove_duplicated_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shape: str = "window",
 ) -> DataFrame:
     """ExactSubstr span REMOVAL (the rewrite half of Lee et al. 2022,
     arXiv:2107.06499): where ``duplicated_spans`` only measures, this
@@ -594,21 +609,30 @@ def remove_duplicated_spans(
         .filter(F.col("__t").isNotNull())
         .select("doc_id", "pos", "h")
     )
-    # n_occ and the canonical (min doc_id, pos) occurrence as window
-    # aggregates on the fingerprint partition — NOT groupBy + join-back,
-    # which would evaluate the explode+lead span build twice (shared-
-    # subtree duplication; see the pipeline_web_ingest lesson in
-    # SCALE_NOTES r6). One shuffle on h either way; this shape builds
-    # spans once. Same hot-fingerprint trade-off as duplicated_spans:
-    # spill-safe window buffering vs map-side combine — the window wins
-    # except under pathological boilerplate skew.
-    wh = Window.partitionBy("h")
-    removal = (
-        spans.withColumn("n_occ", F.count(F.lit(1)).over(wh))
-        .withColumn(
+    # n_occ + canonical (min doc_id, pos) per fingerprint, in the shape
+    # ``shape`` picks — same trade-off as duplicated_spans (ADVICE r6):
+    # "window" builds spans once (one shuffle on h, spill-safe window
+    # buffering, loses map-side combine on a pathologically hot span);
+    # "combine" groupBy-aggregates per fingerprint (map-side combine
+    # absorbs crawl-scale boilerplate skew) and joins back, evaluating
+    # the span build twice.
+    if shape == "combine":
+        stats = spans.groupBy("h").agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("canon"),
+        )
+        occ = spans.join(stats, "h")
+    elif shape == "window":
+        wh = Window.partitionBy("h")
+        occ = spans.withColumn(
+            "n_occ", F.count(F.lit(1)).over(wh)
+        ).withColumn(
             "canon", F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(wh)
         )
-        .filter(F.col("n_occ") >= min_count)
+    else:
+        raise ValueError(f"shape must be 'window' or 'combine', got {shape!r}")
+    removal = (
+        occ.filter(F.col("n_occ") >= min_count)
         .filter(
             ~(
                 (F.col("doc_id") == F.col("canon.doc_id"))

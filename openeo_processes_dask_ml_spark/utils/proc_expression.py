@@ -61,7 +61,11 @@ def _named_callables() -> frozenset:
 
 
 def expressions_enabled() -> bool:
-    return os.environ.get(ENABLE_ENV, "1") not in ("0", "false", "False")
+    # DEFAULT OFF, matching the reference's opt-in posture
+    # (constants.py:76-87 gates expressions behind an explicit enable;
+    # VERDICT r6 item 5): arbitrary graph JSON reaches this resolver via
+    # run_udf, so code execution must be a deliberate deployment choice.
+    return os.environ.get(ENABLE_ENV, "0") in ("1", "true", "True")
 
 
 def resolve_python_expression(expression: str) -> Callable:
@@ -69,7 +73,10 @@ def resolve_python_expression(expression: str) -> Callable:
     package allowlist enforced on the root package."""
     if not expressions_enabled():
         raise PermissionError(
-            f"processing expressions are disabled (set {ENABLE_ENV}=1 to enable)"
+            "processing expressions are disabled by default; set "
+            f"{ENABLE_ENV}=1 in the driver environment (and in "
+            "spark.executorEnv for cluster runs — the resolver executes "
+            "inside inference UDFs) to enable them"
         )
     if ":" not in expression:
         raise ValueError(

@@ -147,6 +147,21 @@ def test_encode_roundtrip_and_oov(spark, docs):
     assert toks[: len(dict_syms["low"])] == dict_syms["low"]
 
 
+def test_encode_keeps_empty_documents(spark, docs):
+    """Empty / whitespace-only texts must come back with tokens = []
+    rather than vanishing (ADVICE r6: the word filter used to drop
+    their ids before the groupBy)."""
+    merges_df, words_df = bpe_train(docs, num_merges=5)
+    new = spark.createDataFrame(
+        [(1, "low lower"), (2, ""), (3, "   "), (4, "newest")],
+        "doc_id int, text string",
+    )
+    enc = {r["id"]: r["tokens"] for r in bpe_encode(new, merges_df, words_df).collect()}
+    assert set(enc) == {1, 2, 3, 4}
+    assert enc[2] == [] and enc[3] == []
+    assert len(enc[1]) > 0 and len(enc[4]) > 0
+
+
 def test_determinism_across_runs(spark, docs):
     a, _ = bpe_train(docs, num_merges=6)
     b, _ = bpe_train(docs, num_merges=6)

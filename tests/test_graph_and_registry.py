@@ -341,6 +341,29 @@ def test_python_format_runs():
     assert run_process_expression("python", "numpy:abs", -3) == 3
 
 
+def test_expressions_disabled_by_default(monkeypatch):
+    """Without the env opt-in (conftest sets it for the suite) the
+    resolver refuses ALL expressions — matching the reference's gated
+    posture — and the error tells the operator exactly how to enable,
+    including the executor-side requirement."""
+    monkeypatch.delenv("OPENEO_SPARK_ENABLE_PROC_EXPRESSIONS", raising=False)
+    from openeo_processes_dask_ml_spark.utils.proc_expression import (
+        expressions_enabled,
+    )
+
+    assert not expressions_enabled()
+    with pytest.raises(PermissionError) as exc:
+        resolve_python_expression("numpy:sqrt")
+    msg = str(exc.value)
+    assert "OPENEO_SPARK_ENABLE_PROC_EXPRESSIONS=1" in msg
+    assert "spark.executorEnv" in msg
+    # junk values don't enable either
+    monkeypatch.setenv("OPENEO_SPARK_ENABLE_PROC_EXPRESSIONS", "yes")
+    assert not expressions_enabled()
+    monkeypatch.setenv("OPENEO_SPARK_ENABLE_PROC_EXPRESSIONS", "1")
+    assert expressions_enabled()
+
+
 def test_graph_dimension_manipulation_pipeline(spark):
     """add_dimension -> rename_dimension -> rename_labels -> trim_cube
     compose through the executor."""

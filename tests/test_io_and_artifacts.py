@@ -469,6 +469,13 @@ def test_load_source_csv_json_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="explicit schema"):
         load_source(spark, csv_p, "csv")
+    # ...and refused for formats that cannot consume one (ADVICE r6:
+    # silently ignoring it hid a caller's wrong expectation)
+    pq_p = str(tmp_path / "p")
+    df.write.parquet(pq_p)
+    for bad_fmt in ("parquet", "text"):
+        with _pytest.raises(ValueError, match="do not take a schema"):
+            load_source(spark, pq_p, bad_fmt, schema=schema)
 
 
 def test_load_source_csv_failfast_on_malformed(spark, tmp_path):

@@ -317,11 +317,15 @@ def test_profile_table_one_pass_and_values(spark):
         [(1, None, "a"), (2, 5.0, "b"), (3, 5.0, None), (4, 7.5, "a")],
         ["id", "v", "s"],
     )
-    got = {r["column"]: r for r in profile_table(df).collect()}
+    got = {r["column"]: r for r in profile_table(df, exact_ndv=True).collect()}
     assert got["id"]["n_rows"] == 4 and got["id"]["n_distinct"] == 4
     assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
     assert got["s"]["min_value"] == "a" and got["s"]["max_value"] == "b"
-    # approx mode still runs (HLL++ path for 100 TB)
-    approx = {r["column"]: r["n_distinct"]
-              for r in profile_table(df, exact_ndv=False).collect()}
+    # the DEFAULT is the HLL++ sketch (VERDICT r6 #3: exact NDV compiles
+    # to Catalyst Expand — k-fold row replication — measured 13.5x
+    # slower; the scale-safe shape must be what callers get unasked)
+    default_df = profile_table(df)
+    assert "Expand" not in default_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in profile_table(df, exact_ndv=True)._jdf.queryExecution().executedPlan().toString()
+    approx = {r["column"]: r["n_distinct"] for r in default_df.collect()}
     assert approx["id"] >= 3

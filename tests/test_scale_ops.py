@@ -285,6 +285,39 @@ def test_duplicated_spans_exact_substr(spark):
     # shared 5-gram occurs at positions 0 and 5 (self-repeat), both dup
     assert out[5]["n_dup_spans"] >= 2
     assert 0 < out[1]["dup_frac"] < 1
+    # the combine (crawl-scale, map-side-combine-friendly) shape is
+    # result-identical to the default window shape (ADVICE r6)
+    comb = sorted(
+        map(tuple, duplicated_spans(df, span_tokens=5, shape="combine").collect())
+    )
+    assert comb == sorted(map(tuple, duplicated_spans(df, span_tokens=5).collect()))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window.*combine"):
+        duplicated_spans(df, span_tokens=5, shape="bogus")
+
+
+def test_remove_duplicated_spans_shapes_agree(spark):
+    from openeo_processes_dask_ml_spark.scale.text import (
+        remove_duplicated_spans,
+    )
+
+    shared = "one two three four five"
+    rows = [
+        (1, shared + " apple banana"),
+        (2, shared + " cherry mango"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (5, shared + " " + shared),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    win = sorted(map(tuple, remove_duplicated_spans(df, span_tokens=5).collect()))
+    comb = sorted(
+        map(
+            tuple,
+            remove_duplicated_spans(df, span_tokens=5, shape="combine").collect(),
+        )
+    )
+    assert win == comb and len(win) == 4
 
 
 def test_unigram_logprob_ranks_fluency(spark):
