@@ -2001,17 +2001,63 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production-shaped path. Centroid arithmetic is not replicable
     in SQL, so there is deliberately no oracle_sql entry: the driver
     records the rows-only contract (10 queries x k=5 ranked rows), and
-    recall-vs-bruteforce is unit-tested (test_similarity.py)."""
-    from openeo_processes_dask_ml_spark.scale.similarity import ivf_topk
+    recall-vs-bruteforce is unit-tested (test_similarity.py) AND
+    self-checked in the output (VERDICT r6 #8): each row carries its
+    query's recall against an in-query exact brute-force top-k, plus a
+    corpus-level ``recall_ok`` verdict. The fixture is the ANN-hostile
+    worst case — isotropic random 64-d vectors (max pair cosine ~0.51,
+    TESTDATA.md), where IVF recall theoretically equals its scan
+    fraction — so the honest contract is mean recall STRICTLY above
+    the n_probe/n_lists = 0.25 random-scan floor (measured: 0.40 at
+    sf0.01, 0.52 at sf0.1; a broken list assignment scores ~scan
+    fraction x k/N ~= 0.003 and trips it instantly). A clustered-
+    fixture recall bar lives in test_similarity.py where the fixture
+    makes a high absolute threshold meaningful."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        ann_topk_bruteforce,
+        ivf_topk,
+    )
 
-    return ivf_topk(
-        _t(spark, sf_dir, "embeddings"),
-        query_ids=list(range(10)),
-        k=5,
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    k = 5
+    got = ivf_topk(
+        emb,
+        query_ids=qids,
+        k=k,
         n_lists=8,
         n_probe=2,
         train_quantizer=True,
         sample_fraction=0.5,
+    )
+    truth = ann_topk_bruteforce(emb, qids, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    recall = (
+        got.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            dround(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(float(k)), 6
+            ).alias("recall_at_k")
+        )
+    )
+    mean_recall = recall.agg(
+        dround(F.avg("recall_at_k"), 6).alias("mean_recall")
+    )
+    floor = 2.0 / 8.0  # n_probe / n_lists: the random-scan recall floor
+    return (
+        got.join(F.broadcast(recall), "query_id")
+        .crossJoin(F.broadcast(mean_recall))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "rank",
+            "recall_at_k",
+            "mean_recall",
+            (F.col("mean_recall") > floor).alias("recall_ok"),
+        )
     )
 
 
@@ -2038,6 +2084,70 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ivfpq_topk(
         _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+def q_ann_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / query-many IVF lifecycle under the driver (VERDICT
+    r6 #6): build the index, PERSIST it to parquet (inverted lists
+    partitioned by list_id so a query session scans only probed
+    lists), reload, and serve the same request as ann_ivf. The
+    roundtrip is contractually identical to the direct query, so the
+    oracle is ann_ivf's SQL replica — a hash mismatch means the
+    persisted artifacts are not a faithful cache. Reference analog:
+    the content-addressed model cache (data_model.py:150-165)."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds_df, lists_df = build_ivf_index(emb, n_lists=8)
+    root = tempfile.mkdtemp(prefix="ivf_index_")
+    seeds_df.write.mode("overwrite").parquet(f"{root}/seeds")
+    lists_df.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{root}/lists"
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk_from_index(
+        spark.read.parquet(f"{root}/seeds"),
+        spark.read.parquet(f"{root}/lists"),
+        queries,
+        k=5,
+        n_probe=2,
+    )
+
+
+def q_ann_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index lifecycle under the driver (VERDICT r6 #6): codebooks
+    + 8-int codes persisted to parquet, reloaded, ADC-served — the raw
+    vectors are never read at query time. Same contract as
+    ann_ivf_from_index: the roundtrip must hash-match ann_pq's SQL
+    replica."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        build_pq_index,
+        pq_topk_from_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb_df, codes_df = build_pq_index(emb, m=8, ks=16)
+    root = tempfile.mkdtemp(prefix="pq_index_")
+    cb_df.write.mode("overwrite").parquet(f"{root}/codebooks")
+    codes_df.write.mode("overwrite").parquet(f"{root}/codes")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return pq_topk_from_index(
+        spark.read.parquet(f"{root}/codebooks"),
+        spark.read.parquet(f"{root}/codes"),
+        queries,
+        k=5,
     )
 
 
@@ -2401,14 +2511,68 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite. Deterministic tie-break (count desc, left, right) makes
     the merge table engine-independent, but the argmax-then-rewrite
     loop is not one SQL statement — deliberately no oracle_sql entry
-    (rows-only driver check); the merge sequence is pinned against a
-    pure-Python reference trainer in tests/test_bpe.py."""
-    from openeo_processes_dask_ml_spark.scale.bpe import bpe_train
-
-    merges, _ = bpe_train(
-        _t(spark, sf_dir, "documents"), num_merges=20, min_pair_count=2
+    (rows-only driver check). The contract oracle runs INSIDE the
+    query (VERDICT r6 #8): the textbook in-memory Sennrich trainer is
+    replayed on the SAME word-frequency table (a vocabulary-bounded
+    collect — words, not corpus) and full-outer-joined against the
+    distributed result, so any divergence changes the row count and
+    flips ``matches_reference`` — visible even to the rows-only gate.
+    The same pin also runs in tests/test_bpe.py."""
+    from openeo_processes_dask_ml_spark.scale.bpe import (
+        END_OF_WORD,
+        bpe_train,
+        word_frequencies,
     )
-    return merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=20, min_pair_count=2)
+
+    # --- in-query contract oracle: pure-Python reference trainer ---
+    words: dict[tuple, int] = {}
+    for r in word_frequencies(docs).collect():
+        key = tuple(list(r["word"]) + [END_OF_WORD])
+        words[key] = words.get(key, 0) + int(r["freq"])
+    ref: list[tuple] = []
+    for rank in range(20):
+        counts: dict[tuple, int] = {}
+        for syms, fr in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + fr
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        ref.append((rank, left, right, left + right, cnt))
+        nxt: dict[tuple, int] = {}
+        for syms, fr in words.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    ns.append(left + right)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            key = tuple(ns)
+            nxt[key] = nxt.get(key, 0) + fr
+        words = nxt
+    ref_df = spark.createDataFrame(
+        ref, "rank int, left string, right string, merged string, ref_count bigint"
+    )
+    return merges.join(
+        ref_df, ["rank", "left", "right", "merged"], "full"
+    ).select(
+        "rank",
+        "left",
+        "right",
+        "merged",
+        "pair_count",
+        (F.col("pair_count") == F.col("ref_count")).alias("matches_reference"),
+    )
 
 
 # ===========================================================================
@@ -2430,46 +2594,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every other round. When editing: (1) new/changed queries -> front,
     # (2) then oldest-green, (3) last-round greens -> tail.
     #
-    # r6 window (slots 1-50): 11 queries NEW or PLAN/ORACLE-CHANGED
-    # this round (ann_pq, incremental_minhash, span_removal,
-    # streaming_incremental_dedup, decontaminate_fuzzy; _coarse_assign
-    # join-back rewrite -> ann_ivf / ann_ivf_trained / semantic_dedup;
-    # hot-shingle-aware oracles -> dedup_ngram_jaccard /
-    # leakage_safe_split / dup_clusters) + ALL 39 queries the r5 window
-    # did not check (sessionize..streaming_spend_alerts sat just past
-    # slot 50 — ADVICE r5 — plus the r4-green tail, incl. the 48-bit
-    # dedup_simhash never driver-verified). Late-round full-surface
-    # checks: the ENTIRE surface ran green through tools/driver_sim.py
-    # in end-of-r6 sessions — 113/113 at sf0.01 AND sf0.001 mid-round,
-    # then, after the final additions (cluster_balanced_sample,
-    # pipeline_web_ingest, skew_salted_agg, corpus_diff) and the late
-    # plan rewrites (span window shape, zero-join pipelines), the
-    # complete 117-query surface at ALL THREE SFs — 117/117 green at
-    # sf0.001, sf0.01 and sf0.1, every pass 0 failures, all
-    # hash-matched except the 2 documented rows-only entries
-    # (ann_ivf_trained, bpe_merges). Changed/new queries that
-    # did not fit the 50-slot budget sit first past the boundary with
-    # per-entry justification (each verified green by
-    # tools/driver_sim.py at sf0.01 this round): dedup_canonical,
-    # dedup_fuzzy, merge_cubes, image_neardup, ann_ivfpq, plus the
-    # late r6 batch tfidf_cosine, containment, bigram_logprob,
-    # bloom_decontaminate, random_projection, bin_pack, tpch_q5,
-    # tpch_q18, streaming_topk. Tail (r5-green) MUST rotate to the
-    # front in r7, deferred new-in-r6 entries first.
+    # r7 window (slots 1-50), per VERDICT r6 directive 1 — DRAIN THE
+    # VERIFICATION DEBT, freeze surface growth:
+    #   slots 1-4: the only new/changed entries this round — the two
+    #     index-lifecycle queries VERDICT r6 #6 ordered
+    #     (ann_ivf_from_index / ann_pq_from_index, oracle = the direct
+    #     query's SQL index replica) and the two rows-only entries that
+    #     gained in-query contract oracles per VERDICT r6 #8
+    #     (bpe_merges: full-outer join vs the in-memory reference
+    #     trainer; ann_ivf_trained: recall_at_k vs in-query brute
+    #     force).
+    #   slots 5-27: ALL ~24 late-r6 entries that have never had a
+    #     driver-issued green row (only tools/driver_sim.py greens),
+    #     including the plan-changed duplicated_spans and
+    #     pipeline_end_to_end — the complete debt list from VERDICT r6.
+    #     profile_table is here too (its gate query now opts into
+    #     exact_ndv=True explicitly after the default flip, VERDICT r6
+    #     #3 — result unchanged, code path changed).
+    #   slots 28-50: the 23 OLDEST r5-greens from the tail.
+    # Tail: the 20 remaining r5-greens first (they fill the r8 window
+    # next round), then the 49 r6-window greens (freshest last).
+    # No other surface growth this round (growth freeze per directive).
     return {
-        # --- new or plan/oracle-changed this round ---
+        # --- slots 1-4: new/changed this round ---
+        "ann_ivf_from_index": q_ann_ivf_from_index,
+        "ann_pq_from_index": q_ann_pq_from_index,
+        "bpe_merges": q_bpe_merges,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        # --- slots 5-27: the never-driver-verified late-r6 batch ---
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "merge_cubes": q_merge_cubes,
+        "image_neardup": q_image_neardup,
+        "ann_ivfpq": q_ann_ivfpq,
+        "tfidf_cosine": q_tfidf_cosine,
+        "containment": q_containment,
+        "bigram_logprob": q_bigram_logprob,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "random_projection": q_random_projection,
+        "bin_pack": q_bin_pack,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q18": q_tpch_q18,
+        "streaming_topk": q_streaming_topk,
+        "weighted_sample": q_weighted_sample,
+        "profile_table": q_profile_table,
+        "url_dedup": q_url_dedup,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "pipeline_web_ingest": q_pipeline_web_ingest,
+        "skew_salted_agg": q_skew_salted_agg,
+        "corpus_diff": q_corpus_diff,
+        "duplicated_spans": q_duplicated_spans,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
+        # --- slots 28-50: oldest r5-greens ---
+        "graph_ml_pipeline": q_graph_ml_pipeline,
+        "ml_predict_tiled": q_ml_predict_tiled,
+        "ml_predict_linear": q_ml_predict_linear,
+        "process_graph": q_process_graph,
+        "graph_mask_pipeline": q_graph_mask_pipeline,
+        "fit_curve": q_fit_curve,
+        "predict_curve": q_predict_curve,
+        "dimension_ops": q_dimension_ops,
+        "resample_spatial": q_resample_spatial,
+        "quantiles_extrema": q_quantiles_extrema,
+        "cumulative_ops": q_cumulative_ops,
+        "set_ops": q_set_ops,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "top_k_orders": q_top_k_orders,
+        "streaming_rollup": q_streaming_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "multimodal_features": q_multimodal_features,
+        "ann_lsh": q_ann_lsh,
+        "filter_bands": q_filter_bands,
+        "filter_temporal": q_filter_temporal,
+        "apply_unary": q_apply_unary,
+        "doc_fingerprint": q_doc_fingerprint,
+        # --- slot >50: r5-greens that fill the r8 window next ---
+        "text_language_id": q_text_language_id,
+        "reduce_dimension": q_reduce_dimension,
+        "aggregate_temporal_period": q_aggregate_temporal_period,
+        "ndvi_bandmath": q_ndvi_bandmath,
+        "window_running_sum": q_window_running_sum,
+        "graph_fit_curve": q_graph_fit_curve,
+        "graph_zonal": q_graph_zonal,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "pack_sequences": q_pack_sequences,
+        "streaming_enrich": q_streaming_enrich,
+        "unigram_logprob": q_unigram_logprob,
+        "ccnet_buckets": q_ccnet_buckets,
+        "mixture_sample": q_mixture_sample,
+        "incremental_dedup": q_incremental_dedup,
+        "hard_negatives": q_hard_negatives,
+        "property_filter": q_property_filter,
+        "json_extract": q_json_extract,
+        "cube_agg": q_cube_agg,
+        "asof_join": q_asof_join,
+        "resample_cube_temporal": q_resample_cube_temporal,
+        # --- r6-window greens (driver-verified last round) ---
         "ann_pq": q_ann_pq,
         "incremental_minhash": q_incremental_minhash,
         "span_removal": q_span_removal,
         "streaming_incremental_dedup": q_streaming_incremental_dedup,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf": q_ann_ivf,
         "semantic_dedup": q_semantic_dedup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "leakage_safe_split": q_leakage_safe_split,
         "dup_clusters": q_dup_clusters,
-        # --- not checked in r5 (slots 51+ last round; green r4) ---
         "sessionize": q_sessionize,
         "apply_dimension": q_apply_dimension,
         "apply_neighborhood": q_apply_neighborhood,
@@ -2509,118 +2740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_kernel": q_apply_kernel,
         "climatology_anomaly": q_climatology_anomaly,
         "chunk_dedup": q_chunk_dedup,
-        # --- slot >50: green in r5, outside the window this round;
-        # rotate back to the front in r7. dedup_canonical/dedup_fuzzy
-        # sit first: their oracles gained the same shared hot-shingle
-        # CTE as dup_clusters / leakage_safe_split /
-        # dedup_ngram_jaccard (all in-window this round), their Spark
-        # plans are unchanged and r4-green, and both hash-matched a
-        # local sf0.01 driver-sim this round — the two deferrals the
-        # 50-slot budget forced ---
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_fuzzy": q_dedup_fuzzy,
-        # merge_cubes: resolver null-handling changed this round, but
-        # the new path has dedicated unit tests (test_cube.py) and the
-        # full query hash-matched a local sf0.01 driver-sim this round
-        # — third forced deferral, first in line for r7
-        "merge_cubes": q_merge_cubes,
-        # image_neardup: NEW in r6 but added after the 50-slot window
-        # filled with the stale-rotation backlog; hash-matched a local
-        # sf0.01 driver-sim and its contract was verified at sf0.1
-        # (247,500 pairs) — rotates into the window in r7
-        "image_neardup": q_image_neardup,
-        # ann_ivfpq: NEW in r6, same post-window situation as
-        # image_neardup — hash-matched a local sf0.01 driver-sim;
-        # rotates into the window in r7
-        "ann_ivfpq": q_ann_ivfpq,
-        # tfidf_cosine..bin_pack: NEW in r6 (late batch),
-        # same post-window situation — each verified green by
-        # tools/driver_sim.py at sf0.01; rotate into the window in r7
-        "tfidf_cosine": q_tfidf_cosine,
-        "containment": q_containment,
-        "bigram_logprob": q_bigram_logprob,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "random_projection": q_random_projection,
-        "bin_pack": q_bin_pack,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q18": q_tpch_q18,
-        "streaming_topk": q_streaming_topk,
-        "weighted_sample": q_weighted_sample,
-        "profile_table": q_profile_table,
-        # url_dedup / bpe_merges / cluster_balanced_sample: NEW in r6
-        # (final batch), same post-window situation — url_dedup
-        # (sf0.01 AND sf0.1) and cluster_balanced_sample (sf0.01)
-        # hash-matched local driver-sims; bpe_merges is rows-only by
-        # design (see its docstring) with the merge table pinned to a
-        # pure-Python reference in tests/test_bpe.py; all three rotate
-        # into the window in r7
-        "url_dedup": q_url_dedup,
-        "bpe_merges": q_bpe_merges,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        # pipeline_web_ingest: NEW in r6 (final batch) — full composed
-        # chain hash-matched a local sf0.01 driver-sim (twice: both
-        # the join-back and the final carried-column plan); rotates
-        # into the window in r7. NOTE pipeline_end_to_end's plan also
-        # changed late in r6 (same zero-join rewrite, semantics
-        # unchanged) and hash-matched a local sf0.01 driver-sim after
-        # the change — it too must sit in the r7 window.
-        "pipeline_web_ingest": q_pipeline_web_ingest,
-        # skew_salted_agg / corpus_diff: NEW in r6 (final batch), same
-        # post-window situation — both hash-matched local sf0.01
-        # driver-sims; rotate into the window in r7
-        "skew_salted_agg": q_skew_salted_agg,
-        "corpus_diff": q_corpus_diff,
-        "pipeline_end_to_end": q_pipeline_end_to_end,
-        "graph_ml_pipeline": q_graph_ml_pipeline,
-        "ml_predict_tiled": q_ml_predict_tiled,
-        "ml_predict_linear": q_ml_predict_linear,
-        "process_graph": q_process_graph,
-        "graph_mask_pipeline": q_graph_mask_pipeline,
-        "fit_curve": q_fit_curve,
-        "predict_curve": q_predict_curve,
-        "dimension_ops": q_dimension_ops,
-        "resample_spatial": q_resample_spatial,
-        "quantiles_extrema": q_quantiles_extrema,
-        "cumulative_ops": q_cumulative_ops,
-        "set_ops": q_set_ops,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "top_k_orders": q_top_k_orders,
-        "streaming_rollup": q_streaming_rollup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "multimodal_features": q_multimodal_features,
-        "ann_lsh": q_ann_lsh,
-        "filter_bands": q_filter_bands,
-        "filter_temporal": q_filter_temporal,
-        "apply_unary": q_apply_unary,
-        "doc_fingerprint": q_doc_fingerprint,
-        "text_language_id": q_text_language_id,
-        "reduce_dimension": q_reduce_dimension,
-        "aggregate_temporal_period": q_aggregate_temporal_period,
-        "ndvi_bandmath": q_ndvi_bandmath,
-        "window_running_sum": q_window_running_sum,
-        "graph_fit_curve": q_graph_fit_curve,
-        "graph_zonal": q_graph_zonal,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "pack_sequences": q_pack_sequences,
-        # duplicated_spans: plan changed late in r6 (count-over-window
-        # instead of groupBy + join-back, 1.7 -> 1.1 s; span_removal got
-        # the same rewrite but already sits in the r6 window) —
-        # hash-matched a local sf0.01 driver-sim after the change;
-        # must sit in the r7 window.
-        "duplicated_spans": q_duplicated_spans,
-        "streaming_enrich": q_streaming_enrich,
-        "unigram_logprob": q_unigram_logprob,
-        "ccnet_buckets": q_ccnet_buckets,
-        "mixture_sample": q_mixture_sample,
-        "incremental_dedup": q_incremental_dedup,
-        "hard_negatives": q_hard_negatives,
-        "property_filter": q_property_filter,
-        "json_extract": q_json_extract,
-        "cube_agg": q_cube_agg,
-        "asof_join": q_asof_join,
-        "resample_cube_temporal": q_resample_cube_temporal,
     }
+
 
 
 # ===========================================================================
@@ -5294,5 +5415,12 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 FROM orders"""
         for c in prof_cols
     )
+
+    # Index-lifecycle queries (VERDICT r6 #6): the persisted-artifact
+    # roundtrip is CONTRACTUALLY identical to the direct ANN query, so
+    # each reuses the direct query's full SQL index replica — a hash
+    # mismatch means the parquet artifacts are not a faithful cache.
+    sql["ann_ivf_from_index"] = sql["ann_ivf"]
+    sql["ann_pq_from_index"] = sql["ann_pq"]
 
     return sql

@@ -33,14 +33,23 @@ from pyspark.sql import functions as F
 from openeo_processes_dask_ml_spark.cube import CubeFrame
 
 
-def _axis_index(df, col: str, spark):
-    """coord -> dense index as a tiny broadcast table (axis-sized)."""
-    coords = [r[0] for r in df.select(col).distinct().orderBy(col).collect()]
-    idx_df = spark.createDataFrame(
-        [(v, i) for i, v in enumerate(coords)],
-        schema=f"`{col}` {dict(df.dtypes)[col]}, `__i_{col}` long",
-    )
-    return F.broadcast(idx_df), len(coords)
+def _axis_indices(df, cols, spark):
+    """coord -> dense index tables for several axes from ONE job over
+    the input (one ``collect_set`` per axis in a single aggregation)
+    instead of a distinct+collect scan per axis: at cube scale the
+    input scan is the cost, the axis domains are tiny. Null coords are
+    excluded — the downstream equi-join never matched them anyway."""
+    row = df.agg(*[F.collect_set(c).alias(c) for c in cols]).head()
+    dtypes = dict(df.dtypes)
+    out = {}
+    for col in cols:
+        coords = sorted(row[col])
+        idx_df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(coords)],
+            schema=f"`{col}` {dtypes[col]}, `__i_{col}` long",
+        )
+        out[col] = (F.broadcast(idx_df), len(coords))
+    return out
 
 
 def apply_neighborhood(
@@ -74,8 +83,9 @@ def apply_neighborhood(
     others = [v for v in cube.dims.values() if v not in (xcol, ycol)]
     spark = cube.df.sparkSession
 
-    xi_df, nx = _axis_index(cube.df, xcol, spark)
-    yi_df, ny = _axis_index(cube.df, ycol, spark)
+    axis = _axis_indices(cube.df, [xcol, ycol], spark)
+    xi_df, nx = axis[xcol]
+    yi_df, ny = axis[ycol]
 
     offsets = [
         F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
@@ -130,8 +140,9 @@ def apply_kernel(
     others = [v for v in cube.dims.values() if v not in (xcol, ycol)]
     spark = cube.df.sparkSession
 
-    xi_df, nx = _axis_index(cube.df, xcol, spark)
-    yi_df, ny = _axis_index(cube.df, ycol, spark)
+    axis = _axis_indices(cube.df, [xcol, ycol], spark)
+    xi_df, nx = axis[xcol]
+    yi_df, ny = axis[ycol]
 
     # Convolution flips the kernel (scipy.ndimage.convolve semantics,
     # as used by upstream apply_kernel): the tap at offset (di-ry,

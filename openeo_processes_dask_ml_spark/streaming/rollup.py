@@ -330,13 +330,44 @@ def run_stream_spend_alerts_once(
     schema,
     threshold: float = 500.0,
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
 ) -> DataFrame:
     """Drive the custom stateful operator with Trigger.AvailableNow and
-    return the static alert set."""
+    return the static alert set.
+
+    ``checkpoint_dir`` + ``output_dir`` (both required together) switch
+    from the ephemeral memory sink to a restartable parquet file sink:
+    a later call with the SAME directories resumes from the persisted
+    source offsets and state store — only files that arrived since the
+    last run are processed, per-key running totals survive the restart,
+    and already-emitted alerts are not re-written (the file sink's
+    ``_spark_metadata`` log makes the output exactly-once). That is the
+    production lifecycle — a spend monitor that stops and resumes must
+    not re-alert or forget totals. The memory sink cannot recover from
+    a checkpoint (Spark rejects it at start), so the default
+    no-checkpoint call stays on memory and replays everything. Returns
+    the cumulative alert set across all runs sharing ``output_dir``."""
+    if (checkpoint_dir is None) != (output_dir is None):
+        raise ValueError(
+            "checkpoint_dir and output_dir must be passed together: "
+            "restart needs a recoverable (file) sink"
+        )
     stream = stream_events(
         spark, path, schema, "ts", max_files_per_trigger=max_files_per_trigger
     )
     alerts = spend_alert_stream(stream, threshold=threshold)
+    if checkpoint_dir is not None:
+        query = (
+            alerts.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.read.parquet(output_dir)
     table = f"stream_alerts_{uuid.uuid4().hex[:8]}"
     query = (
         alerts.writeStream.format("memory")
