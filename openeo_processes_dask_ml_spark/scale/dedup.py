@@ -655,6 +655,11 @@ def duplicate_clusters(
     # pairs input is typically a whole candidate+verify pipeline, and
     # without this every iteration (and the convergence check) would
     # recompute it from scratch (measured 10x on the sf0.1 corpus).
+    # (Negative result, do not retry: repartitioning on the join key
+    # before the checkpoint does NOT save the per-iteration edge-side
+    # exchange — under AQE the checkpointed LogicalRDD reports
+    # UnknownPartitioning, so EnsureRequirements re-shuffles anyway;
+    # verified via executedPlan in r7.)
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
@@ -675,6 +680,7 @@ def duplicate_clusters(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
@@ -687,21 +693,20 @@ def duplicate_clusters(
         )
         updated = updated.join(grand, "label", "left").select(
             "node",
+            "old",
             F.least(
                 F.col("label"), F.coalesce("grand_label", F.col("label"))
             ).alias("label"),
         )
-        # checkpoint FIRST (truncates lineage, one evaluation), then
-        # run the convergence probe over the two materialized frames
+        # checkpoint FIRST (truncates lineage, one evaluation); the
+        # convergence probe is then a filter over the materialized
+        # blocks — the previous label rides along as `old`, so no
+        # join against the prior frame is needed
         updated = updated.localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
+            updated.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = updated
+        labels = updated.drop("old")
         if changed == 0:
             converged = True
             break

@@ -1389,8 +1389,14 @@ def ivf_topk_from_index(
     cos = dround(
         _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
     )
+    # The probed list ids are known driver-side, so prune STATICALLY:
+    # when lists_df is the partitionBy("list_id") parquet index this
+    # becomes a partition filter at the scan — only probed lists are
+    # read, independent of dynamic-partition-pruning kicking in.
+    probed_ids = sorted({lid for *_, lid in probe_rows})
     cand = (
-        lists_df.join(
+        lists_df.filter(F.col("list_id").isin(probed_ids))
+        .join(
             F.broadcast(probes),
             (lists_df.list_id == probes.list_id)
             & (F.col("query_id") != F.col("vid")),

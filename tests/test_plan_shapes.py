@@ -312,3 +312,74 @@ def test_shard_read_back_prunes_partitions(spark, tmp_path):
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "shard" in pf
     assert back.select("doc_id").count() > 0
+
+
+def test_ivf_index_query_prunes_probed_lists(spark, tmp_path):
+    """The persisted IVF index must serve a query by opening ONLY the
+    probed inverted lists: the list_id filter is applied driver-side
+    from the collected seed table, so it lands as a static
+    PartitionFilter on the parquet scan (directory pruning of the
+    partitionBy("list_id") layout) — not dynamic pruning that may or
+    may not engage, and not a post-scan Filter."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seeds_df, lists_df = build_ivf_index(emb, n_lists=4)
+    root = str(tmp_path / "ivf")
+    seeds_df.write.parquet(f"{root}/seeds")
+    lists_df.write.partitionBy("list_id").parquet(f"{root}/lists")
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivf_topk_from_index(
+        spark.read.parquet(f"{root}/seeds"),
+        spark.read.parquet(f"{root}/lists"),
+        queries,
+        k=3,
+        n_probe=2,
+    )
+    plan = _plan(out)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "list_id" in pf  # static IN-filter prunes unprobed lists
+    assert out.count() > 0
+
+
+def test_pq_index_query_reads_codes_not_vectors(spark, tmp_path):
+    """ADC serving from the persisted PQ index must never read the raw
+    embedding vectors: the scan's ReadSchema holds only the 8-int code
+    column (+id), and the codebooks enter the plan as literals in one
+    projection, not as a joined table."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        build_pq_index,
+        pq_topk_from_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb_df, codes_df = build_pq_index(emb, m=4, ks=8)
+    root = str(tmp_path / "pq")
+    cb_df.write.parquet(f"{root}/codebooks")
+    codes_df.write.parquet(f"{root}/codes")
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = pq_topk_from_index(
+        spark.read.parquet(f"{root}/codebooks"),
+        spark.read.parquet(f"{root}/codes"),
+        queries,
+        k=3,
+    )
+    plan = _plan(out)
+    # exactly one parquet scan (the codes table); its schema must not
+    # contain an embedding/vector column
+    scans = [
+        ln for ln in plan.splitlines() if "ReadSchema:" in ln
+    ]
+    assert len(scans) == 1, f"expected only the codes scan, got: {scans}"
+    assert "embedding" not in scans[0]
+    assert "code" in scans[0]
+    assert out.count() > 0
