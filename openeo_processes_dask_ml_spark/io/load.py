@@ -336,9 +336,11 @@ def load_collection(
         if backend is not None:
             raise NotImplementedError(
                 f"collection {collection_id!r} routes to STAC catalog "
-                f"{DATA_BACKENDS[backend]}/collections/{coll}; remote "
-                "catalog access requires network, unavailable in this "
-                f"environment. Local collections: {sorted(COLLECTIONS)}"
+                f"{DATA_BACKENDS[backend]}/collections/{coll}; use "
+                "io.stac_client.stac_asset_table for the catalog search "
+                "(network or injected transport required) — pixel decode "
+                "additionally needs the geo stack. Local collections: "
+                f"{sorted(COLLECTIONS)}"
             )
         raise ValueError(
             f"unknown collection {collection_id!r}; known: {sorted(COLLECTIONS)}"
