@@ -136,6 +136,11 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
+        # drop localCheckpoint blocks the finished query leaked —
+        # ContextCleaner reclaims them only on Python GC, and 69
+        # queries x 3 reps of accumulation pressures storage memory
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
         timings[name] = round(min(times), 3)
         # spread = max - min across reps: when it rivals the min, the
         # number is noise, not signal — judges should read min AND this
