@@ -1348,52 +1348,44 @@ def ivf_topk_from_index(
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
 ) -> DataFrame:
-    """Serve IVF top-k from persisted artifacts: probe assignment runs
-    driver-side against the collected seeds (n_lists rows — bounded by
-    construction), then the probed inverted lists re-rank exactly.
-    Cosine fold order matches ``ivf_topk`` bit-for-bit."""
+    """Serve IVF top-k from persisted artifacts. Probe assignment is
+    DISTRIBUTED — queries join the broadcast seed table (n_lists rows
+    by construction) and take their top-``n_probe`` lists per query
+    under a window, so the query batch never funnels through the
+    driver; only the probed list-id SET (at most n_lists values) is
+    collected, to prune the partitioned index statically. Cosine fold
+    order matches ``ivf_topk`` bit-for-bit (same ``_dot`` expression,
+    same (sim desc, seed asc) probe ordering)."""
     from pyspark.sql import Window
 
-    seed_rows = [
-        (int(r["seed_id"]), [float(x) for x in r["sv"]], float(r["snrm"]))
-        for r in seeds_df.collect()
-    ]
-    qrows = queries.select(
-        F.col(query_id_col).alias("qid"),
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
         F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias(
             "qv"
         ),
-    ).collect()
-
-    def _dot_py(a, b):
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    probe_rows = []
-    for r in qrows:
-        qv = [float(x) for x in r["qv"]]
-        qnrm = sum(x * x for x in qv) ** 0.5
-        sims = [
-            (_dot_py(qv, sv) / (qnrm * snrm), sid)
-            for sid, sv, snrm in seed_rows
-        ]
-        # top n_probe by (sim desc, seed asc) — ivf_topk's ordering
-        for sim, sid in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]:
-            probe_rows.append((int(r["qid"]), qv, qnrm, sid))
-    probes = queries.sparkSession.createDataFrame(
-        probe_rows,
-        "query_id long, qv array<double>, qnrm double, list_id long",
+    ).withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    sim = _dot(F.col("qv"), F.col("sv")) / (F.col("qnrm") * F.col("snrm"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("seed_id")
+    )
+    probes = (
+        q.join(F.broadcast(seeds_df))
+        .select("query_id", "qv", "qnrm", "seed_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "qv", "qnrm", F.col("seed_id").alias("list_id"))
     )
     cos = dround(
         _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
     )
-    # The probed list ids are known driver-side, so prune STATICALLY:
-    # when lists_df is the partitionBy("list_id") parquet index this
-    # becomes a partition filter at the scan — only probed lists are
-    # read, independent of dynamic-partition-pruning kicking in.
-    probed_ids = sorted({lid for *_, lid in probe_rows})
+    # The probed list-id SET is bounded by n_lists, so collecting it is
+    # safe at any query-batch size, and the static IN-filter becomes a
+    # partition filter on the partitionBy("list_id") parquet index —
+    # only probed lists are read, independent of dynamic-partition-
+    # pruning kicking in.
+    probed_ids = sorted(
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    )
     cand = (
         lists_df.filter(F.col("list_id").isin(probed_ids))
         .join(
