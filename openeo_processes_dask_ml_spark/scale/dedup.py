@@ -628,21 +628,33 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """Assign each node of the duplicate-pair graph its connected
     component, labeled by the minimum member id (the canonical
     representative): the dedup step that turns pairwise matches into
     keep/drop groups.
 
-    Iterative min-label propagation with pointer doubling: each round
-    every node takes the min of its own label, its neighbors' labels,
-    AND its label's label (path halving) — so convergence needs
-    O(log diameter) rounds, not O(diameter), and long duplicate chains
-    at corpus scale stay inside the iteration budget. Each round is
-    two equi-joins + one groupBy — no driver materialization of the
-    graph, so components of any size distribute. Exiting without
-    convergence warns loudly instead of silently returning partial
-    clusters.
+    Two plans behind one contract, chosen by the materialized edge
+    count — the same bounded-vs-distributed dichotomy as a broadcast
+    threshold:
+
+    * ``<= driver_edge_threshold`` edges (a bounded ~MB collect —
+      duplicate-pair graphs are candidate-VERIFIED output, typically
+      orders of magnitude smaller than the corpus): one job collects
+      the edges via ``limit(threshold+1)`` and a driver union-find
+      labels them — no iteration, no per-round job overhead.
+    * larger graphs: iterative min-label propagation with pointer
+      doubling — each round every node takes the min of its own label,
+      its neighbors' labels, AND its label's label (path halving), so
+      convergence needs O(log diameter) rounds, not O(diameter). Each
+      round is two equi-joins + one groupBy; no driver materialization
+      of the graph, so components of any size distribute. Exiting
+      without convergence warns loudly instead of silently returning
+      partial clusters.
+
+    Both paths emit identical (doc_id, cluster_id=min member) labels
+    (equivalence unit-tested across the threshold).
     """
     import warnings
 
@@ -651,6 +663,39 @@ def duplicate_clusters(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if driver_edge_threshold > 0:
+        # ONE evaluation decides the plan AND supplies the small-graph
+        # data: if limit(t+1) returns <= t rows we already hold every
+        # edge, so no second job runs on the expensive pairs pipeline.
+        head = edges.limit(driver_edge_threshold + 1).collect()
+        if len(head) <= driver_edge_threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in head:
+                a, b = r["a"], r["b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            comp_min: dict = {}
+            for node in parent:
+                root = find(node)
+                cur = comp_min.get(root)
+                if cur is None or node < cur:
+                    comp_min[root] = node
+            rows = [(n, comp_min[find(n)]) for n in parent]
+            return pairs.sparkSession.createDataFrame(
+                rows, "doc_id long, cluster_id long"
+            )
     # undirected: propagate labels both ways. Materialize ONCE — the
     # pairs input is typically a whole candidate+verify pipeline, and
     # without this every iteration (and the convergence check) would

@@ -49,7 +49,9 @@ def test_duplicate_clusters_long_chain_pointer_doubling(spark):
     )
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # non-convergence would raise
-        out = duplicate_clusters(pairs, max_iterations=10)
+        out = duplicate_clusters(
+            pairs, max_iterations=10, driver_edge_threshold=0
+        )
         got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {i: 0 for i in range(40)}
 
@@ -61,7 +63,35 @@ def test_duplicate_clusters_warns_without_convergence(spark):
         [(i, i + 1) for i in range(20)], ["id_a", "id_b"]
     )
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        duplicate_clusters(pairs, max_iterations=1).collect()
+        duplicate_clusters(
+            pairs, max_iterations=1, driver_edge_threshold=0
+        ).collect()
+
+
+def test_duplicate_clusters_paths_agree_across_threshold(spark):
+    """The driver union-find fast path and the distributed min-label
+    loop are the SAME operator: identical (doc_id, cluster_id) labels
+    on a graph with chains, a star, singleton-free isolates and
+    reversed/duplicated edges."""
+    from openeo_processes_dask_ml_spark.scale.dedup import duplicate_clusters
+
+    raw = (
+        [(i, i + 1) for i in range(10)]          # chain 0..10
+        + [(100, j) for j in range(101, 106)]    # star at 100
+        + [(3, 2), (2, 3), (7, 7)]               # reversed dup + self-loop
+        + [(200, 201)]                           # separate pair
+    )
+    pairs = spark.createDataFrame(raw, ["id_a", "id_b"])
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs, driver_edge_threshold=0).collect()
+    }
+    assert fast == dist
+    assert (105, 100) in fast and (201, 200) in fast and (10, 0) in fast
 
 
 def test_round_process_is_bankers(spark):
