@@ -1403,3 +1403,151 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    n_lists: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    train_quantizer: bool = False,
+    train_codebooks: bool = False,
+    sample_fraction: float = 1.0,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Persist-once IVF-PQ (IVFADC) artifacts:
+    (seeds_df, codebooks_df, codes_df).
+
+    ``codes_df`` is (vid, codes array<int>, list_id) — write it
+    ``partitionBy("list_id")`` so a query session scans only probed
+    lists AND reads only m small ints per candidate; the raw vectors
+    appear in no artifact. This is the layout billion-scale stores
+    persist (FAISS IVFADC, Jegou et al. 2011), composed from the same
+    ``_coarse_assign`` / ``_pq_codebooks`` / ``_pq_encode`` pieces as
+    the direct ``ivfpq_topk`` query, so the persisted index is
+    contractually identical to the in-session one."""
+    d_sub = dim // m
+    _, _, assigned, seeds = _coarse_assign(
+        df, n_lists, vec_col, id_col, train_quantizer, sample_fraction
+    )
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cb = _pq_codebooks(base, m, ks, d_sub, train_codebooks, sample_fraction)
+    cb_df = df.sparkSession.createDataFrame(
+        [(j, c, cb[j][c]) for j in range(m) for c in range(ks)],
+        "j int, c int, w array<double>",
+    )
+    codes = _pq_encode(base, cb, m, ks, d_sub).join(
+        assigned.select("vid", "list_id"), "vid"
+    )
+    return seeds, cb_df, codes
+
+
+def ivfpq_topk_from_index(
+    seeds_df: DataFrame,
+    codebooks_df: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Serve IVF-PQ top-k from persisted artifacts: collect the seeds
+    (n_lists rows) and codebooks (m*ks rows) — both bounded by
+    construction — plus the query vectors (bounded by the request
+    batch; the ADC tables are per-query literals, same posture as
+    ``pq_topk_from_index``), assign probes, prune the codes scan to
+    the probed lists with a STATIC list_id filter (a partition filter
+    on the partitionBy("list_id") layout), and rank by asymmetric
+    distance over the m-int codes. Matches ``ivfpq_topk`` bit-for-bit
+    (same fold orders, same (sim desc, seed asc) probe ordering, same
+    rounded-distance + id tie-break)."""
+    from pyspark.sql import Window
+
+    seed_rows = [
+        (int(r["seed_id"]), [float(x) for x in r["sv"]], float(r["snrm"]))
+        for r in seeds_df.collect()
+    ]
+    cb_rows = codebooks_df.collect()
+    m = 1 + max(r["j"] for r in cb_rows)
+    ks = 1 + max(r["c"] for r in cb_rows)
+    cb = [[None] * ks for _ in range(m)]
+    for r in cb_rows:
+        cb[r["j"]][r["c"]] = [float(x) for x in r["w"]]
+    d_sub = len(cb[0][0])
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias(
+            "qv"
+        ),
+    ).collect()
+
+    probe_rows = []
+    adc_rows = []
+    for r in qrows:
+        qid = int(r["qid"])
+        qv = [float(x) for x in r["qv"]]
+        acc = 0.0
+        for x in qv:
+            acc += x * x
+        qnrm = acc ** 0.5
+        sims = []
+        for sid, sv, snrm in seed_rows:
+            s = 0.0
+            for x, y in zip(qv, sv):
+                s += x * y
+            sims.append((s / (qnrm * snrm), sid))
+        for sim, sid in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]:
+            probe_rows.append((qid, sid))
+        adc_rows.append(
+            (
+                qid,
+                [
+                    [
+                        _l2sq_py(qv[j * d_sub:(j + 1) * d_sub], cb[j][c])
+                        for c in range(ks)
+                    ]
+                    for j in range(m)
+                ],
+            )
+        )
+    spark = codes_df.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long")
+    adc_df = spark.createDataFrame(
+        adc_rows, "query_id long, adc array<array<double>>"
+    ).join(probes, "query_id")
+
+    probed_ids = sorted({lid for _, lid in probe_rows})
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("adc"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    cand = (
+        codes_df.filter(F.col("list_id").isin(probed_ids))
+        .join(F.broadcast(adc_df), "list_id")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            dround(approx, 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )

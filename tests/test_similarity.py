@@ -343,3 +343,45 @@ def test_cluster_balanced_sample_properties(spark):
     # deterministic
     again = cluster_balanced_sample(emb, per_cluster=10, n_lists=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_ivfpq_index_lifecycle_roundtrip(spark, emb_df, tmp_path):
+    """Persisted IVF-PQ artifacts (seeds + codebooks + list-partitioned
+    codes) must serve the same ADC-ranked top-k as the direct
+    ivfpq_topk call — build-once/query-many for the combined index."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+    )
+
+    seeds_df, cb_df, codes_df = build_ivfpq_index(
+        emb_df, n_lists=4, m=4, ks=8, dim=8
+    )
+    sp = str(tmp_path / "seeds")
+    cp = str(tmp_path / "codebooks")
+    kp = str(tmp_path / "codes")
+    seeds_df.write.parquet(sp)
+    cb_df.write.parquet(cp)
+    codes_df.write.partitionBy("list_id").parquet(kp)
+
+    qids = [0, 1, 2]
+    queries = emb_df.filter(emb_df.vec_id.isin(qids)).select(
+        emb_df.vec_id.alias("query_id"), emb_df.embedding.alias("qv")
+    )
+    served = ivfpq_topk_from_index(
+        spark.read.parquet(sp),
+        spark.read.parquet(cp),
+        spark.read.parquet(kp),
+        queries,
+        k=3,
+        n_probe=2,
+    ).collect()
+    direct = ivfpq_topk(
+        emb_df, qids, k=3, n_lists=4, n_probe=2, m=4, ks=8, dim=8
+    ).collect()
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], r["approx_dist"])
+        for r in rows
+    )
+    assert norm(served) == norm(direct)
