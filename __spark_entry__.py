@@ -2107,7 +2107,11 @@ def q_ann_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds_df, lists_df = build_ivf_index(emb, n_lists=8)
     root = tempfile.mkdtemp(prefix="ivf_index_")
     seeds_df.write.mode("overwrite").parquet(f"{root}/seeds")
-    lists_df.write.mode("overwrite").partitionBy("list_id").parquet(
+    # repartition on the partition column BEFORE a partitioned write —
+    # otherwise every shuffle partition writes into every list dir
+    # (32 x n_lists small files; at warehouse scale that's the classic
+    # small-files explosion). One file per list here.
+    lists_df.repartition("list_id").write.mode("overwrite").partitionBy("list_id").parquet(
         f"{root}/lists"
     )
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -2139,7 +2143,10 @@ def q_ann_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_df, codes_df = build_pq_index(emb, m=8, ks=16)
     root = tempfile.mkdtemp(prefix="pq_index_")
     cb_df.write.mode("overwrite").parquet(f"{root}/codebooks")
-    codes_df.write.mode("overwrite").parquet(f"{root}/codes")
+    # m small ints per row compress to ~nothing: target a few fat
+    # files, not one per shuffle partition (small-files hygiene; at
+    # warehouse scale pick files ~= target HDFS/S3 block size)
+    codes_df.coalesce(4).write.mode("overwrite").parquet(f"{root}/codes")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
