@@ -378,3 +378,62 @@ def test_containment_matches_bruteforce(spark):
                 expect[(a, b)] = (r6(ca), r6(cb))
     assert got == expect
     assert expect  # prefix corpus guarantees containment pairs
+
+
+# ---------------------------------------------------------------------------
+# duplicate_clusters: driver union-find == distributed min-label loop
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_clusters_paths_agree_randomized(spark):
+    """Seeded random graphs (mixed density, self-loops, duplicate and
+    reversed edges): the small-graph union-find fast path and the
+    distributed pointer-doubling loop must emit identical labels, and
+    both must equal a brute-force Python component search."""
+    rng = random.Random(77)
+    for trial in range(4):
+        n_nodes = rng.choice([10, 40, 80])
+        n_edges = rng.randint(5, 3 * n_nodes)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        from openeo_processes_dask_ml_spark.scale.dedup import (
+            duplicate_clusters,
+        )
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        fast = {
+            (r["doc_id"], r["cluster_id"])
+            for r in duplicate_clusters(pairs).collect()
+        }
+        dist = {
+            (r["doc_id"], r["cluster_id"])
+            for r in duplicate_clusters(
+                pairs, driver_edge_threshold=0
+            ).collect()
+        }
+        # brute-force reference: BFS components over non-self-loop edges
+        adj: dict = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expect = set()
+        seen: set = set()
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            comp, queue = {start}, [start]
+            while queue:
+                x = queue.pop()
+                for y in adj[x]:
+                    if y not in comp:
+                        comp.add(y)
+                        queue.append(y)
+            seen |= comp
+            label = min(comp)
+            expect |= {(node, label) for node in comp}
+        assert fast == expect, f"trial {trial}: fast path diverged"
+        assert dist == expect, f"trial {trial}: distributed path diverged"
