@@ -2105,7 +2105,13 @@ def q_ann_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     seeds_df, lists_df = build_ivf_index(emb, n_lists=8)
-    root = tempfile.mkdtemp(prefix="ivf_index_")
+    # deterministic per-SF location + overwrite: bench reps and
+    # repeated gate runs REUSE the dir instead of leaking a fresh
+    # mkdtemp per call
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_index_{os.path.basename(sf_dir.rstrip(chr(47)))}",
+    )
     seeds_df.write.mode("overwrite").parquet(f"{root}/seeds")
     # repartition on the partition column BEFORE a partitioned write —
     # otherwise every shuffle partition writes into every list dir
@@ -2141,7 +2147,10 @@ def q_ann_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cb_df, codes_df = build_pq_index(emb, m=8, ks=16)
-    root = tempfile.mkdtemp(prefix="pq_index_")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"pq_index_{os.path.basename(sf_dir.rstrip(chr(47)))}",
+    )
     cb_df.write.mode("overwrite").parquet(f"{root}/codebooks")
     # m small ints per row compress to ~nothing: target a few fat
     # files, not one per shuffle partition (small-files hygiene; at
