@@ -116,6 +116,79 @@ def load_source(
     raise ValueError(f"unsupported source format: {fmt!r}")
 
 
+def load_source_quarantine(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """The crawl-ingest counterpart to ``load_source``'s FAILFAST
+    default: a PERMISSIVE read that SPLITS instead of silently
+    null-ing — returns ``(good, quarantined)`` where ``good`` carries
+    exactly ``schema`` (parse failures removed) and ``quarantined``
+    carries every malformed row with its raw text in ``corrupt_col``
+    for audit/replay. At 100 TB some records are always broken; the
+    choice this function forces is explicit quarantine, never
+    corruption-as-nulls flowing into dedup/training downstream.
+
+    csv/json only — self-describing formats fail at the footer, not
+    per row. Both returned frames are lazy projections over ONE text
+    scan with the parse as a ``from_json``/``from_csv`` EXPRESSION —
+    deliberately not a schema'd csv/json scan, whose internal corrupt
+    column Spark refuses to query on its own
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so e.g.
+    ``quarantined.count()`` would throw. Expression-side parsing has
+    no such restriction, and a row format reads full lines either way
+    so no pruning is lost. Write the quarantine side somewhere durable
+    before dropping it.
+    """
+    from pyspark.sql.types import StructType
+
+    fmt = fmt.lower()
+    if fmt not in ("csv", "json"):
+        raise ValueError(
+            "quarantine reads apply to row formats (csv/json); "
+            f"got {fmt!r}"
+        )
+    parse_opts = {
+        k: str(v) for k, v in options.items() if k not in ("header",)
+    }
+    parse_opts["mode"] = "PERMISSIVE"
+    parse_opts["columnNameOfCorruptRecord"] = corrupt_col
+    full_schema = f"{schema}, `{corrupt_col}` string"
+    raw = spark.read.text(path)
+    if fmt == "csv":
+        header = str(options.get("header", "true")).lower() == "true"
+        if header:
+            sep = str(options.get("sep", ","))
+            fields = [f.name for f in StructType.fromDDL(schema).fields]
+            raw = raw.filter(F.col("value") != sep.join(fields))
+        parsed = raw.select(
+            F.from_csv(F.col("value"), full_schema, parse_opts).alias("r"),
+            F.col("value"),
+        )
+    else:
+        parsed = raw.select(
+            F.from_json(F.col("value"), full_schema, parse_opts).alias("r"),
+            F.col("value"),
+        )
+    data_fields = [f.name for f in StructType.fromDDL(schema).fields]
+    # from_json yields a NULL struct for lines that are not even
+    # parseable as JSON (instead of populating the corrupt field the
+    # way the mismatched-type case does) — both are quarantine
+    corrupt = F.col("r").isNull() | F.col(f"r.{corrupt_col}").isNotNull()
+    good = parsed.filter(~corrupt).select(
+        *[F.col(f"r.{c}").alias(c) for c in data_fields]
+    )
+    bad = parsed.filter(corrupt).select(
+        F.col("value").alias(corrupt_col),
+        *[F.col(f"r.{c}").alias(c) for c in data_fields],
+    )
+    return good, bad
+
+
 @dataclass(frozen=True)
 class CollectionSpec:
     """How a flat table presents as a datacube.

@@ -504,3 +504,57 @@ def test_compact_table_collapses_small_files(spark, tmp_path):
     assert len(back.inputFiles()) == 1
     assert back.count() == docs.count()
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_load_source_quarantine_splits_json(spark, tmp_path):
+    """PERMISSIVE + corrupt-record split: good rows carry exactly the
+    declared schema, malformed lines land in quarantine with their raw
+    text, and nothing is silently null-ed."""
+    from openeo_processes_dask_ml_spark.io.load import (
+        load_source_quarantine,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "ok two"}\n'
+        '{"doc_id": "NaN-ish", "text": 3}\n'  # type mismatch -> corrupt
+    )
+    good, bad = load_source_quarantine(
+        spark, str(p), "json", "doc_id long, text string"
+    )
+    good_rows = {(r["doc_id"], r["text"]) for r in good.collect()}
+    assert good_rows == {(1, "ok one"), (2, "ok two")}
+    assert good.columns == ["doc_id", "text"]
+    raws = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+
+
+def test_load_source_quarantine_splits_csv(spark, tmp_path):
+    from openeo_processes_dask_ml_spark.io.load import (
+        load_source_quarantine,
+    )
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,n\n"
+        "1,10\n"
+        "2,not_a_number\n"
+        "3,30\n"
+    )
+    good, bad = load_source_quarantine(
+        spark, str(p), "csv", "doc_id long, n long"
+    )
+    assert {(r["doc_id"], r["n"]) for r in good.collect()} == {(1, 10), (3, 30)}
+    assert bad.count() == 1
+
+
+def test_load_source_quarantine_rejects_parquet(spark):
+    from openeo_processes_dask_ml_spark.io.load import (
+        load_source_quarantine,
+    )
+
+    with pytest.raises(ValueError, match="row formats"):
+        load_source_quarantine(spark, "/tmp/x", "parquet", "a long")
