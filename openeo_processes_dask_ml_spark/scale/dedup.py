@@ -26,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from openeo_processes_dask_ml_spark.utils.partitioning import spread
 from openeo_processes_dask_ml_spark.utils.rounding import dround
 
 # --------------------------------------------------------------------------
