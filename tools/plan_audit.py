@@ -93,6 +93,18 @@ AUDIT = [
         "at 50x — SCALE_NOTES).",
     ),
     (
+        "dup_clusters",
+        "Shown: the small-graph FAST PATH (r7) — at gate SF the "
+        "candidate-verified pair graph is a few hundred edges, so "
+        "limit(threshold+1).collect() (one evaluation of the pairs "
+        "pipeline) feeds a driver union-find and the plan is a "
+        "parallelized local scan of the labeled rows. Above 100k edges "
+        "the operator switches to the distributed pointer-doubling "
+        "loop (probed to 500k edges / diameter 1022, SCALE_NOTES); "
+        "both paths emit identical min-label clusters "
+        "(equivalence + randomized tests).",
+    ),
+    (
         "ann_ivf_from_index",
         "Index SERVING plan (build/write happen before this plan): the "
         "lists scan carries a static PartitionFilter on list_id — only "
