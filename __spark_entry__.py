@@ -36,6 +36,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _pin(spark: SparkSession) -> None:
+    """Assert the engine's pinned session confs (ONE shared helper —
+    VERDICT r7 #3: no bare spark.conf.set in query bodies, so no site
+    can drift from the contract in io/load.py:_PINNED_SESSION_CONFS)."""
+    from openeo_processes_dask_ml_spark.io.load import pin_session_confs
+
+    pin_session_confs(spark)
+
+
 # ===========================================================================
 # datacube algebra (SURVEY §2.5–2.7)
 # ===========================================================================
@@ -1754,9 +1763,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_sessionize_once,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = run_stream_sessionize_once(
         spark,
@@ -1785,9 +1792,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_interval_join_once,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = run_stream_interval_join_once(
         spark, f"{sf_dir}/events.parquet", schema,
@@ -1810,9 +1815,7 @@ def q_streaming_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_spend_alerts_once,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = run_stream_spend_alerts_once(
         spark, f"{sf_dir}/events.parquet", schema, threshold=500.0
@@ -1829,9 +1832,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming state machine is oracle-checkable."""
     from openeo_processes_dask_ml_spark.streaming.rollup import run_stream_dedup_once
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = run_stream_dedup_once(
         spark,
@@ -1852,9 +1853,7 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_static_enrich_once,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     cust = _t(spark, sf_dir, "customer")
     out = run_stream_static_enrich_once(
@@ -1875,9 +1874,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch computation (oracle-checkable streaming)."""
     from openeo_processes_dask_ml_spark.streaming.rollup import run_stream_rollup_once
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = run_stream_rollup_once(
         spark,
@@ -2249,13 +2246,19 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per column). All aggregates evaluate in a single scan; the gate
     OPTS IN to exact NDV for cross-engine determinism — k exact
     DISTINCTs expand rows k-fold (PLANS.md, 13.5x measured), so the
-    library default is the Expand-free HLL++ sketch (VERDICT r6 #3)."""
+    library default is the Expand-free HLL++ sketch (VERDICT r6 #3).
+    render='portable' (VERDICT r7 #1): min/max strings carry ZERO
+    engine rendering freedom — doubles as fixed-scale DECIMAL(38,6),
+    timestamps via explicit date_format, mirrored in the oracle — so
+    an engine-version difference in double->string shortest-round-trip
+    or timestamp formatting cannot flip the gate hash."""
     from openeo_processes_dask_ml_spark.io.profile import profile_table
 
     return profile_table(
         _t(spark, sf_dir, "orders"),
         columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
         exact_ndv=True,
+        render="portable",
     )
 
 
@@ -2277,9 +2280,7 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_topk_once,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     return run_stream_topk_once(
         spark,
@@ -5434,15 +5435,23 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
 
-    prof_cols = ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"]
+    # portable rendering contract (VERDICT r7 #1), mirrored per dtype:
+    # double -> fixed-scale DECIMAL(38,6); timestamp -> explicit
+    # strftime; int/string -> plain cast. No engine rendering freedom.
+    prof_render = {
+        "o_orderkey": "CAST({v} AS VARCHAR)",
+        "o_totalprice": "CAST(CAST({v} AS DECIMAL(38,6)) AS VARCHAR)",
+        "o_orderstatus": "CAST({v} AS VARCHAR)",
+        "o_orderdate": "strftime({v}, '%Y-%m-%d %H:%M:%S')",
+    }
     sql["profile_table"] = "\nUNION ALL\n".join(
         f"""SELECT '{c}' AS column, count(*) AS n_rows,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct,
-       CAST(min({c}) AS VARCHAR) AS min_value,
-       CAST(max({c}) AS VARCHAR) AS max_value
+       {r.format(v=f'min({c})')} AS min_value,
+       {r.format(v=f'max({c})')} AS max_value
 FROM orders"""
-        for c in prof_cols
+        for c, r in prof_render.items()
     )
 
     # Index-lifecycle queries (VERDICT r6 #6): the persisted-artifact

@@ -11,6 +11,7 @@ format dispatch at custom_processes.py:191-219 onto DataFrame writers.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,23 +30,72 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+# The engine's session contract (ONE source of truth — VERDICT r7 #3:
+# seven query bodies used to repeat these as inline conf.set triples,
+# which is the drift-prone shape this dict replaces):
+# - nanosAsLong: fixture columns stored as parquet TIMESTAMP(NANOS),
+#   which Spark's vectorized reader rejects; read nanos as long and
+#   truncate to micros (exactly DuckDB's TIMESTAMP_NS -> TIMESTAMP).
+# - inferTimestampNTZ off: testdata timestamps are parquet
+#   timestamp[us] without a timezone, which Spark 4 would otherwise
+#   surface as TIMESTAMP_NTZ — a type unix_timestamp/unix_micros
+#   reject and DuckDB's naive TIMESTAMP doesn't hash-match.
+# - session timeZone UTC: the LTZ interpretation of those naive
+#   instants must not float with the host timezone (ADVICE r4), and
+#   collect()-time rendering of LTZ timestamps uses the CURRENT
+#   session tz — which is why the query surface pins and does NOT
+#   restore: a restore to a non-UTC ambient zone would shift
+#   timestamps collected after the query function returns.
+_PINNED_SESSION_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Reader confs the fixture data requires, re-asserted on EVERY
     load: memoizing them (tried, reverted) lets an application that
     flips spark.sql.session.timeZone between loads silently read the
     timezone-less fixture timestamps under the wrong zone — the runtime
-    conf.set is a local map write, so re-asserting costs nothing."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Testdata timestamps are parquet timestamp[us] without a timezone,
-    # which Spark 4 would otherwise surface as TIMESTAMP_NTZ — a type
-    # unix_timestamp/unix_micros reject and DuckDB's naive TIMESTAMP
-    # doesn't hash-match. Read them as session-tz TIMESTAMP instead,
-    # and pin the session timezone to UTC so string rendering/parsing
-    # of those instants matches DuckDB's naive timestamps on any
-    # machine (ADVICE r4: without this, the LTZ interpretation floats
-    # with the host timezone).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set is a local map write, so re-asserting costs nothing.
+
+    This is the idempotent fixed point every query body converges to:
+    running any engine query leaves the session exactly in this state,
+    so no query can inherit a DIFFERENT state from its predecessor
+    (the conf-leak failure class). Applications that need their own
+    timezone afterwards should use :func:`session_confs_pinned`."""
+    for k, v in _PINNED_SESSION_CONFS.items():
+        spark.conf.set(k, v)
+
+
+# public name: query bodies and streaming runners call this instead of
+# repeating inline conf.set triples
+pin_session_confs = _ensure_session_confs
+
+
+@contextmanager
+def session_confs_pinned(spark: SparkSession):
+    """Scoped variant: pin the engine's session confs, restore the
+    caller's previous values (or unset) on exit. For applications that
+    interleave engine queries with their own session-tz-sensitive work.
+    NOTE the restore means LTZ timestamp results collected AFTER the
+    block render under the restored zone — collect inside the block."""
+    saved: dict[str, str | None] = {}
+    for k in _PINNED_SESSION_CONFS:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    pin_session_confs(spark)
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

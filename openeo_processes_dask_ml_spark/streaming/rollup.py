@@ -31,9 +31,9 @@ def stream_events(
     requires a directory basePath. ``max_files_per_trigger`` forces
     multi-micro-batch execution (tests use it to prove state carries
     across batches)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from openeo_processes_dask_ml_spark.io.load import pin_session_confs
+
+    pin_session_confs(spark)
     import os
 
     reader = spark.readStream.schema(schema)

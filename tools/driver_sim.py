@@ -4,12 +4,20 @@ Runs each queries() entry and its oracle_sql() twin side-by-side on the
 same parquet tables, compares row count / column names / normalized
 values, and prints one status line per query.  Usage:
 
-    python tools/driver_sim.py [sf_dir] [first_n] [name ...]
+    python tools/driver_sim.py [--strict] [--dump] [sf_dir] [first_n] [name ...]
 
 Defaults: sf_dir=/root/testdata/sf0.01, first_n=50 (the driver's
 verification window).  Naming specific queries overrides first_n.
+
+--strict (VERDICT r7 #1): compare raw stringified rows the way the real
+driver hashes them — every value str()-ified, md5 over the sorted rows,
+NO float rounding / isclose leniency.  A query that is strict-green
+here but red at the real gate is diverging on something environmental
+(engine-version rendering, session state), not on values.
+--dump: print both engines' normalized rows for each compared query.
 """
 
+import hashlib
 import math
 import sys
 import time
@@ -23,6 +31,9 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+STRICT = False
+DUMP = False
 
 
 def normalize(rows, columns):
@@ -46,15 +57,54 @@ def normalize(rows, columns):
     return [columns[i] for i in order], out
 
 
+def strict_normalize(rows, columns):
+    """Raw stringified rows, the way the real driver hashes them: sort
+    columns by name, str() every value (datetimes via isoformat for
+    cross-engine type parity), sort rows lexically — no float rounding,
+    no isclose. The md5 of this list IS the driver's value hash."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [columns[i] for i in order], out
+
+
+def strict_hash(rows):
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:12]
+
+
+def dump_rows(label, cols, rows, limit=20):
+    print(f"  --- {label} ({len(rows)} rows) cols={cols}")
+    for r in rows[:limit]:
+        print(f"    {r}")
+    if len(rows) > limit:
+        print(f"    ... {len(rows) - limit} more")
+
+
 def compare(spark, con, name, fn, sql):
     qdf = fn(spark, SF_DIR)
-    s_cols, s_rows = normalize([tuple(r) for r in qdf.collect()], qdf.columns)
+    s_raw = [tuple(r) for r in qdf.collect()]
+    s_cols, s_rows = normalize(s_raw, qdf.columns)
     if sql is None:
         return f"rows-only ({len(s_rows)} rows)"
     res = con.execute(sql)
-    d_cols, d_rows = normalize(
-        res.fetchall(), [d[0] for d in res.description]
-    )
+    d_raw = res.fetchall()
+    d_desc = [d[0] for d in res.description]
+    d_cols, d_rows = normalize(d_raw, d_desc)
+    if DUMP:
+        dump_rows("spark", s_cols, s_rows)
+        dump_rows("duckdb", d_cols, d_rows)
     if s_cols != d_cols:
         return f"FAIL cols spark={s_cols} duck={d_cols}"
     if len(s_rows) != len(d_rows):
@@ -66,11 +116,25 @@ def compare(spark, con, name, fn, sql):
                     return f"FAIL value row{i} {c}: {sv} != {dv}"
             elif sv != dv:
                 return f"FAIL value row{i} {c}: {sv!r} != {dv!r}"
+    if STRICT:
+        _, ss = strict_normalize(s_raw, list(qdf.columns))
+        _, ds = strict_normalize(d_raw, d_desc)
+        sh, dh = strict_hash(ss), strict_hash(ds)
+        if sh != dh:
+            mism = next(
+                (f"row{i} {a} != {b}" for i, (a, b) in enumerate(zip(ss, ds)) if a != b),
+                "row-set diff",
+            )
+            return f"STRICT-FAIL hash {sh}!={dh}: {mism}"
+        return f"ok+strict ({len(s_rows)} rows, hash {sh})"
     return f"ok ({len(s_rows)} rows)"
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    STRICT = "--strict" in args
+    DUMP = "--dump" in args
+    args = [a for a in args if not a.startswith("--")]
     SF_DIR = args[0] if args else "/root/testdata/sf0.01"
     first_n = int(args[1]) if len(args) > 1 else 50
     names = args[2:]
