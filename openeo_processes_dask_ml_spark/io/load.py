@@ -212,9 +212,31 @@ def load_source_quarantine(
     if fmt == "csv":
         header = str(options.get("header", "true")).lower() == "true"
         if header:
-            sep = str(options.get("sep", ","))
-            fields = [f.name for f in StructType.fromDDL(schema).fields]
-            raw = raw.filter(F.col("value") != sep.join(fields))
+            # drop the FIRST LINE of each file (ADVICE r7: the former
+            # byte-equal-to-joined-schema filter leaked foreign headers
+            # whose spelling differed from the declared schema — with
+            # an all-string schema they then parse as good rows — and
+            # silently dropped any legitimate data row equal to the
+            # header string). Per-file first line = the minimum
+            # monotonically_increasing_id per input file: splits of one
+            # file stay in offset order in Spark's file bin-packing, so
+            # ids within a file increase with byte offset. The per-file
+            # min agg map-side-combines to n_files rows and broadcasts
+            # back; the price is a second pass over the text — which a
+            # real pipeline pays once, in the convert-to-parquet step.
+            tagged = raw.select(
+                F.col("value"),
+                F.input_file_name().alias("__file"),
+                F.monotonically_increasing_id().alias("__pos"),
+            )
+            firsts = tagged.groupBy("__file").agg(
+                F.min("__pos").alias("__first")
+            )
+            raw = (
+                tagged.join(F.broadcast(firsts), "__file")
+                .filter(F.col("__pos") != F.col("__first"))
+                .select("value")
+            )
         parsed = raw.select(
             F.from_csv(F.col("value"), full_schema, parse_opts).alias("r"),
             F.col("value"),

@@ -692,8 +692,22 @@ def duplicate_clusters(
                 if cur is None or node < cur:
                     comp_min[root] = node
             rows = [(n, comp_min[find(n)]) for n in parent]
+            # derive the output schema from the edge id type (ADVICE
+            # r7): the distributed path preserves the input id type, so
+            # the fast path must too — string ids would otherwise raise
+            # in createDataFrame and int ids would flip dtype depending
+            # on which side of the threshold the graph lands
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = edges.schema["a"].dataType
             return pairs.sparkSession.createDataFrame(
-                rows, "doc_id long, cluster_id long"
+                rows,
+                StructType(
+                    [
+                        StructField("doc_id", id_type),
+                        StructField("cluster_id", id_type),
+                    ]
+                ),
             )
     # undirected: propagate labels both ways. Materialize ONCE — the
     # pairs input is typically a whole candidate+verify pipeline, and

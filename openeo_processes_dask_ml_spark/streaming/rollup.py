@@ -367,7 +367,10 @@ def run_stream_spend_alerts_once(
             .start()
         )
         query.awaitTermination()
-        return spark.read.parquet(output_dir)
+        # explicit schema (ADVICE r7): a run that emits zero alerts
+        # writes only _spark_metadata, and a schema-inferring read of
+        # that directory fails instead of returning an empty frame
+        return spark.read.schema(alerts.schema).parquet(output_dir)
     table = f"stream_alerts_{uuid.uuid4().hex[:8]}"
     query = (
         alerts.writeStream.format("memory")

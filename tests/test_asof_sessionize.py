@@ -141,6 +141,21 @@ def test_duplicate_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
 
 
+def test_duplicate_clusters_string_ids_both_paths(spark):
+    """Output schema derives from the edge id type on BOTH paths
+    (ADVICE r7: the driver fast path used to hardcode long ids)."""
+    from openeo_processes_dask_ml_spark.scale.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    for threshold in (100_000, 0):  # driver fast path / distributed loop
+        out = duplicate_clusters(pairs, driver_edge_threshold=threshold)
+        assert dict(out.dtypes) == {"doc_id": "string", "cluster_id": "string"}
+        got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_mask_rejects_extra_dims(spark):
     from openeo_processes_dask_ml_spark.cube import CubeFrame
 

@@ -551,6 +551,39 @@ def test_load_source_quarantine_splits_csv(spark, tmp_path):
     assert bad.count() == 1
 
 
+def test_load_source_quarantine_csv_header_first_line_per_file(
+    spark, tmp_path
+):
+    """Header dropping is positional — first line of EACH file — not a
+    byte-match against the declared schema (ADVICE r7): a foreign
+    header with different spelling is dropped rather than leaking as an
+    all-string good row, and a data row that happens to equal the
+    header string survives."""
+    d = tmp_path / "drop"
+    d.mkdir()
+    # file 1: header spelled differently from the declared schema
+    (d / "a.csv").write_text("ID , Name\n1,alpha\n2,beta\n")
+    # file 2: a legitimate data row byte-equal to the declared header
+    (d / "b.csv").write_text("doc_id,name\n3,gamma\ndoc_id,name\n")
+    from openeo_processes_dask_ml_spark.io.load import (
+        load_source_quarantine,
+    )
+
+    good, bad = load_source_quarantine(
+        spark, str(d), "csv", "doc_id string, name string"
+    )
+    got = {(r["doc_id"], r["name"]) for r in good.collect()}
+    # the duplicate-of-header DATA row is kept (all-string schema
+    # parses it); both per-file headers are dropped, nothing leaks
+    assert got == {
+        ("1", "alpha"),
+        ("2", "beta"),
+        ("3", "gamma"),
+        ("doc_id", "name"),
+    }
+    assert bad.count() == 0
+
+
 def test_load_source_quarantine_rejects_parquet(spark):
     from openeo_processes_dask_ml_spark.io.load import (
         load_source_quarantine,

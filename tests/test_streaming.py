@@ -176,6 +176,32 @@ def test_spend_alerts_survive_checkpoint_restart(spark, tmp_path):
     assert got2 == {(7, 1): 110.0, (7, 2): 205.0}
 
 
+def test_spend_alerts_zero_alert_run_returns_empty_frame(spark, tmp_path):
+    """A restartable run that emits no alerts writes only
+    _spark_metadata; the read must return an empty frame with the alert
+    schema, not a schema-inference error (ADVICE r7)."""
+    import os
+
+    from openeo_processes_dask_ml_spark.streaming.rollup import (
+        run_stream_spend_alerts_once,
+    )
+
+    rows = [(1, 7, "click", datetime(2024, 1, 1, 9, 0, 0), 60.0)]
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    path = str(tmp_path / "spend_zero")
+    os.makedirs(path)
+    df = spark.createDataFrame(rows, cols)
+    df.coalesce(1).write.parquet(path, mode="append")
+
+    out = run_stream_spend_alerts_once(
+        spark, path, df.schema, threshold=1e9,
+        checkpoint_dir=str(tmp_path / "ckpt0"),
+        output_dir=str(tmp_path / "alerts0"),
+    )
+    assert out.collect() == []
+    assert set(out.columns) >= {"user_id", "total", "level"}
+
+
 def test_stream_interval_join_attribution(spark, tmp_path):
     """Purchases pair with same-user clicks inside the lookback window
     (inclusive bounds), and with nothing outside it."""

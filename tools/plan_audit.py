@@ -109,8 +109,11 @@ AUDIT = [
         "Index SERVING plan (build/write happen before this plan): the "
         "lists scan carries a static PartitionFilter on list_id — only "
         "the probed inverted lists' directories are opened (probe "
-        "assignment ran driver-side against the n_lists-row seed "
-        "table), the probes arrive as BroadcastExchange, and the "
+        "assignment is DISTRIBUTED: queries join the broadcast "
+        "n_lists-row seed table and a per-query top-n_probe window "
+        "picks the lists; only the probed list-id SET — bounded by "
+        "n_lists — is collected to build the static partition "
+        "filter), the probes arrive as BroadcastExchange, and the "
         "corpus vectors never shuffle (the only Exchange below the "
         "top-k window moves (query_id, neighbor_id, cosine) rows).",
     ),
