@@ -1,0 +1,170 @@
+"""Distributed raster decode: STAC asset table -> long-form CubeFrame.
+
+Reference analog: ``opd_ml_dev_utils/get_datacube.py:142-257`` (pystac
+item assets materialized into an xarray cube via odc-stac; stackstac
+variant :58-139). There the pixel cube materializes on one machine;
+here the asset table IS a DataFrame (io/stac_client.py stops at hrefs
+deliberately), so decode fans out per partition with ``mapInPandas``
+and the result stays distributed — at 100 TB of imagery the pixels
+never congregate on the driver, and every downstream cube operator
+(filter_bands, ndvi, ml_predict...) consumes the long form directly.
+
+Network and format access are both injected, the same pattern as the
+STAC client's transport (io/stac_client.py:48): a ``fetcher(href) ->
+bytes`` callable supplies payloads (unit tests: canned dicts;
+production: HTTP/S3 range reads), and decoding reuses the pure-numpy
+image decoders (scale/multimodal.py:110). Real COG/GeoTIFF decoding
+needs rasterio/PIL — absent here, so those media types surface the
+decoders' clear ``NotImplementedError`` — while the Spark-side
+plumbing (schema, partition fan-out, Arrow batch shape, coordinate
+layout) is real and tested end-to-end into ``run_model_tiled``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+Fetcher = Callable[[str], bytes]
+
+# long-form cube rows: one per pixel (x band). y/x are CRS coordinates
+# at pixel centers when the item carries a bbox, else pixel indices.
+CUBE_ROW_SCHEMA = (
+    "item_id string, time timestamp, band string, "
+    "y double, x double, value double"
+)
+
+_MEDIA_FMTS = {
+    "image/x-portable-graymap": "pgm",
+    "image/x-portable-pixmap": "ppm",
+    "image/bmp": "bmp",
+    "image/tiff; application=geotiff; profile=cloud-optimized": "cog",
+    "image/tiff; application=geotiff": "gtiff",
+    "image/tiff": "gtiff",
+}
+
+
+def _fmt_of(href: str | None, media_type: str | None) -> str:
+    """Asset format key: media type first (the STAC-correct source),
+    href extension as fallback."""
+    mt = (media_type or "").lower().strip()
+    if mt in _MEDIA_FMTS:
+        return _MEDIA_FMTS[mt]
+    ext = (href or "").rsplit(".", 1)[-1].lower()
+    return ext or mt
+
+
+def _pixel_frame(
+    item_id: str,
+    when,
+    band: str,
+    arr: np.ndarray,
+    bbox,
+    scale: float,
+    offset: float,
+) -> pd.DataFrame:
+    """Vectorized long-form rows for one decoded asset. bbox
+    [minx, miny, maxx, maxy] places PIXEL-CENTER coordinates north-up
+    (row 0 = max y, the raster convention); without a bbox, indices."""
+    if arr.ndim == 3:
+        # multi-channel payloads become per-channel bands; single-band
+        # rasters (the geospatial norm) pass through with the asset key
+        frames = [
+            _pixel_frame(
+                item_id, when, f"{band}.{c}", arr[:, :, c], bbox, scale, offset
+            )
+            for c in range(arr.shape[2])
+        ]
+        return pd.concat(frames, ignore_index=True)
+    h, w = arr.shape
+    if bbox is not None and len(bbox) == 4:
+        minx, miny, maxx, maxy = (float(v) for v in bbox)
+        xs = minx + (np.arange(w) + 0.5) * ((maxx - minx) / w)
+        ys = maxy - (np.arange(h) + 0.5) * ((maxy - miny) / h)
+    else:
+        xs = np.arange(w, dtype=np.float64)
+        ys = np.arange(h, dtype=np.float64)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    vals = arr.astype(np.float64) * scale + offset
+    return pd.DataFrame(
+        {
+            "item_id": item_id,
+            "time": when,
+            "band": band,
+            "y": yy.ravel(),
+            "x": xx.ravel(),
+            "value": vals.ravel(),
+        }
+    )
+
+
+def decode_assets_to_cube(
+    assets: DataFrame,
+    fetcher: Fetcher,
+    scale: float = 1.0,
+    offset: float = 0.0,
+    partitions: int | None = None,
+    on_error: str = "raise",
+) -> CubeFrame:
+    """Fan the asset table out across executors and decode each href's
+    payload into long-form pixel rows.
+
+    ``assets`` is the ``stac_asset_table`` schema (item_id, collection,
+    datetime, band, href, media_type, bbox). ``fetcher`` is cloudpickled
+    to the executors and called once per asset — keep connection pools
+    executor-local (lazy init inside the callable), the same posture as
+    ``run_model_tiled``'s predict_fn. ``scale``/``offset`` apply the
+    usual DN -> reflectance affine. ``on_error='skip'`` drops assets
+    whose fetch/decode raises (a 100 TB catalog always has a few rotten
+    hrefs); the default surfaces the first error.
+
+    The asset table is repartitioned before the decode (driver-created
+    catalog frames land in ONE partition otherwise — the classic
+    accidental serialization): explicit ``partitions`` if given, else
+    hash-spread on (item_id, band) into the session's shuffle
+    parallelism. Decode cost dominates the tiny shuffle of href rows.
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    spread = (
+        assets.repartition(partitions)
+        if partitions
+        else assets.repartition(F.col("item_id"), F.col("band"))
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from openeo_processes_dask_ml_spark.scale.multimodal import (
+            decode_image,
+        )
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                try:
+                    payload = fetcher(row.href)
+                    arr = decode_image(
+                        bytes(payload), _fmt_of(row.href, row.media_type)
+                    )
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
+                when = (
+                    pd.to_datetime(row.datetime, utc=True).tz_localize(None)
+                    if row.datetime
+                    else pd.NaT
+                )
+                yield _pixel_frame(
+                    row.item_id, when, row.band, arr, row.bbox, scale, offset
+                )
+
+    df = spread.mapInPandas(decode, schema=CUBE_ROW_SCHEMA)
+    return CubeFrame(
+        df, {"time": "time", "bands": "band", "y": "y", "x": "x"}, "value"
+    )

@@ -1,0 +1,133 @@
+"""Distributed raster decode harness (VERDICT r7 missing #1 / next #4):
+canned STAC asset table + canned PGM payloads -> long-form CubeFrame ->
+run_model_tiled end-to-end. Reference analog get_datacube.py:142-257.
+"""
+
+import numpy as np
+import pytest
+
+from openeo_processes_dask_ml_spark.io.raster import (
+    _fmt_of,
+    decode_assets_to_cube,
+)
+from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+
+def _pgm(arr: np.ndarray) -> bytes:
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _assets(spark, payloads):
+    """Two timestamps x two bands over one 4x4 grid; payload values are
+    band-dependent so the model's nir-red is verifiable per pixel."""
+    rows = []
+    for i, ts in enumerate(["2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z"]):
+        for band, base in (("red", 10), ("nir", 30)):
+            href = f"mem://item{i}/{band}.pgm"
+            grid = np.arange(16).reshape(4, 4) + base
+            payloads[href] = _pgm(grid)
+            rows.append(
+                (
+                    f"item{i}",
+                    "test/coll",
+                    ts,
+                    band,
+                    href,
+                    "image/x-portable-graymap",
+                    [0.0, 0.0, 4.0, 4.0],
+                )
+            )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def test_fmt_resolution():
+    assert _fmt_of("x.pgm", None) == "pgm"
+    assert _fmt_of("x.tif", "image/tiff; application=geotiff") == "gtiff"
+    assert _fmt_of("a/b.PPM", "") == "ppm"
+
+
+def test_decode_assets_to_cube_layout(spark):
+    payloads = {}
+    assets = _assets(spark, payloads)
+    cube = decode_assets_to_cube(assets, payloads.__getitem__)
+    rows = cube.df.collect()
+    # 2 items x 2 bands x 16 pixels
+    assert len(rows) == 64
+    by_key = {
+        (r["item_id"], r["band"], r["y"], r["x"]): r["value"] for r in rows
+    }
+    # bbox [0,0,4,4] over 4x4 -> pixel centers 0.5..3.5; row 0 of the
+    # raster sits at MAX y (north-up), so value 10 (red, item0, [0,0])
+    # lands at y=3.5, x=0.5
+    assert by_key[("item0", "red", 3.5, 0.5)] == 10.0
+    assert by_key[("item0", "red", 0.5, 3.5)] == 25.0  # last pixel 10+15
+    assert by_key[("item0", "nir", 3.5, 0.5)] == 30.0
+    times = {str(r["time"]) for r in rows}
+    assert times == {"2024-01-01 00:00:00", "2024-02-01 00:00:00"}
+
+
+def test_decode_assets_on_error_skip_and_raise(spark):
+    payloads = {}
+    assets = _assets(spark, payloads)
+    broken = next(iter(payloads))
+    payloads[broken] = b"not a pgm"
+    with pytest.raises(Exception, match="PNM|not a"):
+        decode_assets_to_cube(assets, payloads.__getitem__).df.collect()
+    cube = decode_assets_to_cube(
+        assets, payloads.__getitem__, on_error="skip"
+    )
+    assert cube.df.count() == 48  # one 16-pixel asset dropped
+
+
+def test_decode_scale_offset(spark):
+    payloads = {}
+    assets = _assets(spark, payloads)
+    cube = decode_assets_to_cube(
+        assets, payloads.__getitem__, scale=0.5, offset=1.0
+    )
+    vals = {
+        r["value"]
+        for r in cube.df.filter("item_id='item0' AND band='red'").collect()
+    }
+    assert min(vals) == 10 * 0.5 + 1.0
+
+
+def test_decoded_cube_feeds_ml_predict_tiled(spark):
+    """The full reference load_stac -> cube -> ml_predict chain, offline:
+    asset table -> distributed decode -> tiled model run."""
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+    from openeo_processes_dask_ml_spark.mlm.descriptor import (
+        MLModelDescriptor,
+        ModelInput,
+        ModelOutput,
+    )
+
+    payloads = {}
+    assets = _assets(spark, payloads)
+    cube = decode_assets_to_cube(assets, payloads.__getitem__)
+
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": ["nir", "red"],
+                "input": {
+                    "shape": [-1, 2, 2, 2],
+                    "dim_order": ["batch", "bands", "x", "y"],
+                    "data_type": "float64",
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 2, 2], "dim_order": ["batch", "x", "y"]}}
+        ),
+        framework="fake",
+        batch_size_suggestion=2,
+    )
+    out = run_model_tiled(cube, descriptor, lambda b: b[:, 0] - b[:, 1])
+    rows = out.collect()
+    # 2 timesteps x 4 tiles x (2x2) = 32 predictions
+    assert len(rows) == 32
+    # nir - red = 20 at every pixel by construction
+    assert {r["value"] for r in rows} == {20.0}
