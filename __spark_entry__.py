@@ -2578,6 +2578,54 @@ def q_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.unionByName(quarantined)
 
 
+def _synth_fetch(href: str) -> bytes:
+    """Deterministic PGM payload generator for the raster-decode gate:
+    href 'synth://{i}/{bi}/{band}' -> 8x8 grayscale grid with
+    v = (i*31 + bi*17 + y*8 + x) % 251 — the formula the DuckDB oracle
+    replays. Module-level so executors import it instead of pickling
+    test state."""
+    parts = href.split("/")
+    i, bi = int(parts[2]), int(parts[3])
+    vals = bytes(
+        (i * 31 + bi * 17 + y * 8 + x) % 251 for y in range(8) for x in range(8)
+    )
+    return b"P5\n8 8\n255\n" + vals
+
+
+def q_raster_decode_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed raster materialization under the gate (VERDICT r7
+    missing #1): a canned STAC asset table (4 items x 2 bands) fans out
+    through the mapInPandas decoder with an injected deterministic
+    fetcher, producing the long-form pixel cube with north-up
+    pixel-center coordinates from the item bbox. The oracle replays the
+    payload formula and the coordinate math in SQL — a mismatch means
+    the decode path dropped, duplicated, or mis-placed pixels.
+    Reference analog: get_datacube.py:142-257 (odc-stac cube
+    materialization)."""
+    from openeo_processes_dask_ml_spark.io.raster import (
+        decode_assets_to_cube,
+    )
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+    rows = []
+    for i in range(4):
+        for bi, band in enumerate(("red", "nir")):
+            rows.append(
+                (
+                    f"item{i}",
+                    "synth/coll",
+                    f"2024-01-0{i + 1}T00:00:00Z",
+                    band,
+                    f"synth://{i}/{bi}/{band}",
+                    "image/x-portable-graymap",
+                    [0.0, 0.0, 8.0, 8.0],
+                )
+            )
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    cube = decode_assets_to_cube(assets, _synth_fetch)
+    return cube.df.select("item_id", "time", "band", "y", "x", "value")
+
+
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced sampling (DINOv2-style curation): seeded coarse
     quantizer assigns every embedding to a cluster, md5-priority top-40
@@ -2742,25 +2790,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ground truth recomputed from CORRECTNESS_r0{5,6,7}.json (latest
     # green round per query: 20 at r5, 49 at r6, 49 at r7,
     # profile_table red):
-    #   slots 1-6: profile_table (the only red row — gate query now
-    #     render-proof, VERDICT r7 #1), the three NEW entries
+    #   slots 1-7: profile_table (the only red row — gate query now
+    #     render-proof, VERDICT r7 #1), the four NEW entries
     #     (ann_ivfpq_from_index per #5, quarantine_ingest per #6,
-    #     duplicated_spans_combine per #7), and both no_oracle
-    #     self-checkers (directive 2 puts them at the front).
-    #   slots 7-26: ALL 20 r5-greens — 3 rounds old, due by the
+    #     duplicated_spans_combine per #7, raster_decode_cube per
+    #     missing #1), and both no_oracle self-checkers (directive 2
+    #     puts them at the front).
+    #   slots 8-27: ALL 20 r5-greens — 3 rounds old, due by the
     #     3-round-cycle protocol.
-    #   slots 27-50: the 24 oldest r6-greens.
-    # Tail: the 25 remaining r6-greens first (they fill the r9 window
+    #   slots 28-50: the 23 oldest r6-greens.
+    # Tail: the 26 remaining r6-greens first (they fill the r9 window
     # next round), then the 47 r7-window greens (freshest last).
     #
-    # Rotation arithmetic, stated honestly: at 122 queries and a
+    # Rotation arithmetic, stated honestly: at 123 queries and a
     # 50-slot window, at most 100 DISTINCT entries can carry a
     # driver-issued green within any 2 consecutive rounds, so the
     # "every query green within the last 2 rounds" bar is unreachable
-    # at this surface size — the steady-state cadence is ceil(122/50)
+    # at this surface size — the steady-state cadence is ceil(123/50)
     # = 3 rounds. After r8 the debt profile is: every registered
     # query's latest driver green is <= 2 rounds old (the r7 #2 done
-    # condition), with the 25 r6-greens in the tail due first in r9.
+    # condition), with the 26 r6-greens in the tail due first in r9.
     # If a strict 2-round bar is required, the options are (a) a
     # larger driver window or (b) consolidating queries — flagging
     # rather than silently missing the bar.
@@ -2770,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
         "quarantine_ingest": q_quarantine_ingest,
         "duplicated_spans_combine": q_duplicated_spans_combine,
+        "raster_decode_cube": q_raster_decode_cube,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
         # --- slots 7-26: ALL 20 r5-greens (3 rounds old — due by protocol) ---
@@ -2817,8 +2867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_spend_alerts": q_streaming_spend_alerts,
         "text_chunks": q_text_chunks,
         "embedding_quantize": q_embedding_quantize,
+        # --- tail: 26 remaining r6-greens (they fill the r9 window next) ---
         "quality_filter": q_quality_filter,
-        # --- tail: 25 remaining r6-greens (they fill the r9 window next) ---
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
         "decontaminate": q_decontaminate,
@@ -5555,6 +5605,27 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
             WHEN o.h_old <> n.h_new THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+    # replay of the synthetic-payload formula and the bbox pixel-center
+    # math: bbox [0,0,8,8] over 8x8 pixels -> centers 0.5..7.5, row 0
+    # north-up at MAX y (y = 8 - (row+0.5))
+    sql["raster_decode_cube"] = """
+WITH items AS (
+  SELECT i, TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 DAY AS t
+  FROM range(4) r(i)
+), bands AS (
+  SELECT * FROM (VALUES (0, 'red'), (1, 'nir')) b(bi, band)
+), px AS (
+  SELECT y, x FROM range(8) a(y), range(8) c(x)
+)
+SELECT 'item' || i AS item_id,
+       t AS time,
+       band,
+       8.0 - (y + 0.5) AS y,
+       x + 0.5 AS x,
+       CAST((i * 31 + bi * 17 + y * 8 + x) % 251 AS DOUBLE) AS value
+FROM items, bands, px
 """
 
     # replay of the deterministic corruption rule + the quality-filter

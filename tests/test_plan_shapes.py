@@ -383,3 +383,39 @@ def test_pq_index_query_reads_codes_not_vectors(spark, tmp_path):
     assert "embedding" not in scans[0]
     assert "code" in scans[0]
     assert out.count() > 0
+
+
+def test_raster_decode_spreads_then_maps(spark):
+    """The decode fan-out: driver-created asset frames must pass an
+    Exchange (hash spread) BEFORE the MapInPandas decode, so a
+    thousand-asset catalog doesn't decode in one task; pixels are born
+    distributed and never pass through the driver."""
+    from openeo_processes_dask_ml_spark.io.raster import (
+        decode_assets_to_cube,
+    )
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+    assets = spark.createDataFrame(
+        [
+            (
+                "i0",
+                "c",
+                "2024-01-01T00:00:00Z",
+                "red",
+                "mem://i0/red",
+                "image/x-portable-graymap",
+                [0.0, 0.0, 2.0, 2.0],
+            )
+        ],
+        ASSET_SCHEMA,
+    )
+    cube = decode_assets_to_cube(assets, lambda h: b"P5\n2 2\n255\n\x01\x02\x03\x04")
+    plan = _plan(cube.df)
+    assert "MapInPandas" in plan
+    exchange_pos = plan.find("Exchange hashpartitioning")
+    map_pos = plan.find("MapInPandas")
+    assert exchange_pos != -1
+    # executedPlan prints top-down: the map consumes the exchange below it
+    assert map_pos < exchange_pos
+    rows = cube.df.collect()
+    assert len(rows) == 4

@@ -134,6 +134,32 @@ AUDIT = [
         "iteration cost measured FLAT under 50x corpus growth "
         "(SCALE_NOTES).",
     ),
+    (
+        "ann_ivfpq_from_index",
+        "IVF-PQ serving from persisted artifacts (build/write precede "
+        "this plan): the codes scan carries the static list_id "
+        "PartitionFilter (only probed lists' directories open) AND a "
+        "ReadSchema of (vid, codes) — raw vectors exist in no artifact; "
+        "per-query ADC tables arrive as one BroadcastExchange and fold "
+        "into a single codegen projection; top-k via the per-query "
+        "window.",
+    ),
+    (
+        "quarantine_ingest",
+        "Corrupt-line ingest: ONE text scan split by the from_json "
+        "expression into clean + quarantine branches (no second read "
+        "of the drop), quality features in a single narrow projection, "
+        "union of the two audit sides. The only exchange is the tiny "
+        "feature-row spread.",
+    ),
+    (
+        "raster_decode_cube",
+        "Distributed raster materialization: asset rows hash-spread by "
+        "(item_id, band), then MapInPandas decode — pixels are BORN "
+        "distributed (one partition's pixels never visit the driver or "
+        "another executor). Downstream cube ops see an ordinary "
+        "long-form frame.",
+    ),
 ]
 
 
