@@ -2626,6 +2626,51 @@ def q_raster_decode_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.df.select("item_id", "time", "band", "y", "x", "value")
 
 
+def q_raster_ndvi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship chain fully distributed under the gate:
+    STAC asset table -> mapInPandas decode -> ndvi band math -> monthly
+    temporal aggregation, one Catalyst plan end-to-end (reference
+    analog: get_datacube.py cube materialization feeding
+    overrides/indices.py ndvi + examples/train_rf.py:131-146 temporal
+    regrouping). Band resolution consumes the catalog-derived
+    band_labels hint — nothing evaluates the pixel frame until the
+    final aggregation. 8 items (4/month over Jan+Feb) x 2 bands of
+    deterministic 8x8 payloads; the oracle replays payload formula,
+    pixel-center math, the ndvi ratio, and the monthly mean."""
+    from openeo_processes_dask_ml_spark.io.raster import (
+        decode_assets_to_cube,
+    )
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+    from openeo_processes_dask_ml_spark.operators.indices import ndvi
+
+    rows = []
+    for i in range(8):
+        m, d = 1 + i // 4, 1 + (i % 4) * 8
+        for bi, band in enumerate(("red", "nir")):
+            rows.append(
+                (
+                    f"item{i}",
+                    "synth/coll",
+                    f"2024-{m:02d}-{d:02d}T00:00:00Z",
+                    band,
+                    f"synth://{i}/{bi}/{band}",
+                    "image/x-portable-graymap",
+                    [0.0, 0.0, 8.0, 8.0],
+                )
+            )
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    cube = decode_assets_to_cube(assets, _synth_fetch)
+    assert cube.attrs.get("band_labels"), "catalog hint must be present"
+    nd = ndvi(cube)  # resolves bands from the hint, no pixel pass
+    monthly = nd.aggregate_temporal_period("month", "mean")
+    return monthly.df.select(
+        F.to_date("time").alias("period"),
+        "y",
+        "x",
+        dround("value", 6).alias("ndvi"),
+    )
+
+
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced sampling (DINOv2-style curation): seeded coarse
     quantizer assigns every embedding to a cluster, md5-priority top-40
@@ -2790,36 +2835,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ground truth recomputed from CORRECTNESS_r0{5,6,7}.json (latest
     # green round per query: 20 at r5, 49 at r6, 49 at r7,
     # profile_table red):
-    #   slots 1-7: profile_table (the only red row — gate query now
-    #     render-proof, VERDICT r7 #1), the four NEW entries
+    #   slots 1-8: profile_table (the only red row — gate query now
+    #     render-proof, VERDICT r7 #1), the five NEW entries
     #     (ann_ivfpq_from_index per #5, quarantine_ingest per #6,
-    #     duplicated_spans_combine per #7, raster_decode_cube per
-    #     missing #1), and both no_oracle self-checkers (directive 2
-    #     puts them at the front).
-    #   slots 8-27: ALL 20 r5-greens — 3 rounds old, due by the
+    #     duplicated_spans_combine per #7, raster_decode_cube +
+    #     raster_ndvi_pipeline per missing #1), and both no_oracle
+    #     self-checkers (directive 2 puts them at the front).
+    #   slots 9-28: ALL 20 r5-greens — 3 rounds old, due by the
     #     3-round-cycle protocol.
-    #   slots 28-50: the 23 oldest r6-greens.
-    # Tail: the 26 remaining r6-greens first (they fill the r9 window
+    #   slots 29-50: the 22 oldest r6-greens.
+    # Tail: the 27 remaining r6-greens first (they fill the r9 window
     # next round), then the 47 r7-window greens (freshest last).
     #
-    # Rotation arithmetic, stated honestly: at 123 queries and a
+    # Rotation arithmetic, stated honestly: at 124 queries and a
     # 50-slot window, at most 100 DISTINCT entries can carry a
     # driver-issued green within any 2 consecutive rounds, so the
     # "every query green within the last 2 rounds" bar is unreachable
-    # at this surface size — the steady-state cadence is ceil(123/50)
+    # at this surface size — the steady-state cadence is ceil(124/50)
     # = 3 rounds. After r8 the debt profile is: every registered
     # query's latest driver green is <= 2 rounds old (the r7 #2 done
-    # condition), with the 26 r6-greens in the tail due first in r9.
+    # condition), with the 27 r6-greens in the tail due first in r9.
     # If a strict 2-round bar is required, the options are (a) a
     # larger driver window or (b) consolidating queries — flagging
     # rather than silently missing the bar.
     return {
-        # --- slots 1-6: red/new/changed + the two no_oracle self-checkers ---
+        # --- slots 1-8: red/new/changed + the two no_oracle self-checkers ---
         "profile_table": q_profile_table,
         "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
         "quarantine_ingest": q_quarantine_ingest,
         "duplicated_spans_combine": q_duplicated_spans_combine,
         "raster_decode_cube": q_raster_decode_cube,
+        "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
         # --- slots 7-26: ALL 20 r5-greens (3 rounds old — due by protocol) ---
@@ -2843,7 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "asof_join": q_asof_join,
         "resample_cube_temporal": q_resample_cube_temporal,
-        # --- slots 27-50: the 24 oldest r6-greens ---
+        # --- slots 29-50: the 22 oldest r6-greens ---
         "ann_pq": q_ann_pq,
         "incremental_minhash": q_incremental_minhash,
         "span_removal": q_span_removal,
@@ -2866,8 +2912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_spend_alerts": q_streaming_spend_alerts,
         "text_chunks": q_text_chunks,
+        # --- tail: 27 remaining r6-greens (they fill the r9 window next) ---
         "embedding_quantize": q_embedding_quantize,
-        # --- tail: 26 remaining r6-greens (they fill the r9 window next) ---
         "quality_filter": q_quality_filter,
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
@@ -5626,6 +5672,34 @@ SELECT 'item' || i AS item_id,
        x + 0.5 AS x,
        CAST((i * 31 + bi * 17 + y * 8 + x) % 251 AS DOUBLE) AS value
 FROM items, bands, px
+"""
+
+    # full chain replay: payload formula (red = bi 0, nir = bi 1), the
+    # ndvi ratio per (item, pixel), then the monthly mean; rounding is
+    # the shared half-up contract (floor(x*1e6 + 0.5)/1e6 == dround 6)
+    sql["raster_ndvi_pipeline"] = """
+WITH items AS (
+  SELECT i,
+         make_date(2024, 1 + i // 4, 1 + (i % 4) * 8) AS d
+  FROM range(8) r(i)
+), px AS (
+  SELECT y, x FROM range(8) a(y), range(8) c(x)
+), nd AS (
+  SELECT date_trunc('month', d) AS period,
+         8.0 - (y + 0.5) AS yc,
+         x + 0.5 AS xc,
+         (CAST((i * 31 + 17 + y * 8 + x) % 251 AS DOUBLE)
+          - CAST((i * 31 + y * 8 + x) % 251 AS DOUBLE))
+         / (CAST((i * 31 + 17 + y * 8 + x) % 251 AS DOUBLE)
+            + CAST((i * 31 + y * 8 + x) % 251 AS DOUBLE)) AS ndvi
+  FROM items, px
+)
+SELECT CAST(period AS DATE) AS period,
+       yc AS y,
+       xc AS x,
+       floor(avg(ndvi) * 1e6 + 0.5) / 1e6 AS ndvi
+FROM nd
+GROUP BY 1, 2, 3
 """
 
     # replay of the deterministic corruption rule + the quality-filter

@@ -100,6 +100,7 @@ HEADLINE = [
     "quarantine_ingest",
     "duplicated_spans_combine",
     "raster_decode_cube",
+    "raster_ndvi_pipeline",
 ]
 
 

@@ -109,20 +109,49 @@ class CubeFrame:
     def dim_cols(self) -> list[str]:
         return list(self.dims.values())
 
+    def _carry_attrs(self) -> dict:
+        """Attrs to propagate through a transformation. The
+        ``band_labels`` hint is deliberately DROPPED: it is only
+        trustworthy on the exact frame it was computed for (a derived
+        frame may have changed the band universe), and a stale hint is
+        a correctness bug — operations that provably know the new
+        universe re-set it explicitly (``filter_bands``, the decode
+        boundary in ``io/raster.py``)."""
+        return {k: v for k, v in self.attrs.items() if k != "band_labels"}
+
+    def band_labels(self) -> list:
+        """The band universe. Uses the metadata-derived ``band_labels``
+        attrs hint when present — set by ``decode_assets_to_cube`` from
+        the ASSET table — so listing bands never evaluates the pixel
+        frame (on a decoded raster cube a ``distinct()`` over pixels
+        would re-run the whole decode fan-out); otherwise one distinct
+        over the band column."""
+        hint = self.attrs.get("band_labels")
+        if hint is not None:
+            return list(hint)
+        col = self.dim_col("bands")
+        return [r[0] for r in self.df.select(col).distinct().collect()]
+
     def with_df(self, df: DataFrame) -> "CubeFrame":
-        return replace(self, df=df)
+        return replace(self, df=df, attrs=self._carry_attrs())
 
     # -- openEO core processes -----------------------------------------
     def filter_bands(self, bands: Sequence[str]) -> "CubeFrame":
         """Subset the band dimension, names resolved through the synonym
         table (reference data_model.py:1189-1205)."""
         col = self.dim_col("bands")
-        available = [r[0] for r in self.df.select(col).distinct().collect()]
+        available = self.band_labels()
         mapping = resolve_bands(bands, available)
         missing = [b for b in bands if b not in mapping]
         if missing:
             raise ValueError(f"bands not found in cube: {missing}")
-        return self.with_df(self.df.filter(F.col(col).isin(list(mapping.values()))))
+        kept = list(mapping.values())
+        attrs = self._carry_attrs()
+        # post-filter universe is known exactly — safe to re-hint
+        attrs["band_labels"] = kept
+        return replace(
+            self, df=self.df.filter(F.col(col).isin(kept)), attrs=attrs
+        )
 
     def filter_labels(self, dim: str, labels: Sequence) -> "CubeFrame":
         return self.with_df(self.df.filter(F.col(self.dim_col(dim)).isin(list(labels))))
@@ -215,7 +244,7 @@ class CubeFrame:
         agg = resolve_reducer(reducer)(F.col(self.value_col))
         out_col = alias or self.value_col
         df = self.df.groupBy(*keep.values()).agg(agg.alias(out_col))
-        return CubeFrame(df, keep, out_col, dict(self.attrs))
+        return CubeFrame(df, keep, out_col, self._carry_attrs())
 
     def reduce_dimension_array(
         self,
@@ -243,7 +272,7 @@ class CubeFrame:
         )
         out_col = alias or self.value_col
         df = self.df.groupBy(*keep.values()).agg(fn(arr).alias(out_col))
-        return CubeFrame(df, keep, out_col, dict(self.attrs))
+        return CubeFrame(df, keep, out_col, self._carry_attrs())
 
     def aggregate_temporal_period(
         self, period: str, reducer: str | Callable[[Column], Column]
@@ -368,7 +397,7 @@ class CubeFrame:
         )
         dims = dict(others)
         dims["time"] = "period_label"
-        return CubeFrame(df, dims, self.value_col, dict(self.attrs))
+        return CubeFrame(df, dims, self.value_col, self._carry_attrs())
 
     def anomaly(self, normals: "CubeFrame", period: str = "month") -> "CubeFrame":
         """openEO anomaly: value minus the climatological normal of its
@@ -614,7 +643,7 @@ class CubeFrame:
             .otherwise(vb)
         )
         out = joined.select(*dcols, value.alias(self.value_col))
-        return CubeFrame(out, dict(self.dims), self.value_col, dict(self.attrs))
+        return CubeFrame(out, dict(self.dims), self.value_col, self._carry_attrs())
 
     # -- dimension manipulation ----------------------------------------
     def add_dimension(self, name: str, label, type: str = "other") -> "CubeFrame":
@@ -627,7 +656,7 @@ class CubeFrame:
         dims[name] = col
         return CubeFrame(
             self.df.withColumn(col, F.lit(label)), dims, self.value_col,
-            dict(self.attrs),
+            self._carry_attrs(),
         )
 
     def drop_dimension(self, name: str) -> "CubeFrame":
@@ -644,7 +673,7 @@ class CubeFrame:
             )
         dims = {k: v for k, v in self.dims.items() if k != dname}
         return CubeFrame(
-            self.df.drop(dcol), dims, self.value_col, dict(self.attrs)
+            self.df.drop(dcol), dims, self.value_col, self._carry_attrs()
         )
 
     def rename_dimension(self, source: str, target: str) -> "CubeFrame":
@@ -654,7 +683,7 @@ class CubeFrame:
         if target in self.dims:
             raise ValueError(f"dimension {target!r} already exists")
         dims = {(target if k == sname else k): v for k, v in self.dims.items()}
-        return CubeFrame(self.df, dims, self.value_col, dict(self.attrs))
+        return CubeFrame(self.df, dims, self.value_col, self._carry_attrs())
 
     def rename_labels(
         self, dimension: str, target: Sequence, source: Sequence
@@ -698,7 +727,7 @@ class CubeFrame:
             self.df.withColumn(new_col, expr).drop(*cols),
             dims,
             self.value_col,
-            dict(self.attrs),
+            self._carry_attrs(),
         )
 
     def unflatten_dimension(
@@ -727,7 +756,7 @@ class CubeFrame:
             col = f"__dim_{t}"
             df = df.withColumn(col, parts[i])
             dims[t] = col
-        return CubeFrame(df.drop(dcol), dims, self.value_col, dict(self.attrs))
+        return CubeFrame(df.drop(dcol), dims, self.value_col, self._carry_attrs())
 
     def aggregate_spatial_window(
         self,

@@ -51,6 +51,46 @@ _MEDIA_FMTS = {
 }
 
 
+# formats whose channel count is known WITHOUT decoding: pgm is
+# grayscale by definition; ppm/bmp decode to HxWx3 (alpha dropped).
+# Unknown formats (COG/GeoTIFF can be 1..n bands) -> no hint.
+_FMT_CHANNELS = {"pgm": 1, "ppm": 3, "bmp": 3}
+
+
+def _asset_band_labels(assets: DataFrame) -> list[str] | None:
+    """Cube band labels derived from ASSET METADATA (one distinct over
+    (band, media_type, href-extension) — catalog-sized, never pixels),
+    so downstream band listing (``CubeFrame.band_labels``) needs no
+    evaluation of the decoded cube. Returns None when any asset's
+    format has an unknown channel count — callers then fall back to
+    the lazy distinct."""
+    ext = F.when(
+        F.col("href").contains("."), F.substring_index("href", ".", -1)
+    ).otherwise(F.lit(""))
+    meta = (
+        assets.select("band", "media_type", ext.alias("ext"))
+        .distinct()
+        .collect()
+    )
+    labels: list[str] = []
+    for r in meta:
+        fmt = _fmt_of(f"x.{r['ext']}" if r["ext"] else None, r["media_type"])
+        nch = _FMT_CHANNELS.get(fmt)
+        if nch is None:
+            return None
+        if nch == 1:
+            labels.append(r["band"])
+        else:
+            labels.extend(f"{r['band']}.{c}" for c in range(nch))
+    seen: set[str] = set()
+    out: list[str] = []
+    for b in labels:
+        if b not in seen:
+            seen.add(b)
+            out.append(b)
+    return out
+
+
 def _fmt_of(href: str | None, media_type: str | None) -> str:
     """Asset format key: media type first (the STAC-correct source),
     href extension as fallback."""
@@ -165,6 +205,10 @@ def decode_assets_to_cube(
                 )
 
     df = spread.mapInPandas(decode, schema=CUBE_ROW_SCHEMA)
+    # under 'skip' a failed asset could silently remove a band, so the
+    # catalog-derived hint is only trustworthy when failures abort
+    labels = _asset_band_labels(assets) if on_error == "raise" else None
+    attrs = {"band_labels": labels} if labels is not None else {}
     return CubeFrame(
-        df, {"time": "time", "bands": "band", "y": "y", "x": "x"}, "value"
+        df, {"time": "time", "bands": "band", "y": "y", "x": "x"}, "value", attrs
     )

@@ -224,7 +224,7 @@ def run_model_tiled(
         )
 
     if model_bands and band_col:
-        cube_bands = [r[0] for r in cube.df.select(band_col).distinct().collect()]
+        cube_bands = cube.band_labels()  # metadata hint when present
         band_map = validate_cube(
             descriptor, list(cube.dims.keys()), cube_sizes, cube_bands
         )

@@ -57,7 +57,7 @@ def aggregate_spatial(
     for d in keep_dims:
         if d in cube.dims:
             dims[d] = cube.dims[d]
-    return CubeFrame(out, dims, cube.value_col, dict(cube.attrs))
+    return CubeFrame(out, dims, cube.value_col, cube._carry_attrs())
 
 
 def mask_polygon(

@@ -104,7 +104,7 @@ def resample_cube_temporal(cube, target, method: str = "backward"):
         F.col("__target_ts").alias(tcol),
         F.col(f"{cube.value_col}_src").alias(cube.value_col),
     )
-    return CubeFrame(out, dict(cube.dims), cube.value_col, dict(cube.attrs))
+    return CubeFrame(out, dict(cube.dims), cube.value_col, cube._carry_attrs())
 
 
 def sessionize(

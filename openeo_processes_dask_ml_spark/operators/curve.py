@@ -137,7 +137,7 @@ def fit_curve(
             for i, p in enumerate(params)
         ],
     )
-    return CubeFrame(out, series, f"{param_prefix}0", dict(cube.attrs))
+    return CubeFrame(out, series, f"{param_prefix}0", cube._carry_attrs())
 
 
 def predict_curve(
@@ -168,5 +168,5 @@ def predict_curve(
     dims = dict(params.dims)
     dims["time"] = dimension_col
     return CubeFrame(
-        joined.withColumn(out_col, pred), dims, out_col, dict(params.attrs)
+        joined.withColumn(out_col, pred), dims, out_col, params._carry_attrs()
     )

@@ -25,7 +25,10 @@ def ndvi(
     target_band: str | None = None,
 ) -> CubeFrame:
     bcol = cube.dim_col("bands")
-    available = [r[0] for r in cube.df.select(bcol).distinct().collect()]
+    # band_labels() consults the metadata hint when present — on a
+    # decoded raster cube a distinct() over pixels would re-run the
+    # whole decode fan-out just to list two labels
+    available = cube.band_labels()
     mapping = resolve_bands([nir, red], available)
     if len(mapping) < 2:
         raise ValueError(f"nir/red bands not found; have {available}")
@@ -42,6 +45,10 @@ def ndvi(
     )
     if target_band is None:
         keep = {k: v for k, v in cube.dims.items() if v != bcol}
-        return CubeFrame(nd, keep, cube.value_col, dict(cube.attrs))
+        return CubeFrame(nd, keep, cube.value_col, cube._carry_attrs())
     appended = nd.withColumn(bcol, F.lit(target_band)).select(*cube.df.columns)
-    return cube.with_df(cube.df.unionByName(appended))
+    out = cube.with_df(cube.df.unionByName(appended))
+    if cube.attrs.get("band_labels") is not None:
+        # append path's universe is known exactly: old labels + target
+        out.attrs["band_labels"] = list(cube.attrs["band_labels"]) + [target_band]
+    return out

@@ -115,7 +115,7 @@ def apply_neighborhood(
         .join(yi_df.withColumnRenamed(f"__i_{ycol}", "ty"), "ty")
         .select(*others, xcol, ycol, cube.value_col)
     )
-    return CubeFrame(out, dict(cube.dims), cube.value_col, dict(cube.attrs))
+    return CubeFrame(out, dict(cube.dims), cube.value_col, cube._carry_attrs())
 
 
 def apply_kernel(
@@ -181,4 +181,4 @@ def apply_kernel(
         .join(yi_df.withColumnRenamed(f"__i_{ycol}", "ty"), "ty")
         .select(*others, xcol, ycol, cube.value_col)
     )
-    return CubeFrame(out, dict(cube.dims), cube.value_col, dict(cube.attrs))
+    return CubeFrame(out, dict(cube.dims), cube.value_col, cube._carry_attrs())

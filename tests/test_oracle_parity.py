@@ -129,7 +129,8 @@ def test_driver_window_composition_pinned():
     assert window == [
         "profile_table", "ann_ivfpq_from_index",
         "quarantine_ingest", "duplicated_spans_combine",
-        "raster_decode_cube", "bpe_merges", "ann_ivf_trained",
+        "raster_decode_cube", "raster_ndvi_pipeline",
+        "bpe_merges", "ann_ivf_trained",
         "text_language_id", "reduce_dimension",
         "aggregate_temporal_period", "ndvi_bandmath",
         "window_running_sum", "graph_fit_curve", "graph_zonal",
@@ -146,5 +147,5 @@ def test_driver_window_composition_pinned():
         "resample_cube_spatial", "array_ops", "pii_scrub",
         "repetition_stats", "streaming_dedup",
         "streaming_interval_join", "streaming_spend_alerts",
-        "text_chunks", "embedding_quantize",
+        "text_chunks",
     ]

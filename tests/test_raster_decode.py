@@ -131,3 +131,80 @@ def test_decoded_cube_feeds_ml_predict_tiled(spark):
     assert len(rows) == 32
     # nir - red = 20 at every pixel by construction
     assert {r["value"] for r in rows} == {20.0}
+
+
+def _meta_assets(spark, media_type, hrefs_bands):
+    rows = [
+        ("i0", "c", "2024-01-01T00:00:00Z", band, href, media_type,
+         [0.0, 0.0, 4.0, 4.0])
+        for href, band in hrefs_bands
+    ]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _boom(href):
+    raise AssertionError(f"fetcher called for {href} — metadata op evaluated pixels")
+
+
+def test_band_labels_hint_avoids_decode(spark):
+    """Listing bands on a decoded cube must come from ASSET metadata,
+    not a distinct over the pixel frame (which would re-run the whole
+    decode fan-out): with a fetcher that always raises, band_labels()
+    and filter_bands() still work because nothing evaluates pixels."""
+    assets = _meta_assets(
+        spark,
+        "image/x-portable-graymap",
+        [("mem://i0/red", "red"), ("mem://i0/nir", "nir")],
+    )
+    cube = decode_assets_to_cube(assets, _boom)
+    assert sorted(cube.attrs["band_labels"]) == ["nir", "red"]
+    assert sorted(cube.band_labels()) == ["nir", "red"]
+    filtered = cube.filter_bands(["nir"])
+    assert filtered.attrs["band_labels"] == ["nir"]
+    # a transformation that may change the band universe drops the hint
+    assert "band_labels" not in cube.with_df(cube.df).attrs
+
+
+def test_band_labels_hint_multichannel_and_unknown(spark):
+    """ppm expands to 3 per-channel bands in the hint (matching the
+    decoder's band.{c} naming); unknown channel-count formats and
+    on_error='skip' (where a failed asset could silently remove a
+    band) set no hint."""
+    ppm = _meta_assets(
+        spark, "image/x-portable-pixmap", [("mem://i0/rgb", "visual")]
+    )
+    cube = decode_assets_to_cube(ppm, _boom)
+    assert cube.attrs["band_labels"] == ["visual.0", "visual.1", "visual.2"]
+
+    cog = _meta_assets(
+        spark,
+        "image/tiff; application=geotiff; profile=cloud-optimized",
+        [("mem://i0/b04", "red")],
+    )
+    assert "band_labels" not in decode_assets_to_cube(cog, _boom).attrs
+
+    pgm = _meta_assets(
+        spark, "image/x-portable-graymap", [("mem://i0/red", "red")]
+    )
+    skip = decode_assets_to_cube(pgm, _boom, on_error="skip")
+    assert "band_labels" not in skip.attrs
+
+
+def test_ndvi_on_decoded_cube_uses_hint(spark):
+    """ndvi's band resolution consumes the hint (no pixel evaluation at
+    plan-build time) and the computed values are correct end-to-end."""
+    from openeo_processes_dask_ml_spark.operators.indices import ndvi
+
+    payloads = {}
+    assets = _assets(spark, payloads)
+    cube = decode_assets_to_cube(assets, payloads.__getitem__)
+    # plan builds even with an un-evaluable twin (hint-only resolution)
+    ndvi(decode_assets_to_cube(assets, _boom))
+    nd = ndvi(cube)
+    rows = nd.df.collect()
+    assert len(rows) == 32  # 2 timestamps x 16 pixels, band dim collapsed
+    by_key = {(r["time"], r["y"], r["x"]): r["value"] for r in rows}
+    # payload construction: nir = red + 20 at every pixel
+    for (when, y, x), v in by_key.items():
+        red = 10.0 + (3.5 - y) * 4 + (x - 0.5)
+        assert abs(v - 20.0 / (2 * red + 20.0)) < 1e-12

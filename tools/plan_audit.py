@@ -160,6 +160,16 @@ AUDIT = [
         "another executor). Downstream cube ops see an ordinary "
         "long-form frame.",
     ),
+    (
+        "raster_ndvi_pipeline",
+        "The full reference chain as ONE plan: decode fan-out -> ndvi "
+        "conditional aggregation -> monthly mean, with exactly two "
+        "exchanges after the decode (pixel groupBy for ndvi, period "
+        "groupBy for the monthly mean), both map-side partial. Band "
+        "resolution reads the catalog-derived band_labels hint — the "
+        "pixel frame is NOT evaluated to list bands (without the hint "
+        "a distinct() would re-run the whole decode fan-out).",
+    ),
 ]
 
 
