@@ -173,11 +173,21 @@ def decode_assets_to_cube(
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
-    spread = (
-        assets.repartition(partitions)
-        if partitions
-        else assets.repartition(F.col("item_id"), F.col("band"))
-    )
+    if partitions:
+        spread = assets.repartition(partitions)
+    else:
+        # EXPLICIT partition count, not repartition(cols): asset rows
+        # are metadata-sized, so AQE classifies the shuffle as tiny and
+        # coalesces a column-only repartition to ONE partition — which
+        # serializes the entire decode into a single task (measured:
+        # 4096 assets / 16.8M px decoded 1-task at ~1.0M px/s).
+        # REPARTITION_BY_NUM is exempt from AQE coalescing; the skew
+        # the hash spread carries is per-(item, band) asset payloads,
+        # which is exactly the granularity a 100 TB catalog wants.
+        n = int(
+            assets.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        spread = assets.repartition(n, F.col("item_id"), F.col("band"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from openeo_processes_dask_ml_spark.scale.multimodal import (
