@@ -206,6 +206,7 @@ def run_model_tiled(
     coords_by_col: dict[str, np.ndarray] = {}
     tiled: list[_TiledDim] = []
     band_axis_dim: str | None = None
+    resolved: list[tuple[str, int, str, str]] = []  # (dim, size, role, col)
     for d, s in in_dims:
         role = resolve_dim(d, cube.dims.keys())
         if role == "bands" or (role is None and d.lower() in ("band", "bands", "channel")):
@@ -213,10 +214,28 @@ def run_model_tiled(
             continue
         if role is None:
             raise ValueError(f"model dim {d!r} not found in cube dims {cube.dims}")
-        col = cube.dims[role]
-        coords = np.array(
-            [r[0] for r in cube.df.select(col).distinct().orderBy(col).collect()]
-        )
+        resolved.append((d, s, role, cube.dims[role]))
+
+    # ONE aggregation pass collects every tiled dim's coordinate axis
+    # (and the band universe when no metadata hint exists) — the former
+    # per-dim distinct().collect() evaluated the cube once PER dim,
+    # which on a decoded raster cube meant one full decode fan-out per
+    # axis. Axes are bounded (they become driver-side tile grids either
+    # way); ordering happens driver-side.
+    band_hint = cube.attrs.get("band_labels") if band_col else None
+    scan_cols = list(dict.fromkeys(c for _, _, _, c in resolved))
+    want_bands_scan = bool(model_bands and band_col) and band_hint is None
+    if want_bands_scan and band_col not in scan_cols:
+        scan_cols.append(band_col)
+    if scan_cols:
+        axes_row = cube.df.agg(
+            *[F.collect_set(c).alias(c) for c in scan_cols]
+        ).collect()[0]
+        axis_by_col = {c: np.sort(np.array(axes_row[c])) for c in scan_cols}
+    else:
+        axis_by_col = {}
+    for d, s, role, col in resolved:
+        coords = axis_by_col[col]
         cube_sizes[role] = coords.size
         coords_by_col[col] = coords
         tiled.append(
@@ -224,7 +243,11 @@ def run_model_tiled(
         )
 
     if model_bands and band_col:
-        cube_bands = cube.band_labels()  # metadata hint when present
+        cube_bands = (
+            list(band_hint)
+            if band_hint is not None
+            else [v.item() if hasattr(v, "item") else v for v in axis_by_col[band_col]]
+        )
         band_map = validate_cube(
             descriptor, list(cube.dims.keys()), cube_sizes, cube_bands
         )

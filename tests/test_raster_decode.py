@@ -208,3 +208,64 @@ def test_ndvi_on_decoded_cube_uses_hint(spark):
     for (when, y, x), v in by_key.items():
         red = 10.0 + (3.5 - y) * 4 + (x - 0.5)
         assert abs(v - 20.0 / (2 * red + 20.0)) < 1e-12
+
+
+def test_predict_chain_decodes_exactly_twice(spark, tmp_path):
+    """run_model_tiled over a decoded cube must evaluate the decode
+    exactly TWICE: once for the single-pass coordinate-axis collection
+    (all tiled dims in ONE agg — formerly one full decode per dim) and
+    once for the prediction itself. The band universe comes from the
+    catalog hint, never a pixel pass."""
+    import os
+
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+    from openeo_processes_dask_ml_spark.mlm.descriptor import (
+        MLModelDescriptor,
+        ModelInput,
+        ModelOutput,
+    )
+
+    payloads = {}
+    assets = _assets(spark, payloads)
+    marker = tmp_path / "fetches"
+    marker.mkdir()
+
+    # fetcher with a filesystem side-channel counter: fetchers run in
+    # Python worker PROCESSES, so an in-memory counter would not be
+    # visible to the test. One marker file per fetch call. A local
+    # closure (not a module-level def) so cloudpickle ships it by value.
+    def counting_fetch(href, _p=dict(payloads), _dir=str(marker)):
+        import os
+        import uuid
+
+        with open(os.path.join(_dir, uuid.uuid4().hex), "w") as f:
+            f.write(href)
+        return _p[href]
+
+    cube = decode_assets_to_cube(assets, counting_fetch)
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": ["nir", "red"],
+                "input": {
+                    "shape": [-1, 2, 2, 2],
+                    "dim_order": ["batch", "bands", "x", "y"],
+                    "data_type": "float64",
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 2, 2], "dim_order": ["batch", "x", "y"]}}
+        ),
+        framework="fake",
+        batch_size_suggestion=2,
+    )
+    out = run_model_tiled(cube, descriptor, lambda b: b[:, 0] - b[:, 1])
+    assert len(out.collect()) == 32
+    n_assets = len(payloads)
+    fetches = len(os.listdir(marker))
+    assert fetches == 2 * n_assets, (
+        f"expected exactly 2 decode passes ({2 * n_assets} fetches), "
+        f"saw {fetches}"
+    )
