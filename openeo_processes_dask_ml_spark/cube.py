@@ -486,14 +486,17 @@ class CubeFrame:
         agg = resolve_reducer(method)(F.col(self.value_col))
         xcol, ycol = self.dim_col("x"), self.dim_col("y")
 
-        def grid_params(col: str) -> tuple[float, float]:
-            coords = [
-                r[0]
-                for r in target.df.select(target.dim_col_of(col, self))
-                .distinct()
-                .orderBy(target.dim_col_of(col, self))
-                .collect()
-            ]
+        # BOTH target axes in one aggregation pass (formerly one
+        # distinct().collect() per axis = two evaluations of the target
+        # cube — costly when the target is itself a decoded/derived
+        # frame); axes are bounded, ordering happens driver-side
+        tx, ty = target.dim_col_of(xcol, self), target.dim_col_of(ycol, self)
+        axes = target.df.agg(
+            F.collect_set(tx).alias("x"), F.collect_set(ty).alias("y")
+        ).collect()[0]
+
+        def grid_params(coords: list) -> tuple[float, float]:
+            coords = sorted(coords)
             if len(coords) < 2:
                 return float(coords[0]) if coords else 0.0, 1.0
             import numpy as np
@@ -502,13 +505,13 @@ class CubeFrame:
             steps = np.diff(arr)
             if not np.allclose(steps, steps[0]):
                 raise ValueError(
-                    f"target grid on {col!r} is irregular; "
+                    "target grid is irregular; "
                     "resample_cube_spatial needs a uniform target grid"
                 )
             return float(arr[0]), float(steps[0])
 
-        x0, xs = grid_params(xcol)
-        y0, ys = grid_params(ycol)
+        x0, xs = grid_params(axes["x"])
+        y0, ys = grid_params(axes["y"])
 
         def snap(col: str, origin: float, step: float) -> Column:
             # floor(v + 0.5), not round(): identical half-way behavior
