@@ -2626,6 +2626,72 @@ def q_raster_decode_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.df.select("item_id", "time", "band", "y", "x", "value")
 
 
+def _read_local_file(href: str) -> bytes:
+    """Fetcher for executor-local/shared-filesystem hrefs (module-level
+    so workers import it instead of pickling test state)."""
+    with open(href, "rb") as f:
+        return f.read()
+
+
+def q_raster_roundtrip_gtiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF round-trip under the gate: a deterministic pixel cube is
+    written as real single-band GeoTIFF tiles by the DISTRIBUTED sink
+    (pure-numpy encoder, one tile per (item, band) group encoded on the
+    executors — io/gtiff.py), then re-loaded through the standard
+    decode_assets_to_cube path with a file fetcher. The oracle replays
+    the source formula directly: a mismatch means the binary codec,
+    the north-up row order, or the bbox pixel-center math corrupted
+    data somewhere in write -> read. Reference analog: rioxarray
+    export in minibackend/custom_processes.py:115-219 + stac load."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.gtiff import write_gtiff_tiles
+    from openeo_processes_dask_ml_spark.io.raster import (
+        decode_assets_to_cube,
+    )
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+    px = spark.range(4 * 2 * 64).select(
+        (F.col("id") / 128).cast("int").alias("i"),
+        ((F.col("id") / 64).cast("int") % 2).alias("bi"),
+        ((F.col("id") / 8).cast("int") % 8).alias("yy"),
+        (F.col("id") % 8).alias("xx"),
+    )
+    cube_src = px.select(
+        F.concat(F.lit("item"), F.col("i")).alias("item_id"),
+        F.when(F.col("bi") == 0, F.lit("red")).otherwise(F.lit("nir")).alias("band"),
+        (8.0 - (F.col("yy") + 0.5)).alias("y"),
+        (F.col("xx") + 0.5).alias("x"),
+        (
+            (F.col("i") * 31 + F.col("bi") * 17 + F.col("yy") * 8 + F.col("xx"))
+            % 251
+        ).cast("double").alias("value"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"gtiff_roundtrip_{os.getpid()}"
+    )
+    manifest = write_gtiff_tiles(
+        cube_src, out_dir, group_cols=["item_id", "band"], epsg=32632
+    ).collect()
+    assets = spark.createDataFrame(
+        [
+            (
+                m["item_id"],
+                "c",
+                "2024-01-01T00:00:00Z",
+                m["band"],
+                m["path"],
+                "image/tiff; application=geotiff",
+                [m["minx"], m["miny"], m["maxx"], m["maxy"]],
+            )
+            for m in manifest
+        ],
+        ASSET_SCHEMA,
+    )
+    cube = decode_assets_to_cube(assets, _read_local_file)
+    return cube.df.select("item_id", "band", "y", "x", "value")
+
+
 def q_raster_ndvi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship chain fully distributed under the gate:
     STAC asset table -> mapInPandas decode -> ndvi band math -> monthly
@@ -2835,37 +2901,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ground truth recomputed from CORRECTNESS_r0{5,6,7}.json (latest
     # green round per query: 20 at r5, 49 at r6, 49 at r7,
     # profile_table red):
-    #   slots 1-8: profile_table (the only red row — gate query now
-    #     render-proof, VERDICT r7 #1), the five NEW entries
+    #   slots 1-9: profile_table (the only red row — gate query now
+    #     render-proof, VERDICT r7 #1), the six NEW entries
     #     (ann_ivfpq_from_index per #5, quarantine_ingest per #6,
     #     duplicated_spans_combine per #7, raster_decode_cube +
-    #     raster_ndvi_pipeline per missing #1), and both no_oracle
-    #     self-checkers (directive 2 puts them at the front).
-    #   slots 9-28: ALL 20 r5-greens — 3 rounds old, due by the
+    #     raster_ndvi_pipeline + raster_roundtrip_gtiff per missing
+    #     #1), and both no_oracle self-checkers (directive 2 puts
+    #     them at the front).
+    #   slots 10-29: ALL 20 r5-greens — 3 rounds old, due by the
     #     3-round-cycle protocol.
-    #   slots 29-50: the 22 oldest r6-greens.
-    # Tail: the 27 remaining r6-greens first (they fill the r9 window
+    #   slots 30-50: the 21 oldest r6-greens.
+    # Tail: the 28 remaining r6-greens first (they fill the r9 window
     # next round), then the 47 r7-window greens (freshest last).
     #
-    # Rotation arithmetic, stated honestly: at 124 queries and a
+    # Rotation arithmetic, stated honestly: at 125 queries and a
     # 50-slot window, at most 100 DISTINCT entries can carry a
     # driver-issued green within any 2 consecutive rounds, so the
     # "every query green within the last 2 rounds" bar is unreachable
-    # at this surface size — the steady-state cadence is ceil(124/50)
+    # at this surface size — the steady-state cadence is ceil(125/50)
     # = 3 rounds. After r8 the debt profile is: every registered
     # query's latest driver green is <= 2 rounds old (the r7 #2 done
-    # condition), with the 27 r6-greens in the tail due first in r9.
+    # condition), with the 28 r6-greens in the tail due first in r9.
     # If a strict 2-round bar is required, the options are (a) a
     # larger driver window or (b) consolidating queries — flagging
     # rather than silently missing the bar.
     return {
-        # --- slots 1-8: red/new/changed + the two no_oracle self-checkers ---
+        # --- slots 1-9: red/new/changed + the two no_oracle self-checkers ---
         "profile_table": q_profile_table,
         "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
         "quarantine_ingest": q_quarantine_ingest,
         "duplicated_spans_combine": q_duplicated_spans_combine,
         "raster_decode_cube": q_raster_decode_cube,
         "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
+        "raster_roundtrip_gtiff": q_raster_roundtrip_gtiff,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
         # --- slots 7-26: ALL 20 r5-greens (3 rounds old — due by protocol) ---
@@ -2889,7 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "asof_join": q_asof_join,
         "resample_cube_temporal": q_resample_cube_temporal,
-        # --- slots 29-50: the 22 oldest r6-greens ---
+        # --- slots 30-50: the 21 oldest r6-greens ---
         "ann_pq": q_ann_pq,
         "incremental_minhash": q_incremental_minhash,
         "span_removal": q_span_removal,
@@ -2911,8 +2979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_spend_alerts": q_streaming_spend_alerts,
+        # --- tail: 28 remaining r6-greens (they fill the r9 window next) ---
         "text_chunks": q_text_chunks,
-        # --- tail: 27 remaining r6-greens (they fill the r9 window next) ---
         "embedding_quantize": q_embedding_quantize,
         "quality_filter": q_quality_filter,
         "flatten_unflatten": q_flatten_unflatten,
@@ -5667,6 +5735,20 @@ WITH items AS (
 )
 SELECT 'item' || i AS item_id,
        t AS time,
+       band,
+       8.0 - (y + 0.5) AS y,
+       x + 0.5 AS x,
+       CAST((i * 31 + bi * 17 + y * 8 + x) % 251 AS DOUBLE) AS value
+FROM items, bands, px
+"""
+
+    # round-trip identity: the oracle replays the SOURCE formula; the
+    # Spark side routes it through encode->write->fetch->decode
+    sql["raster_roundtrip_gtiff"] = """
+WITH items AS (SELECT i FROM range(4) r(i)),
+bands AS (SELECT * FROM (VALUES (0, 'red'), (1, 'nir')) b(bi, band)),
+px AS (SELECT y, x FROM range(8) a(y), range(8) c(x))
+SELECT 'item' || i AS item_id,
        band,
        8.0 - (y + 0.5) AS y,
        x + 0.5 AS x,

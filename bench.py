@@ -101,6 +101,7 @@ HEADLINE = [
     "duplicated_spans_combine",
     "raster_decode_cube",
     "raster_ndvi_pipeline",
+    "raster_roundtrip_gtiff",
 ]
 
 

@@ -1,0 +1,288 @@
+"""Pure-numpy uncompressed GeoTIFF encode/decode + a distributed tile
+writer.
+
+The reference exports real rasters via rioxarray
+(``minibackend/custom_processes.py:115-219`` writes COG/netcdf/zarr) and
+loads them through odc-stac/stackstac (``get_datacube.py``). Neither
+rasterio nor PIL exists in this environment, but the classic TIFF
+container (public spec: TIFF 6.0 + the GeoTIFF tag set) is simple
+enough to read and write directly for the uncompressed striped case —
+which is what makes the WHOLE raster chain (decode -> cube ops ->
+save_result -> reload) runnable and testable offline, in the same
+spirit as the injected-transport STAC client.
+
+Scope, stated honestly: single-sample-per-pixel, uncompressed,
+strip-organized, classic (non-Big) TIFF, little- or big-endian, with
+ModelPixelScale/ModelTiepoint/GeoKeyDirectory georeferencing. Real
+Sentinel-2 COGs are deflate-compressed and tiled — those still raise a
+clear ``NotImplementedError`` pointing at rasterio; the FORMAT is not
+faked, only its simplest lawful profile is implemented.
+
+The distributed writer is the scale path: one GeoTIFF per (item, band)
+group via ``applyInPandas``, encoded and written ON THE EXECUTORS to a
+shared directory — the driver only sees the manifest. At 100 TB the
+pixel mass never congregates; file count == group count by
+construction.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+# TIFF tag ids (public TIFF 6.0 / GeoTIFF spec constants)
+_T_WIDTH = 256
+_T_LENGTH = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_SAMPLE_FORMAT = 339
+_T_TILE_WIDTH = 322
+_T_TILE_OFFSETS = 324
+_T_PIXEL_SCALE = 33550
+_T_TIEPOINT = 33922
+_T_GEOKEYS = 34735
+
+_TYPE_SHORT = 3
+_TYPE_LONG = 4
+_TYPE_DOUBLE = 12
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {3: "H", 4: "I", 12: "d", 8: "h", 9: "i", 11: "f"}
+
+# numpy dtype -> (bits, sample_format); sample_format per TIFF 6.0:
+# 1 unsigned int, 2 signed int, 3 IEEE float
+_DTYPES = {
+    np.dtype("uint8"): (8, 1),
+    np.dtype("uint16"): (16, 1),
+    np.dtype("uint32"): (32, 1),
+    np.dtype("int16"): (16, 2),
+    np.dtype("int32"): (32, 2),
+    np.dtype("float32"): (32, 3),
+    np.dtype("float64"): (64, 3),
+}
+_SF_KINDS = {1: "u", 2: "i", 3: "f"}
+
+
+def encode_gtiff(
+    arr: np.ndarray,
+    bbox: tuple[float, float, float, float] | list | None = None,
+    epsg: int | None = None,
+) -> bytes:
+    """Encode a 2-D array as a single-band uncompressed little-endian
+    GeoTIFF (one strip). ``bbox`` is (minx, miny, maxx, maxy) in CRS
+    units covering the full raster north-up (row 0 at maxy), the same
+    convention ``decode_assets_to_cube`` uses; ``epsg`` tags the CRS
+    (projected codes; 4326 is emitted as geographic)."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError(f"encode_gtiff writes single-band 2-D arrays, got shape {arr.shape}")
+    dt = arr.dtype.newbyteorder("<")
+    if dt.newbyteorder("=") not in _DTYPES:
+        raise ValueError(f"unsupported dtype {arr.dtype}; supported: {sorted(str(d) for d in _DTYPES)}")
+    bits, sfmt = _DTYPES[dt.newbyteorder("=")]
+    h, w = arr.shape
+    data = arr.astype(dt, copy=False).tobytes()
+
+    entries: list[tuple[int, int, int, bytes | int]] = [
+        (_T_WIDTH, _TYPE_LONG, 1, w),
+        (_T_LENGTH, _TYPE_LONG, 1, h),
+        (_T_BITS, _TYPE_SHORT, 1, bits),
+        (_T_COMPRESSION, _TYPE_SHORT, 1, 1),
+        (_T_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
+        (_T_STRIP_OFFSETS, _TYPE_LONG, 1, 8),
+        (_T_SPP, _TYPE_SHORT, 1, 1),
+        (_T_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
+        (_T_STRIP_COUNTS, _TYPE_LONG, 1, len(data)),
+        (_T_SAMPLE_FORMAT, _TYPE_SHORT, 1, sfmt),
+    ]
+    if bbox is not None:
+        minx, miny, maxx, maxy = (float(v) for v in bbox)
+        scale = struct.pack("<3d", (maxx - minx) / w, (maxy - miny) / h, 0.0)
+        tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, minx, maxy, 0.0)
+        entries.append((_T_PIXEL_SCALE, _TYPE_DOUBLE, 3, scale))
+        entries.append((_T_TIEPOINT, _TYPE_DOUBLE, 6, tiepoint))
+    if epsg is not None:
+        geographic = int(epsg) == 4326
+        keys = [
+            (1, 1, 0, 3),  # version, revision, minor, key count
+            (1024, 0, 1, 2 if geographic else 1),  # GTModelType
+            (1025, 0, 1, 1),  # GTRasterType = PixelIsArea
+            (2048 if geographic else 3072, 0, 1, int(epsg)),
+        ]
+        flat = [v for k in keys for v in k]
+        entries.append((_T_GEOKEYS, _TYPE_SHORT, len(flat), struct.pack(f"<{len(flat)}H", *flat)))
+
+    entries.sort(key=lambda e: e[0])
+    ifd_offset = 8 + len(data)
+    # out-of-line values land after the IFD (entries + count + next ptr)
+    extra_offset = ifd_offset + 2 + 12 * len(entries) + 4
+    ifd = struct.pack("<H", len(entries))
+    extra = b""
+    for tag, typ, count, val in entries:
+        size = _TYPE_SIZES[typ] * count
+        if isinstance(val, bytes):
+            if size <= 4:
+                ifd += struct.pack("<HHI", tag, typ, count) + val.ljust(4, b"\0")
+            else:
+                ifd += struct.pack("<HHII", tag, typ, count, extra_offset + len(extra))
+                extra += val
+        else:
+            packed = struct.pack("<" + _TYPE_FMT[typ], val).ljust(4, b"\0")
+            ifd += struct.pack("<HHI", tag, typ, count) + packed
+    ifd += struct.pack("<I", 0)  # no next IFD
+    return struct.pack("<2sHI", b"II", 42, ifd_offset) + data + ifd + extra
+
+
+def decode_gtiff(payload: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a classic uncompressed strip-organized TIFF. Returns
+    ``(array, meta)`` — array is (H, W) for one sample per pixel,
+    (H, W, SPP) otherwise; meta carries ``bbox``/``epsg``/``pixel_scale``
+    when the GeoTIFF tags are present. Tiled or compressed TIFFs raise
+    ``NotImplementedError`` (that profile needs rasterio)."""
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
+    magic, ifd_offset = struct.unpack(bo + "HI", payload[2:8])
+    if magic != 42:
+        raise NotImplementedError("BigTIFF (magic 43) is not supported")
+    n = struct.unpack(bo + "H", payload[ifd_offset : ifd_offset + 2])[0]
+    tags: dict[int, tuple] = {}
+    for i in range(n):
+        off = ifd_offset + 2 + 12 * i
+        tag, typ, count = struct.unpack(bo + "HHI", payload[off : off + 8])
+        size = _TYPE_SIZES.get(typ, 1) * count
+        if size <= 4:
+            raw = payload[off + 8 : off + 8 + size]
+        else:
+            (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
+            raw = payload[voff : voff + size]
+        fmt = _TYPE_FMT.get(typ)
+        vals = struct.unpack(bo + fmt * count, raw) if fmt else (raw,)
+        tags[tag] = vals
+
+    if _T_TILE_OFFSETS in tags or _T_TILE_WIDTH in tags:
+        raise NotImplementedError("tiled TIFF needs rasterio (only strip organization is implemented)")
+    compression = tags.get(_T_COMPRESSION, (1,))[0]
+    if compression != 1:
+        raise NotImplementedError(f"TIFF compression {compression} needs rasterio (only uncompressed is implemented)")
+    w = tags[_T_WIDTH][0]
+    h = tags[_T_LENGTH][0]
+    spp = tags.get(_T_SPP, (1,))[0]
+    bits = tags.get(_T_BITS, (8,) * spp)
+    if len(set(bits)) != 1:
+        raise NotImplementedError(f"mixed bits-per-sample {bits}")
+    sfmt = tags.get(_T_SAMPLE_FORMAT, (1,) * spp)[0]
+    if tags.get(_T_PLANAR, (1,))[0] != 1:
+        raise NotImplementedError("planar (non-chunky) TIFF is not supported")
+    kind = _SF_KINDS.get(sfmt)
+    if kind is None:
+        raise NotImplementedError(f"TIFF sample format {sfmt} is not supported")
+    dtype = np.dtype(f"{bo}{kind}{bits[0] // 8}")
+
+    data = b"".join(
+        payload[o : o + c]
+        for o, c in zip(tags[_T_STRIP_OFFSETS], tags[_T_STRIP_COUNTS])
+    )
+    arr = np.frombuffer(data, dtype=dtype, count=h * w * spp)
+    arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
+
+    meta: dict = {}
+    if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:
+        sx, sy = tags[_T_PIXEL_SCALE][0], tags[_T_PIXEL_SCALE][1]
+        tp = tags[_T_TIEPOINT]
+        # tiepoint maps raster (i, j) -> model (x, y); standard usage
+        # anchors (0, 0) at the raster's top-left = (minx, maxy)
+        minx = tp[3] - tp[0] * sx
+        maxy = tp[4] + tp[1] * sy
+        meta["pixel_scale"] = (sx, sy)
+        meta["bbox"] = (minx, maxy - sy * h, minx + sx * w, maxy)
+    if _T_GEOKEYS in tags:
+        geo = tags[_T_GEOKEYS]
+        for k in range(4, len(geo), 4):
+            if geo[k] in (2048, 3072) and geo[k + 1] == 0:
+                meta["epsg"] = geo[k + 3]
+    return arr, meta
+
+
+GTIFF_MANIFEST_SCHEMA = (
+    "path string, n_rows int, n_cols int, n_bytes long, minx double, "
+    "miny double, maxx double, maxy double"
+)
+
+
+def write_gtiff_tiles(
+    df,
+    out_dir: str,
+    group_cols: list[str],
+    value_col: str = "value",
+    x_col: str = "x",
+    y_col: str = "y",
+    epsg: int | None = None,
+    dtype: str = "float64",
+):
+    """Distributed GeoTIFF sink: one single-band tile per ``group_cols``
+    group (typically (item_id, time, band)), encoded and written on the
+    EXECUTORS — the returned DataFrame is the manifest (path, shape,
+    bbox), the only thing the driver materializes. Pixel-center x/y
+    coordinates (the ``decode_assets_to_cube`` layout) reconstruct the
+    cover bbox exactly, so write -> fetch -> decode round-trips.
+
+    ``out_dir`` must be shared storage in a real cluster (each executor
+    writes its own groups); file count == group count by construction —
+    no small-files explosion beyond the group granularity the caller
+    picked.
+    """
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    key_fields = ", ".join(f"`{c}` string" for c in group_cols)
+    schema = f"{key_fields}, {GTIFF_MANIFEST_SCHEMA}"
+    np_dtype = np.dtype(dtype)
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = [str(pdf[c].iloc[0]) for c in group_cols]
+        xs = np.sort(pdf[x_col].unique())
+        ys = np.sort(pdf[y_col].unique())[::-1]  # north-up: row 0 = max y
+        grid = (
+            pdf.pivot_table(index=y_col, columns=x_col, values=value_col)
+            .reindex(index=ys, columns=xs)
+            .to_numpy()
+            .astype(np_dtype)
+        )
+        # pixel centers -> cover bbox (uniform grids; single row/col
+        # falls back to unit pixel size, mirroring grid_params)
+        sx = float(xs[1] - xs[0]) if len(xs) > 1 else 1.0
+        sy = float(ys[0] - ys[1]) if len(ys) > 1 else 1.0
+        bbox = (
+            float(xs[0]) - sx / 2,
+            float(ys[-1]) - sy / 2,
+            float(xs[-1]) + sx / 2,
+            float(ys[0]) + sy / 2,
+        )
+        payload = encode_gtiff(grid, bbox=bbox, epsg=epsg)
+        name = "_".join(k.replace(os.sep, "-").replace(":", "-") for k in keys) + ".tif"
+        path = os.path.join(out_dir, name)
+        with open(path, "wb") as f:
+            f.write(payload)
+        return pd.DataFrame(
+            [
+                keys
+                + [path, grid.shape[0], grid.shape[1], len(payload)]
+                + list(bbox)
+            ],
+            columns=group_cols
+            + ["path", "n_rows", "n_cols", "n_bytes", "minx", "miny", "maxx", "maxy"],
+        )
+
+    return df.groupBy(*group_cols).applyInPandas(encode_group, schema=schema)

@@ -625,6 +625,52 @@ def save_result(
     import warnings
 
     fmt = format.lower()
+    if fmt == "gtiff":
+        # DISTRIBUTED gtiff sink (pure-numpy encoder, io/gtiff.py): one
+        # single-band tile per non-spatial dim group, encoded and
+        # written on the executors; the driver only sees the manifest
+        # (written as parquet under <path>/_manifest). Falls through to
+        # the legacy driver-side export only when no x/y dims are
+        # identifiable.
+        import os
+
+        from openeo_processes_dask_ml_spark.io.gtiff import (
+            write_gtiff_tiles,
+        )
+
+        vc = value_col if value_col is not None else df.columns[-1]
+        dc = (
+            dim_cols
+            if dim_cols is not None
+            else [c for c in df.columns if c != vc]
+        )
+        x_col = next(
+            (c for c in dc if c.lower() in ("x", "lon", "lng", "longitude")),
+            None,
+        )
+        y_col = next(
+            (c for c in dc if c.lower() in ("y", "lat", "latitude")), None
+        )
+        if x_col and y_col:
+            group_cols = [c for c in dc if c not in (x_col, y_col)]
+            tiles = df
+            if not group_cols:
+                tiles = df.withColumn("tile", F.lit("tile"))
+                group_cols = ["tile"]
+            manifest = write_gtiff_tiles(
+                tiles,
+                path,
+                group_cols=group_cols,
+                value_col=vc,
+                x_col=x_col,
+                y_col=y_col,
+                epsg=options.get("epsg"),
+                dtype=options.get("dtype", "float64"),
+            )
+            manifest.write.mode("overwrite").parquet(
+                os.path.join(path, "_manifest")
+            )
+            return path
     if fmt in RASTER_FORMATS:
         if _try_raster_export(df, path, fmt, value_col, dim_cols):
             return path

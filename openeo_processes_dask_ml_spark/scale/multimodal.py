@@ -104,7 +104,24 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
 
 
-_PURE_DECODERS = {"ppm": _decode_pnm, "pgm": _decode_pnm, "bmp": _decode_bmp}
+def _decode_tiff(payload: bytes) -> np.ndarray:
+    # pure-numpy classic-TIFF reader (io/gtiff.py): uncompressed strip
+    # profile decodes offline; compressed/tiled COGs raise a clear
+    # NotImplementedError pointing at rasterio
+    from openeo_processes_dask_ml_spark.io.gtiff import decode_gtiff
+
+    return decode_gtiff(payload)[0]
+
+
+_PURE_DECODERS = {
+    "ppm": _decode_pnm,
+    "pgm": _decode_pnm,
+    "bmp": _decode_bmp,
+    "tif": _decode_tiff,
+    "tiff": _decode_tiff,
+    "gtiff": _decode_tiff,
+    "cog": _decode_tiff,
+}
 
 
 def decode_image(payload: bytes, fmt: str) -> np.ndarray:

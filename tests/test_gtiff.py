@@ -1,0 +1,172 @@
+"""Pure-numpy GeoTIFF codec + distributed tile sink (io/gtiff.py).
+
+Reference analog: minibackend/custom_processes.py:115-219 writes real
+rasters via rioxarray; here the uncompressed strip profile of classic
+TIFF is implemented directly so the full chain (cube -> save_result ->
+reload through decode_assets_to_cube) runs offline.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from openeo_processes_dask_ml_spark.io.gtiff import (
+    decode_gtiff,
+    encode_gtiff,
+    write_gtiff_tiles,
+)
+
+
+@pytest.mark.parametrize(
+    "dtype", ["uint8", "uint16", "int16", "int32", "float32", "float64"]
+)
+def test_encode_decode_roundtrip_dtypes(dtype):
+    rng = np.random.default_rng(7)
+    if np.dtype(dtype).kind == "f":
+        arr = rng.random((5, 7)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, (5, 7)).astype(dtype)
+    out, meta = decode_gtiff(encode_gtiff(arr))
+    assert out.dtype.newbyteorder("=") == np.dtype(dtype)
+    np.testing.assert_array_equal(out, arr)
+    assert meta == {}
+
+
+def test_geotags_roundtrip():
+    arr = np.arange(12, dtype=np.float64).reshape(3, 4)
+    payload = encode_gtiff(arr, bbox=(10.0, 40.0, 14.0, 43.0), epsg=32632)
+    out, meta = decode_gtiff(payload)
+    np.testing.assert_array_equal(out, arr)
+    assert meta["bbox"] == (10.0, 40.0, 14.0, 43.0)
+    assert meta["pixel_scale"] == (1.0, 1.0)
+    assert meta["epsg"] == 32632
+    # geographic CRS goes through the geographic geokey
+    _, meta2 = decode_gtiff(
+        encode_gtiff(arr, bbox=(0, 0, 4, 3), epsg=4326)
+    )
+    assert meta2["epsg"] == 4326
+
+
+def test_decode_rejects_unsupported_profiles():
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_gtiff(b"not a tiff at all")
+    payload = encode_gtiff(np.zeros((2, 2), dtype=np.uint8))
+    # flip the compression entry (tag 259, SHORT, count 1, value 1 -> 5)
+    plain = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 1).ljust(4, b"\0")
+    lzw = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 5).ljust(4, b"\0")
+    assert plain in payload
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_gtiff(payload.replace(plain, lzw))
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        decode_gtiff(struct.pack("<2sHI", b"II", 43, 8))
+
+
+def test_decode_image_dispatches_tiff():
+    from openeo_processes_dask_ml_spark.scale.multimodal import decode_image
+
+    arr = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    out = decode_image(encode_gtiff(arr), "gtiff")
+    np.testing.assert_array_equal(out, arr)
+
+
+def _cube_df(spark):
+    rows = []
+    for item in ("a", "b"):
+        for band in ("red", "nir"):
+            for yi in range(4):
+                for xi in range(4):
+                    rows.append(
+                        (
+                            item,
+                            band,
+                            3.5 - yi,  # pixel centers, north-up listing
+                            xi + 0.5,
+                            float(yi * 4 + xi + (100 if band == "nir" else 0)),
+                        )
+                    )
+    return spark.createDataFrame(
+        rows, "item_id string, band string, y double, x double, value double"
+    )
+
+
+def test_write_gtiff_tiles_and_reload(spark, tmp_path):
+    """Distributed write -> manifest -> fetch+decode round-trip: the
+    re-decoded cube is value-identical to the source, including the
+    north-up row order and the pixel-center coordinate math."""
+    from openeo_processes_dask_ml_spark.io.raster import decode_assets_to_cube
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+    df = _cube_df(spark)
+    out_dir = str(tmp_path / "tiles")
+    manifest = write_gtiff_tiles(
+        df, out_dir, group_cols=["item_id", "band"], epsg=32632
+    ).collect()
+    assert len(manifest) == 4
+    for m in manifest:
+        assert os.path.exists(m["path"])
+        assert (m["n_rows"], m["n_cols"]) == (4, 4)
+        assert (m["minx"], m["miny"], m["maxx"], m["maxy"]) == (0.0, 0.0, 4.0, 4.0)
+
+    arr, meta = decode_gtiff(open(manifest[0]["path"], "rb").read())
+    assert meta["epsg"] == 32632 and meta["bbox"] == (0.0, 0.0, 4.0, 4.0)
+
+    assets = spark.createDataFrame(
+        [
+            (
+                m["item_id"],
+                "c",
+                "2024-01-01T00:00:00Z",
+                m["band"],
+                m["path"],
+                "image/tiff; application=geotiff",
+                [m["minx"], m["miny"], m["maxx"], m["maxy"]],
+            )
+            for m in manifest
+        ],
+        ASSET_SCHEMA,
+    )
+
+    def read_file(href):
+        with open(href, "rb") as f:
+            return f.read()
+
+    cube = decode_assets_to_cube(assets, read_file)
+    back = {
+        (r["item_id"], r["band"], r["y"], r["x"]): r["value"]
+        for r in cube.df.collect()
+    }
+    src = {
+        (r["item_id"], r["band"], r["y"], r["x"]): r["value"]
+        for r in df.collect()
+    }
+    assert back == src
+
+
+def test_save_result_gtiff_distributed(spark, tmp_path):
+    """save_result(format='gtiff') takes the distributed tile path when
+    x/y dims are identifiable — no geo-stack warning, real .tif files +
+    a parquet manifest."""
+    import warnings
+
+    from openeo_processes_dask_ml_spark.io.load import save_result
+
+    df = _cube_df(spark)
+    out = str(tmp_path / "export")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning fails
+        save_result(
+            df,
+            out,
+            format="gtiff",
+            value_col="value",
+            dim_cols=["item_id", "band", "y", "x"],
+            epsg=32632,
+        )
+    tifs = [f for f in os.listdir(out) if f.endswith(".tif")]
+    assert len(tifs) == 4
+    manifest = spark.read.parquet(os.path.join(out, "_manifest"))
+    assert manifest.count() == 4
+    assert set(manifest.columns) >= {"path", "n_rows", "n_cols", "minx"}

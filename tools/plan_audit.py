@@ -161,6 +161,14 @@ AUDIT = [
         "long-form frame.",
     ),
     (
+        "raster_roundtrip_gtiff",
+        "Distributed GeoTIFF sink + reload: tiles encode and write on "
+        "the EXECUTORS inside FlatMapGroupsInPandas (driver sees only "
+        "the group-count-sized manifest), reload is the standard "
+        "decode fan-out. Shown: the reload plan — the write side's "
+        "only exchange is the (item, band) grouping.",
+    ),
+    (
         "raster_ndvi_pipeline",
         "The full reference chain as ONE plan: decode fan-out -> ndvi "
         "conditional aggregation -> monthly mean, with exactly two "
