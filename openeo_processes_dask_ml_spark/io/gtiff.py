@@ -90,6 +90,14 @@ def encode_gtiff(
     bits, sfmt = _DTYPES[dt.newbyteorder("=")]
     h, w = arr.shape
     data = arr.astype(dt, copy=False).tobytes()
+    if len(data) >= 2**32 - 4096:
+        # classic TIFF offsets are u32; BigTIFF is out of scope. Tiles
+        # this large mean the caller's grouping is too coarse anyway.
+        raise ValueError(
+            f"raster payload {len(data)} B exceeds the classic-TIFF 4 GiB "
+            "offset space — split the group (finer group_cols) or use a "
+            "BigTIFF-capable writer"
+        )
 
     entries: list[tuple[int, int, int, bytes | int]] = [
         (_T_WIDTH, _TYPE_LONG, 1, w),
@@ -271,8 +279,16 @@ def write_gtiff_tiles(
             float(ys[0]) + sy / 2,
         )
         payload = encode_gtiff(grid, bbox=bbox, epsg=epsg)
-        name = "_".join(k.replace(os.sep, "-").replace(":", "-") for k in keys) + ".tif"
-        path = os.path.join(out_dir, name)
+        # readable sanitized keys + a digest of the RAW keys: two
+        # groups whose keys differ only in sanitized-away characters
+        # ("a:b" vs "a-b") must not collide on one path
+        import hashlib
+
+        digest = hashlib.md5("\x00".join(keys).encode()).hexdigest()[:8]
+        safe = "_".join(
+            k.replace(os.sep, "-").replace(":", "-") for k in keys
+        )
+        path = os.path.join(out_dir, f"{safe}_{digest}.tif")
         with open(path, "wb") as f:
             f.write(payload)
         return pd.DataFrame(
