@@ -437,3 +437,42 @@ def test_duplicate_clusters_paths_agree_randomized(spark):
             expect |= {(node, label) for node in comp}
         assert fast == expect, f"trial {trial}: fast path diverged"
         assert dist == expect, f"trial {trial}: distributed path diverged"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    dtype=st.sampled_from(
+        ["uint8", "uint16", "int16", "int32", "float32", "float64"]
+    ),
+    seed=st.integers(0, 2**31 - 1),
+    with_geo=st.booleans(),
+)
+def test_gtiff_roundtrip_property(h, w, dtype, seed, with_geo):
+    """decode(encode(x)) == x bit-exactly for every supported dtype and
+    shape, with and without geo tags; bbox/epsg survive the trip."""
+    from openeo_processes_dask_ml_spark.io.gtiff import (
+        decode_gtiff,
+        encode_gtiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    if np.dtype(dtype).kind == "f":
+        arr = (rng.random((h, w)) * 1e3 - 500).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(
+            info.min, int(info.max) + 1, (h, w), dtype=dtype
+        )
+    kwargs = {}
+    if with_geo:
+        kwargs = {"bbox": (0.0, 0.0, float(w), float(h)), "epsg": 32632}
+    out, meta = decode_gtiff(encode_gtiff(arr, **kwargs))
+    assert out.dtype.newbyteorder("=") == np.dtype(dtype)
+    np.testing.assert_array_equal(out, arr)
+    if with_geo:
+        assert meta["bbox"] == (0.0, 0.0, float(w), float(h))
+        assert meta["epsg"] == 32632
+    else:
+        assert meta == {}
