@@ -222,3 +222,91 @@ def decode_assets_to_cube(
     return CubeFrame(
         df, {"time": "time", "bands": "band", "y": "y", "x": "x"}, "value", attrs
     )
+
+
+def load_stac_cube(
+    spark,
+    collection_id: str,
+    fetcher: Fetcher,
+    bbox: list[float] | None = None,
+    datetime_range: str | None = None,
+    bands: list[str] | None = None,
+    properties: dict | None = None,
+    resolution: float | None = None,
+    projection: int | str | None = None,
+    resampling: str = "mean",
+    cache_dir: str | None = None,
+    transport=None,
+    max_items: int | None = None,
+    scale: float = 1.0,
+    offset: float = 0.0,
+) -> CubeFrame:
+    """The reference's top-level entry, Spark-idiomatic
+    (``load_stac_with_cache``, get_datacube.py:140-257): catalog search
+    (band-name conversion + property filters) -> distributed decode ->
+    optional grid coarsening to ``resolution`` — one call from STAC URL
+    to CubeFrame.
+
+    The cache is a PARQUET dataset of the long-form cube keyed by a
+    deterministic hash of the request (the reference pickles the xarray
+    cube per request hash, get_datacube.py:150-167; parquet keeps the
+    cached cube columnar, partitioned, predicate-pushable, and
+    shareable across sessions instead of a single-machine binary blob).
+    A cache hit never touches the catalog or the fetcher. ``projection``
+    is recorded in ``attrs['epsg']``; actual CRS reprojection is out of
+    scope here (no geo libs), matching ``resample_spatial``'s documented
+    same-CRS scope.
+    """
+    import hashlib
+    import os
+
+    from openeo_processes_dask_ml_spark.io.stac_client import (
+        stac_asset_table,
+    )
+
+    dims = {"time": "time", "bands": "band", "y": "y", "x": "x"}
+    attrs: dict = {"epsg": projection} if projection is not None else {}
+    cache_path = None
+    if cache_dir:
+        key = hashlib.md5(
+            repr(
+                (
+                    collection_id,
+                    bbox,
+                    datetime_range,
+                    bands,
+                    sorted((properties or {}).items()),
+                    resolution,
+                    projection,
+                    resampling,
+                    scale,
+                    offset,
+                )
+            ).encode()
+        ).hexdigest()
+        cache_path = os.path.join(cache_dir, f"stac_cube_{key}")
+        if os.path.exists(os.path.join(cache_path, "_SUCCESS")):
+            return CubeFrame(
+                spark.read.parquet(cache_path), dims, "value", attrs
+            )
+
+    assets = stac_asset_table(
+        spark,
+        collection_id,
+        bbox=bbox,
+        datetime_range=datetime_range,
+        bands=bands,
+        properties=properties,
+        transport=transport,
+        max_items=max_items,
+    )
+    cube = decode_assets_to_cube(assets, fetcher, scale=scale, offset=offset)
+    cube.attrs.update(attrs)
+    if resolution is not None:
+        cube = cube.resample_spatial(resolution, method=resampling)
+    if cache_path:
+        cube.df.write.mode("overwrite").parquet(cache_path)
+        return CubeFrame(
+            spark.read.parquet(cache_path), dims, "value", dict(cube.attrs)
+        )
+    return cube

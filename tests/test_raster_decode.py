@@ -269,3 +269,110 @@ def test_predict_chain_decodes_exactly_twice(spark, tmp_path):
         f"expected exactly 2 decode passes ({2 * n_assets} fetches), "
         f"saw {fetches}"
     )
+
+
+def test_load_stac_cube_end_to_end_and_parquet_cache(spark, tmp_path):
+    """Reference load_stac_with_cache parity (get_datacube.py:140-257):
+    catalog search -> decode (real uncompressed GeoTIFF payloads) ->
+    CubeFrame in one call; the request-hash parquet cache serves the
+    second call WITHOUT touching catalog or fetcher."""
+    from openeo_processes_dask_ml_spark.io.gtiff import encode_gtiff
+    from openeo_processes_dask_ml_spark.io.raster import load_stac_cube
+
+    cdse = "https://stac.dataspace.copernicus.eu/v1"
+    calls = []
+
+    def transport(url, body=None):
+        calls.append(url)
+        if url == f"{cdse}/collections":
+            return {"collections": [{"id": "sentinel-2-l2a"}], "links": []}
+        if url == f"{cdse}/search":
+            return {
+                "features": [
+                    {
+                        "id": "A",
+                        "bbox": [10.0, 45.0, 11.0, 46.0],
+                        "properties": {"datetime": "2024-06-01T10:00:00Z"},
+                        "assets": {
+                            k: {
+                                "href": f"mem://A/{k}.tif",
+                                "type": "image/tiff; application=geotiff",
+                            }
+                            for k in ("B04_10m", "B08_10m")
+                        },
+                    }
+                ],
+                "links": [],
+            }
+        raise AssertionError(f"unexpected request {url}")
+
+    def fetch(href):
+        import numpy as np
+
+        from openeo_processes_dask_ml_spark.io.gtiff import (
+            encode_gtiff as enc,
+        )
+
+        base = 100 if "B08" in href else 0
+        return enc(
+            (np.arange(16).reshape(4, 4) + base).astype("uint16"),
+            bbox=(10.0, 45.0, 11.0, 46.0),
+            epsg=4326,
+        )
+
+    assert encode_gtiff is not None  # imported for parity of intent
+    cache = str(tmp_path / "cube_cache")
+    cube = load_stac_cube(
+        spark,
+        "cdse/sentinel-2-l2a",
+        fetch,
+        bbox=[10.0, 45.0, 11.0, 46.0],
+        bands=["red", "nir"],
+        projection=4326,
+        cache_dir=cache,
+        transport=transport,
+    )
+    rows = {
+        (r["band"], r["y"], r["x"]): r["value"] for r in cube.df.collect()
+    }
+    assert len(rows) == 32  # 2 bands x 16 pixels
+    # north-up: raster row 0 (value 0/100) at max y = 46 - 0.125
+    assert rows[("B04_10m", 45.875, 10.125)] == 0.0
+    assert rows[("B08_10m", 45.875, 10.125)] == 100.0
+    assert cube.attrs["epsg"] == 4326
+    n_calls = len(calls)
+    assert n_calls > 0
+
+    def no_fetch(href):
+        raise AssertionError("cache hit must not fetch")
+
+    def no_transport(url, body=None):
+        raise AssertionError("cache hit must not search")
+
+    cached = load_stac_cube(
+        spark,
+        "cdse/sentinel-2-l2a",
+        no_fetch,
+        bbox=[10.0, 45.0, 11.0, 46.0],
+        bands=["red", "nir"],
+        projection=4326,
+        cache_dir=cache,
+        transport=no_transport,
+    )
+    rows2 = {
+        (r["band"], r["y"], r["x"]): r["value"] for r in cached.df.collect()
+    }
+    assert rows2 == rows
+    # a DIFFERENT request (extra band filter dropped) must not hit the
+    # same cache key
+    with pytest.raises(AssertionError, match="must not search"):
+        load_stac_cube(
+            spark,
+            "cdse/sentinel-2-l2a",
+            no_fetch,
+            bbox=[10.0, 45.0, 11.0, 46.0],
+            bands=["red"],
+            projection=4326,
+            cache_dir=cache,
+            transport=no_transport,
+        )
