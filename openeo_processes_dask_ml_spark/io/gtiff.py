@@ -262,12 +262,29 @@ def write_gtiff_tiles(
         keys = [str(pdf[c].iloc[0]) for c in group_cols]
         xs = np.sort(pdf[x_col].unique())
         ys = np.sort(pdf[y_col].unique())[::-1]  # north-up: row 0 = max y
+        if len(pdf) > len(xs) * len(ys):
+            # pivot_table would silently AVERAGE duplicates — a sink
+            # must never alter data; duplicate cells mean the caller's
+            # group_cols are too coarse (e.g. time missing)
+            raise ValueError(
+                f"duplicate (y, x) cells in group {keys}: {len(pdf)} rows "
+                f"for a {len(ys)}x{len(xs)} grid — add the missing "
+                "dimension to group_cols"
+            )
         grid = (
             pdf.pivot_table(index=y_col, columns=x_col, values=value_col)
             .reindex(index=ys, columns=xs)
             .to_numpy()
-            .astype(np_dtype)
         )
+        if np_dtype.kind != "f" and np.isnan(grid).any():
+            # sparse coverage -> NaN holes; float dtypes carry them as
+            # nodata, but an integer cast would turn them into garbage
+            raise ValueError(
+                f"group {keys} does not cover the full {len(ys)}x{len(xs)} "
+                f"grid and dtype {np_dtype} has no NaN — use a float "
+                "dtype or densify first"
+            )
+        grid = grid.astype(np_dtype)
         # pixel centers -> cover bbox (uniform grids; single row/col
         # falls back to unit pixel size, mirroring grid_params)
         sx = float(xs[1] - xs[0]) if len(xs) > 1 else 1.0

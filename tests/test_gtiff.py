@@ -170,3 +170,31 @@ def test_save_result_gtiff_distributed(spark, tmp_path):
     manifest = spark.read.parquet(os.path.join(out, "_manifest"))
     assert manifest.count() == 4
     assert set(manifest.columns) >= {"path", "n_rows", "n_cols", "minx"}
+
+
+def test_write_gtiff_tiles_rejects_duplicates_and_int_holes(spark, tmp_path):
+    """A sink must never alter data: duplicate (y, x) cells (coarse
+    group_cols) raise instead of silently averaging; sparse coverage
+    with an integer dtype raises instead of casting NaN to garbage.
+    Sparse coverage with a float dtype writes NaN nodata."""
+    dup = spark.createDataFrame(
+        [("a", 0.5, 0.5, 1.0), ("a", 0.5, 0.5, 3.0), ("a", 1.5, 0.5, 2.0),
+         ("a", 0.5, 1.5, 4.0), ("a", 1.5, 1.5, 5.0)],
+        "g string, y double, x double, value double",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        write_gtiff_tiles(dup, str(tmp_path / "d"), group_cols=["g"]).collect()
+
+    sparse = spark.createDataFrame(
+        [("a", 0.5, 0.5, 1.0), ("a", 1.5, 1.5, 2.0)],
+        "g string, y double, x double, value double",
+    )
+    with pytest.raises(Exception, match="NaN"):
+        write_gtiff_tiles(
+            sparse, str(tmp_path / "i"), group_cols=["g"], dtype="int32"
+        ).collect()
+    m = write_gtiff_tiles(
+        sparse, str(tmp_path / "f"), group_cols=["g"], dtype="float64"
+    ).collect()
+    arr, _ = decode_gtiff(open(m[0]["path"], "rb").read())
+    assert np.isnan(arr).sum() == 2 and arr.shape == (2, 2)
