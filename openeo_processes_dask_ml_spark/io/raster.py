@@ -281,6 +281,7 @@ def load_stac_cube(
                     resampling,
                     scale,
                     offset,
+                    max_items,
                 )
             ).encode()
         ).hexdigest()
