@@ -262,13 +262,15 @@ def write_gtiff_tiles(
         keys = [str(pdf[c].iloc[0]) for c in group_cols]
         xs = np.sort(pdf[x_col].unique())
         ys = np.sort(pdf[y_col].unique())[::-1]  # north-up: row 0 = max y
-        if len(pdf) > len(xs) * len(ys):
+        if pdf.duplicated([y_col, x_col]).any():
             # pivot_table would silently AVERAGE duplicates — a sink
             # must never alter data; duplicate cells mean the caller's
-            # group_cols are too coarse (e.g. time missing)
+            # group_cols are too coarse (e.g. time missing). Exact
+            # per-cell check: a row-count test would miss a duplicate
+            # masked by a coverage hole.
             raise ValueError(
                 f"duplicate (y, x) cells in group {keys}: {len(pdf)} rows "
-                f"for a {len(ys)}x{len(xs)} grid — add the missing "
+                f"over a {len(ys)}x{len(xs)} grid — add the missing "
                 "dimension to group_cols"
             )
         grid = (
