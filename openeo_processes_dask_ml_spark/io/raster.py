@@ -258,7 +258,6 @@ def load_stac_cube(
     same-CRS scope.
     """
     import hashlib
-    import os
 
     from openeo_processes_dask_ml_spark.io.stac_client import (
         stac_asset_table,
@@ -285,8 +284,14 @@ def load_stac_cube(
                 )
             ).encode()
         ).hexdigest()
-        cache_path = os.path.join(cache_dir, f"stac_cube_{key}")
-        if os.path.exists(os.path.join(cache_path, "_SUCCESS")):
+        cache_path = cache_dir.rstrip("/") + f"/stac_cube_{key}"
+        # existence check through the Hadoop FileSystem API, not
+        # os.path — the cache dir is typically object storage (s3a://)
+        # where a local-path check would silently never hit
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(cache_path + "/_SUCCESS")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             return CubeFrame(
                 spark.read.parquet(cache_path), dims, "value", attrs
             )
