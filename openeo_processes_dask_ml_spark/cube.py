@@ -132,8 +132,15 @@ class CubeFrame:
         col = self.dim_col("bands")
         return [r[0] for r in self.df.select(col).distinct().collect()]
 
-    def with_df(self, df: DataFrame) -> "CubeFrame":
-        return replace(self, df=df, attrs=self._carry_attrs())
+    def with_df(
+        self, df: DataFrame, keep_band_labels: bool = False
+    ) -> "CubeFrame":
+        """``keep_band_labels=True`` is reserved for transformations
+        that provably cannot change the band universe (row filters on
+        OTHER dims, per-cell value maps) — mirroring xarray, where band
+        coords survive a temporal/spatial selection."""
+        attrs = dict(self.attrs) if keep_band_labels else self._carry_attrs()
+        return replace(self, df=df, attrs=attrs)
 
     # -- openEO core processes -----------------------------------------
     def filter_bands(self, bands: Sequence[str]) -> "CubeFrame":
@@ -164,12 +171,13 @@ class CubeFrame:
             df = df.filter(t >= F.lit(start).cast("timestamp"))
         if end is not None:
             df = df.filter(t < F.lit(end).cast("timestamp"))
-        return self.with_df(df)
+        return self.with_df(df, keep_band_labels=True)
 
     def apply(self, fn: Callable[[Column], Column]) -> "CubeFrame":
         """Unary per-cell function — a single projection, fused by codegen."""
         return self.with_df(
-            self.df.withColumn(self.value_col, fn(F.col(self.value_col)))
+            self.df.withColumn(self.value_col, fn(F.col(self.value_col))),
+            keep_band_labels=True,
         )
 
     def filter_bbox(
@@ -194,7 +202,7 @@ class CubeFrame:
                 df = df.filter(y >= south)
             if north is not None:
                 df = df.filter(y < north)
-        return self.with_df(df)
+        return self.with_df(df, keep_band_labels=True)
 
     _CUMULATIVE = {
         "cumsum": F.sum,

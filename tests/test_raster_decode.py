@@ -376,3 +376,25 @@ def test_load_stac_cube_end_to_end_and_parquet_cache(spark, tmp_path):
             cache_dir=cache,
             transport=no_transport,
         )
+
+
+def test_hint_survives_band_safe_ops(spark):
+    """filter_temporal / filter_bbox / apply cannot change the band
+    universe, so the catalog hint survives them (xarray semantics:
+    band coords survive a temporal/spatial selection) — a decode ->
+    filter -> ndvi chain still resolves bands without a pixel pass."""
+    from openeo_processes_dask_ml_spark.operators.indices import ndvi
+
+    assets = _meta_assets(
+        spark,
+        "image/x-portable-graymap",
+        [("mem://i0/red", "red"), ("mem://i0/nir", "nir")],
+    )
+    cube = decode_assets_to_cube(assets, _boom)
+    chained = (
+        cube.filter_temporal("2024-01-01", "2024-02-01")
+        .filter_bbox(west=0.0, east=2.0)
+        .apply(lambda c: c * 2)
+    )
+    assert sorted(chained.attrs["band_labels"]) == ["nir", "red"]
+    ndvi(chained)  # plan builds hint-only; nothing evaluates pixels
