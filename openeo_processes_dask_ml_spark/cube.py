@@ -161,7 +161,12 @@ class CubeFrame:
         )
 
     def filter_labels(self, dim: str, labels: Sequence) -> "CubeFrame":
-        return self.with_df(self.df.filter(F.col(self.dim_col(dim)).isin(list(labels))))
+        col = self.dim_col(dim)
+        return self.with_df(
+            self.df.filter(F.col(col).isin(list(labels))),
+            # filtering a NON-band dim cannot change the band universe
+            keep_band_labels=col != self.dims.get("bands"),
+        )
 
     def filter_temporal(self, start, end) -> "CubeFrame":
         """Half-open [start, end) interval, per the openEO spec."""
