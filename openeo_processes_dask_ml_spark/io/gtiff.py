@@ -11,12 +11,15 @@ which is what makes the WHOLE raster chain (decode -> cube ops ->
 save_result -> reload) runnable and testable offline, in the same
 spirit as the injected-transport STAC client.
 
-Scope, stated honestly: single-sample-per-pixel, uncompressed,
-strip-organized, classic (non-Big) TIFF, little- or big-endian, with
-ModelPixelScale/ModelTiepoint/GeoKeyDirectory georeferencing. Real
-Sentinel-2 COGs are deflate-compressed and tiled — those still raise a
-clear ``NotImplementedError`` pointing at rasterio; the FORMAT is not
-faked, only its simplest lawful profile is implemented.
+Scope, stated honestly: classic (non-Big) TIFF, little- or big-endian,
+strip- or tile-organized, uncompressed or DEFLATE (zlib is stdlib),
+predictor 1/2 (horizontal differencing), single- or multi-sample
+chunky pixels, with ModelPixelScale/ModelTiepoint/GeoKeyDirectory
+georeferencing — i.e. the interior layout of real deflate COGs (the
+decoder reads IFD 0, the full-resolution image; overview IFDs are
+pyramid copies). JPEG/LZW/packbits compression and planar organization
+still raise a clear ``NotImplementedError`` pointing at rasterio; the
+format is never faked.
 
 The distributed writer is the scale path: one GeoTIFF per (item, band)
 group via ``applyInPandas``, encoded and written ON THE EXECUTORS to a
@@ -43,9 +46,12 @@ _T_SPP = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
+_T_PREDICTOR = 317
 _T_SAMPLE_FORMAT = 339
 _T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 _T_PIXEL_SCALE = 33550
 _T_TIEPOINT = 33922
 _T_GEOKEYS = 34735
@@ -71,46 +77,112 @@ _DTYPES = {
 _SF_KINDS = {1: "u", 2: "i", 3: "f"}
 
 
+def _apply_predictor2(chunk: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (TIFF predictor 2): each pixel stores
+    the delta to its left neighbor, per row (and per sample). Integer
+    wraparound is the spec's modular arithmetic."""
+    out = chunk.copy()
+    out[:, 1:] = chunk[:, 1:] - chunk[:, :-1]
+    return out
+
+
 def encode_gtiff(
     arr: np.ndarray,
     bbox: tuple[float, float, float, float] | list | None = None,
     epsg: int | None = None,
+    compression: str | None = None,
+    tile: tuple[int, int] | None = None,
+    predictor: int = 1,
 ) -> bytes:
-    """Encode a 2-D array as a single-band uncompressed little-endian
-    GeoTIFF (one strip). ``bbox`` is (minx, miny, maxx, maxy) in CRS
-    units covering the full raster north-up (row 0 at maxy), the same
-    convention ``decode_assets_to_cube`` uses; ``epsg`` tags the CRS
-    (projected codes; 4326 is emitted as geographic)."""
+    """Encode a 2-D array as a single-band little-endian GeoTIFF.
+    ``bbox`` is (minx, miny, maxx, maxy) in CRS units covering the full
+    raster north-up (row 0 at maxy), the same convention
+    ``decode_assets_to_cube`` uses; ``epsg`` tags the CRS (projected
+    codes; 4326 is emitted as geographic).
+
+    Layout options mirror what real COG interiors use:
+    ``compression='deflate'`` (zlib per chunk), ``tile=(th, tw)`` for
+    tile organization instead of one strip, ``predictor=2`` for
+    horizontal differencing (integer dtypes only — deflate compresses
+    smooth rasters far better on deltas)."""
+    import zlib
+
     arr = np.asarray(arr)
     if arr.ndim != 2:
         raise ValueError(f"encode_gtiff writes single-band 2-D arrays, got shape {arr.shape}")
     dt = arr.dtype.newbyteorder("<")
     if dt.newbyteorder("=") not in _DTYPES:
         raise ValueError(f"unsupported dtype {arr.dtype}; supported: {sorted(str(d) for d in _DTYPES)}")
+    if compression not in (None, "none", "deflate"):
+        raise ValueError(f"compression must be None or 'deflate', got {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("predictor 2 (horizontal differencing) is integer-only")
     bits, sfmt = _DTYPES[dt.newbyteorder("=")]
     h, w = arr.shape
-    data = arr.astype(dt, copy=False).tobytes()
-    if len(data) >= 2**32 - 4096:
+    arr = arr.astype(dt, copy=False)
+
+    if tile is not None:
+        th, tw = int(tile[0]), int(tile[1])
+        if th <= 0 or tw <= 0:
+            raise ValueError(f"tile dims must be positive, got {tile}")
+        blocks = []
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                block = np.zeros((th, tw), dt)
+                sub = arr[ty : ty + th, tx : tx + tw]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                blocks.append(block)
+    else:
+        blocks = [arr]
+    if predictor == 2:
+        blocks = [_apply_predictor2(b) for b in blocks]
+    raw = [b.tobytes() for b in blocks]
+    deflate = compression == "deflate"
+    chunks = [zlib.compress(b) for b in raw] if deflate else raw
+
+    total = sum(len(c) for c in chunks)
+    if total >= 2**32 - 65536:
         # classic TIFF offsets are u32; BigTIFF is out of scope. Tiles
         # this large mean the caller's grouping is too coarse anyway.
         raise ValueError(
-            f"raster payload {len(data)} B exceeds the classic-TIFF 4 GiB "
+            f"raster payload {total} B exceeds the classic-TIFF 4 GiB "
             "offset space — split the group (finer group_cols) or use a "
             "BigTIFF-capable writer"
         )
+    offsets = []
+    pos = 8
+    for c in chunks:
+        offsets.append(pos)
+        pos += len(c)
+    counts = [len(c) for c in chunks]
+    data = b"".join(chunks)
 
     entries: list[tuple[int, int, int, bytes | int]] = [
         (_T_WIDTH, _TYPE_LONG, 1, w),
         (_T_LENGTH, _TYPE_LONG, 1, h),
         (_T_BITS, _TYPE_SHORT, 1, bits),
-        (_T_COMPRESSION, _TYPE_SHORT, 1, 1),
+        (_T_COMPRESSION, _TYPE_SHORT, 1, 8 if deflate else 1),
         (_T_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
-        (_T_STRIP_OFFSETS, _TYPE_LONG, 1, 8),
         (_T_SPP, _TYPE_SHORT, 1, 1),
-        (_T_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
-        (_T_STRIP_COUNTS, _TYPE_LONG, 1, len(data)),
         (_T_SAMPLE_FORMAT, _TYPE_SHORT, 1, sfmt),
     ]
+    if predictor == 2:
+        entries.append((_T_PREDICTOR, _TYPE_SHORT, 1, 2))
+
+    def _longs(vals: list[int]) -> bytes:
+        return struct.pack(f"<{len(vals)}I", *vals)
+
+    if tile is not None:
+        entries.append((_T_TILE_WIDTH, _TYPE_LONG, 1, tw))
+        entries.append((_T_TILE_LENGTH, _TYPE_LONG, 1, th))
+        entries.append((_T_TILE_OFFSETS, _TYPE_LONG, len(offsets), _longs(offsets)))
+        entries.append((_T_TILE_COUNTS, _TYPE_LONG, len(counts), _longs(counts)))
+    else:
+        entries.append((_T_STRIP_OFFSETS, _TYPE_LONG, 1, _longs(offsets)))
+        entries.append((_T_ROWS_PER_STRIP, _TYPE_LONG, 1, h))
+        entries.append((_T_STRIP_COUNTS, _TYPE_LONG, 1, _longs(counts)))
     if bbox is not None:
         minx, miny, maxx, maxy = (float(v) for v in bbox)
         scale = struct.pack("<3d", (maxx - minx) / w, (maxy - miny) / h, 0.0)
@@ -150,11 +222,14 @@ def encode_gtiff(
 
 
 def decode_gtiff(payload: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a classic uncompressed strip-organized TIFF. Returns
+    """Decode a classic TIFF: strip- or tile-organized, uncompressed or
+    deflate (8/32946), predictor 1/2, either endianness. Returns
     ``(array, meta)`` — array is (H, W) for one sample per pixel,
     (H, W, SPP) otherwise; meta carries ``bbox``/``epsg``/``pixel_scale``
-    when the GeoTIFF tags are present. Tiled or compressed TIFFs raise
-    ``NotImplementedError`` (that profile needs rasterio)."""
+    when the GeoTIFF tags are present. Other compressions/planar
+    layouts raise ``NotImplementedError`` (that profile needs
+    rasterio). Reads IFD 0 — the full-resolution image; COG overview
+    IFDs are pyramid copies."""
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":
@@ -179,11 +254,19 @@ def decode_gtiff(payload: bytes) -> tuple[np.ndarray, dict]:
         vals = struct.unpack(bo + fmt * count, raw) if fmt else (raw,)
         tags[tag] = vals
 
-    if _T_TILE_OFFSETS in tags or _T_TILE_WIDTH in tags:
-        raise NotImplementedError("tiled TIFF needs rasterio (only strip organization is implemented)")
+    import zlib
+
     compression = tags.get(_T_COMPRESSION, (1,))[0]
-    if compression != 1:
-        raise NotImplementedError(f"TIFF compression {compression} needs rasterio (only uncompressed is implemented)")
+    if compression not in (1, 8, 32946):  # none, deflate, legacy deflate
+        raise NotImplementedError(
+            f"TIFF compression {compression} needs rasterio "
+            "(uncompressed and deflate are implemented)"
+        )
+    predictor = tags.get(_T_PREDICTOR, (1,))[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} needs rasterio (1/2 implemented)"
+        )
     w = tags[_T_WIDTH][0]
     h = tags[_T_LENGTH][0]
     spp = tags.get(_T_SPP, (1,))[0]
@@ -197,13 +280,46 @@ def decode_gtiff(payload: bytes) -> tuple[np.ndarray, dict]:
     if kind is None:
         raise NotImplementedError(f"TIFF sample format {sfmt} is not supported")
     dtype = np.dtype(f"{bo}{kind}{bits[0] // 8}")
+    if predictor == 2 and dtype.kind == "f":
+        raise NotImplementedError("predictor 2 on float samples")
 
-    data = b"".join(
-        payload[o : o + c]
-        for o, c in zip(tags[_T_STRIP_OFFSETS], tags[_T_STRIP_COUNTS])
-    )
-    arr = np.frombuffer(data, dtype=dtype, count=h * w * spp)
-    arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
+    def _chunk(o: int, c: int) -> bytes:
+        raw = payload[o : o + c]
+        return zlib.decompress(raw) if compression != 1 else raw
+
+    def _undiff(block: np.ndarray) -> np.ndarray:
+        # inverse of horizontal differencing: cumulative sum per row
+        # (per sample), with the dtype's modular wraparound
+        return np.add.accumulate(block, axis=1, dtype=block.dtype)
+
+    if _T_TILE_OFFSETS in tags:
+        tw = tags[_T_TILE_WIDTH][0]
+        tl = tags[_T_TILE_LENGTH][0]
+        across = -(-w // tw)
+        down = -(-h // tl)
+        shape = (down * tl, across * tw) if spp == 1 else (down * tl, across * tw, spp)
+        full = np.zeros(shape, dtype=dtype)
+        offs = tags[_T_TILE_OFFSETS]
+        counts = tags[_T_TILE_COUNTS]
+        for i, (o, c) in enumerate(zip(offs, counts)):
+            block = np.frombuffer(_chunk(o, c), dtype=dtype, count=tl * tw * spp)
+            block = block.reshape((tl, tw) if spp == 1 else (tl, tw, spp))
+            if predictor == 2:
+                block = _undiff(block)
+            ty, tx = divmod(i, across)
+            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = block
+        arr = full[:h, :w]
+    else:
+        data = b"".join(
+            _chunk(o, c)
+            for o, c in zip(tags[_T_STRIP_OFFSETS], tags[_T_STRIP_COUNTS])
+        )
+        arr = np.frombuffer(data, dtype=dtype, count=h * w * spp)
+        arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
+        if predictor == 2:
+            # strips never split a row, so the per-row cumsum is safe
+            # to apply on the assembled array
+            arr = _undiff(arr)
 
     meta: dict = {}
     if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:
@@ -238,6 +354,9 @@ def write_gtiff_tiles(
     y_col: str = "y",
     epsg: int | None = None,
     dtype: str = "float64",
+    compression: str | None = None,
+    tile: tuple[int, int] | None = None,
+    predictor: int = 1,
 ):
     """Distributed GeoTIFF sink: one single-band tile per ``group_cols``
     group (typically (item_id, time, band)), encoded and written on the
@@ -297,7 +416,14 @@ def write_gtiff_tiles(
             float(xs[-1]) + sx / 2,
             float(ys[0]) + sy / 2,
         )
-        payload = encode_gtiff(grid, bbox=bbox, epsg=epsg)
+        payload = encode_gtiff(
+            grid,
+            bbox=bbox,
+            epsg=epsg,
+            compression=compression,
+            tile=tile,
+            predictor=predictor,
+        )
         # readable sanitized keys + a digest of the RAW keys: two
         # groups whose keys differ only in sanitized-away characters
         # ("a:b" vs "a-b") must not collide on one path
