@@ -13,11 +13,12 @@ Network and format access are both injected, the same pattern as the
 STAC client's transport (io/stac_client.py:48): a ``fetcher(href) ->
 bytes`` callable supplies payloads (unit tests: canned dicts;
 production: HTTP/S3 range reads), and decoding reuses the pure-numpy
-image decoders (scale/multimodal.py:110). Real COG/GeoTIFF decoding
-needs rasterio/PIL — absent here, so those media types surface the
-decoders' clear ``NotImplementedError`` — while the Spark-side
-plumbing (schema, partition fan-out, Arrow batch shape, coordinate
-layout) is real and tested end-to-end into ``run_model_tiled``.
+image decoders (scale/multimodal.py:110) including the GeoTIFF codec
+(io/gtiff.py — strips/tiles, deflate, predictor 2, the deflate-COG
+interior layout). LZW/JPEG TIFF profiles still surface a clear
+``NotImplementedError`` naming rasterio; the Spark-side plumbing
+(schema, partition fan-out, Arrow batch shape, coordinate layout) is
+real and tested end-to-end into ``run_model_tiled``.
 """
 
 from __future__ import annotations
