@@ -57,7 +57,8 @@ FEATURE_SCHEMA = T.StructType(
 
 def _decode_pnm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6, HxWx3) / PGM (P5, HxW) decoder — header parse +
-    one frombuffer reshape. Supports maxval <= 255."""
+    one frombuffer reshape. maxval <= 255 decodes uint8; 256..65535
+    decodes the spec's big-endian 2-byte samples as uint16."""
     if not payload or payload[:1] != b"P" or payload[1:2] not in b"56":
         raise ValueError("not a binary PPM/PGM payload")
     channels = 3 if payload[1:2] == b"6" else 1
@@ -75,10 +76,16 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
-    if maxval > 255:
-        raise ValueError("16-bit PNM not supported")
+    if maxval > 65535:
+        raise ValueError(f"invalid PNM maxval {maxval}")
     n = w * h * channels
-    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    if maxval > 255:
+        # 2-byte samples, most-significant byte first per the PNM spec
+        arr = np.frombuffer(payload, dtype=">u2", count=n, offset=pos).astype(
+            np.uint16
+        )
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return arr.reshape((h, w, 3) if channels == 3 else (h, w))
 
 

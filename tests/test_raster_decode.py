@@ -398,3 +398,17 @@ def test_hint_survives_band_safe_ops(spark):
     )
     assert sorted(chained.attrs["band_labels"]) == ["nir", "red"]
     ndvi(chained)  # plan builds hint-only; nothing evaluates pixels
+
+
+def test_pgm_16bit_decode(spark):
+    """16-bit PGM (Sentinel-2-like DN range) decodes the spec's
+    big-endian 2-byte samples; the cube carries full DN values."""
+    arr = (np.arange(16, dtype=np.uint16) * 257).reshape(4, 4)
+    payload = b"P5\n4 4\n65535\n" + arr.astype(">u2").tobytes()
+    assets = _meta_assets(
+        spark, "image/x-portable-graymap", [("mem://i0/b04", "red")]
+    )
+    cube = decode_assets_to_cube(assets, lambda h, _p=payload: _p)
+    vals = sorted(r["value"] for r in cube.df.collect())
+    assert vals == [float(v) for v in sorted(arr.ravel())]
+    assert max(vals) == 15 * 257.0
