@@ -424,6 +424,54 @@ def _register_cubes(reg: ProcessRegistry) -> None:
             properties=args.get("properties"),
         )
 
+    def p_load_stac(args, ctx):
+        """Graph-level ``load_stac`` (reference graph.json shape: full
+        catalog URL + west/east/south/north spatial_extent). When the
+        executor context carries a ``stac_fetcher`` and the URL routes
+        to a known catalog, the REAL raster chain runs — catalog
+        search -> distributed decode (io/raster.py::load_stac_cube),
+        with ``stac_transport``/``stac_cache_dir`` also injectable —
+        so the reference's own job files execute end-to-end offline
+        under canned transports. Without a fetcher (the sandbox gate
+        path) it falls back to the parquet-backed collection route."""
+        from openeo_processes_dask_ml_spark.io.load import DATA_BACKENDS
+
+        fetcher = ctx.get("stac_fetcher")
+        url = args.get("url") or args.get("id") or args.get("collection_id")
+        route = None
+        if fetcher and isinstance(url, str):
+            for backend, root in DATA_BACKENDS.items():
+                prefix = root.rstrip("/") + "/collections/"
+                if url.startswith(prefix):
+                    coll = url[len(prefix) :].strip("/")
+                    if coll and "/" not in coll:
+                        route = f"{backend}/{coll}"
+                    break
+        if route is None:
+            return p_load_collection(args, ctx)
+
+        from openeo_processes_dask_ml_spark.io.raster import load_stac_cube
+
+        se = args.get("spatial_extent") or {}
+        bbox = None
+        if {"west", "south", "east", "north"} <= set(se):
+            bbox = [se["west"], se["south"], se["east"], se["north"]]
+        te = args.get("temporal_extent")
+        dtr = f"{te[0]}/{te[1]}" if te else None
+        return load_stac_cube(
+            ctx["spark"],
+            route,
+            fetcher,
+            bbox=bbox,
+            datetime_range=dtr,
+            bands=args.get("bands"),
+            properties=args.get("properties"),
+            resolution=args.get("resolution"),
+            projection=args.get("projection"),
+            cache_dir=ctx.get("stac_cache_dir"),
+            transport=ctx.get("stac_transport"),
+        )
+
     def p_filter_bands(args, ctx):
         return args["data"].filter_bands(args["bands"])
 
@@ -788,7 +836,7 @@ def _register_cubes(reg: ProcessRegistry) -> None:
     reg.register("apply_dimension", p_apply_dimension)
     reg.register("resample_cube_temporal", p_resample_cube_temporal)
     reg.register("load_collection", p_load_collection)
-    reg.register("load_stac", p_load_collection)
+    reg.register("load_stac", p_load_stac)
     reg.register("filter_bands", p_filter_bands)
     reg.register("filter_temporal", p_filter_temporal)
     reg.register("filter_labels", p_filter_labels)
