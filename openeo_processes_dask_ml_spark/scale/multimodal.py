@@ -132,17 +132,25 @@ _PURE_DECODERS = {
 
 
 def decode_image(payload: bytes, fmt: str) -> np.ndarray:
-    """Decode an image payload to an HxW[x3] uint8 array. PPM/PGM/BMP
-    decode with pure numpy; any other format needs PIL (import-gated:
-    clear NotImplementedError when absent)."""
+    """Decode an image payload to an ndarray. PPM/PGM/BMP and
+    uncompressed/deflate TIFF decode with pure numpy; other formats —
+    and TIFF profiles beyond the pure codec (LZW/JPEG/planar) — fall
+    through to PIL (import-gated: clear NotImplementedError when
+    absent)."""
     dec = _PURE_DECODERS.get((fmt or "").lower())
+    inner: NotImplementedError | None = None
     if dec is not None:
-        return dec(payload)
+        try:
+            return dec(payload)
+        except NotImplementedError as e:
+            inner = e  # profile beyond the pure codec -> try PIL below
     try:
         import io
 
         from PIL import Image  # type: ignore
     except ImportError:
+        if inner is not None:
+            raise inner from None  # the specific unsupported profile
         raise NotImplementedError(
             f"decoding {fmt!r} requires PIL, not present in this environment "
             f"(pure-numpy formats: {sorted(_PURE_DECODERS)})"
