@@ -3,6 +3,8 @@ canned STAC asset table + canned PGM payloads -> long-form CubeFrame ->
 run_model_tiled end-to-end. Reference analog get_datacube.py:142-257.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -497,3 +499,86 @@ def test_graph_load_stac_runs_real_raster_chain(spark, tmp_path):
         row = (46.0 - r["y"]) / 0.25 - 0.5
         red = 10.0 + row * 4 + col
         assert abs(r["value"] - 20.0 / (2 * red + 20.0)) < 1e-12
+
+
+def test_graph_full_job_load_stac_to_gtiff_export(spark, tmp_path):
+    """The COMPLETE reference job offline: load_stac (real catalog
+    shape) -> ndvi -> save_result('gtiff'), with the export running the
+    DISTRIBUTED tile sink — the written GeoTIFF re-decodes to the ndvi
+    values."""
+    from openeo_processes_dask_ml_spark.graph.executor import execute_graph
+    from openeo_processes_dask_ml_spark.io.gtiff import decode_gtiff
+
+    cdse = "https://stac.dataspace.copernicus.eu/v1"
+
+    def transport(url, body=None):
+        if url == f"{cdse}/collections":
+            return {"collections": [{"id": "sentinel-2-l2a"}], "links": []}
+        if url == f"{cdse}/search":
+            return {
+                "features": [
+                    {
+                        "id": "A",
+                        "bbox": [0.0, 0.0, 4.0, 4.0],
+                        "properties": {"datetime": "2024-06-05T10:00:00Z"},
+                        "assets": {
+                            k: {
+                                "href": f"mem://A/{k}.tif",
+                                "type": "image/tiff; application=geotiff",
+                            }
+                            for k in ("B04_10m", "B08_10m")
+                        },
+                    }
+                ],
+                "links": [],
+            }
+        raise AssertionError(f"unexpected request {url}")
+
+    def fetch(href):
+        import numpy as np
+
+        from openeo_processes_dask_ml_spark.io.gtiff import encode_gtiff as enc
+
+        base = 30 if "B08" in href else 10
+        return enc(
+            (np.arange(16).reshape(4, 4) + base).astype("uint16"),
+            bbox=(0.0, 0.0, 4.0, 4.0),
+        )
+
+    graph = {
+        "load": {
+            "process_id": "load_stac",
+            "arguments": {
+                "url": f"{cdse}/collections/sentinel-2-l2a",
+                "bands": ["red", "nir"],
+            },
+        },
+        "ndvi": {
+            "process_id": "ndvi",
+            "arguments": {"data": {"from_node": "load"}},
+        },
+        "save": {
+            "process_id": "save_result",
+            "arguments": {
+                "data": {"from_node": "ndvi"},
+                "format": "gtiff",
+            },
+            "result": True,
+        },
+    }
+    out_dir = str(tmp_path / "job_out")
+    execute_graph(
+        graph,
+        spark,
+        sf_dir="/root/testdata/sf0.001",
+        stac_fetcher=fetch,
+        stac_transport=transport,
+        path=out_dir,
+    )
+    tifs = [f for f in os.listdir(out_dir) if f.endswith(".tif")]
+    assert len(tifs) == 1  # one timestamp -> one ndvi tile
+    arr, meta = decode_gtiff(open(os.path.join(out_dir, tifs[0]), "rb").read())
+    assert arr.shape == (4, 4) and meta["bbox"] == (0.0, 0.0, 4.0, 4.0)
+    # ndvi = 20 / (2*red + 20), raster row 0 = red 10..13
+    expected = 20.0 / (2 * (10 + np.arange(16).reshape(4, 4)) + 20.0)
+    np.testing.assert_allclose(arr, expected, rtol=1e-12)
