@@ -46,7 +46,17 @@ def ndvi(
     if target_band is None:
         keep = {k: v for k, v in cube.dims.items() if v != bcol}
         return CubeFrame(nd, keep, cube.value_col, cube._carry_attrs())
-    appended = nd.withColumn(bcol, F.lit(target_band)).select(*cube.df.columns)
+    appended = nd.withColumn(bcol, F.lit(target_band))
+    # non-dim passthrough columns (e.g. the decoder's item_id) are not
+    # well-defined for a derived band computed across bands — NULL-fill
+    # them so the append works on any cube (the former bare select
+    # raised UNRESOLVED_COLUMN on decoded cubes)
+    for c in cube.df.columns:
+        if c not in appended.columns:
+            appended = appended.withColumn(
+                c, F.lit(None).cast(cube.df.schema[c].dataType)
+            )
+    appended = appended.select(*cube.df.columns)
     out = cube.with_df(cube.df.unionByName(appended))
     if cube.attrs.get("band_labels") is not None:
         # append path's universe is known exactly: old labels + target

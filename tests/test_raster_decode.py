@@ -582,3 +582,21 @@ def test_graph_full_job_load_stac_to_gtiff_export(spark, tmp_path):
     # ndvi = 20 / (2*red + 20), raster row 0 = red 10..13
     expected = 20.0 / (2 * (10 + np.arange(16).reshape(4, 4)) + 20.0)
     np.testing.assert_allclose(arr, expected, rtol=1e-12)
+
+
+def test_ndvi_target_band_extends_hint(spark):
+    """The ndvi append path knows its new band universe exactly (old
+    labels + target_band), so the hint extends instead of dropping —
+    a follow-up filter_bands('ndvi') still needs no pixel pass."""
+    from openeo_processes_dask_ml_spark.operators.indices import ndvi
+
+    assets = _meta_assets(
+        spark,
+        "image/x-portable-graymap",
+        [("mem://i0/red", "red"), ("mem://i0/nir", "nir")],
+    )
+    cube = decode_assets_to_cube(assets, _boom)
+    appended = ndvi(cube, target_band="ndvi")
+    assert sorted(appended.attrs["band_labels"]) == ["ndvi", "nir", "red"]
+    only = appended.filter_bands(["ndvi"])  # hint-resolved, no decode
+    assert only.attrs["band_labels"] == ["ndvi"]
