@@ -86,47 +86,21 @@ def _apply_predictor2(chunk: np.ndarray) -> np.ndarray:
     return out
 
 
-def encode_gtiff(
+def _image_chunks(
     arr: np.ndarray,
-    bbox: tuple[float, float, float, float] | list | None = None,
-    epsg: int | None = None,
-    compression: str | None = None,
-    tile: tuple[int, int] | None = None,
-    predictor: int = 1,
-) -> bytes:
-    """Encode a 2-D array as a single-band little-endian GeoTIFF.
-    ``bbox`` is (minx, miny, maxx, maxy) in CRS units covering the full
-    raster north-up (row 0 at maxy), the same convention
-    ``decode_assets_to_cube`` uses; ``epsg`` tags the CRS (projected
-    codes; 4326 is emitted as geographic).
-
-    Layout options mirror what real COG interiors use:
-    ``compression='deflate'`` (zlib per chunk), ``tile=(th, tw)`` for
-    tile organization instead of one strip, ``predictor=2`` for
-    horizontal differencing (integer dtypes only — deflate compresses
-    smooth rasters far better on deltas)."""
+    dt: np.dtype,
+    deflate: bool,
+    tile: tuple[int, int] | None,
+    predictor: int,
+) -> list[bytes]:
+    """Serialized (and optionally differenced/compressed) data chunks
+    for one image: one strip, or row-major full-size tiles."""
     import zlib
 
-    arr = np.asarray(arr)
-    if arr.ndim != 2:
-        raise ValueError(f"encode_gtiff writes single-band 2-D arrays, got shape {arr.shape}")
-    dt = arr.dtype.newbyteorder("<")
-    if dt.newbyteorder("=") not in _DTYPES:
-        raise ValueError(f"unsupported dtype {arr.dtype}; supported: {sorted(str(d) for d in _DTYPES)}")
-    if compression not in (None, "none", "deflate"):
-        raise ValueError(f"compression must be None or 'deflate', got {compression!r}")
-    if predictor not in (1, 2):
-        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
-    if predictor == 2 and dt.kind == "f":
-        raise ValueError("predictor 2 (horizontal differencing) is integer-only")
-    bits, sfmt = _DTYPES[dt.newbyteorder("=")]
     h, w = arr.shape
     arr = arr.astype(dt, copy=False)
-
     if tile is not None:
         th, tw = int(tile[0]), int(tile[1])
-        if th <= 0 or tw <= 0:
-            raise ValueError(f"tile dims must be positive, got {tile}")
         blocks = []
         for ty in range(0, h, th):
             for tx in range(0, w, tw):
@@ -139,25 +113,26 @@ def encode_gtiff(
     if predictor == 2:
         blocks = [_apply_predictor2(b) for b in blocks]
     raw = [b.tobytes() for b in blocks]
-    deflate = compression == "deflate"
-    chunks = [zlib.compress(b) for b in raw] if deflate else raw
+    return [zlib.compress(b) for b in raw] if deflate else raw
 
-    total = sum(len(c) for c in chunks)
-    if total >= 2**32 - 65536:
-        # classic TIFF offsets are u32; BigTIFF is out of scope. Tiles
-        # this large mean the caller's grouping is too coarse anyway.
-        raise ValueError(
-            f"raster payload {total} B exceeds the classic-TIFF 4 GiB "
-            "offset space — split the group (finer group_cols) or use a "
-            "BigTIFF-capable writer"
-        )
-    offsets = []
-    pos = 8
-    for c in chunks:
-        offsets.append(pos)
-        pos += len(c)
-    counts = [len(c) for c in chunks]
-    data = b"".join(chunks)
+
+def _image_entries(
+    arr_shape: tuple[int, int],
+    bits: int,
+    sfmt: int,
+    deflate: bool,
+    tile: tuple[int, int] | None,
+    predictor: int,
+    offsets: list[int],
+    counts: list[int],
+    bbox,
+    epsg,
+    reduced: bool,
+) -> list[tuple[int, int, int, bytes | int]]:
+    h, w = arr_shape
+
+    def _longs(vals: list[int]) -> bytes:
+        return struct.pack(f"<{len(vals)}I", *vals)
 
     entries: list[tuple[int, int, int, bytes | int]] = [
         (_T_WIDTH, _TYPE_LONG, 1, w),
@@ -168,13 +143,13 @@ def encode_gtiff(
         (_T_SPP, _TYPE_SHORT, 1, 1),
         (_T_SAMPLE_FORMAT, _TYPE_SHORT, 1, sfmt),
     ]
+    if reduced:
+        # NewSubfileType = 1: reduced-resolution image (COG overview)
+        entries.append((254, _TYPE_LONG, 1, 1))
     if predictor == 2:
         entries.append((_T_PREDICTOR, _TYPE_SHORT, 1, 2))
-
-    def _longs(vals: list[int]) -> bytes:
-        return struct.pack(f"<{len(vals)}I", *vals)
-
     if tile is not None:
+        th, tw = int(tile[0]), int(tile[1])
         entries.append((_T_TILE_WIDTH, _TYPE_LONG, 1, tw))
         entries.append((_T_TILE_LENGTH, _TYPE_LONG, 1, th))
         entries.append((_T_TILE_OFFSETS, _TYPE_LONG, len(offsets), _longs(offsets)))
@@ -185,6 +160,8 @@ def encode_gtiff(
         entries.append((_T_STRIP_COUNTS, _TYPE_LONG, 1, _longs(counts)))
     if bbox is not None:
         minx, miny, maxx, maxy = (float(v) for v in bbox)
+        # same geographic cover at every pyramid level — the pixel
+        # scale grows as the level shrinks
         scale = struct.pack("<3d", (maxx - minx) / w, (maxy - miny) / h, 0.0)
         tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, minx, maxy, 0.0)
         entries.append((_T_PIXEL_SCALE, _TYPE_DOUBLE, 3, scale))
@@ -199,10 +176,19 @@ def encode_gtiff(
         ]
         flat = [v for k in keys for v in k]
         entries.append((_T_GEOKEYS, _TYPE_SHORT, len(flat), struct.pack(f"<{len(flat)}H", *flat)))
-
     entries.sort(key=lambda e: e[0])
-    ifd_offset = 8 + len(data)
-    # out-of-line values land after the IFD (entries + count + next ptr)
+    return entries
+
+
+def _entry_extra_size(entries) -> int:
+    return sum(
+        _TYPE_SIZES[typ] * count
+        for _, typ, count, val in entries
+        if isinstance(val, bytes) and _TYPE_SIZES[typ] * count > 4
+    )
+
+
+def _emit_ifd(entries, ifd_offset: int, next_offset: int) -> bytes:
     extra_offset = ifd_offset + 2 + 12 * len(entries) + 4
     ifd = struct.pack("<H", len(entries))
     extra = b""
@@ -217,19 +203,125 @@ def encode_gtiff(
         else:
             packed = struct.pack("<" + _TYPE_FMT[typ], val).ljust(4, b"\0")
             ifd += struct.pack("<HHI", tag, typ, count) + packed
-    ifd += struct.pack("<I", 0)  # no next IFD
-    return struct.pack("<2sHI", b"II", 42, ifd_offset) + data + ifd + extra
+    ifd += struct.pack("<I", next_offset)
+    return ifd + extra
 
 
-def decode_gtiff(payload: bytes) -> tuple[np.ndarray, dict]:
+def encode_gtiff(
+    arr: np.ndarray,
+    bbox: tuple[float, float, float, float] | list | None = None,
+    epsg: int | None = None,
+    compression: str | None = None,
+    tile: tuple[int, int] | None = None,
+    predictor: int = 1,
+    overviews: list[np.ndarray] | None = None,
+) -> bytes:
+    """Encode a 2-D array as a single-band little-endian GeoTIFF.
+    ``bbox`` is (minx, miny, maxx, maxy) in CRS units covering the full
+    raster north-up (row 0 at maxy), the same convention
+    ``decode_assets_to_cube`` uses; ``epsg`` tags the CRS (projected
+    codes; 4326 is emitted as geographic).
+
+    Layout options mirror what real COG interiors use:
+    ``compression='deflate'`` (zlib per chunk), ``tile=(th, tw)`` for
+    tile organization instead of one strip, ``predictor=2`` for
+    horizontal differencing (integer dtypes only — deflate compresses
+    smooth rasters far better on deltas), and ``overviews`` — a list of
+    reduced-resolution copies written as chained IFDs tagged
+    NewSubfileType=1 (the COG pyramid; readers that want level k pass
+    ``ifd=k`` to :func:`decode_gtiff`). All levels share dtype, layout
+    options, and the geographic cover."""
+    images = [np.asarray(arr)] + [np.asarray(o) for o in (overviews or [])]
+    for im in images:
+        if im.ndim != 2:
+            raise ValueError(
+                f"encode_gtiff writes single-band 2-D arrays, got shape {im.shape}"
+            )
+        if im.dtype != images[0].dtype:
+            raise ValueError("overviews must share the base image dtype")
+    dt = images[0].dtype.newbyteorder("<")
+    if dt.newbyteorder("=") not in _DTYPES:
+        raise ValueError(
+            f"unsupported dtype {images[0].dtype}; supported: "
+            f"{sorted(str(d) for d in _DTYPES)}"
+        )
+    if compression not in (None, "none", "deflate"):
+        raise ValueError(f"compression must be None or 'deflate', got {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("predictor 2 (horizontal differencing) is integer-only")
+    if tile is not None and (int(tile[0]) <= 0 or int(tile[1]) <= 0):
+        raise ValueError(f"tile dims must be positive, got {tile}")
+    bits, sfmt = _DTYPES[dt.newbyteorder("=")]
+    deflate = compression == "deflate"
+
+    per = []
+    pos = 8
+    for im in images:
+        chunks = _image_chunks(im, dt, deflate, tile, predictor)
+        offsets, counts = [], []
+        for c in chunks:
+            offsets.append(pos)
+            counts.append(len(c))
+            pos += len(c)
+        per.append((im.shape, chunks, offsets, counts))
+    total_data = pos - 8
+    if total_data >= 2**32 - 65536:
+        # classic TIFF offsets are u32; BigTIFF is out of scope. Tiles
+        # this large mean the caller's grouping is too coarse anyway.
+        raise ValueError(
+            f"raster payload {total_data} B exceeds the classic-TIFF 4 GiB "
+            "offset space — split the group (finer group_cols) or use a "
+            "BigTIFF-capable writer"
+        )
+
+    all_entries = [
+        _image_entries(
+            shape, bits, sfmt, deflate, tile, predictor,
+            offsets, counts, bbox, epsg, reduced=i > 0,
+        )
+        for i, (shape, _, offsets, counts) in enumerate(per)
+    ]
+    ifd_offsets = []
+    ifd_pos = 8 + total_data
+    for entries in all_entries:
+        ifd_offsets.append(ifd_pos)
+        ifd_pos += 2 + 12 * len(entries) + 4 + _entry_extra_size(entries)
+
+    out = [struct.pack("<2sHI", b"II", 42, ifd_offsets[0])]
+    out.extend(c for _, chunks, _, _ in per for c in chunks)
+    for i, entries in enumerate(all_entries):
+        nxt = ifd_offsets[i + 1] if i + 1 < len(ifd_offsets) else 0
+        out.append(_emit_ifd(entries, ifd_offsets[i], nxt))
+    return b"".join(out)
+
+
+def gtiff_ifd_count(payload: bytes) -> int:
+    """Number of chained IFDs (1 + overview levels)."""
+    bo = {b"II": "<", b"MM": ">"}.get(payload[:2])
+    if bo is None:
+        raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
+    _, off = struct.unpack(bo + "HI", payload[2:8])
+    count = 0
+    while off:
+        count += 1
+        n = struct.unpack(bo + "H", payload[off : off + 2])[0]
+        (off,) = struct.unpack(
+            bo + "I", payload[off + 2 + 12 * n : off + 2 + 12 * n + 4]
+        )
+    return count
+
+
+def decode_gtiff(payload: bytes, ifd: int = 0) -> tuple[np.ndarray, dict]:
     """Decode a classic TIFF: strip- or tile-organized, uncompressed or
     deflate (8/32946), predictor 1/2, either endianness. Returns
     ``(array, meta)`` — array is (H, W) for one sample per pixel,
     (H, W, SPP) otherwise; meta carries ``bbox``/``epsg``/``pixel_scale``
     when the GeoTIFF tags are present. Other compressions/planar
     layouts raise ``NotImplementedError`` (that profile needs
-    rasterio). Reads IFD 0 — the full-resolution image; COG overview
-    IFDs are pyramid copies."""
+    rasterio). ``ifd`` addresses the chained-IFD pyramid: 0 (default)
+    is the full-resolution image, k>0 the k-th COG overview level."""
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":
@@ -239,6 +331,14 @@ def decode_gtiff(payload: bytes) -> tuple[np.ndarray, dict]:
     magic, ifd_offset = struct.unpack(bo + "HI", payload[2:8])
     if magic != 42:
         raise NotImplementedError("BigTIFF (magic 43) is not supported")
+    for _ in range(ifd):
+        k = struct.unpack(bo + "H", payload[ifd_offset : ifd_offset + 2])[0]
+        (ifd_offset,) = struct.unpack(
+            bo + "I",
+            payload[ifd_offset + 2 + 12 * k : ifd_offset + 2 + 12 * k + 4],
+        )
+        if ifd_offset == 0:
+            raise ValueError(f"TIFF has no IFD {ifd} (chain ended early)")
     n = struct.unpack(bo + "H", payload[ifd_offset : ifd_offset + 2])[0]
     tags: dict[int, tuple] = {}
     for i in range(n):
@@ -357,6 +457,7 @@ def write_gtiff_tiles(
     compression: str | None = None,
     tile: tuple[int, int] | None = None,
     predictor: int = 1,
+    overview_levels: int = 0,
 ):
     """Distributed GeoTIFF sink: one single-band tile per ``group_cols``
     group (typically (item_id, time, band)), encoded and written on the
@@ -416,6 +517,15 @@ def write_gtiff_tiles(
             float(xs[-1]) + sx / 2,
             float(ys[0]) + sy / 2,
         )
+        # COG-style pyramid: nearest-subsampled halvings as chained
+        # overview IFDs (dtype-exact, deterministic)
+        ovs = []
+        lvl = grid
+        for _ in range(overview_levels):
+            if min(lvl.shape) < 2:
+                break
+            lvl = lvl[::2, ::2]
+            ovs.append(lvl)
         payload = encode_gtiff(
             grid,
             bbox=bbox,
@@ -423,6 +533,7 @@ def write_gtiff_tiles(
             compression=compression,
             tile=tile,
             predictor=predictor,
+            overviews=ovs or None,
         )
         # readable sanitized keys + a digest of the RAW keys: two
         # groups whose keys differ only in sanitized-away characters

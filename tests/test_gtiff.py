@@ -267,3 +267,53 @@ def test_sink_deflate_tiled_roundtrip(spark, tmp_path):
     np.testing.assert_array_equal(
         decode_image(open(m[0]["path"], "rb").read(), "gtiff"), arr
     )
+
+
+def test_overview_pyramid_roundtrip():
+    """COG-style chained overview IFDs: full-res at ifd 0, each level
+    addressable, NewSubfileType-tagged, geo tags carrying the SAME
+    cover with doubled pixel scale; past-the-chain access raises."""
+    from openeo_processes_dask_ml_spark.io.gtiff import gtiff_ifd_count
+
+    rng = np.random.default_rng(3)
+    full = rng.integers(0, 255, (16, 16)).astype("uint8")
+    ov1, ov2 = full[::2, ::2], full[::4, ::4]
+    payload = encode_gtiff(
+        full,
+        bbox=(0.0, 0.0, 16.0, 16.0),
+        epsg=32632,
+        compression="deflate",
+        tile=(8, 8),
+        predictor=2,
+        overviews=[ov1, ov2],
+    )
+    assert gtiff_ifd_count(payload) == 3
+    a0, m0 = decode_gtiff(payload)
+    a1, m1 = decode_gtiff(payload, ifd=1)
+    a2, m2 = decode_gtiff(payload, ifd=2)
+    np.testing.assert_array_equal(a0, full)
+    np.testing.assert_array_equal(a1, ov1)
+    np.testing.assert_array_equal(a2, ov2)
+    assert m0["bbox"] == m1["bbox"] == m2["bbox"] == (0.0, 0.0, 16.0, 16.0)
+    assert m1["pixel_scale"] == (2.0, 2.0)  # same cover, half the pixels
+    assert m2["epsg"] == 32632
+    with pytest.raises(ValueError, match="no IFD"):
+        decode_gtiff(payload, ifd=3)
+
+
+def test_sink_overview_levels(spark, tmp_path):
+    df = _cube_df(spark)
+    m = write_gtiff_tiles(
+        df,
+        str(tmp_path / "p"),
+        group_cols=["item_id", "band"],
+        overview_levels=2,
+    ).collect()
+    from openeo_processes_dask_ml_spark.io.gtiff import gtiff_ifd_count
+
+    payload = open(m[0]["path"], "rb").read()
+    # 4x4 base -> 2x2 then 1x1 overviews
+    assert gtiff_ifd_count(payload) == 3
+    base, _ = decode_gtiff(payload)
+    ov, _ = decode_gtiff(payload, ifd=1)
+    np.testing.assert_array_equal(ov, base[::2, ::2])
