@@ -725,6 +725,23 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_fuzzy(train, ev, threshold=0.3)
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (third rung after exact n-gram
+    and token-Jaccard): train vectors (vec_id >= 50) scored against the
+    broadcast eval suite (vec_id < 50); items with cosine >= 0.3 to any
+    eval vector are flagged with their best match — reworded leakage
+    no token overlap survives. Train side never shuffles; the oracle
+    replays the cross-score + top-1 window exactly."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        decontaminate_semantic,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 50)
+    ev = emb.filter(F.col("vec_id") < 50)
+    return decontaminate_semantic(train, ev, threshold=0.3, dim=64)
+
+
 def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming crawl ingestion: odd-id documents stream in as the new
     crawl and check against the static historical hash index (even ids)
@@ -2901,32 +2918,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ground truth recomputed from CORRECTNESS_r0{5,6,7}.json (latest
     # green round per query: 20 at r5, 49 at r6, 49 at r7,
     # profile_table red):
-    #   slots 1-9: profile_table (the only red row — gate query now
-    #     render-proof, VERDICT r7 #1), the six NEW entries
+    #   slots 1-10: profile_table (the only red row — gate query now
+    #     render-proof, VERDICT r7 #1), the seven NEW entries
     #     (ann_ivfpq_from_index per #5, quarantine_ingest per #6,
     #     duplicated_spans_combine per #7, raster_decode_cube +
     #     raster_ndvi_pipeline + raster_roundtrip_gtiff per missing
-    #     #1), and both no_oracle self-checkers (directive 2 puts
-    #     them at the front).
-    #   slots 10-29: ALL 20 r5-greens — 3 rounds old, due by the
+    #     #1, decontaminate_semantic — the embedding rung of the
+    #     decontamination ladder), and both no_oracle self-checkers
+    #     (directive 2 puts them at the front).
+    #   slots 11-30: ALL 20 r5-greens — 3 rounds old, due by the
     #     3-round-cycle protocol.
-    #   slots 30-50: the 21 oldest r6-greens.
+    #   slots 31-50: the 20 oldest r6-greens.
     # Tail: the 28 remaining r6-greens first (they fill the r9 window
     # next round), then the 47 r7-window greens (freshest last).
     #
-    # Rotation arithmetic, stated honestly: at 125 queries and a
+    # Rotation arithmetic, stated honestly: at 126 queries and a
     # 50-slot window, at most 100 DISTINCT entries can carry a
     # driver-issued green within any 2 consecutive rounds, so the
     # "every query green within the last 2 rounds" bar is unreachable
-    # at this surface size — the steady-state cadence is ceil(125/50)
+    # at this surface size — the steady-state cadence is ceil(126/50)
     # = 3 rounds. After r8 the debt profile is: every registered
     # query's latest driver green is <= 2 rounds old (the r7 #2 done
-    # condition), with the 28 r6-greens in the tail due first in r9.
+    # condition), with the 29 r6-greens in the tail due first in r9.
     # If a strict 2-round bar is required, the options are (a) a
     # larger driver window or (b) consolidating queries — flagging
     # rather than silently missing the bar.
     return {
-        # --- slots 1-9: red/new/changed + the two no_oracle self-checkers ---
+        # --- slots 1-10: red/new/changed + the two no_oracle self-checkers ---
         "profile_table": q_profile_table,
         "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
         "quarantine_ingest": q_quarantine_ingest,
@@ -2934,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_decode_cube": q_raster_decode_cube,
         "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
         "raster_roundtrip_gtiff": q_raster_roundtrip_gtiff,
+        "decontaminate_semantic": q_decontaminate_semantic,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
         # --- slots 7-26: ALL 20 r5-greens (3 rounds old — due by protocol) ---
@@ -2957,7 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "asof_join": q_asof_join,
         "resample_cube_temporal": q_resample_cube_temporal,
-        # --- slots 30-50: the 21 oldest r6-greens ---
+        # --- slots 31-50: the 20 oldest r6-greens ---
         "ann_pq": q_ann_pq,
         "incremental_minhash": q_incremental_minhash,
         "span_removal": q_span_removal,
@@ -2978,8 +2997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
+        # --- tail: 29 remaining r6-greens (they fill the r9 window next) ---
         "streaming_spend_alerts": q_streaming_spend_alerts,
-        # --- tail: 28 remaining r6-greens (they fill the r9 window next) ---
         "text_chunks": q_text_chunks,
         "embedding_quantize": q_embedding_quantize,
         "quality_filter": q_quality_filter,
@@ -3690,6 +3709,30 @@ FROM documents a JOIN documents b
     # decontaminate_fuzzy: the incremental-minhash CTEs with the
     # train/eval % 7 split (wider than the exact blocklist's % 97 so
     # cross-split near-dups exist), contaminated rows only
+    # cross-score train x broadcast eval suite, keep >= threshold,
+    # top-1 eval match per train item (cosine desc, eval_id asc)
+    sql["decontaminate_semantic"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), scored AS (
+  SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+         floor((list_reduce(list_transform(range(1, 65), i -> t.v[i] * e.v[i]),
+                           (x, y) -> x + y) / (t.nrm * e.nrm)) * 1000000.0 + 0.5)
+         / 1000000.0 AS cosine
+  FROM n t, n e
+  WHERE t.vec_id >= 50 AND e.vec_id < 50
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY train_id
+            ORDER BY cosine DESC, eval_id) AS rank
+  FROM scored WHERE cosine >= 0.3
+)
+SELECT train_id, eval_id, cosine FROM ranked WHERE rank = 1
+"""
+
     sql["decontaminate_fuzzy"] = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents

@@ -102,6 +102,7 @@ HEADLINE = [
     "raster_decode_cube",
     "raster_ndvi_pipeline",
     "raster_roundtrip_gtiff",
+    "decontaminate_semantic",
 ]
 
 

@@ -628,3 +628,53 @@ def corpus_diff(
     return o.join(n, "doc_id", "full_outer").select(
         "doc_id", status.alias("status")
     )
+
+
+def decontaminate_semantic(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the third rung of
+    the ladder after exact n-gram (``decontaminate``) and token-Jaccard
+    (``decontaminate_fuzzy``): flag training items whose embedding
+    cosine against ANY eval item reaches ``threshold``, catching
+    reworded/translated/reformatted leakage where no token overlap
+    survives (the failure mode n-gram methods cannot see; same signal
+    SemDeDup exploits for dedup).
+
+    Plan: the eval suite is benchmark-sized and BROADCASTS; the
+    training corpus never shuffles — scoring is a map-side cross join
+    fused into codegen, and only rows at/above threshold reach the
+    per-train-item top-1 window (cosine desc, eval_id asc for
+    deterministic ties). Returns one row per CONTAMINATED training
+    item: (train_id, eval_id, cosine) with its best-matching eval
+    item — the drop list.
+    """
+    from openeo_processes_dask_ml_spark.scale.similarity import cosine_expr
+
+    base = train_emb.select(
+        F.col(id_col).alias("train_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("tv"),
+    )
+    ev = eval_emb.select(
+        F.col(id_col).alias("eval_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ev"),
+    )
+    cos = dround(cosine_expr(F.col("tv"), F.col("ev"), dim), 6)
+    scored = (
+        base.crossJoin(F.broadcast(ev))
+        .select("train_id", "eval_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("train_id", "eval_id", "cosine")
+    )

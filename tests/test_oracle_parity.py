@@ -130,7 +130,8 @@ def test_driver_window_composition_pinned():
         "profile_table", "ann_ivfpq_from_index",
         "quarantine_ingest", "duplicated_spans_combine",
         "raster_decode_cube", "raster_ndvi_pipeline",
-        "raster_roundtrip_gtiff", "bpe_merges", "ann_ivf_trained",
+        "raster_roundtrip_gtiff", "decontaminate_semantic",
+        "bpe_merges", "ann_ivf_trained",
         "text_language_id", "reduce_dimension",
         "aggregate_temporal_period", "ndvi_bandmath",
         "window_running_sum", "graph_fit_curve", "graph_zonal",
@@ -146,5 +147,5 @@ def test_driver_window_composition_pinned():
         "apply_neighborhood", "aggregate_temporal",
         "resample_cube_spatial", "array_ops", "pii_scrub",
         "repetition_stats", "streaming_dedup",
-        "streaming_interval_join", "streaming_spend_alerts",
+        "streaming_interval_join",
     ]
