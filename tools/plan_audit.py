@@ -161,6 +161,15 @@ AUDIT = [
         "long-form frame.",
     ),
     (
+        "decontaminate_semantic",
+        "Embedding decontamination: the eval suite arrives as ONE "
+        "BroadcastExchange into a nested-loop score join fused with "
+        "the threshold filter — the training corpus is scored "
+        "map-side and never shuffles; the only exchange below the "
+        "top-1 window moves (train_id, eval_id, cosine) survivor "
+        "rows.",
+    ),
+    (
         "raster_roundtrip_gtiff",
         "Distributed GeoTIFF sink + reload: tiles encode and write on "
         "the EXECUTORS inside FlatMapGroupsInPandas (driver sees only "
