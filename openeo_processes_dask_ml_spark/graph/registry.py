@@ -887,7 +887,16 @@ def _register_ml(reg: ProcessRegistry) -> None:
         if isinstance(data, CubeFrame) and not hasattr(model, "model"):
             from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
 
-            return run_model_tiled(data, model, a["predict_fn"])
+            fn = a.get("predict_fn")
+            if fn is None:
+                # reference graphs pass no predict_fn — resolve one from
+                # the descriptor's framework (ml_predict.py:7-15)
+                from openeo_processes_dask_ml_spark.ml.executors import (
+                    predictor_for,
+                )
+
+                fn = predictor_for(model)
+            return run_model_tiled(data, model, fn)
         df = data.df if isinstance(data, CubeFrame) else data
         return ml_predict(model, df, a.get("feature_col", "embedding"))
 

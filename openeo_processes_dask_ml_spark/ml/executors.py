@@ -89,3 +89,25 @@ def make_expression_predictor(
         return np.asarray(run_process_expression(fmt, expression, batch))
 
     return predict
+
+
+def predictor_for(descriptor) -> Callable[[np.ndarray], np.ndarray]:
+    """Resolve a batch predictor from an MLM descriptor's framework —
+    the reference's dispatch-on-model-type (ml_predict.py:7-15), so a
+    process graph's ml_predict node needs NO explicit predict_fn:
+    sklearn artifacts unpickle per worker, pytorch artifacts jit.load
+    per worker (both through the executor-local singleton cache). The
+    artifact stages on first use; 'fake' (the test framework) echoes
+    the first band — deterministic plumbing checks without a model."""
+    fw = (descriptor.framework or "").lower()
+    if fw == "fake":
+        return lambda batch: np.asarray(batch)[:, 0]
+    path = descriptor.artifact_path or descriptor.stage()
+    if fw in ("sklearn", "scikit-learn"):
+        return make_pickle_predictor(path)
+    if fw == "pytorch":
+        return make_torch_predictor(path)
+    raise ValueError(
+        f"no batch predictor for framework {descriptor.framework!r} "
+        "(spark-mllib models go through ml_predict's MLlib transform)"
+    )

@@ -600,3 +600,120 @@ def test_ndvi_target_band_extends_hint(spark):
     assert sorted(appended.attrs["band_labels"]) == ["ndvi", "nir", "red"]
     only = appended.filter_bands(["ndvi"])  # hint-resolved, no decode
     assert only.attrs["band_labels"] == ["ndvi"]
+
+
+def test_graph_make_embeddings_shape_no_predict_fn(spark, tmp_path):
+    """The reference's examples/make_embeddings.py job verbatim in
+    shape: load_stac (catalog URL) -> load_stac_ml -> ml_predict with
+    NO predict_fn (the executor resolves one from the descriptor's
+    framework, reference ml_predict.py:7-15) -> save_result, offline
+    end-to-end with the distributed gtiff sink."""
+    from openeo_processes_dask_ml_spark.graph.executor import execute_graph
+    from openeo_processes_dask_ml_spark.io.gtiff import decode_gtiff
+
+    cdse = "https://stac.dataspace.copernicus.eu/v1"
+
+    def transport(url, body=None):
+        if url == f"{cdse}/collections":
+            return {"collections": [{"id": "sentinel-2-l2a"}], "links": []}
+        if url == f"{cdse}/search":
+            return {
+                "features": [
+                    {
+                        "id": "A",
+                        "bbox": [0.0, 0.0, 4.0, 4.0],
+                        "properties": {"datetime": "2024-06-05T10:00:00Z"},
+                        "assets": {
+                            k: {
+                                "href": f"mem://A/{k}",
+                                "type": "image/x-portable-graymap",
+                            }
+                            for k in ("B04_10m", "B08_10m")
+                        },
+                    }
+                ],
+                "links": [],
+            }
+        raise AssertionError(f"unexpected request {url}")
+
+    def fetch(href):
+        import numpy as np
+
+        base = 30 if "B08" in href else 10
+        arr = (np.arange(16).reshape(4, 4) + base).astype(np.uint8)
+        return b"P5\n4 4\n255\n" + arr.tobytes()
+
+    mlm_item = {
+        "id": "fake-model",
+        "stac_extensions": [
+            "https://stac-extensions.github.io/mlm/v1.4.0/schema.json"
+        ],
+        "properties": {
+            "mlm:framework": "fake",
+            "mlm:batch_size_suggestion": 2,
+            "mlm:input": [
+                {
+                    "bands": ["nir", "red"],
+                    "input": {
+                        "shape": [-1, 2, 2, 2],
+                        "dim_order": ["batch", "bands", "x", "y"],
+                        "data_type": "float64",
+                    },
+                }
+            ],
+            "mlm:output": [
+                {
+                    "result": {
+                        "shape": [-1, 2, 2],
+                        "dim_order": ["batch", "x", "y"],
+                    }
+                }
+            ],
+        },
+        "assets": {},
+    }
+
+    graph = {
+        "load_data": {
+            "process_id": "load_stac",
+            "arguments": {
+                "url": f"{cdse}/collections/sentinel-2-l2a",
+                "bands": ["red", "nir"],
+            },
+        },
+        "load_model": {
+            "process_id": "load_stac_ml",
+            "arguments": {"uri": mlm_item},
+        },
+        "predict": {
+            "process_id": "ml_predict",
+            "arguments": {
+                "data": {"from_node": "load_data"},
+                "model": {"from_node": "load_model"},
+            },
+        },
+        "save": {
+            "process_id": "save_result",
+            "arguments": {
+                "data": {"from_node": "predict"},
+                "format": "gtiff",
+            },
+            "result": True,
+        },
+    }
+    out_dir = str(tmp_path / "emb_out")
+    execute_graph(
+        graph,
+        spark,
+        sf_dir="/root/testdata/sf0.001",
+        stac_fetcher=fetch,
+        stac_transport=transport,
+        path=out_dir,
+    )
+    tifs = [f for f in os.listdir(out_dir) if f.endswith(".tif")]
+    assert len(tifs) >= 1
+    arr, _ = decode_gtiff(
+        open(os.path.join(out_dir, tifs[0]), "rb").read()
+    )
+    # fake framework echoes band 0 = nir (model band order): 30..45
+    assert sorted(arr.ravel().tolist()) == [float(v) for v in range(30, 46)]
