@@ -558,3 +558,54 @@ def write_gtiff_tiles(
         )
 
     return df.groupBy(*group_cols).applyInPandas(encode_group, schema=schema)
+
+
+def gtiff_ifd_dims(payload: bytes) -> list[tuple[int, int]]:
+    """(width, height) of every chained IFD — a tag-table-only walk
+    (no chunk decode), cheap enough to run per asset before choosing
+    which pyramid level to actually decode."""
+    bo = {b"II": "<", b"MM": ">"}.get(payload[:2])
+    if bo is None:
+        raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
+    _, off = struct.unpack(bo + "HI", payload[2:8])
+    dims: list[tuple[int, int]] = []
+    while off:
+        n = struct.unpack(bo + "H", payload[off : off + 2])[0]
+        w = h = None
+        for i in range(n):
+            e = off + 2 + 12 * i
+            tag, typ, count = struct.unpack(bo + "HHI", payload[e : e + 8])
+            if tag in (_T_WIDTH, _T_LENGTH):
+                fmt = _TYPE_FMT[typ]
+                v = struct.unpack(
+                    bo + fmt, payload[e + 8 : e + 8 + _TYPE_SIZES[typ]]
+                )[0]
+                if tag == _T_WIDTH:
+                    w = v
+                else:
+                    h = v
+        dims.append((int(w), int(h)))
+        (off,) = struct.unpack(
+            bo + "I", payload[off + 2 + 12 * n : off + 2 + 12 * n + 4]
+        )
+    return dims
+
+
+def gtiff_level_for_resolution(
+    payload: bytes, bbox, target_resolution: float
+) -> int:
+    """The pyramid level a reader should decode for ``target_resolution``
+    (CRS units per pixel): the COARSEST level whose pixel size is still
+    <= the target — the standard COG overview selection, reading the
+    fewest pixels that can exactly produce the requested grid. Level 0
+    when no overview qualifies (or none exist)."""
+    minx, _, maxx, _ = (float(v) for v in bbox)
+    best = 0
+    for k, (w, _) in enumerate(gtiff_ifd_dims(payload)):
+        if w <= 0:
+            continue
+        if (maxx - minx) / w <= float(target_resolution):
+            best = k
+        else:
+            break  # levels only get coarser down the chain
+    return best

@@ -153,6 +153,7 @@ def decode_assets_to_cube(
     offset: float = 0.0,
     partitions: int | None = None,
     on_error: str = "raise",
+    target_resolution: float | None = None,
 ) -> CubeFrame:
     """Fan the asset table out across executors and decode each href's
     payload into long-form pixel rows.
@@ -171,6 +172,15 @@ def decode_assets_to_cube(
     accidental serialization): explicit ``partitions`` if given, else
     hash-spread on (item_id, band) into the session's shuffle
     parallelism. Decode cost dominates the tiny shuffle of href rows.
+
+    ``target_resolution`` (CRS units/pixel) activates COG pyramid
+    selection for TIFF assets with a bbox: each asset decodes the
+    coarsest overview IFD whose pixel size still satisfies the
+    request — what rasterio/odc-stac do with overviews, and the
+    reason they exist: a 4x-coarser request touches 1/16 of the
+    pixels. The emitted pixel-center coordinates follow the decoded
+    level's grid; compose with ``resample_spatial`` for an exact
+    target grid (``load_stac_cube`` does both).
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
@@ -195,12 +205,37 @@ def decode_assets_to_cube(
             decode_image,
         )
 
+        def decode_payload(payload: bytes, fmt: str, bbox) -> "np.ndarray":
+            if (
+                target_resolution is not None
+                and fmt in ("gtiff", "cog", "tif", "tiff")
+                and bbox is not None
+                and len(bbox) == 4
+            ):
+                # COG pyramid selection: decode the COARSEST overview
+                # whose pixel size still satisfies the request — at a
+                # 4x-coarser target this touches 1/16 of the pixels,
+                # the reason overviews exist. Falls back to level 0
+                # when the file carries none.
+                from openeo_processes_dask_ml_spark.io.gtiff import (
+                    decode_gtiff,
+                    gtiff_level_for_resolution,
+                )
+
+                lvl = gtiff_level_for_resolution(
+                    payload, bbox, target_resolution
+                )
+                return decode_gtiff(payload, ifd=lvl)[0]
+            return decode_image(payload, fmt)
+
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 try:
                     payload = fetcher(row.href)
-                    arr = decode_image(
-                        bytes(payload), _fmt_of(row.href, row.media_type)
+                    arr = decode_payload(
+                        bytes(payload),
+                        _fmt_of(row.href, row.media_type),
+                        row.bbox,
                     )
                 except Exception:
                     if on_error == "skip":
@@ -307,7 +342,16 @@ def load_stac_cube(
         transport=transport,
         max_items=max_items,
     )
-    cube = decode_assets_to_cube(assets, fetcher, scale=scale, offset=offset)
+    # resolution requests flow INTO the decode (COG pyramid selection:
+    # coarse requests read overview IFDs, a fraction of the pixels)
+    # and the resample after it snaps to the exact target grid
+    cube = decode_assets_to_cube(
+        assets,
+        fetcher,
+        scale=scale,
+        offset=offset,
+        target_resolution=resolution,
+    )
     cube.attrs.update(attrs)
     if resolution is not None:
         cube = cube.resample_spatial(resolution, method=resampling)

@@ -317,3 +317,57 @@ def test_sink_overview_levels(spark, tmp_path):
     base, _ = decode_gtiff(payload)
     ov, _ = decode_gtiff(payload, ifd=1)
     np.testing.assert_array_equal(ov, base[::2, ::2])
+
+
+def test_level_selection_helpers():
+    from openeo_processes_dask_ml_spark.io.gtiff import (
+        gtiff_ifd_dims,
+        gtiff_level_for_resolution,
+    )
+
+    full = np.zeros((16, 16), dtype="uint8")
+    p = encode_gtiff(
+        full, bbox=(0, 0, 16, 16), overviews=[full[::2, ::2], full[::4, ::4]]
+    )
+    assert gtiff_ifd_dims(p) == [(16, 16), (8, 8), (4, 4)]
+    assert gtiff_level_for_resolution(p, (0, 0, 16, 16), 1.0) == 0
+    assert gtiff_level_for_resolution(p, (0, 0, 16, 16), 2.0) == 1
+    assert gtiff_level_for_resolution(p, (0, 0, 16, 16), 3.9) == 1
+    assert gtiff_level_for_resolution(p, (0, 0, 16, 16), 100.0) == 2
+    no_ov = encode_gtiff(full, bbox=(0, 0, 16, 16))
+    assert gtiff_level_for_resolution(no_ov, (0, 0, 16, 16), 100.0) == 0
+
+
+def test_decode_assets_pyramid_selection(spark):
+    """target_resolution decodes the matching OVERVIEW IFD — 1/16 of
+    the pixels for a 4x-coarser request — with pixel-center coords on
+    the overview grid; files without overviews fall back to level 0."""
+    from openeo_processes_dask_ml_spark.io.raster import decode_assets_to_cube
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+    full = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    payload = encode_gtiff(
+        full,
+        bbox=(0.0, 0.0, 16.0, 16.0),
+        overviews=[full[::2, ::2], full[::4, ::4]],
+        compression="deflate",
+    )
+    assets = spark.createDataFrame(
+        [("A", "c", "2024-01-01T00:00:00Z", "red", "mem://A/red.tif",
+          "image/tiff; application=geotiff", [0.0, 0.0, 16.0, 16.0])],
+        ASSET_SCHEMA,
+    )
+    cube = decode_assets_to_cube(
+        assets, lambda h, _p=payload: _p, target_resolution=4.0
+    )
+    rows = cube.df.collect()
+    assert len(rows) == 16  # 4x4 overview, not 256 full-res pixels
+    by_key = {(r["y"], r["x"]): r["value"] for r in rows}
+    # level-2 grid: pixel size 4, centers at 2, 6, 10, 14; top-left
+    # overview sample = full[0, 0]
+    assert by_key[(14.0, 2.0)] == float(full[0, 0])
+    assert by_key[(2.0, 14.0)] == float(full[12, 12])
+    # full-res request unchanged
+    assert decode_assets_to_cube(
+        assets, lambda h, _p=payload: _p, target_resolution=1.0
+    ).df.count() == 256

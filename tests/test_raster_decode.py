@@ -717,3 +717,60 @@ def test_graph_make_embeddings_shape_no_predict_fn(spark, tmp_path):
     )
     # fake framework echoes band 0 = nir (model band order): 30..45
     assert sorted(arr.ravel().tolist()) == [float(v) for v in range(30, 46)]
+
+
+def test_load_stac_cube_resolution_uses_pyramid(spark, tmp_path):
+    """resolution flows INTO the decode: assets carrying overview
+    pyramids decode the matching level (16x fewer pixels at a
+    4x-coarser request), then resample_spatial snaps the exact grid."""
+    from openeo_processes_dask_ml_spark.io.gtiff import encode_gtiff
+    from openeo_processes_dask_ml_spark.io.raster import load_stac_cube
+
+    cdse = "https://stac.dataspace.copernicus.eu/v1"
+
+    def transport(url, body=None):
+        if url == f"{cdse}/collections":
+            return {"collections": [{"id": "sentinel-2-l2a"}], "links": []}
+        if url == f"{cdse}/search":
+            return {
+                "features": [
+                    {
+                        "id": "A",
+                        "bbox": [0.0, 0.0, 16.0, 16.0],
+                        "properties": {"datetime": "2024-06-05T10:00:00Z"},
+                        "assets": {
+                            "B04_10m": {
+                                "href": "mem://A/B04.tif",
+                                "type": "image/tiff; application=geotiff",
+                            }
+                        },
+                    }
+                ],
+                "links": [],
+            }
+        raise AssertionError(f"unexpected request {url}")
+
+    def fetch(href):
+        import numpy as np
+
+        from openeo_processes_dask_ml_spark.io.gtiff import encode_gtiff as enc
+
+        full = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        return enc(
+            full,
+            bbox=(0.0, 0.0, 16.0, 16.0),
+            overviews=[full[::2, ::2], full[::4, ::4]],
+        )
+
+    assert encode_gtiff is not None
+    cube = load_stac_cube(
+        spark,
+        "cdse/sentinel-2-l2a",
+        fetch,
+        bands=["red"],
+        resolution=4.0,
+        transport=transport,
+    )
+    rows = cube.df.collect()
+    # overview level 2 (4x4) decoded, resample keeps the 4-unit grid
+    assert len(rows) == 16
