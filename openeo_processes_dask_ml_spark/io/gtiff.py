@@ -257,16 +257,10 @@ def encode_gtiff(
     deflate = compression == "deflate"
 
     per = []
-    pos = 8
     for im in images:
         chunks = _image_chunks(im, dt, deflate, tile, predictor)
-        offsets, counts = [], []
-        for c in chunks:
-            offsets.append(pos)
-            counts.append(len(c))
-            pos += len(c)
-        per.append((im.shape, chunks, offsets, counts))
-    total_data = pos - 8
+        per.append((im.shape, chunks, [len(c) for c in chunks]))
+    total_data = sum(sum(counts) for _, _, counts in per)
     if total_data >= 2**32 - 65536:
         # classic TIFF offsets are u32; BigTIFF is out of scope. Tiles
         # this large mean the caller's grouping is too coarse anyway.
@@ -276,24 +270,43 @@ def encode_gtiff(
             "BigTIFF-capable writer"
         )
 
-    all_entries = [
-        _image_entries(
-            shape, bits, sfmt, deflate, tile, predictor,
-            offsets, counts, bbox, epsg, reduced=i > 0,
-        )
-        for i, (shape, _, offsets, counts) in enumerate(per)
-    ]
+    # CLOUD-OPTIMIZED layout: header, then ALL IFDs, then chunk data —
+    # a ranged reader learns every chunk offset from one header-sized
+    # read and fetches only the ranges it needs (decode_gtiff_ranged).
+    # IFD block sizes don't depend on the offset VALUES (fixed-width
+    # fields), so size the blocks with placeholder offsets first, then
+    # assign real chunk offsets after the last IFD.
     ifd_offsets = []
-    ifd_pos = 8 + total_data
-    for entries in all_entries:
+    ifd_pos = 8
+    sized_entries = []
+    for i, (shape, chunks, counts) in enumerate(per):
+        probe = _image_entries(
+            shape, bits, sfmt, deflate, tile, predictor,
+            [0] * len(chunks), counts, bbox, epsg, reduced=i > 0,
+        )
+        sized_entries.append(probe)
         ifd_offsets.append(ifd_pos)
-        ifd_pos += 2 + 12 * len(entries) + 4 + _entry_extra_size(entries)
+        ifd_pos += 2 + 12 * len(probe) + 4 + _entry_extra_size(probe)
+
+    data_pos = ifd_pos
+    all_entries = []
+    for i, (shape, chunks, counts) in enumerate(per):
+        offsets = []
+        for c in chunks:
+            offsets.append(data_pos)
+            data_pos += len(c)
+        all_entries.append(
+            _image_entries(
+                shape, bits, sfmt, deflate, tile, predictor,
+                offsets, counts, bbox, epsg, reduced=i > 0,
+            )
+        )
 
     out = [struct.pack("<2sHI", b"II", 42, ifd_offsets[0])]
-    out.extend(c for _, chunks, _, _ in per for c in chunks)
     for i, entries in enumerate(all_entries):
         nxt = ifd_offsets[i + 1] if i + 1 < len(ifd_offsets) else 0
         out.append(_emit_ifd(entries, ifd_offsets[i], nxt))
+    out.extend(c for _, chunks, _ in per for c in chunks)
     return b"".join(out)
 
 
@@ -322,34 +335,79 @@ def decode_gtiff(payload: bytes, ifd: int = 0) -> tuple[np.ndarray, dict]:
     layouts raise ``NotImplementedError`` (that profile needs
     rasterio). ``ifd`` addresses the chained-IFD pyramid: 0 (default)
     is the full-resolution image, k>0 the k-th COG overview level."""
-    if payload[:2] == b"II":
+    return _decode_from(lambda o, sz: payload[o : o + sz], ifd)
+
+
+class _CachedRangeReader:
+    """read(off, size) over a range fetcher, with the first
+    ``head_bytes`` cached up front — header + IFD tag tables live there
+    in cloud-optimized layout, so metadata parsing costs ONE range
+    request and only chunk data adds more. Tracks request count/bytes
+    for observability."""
+
+    def __init__(self, fetch_range, head_bytes: int = 16384):
+        self._fetch = fetch_range
+        self.requests = 0
+        self.bytes_fetched = 0
+        self._head = self._fetched(0, head_bytes)
+
+    def _fetched(self, off: int, size: int) -> bytes:
+        self.requests += 1
+        out = self._fetch(off, size)
+        self.bytes_fetched += len(out)
+        return out
+
+    def __call__(self, off: int, size: int) -> bytes:
+        if off + size <= len(self._head):
+            return self._head[off : off + size]
+        return self._fetched(off, size)
+
+
+def decode_gtiff_ranged(
+    fetch_range,
+    ifd: int = 0,
+    head_bytes: int = 16384,
+) -> tuple[np.ndarray, dict]:
+    """Decode WITHOUT the whole payload: ``fetch_range(offset, size) ->
+    bytes`` supplies byte ranges (HTTP Range / S3 ranged GET in
+    production). With the cloud-optimized layout ``encode_gtiff``
+    writes (header + all IFDs first), metadata parsing is served from
+    one head read and only the target level's chunks are fetched — an
+    overview read of a large raster moves a few KB, which is the
+    entire point of the COG layout."""
+    return _decode_from(_CachedRangeReader(fetch_range, head_bytes), ifd)
+
+
+def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
+    head = rd(0, 8)
+    if head[:2] == b"II":
         bo = "<"
-    elif payload[:2] == b"MM":
+    elif head[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
-    magic, ifd_offset = struct.unpack(bo + "HI", payload[2:8])
+    magic, ifd_offset = struct.unpack(bo + "HI", head[2:8])
     if magic != 42:
         raise NotImplementedError("BigTIFF (magic 43) is not supported")
     for _ in range(ifd):
-        k = struct.unpack(bo + "H", payload[ifd_offset : ifd_offset + 2])[0]
+        k = struct.unpack(bo + "H", rd(ifd_offset, 2))[0]
         (ifd_offset,) = struct.unpack(
-            bo + "I",
-            payload[ifd_offset + 2 + 12 * k : ifd_offset + 2 + 12 * k + 4],
+            bo + "I", rd(ifd_offset + 2 + 12 * k, 4)
         )
         if ifd_offset == 0:
             raise ValueError(f"TIFF has no IFD {ifd} (chain ended early)")
-    n = struct.unpack(bo + "H", payload[ifd_offset : ifd_offset + 2])[0]
+    n = struct.unpack(bo + "H", rd(ifd_offset, 2))[0]
+    table = rd(ifd_offset + 2, 12 * n)
     tags: dict[int, tuple] = {}
     for i in range(n):
-        off = ifd_offset + 2 + 12 * i
-        tag, typ, count = struct.unpack(bo + "HHI", payload[off : off + 8])
+        e = table[12 * i : 12 * i + 12]
+        tag, typ, count = struct.unpack(bo + "HHI", e[:8])
         size = _TYPE_SIZES.get(typ, 1) * count
         if size <= 4:
-            raw = payload[off + 8 : off + 8 + size]
+            raw = e[8 : 8 + size]
         else:
-            (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
-            raw = payload[voff : voff + size]
+            (voff,) = struct.unpack(bo + "I", e[8:12])
+            raw = rd(voff, size)
         fmt = _TYPE_FMT.get(typ)
         vals = struct.unpack(bo + fmt * count, raw) if fmt else (raw,)
         tags[tag] = vals
@@ -384,7 +442,7 @@ def decode_gtiff(payload: bytes, ifd: int = 0) -> tuple[np.ndarray, dict]:
         raise NotImplementedError("predictor 2 on float samples")
 
     def _chunk(o: int, c: int) -> bytes:
-        raw = payload[o : o + c]
+        raw = rd(o, c)
         return zlib.decompress(raw) if compression != 1 else raw
 
     def _undiff(block: np.ndarray) -> np.ndarray:
@@ -564,30 +622,32 @@ def gtiff_ifd_dims(payload: bytes) -> list[tuple[int, int]]:
     """(width, height) of every chained IFD — a tag-table-only walk
     (no chunk decode), cheap enough to run per asset before choosing
     which pyramid level to actually decode."""
-    bo = {b"II": "<", b"MM": ">"}.get(payload[:2])
+    return _ifd_dims_from(lambda o, sz: payload[o : o + sz])
+
+
+def _ifd_dims_from(rd) -> list[tuple[int, int]]:
+    head = rd(0, 8)
+    bo = {b"II": "<", b"MM": ">"}.get(head[:2])
     if bo is None:
         raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
-    _, off = struct.unpack(bo + "HI", payload[2:8])
+    _, off = struct.unpack(bo + "HI", head[2:8])
     dims: list[tuple[int, int]] = []
     while off:
-        n = struct.unpack(bo + "H", payload[off : off + 2])[0]
+        n = struct.unpack(bo + "H", rd(off, 2))[0]
+        table = rd(off + 2, 12 * n)
         w = h = None
         for i in range(n):
-            e = off + 2 + 12 * i
-            tag, typ, count = struct.unpack(bo + "HHI", payload[e : e + 8])
+            e = table[12 * i : 12 * i + 12]
+            tag, typ, count = struct.unpack(bo + "HHI", e[:8])
             if tag in (_T_WIDTH, _T_LENGTH):
                 fmt = _TYPE_FMT[typ]
-                v = struct.unpack(
-                    bo + fmt, payload[e + 8 : e + 8 + _TYPE_SIZES[typ]]
-                )[0]
+                v = struct.unpack(bo + fmt, e[8 : 8 + _TYPE_SIZES[typ]])[0]
                 if tag == _T_WIDTH:
                     w = v
                 else:
                     h = v
         dims.append((int(w), int(h)))
-        (off,) = struct.unpack(
-            bo + "I", payload[off + 2 + 12 * n : off + 2 + 12 * n + 4]
-        )
+        (off,) = struct.unpack(bo + "I", rd(off + 2 + 12 * n, 4))
     return dims
 
 
@@ -599,9 +659,13 @@ def gtiff_level_for_resolution(
     <= the target — the standard COG overview selection, reading the
     fewest pixels that can exactly produce the requested grid. Level 0
     when no overview qualifies (or none exist)."""
+    return _level_for(gtiff_ifd_dims(payload), bbox, target_resolution)
+
+
+def _level_for(dims, bbox, target_resolution: float) -> int:
     minx, _, maxx, _ = (float(v) for v in bbox)
     best = 0
-    for k, (w, _) in enumerate(gtiff_ifd_dims(payload)):
+    for k, (w, _) in enumerate(dims):
         if w <= 0:
             continue
         if (maxx - minx) / w <= float(target_resolution):

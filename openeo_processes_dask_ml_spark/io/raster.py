@@ -154,6 +154,7 @@ def decode_assets_to_cube(
     partitions: int | None = None,
     on_error: str = "raise",
     target_resolution: float | None = None,
+    range_fetcher: Callable[[str, int, int], bytes] | None = None,
 ) -> CubeFrame:
     """Fan the asset table out across executors and decode each href's
     payload into long-form pixel rows.
@@ -181,6 +182,12 @@ def decode_assets_to_cube(
     pixels. The emitted pixel-center coordinates follow the decoded
     level's grid; compose with ``resample_spatial`` for an exact
     target grid (``load_stac_cube`` does both).
+
+    ``range_fetcher(href, offset, size) -> bytes`` switches TIFF assets
+    to the cloud-native read: NO whole-file fetch — one 16 KB head
+    range serves the IFD chain (the cloud-optimized layout the sink
+    writes), and only the selected level's chunk ranges move over the
+    network. An overview read of a large COG fetches a few KB.
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
@@ -204,6 +211,30 @@ def decode_assets_to_cube(
         from openeo_processes_dask_ml_spark.scale.multimodal import (
             decode_image,
         )
+
+        def decode_ranged(href: str, bbox) -> "np.ndarray":
+            # cloud-native path: NO whole-file fetch — one head range
+            # read serves the IFD chain (cloud-optimized layout), level
+            # selection uses those dims, and only the chosen level's
+            # chunk ranges move over the network
+            from openeo_processes_dask_ml_spark.io.gtiff import (
+                _CachedRangeReader,
+                _decode_from,
+                _ifd_dims_from,
+                _level_for,
+            )
+
+            rd = _CachedRangeReader(lambda o, s: range_fetcher(href, o, s))
+            lvl = 0
+            if (
+                target_resolution is not None
+                and bbox is not None
+                and len(bbox) == 4
+            ):
+                lvl = _level_for(
+                    _ifd_dims_from(rd), bbox, target_resolution
+                )
+            return _decode_from(rd, ifd=lvl)[0]
 
         def decode_payload(payload: bytes, fmt: str, bbox) -> "np.ndarray":
             if (
@@ -231,12 +262,14 @@ def decode_assets_to_cube(
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 try:
-                    payload = fetcher(row.href)
-                    arr = decode_payload(
-                        bytes(payload),
-                        _fmt_of(row.href, row.media_type),
-                        row.bbox,
-                    )
+                    fmt = _fmt_of(row.href, row.media_type)
+                    if range_fetcher is not None and fmt in (
+                        "gtiff", "cog", "tif", "tiff",
+                    ):
+                        arr = decode_ranged(row.href, row.bbox)
+                    else:
+                        payload = fetcher(row.href)
+                        arr = decode_payload(bytes(payload), fmt, row.bbox)
                 except Exception:
                     if on_error == "skip":
                         continue

@@ -371,3 +371,76 @@ def test_decode_assets_pyramid_selection(spark):
     assert decode_assets_to_cube(
         assets, lambda h, _p=payload: _p, target_resolution=1.0
     ).df.count() == 256
+
+
+def test_ranged_decode_fetches_only_needed_bytes():
+    """decode_gtiff_ranged + the cloud-optimized layout: an overview
+    read of a large pyramid file moves a small fraction of the bytes
+    (one head range + the level's chunks), and matches the whole-file
+    decode bit-for-bit."""
+    from openeo_processes_dask_ml_spark.io.gtiff import decode_gtiff_ranged
+
+    rng = np.random.default_rng(5)
+    full = rng.integers(0, 4096, (512, 512)).astype("uint16")
+    payload = encode_gtiff(
+        full,
+        bbox=(0.0, 0.0, 512.0, 512.0),
+        compression="deflate",
+        tile=(64, 64),
+        overviews=[full[::4, ::4], full[::16, ::16]],
+    )
+
+    fetched = {"bytes": 0, "calls": 0}
+
+    def fetch_range(off, size):
+        fetched["bytes"] += min(size, max(len(payload) - off, 0))
+        fetched["calls"] += 1
+        return payload[off : off + size]
+
+    arr, meta = decode_gtiff_ranged(fetch_range, ifd=2)
+    np.testing.assert_array_equal(arr, full[::16, ::16])
+    assert meta["bbox"] == (0.0, 0.0, 512.0, 512.0)
+    # random uint16 barely compresses: the full payload is ~0.5 MB;
+    # the 32x32 overview read must move well under a tenth of it
+    assert len(payload) > 400_000
+    assert fetched["bytes"] < len(payload) / 10, fetched
+
+    full_again, _ = decode_gtiff_ranged(fetch_range, ifd=0)
+    np.testing.assert_array_equal(full_again, full)
+
+
+def test_decode_assets_range_fetcher_pyramid(spark):
+    """decode_assets_to_cube(range_fetcher=...): TIFF assets decode via
+    byte ranges — a coarse request never fetches the full payload."""
+    from openeo_processes_dask_ml_spark.io.raster import decode_assets_to_cube
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+    full = np.arange(256 * 256, dtype=np.uint16).reshape(256, 256) % 251
+    payload = encode_gtiff(
+        full,
+        bbox=(0.0, 0.0, 256.0, 256.0),
+        tile=(64, 64),
+        overviews=[full[::4, ::4], full[::16, ::16]],
+    )
+    assets = spark.createDataFrame(
+        [("A", "c", "2024-01-01T00:00:00Z", "red", "mem://A/red.tif",
+          "image/tiff; application=geotiff", [0.0, 0.0, 256.0, 256.0])],
+        ASSET_SCHEMA,
+    )
+
+    def fetch_range(href, off, size, _p=payload):
+        return _p[off : off + size]
+
+    def no_whole_file(href):
+        raise AssertionError("ranged path must not fetch whole files")
+
+    cube = decode_assets_to_cube(
+        assets,
+        no_whole_file,
+        target_resolution=16.0,
+        range_fetcher=fetch_range,
+    )
+    rows = cube.df.collect()
+    assert len(rows) == 256  # 16x16 overview of the 256x256 raster
+    by_key = {(r["y"], r["x"]): r["value"] for r in rows}
+    assert by_key[(248.0, 8.0)] == float(full[0, 0])
