@@ -444,3 +444,38 @@ def test_decode_assets_range_fetcher_pyramid(spark):
     assert len(rows) == 256  # 16x16 overview of the 256x256 raster
     by_key = {(r["y"], r["x"]): r["value"] for r in rows}
     assert by_key[(248.0, 8.0)] == float(full[0, 0])
+
+
+def test_cloud_optimized_byte_layout():
+    """The encoder writes the actual COG layout: IFD0 directly after
+    the 8-byte header, every IFD before any chunk data — what makes
+    the one-head-read ranged metadata parse possible."""
+    full = np.zeros((8, 8), dtype="uint8")
+    payload = encode_gtiff(
+        full, bbox=(0, 0, 8, 8), overviews=[full[::2, ::2]], tile=(4, 4)
+    )
+    ifd0 = struct.unpack("<I", payload[4:8])[0]
+    assert ifd0 == 8  # header-first: IFDs start immediately
+    # walk the chain; collect the max byte touched by any IFD block,
+    # then assert every chunk offset lands after it
+    bo = "<"
+    off, max_ifd_end, chunk_offsets = ifd0, 0, []
+    while off:
+        n = struct.unpack(bo + "H", payload[off : off + 2])[0]
+        for i in range(n):
+            e = off + 2 + 12 * i
+            tag, typ, count = struct.unpack(bo + "HHI", payload[e : e + 8])
+            size = {3: 2, 4: 4, 12: 8}.get(typ, 1) * count
+            if size > 4:
+                (voff,) = struct.unpack(bo + "I", payload[e + 8 : e + 12])
+                max_ifd_end = max(max_ifd_end, voff + size)
+                if tag in (273, 324):  # strip/tile offsets
+                    chunk_offsets += list(
+                        struct.unpack(bo + "I" * count, payload[voff : voff + size])
+                    )
+            elif tag in (273, 324):
+                chunk_offsets.append(struct.unpack(bo + "I", payload[e + 8 : e + 12])[0])
+        end = off + 2 + 12 * n + 4
+        max_ifd_end = max(max_ifd_end, end)
+        (off,) = struct.unpack(bo + "I", payload[end - 4 : end])
+    assert chunk_offsets and min(chunk_offsets) >= max_ifd_end
