@@ -301,6 +301,15 @@ def encode_gtiff(
                 offsets, counts, bbox, epsg, reduced=i > 0,
             )
         )
+    if data_pos >= 2**32:
+        # the FINAL offset (data sits after the IFD blocks) must also
+        # fit u32 — a near-limit payload with very many tiles can
+        # overflow here even when raw chunk bytes pass the first guard
+        raise ValueError(
+            f"file layout reaches offset {data_pos} — beyond the "
+            "classic-TIFF 4 GiB space; split the group or use a "
+            "BigTIFF-capable writer"
+        )
 
     out = [struct.pack("<2sHI", b"II", 42, ifd_offsets[0])]
     for i, entries in enumerate(all_entries):
