@@ -476,3 +476,54 @@ def test_gtiff_roundtrip_property(h, w, dtype, seed, with_geo):
         assert meta["epsg"] == 32632
     else:
         assert meta == {}
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 30),
+    w=st.integers(1, 30),
+    dtype=st.sampled_from(["uint8", "uint16", "int32", "float64"]),
+    deflate=st.booleans(),
+    tiled=st.booleans(),
+    n_ov=st.integers(0, 2),
+    ifd_pick=st.integers(0, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gtiff_ranged_equals_whole_file_property(
+    h, w, dtype, deflate, tiled, n_ov, ifd_pick, seed
+):
+    """decode_gtiff_ranged must equal decode_gtiff bit-for-bit for any
+    layout combination and any addressable pyramid level."""
+    from openeo_processes_dask_ml_spark.io.gtiff import (
+        decode_gtiff,
+        decode_gtiff_ranged,
+        encode_gtiff,
+        gtiff_ifd_count,
+    )
+
+    rng = np.random.default_rng(seed)
+    if np.dtype(dtype).kind == "f":
+        arr = rng.random((h, w)).astype(dtype)
+    else:
+        arr = rng.integers(0, 100, (h, w)).astype(dtype)
+    ovs = []
+    lvl = arr
+    for _ in range(n_ov):
+        if min(lvl.shape) < 2:
+            break
+        lvl = lvl[::2, ::2]
+        ovs.append(lvl)
+    payload = encode_gtiff(
+        arr,
+        bbox=(0.0, 0.0, float(w), float(h)),
+        compression="deflate" if deflate else None,
+        tile=(4, 4) if tiled else None,
+        overviews=ovs or None,
+    )
+    k = ifd_pick % gtiff_ifd_count(payload)
+    whole_arr, whole_meta = decode_gtiff(payload, ifd=k)
+    ranged_arr, ranged_meta = decode_gtiff_ranged(
+        lambda o, s: payload[o : o + s], ifd=k, head_bytes=64
+    )  # tiny head forces the extension-fetch paths too
+    np.testing.assert_array_equal(ranged_arr, whole_arr)
+    assert ranged_meta == whole_meta
