@@ -103,6 +103,8 @@ HEADLINE = [
     "raster_ndvi_pipeline",
     "raster_roundtrip_gtiff",
     "decontaminate_semantic",
+    # round 9 additions (VERDICT r8 #1 bisect twin)
+    "profile_table_cols",
 ]
 
 

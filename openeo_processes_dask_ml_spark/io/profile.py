@@ -54,6 +54,115 @@ def _render(col: Column, dtype: str, mode: str) -> Column:
     return col.cast("string")
 
 
+_LONG_TYPES = ("tinyint", "smallint", "int", "bigint", "boolean")
+
+
+def _typed_minmax(col: Column, dtype: str) -> tuple[Column, Column, Column]:
+    """Route a min/max value into exactly one of three TYPED slots
+    (long, double, string) — the other two are typed NULLs.
+
+    Rationale (correctness-gate hardening): any string rendering — even
+    a pinned fixed-scale DECIMAL contract — leaves the engine ONE
+    freedom: how it converts the binary value to the contract type.
+    Spark casts double->decimal via BigDecimal.valueOf (shortest
+    round-trip string, then HALF_UP); DuckDB scales the exact binary
+    double and rounds. For a double within half an ulp of a ``...5``
+    boundary at the target scale the two legitimately produce different
+    decimals from identical bits. Emitting the RAW typed value removes
+    the whole class: identical binaries stringify identically
+    driver-side, whatever the engine.
+
+    - integral/boolean -> ``long`` slot (BIGINT)
+    - timestamp        -> ``long`` slot as microseconds since epoch
+      (``unix_micros`` — an instant, independent of session timezone)
+    - date             -> ``long`` slot as days since 1970-01-01
+    - float/double     -> ``double`` slot, RAW (no decimal cast)
+    - everything else  -> ``string`` slot (plain cast)
+    """
+    null_l = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    if dtype in _LONG_TYPES:
+        return col.cast("bigint"), null_d, null_s
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col), null_d, null_s
+    if dtype == "date":
+        return F.datediff(col, F.lit("1970-01-01").cast("date")), null_d, null_s
+    if dtype in ("double", "float"):
+        return null_l, col.cast("double"), null_s
+    return null_l, null_d, col.cast("string")
+
+
+def profile_table_typed(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_ndv: bool = True,
+    per_stat: bool = False,
+) -> DataFrame:
+    """One-pass column profile with TYPED min/max output — the
+    engine-proof gate contract (see ``_typed_minmax``).
+
+    Default long form (``per_stat=False``): one row per column with
+    ``(column, n_rows, n_nulls, n_distinct, min_long, max_long,
+    min_double, max_double, min_string, max_string)`` — exactly one
+    min/max slot pair non-NULL per row, chosen by the column's dtype.
+
+    ``per_stat=True`` explodes further to one row per (column, stat)
+    pair — ``(column, stat, val_long, val_double, val_string)`` with
+    stats ``n_rows | n_nulls | n_distinct | min | max`` — so a
+    correctness-gate mismatch localizes to a single cell.
+
+    Same single-scan execution shape as :func:`profile_table`: all
+    aggregates evaluate in one aggregation, then a stack() pivot.
+    """
+    cols = columns if columns is not None else df.columns
+    dtypes = dict(df.dtypes)
+    ndv = F.count_distinct if exact_ndv else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        mn_l, mn_d, mn_s = _typed_minmax(F.min(F.col(c)), dtypes[c])
+        mx_l, mx_d, mx_s = _typed_minmax(F.max(F.col(c)), dtypes[c])
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"),
+            ndv(F.col(c)).alias(f"__ndv_{c}"),
+            mn_l.alias(f"__minl_{c}"),
+            mx_l.alias(f"__maxl_{c}"),
+            mn_d.alias(f"__mind_{c}"),
+            mx_d.alias(f"__maxd_{c}"),
+            mn_s.alias(f"__mins_{c}"),
+            mx_s.alias(f"__maxs_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    if not per_stat:
+        pairs = ", ".join(
+            f"'{c}', __n_{c}, __null_{c}, __ndv_{c}, "
+            f"__minl_{c}, __maxl_{c}, __mind_{c}, __maxd_{c}, "
+            f"__mins_{c}, __maxs_{c}"
+            for c in cols
+        )
+        return wide.selectExpr(
+            f"stack({len(cols)}, {pairs}) as "
+            "(column, n_rows, n_nulls, n_distinct, min_long, max_long, "
+            "min_double, max_double, min_string, max_string)"
+        )
+    # per-(column, stat) bisect form: every value lives alone in a row,
+    # still typed (counts in the long slot; min/max routed by dtype)
+    tuples = []
+    for c in cols:
+        tuples += [
+            f"'{c}', 'n_rows', __n_{c}, CAST(NULL AS DOUBLE), CAST(NULL AS STRING)",
+            f"'{c}', 'n_nulls', __null_{c}, CAST(NULL AS DOUBLE), CAST(NULL AS STRING)",
+            f"'{c}', 'n_distinct', __ndv_{c}, CAST(NULL AS DOUBLE), CAST(NULL AS STRING)",
+            f"'{c}', 'min', __minl_{c}, __mind_{c}, __mins_{c}",
+            f"'{c}', 'max', __maxl_{c}, __maxd_{c}, __maxs_{c}",
+        ]
+    return wide.selectExpr(
+        f"stack({len(tuples)}, {', '.join(tuples)}) as "
+        "(column, stat, val_long, val_double, val_string)"
+    )
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,

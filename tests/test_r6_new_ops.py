@@ -329,3 +329,44 @@ def test_profile_table_one_pass_and_values(spark):
     assert "Expand" in profile_table(df, exact_ndv=True)._jdf.queryExecution().executedPlan().toString()
     approx = {r["column"]: r["n_distinct"] for r in default_df.collect()}
     assert approx["id"] >= 3
+
+
+def test_profile_table_typed_slots(spark):
+    """VERDICT r8 #1: the typed gate contract routes each dtype's
+    min/max into exactly ONE typed slot pair (long/double/string),
+    raw values — no decimal cast, no string rendering — and
+    timestamps surface as unix_micros BIGINT."""
+    import datetime
+
+    from openeo_processes_dask_ml_spark.io.profile import (
+        profile_table_typed,
+    )
+
+    ts = datetime.datetime(2020, 3, 1, 12, 30, 0)
+    df = spark.createDataFrame(
+        [(1, 2.5, "a", ts), (4, None, "b", ts)],
+        ["id", "v", "s", "t"],
+    )
+    got = {r["column"]: r for r in profile_table_typed(df).collect()}
+    assert got["id"]["min_long"] == 1 and got["id"]["max_long"] == 4
+    assert got["id"]["min_double"] is None and got["id"]["min_string"] is None
+    assert got["v"]["min_double"] == 2.5 and got["v"]["max_double"] == 2.5
+    assert got["v"]["n_nulls"] == 1 and got["v"]["min_long"] is None
+    assert got["s"]["min_string"] == "a" and got["s"]["max_string"] == "b"
+    # unix_micros is an instant — session-TZ independent; the session
+    # pins UTC so the expected value is the UTC epoch micros
+    expect_us = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    assert got["t"]["min_long"] == expect_us == got["t"]["max_long"]
+
+    # per-stat bisect form: 4 cols x 5 stats, one typed value per row
+    cells = profile_table_typed(df, per_stat=True).collect()
+    assert len(cells) == 20
+    cell = {(r["column"], r["stat"]): r for r in cells}
+    assert cell[("id", "n_rows")]["val_long"] == 2
+    assert cell[("v", "min")]["val_double"] == 2.5
+    assert cell[("v", "min")]["val_long"] is None
+    assert cell[("s", "max")]["val_string"] == "b"
+    # single-scan shape: one aggregation feeds both forms (no Expand
+    # beyond the exact-NDV one, no extra scan per column)
+    plan = profile_table_typed(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
