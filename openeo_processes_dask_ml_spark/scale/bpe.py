@@ -32,8 +32,11 @@ Encoding then becomes a dictionary join against the trained word table
 symbol-by-symbol — unseen words fall back to character splits with the
 merge fold applied only to that (rare) remainder.
 
-No oracle SQL twin: merge learning is argmax-then-rewrite iterative
-and not expressible in one SQL statement; correctness is pinned by
+Oracle SQL twin: the argmax-then-rewrite iteration IS expressible as
+one SQL statement by unrolling the fixed 20 merge rounds into chained
+MATERIALIZED CTE stages (``__spark_entry__._bpe_oracle``) — pair
+counts, deterministic argmax, and the non-overlapping rewrite via
+run-parity window functions. Correctness is additionally pinned by
 unit tests against a pure-Python reference implementation
 (tests/test_bpe.py).
 """

@@ -467,6 +467,7 @@ def ivf_topk(
     dim: int = 64,
     train_quantizer: bool = False,
     sample_fraction: float = 1.0,
+    trainer: str = "kmeans",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     every vector to its nearest seed's list; queries probe their
@@ -487,7 +488,8 @@ def ivf_topk(
     from pyspark.sql import Window
 
     base, scored, assigned, _ = _coarse_assign(
-        df, n_lists, vec_col, id_col, train_quantizer, sample_fraction
+        df, n_lists, vec_col, id_col, train_quantizer, sample_fraction,
+        trainer=trainer,
     )
     wp = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("seed_id"))
     probes = (
@@ -522,6 +524,57 @@ def ivf_topk(
     )
 
 
+def _lloyd_py(rows: list, k: int, iters: int = 20) -> list:
+    """Deterministic SQL-replicable Lloyd k-means on python floats.
+
+    ``rows`` is a vid-ORDERED list of (vid, [float] vector). Every
+    floating-point operation here has a fixed, engine-replicable
+    order, so a DuckDB replay with ordered ``list_reduce`` folds is
+    BIT-IDENTICAL (VERDICT r8 #4 — this is what lets the trained-IVF
+    gate query carry a real value-hash oracle):
+    - init: evenly spaced sample rows, index ``int((c*(n-1))/(k-1.0))``
+    - assignment: argmin of the sequential dim-order l2sq fold
+      (:func:`_l2sq_py`), ties to the smallest centroid id
+    - update: per-dimension SEQUENTIAL sum over members in vid order,
+      then one division by the member count; empty clusters keep their
+      previous centroid.
+    Unlike :func:`_lloyd_np` (pairwise-summation numpy, used for PQ
+    codebooks where the codebook itself is the replayed artifact),
+    this trainer is for oracles that must replay the ARITHMETIC."""
+    n = len(rows)
+    if n == 0:
+        raise ValueError(
+            "quantizer training sample is empty — raise sample_fraction"
+        )
+    X = [r[1] for r in rows]
+    if k == 1:
+        idx = [0]
+    else:
+        idx = [int((c * (n - 1)) / (k - 1.0)) for c in range(k)]
+    C = [list(X[i]) for i in idx]
+    for _ in range(iters):
+        members: list[list] = [[] for _ in range(k)]
+        for x in X:  # vid order
+            best_c, best_d = 0, None
+            for c in range(k):
+                d = _l2sq_py(x, C[c])
+                if best_d is None or d < best_d:
+                    best_c, best_d = c, d
+            members[best_c].append(x)
+        for c in range(k):
+            if members[c]:
+                m = members[c]
+                dims = len(C[c])
+                new = []
+                for j in range(dims):
+                    s = 0.0
+                    for x in m:  # vid order
+                        s += x[j]
+                    new.append(s / len(m))
+                C[c] = new
+    return C
+
+
 def _coarse_assign(
     df: DataFrame,
     n_lists: int,
@@ -529,16 +582,59 @@ def _coarse_assign(
     id_col: str,
     train_quantizer: bool,
     sample_fraction: float,
+    trainer: str = "kmeans",
+    max_train_rows: int = 1_000_000,
 ):
     """Coarse-quantizer list assignment shared by ``ivf_topk`` and
     ``semantic_dedup``: (base, scored, assigned, seeds) where assigned maps
     every vector to its nearest seed's list (map-side max_by, one
-    narrow shuffle)."""
+    narrow shuffle).
+
+    ``trainer`` (only with ``train_quantizer=True``): ``"kmeans"`` is
+    MLlib k-means|| — the production path, best clusters, but its
+    parallel float reduction order is engine-internal, so no value
+    oracle can replay it. ``"lloyd"`` is the deterministic
+    SQL-replicable path: an md5-percentile sample (NOT ``df.sample``,
+    whose XORShift stream is Spark-internal) collected vid-ordered to
+    the driver (bounded: quantizer training needs ~1e5 points
+    regardless of corpus size — same argument as ``_pq_codebooks``;
+    ``max_train_rows`` guards the collect) and trained by
+    :func:`_lloyd_py`, whose every float op replays bit-identically in
+    DuckDB ordered folds."""
     base = df.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nrm", _norm(F.col("v")))
-    if train_quantizer:
+    if train_quantizer and trainer == "lloyd":
+        pct = int(round(sample_fraction * 100))
+        sample = base if pct >= 100 else base.filter(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("vid").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(100),
+            )
+            < pct
+        )
+        rows = sample.select("vid", "v").orderBy("vid").limit(
+            max_train_rows + 1
+        ).collect()
+        if len(rows) > max_train_rows:
+            raise ValueError(
+                f"quantizer training sample exceeds max_train_rows="
+                f"{max_train_rows}; lower sample_fraction — Lloyd training "
+                "needs ~1e5 points regardless of corpus size"
+            )
+        centroids = _lloyd_py(
+            [(r["vid"], list(r["v"])) for r in rows], k=n_lists, iters=20
+        )
+        seeds = df.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "seed_id long, sv array<double>",
+        ).withColumn("snrm", _norm(F.col("sv")))
+    elif train_quantizer:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
