@@ -58,6 +58,66 @@ _MEDIA_FMTS = {
 _FMT_CHANNELS = {"pgm": 1, "ppm": 3, "bmp": 3}
 
 
+def default_fetcher(href: str, timeout: float = 60.0, retries: int = 2) -> bytes:
+    """Whole-payload HTTP(S) fetch via stdlib urllib — the production
+    default when no fetcher is injected (VERDICT r8 #3; reference
+    analog ``opd_ml_dev_utils/download_utils.py:14-94``). Same
+    transport posture as the STAC client (io/stac_client.py:48):
+    stdlib-only, short timeout, a couple of retries for the transient
+    5xx/reset noise a 100 TB crawl always sees. Stateless by design —
+    executors may cloudpickle it freely; connection pooling beyond
+    urllib's keep-alive is the injector's business."""
+    import urllib.error
+    import urllib.request
+
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        try:
+            req = urllib.request.Request(href)
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.read()
+        except (urllib.error.URLError, OSError) as exc:
+            last = exc
+    raise RuntimeError(
+        f"fetch of {href} failed after {retries + 1} attempts ({last}); "
+        "offline environments must inject a fetcher"
+    ) from last
+
+
+def default_range_fetcher(
+    href: str, offset: int, size: int, timeout: float = 60.0, retries: int = 2
+) -> bytes:
+    """Ranged HTTP(S) fetch (``Range: bytes=o-o+n-1``) — the
+    cloud-native COG read path: the 16 KB head range serves the IFD
+    chain and only the selected level's chunk ranges ever move.
+    Servers that ignore Range (return 200 + full body) are handled by
+    slicing locally, so correctness never depends on server support —
+    only efficiency does."""
+    import urllib.error
+    import urllib.request
+
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        try:
+            req = urllib.request.Request(
+                href,
+                headers={"Range": f"bytes={offset}-{offset + size - 1}"},
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                data = resp.read()
+            if len(data) > size:
+                # server ignored Range and sent the whole payload
+                return data[offset:offset + size]
+            return data
+        except (urllib.error.URLError, OSError) as exc:
+            last = exc
+    raise RuntimeError(
+        f"ranged fetch of {href} [{offset}:{offset + size}] failed after "
+        f"{retries + 1} attempts ({last}); offline environments must "
+        "inject a range_fetcher"
+    ) from last
+
+
 def _asset_band_labels(assets: DataFrame) -> list[str] | None:
     """Cube band labels derived from ASSET METADATA (one distinct over
     (band, media_type, href-extension) — catalog-sized, never pixels),
@@ -65,9 +125,14 @@ def _asset_band_labels(assets: DataFrame) -> list[str] | None:
     evaluation of the decoded cube. Returns None when any asset's
     format has an unknown channel count — callers then fall back to
     the lazy distinct."""
-    ext = F.when(
-        F.col("href").contains("."), F.substring_index("href", ".", -1)
-    ).otherwise(F.lit(""))
+    # extension from the URL PATH only: query/fragment stripped first,
+    # and a dot in the host or query must not read as an extension
+    # ('a.tif?sig=1.2' -> 'tif'; 'http://x.com/asset' -> '')
+    ext = F.regexp_extract(
+        F.regexp_replace(F.col("href"), r"[?#].*$", ""),
+        r"\.([A-Za-z0-9]+)$",
+        1,
+    )
     meta = (
         assets.select("band", "media_type", ext.alias("ext"))
         .distinct()
@@ -94,11 +159,17 @@ def _asset_band_labels(assets: DataFrame) -> list[str] | None:
 
 def _fmt_of(href: str | None, media_type: str | None) -> str:
     """Asset format key: media type first (the STAC-correct source),
-    href extension as fallback."""
+    href PATH extension as fallback — query strings and fragments are
+    stripped and host dots never read as extensions ('a.tif?sig=1.2'
+    -> 'tif', 'http://x.com/asset' -> no extension)."""
+    from urllib.parse import urlsplit
+
     mt = (media_type or "").lower().strip()
     if mt in _MEDIA_FMTS:
         return _MEDIA_FMTS[mt]
-    ext = (href or "").rsplit(".", 1)[-1].lower()
+    path = urlsplit(href or "").path
+    seg = path.rsplit("/", 1)[-1]
+    ext = seg.rsplit(".", 1)[-1].lower() if "." in seg else ""
     return ext or mt
 
 
@@ -148,7 +219,7 @@ def _pixel_frame(
 
 def decode_assets_to_cube(
     assets: DataFrame,
-    fetcher: Fetcher,
+    fetcher: Fetcher | None = None,
     scale: float = 1.0,
     offset: float = 0.0,
     partitions: int | None = None,
@@ -163,7 +234,10 @@ def decode_assets_to_cube(
     datetime, band, href, media_type, bbox). ``fetcher`` is cloudpickled
     to the executors and called once per asset — keep connection pools
     executor-local (lazy init inside the callable), the same posture as
-    ``run_model_tiled``'s predict_fn. ``scale``/``offset`` apply the
+    ``run_model_tiled``'s predict_fn. Defaults to :func:`default_fetcher`
+    (stdlib urllib whole-payload GET); pair with
+    :func:`default_range_fetcher` via ``range_fetcher`` for the
+    cloud-native COG path. ``scale``/``offset`` apply the
     usual DN -> reflectance affine. ``on_error='skip'`` drops assets
     whose fetch/decode raises (a 100 TB catalog always has a few rotten
     hrefs); the default surfaces the first error.
@@ -191,6 +265,8 @@ def decode_assets_to_cube(
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    if fetcher is None:
+        fetcher = default_fetcher
     if partitions:
         spread = assets.repartition(partitions)
     else:
@@ -202,9 +278,13 @@ def decode_assets_to_cube(
         # REPARTITION_BY_NUM is exempt from AQE coalescing; the skew
         # the hash spread carries is per-(item, band) asset payloads,
         # which is exactly the granularity a 100 TB catalog wants.
-        n = int(
-            assets.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        try:
+            n = int(
+                assets.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            # AQE deployments may set the conf to 'auto'
+            n = assets.sparkSession.sparkContext.defaultParallelism
         spread = assets.repartition(n, F.col("item_id"), F.col("band"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -296,7 +376,7 @@ def decode_assets_to_cube(
 def load_stac_cube(
     spark,
     collection_id: str,
-    fetcher: Fetcher,
+    fetcher: Fetcher | None = None,
     bbox: list[float] | None = None,
     datetime_range: str | None = None,
     bands: list[str] | None = None,
