@@ -456,8 +456,13 @@ def _register_cubes(reg: ProcessRegistry) -> None:
         bbox = None
         if {"west", "south", "east", "north"} <= set(se):
             bbox = [se["west"], se["south"], se["east"], se["north"]]
+        # open-ended extents are standard openEO (['2020-01-01', null]);
+        # the STAC API spelling for an open end is '..', and a fully
+        # open extent means no datetime filter at all (ADVICE r8)
         te = args.get("temporal_extent")
-        dtr = f"{te[0]}/{te[1]}" if te else None
+        dtr = None
+        if te and any(v is not None for v in te):
+            dtr = "/".join(".." if v is None else str(v) for v in te)
         return load_stac_cube(
             ctx["spark"],
             route,

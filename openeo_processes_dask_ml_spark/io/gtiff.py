@@ -12,14 +12,15 @@ save_result -> reload) runnable and testable offline, in the same
 spirit as the injected-transport STAC client.
 
 Scope, stated honestly: classic (non-Big) TIFF, little- or big-endian,
-strip- or tile-organized, uncompressed or DEFLATE (zlib is stdlib),
-predictor 1/2 (horizontal differencing), single- or multi-sample
-chunky pixels, with ModelPixelScale/ModelTiepoint/GeoKeyDirectory
-georeferencing — i.e. the interior layout of real deflate COGs (the
-decoder reads IFD 0, the full-resolution image; overview IFDs are
-pyramid copies). JPEG/LZW/packbits compression and planar organization
-still raise a clear ``NotImplementedError`` pointing at rasterio; the
-format is never faked.
+strip- or tile-organized, uncompressed / LZW (TIFF 6.0 §13, pure
+stdlib) / DEFLATE (zlib is stdlib), predictor 1/2 (horizontal
+differencing), single- or multi-sample chunky pixels, with
+ModelPixelScale/ModelTiepoint/GeoKeyDirectory georeferencing — i.e.
+the interior layout of real deflate or LZW COGs (the decoder reads
+IFD 0, the full-resolution image; overview IFDs are pyramid copies).
+JPEG/packbits compression and planar organization still raise a clear
+``NotImplementedError`` pointing at rasterio; the format is never
+faked.
 
 The distributed writer is the scale path: one GeoTIFF per (item, band)
 group via ``applyInPandas``, encoded and written ON THE EXECUTORS to a
@@ -77,6 +78,110 @@ _DTYPES = {
 _SF_KINDS = {1: "u", 2: "i", 3: "f"}
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW decode (TIFF 6.0 §13, pure stdlib): MSB-first
+    bit packing, Clear=256 / EOI=257, 9→12-bit codes with the TIFF
+    "early change" — the decoder widens one code EARLIER than plain
+    (GIF-style) LZW, i.e. when its table holds ``(1 << bits) - 2``
+    entries, so it stays in lockstep with encoders that widen upon
+    assigning code 511/1023/2047. A truncated stream (missing EOI)
+    returns the bytes decoded so far, matching lenient readers."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    nbits = 9
+    # implicit clear at start: conforming streams open with Clear, but
+    # lenient readers (and garbage inputs) must not index an empty table
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    acc = navail = pos = 0
+    n = len(data)
+    while True:
+        while navail < nbits:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            navail += 8
+        navail -= nbits
+        code = (acc >> navail) & ((1 << nbits) - 1)
+        if code == eoi:
+            return bytes(out)
+        if code == clear:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError(
+                    "corrupt LZW stream: non-literal first code after clear"
+                )
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        if len(table) > 4095:
+            raise ValueError("corrupt LZW stream: table overflow without clear")
+        out += entry
+        prev = entry
+        if len(table) == (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encode: the mirror of :func:`_lzw_decode`
+    (width grows immediately after assigning code ``(1 << bits) - 1``,
+    so codes from 511/1023/2047 on are written at the wider size), with
+    a table reset (Clear emitted at the current width) before code
+    4094 would be assigned — the libtiff convention."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nacc = 0
+    nbits = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << nbits) | code
+        nacc += nbits
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    table: dict[bytes, int] = {}
+    next_code = 258
+    emit(clear)
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        wc = w + c
+        if len(wc) == 1 or wc in table:
+            w = wc
+            continue
+        emit(table[w] if len(w) > 1 else w[0])
+        if next_code >= 4094:
+            emit(clear)
+            table = {}
+            next_code = 258
+            nbits = 9
+        else:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << nbits) - 1 and nbits < 12:
+                nbits += 1
+        w = c
+    if w:
+        emit(table[w] if len(w) > 1 else w[0])
+    emit(eoi)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
 def _apply_predictor2(chunk: np.ndarray) -> np.ndarray:
     """Horizontal differencing (TIFF predictor 2): each pixel stores
     the delta to its left neighbor, per row (and per sample). Integer
@@ -89,12 +194,13 @@ def _apply_predictor2(chunk: np.ndarray) -> np.ndarray:
 def _image_chunks(
     arr: np.ndarray,
     dt: np.dtype,
-    deflate: bool,
+    comp: int,
     tile: tuple[int, int] | None,
     predictor: int,
 ) -> list[bytes]:
     """Serialized (and optionally differenced/compressed) data chunks
-    for one image: one strip, or row-major full-size tiles."""
+    for one image: one strip, or row-major full-size tiles. ``comp`` is
+    the TIFF compression tag value (1 none, 5 LZW, 8 deflate)."""
     import zlib
 
     h, w = arr.shape
@@ -113,14 +219,18 @@ def _image_chunks(
     if predictor == 2:
         blocks = [_apply_predictor2(b) for b in blocks]
     raw = [b.tobytes() for b in blocks]
-    return [zlib.compress(b) for b in raw] if deflate else raw
+    if comp == 8:
+        return [zlib.compress(b) for b in raw]
+    if comp == 5:
+        return [_lzw_encode(b) for b in raw]
+    return raw
 
 
 def _image_entries(
     arr_shape: tuple[int, int],
     bits: int,
     sfmt: int,
-    deflate: bool,
+    comp: int,
     tile: tuple[int, int] | None,
     predictor: int,
     offsets: list[int],
@@ -138,7 +248,7 @@ def _image_entries(
         (_T_WIDTH, _TYPE_LONG, 1, w),
         (_T_LENGTH, _TYPE_LONG, 1, h),
         (_T_BITS, _TYPE_SHORT, 1, bits),
-        (_T_COMPRESSION, _TYPE_SHORT, 1, 8 if deflate else 1),
+        (_T_COMPRESSION, _TYPE_SHORT, 1, comp),
         (_T_PHOTOMETRIC, _TYPE_SHORT, 1, 1),
         (_T_SPP, _TYPE_SHORT, 1, 1),
         (_T_SAMPLE_FORMAT, _TYPE_SHORT, 1, sfmt),
@@ -223,7 +333,9 @@ def encode_gtiff(
     codes; 4326 is emitted as geographic).
 
     Layout options mirror what real COG interiors use:
-    ``compression='deflate'`` (zlib per chunk), ``tile=(th, tw)`` for
+    ``compression='deflate'`` (zlib per chunk) or ``'lzw'`` (TIFF-variant
+    LZW per chunk — the other ubiquitous archival layout), ``tile=(th,
+    tw)`` for
     tile organization instead of one strip, ``predictor=2`` for
     horizontal differencing (integer dtypes only — deflate compresses
     smooth rasters far better on deltas), and ``overviews`` — a list of
@@ -245,8 +357,10 @@ def encode_gtiff(
             f"unsupported dtype {images[0].dtype}; supported: "
             f"{sorted(str(d) for d in _DTYPES)}"
         )
-    if compression not in (None, "none", "deflate"):
-        raise ValueError(f"compression must be None or 'deflate', got {compression!r}")
+    if compression not in (None, "none", "deflate", "lzw"):
+        raise ValueError(
+            f"compression must be None, 'deflate' or 'lzw', got {compression!r}"
+        )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     if predictor == 2 and dt.kind == "f":
@@ -254,11 +368,11 @@ def encode_gtiff(
     if tile is not None and (int(tile[0]) <= 0 or int(tile[1]) <= 0):
         raise ValueError(f"tile dims must be positive, got {tile}")
     bits, sfmt = _DTYPES[dt.newbyteorder("=")]
-    deflate = compression == "deflate"
+    comp = {"deflate": 8, "lzw": 5}.get(compression or "none", 1)
 
     per = []
     for im in images:
-        chunks = _image_chunks(im, dt, deflate, tile, predictor)
+        chunks = _image_chunks(im, dt, comp, tile, predictor)
         per.append((im.shape, chunks, [len(c) for c in chunks]))
     total_data = sum(sum(counts) for _, _, counts in per)
     if total_data >= 2**32 - 65536:
@@ -281,7 +395,7 @@ def encode_gtiff(
     sized_entries = []
     for i, (shape, chunks, counts) in enumerate(per):
         probe = _image_entries(
-            shape, bits, sfmt, deflate, tile, predictor,
+            shape, bits, sfmt, comp, tile, predictor,
             [0] * len(chunks), counts, bbox, epsg, reduced=i > 0,
         )
         sized_entries.append(probe)
@@ -297,7 +411,7 @@ def encode_gtiff(
             data_pos += len(c)
         all_entries.append(
             _image_entries(
-                shape, bits, sfmt, deflate, tile, predictor,
+                shape, bits, sfmt, comp, tile, predictor,
                 offsets, counts, bbox, epsg, reduced=i > 0,
             )
         )
@@ -336,8 +450,8 @@ def gtiff_ifd_count(payload: bytes) -> int:
 
 
 def decode_gtiff(payload: bytes, ifd: int = 0) -> tuple[np.ndarray, dict]:
-    """Decode a classic TIFF: strip- or tile-organized, uncompressed or
-    deflate (8/32946), predictor 1/2, either endianness. Returns
+    """Decode a classic TIFF: strip- or tile-organized, uncompressed,
+    LZW (5) or deflate (8/32946), predictor 1/2, either endianness. Returns
     ``(array, meta)`` — array is (H, W) for one sample per pixel,
     (H, W, SPP) otherwise; meta carries ``bbox``/``epsg``/``pixel_scale``
     when the GeoTIFF tags are present. Other compressions/planar
@@ -424,10 +538,10 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
     import zlib
 
     compression = tags.get(_T_COMPRESSION, (1,))[0]
-    if compression not in (1, 8, 32946):  # none, deflate, legacy deflate
+    if compression not in (1, 5, 8, 32946):  # none, lzw, deflate(+legacy)
         raise NotImplementedError(
             f"TIFF compression {compression} needs rasterio "
-            "(uncompressed and deflate are implemented)"
+            "(uncompressed, LZW and deflate are implemented)"
         )
     predictor = tags.get(_T_PREDICTOR, (1,))[0]
     if predictor not in (1, 2):
@@ -452,7 +566,11 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
 
     def _chunk(o: int, c: int) -> bytes:
         raw = rd(o, c)
-        return zlib.decompress(raw) if compression != 1 else raw
+        if compression == 1:
+            return raw
+        if compression == 5:
+            return _lzw_decode(raw)
+        return zlib.decompress(raw)
 
     def _undiff(block: np.ndarray) -> np.ndarray:
         # inverse of horizontal differencing: cumulative sum per row

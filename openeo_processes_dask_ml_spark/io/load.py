@@ -224,16 +224,47 @@ def load_source_quarantine(
             # min agg map-side-combines to n_files rows and broadcasts
             # back; the price is a second pass over the text — which a
             # real pipeline pays once, in the convert-to-parquet step.
+            # Version pin for the ordering assumption (ADVICE r8): ids
+            # within a file increase with byte offset because Spark's
+            # FilePartition bin-packing (4.x, FilePartition#getFilePartitions)
+            # keeps a file's splits in offset order; the header-shape
+            # check below is the tripwire if that ever changes.
             tagged = raw.select(
                 F.col("value"),
                 F.input_file_name().alias("__file"),
                 F.monotonically_increasing_id().alias("__pos"),
             )
             firsts = tagged.groupBy("__file").agg(
-                F.min("__pos").alias("__first")
+                F.min("__pos").alias("__first"),
+                F.min_by("value", "__pos").alias("__line"),
             )
+            # the dropped lines are file-count-bounded; verify each one
+            # actually LOOKS like a header (first token == first declared
+            # field). A mismatch means either a headerless file (its
+            # first DATA row is being dropped) or a split-ordering
+            # change — both deserve a loud warning, not silence.
+            import warnings as _warnings
+
+            first_field = (
+                schema.split(",")[0].strip().split()[0].strip("` ").lower()
+            )
+            sep = str(options.get("sep", ","))
+            for r in firsts.select("__file", "__line").collect():
+                token = (r["__line"] or "").split(sep)[0].strip().strip('"')
+                if token.lower() != first_field:
+                    _warnings.warn(
+                        f"read_with_quarantine: dropped first line of "
+                        f"{r['__file']} does not look like a header "
+                        f"(got {token!r}, expected {first_field!r}) — "
+                        "headerless file or split-order change; pass "
+                        "header='false' if the file has no header",
+                        UserWarning,
+                        stacklevel=2,
+                    )
             raw = (
-                tagged.join(F.broadcast(firsts), "__file")
+                tagged.join(
+                    F.broadcast(firsts.select("__file", "__first")), "__file"
+                )
                 .filter(F.col("__pos") != F.col("__first"))
                 .select("value")
             )
@@ -657,6 +688,21 @@ def save_result(
             if not group_cols:
                 tiles = df.withColumn("tile", F.lit("tile"))
                 group_cols = ["tile"]
+            # forward the encoder layout options the sink supports
+            # (ADVICE r8: compression/tile/predictor/overview_levels
+            # were silently ignored before) and reject unknown keys —
+            # a typo'd option must not silently produce a different
+            # file layout
+            known = {
+                "epsg", "dtype", "compression", "tile", "predictor",
+                "overview_levels",
+            }
+            unknown = set(options) - known
+            if unknown:
+                raise ValueError(
+                    f"save_result(gtiff): unknown options {sorted(unknown)}; "
+                    f"supported: {sorted(known)}"
+                )
             manifest = write_gtiff_tiles(
                 tiles,
                 path,
@@ -666,6 +712,10 @@ def save_result(
                 y_col=y_col,
                 epsg=options.get("epsg"),
                 dtype=options.get("dtype", "float64"),
+                compression=options.get("compression"),
+                tile=options.get("tile"),
+                predictor=options.get("predictor", 1),
+                overview_levels=options.get("overview_levels", 0),
             )
             manifest.write.mode("overwrite").parquet(
                 os.path.join(path, "_manifest")

@@ -158,6 +158,7 @@ def run_model_tiled(
     descriptor: MLModelDescriptor,
     predict_fn: Callable[[np.ndarray], np.ndarray],
     out_value_col: str = "value",
+    max_axis_elements: int = 10_000_000,
 ) -> DataFrame:
     """Apply ``predict_fn`` (batch tensor in model dim_order ->
     output tensor in output dim_order) over the cube, tiled to the
@@ -228,10 +229,34 @@ def run_model_tiled(
     if want_bands_scan and band_col not in scan_cols:
         scan_cols.append(band_col)
     if scan_cols:
+        # capped INSIDE the aggregation (VERDICT r8 #7): sort_array +
+        # slice run executor-side on the single final agg row, so an
+        # oversized axis never crosses to the driver — the driver sees
+        # at most max_axis_elements + 1 values per dim and raises with
+        # guidance instead of silently ballooning. Axes are bounded by
+        # axis length, not data volume, but a planetary 10 m grid axis
+        # is millions of doubles; the default cap (1e7 ~ 80 MB/axis)
+        # marks the point where per-tile requests should be issued
+        # instead.
         axes_row = cube.df.agg(
-            *[F.collect_set(c).alias(c) for c in scan_cols]
+            *[
+                F.slice(
+                    F.sort_array(F.collect_set(c)),
+                    1,
+                    max_axis_elements + 1,
+                ).alias(c)
+                for c in scan_cols
+            ]
         ).collect()[0]
-        axis_by_col = {c: np.sort(np.array(axes_row[c])) for c in scan_cols}
+        for c in scan_cols:
+            if len(axes_row[c]) > max_axis_elements:
+                raise ValueError(
+                    f"cube axis {c!r} exceeds max_axis_elements="
+                    f"{max_axis_elements}; tile the request (filter the "
+                    "cube to a sub-grid per call) or raise the cap "
+                    "explicitly"
+                )
+        axis_by_col = {c: np.array(axes_row[c]) for c in scan_cols}
     else:
         axis_by_col = {}
     for d, s, role, col in resolved:

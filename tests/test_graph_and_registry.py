@@ -836,3 +836,38 @@ def test_expression_prefix_root_cannot_launder_stdlib():
             "expressions_enabled"
         )
     )
+
+
+def test_load_stac_open_ended_temporal_extent(spark, monkeypatch):
+    """ADVICE r8: openEO open-ended temporal extents (null ends) must
+    render as the STAC API '..' spelling, and a fully open extent must
+    omit the datetime filter entirely — never the literal 'None'."""
+    from openeo_processes_dask_ml_spark.io import raster as raster_mod
+
+    seen = []
+
+    def fake_load_stac_cube(spark_, route, fetcher=None, **kw):
+        seen.append(kw.get("datetime_range"))
+        return "cube"
+
+    monkeypatch.setattr(raster_mod, "load_stac_cube", fake_load_stac_cube)
+    reg = default_registry()
+    ctx = {"spark": spark, "stac_fetcher": lambda href: b""}
+    base = {
+        "url": (
+            "https://earth-search.aws.element84.com/v1/collections/"
+            "sentinel-2-l2a"
+        ),
+    }
+    for te, want in [
+        (["2020-01-01", None], "2020-01-01/.."),
+        ([None, "2021-06-30"], "../2021-06-30"),
+        ([None, None], None),
+        (["2020-01-01", "2020-02-01"], "2020-01-01/2020-02-01"),
+        (None, None),
+    ]:
+        reg.get("load_stac")(dict(base, temporal_extent=te), ctx)
+    assert seen == [
+        "2020-01-01/..", "../2021-06-30", None,
+        "2020-01-01/2020-02-01", None,
+    ]

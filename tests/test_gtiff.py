@@ -54,12 +54,13 @@ def test_decode_rejects_unsupported_profiles():
     with pytest.raises(ValueError, match="byte-order"):
         decode_gtiff(b"not a tiff at all")
     payload = encode_gtiff(np.zeros((2, 2), dtype=np.uint8))
-    # flip the compression entry (tag 259, SHORT, count 1, value 1 -> 5)
+    # flip the compression entry (tag 259, SHORT, count 1, value 1 -> 7
+    # JPEG — LZW (5) is implemented since r9)
     plain = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 1).ljust(4, b"\0")
-    lzw = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 5).ljust(4, b"\0")
+    jpeg = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 7).ljust(4, b"\0")
     assert plain in payload
     with pytest.raises(NotImplementedError, match="compression"):
-        decode_gtiff(payload.replace(plain, lzw))
+        decode_gtiff(payload.replace(plain, jpeg))
     with pytest.raises(NotImplementedError, match="BigTIFF"):
         decode_gtiff(struct.pack("<2sHI", b"II", 43, 8))
 
@@ -208,6 +209,10 @@ def test_write_gtiff_tiles_rejects_duplicates_and_int_holes(spark, tmp_path):
         (None, (5, 4), 1),
         ("deflate", (5, 4), 1),
         ("deflate", (16, 16), 2),  # the real COG interior combo
+        ("lzw", None, 1),
+        ("lzw", None, 2),
+        ("lzw", (5, 4), 1),
+        ("lzw", (16, 16), 2),  # the classic archival combo
     ],
 )
 def test_roundtrip_cog_interior_layouts(compression, tile, predictor):
@@ -479,3 +484,90 @@ def test_cloud_optimized_byte_layout():
         max_ifd_end = max(max_ifd_end, end)
         (off,) = struct.unpack(bo + "I", payload[end - 4 : end])
     assert chunk_offsets and min(chunk_offsets) >= max_ifd_end
+
+
+def test_lzw_stream_roundtrip_boundaries():
+    """The TIFF LZW bit-width boundaries (9->10->11->12) and the
+    mid-stream table reset (Clear before code 4094) all round-trip:
+    a low-entropy megabyte forces thousands of table entries and at
+    least one reset."""
+    from openeo_processes_dask_ml_spark.io.gtiff import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        b"",
+        b"\x00",
+        b"a" * 10_000,                       # KwKwK chains
+        bytes(rng.integers(0, 4, 300_000)),  # forces width growth + clears
+        bytes(rng.integers(0, 256, 50_000)), # high entropy
+        np.add.outer(
+            np.arange(256, dtype=np.uint8), np.arange(256, dtype=np.uint8)
+        ).tobytes(),
+    ]
+    for raw in cases:
+        assert _lzw_decode(_lzw_encode(raw)) == raw
+
+
+def test_lzw_compresses_smooth_predictor_rasters():
+    """LZW + predictor-2 meaningfully compresses smooth gradients (the
+    archival Landsat-style layout)."""
+    grad = np.add.outer(
+        np.arange(256, dtype=np.uint16), np.arange(256, dtype=np.uint16)
+    )
+    plain = encode_gtiff(grad)
+    lzw = encode_gtiff(grad, compression="lzw", predictor=2)
+    assert len(lzw) < len(plain) / 4
+    out, _ = decode_gtiff(lzw)
+    np.testing.assert_array_equal(out, grad)
+
+
+def test_save_result_gtiff_forwards_encoder_options(spark, tmp_path):
+    """ADVICE r8: compression/tile/predictor/overview_levels flow
+    through save_result to the encoder (files decode back with the
+    requested layout), and unknown option keys raise instead of being
+    silently dropped."""
+    import pytest as _pytest
+
+    from openeo_processes_dask_ml_spark.io.gtiff import (
+        decode_gtiff,
+        gtiff_ifd_count,
+    )
+    from openeo_processes_dask_ml_spark.io.load import save_result
+
+    df = _cube_df(spark)
+    out = str(tmp_path / "export_lzw")
+    save_result(
+        df,
+        out,
+        format="gtiff",
+        value_col="value",
+        dim_cols=["item_id", "band", "y", "x"],
+        epsg=32632,
+        dtype="int32",
+        compression="lzw",
+        tile=(4, 4),
+        predictor=2,
+        overview_levels=1,
+    )
+    tifs = sorted(f for f in os.listdir(out) if f.endswith(".tif"))
+    assert tifs
+    payload = open(os.path.join(out, tifs[0]), "rb").read()
+    # compression tag (259) must be LZW (5) and the pyramid present
+    arr, meta = decode_gtiff(payload)
+    assert gtiff_ifd_count(payload) == 2
+    tag = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 5).ljust(4, b"\0")
+    assert tag in payload
+    assert meta["epsg"] == 32632
+
+    with _pytest.raises(ValueError, match="unknown options.*compresion"):
+        save_result(
+            df,
+            str(tmp_path / "x"),
+            format="gtiff",
+            value_col="value",
+            dim_cols=["item_id", "band", "y", "x"],
+            compresion="lzw",  # typo'd on purpose
+        )

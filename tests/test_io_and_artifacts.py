@@ -591,3 +591,38 @@ def test_load_source_quarantine_rejects_parquet(spark):
 
     with pytest.raises(ValueError, match="row formats"):
         load_source_quarantine(spark, "/tmp/x", "parquet", "a long")
+
+
+def test_load_source_quarantine_headerless_file_warns(spark, tmp_path):
+    """ADVICE r8: the per-file first-line drop is guarded — a dropped
+    line that does not look like a header (headerless file, or a
+    split-ordering change dropping a data row) warns loudly; a proper
+    header stays silent."""
+    import warnings
+
+    from openeo_processes_dask_ml_spark.io.load import (
+        load_source_quarantine,
+    )
+
+    ok = tmp_path / "ok"
+    ok.mkdir()
+    (ok / "a.csv").write_text("doc_id,name\n1,alpha\n")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        good, _ = load_source_quarantine(
+            spark, str(ok), "csv", "doc_id string, name string"
+        )
+        assert good.count() == 1
+
+    raw = tmp_path / "headerless"
+    raw.mkdir()
+    (raw / "b.csv").write_text("7,gamma\n8,delta\n")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        good, _ = load_source_quarantine(
+            spark, str(raw), "csv", "doc_id string, name string"
+        )
+        # the first data row is still dropped (documented header=true
+        # behavior) but the mismatch is surfaced
+        assert good.count() == 1
+    assert any("does not look like a header" in str(w.message) for w in caught)

@@ -527,3 +527,28 @@ def test_gtiff_ranged_equals_whole_file_property(
     )  # tiny head forces the extension-fetch paths too
     np.testing.assert_array_equal(ranged_arr, whole_arr)
     assert ranged_meta == whole_meta
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=2000))
+def test_lzw_roundtrip_arbitrary_bytes(raw):
+    from openeo_processes_dask_ml_spark.io.gtiff import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode(raw)) == raw
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(max_size=200))
+def test_lzw_decoder_rejects_or_returns_on_garbage(raw):
+    """A foreign/corrupt stream must raise ValueError or return bytes —
+    never hang or crash the worker."""
+    from openeo_processes_dask_ml_spark.io.gtiff import _lzw_decode
+
+    try:
+        out = _lzw_decode(raw)
+        assert isinstance(out, bytes)
+    except ValueError:
+        pass
