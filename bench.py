@@ -105,6 +105,8 @@ HEADLINE = [
     "decontaminate_semantic",
     # round 9 additions (VERDICT r8 #1 bisect twin)
     "profile_table_cols",
+    # round 10 additions (VERDICT r9 #1 wide-shape probe)
+    "profile_table_wide_probe",
 ]
 
 

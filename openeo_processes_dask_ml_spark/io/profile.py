@@ -163,6 +163,41 @@ def profile_table_typed(
     )
 
 
+def pivot_per_stat(per_stat: DataFrame) -> DataFrame:
+    """Rebuild the wide typed profile (one row per column, 10 columns)
+    from the per-(column, stat) form of ``profile_table_typed(...,
+    per_stat=True)``.
+
+    Exists for two reasons: (1) a unit pin that the wide library shape
+    equals the pivot of the per-stat shape (they are the same
+    aggregates routed through two stack() layouts), and (2) the
+    correctness-gate wide-shape probe — the per-stat form is the
+    empirically driver-green contract (CORRECTNESS_r09:
+    ``profile_table_cols`` hash-green while the directly-stacked wide
+    form hash-red on identical values), so pivoting the green shape
+    back to 10 columns isolates whether the WIDE ROW LAYOUT itself is
+    what diverges at the driver.
+
+    One hash-aggregate over the (tiny: 5 rows per profiled column)
+    per-stat frame — no extra scan of the profiled table.
+    """
+
+    def slot(stat: str, val: str) -> Column:
+        return F.max(F.when(F.col("stat") == stat, F.col(val)))
+
+    return per_stat.groupBy("column").agg(
+        slot("n_rows", "val_long").alias("n_rows"),
+        slot("n_nulls", "val_long").alias("n_nulls"),
+        slot("n_distinct", "val_long").alias("n_distinct"),
+        slot("min", "val_long").alias("min_long"),
+        slot("max", "val_long").alias("max_long"),
+        slot("min", "val_double").alias("min_double"),
+        slot("max", "val_double").alias("max_double"),
+        slot("min", "val_string").alias("min_string"),
+        slot("max", "val_string").alias("max_string"),
+    )
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,

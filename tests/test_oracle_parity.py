@@ -118,7 +118,7 @@ def test_entry_surface_consistency():
 
 
 def test_driver_window_composition_pinned():
-    """The first 50 queries() entries ARE the driver's r9 verification
+    """The first 50 queries() entries ARE the driver's r10 verification
     window — its composition is deliberate (rotation protocol in the
     queries() header). Pin it so an accidental reorder fails CI
     instead of silently skewing the rotation. When rotating for a new
@@ -128,20 +128,23 @@ def test_driver_window_composition_pinned():
     entry = importlib.import_module("__spark_entry__")
     window = list(entry.queries().keys())[:50]
     assert window == [
-        "profile_table", "profile_table_cols", "bpe_merges",
-        "ann_ivf_trained", "streaming_spend_alerts", "text_chunks",
-        "embedding_quantize", "quality_filter", "flatten_unflatten",
-        "aggregate_spatial_window", "decontaminate", "training_shards",
-        "topk_per_group", "ml_fit_predict_rf", "mask_polygon", "mask",
-        "array_interpolate_linear", "scale_values", "aggregate_spatial",
-        "rollup_revenue", "dedup_exact", "dedup_simhash",
-        "dedup_embedding", "dedup_embedding_exact", "ann_topk",
-        "text_quality", "token_count", "tfidf_top_terms",
-        "stratified_sample", "approx_aggregates", "apply_kernel",
-        "climatology_anomaly", "chunk_dedup", "ann_ivf_from_index",
-        "ann_pq_from_index", "dedup_canonical", "dedup_fuzzy",
-        "merge_cubes", "image_neardup", "ann_ivfpq", "tfidf_cosine",
-        "containment", "bigram_logprob", "bloom_decontaminate",
-        "random_projection", "bin_pack", "tpch_q5", "tpch_q18",
-        "streaming_topk", "weighted_sample",
+        "profile_table", "profile_table_wide_probe", "url_dedup",
+        "cluster_balanced_sample", "pipeline_web_ingest",
+        "skew_salted_agg", "corpus_diff", "duplicated_spans",
+        "pipeline_end_to_end", "graph_ml_pipeline", "ml_predict_tiled",
+        "ml_predict_linear", "process_graph", "graph_mask_pipeline",
+        "fit_curve", "predict_curve", "dimension_ops",
+        "resample_spatial", "quantiles_extrema", "cumulative_ops",
+        "set_ops", "tpch_q1", "tpch_q3", "top_k_orders",
+        "streaming_rollup", "streaming_sessionize",
+        "multimodal_features", "ann_lsh", "filter_bands",
+        "filter_temporal", "apply_unary", "doc_fingerprint",
+        "ann_ivfpq_from_index", "quarantine_ingest",
+        "duplicated_spans_combine", "raster_decode_cube",
+        "raster_ndvi_pipeline", "raster_roundtrip_gtiff",
+        "decontaminate_semantic", "text_language_id",
+        "reduce_dimension", "aggregate_temporal_period",
+        "ndvi_bandmath", "window_running_sum", "graph_fit_curve",
+        "graph_zonal", "dedup_minhash_lsh", "pack_sequences",
+        "streaming_enrich", "unigram_logprob",
     ]

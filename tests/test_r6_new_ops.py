@@ -370,3 +370,33 @@ def test_profile_table_typed_slots(spark):
     # beyond the exact-NDV one, no extra scan per column)
     plan = profile_table_typed(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_profile_wide_equals_pivot_of_per_stat(spark):
+    """VERDICT r9 #1: the wide library shape (per_stat=False) must
+    equal the pivot of the driver-green per-stat shape — they are the
+    SAME one-scan aggregates routed through two stack() layouts. This
+    pin is what lets the gate ship only the per-stat form while the
+    wide form stays the library API."""
+    import datetime
+
+    from openeo_processes_dask_ml_spark.io.profile import (
+        pivot_per_stat,
+        profile_table_typed,
+    )
+
+    ts = datetime.datetime(2021, 6, 2, 3, 4, 5)
+    df = spark.createDataFrame(
+        [(1, 2.5, "a", ts), (4, None, "b", ts), (9, -1.0, None, ts)],
+        ["id", "v", "s", "t"],
+    )
+    wide = profile_table_typed(df, exact_ndv=True)
+    rebuilt = pivot_per_stat(profile_table_typed(df, exact_ndv=True, per_stat=True))
+    assert wide.columns == rebuilt.columns
+    key = lambda r: r["column"]  # noqa: E731
+    w = sorted(wide.collect(), key=key)
+    p = sorted(rebuilt.collect(), key=key)
+    assert [tuple(r) for r in w] == [tuple(r) for r in p]
+    # and the dtypes agree slot-for-slot (a silent long->int or
+    # double->decimal drift here would desync the gate probe)
+    assert wide.dtypes == rebuilt.dtypes
