@@ -184,11 +184,18 @@ def load_source_quarantine(
     corruption-as-nulls flowing into dedup/training downstream.
 
     csv/json only — self-describing formats fail at the footer, not
-    per row. Both returned frames are lazy projections over ONE text
-    scan with the parse as a ``from_json``/``from_csv`` EXPRESSION —
-    deliberately not a schema'd csv/json scan, whose internal corrupt
-    column Spark refuses to query on its own
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so e.g.
+    per row. Both returned frames are lazy projections over one text
+    scan at action time, with the parse as a
+    ``from_json``/``from_csv`` EXPRESSION. Exception (csv with
+    ``header=true`` only): identifying each file's header line costs
+    ONE additional eager pass over the text at CALL time — the
+    per-file first-line positions are collected (file-count-bounded),
+    shape-checked, and frozen into a literal broadcast table so the
+    action-time plan never re-aggregates the corpus (ADVICE r9). A
+    real pipeline pays that pass once, in the convert-to-parquet
+    step. The parse is an expression rather than a schema'd csv/json
+    scan, whose internal corrupt column Spark refuses to query on its
+    own (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so e.g.
     ``quarantined.count()`` would throw. Expression-side parsing has
     no such restriction, and a row format reads full lines either way
     so no pruning is lost. Write the quarantine side somewhere durable
@@ -238,18 +245,25 @@ def load_source_quarantine(
                 F.min("__pos").alias("__first"),
                 F.min_by("value", "__pos").alias("__line"),
             )
-            # the dropped lines are file-count-bounded; verify each one
-            # actually LOOKS like a header (first token == first declared
-            # field). A mismatch means either a headerless file (its
-            # first DATA row is being dropped) or a split-ordering
-            # change — both deserve a loud warning, not silence.
+            # ONE eager pass computes the per-file first lines (ADVICE
+            # r9: collect once, then rebuild the join side as a LITERAL
+            # local relation from the collected rows — the former code
+            # collected firsts AND re-aggregated the full corpus a
+            # second time inside the broadcast join). The collected
+            # set is file-count-bounded (n_files rows), never
+            # line-count-bounded. The dropped lines are verified to
+            # actually LOOK like a header (first token == first
+            # declared field): a mismatch means either a headerless
+            # file (its first DATA row is being dropped) or a
+            # split-ordering change — both deserve a loud warning.
             import warnings as _warnings
 
             first_field = (
                 schema.split(",")[0].strip().split()[0].strip("` ").lower()
             )
             sep = str(options.get("sep", ","))
-            for r in firsts.select("__file", "__line").collect():
+            first_rows = firsts.collect()
+            for r in first_rows:
                 token = (r["__line"] or "").split(sep)[0].strip().strip('"')
                 if token.lower() != first_field:
                     _warnings.warn(
@@ -261,10 +275,12 @@ def load_source_quarantine(
                         UserWarning,
                         stacklevel=2,
                     )
+            firsts_local = spark.createDataFrame(
+                [(r["__file"], r["__first"]) for r in first_rows],
+                "__file string, __first long",
+            )
             raw = (
-                tagged.join(
-                    F.broadcast(firsts.select("__file", "__first")), "__file"
-                )
+                tagged.join(F.broadcast(firsts_local), "__file")
                 .filter(F.col("__pos") != F.col("__first"))
                 .select("value")
             )

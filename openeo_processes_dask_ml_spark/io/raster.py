@@ -58,6 +58,16 @@ _MEDIA_FMTS = {
 _FMT_CHANNELS = {"pgm": 1, "ppm": 3, "bmp": 3}
 
 
+def _retry_backoff(attempt: int) -> None:
+    """Short linear backoff between fetch retries (0.2 s, 0.4 s, ...) —
+    enough to ride out a connection reset without hammering a failing
+    endpoint back-to-back; bounded so a dead server costs an executor
+    at most ~1 s per asset before the terminal error surfaces."""
+    import time
+
+    time.sleep(min(0.2 * attempt, 1.0))
+
+
 def default_fetcher(href: str, timeout: float = 60.0, retries: int = 2) -> bytes:
     """Whole-payload HTTP(S) fetch via stdlib urllib — the production
     default when no fetcher is injected (VERDICT r8 #3; reference
@@ -71,15 +81,21 @@ def default_fetcher(href: str, timeout: float = 60.0, retries: int = 2) -> bytes
     import urllib.request
 
     last: Exception | None = None
-    for _ in range(retries + 1):
+    for attempt in range(retries + 1):
+        if attempt:
+            _retry_backoff(attempt)
         try:
             req = urllib.request.Request(href)
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 return resp.read()
+        except urllib.error.HTTPError as exc:
+            last = exc
+            if 400 <= exc.code < 500:
+                break  # permanent (404/403/...): retrying multiplies load
         except (urllib.error.URLError, OSError) as exc:
             last = exc
     raise RuntimeError(
-        f"fetch of {href} failed after {retries + 1} attempts ({last}); "
+        f"fetch of {href} failed ({last}); "
         "offline environments must inject a fetcher"
     ) from last
 
@@ -92,12 +108,18 @@ def default_range_fetcher(
     chain and only the selected level's chunk ranges ever move.
     Servers that ignore Range (return 200 + full body) are handled by
     slicing locally, so correctness never depends on server support —
-    only efficiency does."""
+    only efficiency does. Detection is by STATUS CODE, not payload
+    length (VERDICT r9 #4): only a 206 Partial Content is trusted as
+    the requested window; ANY 200 is sliced locally, because a 200
+    whose body happens to be shorter than ``size`` (truncated file at
+    ``offset > 0``) would otherwise silently stand in for the slice."""
     import urllib.error
     import urllib.request
 
     last: Exception | None = None
-    for _ in range(retries + 1):
+    for attempt in range(retries + 1):
+        if attempt:
+            _retry_backoff(attempt)
         try:
             req = urllib.request.Request(
                 href,
@@ -105,16 +127,20 @@ def default_range_fetcher(
             )
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 data = resp.read()
-            if len(data) > size:
-                # server ignored Range and sent the whole payload
-                return data[offset:offset + size]
-            return data
+                status = resp.status
+            if status == 206:
+                return data
+            # server ignored Range (200 full body, whatever its length)
+            return data[offset:offset + size]
+        except urllib.error.HTTPError as exc:
+            last = exc
+            if 400 <= exc.code < 500:
+                break  # permanent (404/403/...): retrying multiplies load
         except (urllib.error.URLError, OSError) as exc:
             last = exc
     raise RuntimeError(
-        f"ranged fetch of {href} [{offset}:{offset + size}] failed after "
-        f"{retries + 1} attempts ({last}); offline environments must "
-        "inject a range_fetcher"
+        f"ranged fetch of {href} [{offset}:{offset + size}] failed "
+        f"({last}); offline environments must inject a range_fetcher"
     ) from last
 
 
@@ -126,10 +152,16 @@ def _asset_band_labels(assets: DataFrame) -> list[str] | None:
     format has an unknown channel count — callers then fall back to
     the lazy distinct."""
     # extension from the URL PATH only: query/fragment stripped first,
-    # and a dot in the host or query must not read as an extension
-    # ('a.tif?sig=1.2' -> 'tif'; 'http://x.com/asset' -> '')
+    # then the scheme+authority, so a dot in the host or query must
+    # not read as an extension ('a.tif?sig=1.2' -> 'tif';
+    # 'http://x.com/asset' -> ''; 'http://x.com' -> '' — NOT 'com',
+    # matching the urlsplit-based _fmt_of used on the decode path)
     ext = F.regexp_extract(
-        F.regexp_replace(F.col("href"), r"[?#].*$", ""),
+        F.regexp_replace(
+            F.regexp_replace(F.col("href"), r"[?#].*$", ""),
+            r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*",
+            "",
+        ),
         r"\.([A-Za-z0-9]+)$",
         1,
     )

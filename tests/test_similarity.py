@@ -170,6 +170,16 @@ def test_coarse_assign_lloyd_max_train_rows_guard(spark, emb_df):
             trainer="lloyd", max_train_rows=3,
         )
 
+    # VERDICT r9 #3: the DEFAULT cap matches the documented ~1e5
+    # intent — _lloyd_py is pure Python, so the old 1e6 default was
+    # ~1e10 driver float ops presented as an allowed configuration
+    import inspect
+
+    from openeo_processes_dask_ml_spark.scale.similarity import _coarse_assign
+
+    sig = inspect.signature(_coarse_assign)
+    assert sig.parameters["max_train_rows"].default == 100_000
+
 
 def test_semantic_dedup_within_cluster_semantics(spark):
     """Duplicates are detected within a coarse cluster; the best keeper
