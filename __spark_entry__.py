@@ -2764,6 +2764,87 @@ def q_raster_roundtrip_gtiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.df.select("item_id", "band", "y", "x", "value")
 
 
+def _read_local_range(href: str, offset: int, size: int) -> bytes:
+    """Ranged fetcher for executor-local/shared-filesystem hrefs —
+    module-level so workers import it instead of pickling test state.
+    Mirrors the Range-request contract of default_range_fetcher."""
+    with open(href, "rb") as f:
+        f.seek(offset)
+        return f.read(size)
+
+
+def q_raster_decode_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG overview READ path under the gate (VERDICT r9 next #4): the
+    distributed sink writes 4 uint8 LZW-compressed tiled COGs with a
+    2-level nearest-subsampled pyramid; the decode requests
+    target_resolution=2.0 through the RANGED fetcher, so each asset
+    walks the IFD chain from one head range and decodes ONLY overview
+    level 1 (8x8 of 16x16 — a quarter of the pixels; at 100 TB this is
+    the coarse-mosaic read that makes pyramids worth storing). The
+    oracle replays the subsampled formula: overview pixel (yy, xx) is
+    source pixel (2*yy, 2*xx), north-up pixel centers on the 2-unit
+    grid. A mismatch means level selection, the ranged IFD walk, or
+    the LZW/tile codec mis-read the pyramid. Reference analog:
+    stackstac/odc-stac resolution-aware overview reads
+    (get_datacube.py:58-139)."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.gtiff import write_gtiff_tiles
+    from openeo_processes_dask_ml_spark.io.raster import (
+        decode_assets_to_cube,
+    )
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+    px = spark.range(4 * 16 * 16).select(
+        (F.col("id") / 256).cast("int").alias("i"),
+        ((F.col("id") / 16).cast("int") % 16).alias("yy"),
+        (F.col("id") % 16).alias("xx"),
+    )
+    cube_src = px.select(
+        F.concat(F.lit("item"), F.col("i")).alias("item_id"),
+        F.lit("gray").alias("band"),
+        (16.0 - (F.col("yy") + 0.5)).alias("y"),
+        (F.col("xx") + 0.5).alias("x"),
+        ((F.col("i") * 31 + F.col("yy") * 16 + F.col("xx")) % 251)
+        .cast("double")
+        .alias("value"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"gtiff_overview_{os.getpid()}"
+    )
+    manifest = write_gtiff_tiles(
+        cube_src,
+        out_dir,
+        group_cols=["item_id", "band"],
+        epsg=32632,
+        dtype="uint8",
+        compression="lzw",
+        tile=(8, 8),
+        overview_levels=2,
+    ).collect()
+    assets = spark.createDataFrame(
+        [
+            (
+                m["item_id"],
+                "c",
+                "2024-01-01T00:00:00Z",
+                m["band"],
+                m["path"],
+                "image/tiff; application=geotiff; profile=cloud-optimized",
+                [m["minx"], m["miny"], m["maxx"], m["maxy"]],
+            )
+            for m in manifest
+        ],
+        ASSET_SCHEMA,
+    )
+    cube = decode_assets_to_cube(
+        assets,
+        range_fetcher=_read_local_range,
+        target_resolution=2.0,
+    )
+    return cube.df.select("item_id", "band", "y", "x", "value")
+
+
 def q_raster_ndvi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship chain fully distributed under the gate:
     STAC asset table -> mapInPandas decode -> ndvi band math -> monthly
@@ -2971,32 +3052,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every other round. When editing: (1) new/changed queries -> front,
     # (2) then oldest-green, (3) last-round greens -> tail.
     #
-    # r10 window (slots 1-50), per VERDICT r9 directives 1-2.
+    # r10 window (slots 1-50), per VERDICT r9 directives 1-2 + next #4.
     # Ground truth recomputed from CORRECTNESS_r0{7,8,9}.json (latest
     # green round per query: 30 at r7, 47 at r8, 49 at r9;
     # profile_table red r7-r9 — gate swapped this round to the
     # empirically driver-green per-stat shape):
-    #   slots 1-2: profile_table (NOW the per-stat shape on lineitem,
-    #     directive 1) and the NEW wide-shape probe
+    #   slots 1-3: profile_table (NOW the per-stat shape on lineitem,
+    #     directive 1), the NEW wide-shape probe
     #     profile_table_wide_probe (pivot of the green shape vs the
     #     r7-r9 wide oracle — settles whether the 4x10 layout is
-    #     unhashable at the driver).
-    #   slots 3-32: ALL 30 r7-greens — the oldest cohort, due by the
+    #     unhashable at the driver), and the NEW COG overview-read
+    #     gate raster_decode_overview (directive 4).
+    #   slots 4-33: ALL 30 r7-greens — the oldest cohort, due by the
     #     3-round-cycle protocol (directive 2).
-    #   slots 33-50: the 18 oldest r8-greens.
-    # Tail: the 29 remaining r8-greens first (they fill the r11
+    #   slots 34-50: the 17 oldest r8-greens.
+    # Tail: the 30 remaining r8-greens first (they fill the r11
     # window next round), then the 49 r9-window greens (freshest
     # last; profile_table_cols leads that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 128 queries
+    # Rotation arithmetic (standing, stated honestly): at 129 queries
     # and a 50-slot window the steady-state re-verification cadence is
-    # ceil(128/50) = 3 rounds; after r10 every query's latest driver
+    # ceil(129/50) = 3 rounds; after r10 every query's latest driver
     # green is <= 2 rounds old.
     return {
-        # --- slots 1-2: swapped gate (driver-green shape) + wide probe ---
+        # --- slots 1-3: swapped gate (driver-green shape) + wide probe
+        #     + NEW overview-read gate (VERDICT r9 next #4) ---
         "profile_table": q_profile_table,
         "profile_table_wide_probe": q_profile_table_wide_probe,
-        # --- slots 3-32: ALL 30 r7-greens (3 rounds old -- due by protocol) ---
+        "raster_decode_overview": q_raster_decode_overview,
+        # --- slots 4-33: ALL 30 r7-greens (3 rounds old -- due by protocol) ---
         "url_dedup": q_url_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "pipeline_web_ingest": q_pipeline_web_ingest,
@@ -3027,7 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_temporal": q_filter_temporal,
         "apply_unary": q_apply_unary,
         "doc_fingerprint": q_doc_fingerprint,
-        # --- slots 33-50: the 18 oldest r8-greens ---
+        # --- slots 34-50: the 17 oldest r8-greens ---
         "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
         "quarantine_ingest": q_quarantine_ingest,
         "duplicated_spans_combine": q_duplicated_spans_combine,
@@ -3045,8 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
+        # --- tail: 30 remaining r8-greens (they fill the r11 window next) ---
         "unigram_logprob": q_unigram_logprob,
-        # --- tail: 29 remaining r8-greens (they fill the r11 window next) ---
         "ccnet_buckets": q_ccnet_buckets,
         "mixture_sample": q_mixture_sample,
         "incremental_dedup": q_incremental_dedup,
@@ -6045,6 +6129,21 @@ SELECT 'item' || i AS item_id,
        x + 0.5 AS x,
        CAST((i * 31 + bi * 17 + y * 8 + x) % 251 AS DOUBLE) AS value
 FROM items, bands, px
+"""
+
+    # overview read replay (VERDICT r9 next #4): overview level 1 is
+    # the ::2 nearest subsample, so coarse pixel (yy, xx) carries the
+    # SOURCE value at (2*yy, 2*xx); north-up centers on the 2-unit
+    # grid over bbox [0,0,16,16] -> y = 16 - (yy+0.5)*2, x = (xx+0.5)*2
+    sql["raster_decode_overview"] = """
+WITH items AS (SELECT i FROM range(4) r(i)),
+px AS (SELECT yy, xx FROM range(8) a(yy), range(8) c(xx))
+SELECT 'item' || i AS item_id,
+       'gray' AS band,
+       16.0 - (yy + 0.5) * 2 AS y,
+       (xx + 0.5) * 2 AS x,
+       CAST((i * 31 + (2 * yy) * 16 + 2 * xx) % 251 AS DOUBLE) AS value
+FROM items, px
 """
 
     # full chain replay: payload formula (red = bi 0, nir = bi 1), the
