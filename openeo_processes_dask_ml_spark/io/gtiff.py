@@ -14,13 +14,14 @@ spirit as the injected-transport STAC client.
 Scope, stated honestly: classic (non-Big) TIFF, little- or big-endian,
 strip- or tile-organized, uncompressed / LZW (TIFF 6.0 §13, pure
 stdlib) / DEFLATE (zlib is stdlib), predictor 1/2 (horizontal
-differencing), single- or multi-sample chunky pixels, with
-ModelPixelScale/ModelTiepoint/GeoKeyDirectory georeferencing — i.e.
-the interior layout of real deflate or LZW COGs (the decoder reads
-IFD 0, the full-resolution image; overview IFDs are pyramid copies).
-JPEG/packbits compression and planar organization still raise a clear
-``NotImplementedError`` pointing at rasterio; the format is never
-faked.
+differencing), single- or multi-sample pixels in either chunky
+(PlanarConfiguration=1) or planar (=2, plane-major chunk runs)
+organization, with ModelPixelScale/ModelTiepoint/GeoKeyDirectory
+georeferencing — i.e. the interior layout of real deflate or LZW COGs
+(the decoder reads IFD 0, the full-resolution image; overview IFDs
+are pyramid copies). JPEG/packbits compression and BigTIFF still
+raise a clear ``NotImplementedError`` pointing at rasterio; the
+format is never faked.
 
 The distributed writer is the scale path: one GeoTIFF per (item, band)
 group via ``applyInPandas``, encoded and written ON THE EXECUTORS to a
@@ -451,12 +452,14 @@ def gtiff_ifd_count(payload: bytes) -> int:
 
 def decode_gtiff(payload: bytes, ifd: int = 0) -> tuple[np.ndarray, dict]:
     """Decode a classic TIFF: strip- or tile-organized, uncompressed,
-    LZW (5) or deflate (8/32946), predictor 1/2, either endianness. Returns
+    LZW (5) or deflate (8/32946), predictor 1/2, chunky or planar
+    sample organization, either endianness. Returns
     ``(array, meta)`` — array is (H, W) for one sample per pixel,
-    (H, W, SPP) otherwise; meta carries ``bbox``/``epsg``/``pixel_scale``
-    when the GeoTIFF tags are present. Other compressions/planar
-    layouts raise ``NotImplementedError`` (that profile needs
-    rasterio). ``ifd`` addresses the chained-IFD pyramid: 0 (default)
+    (H, W, SPP) otherwise (planar planes are interleaved to the same
+    chunky output shape); meta carries ``bbox``/``epsg``/``pixel_scale``
+    when the GeoTIFF tags are present. Other compressions (JPEG,
+    packbits) and BigTIFF raise ``NotImplementedError`` (those
+    profiles need rasterio). ``ifd`` addresses the chained-IFD pyramid: 0 (default)
     is the full-resolution image, k>0 the k-th COG overview level."""
     return _decode_from(lambda o, sz: payload[o : o + sz], ifd)
 
@@ -555,8 +558,15 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
     if len(set(bits)) != 1:
         raise NotImplementedError(f"mixed bits-per-sample {bits}")
     sfmt = tags.get(_T_SAMPLE_FORMAT, (1,) * spp)[0]
-    if tags.get(_T_PLANAR, (1,))[0] != 1:
-        raise NotImplementedError("planar (non-chunky) TIFF is not supported")
+    planar_cfg = tags.get(_T_PLANAR, (1,))[0]
+    if planar_cfg not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF planar configuration {planar_cfg} is not supported"
+        )
+    # PlanarConfiguration=2 stores each sample's plane as its own run
+    # of chunks (plane 0's strips/tiles first, then plane 1's, ...);
+    # with one sample it is byte-identical to chunky
+    planar = planar_cfg == 2 and spp > 1
     kind = _SF_KINDS.get(sfmt)
     if kind is None:
         raise NotImplementedError(f"TIFF sample format {sfmt} is not supported")
@@ -582,29 +592,75 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
         tl = tags[_T_TILE_LENGTH][0]
         across = -(-w // tw)
         down = -(-h // tl)
-        shape = (down * tl, across * tw) if spp == 1 else (down * tl, across * tw, spp)
-        full = np.zeros(shape, dtype=dtype)
         offs = tags[_T_TILE_OFFSETS]
         counts = tags[_T_TILE_COUNTS]
-        for i, (o, c) in enumerate(zip(offs, counts)):
-            block = np.frombuffer(_chunk(o, c), dtype=dtype, count=tl * tw * spp)
-            block = block.reshape((tl, tw) if spp == 1 else (tl, tw, spp))
-            if predictor == 2:
-                block = _undiff(block)
-            ty, tx = divmod(i, across)
-            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = block
-        arr = full[:h, :w]
+        if planar:
+            # plane-major tile order: spp runs of across*down tiles,
+            # each tile carrying ONE sample — decode each plane like a
+            # single-band image, then interleave to the chunky (h, w,
+            # spp) output shape so callers never see the layout
+            per_plane = across * down
+            planes = []
+            for s in range(spp):
+                full = np.zeros((down * tl, across * tw), dtype=dtype)
+                for i in range(per_plane):
+                    o = offs[s * per_plane + i]
+                    c = counts[s * per_plane + i]
+                    block = np.frombuffer(
+                        _chunk(o, c), dtype=dtype, count=tl * tw
+                    ).reshape(tl, tw)
+                    if predictor == 2:
+                        block = _undiff(block)
+                    ty, tx = divmod(i, across)
+                    full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = block
+                planes.append(full[:h, :w])
+            arr = np.stack(planes, axis=-1)
+        else:
+            shape = (
+                (down * tl, across * tw)
+                if spp == 1
+                else (down * tl, across * tw, spp)
+            )
+            full = np.zeros(shape, dtype=dtype)
+            for i, (o, c) in enumerate(zip(offs, counts)):
+                block = np.frombuffer(
+                    _chunk(o, c), dtype=dtype, count=tl * tw * spp
+                )
+                block = block.reshape((tl, tw) if spp == 1 else (tl, tw, spp))
+                if predictor == 2:
+                    block = _undiff(block)
+                ty, tx = divmod(i, across)
+                full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = block
+            arr = full[:h, :w]
     else:
-        data = b"".join(
-            _chunk(o, c)
-            for o, c in zip(tags[_T_STRIP_OFFSETS], tags[_T_STRIP_COUNTS])
-        )
-        arr = np.frombuffer(data, dtype=dtype, count=h * w * spp)
-        arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
-        if predictor == 2:
-            # strips never split a row, so the per-row cumsum is safe
-            # to apply on the assembled array
-            arr = _undiff(arr)
+        offs = tags[_T_STRIP_OFFSETS]
+        counts = tags[_T_STRIP_COUNTS]
+        if planar:
+            # plane-major strips: spp contiguous runs of
+            # strips-per-plane, one sample per strip run
+            per_plane = len(offs) // spp
+            planes = []
+            for s in range(spp):
+                data = b"".join(
+                    _chunk(o, c)
+                    for o, c in zip(
+                        offs[s * per_plane : (s + 1) * per_plane],
+                        counts[s * per_plane : (s + 1) * per_plane],
+                    )
+                )
+                a = np.frombuffer(data, dtype=dtype, count=h * w).reshape(h, w)
+                if predictor == 2:
+                    a = _undiff(a)
+                planes.append(a)
+            arr = np.stack(planes, axis=-1)
+        else:
+            data = b"".join(_chunk(o, c) for o, c in zip(offs, counts))
+            arr = np.frombuffer(data, dtype=dtype, count=h * w * spp)
+            arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
+            if predictor == 2:
+                # strips never split a row, so the per-row cumsum is
+                # safe to apply on the assembled array
+                arr = _undiff(arr)
 
     meta: dict = {}
     if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:

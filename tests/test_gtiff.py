@@ -571,3 +571,129 @@ def test_save_result_gtiff_forwards_encoder_options(spark, tmp_path):
             dim_cols=["item_id", "band", "y", "x"],
             compresion="lzw",  # typo'd on purpose
         )
+
+
+# ----------------------------------------------------- planar (VERDICT r9 #8)
+
+
+def _planar_tiff(arr, *, rows_per_strip=None, tile=None, compression=1,
+                 predictor=1, planar_value=2):
+    """Hand-crafted little-endian PlanarConfiguration=2 TIFF: each
+    sample's plane stored as its own contiguous run of strips/tiles
+    (TIFF 6.0 §, the rasterio-writable layout the reference reads for
+    free). The module encoder is chunky-only by design, so planar
+    payloads are built here from the module's own packing helpers."""
+    import zlib
+
+    from openeo_processes_dask_ml_spark.io import gtiff as G
+
+    h, w, spp = arr.shape
+    dt = arr.dtype
+    bits, sfmt = G._DTYPES[dt]
+
+    blocks = []
+    if tile:
+        tl, tw = tile
+        for s in range(spp):
+            plane = arr[:, :, s]
+            for ty in range(0, h, tl):
+                for tx in range(0, w, tw):
+                    block = np.zeros((tl, tw), dt)
+                    sub = plane[ty:ty + tl, tx:tx + tw]
+                    block[:sub.shape[0], :sub.shape[1]] = sub
+                    blocks.append(block)
+    else:
+        rps = rows_per_strip or h
+        for s in range(spp):
+            plane = arr[:, :, s]
+            for y0 in range(0, h, rps):
+                blocks.append(np.ascontiguousarray(plane[y0:y0 + rps]))
+    payloads = []
+    for block in blocks:
+        if predictor == 2:
+            block = G._apply_predictor2(block)
+        raw = block.tobytes()
+        if compression == 8:
+            raw = zlib.compress(raw)
+        elif compression == 5:
+            raw = G._lzw_encode(raw)
+        payloads.append(raw)
+
+    def longs(vals):
+        return struct.pack(f"<{len(vals)}I", *vals)
+
+    def shorts(vals):
+        return struct.pack(f"<{len(vals)}H", *vals)
+
+    def entries(offsets):
+        es = [
+            (G._T_WIDTH, G._TYPE_LONG, 1, w),
+            (G._T_LENGTH, G._TYPE_LONG, 1, h),
+            (G._T_BITS, G._TYPE_SHORT, spp, shorts([bits] * spp)),
+            (G._T_COMPRESSION, G._TYPE_SHORT, 1, compression),
+            (G._T_PHOTOMETRIC, G._TYPE_SHORT, 1, 1),
+            (G._T_SPP, G._TYPE_SHORT, 1, spp),
+            (G._T_SAMPLE_FORMAT, G._TYPE_SHORT, spp, shorts([sfmt] * spp)),
+            (G._T_PLANAR, G._TYPE_SHORT, 1, planar_value),
+        ]
+        if predictor == 2:
+            es.append((G._T_PREDICTOR, G._TYPE_SHORT, 1, 2))
+        counts = [len(p) for p in payloads]
+        if tile:
+            es += [
+                (G._T_TILE_WIDTH, G._TYPE_LONG, 1, tile[1]),
+                (G._T_TILE_LENGTH, G._TYPE_LONG, 1, tile[0]),
+                (G._T_TILE_OFFSETS, G._TYPE_LONG, len(offsets), longs(offsets)),
+                (G._T_TILE_COUNTS, G._TYPE_LONG, len(counts), longs(counts)),
+            ]
+        else:
+            es += [
+                (G._T_STRIP_OFFSETS, G._TYPE_LONG, len(offsets), longs(offsets)),
+                (G._T_ROWS_PER_STRIP, G._TYPE_LONG, 1, rows_per_strip or h),
+                (G._T_STRIP_COUNTS, G._TYPE_LONG, len(counts), longs(counts)),
+            ]
+        return sorted(es, key=lambda e: e[0])
+
+    # two-pass: size the IFD with placeholder offsets, then re-emit
+    # with the real data offsets (same entry count/sizes -> same len)
+    probe = G._emit_ifd(entries([0] * len(payloads)), 8, 0)
+    data_start = 8 + len(probe)
+    offsets, pos = [], data_start
+    for p in payloads:
+        offsets.append(pos)
+        pos += len(p)
+    ifd = G._emit_ifd(entries(offsets), 8, 0)
+    assert len(ifd) == len(probe)
+    return struct.pack("<2sHI", b"II", 42, 8) + ifd + b"".join(payloads)
+
+
+def test_planar_strip_decode():
+    """PlanarConfiguration=2 strips (plane-major runs, 2 strips per
+    plane) decode to the same chunky (H, W, SPP) shape callers get
+    from interleaved files."""
+    h, w, spp = 4, 5, 3
+    arr = (
+        np.arange(h * w * spp).reshape(spp, h, w).transpose(1, 2, 0) % 251
+    ).astype(np.uint8)
+    out, _ = decode_gtiff(_planar_tiff(arr, rows_per_strip=2))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_planar_tiled_lzw_predictor_decode():
+    """Planar + tiled + LZW + predictor-2 (each plane's tiles carry one
+    sample, differenced per row) — the full archival combo."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 4096, (5, 6, 2)).astype("uint16")
+    payload = _planar_tiff(arr, tile=(2, 4), compression=5, predictor=2)
+    out, _ = decode_gtiff(payload)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_planar_deflate_single_sample_degenerate():
+    """spp=1 with PlanarConfiguration=2 is byte-identical to chunky and
+    must decode as (H, W); an unknown planar value still raises."""
+    arr = (np.arange(12).reshape(3, 4, 1) * 3 % 251).astype(np.uint8)
+    out, _ = decode_gtiff(_planar_tiff(arr, compression=8))
+    np.testing.assert_array_equal(out, arr[:, :, 0])
+    with pytest.raises(NotImplementedError, match="planar configuration"):
+        decode_gtiff(_planar_tiff(arr, planar_value=3))
