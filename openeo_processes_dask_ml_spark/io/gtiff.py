@@ -61,9 +61,55 @@ _T_GEOKEYS = 34735
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
 _TYPE_DOUBLE = 12
+_TYPE_LONG8 = 16  # BigTIFF u64 (17 = s64, 18 = IFD8)
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {3: "H", 4: "I", 12: "d", 8: "h", 9: "i", 11: "f"}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+    11: 4, 12: 8, 16: 8, 17: 8, 18: 8,
+}
+_TYPE_FMT = {3: "H", 4: "I", 12: "d", 8: "h", 9: "i", 11: "f", 16: "Q", 17: "q", 18: "Q"}
+
+# IFD walk geometry: (count_size, count_fmt, entry_size, offset_size,
+# offset_fmt, inline_value_limit). Classic TIFF counts entries in a
+# u16 and packs 12-byte entries with u32 offsets and 4 inline value
+# bytes; BigTIFF (magic 43, public Adobe/AWare spec) widens to u64
+# counts, 20-byte entries, u64 offsets, 8 inline bytes — the layout
+# that lifts the 4 GiB file cap, which a 100 TB mosaic sink WILL hit.
+_GEOM_CLASSIC = (2, "H", 12, 4, "I", 4)
+_GEOM_BIG = (8, "Q", 20, 8, "Q", 8)
+
+
+def _tiff_header(rd) -> tuple[str, bool, int]:
+    """(byte_order, is_bigtiff, first_ifd_offset) from the file head;
+    accepts classic (magic 42) and BigTIFF (magic 43)."""
+    head = rd(0, 16)
+    bo = {b"II": "<", b"MM": ">"}.get(head[:2])
+    if bo is None:
+        raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
+    (magic,) = struct.unpack(bo + "H", head[2:4])
+    if magic == 42:
+        (off,) = struct.unpack(bo + "I", head[4:8])
+        return bo, False, off
+    if magic == 43:
+        if len(head) < 16:
+            raise ValueError("truncated BigTIFF header")
+        osize, zero = struct.unpack(bo + "HH", head[4:8])
+        if osize != 8 or zero != 0:
+            raise NotImplementedError(
+                f"BigTIFF offset size {osize} is not supported (spec fixes 8)"
+            )
+        (off,) = struct.unpack(bo + "Q", head[8:16])
+        return bo, True, off
+    raise NotImplementedError(f"TIFF magic {magic} is not supported")
+
+
+def _parse_entry(e: bytes, bo: str, big: bool) -> tuple[int, int, int, bytes]:
+    """(tag, type, count, inline-value-field) of one IFD entry."""
+    if big:
+        tag, typ, count = struct.unpack(bo + "HHQ", e[:12])
+        return tag, typ, count, e[12:20]
+    tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+    return tag, typ, count, e[8:12]
 
 # numpy dtype -> (bits, sample_format); sample_format per TIFF 6.0:
 # 1 unsigned int, 2 signed int, 3 IEEE float
@@ -239,8 +285,17 @@ def _image_entries(
     bbox,
     epsg,
     reduced: bool,
+    big: bool = False,
 ) -> list[tuple[int, int, int, bytes | int]]:
     h, w = arr_shape
+    # chunk offsets are the one field that must outgrow u32 in a
+    # BigTIFF — emit them as LONG8; everything else keeps its classic
+    # type (BigTIFF only widens the ENTRY fields, not value types)
+    off_type = _TYPE_LONG8 if big else _TYPE_LONG
+    off_fmt = "Q" if big else "I"
+
+    def _offs(vals: list[int]) -> bytes:
+        return struct.pack(f"<{len(vals)}{off_fmt}", *vals)
 
     def _longs(vals: list[int]) -> bytes:
         return struct.pack(f"<{len(vals)}I", *vals)
@@ -263,10 +318,10 @@ def _image_entries(
         th, tw = int(tile[0]), int(tile[1])
         entries.append((_T_TILE_WIDTH, _TYPE_LONG, 1, tw))
         entries.append((_T_TILE_LENGTH, _TYPE_LONG, 1, th))
-        entries.append((_T_TILE_OFFSETS, _TYPE_LONG, len(offsets), _longs(offsets)))
+        entries.append((_T_TILE_OFFSETS, off_type, len(offsets), _offs(offsets)))
         entries.append((_T_TILE_COUNTS, _TYPE_LONG, len(counts), _longs(counts)))
     else:
-        entries.append((_T_STRIP_OFFSETS, _TYPE_LONG, 1, _longs(offsets)))
+        entries.append((_T_STRIP_OFFSETS, off_type, 1, _offs(offsets)))
         entries.append((_T_ROWS_PER_STRIP, _TYPE_LONG, 1, h))
         entries.append((_T_STRIP_COUNTS, _TYPE_LONG, 1, _longs(counts)))
     if bbox is not None:
@@ -291,30 +346,40 @@ def _image_entries(
     return entries
 
 
-def _entry_extra_size(entries) -> int:
+def _entry_extra_size(entries, big: bool = False) -> int:
+    inline = 8 if big else 4
     return sum(
         _TYPE_SIZES[typ] * count
         for _, typ, count, val in entries
-        if isinstance(val, bytes) and _TYPE_SIZES[typ] * count > 4
+        if isinstance(val, bytes) and _TYPE_SIZES[typ] * count > inline
     )
 
 
-def _emit_ifd(entries, ifd_offset: int, next_offset: int) -> bytes:
-    extra_offset = ifd_offset + 2 + 12 * len(entries) + 4
-    ifd = struct.pack("<H", len(entries))
+def _ifd_block_size(entries, big: bool = False) -> int:
+    csz, _, esz, osz, _, _ = _GEOM_BIG if big else _GEOM_CLASSIC
+    return csz + esz * len(entries) + osz + _entry_extra_size(entries, big)
+
+
+def _emit_ifd(entries, ifd_offset: int, next_offset: int, big: bool = False) -> bytes:
+    csz, cfmt, esz, osz, ofmt, inline = _GEOM_BIG if big else _GEOM_CLASSIC
+    head_fmt = "<HHQ" if big else "<HHI"
+    extra_offset = ifd_offset + csz + esz * len(entries) + osz
+    ifd = struct.pack("<" + cfmt, len(entries))
     extra = b""
     for tag, typ, count, val in entries:
         size = _TYPE_SIZES[typ] * count
         if isinstance(val, bytes):
-            if size <= 4:
-                ifd += struct.pack("<HHI", tag, typ, count) + val.ljust(4, b"\0")
+            if size <= inline:
+                ifd += struct.pack(head_fmt, tag, typ, count) + val.ljust(inline, b"\0")
             else:
-                ifd += struct.pack("<HHII", tag, typ, count, extra_offset + len(extra))
+                ifd += struct.pack(head_fmt, tag, typ, count) + struct.pack(
+                    "<" + ofmt, extra_offset + len(extra)
+                )
                 extra += val
         else:
-            packed = struct.pack("<" + _TYPE_FMT[typ], val).ljust(4, b"\0")
-            ifd += struct.pack("<HHI", tag, typ, count) + packed
-    ifd += struct.pack("<I", next_offset)
+            packed = struct.pack("<" + _TYPE_FMT[typ], val).ljust(inline, b"\0")
+            ifd += struct.pack(head_fmt, tag, typ, count) + packed
+    ifd += struct.pack("<" + ofmt, next_offset)
     return ifd + extra
 
 
@@ -326,6 +391,7 @@ def encode_gtiff(
     tile: tuple[int, int] | None = None,
     predictor: int = 1,
     overviews: list[np.ndarray] | None = None,
+    bigtiff: bool | None = None,
 ) -> bytes:
     """Encode a 2-D array as a single-band little-endian GeoTIFF.
     ``bbox`` is (minx, miny, maxx, maxy) in CRS units covering the full
@@ -343,7 +409,13 @@ def encode_gtiff(
     reduced-resolution copies written as chained IFDs tagged
     NewSubfileType=1 (the COG pyramid; readers that want level k pass
     ``ifd=k`` to :func:`decode_gtiff`). All levels share dtype, layout
-    options, and the geographic cover."""
+    options, and the geographic cover.
+
+    ``bigtiff``: ``None`` (default) writes classic TIFF and
+    auto-upgrades to BigTIFF (magic 43, 64-bit offsets) when the
+    layout outgrows the classic 4 GiB offset space; ``True`` forces
+    BigTIFF; ``False`` pins classic and raises on overflow (for
+    consumers that cannot read BigTIFF)."""
     images = [np.asarray(arr)] + [np.asarray(o) for o in (overviews or [])]
     for im in images:
         if im.ndim != 2:
@@ -375,15 +447,6 @@ def encode_gtiff(
     for im in images:
         chunks = _image_chunks(im, dt, comp, tile, predictor)
         per.append((im.shape, chunks, [len(c) for c in chunks]))
-    total_data = sum(sum(counts) for _, _, counts in per)
-    if total_data >= 2**32 - 65536:
-        # classic TIFF offsets are u32; BigTIFF is out of scope. Tiles
-        # this large mean the caller's grouping is too coarse anyway.
-        raise ValueError(
-            f"raster payload {total_data} B exceeds the classic-TIFF 4 GiB "
-            "offset space — split the group (finer group_cols) or use a "
-            "BigTIFF-capable writer"
-        )
 
     # CLOUD-OPTIMIZED layout: header, then ALL IFDs, then chunk data —
     # a ranged reader learns every chunk offset from one header-sized
@@ -391,62 +454,71 @@ def encode_gtiff(
     # IFD block sizes don't depend on the offset VALUES (fixed-width
     # fields), so size the blocks with placeholder offsets first, then
     # assign real chunk offsets after the last IFD.
-    ifd_offsets = []
-    ifd_pos = 8
-    sized_entries = []
-    for i, (shape, chunks, counts) in enumerate(per):
-        probe = _image_entries(
-            shape, bits, sfmt, comp, tile, predictor,
-            [0] * len(chunks), counts, bbox, epsg, reduced=i > 0,
-        )
-        sized_entries.append(probe)
-        ifd_offsets.append(ifd_pos)
-        ifd_pos += 2 + 12 * len(probe) + 4 + _entry_extra_size(probe)
-
-    data_pos = ifd_pos
-    all_entries = []
-    for i, (shape, chunks, counts) in enumerate(per):
-        offsets = []
-        for c in chunks:
-            offsets.append(data_pos)
-            data_pos += len(c)
-        all_entries.append(
-            _image_entries(
+    def _layout(big: bool) -> bytes | None:
+        ifd_offsets = []
+        ifd_pos = 16 if big else 8
+        for i, (shape, chunks, counts) in enumerate(per):
+            probe = _image_entries(
                 shape, bits, sfmt, comp, tile, predictor,
-                offsets, counts, bbox, epsg, reduced=i > 0,
+                [0] * len(chunks), counts, bbox, epsg, reduced=i > 0, big=big,
             )
-        )
-    if data_pos >= 2**32:
-        # the FINAL offset (data sits after the IFD blocks) must also
-        # fit u32 — a near-limit payload with very many tiles can
-        # overflow here even when raw chunk bytes pass the first guard
-        raise ValueError(
-            f"file layout reaches offset {data_pos} — beyond the "
-            "classic-TIFF 4 GiB space; split the group or use a "
-            "BigTIFF-capable writer"
-        )
+            ifd_offsets.append(ifd_pos)
+            ifd_pos += _ifd_block_size(probe, big)
 
-    out = [struct.pack("<2sHI", b"II", 42, ifd_offsets[0])]
-    for i, entries in enumerate(all_entries):
-        nxt = ifd_offsets[i + 1] if i + 1 < len(ifd_offsets) else 0
-        out.append(_emit_ifd(entries, ifd_offsets[i], nxt))
-    out.extend(c for _, chunks, _ in per for c in chunks)
-    return b"".join(out)
+        data_pos = ifd_pos
+        all_entries = []
+        for i, (shape, chunks, counts) in enumerate(per):
+            offsets = []
+            for c in chunks:
+                offsets.append(data_pos)
+                data_pos += len(c)
+            all_entries.append(
+                _image_entries(
+                    shape, bits, sfmt, comp, tile, predictor,
+                    offsets, counts, bbox, epsg, reduced=i > 0, big=big,
+                )
+            )
+        if not big and data_pos >= 2**32:
+            # the FINAL offset must fit u32 in classic TIFF — caller
+            # decides between BigTIFF upgrade and a hard error
+            return None
+        header = (
+            struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offsets[0])
+            if big
+            else struct.pack("<2sHI", b"II", 42, ifd_offsets[0])
+        )
+        out = [header]
+        for i, entries in enumerate(all_entries):
+            nxt = ifd_offsets[i + 1] if i + 1 < len(ifd_offsets) else 0
+            out.append(_emit_ifd(entries, ifd_offsets[i], nxt, big=big))
+        out.extend(c for _, chunks, _ in per for c in chunks)
+        return b"".join(out)
+
+    if bigtiff is True:
+        return _layout(True)
+    payload = _layout(False)
+    if payload is not None:
+        return payload
+    if bigtiff is False:
+        total_data = sum(sum(counts) for _, _, counts in per)
+        raise ValueError(
+            f"raster payload {total_data} B exceeds the classic-TIFF 4 GiB "
+            "offset space and bigtiff=False pins classic — split the group "
+            "(finer group_cols) or allow BigTIFF"
+        )
+    return _layout(True)  # auto-upgrade (bigtiff=None)
 
 
 def gtiff_ifd_count(payload: bytes) -> int:
-    """Number of chained IFDs (1 + overview levels)."""
-    bo = {b"II": "<", b"MM": ">"}.get(payload[:2])
-    if bo is None:
-        raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
-    _, off = struct.unpack(bo + "HI", payload[2:8])
+    """Number of chained IFDs (1 + overview levels); classic or BigTIFF."""
+    rd = lambda o, sz: payload[o : o + sz]  # noqa: E731
+    bo, big, off = _tiff_header(rd)
+    csz, cfmt, esz, osz, ofmt, _ = _GEOM_BIG if big else _GEOM_CLASSIC
     count = 0
     while off:
         count += 1
-        n = struct.unpack(bo + "H", payload[off : off + 2])[0]
-        (off,) = struct.unpack(
-            bo + "I", payload[off + 2 + 12 * n : off + 2 + 12 * n + 4]
-        )
+        n = struct.unpack(bo + cfmt, rd(off, csz))[0]
+        (off,) = struct.unpack(bo + ofmt, rd(off + csz + esz * n, osz))
     return count
 
 
@@ -505,34 +577,27 @@ def decode_gtiff_ranged(
 
 
 def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
-    head = rd(0, 8)
-    if head[:2] == b"II":
-        bo = "<"
-    elif head[:2] == b"MM":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
-    magic, ifd_offset = struct.unpack(bo + "HI", head[2:8])
-    if magic != 42:
-        raise NotImplementedError("BigTIFF (magic 43) is not supported")
+    bo, big, ifd_offset = _tiff_header(rd)
+    csz, cfmt, esz, osz, ofmt, inline = _GEOM_BIG if big else _GEOM_CLASSIC
     for _ in range(ifd):
-        k = struct.unpack(bo + "H", rd(ifd_offset, 2))[0]
+        k = struct.unpack(bo + cfmt, rd(ifd_offset, csz))[0]
         (ifd_offset,) = struct.unpack(
-            bo + "I", rd(ifd_offset + 2 + 12 * k, 4)
+            bo + ofmt, rd(ifd_offset + csz + esz * k, osz)
         )
         if ifd_offset == 0:
             raise ValueError(f"TIFF has no IFD {ifd} (chain ended early)")
-    n = struct.unpack(bo + "H", rd(ifd_offset, 2))[0]
-    table = rd(ifd_offset + 2, 12 * n)
+    n = struct.unpack(bo + cfmt, rd(ifd_offset, csz))[0]
+    table = rd(ifd_offset + csz, esz * n)
     tags: dict[int, tuple] = {}
     for i in range(n):
-        e = table[12 * i : 12 * i + 12]
-        tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+        tag, typ, count, vfield = _parse_entry(
+            table[esz * i : esz * (i + 1)], bo, big
+        )
         size = _TYPE_SIZES.get(typ, 1) * count
-        if size <= 4:
-            raw = e[8 : 8 + size]
+        if size <= inline:
+            raw = vfield[:size]
         else:
-            (voff,) = struct.unpack(bo + "I", e[8:12])
+            (voff,) = struct.unpack(bo + ofmt, vfield[:osz])
             raw = rd(voff, size)
         fmt = _TYPE_FMT.get(typ)
         vals = struct.unpack(bo + fmt * count, raw) if fmt else (raw,)
@@ -809,28 +874,26 @@ def gtiff_ifd_dims(payload: bytes) -> list[tuple[int, int]]:
 
 
 def _ifd_dims_from(rd) -> list[tuple[int, int]]:
-    head = rd(0, 8)
-    bo = {b"II": "<", b"MM": ">"}.get(head[:2])
-    if bo is None:
-        raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
-    _, off = struct.unpack(bo + "HI", head[2:8])
+    bo, big, off = _tiff_header(rd)
+    csz, cfmt, esz, osz, ofmt, _ = _GEOM_BIG if big else _GEOM_CLASSIC
     dims: list[tuple[int, int]] = []
     while off:
-        n = struct.unpack(bo + "H", rd(off, 2))[0]
-        table = rd(off + 2, 12 * n)
+        n = struct.unpack(bo + cfmt, rd(off, csz))[0]
+        table = rd(off + csz, esz * n)
         w = h = None
         for i in range(n):
-            e = table[12 * i : 12 * i + 12]
-            tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+            tag, typ, count, vfield = _parse_entry(
+                table[esz * i : esz * (i + 1)], bo, big
+            )
             if tag in (_T_WIDTH, _T_LENGTH):
                 fmt = _TYPE_FMT[typ]
-                v = struct.unpack(bo + fmt, e[8 : 8 + _TYPE_SIZES[typ]])[0]
+                v = struct.unpack(bo + fmt, vfield[: _TYPE_SIZES[typ]])[0]
                 if tag == _T_WIDTH:
                     w = v
                 else:
                     h = v
         dims.append((int(w), int(h)))
-        (off,) = struct.unpack(bo + "I", rd(off + 2 + 12 * n, 4))
+        (off,) = struct.unpack(bo + ofmt, rd(off + csz + esz * n, osz))
     return dims
 
 

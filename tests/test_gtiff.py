@@ -61,8 +61,14 @@ def test_decode_rejects_unsupported_profiles():
     assert plain in payload
     with pytest.raises(NotImplementedError, match="compression"):
         decode_gtiff(payload.replace(plain, jpeg))
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
+    # a BigTIFF header cut off before its 8-byte IFD pointer
+    with pytest.raises(ValueError, match="truncated BigTIFF"):
         decode_gtiff(struct.pack("<2sHI", b"II", 43, 8))
+    # spec fixes the BigTIFF offset size at 8; anything else is alien
+    with pytest.raises(NotImplementedError, match="offset size"):
+        decode_gtiff(struct.pack("<2sHHHQ", b"II", 43, 4, 0, 16))
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_gtiff(struct.pack("<2sHI", b"II", 44, 8))
 
 
 def test_decode_image_dispatches_tiff():
@@ -697,3 +703,74 @@ def test_planar_deflate_single_sample_degenerate():
     np.testing.assert_array_equal(out, arr[:, :, 0])
     with pytest.raises(NotImplementedError, match="planar configuration"):
         decode_gtiff(_planar_tiff(arr, planar_value=3))
+
+
+# ------------------------------------------------------------- BigTIFF
+
+
+def test_bigtiff_roundtrip_layouts():
+    """BigTIFF (magic 43, 64-bit offsets — the format that lifts the
+    classic 4 GiB cap a 100 TB mosaic sink WILL hit) round-trips
+    through the same codec paths as classic: tiles, LZW, predictor-2,
+    overview pyramid, geotags."""
+    from openeo_processes_dask_ml_spark.io.gtiff import (
+        gtiff_ifd_count,
+        gtiff_ifd_dims,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 4096, (13, 11)).astype("uint16")
+    payload = encode_gtiff(
+        arr,
+        bbox=(0.0, 0.0, 11.0, 13.0),
+        epsg=32632,
+        compression="lzw",
+        tile=(8, 8),
+        predictor=2,
+        overviews=[arr[::2, ::2]],
+        bigtiff=True,
+    )
+    assert struct.unpack("<H", payload[2:4])[0] == 43
+    out, meta = decode_gtiff(payload)
+    np.testing.assert_array_equal(out, arr)
+    assert meta["epsg"] == 32632
+    ov, _ = decode_gtiff(payload, ifd=1)
+    np.testing.assert_array_equal(ov, arr[::2, ::2])
+    assert gtiff_ifd_count(payload) == 2
+    assert gtiff_ifd_dims(payload) == [(11, 13), (6, 7)]
+
+
+def test_bigtiff_ranged_decode_partial_reads():
+    """The cloud-optimized contract holds for BigTIFF too: an overview
+    read through decode_gtiff_ranged moves only the head + that
+    level's chunks, never the full payload."""
+    from openeo_processes_dask_ml_spark.io.gtiff import decode_gtiff_ranged
+
+    grad = np.add.outer(
+        np.arange(256, dtype=np.uint16), np.arange(256, dtype=np.uint16)
+    )
+    payload = encode_gtiff(
+        grad,
+        bbox=(0.0, 0.0, 256.0, 256.0),
+        tile=(64, 64),
+        overviews=[grad[::2, ::2], grad[::4, ::4]],
+        bigtiff=True,
+    )
+    moved = []
+
+    def fetch(off, size):
+        moved.append(size)
+        return payload[off : off + size]
+
+    ov, _ = decode_gtiff_ranged(fetch, ifd=2)
+    np.testing.assert_array_equal(ov, grad[::4, ::4])
+    assert sum(moved) < len(payload) / 2
+
+
+def test_bigtiff_auto_upgrade_and_classic_pin():
+    """bigtiff=None keeps small files classic (byte-identical to the
+    default), bigtiff=False still raises on 4 GiB overflow (the guard
+    message survives for classic-only consumers)."""
+    arr = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    assert encode_gtiff(arr) == encode_gtiff(arr, bigtiff=None) == encode_gtiff(arr, bigtiff=False)
+    assert struct.unpack("<H", encode_gtiff(arr)[2:4])[0] == 42
