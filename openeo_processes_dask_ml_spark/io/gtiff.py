@@ -13,15 +13,17 @@ spirit as the injected-transport STAC client.
 
 Scope, stated honestly: classic (non-Big) TIFF, little- or big-endian,
 strip- or tile-organized, uncompressed / LZW (TIFF 6.0 §13, pure
-stdlib) / DEFLATE (zlib is stdlib), predictor 1/2 (horizontal
+stdlib) / DEFLATE (zlib is stdlib) / PackBits (TIFF 6.0 §9 byte RLE),
+predictor 1/2 (horizontal
 differencing), single- or multi-sample pixels in either chunky
 (PlanarConfiguration=1) or planar (=2, plane-major chunk runs)
 organization, with ModelPixelScale/ModelTiepoint/GeoKeyDirectory
 georeferencing — i.e. the interior layout of real deflate or LZW COGs
 (the decoder reads IFD 0, the full-resolution image; overview IFDs
-are pyramid copies). JPEG/packbits compression and BigTIFF still
-raise a clear ``NotImplementedError`` pointing at rasterio; the
-format is never faked.
+are pyramid copies), in classic or BigTIFF (magic 43, 64-bit offset)
+containers. JPEG compression still raises a clear
+``NotImplementedError`` pointing at rasterio; the format is never
+faked.
 
 The distributed writer is the scale path: one GeoTIFF per (item, band)
 group via ``applyInPandas``, encoded and written ON THE EXECUTORS to a
@@ -180,6 +182,53 @@ def _lzw_decode(data: bytes) -> bytes:
             nbits += 1
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits (TIFF compression 32773, TIFF 6.0 §9): a sequential
+    byte-RLE — header n in 0..127 copies n+1 literal bytes, n in
+    129..255 repeats the next byte 257-n times, 128 is a no-op. Files
+    that restart the coder per scanline (the spec's recommendation)
+    decode identically here because a concatenation of PackBits
+    streams is itself a valid stream."""
+    out = bytearray()
+    i, end = 0, len(data)
+    while i < end:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits encode: emit a repeat record for every run of
+    >= 2 equal bytes, literal records otherwise (breaking a literal
+    when a >= 3 run starts, the standard heuristic)."""
+    out = bytearray()
+    i, end = 0, len(data)
+    while i < end:
+        run = 1
+        while i + run < end and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        j = i + 1
+        while j < end and (j - i) < 128:
+            if j + 2 < end and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
 def _lzw_encode(data: bytes) -> bytes:
     """TIFF-variant LZW encode: the mirror of :func:`_lzw_decode`
     (width grows immediately after assigning code ``(1 << bits) - 1``,
@@ -270,6 +319,8 @@ def _image_chunks(
         return [zlib.compress(b) for b in raw]
     if comp == 5:
         return [_lzw_encode(b) for b in raw]
+    if comp == 32773:
+        return [_packbits_encode(b) for b in raw]
     return raw
 
 
@@ -430,9 +481,10 @@ def encode_gtiff(
             f"unsupported dtype {images[0].dtype}; supported: "
             f"{sorted(str(d) for d in _DTYPES)}"
         )
-    if compression not in (None, "none", "deflate", "lzw"):
+    if compression not in (None, "none", "deflate", "lzw", "packbits"):
         raise ValueError(
-            f"compression must be None, 'deflate' or 'lzw', got {compression!r}"
+            "compression must be None, 'deflate', 'lzw' or 'packbits', "
+            f"got {compression!r}"
         )
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
@@ -441,7 +493,9 @@ def encode_gtiff(
     if tile is not None and (int(tile[0]) <= 0 or int(tile[1]) <= 0):
         raise ValueError(f"tile dims must be positive, got {tile}")
     bits, sfmt = _DTYPES[dt.newbyteorder("=")]
-    comp = {"deflate": 8, "lzw": 5}.get(compression or "none", 1)
+    comp = {"deflate": 8, "lzw": 5, "packbits": 32773}.get(
+        compression or "none", 1
+    )
 
     per = []
     for im in images:
@@ -523,14 +577,15 @@ def gtiff_ifd_count(payload: bytes) -> int:
 
 
 def decode_gtiff(payload: bytes, ifd: int = 0) -> tuple[np.ndarray, dict]:
-    """Decode a classic TIFF: strip- or tile-organized, uncompressed,
-    LZW (5) or deflate (8/32946), predictor 1/2, chunky or planar
+    """Decode a classic or BigTIFF payload: strip- or tile-organized,
+    uncompressed, LZW (5), deflate (8/32946) or PackBits (32773),
+    predictor 1/2, chunky or planar
     sample organization, either endianness. Returns
     ``(array, meta)`` — array is (H, W) for one sample per pixel,
     (H, W, SPP) otherwise (planar planes are interleaved to the same
     chunky output shape); meta carries ``bbox``/``epsg``/``pixel_scale``
-    when the GeoTIFF tags are present. Other compressions (JPEG,
-    packbits) and BigTIFF raise ``NotImplementedError`` (those
+    when the GeoTIFF tags are present. Other compressions (JPEG)
+    raise ``NotImplementedError`` (those
     profiles need rasterio). ``ifd`` addresses the chained-IFD pyramid: 0 (default)
     is the full-resolution image, k>0 the k-th COG overview level."""
     return _decode_from(lambda o, sz: payload[o : o + sz], ifd)
@@ -606,10 +661,11 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
     import zlib
 
     compression = tags.get(_T_COMPRESSION, (1,))[0]
-    if compression not in (1, 5, 8, 32946):  # none, lzw, deflate(+legacy)
+    # none, lzw, deflate (+legacy code), packbits
+    if compression not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression} needs rasterio "
-            "(uncompressed, LZW and deflate are implemented)"
+            "(uncompressed, LZW, deflate and PackBits are implemented)"
         )
     predictor = tags.get(_T_PREDICTOR, (1,))[0]
     if predictor not in (1, 2):
@@ -645,6 +701,8 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
             return raw
         if compression == 5:
             return _lzw_decode(raw)
+        if compression == 32773:
+            return _packbits_decode(raw)
         return zlib.decompress(raw)
 
     def _undiff(block: np.ndarray) -> np.ndarray:

@@ -219,6 +219,8 @@ def test_write_gtiff_tiles_rejects_duplicates_and_int_holes(spark, tmp_path):
         ("lzw", None, 2),
         ("lzw", (5, 4), 1),
         ("lzw", (16, 16), 2),  # the classic archival combo
+        ("packbits", None, 1),
+        ("packbits", (5, 4), 2),
     ],
 )
 def test_roundtrip_cog_interior_layouts(compression, tile, predictor):
@@ -774,3 +776,28 @@ def test_bigtiff_auto_upgrade_and_classic_pin():
     arr = np.arange(20, dtype=np.uint8).reshape(4, 5)
     assert encode_gtiff(arr) == encode_gtiff(arr, bigtiff=None) == encode_gtiff(arr, bigtiff=False)
     assert struct.unpack("<H", encode_gtiff(arr)[2:4])[0] == 42
+
+
+def test_packbits_spec_vector_and_stream_properties():
+    """The canonical TIFF 6.0 §9 example stream decodes to its
+    documented expansion; encode o decode is the identity on arbitrary
+    byte strings (runs, literals, 128-boundary lengths)."""
+    from openeo_processes_dask_ml_spark.io.gtiff import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    spec = bytes.fromhex("FEAA02800A2AFDAA03800A2A22F7AA")
+    expect = bytes.fromhex("AAAAAA800A2AAAAAAAAA800A2A22") + b"\xaa" * 10
+    assert _packbits_decode(spec) == expect
+    # n=128 is a spec'd no-op and must be skipped, not mis-read
+    assert _packbits_decode(b"\x80\x00A") == b"A"
+    for data in (
+        b"",
+        b"A",
+        b"AB" * 200,
+        b"A" * 500,
+        bytes(range(256)) * 3,
+        b"A" * 127 + b"BC" + b"D" * 130,
+    ):
+        assert _packbits_decode(_packbits_encode(data)) == data
