@@ -14,8 +14,9 @@ spirit as the injected-transport STAC client.
 Scope, stated honestly: classic (non-Big) TIFF, little- or big-endian,
 strip- or tile-organized, uncompressed / LZW (TIFF 6.0 §13, pure
 stdlib) / DEFLATE (zlib is stdlib) / PackBits (TIFF 6.0 §9 byte RLE),
-predictor 1/2 (horizontal
-differencing), single- or multi-sample pixels in either chunky
+predictor 1/2 (integer horizontal differencing) and 3 (TechNote-3
+floating-point byte-plane differencing — the float DEM/reflectance
+layout), single- or multi-sample pixels in either chunky
 (PlanarConfiguration=1) or planar (=2, plane-major chunk runs)
 organization, with ModelPixelScale/ModelTiepoint/GeoKeyDirectory
 georeferencing — i.e. the interior layout of real deflate or LZW COGs
@@ -287,6 +288,45 @@ def _apply_predictor2(chunk: np.ndarray) -> np.ndarray:
     return out
 
 
+def _apply_predictor3(chunk: np.ndarray) -> np.ndarray:
+    """Floating-point horizontal differencing (TIFF predictor 3, TIFF
+    Technical Note 3 — the layout real float DEM/reflectance COGs
+    ship): per row, the IEEE bytes are laid out BIG-endian, split into
+    byte planes (all MSBs first, then the next byte, ...), and the
+    plane buffer is byte-differenced. Exponent bytes of neighboring
+    floats are near-equal, so the deltas compress the way integer
+    predictor-2 deltas do — deflate on raw floats barely compresses at
+    all. Returns a (rows, cols*itemsize) uint8 array; byte order of
+    the differenced stream is big-endian by spec regardless of the
+    file's byte order."""
+    rows, cols = chunk.shape
+    s = chunk.dtype.itemsize
+    be = np.ascontiguousarray(chunk.astype(chunk.dtype.newbyteorder(">")))
+    b = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(rows, cols, s)
+    planes = np.ascontiguousarray(b.transpose(0, 2, 1)).reshape(rows, s * cols)
+    out = planes.copy()
+    out[:, 1:] = planes[:, 1:] - planes[:, :-1]  # uint8 modular wrap
+    return out
+
+
+def _undo_predictor3(
+    raw: bytes, rows: int, cols: int, dtype: np.dtype
+) -> np.ndarray:
+    """Inverse of :func:`_apply_predictor3`: byte cumsum per row, then
+    reassemble floats from the big-endian byte planes."""
+    s = dtype.itemsize
+    b = (
+        np.frombuffer(raw, dtype=np.uint8, count=rows * cols * s)
+        .reshape(rows, s * cols)
+    )
+    planes = np.add.accumulate(b, axis=1, dtype=np.uint8)
+    m = np.ascontiguousarray(planes.reshape(rows, s, cols).transpose(0, 2, 1))
+    be = np.dtype(dtype).newbyteorder(">")
+    return np.frombuffer(m.tobytes(), dtype=be).reshape(rows, cols).astype(
+        dtype.newbyteorder("=")
+    )
+
+
 def _image_chunks(
     arr: np.ndarray,
     dt: np.dtype,
@@ -314,6 +354,8 @@ def _image_chunks(
         blocks = [arr]
     if predictor == 2:
         blocks = [_apply_predictor2(b) for b in blocks]
+    elif predictor == 3:
+        blocks = [_apply_predictor3(b) for b in blocks]
     raw = [b.tobytes() for b in blocks]
     if comp == 8:
         return [zlib.compress(b) for b in raw]
@@ -363,8 +405,8 @@ def _image_entries(
     if reduced:
         # NewSubfileType = 1: reduced-resolution image (COG overview)
         entries.append((254, _TYPE_LONG, 1, 1))
-    if predictor == 2:
-        entries.append((_T_PREDICTOR, _TYPE_SHORT, 1, 2))
+    if predictor in (2, 3):
+        entries.append((_T_PREDICTOR, _TYPE_SHORT, 1, predictor))
     if tile is not None:
         th, tw = int(tile[0]), int(tile[1])
         entries.append((_T_TILE_WIDTH, _TYPE_LONG, 1, tw))
@@ -486,10 +528,14 @@ def encode_gtiff(
             "compression must be None, 'deflate', 'lzw' or 'packbits', "
             f"got {compression!r}"
         )
-    if predictor not in (1, 2):
-        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"predictor must be 1, 2 or 3, got {predictor}")
     if predictor == 2 and dt.kind == "f":
         raise ValueError("predictor 2 (horizontal differencing) is integer-only")
+    if predictor == 3 and dt.kind != "f":
+        raise ValueError(
+            "predictor 3 (floating-point differencing) is float-only"
+        )
     if tile is not None and (int(tile[0]) <= 0 or int(tile[1]) <= 0):
         raise ValueError(f"tile dims must be positive, got {tile}")
     bits, sfmt = _DTYPES[dt.newbyteorder("=")]
@@ -579,7 +625,7 @@ def gtiff_ifd_count(payload: bytes) -> int:
 def decode_gtiff(payload: bytes, ifd: int = 0) -> tuple[np.ndarray, dict]:
     """Decode a classic or BigTIFF payload: strip- or tile-organized,
     uncompressed, LZW (5), deflate (8/32946) or PackBits (32773),
-    predictor 1/2, chunky or planar
+    predictor 1/2/3, chunky or planar
     sample organization, either endianness. Returns
     ``(array, meta)`` — array is (H, W) for one sample per pixel,
     (H, W, SPP) otherwise (planar planes are interleaved to the same
@@ -668,9 +714,9 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
             "(uncompressed, LZW, deflate and PackBits are implemented)"
         )
     predictor = tags.get(_T_PREDICTOR, (1,))[0]
-    if predictor not in (1, 2):
+    if predictor not in (1, 2, 3):
         raise NotImplementedError(
-            f"TIFF predictor {predictor} needs rasterio (1/2 implemented)"
+            f"TIFF predictor {predictor} needs rasterio (1/2/3 implemented)"
         )
     w = tags[_T_WIDTH][0]
     h = tags[_T_LENGTH][0]
@@ -694,6 +740,13 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
     dtype = np.dtype(f"{bo}{kind}{bits[0] // 8}")
     if predictor == 2 and dtype.kind == "f":
         raise NotImplementedError("predictor 2 on float samples")
+    if predictor == 3 and dtype.kind != "f":
+        raise NotImplementedError("predictor 3 on non-float samples")
+    if predictor == 3 and spp > 1 and not planar:
+        raise NotImplementedError(
+            "predictor 3 with chunky multi-sample pixels (single-sample "
+            "chunks — spp=1 or planar — are implemented)"
+        )
 
     def _chunk(o: int, c: int) -> bytes:
         raw = rd(o, c)
@@ -709,6 +762,17 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
         # inverse of horizontal differencing: cumulative sum per row
         # (per sample), with the dtype's modular wraparound
         return np.add.accumulate(block, axis=1, dtype=block.dtype)
+
+    def _block(raw: bytes, rows: int, cols: int, nspp: int) -> np.ndarray:
+        # one decompressed chunk -> pixel block, applying the inverse
+        # predictor (3 only reaches here single-sample, guarded above)
+        if predictor == 3:
+            return _undo_predictor3(raw, rows, cols, dtype)
+        a = np.frombuffer(raw, dtype=dtype, count=rows * cols * nspp)
+        a = a.reshape((rows, cols) if nspp == 1 else (rows, cols, nspp))
+        if predictor == 2:
+            a = _undiff(a)
+        return a
 
     if _T_TILE_OFFSETS in tags:
         tw = tags[_T_TILE_WIDTH][0]
@@ -729,11 +793,7 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
                 for i in range(per_plane):
                     o = offs[s * per_plane + i]
                     c = counts[s * per_plane + i]
-                    block = np.frombuffer(
-                        _chunk(o, c), dtype=dtype, count=tl * tw
-                    ).reshape(tl, tw)
-                    if predictor == 2:
-                        block = _undiff(block)
+                    block = _block(_chunk(o, c), tl, tw, 1)
                     ty, tx = divmod(i, across)
                     full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = block
                 planes.append(full[:h, :w])
@@ -746,12 +806,7 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
             )
             full = np.zeros(shape, dtype=dtype)
             for i, (o, c) in enumerate(zip(offs, counts)):
-                block = np.frombuffer(
-                    _chunk(o, c), dtype=dtype, count=tl * tw * spp
-                )
-                block = block.reshape((tl, tw) if spp == 1 else (tl, tw, spp))
-                if predictor == 2:
-                    block = _undiff(block)
+                block = _block(_chunk(o, c), tl, tw, spp)
                 ty, tx = divmod(i, across)
                 full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = block
             arr = full[:h, :w]
@@ -771,19 +826,15 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
                         counts[s * per_plane : (s + 1) * per_plane],
                     )
                 )
-                a = np.frombuffer(data, dtype=dtype, count=h * w).reshape(h, w)
-                if predictor == 2:
-                    a = _undiff(a)
-                planes.append(a)
+                # strips never split a row, so the per-row inverse is
+                # safe on the assembled per-plane buffer
+                planes.append(_block(data, h, w, 1))
             arr = np.stack(planes, axis=-1)
         else:
+            # strips never split a row, so the per-row inverse is safe
+            # on the assembled buffer
             data = b"".join(_chunk(o, c) for o, c in zip(offs, counts))
-            arr = np.frombuffer(data, dtype=dtype, count=h * w * spp)
-            arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
-            if predictor == 2:
-                # strips never split a row, so the per-row cumsum is
-                # safe to apply on the assembled array
-                arr = _undiff(arr)
+            arr = _block(data, h, w, spp)
 
     meta: dict = {}
     if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:

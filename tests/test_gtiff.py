@@ -620,6 +620,8 @@ def _planar_tiff(arr, *, rows_per_strip=None, tile=None, compression=1,
     for block in blocks:
         if predictor == 2:
             block = G._apply_predictor2(block)
+        elif predictor == 3:
+            block = G._apply_predictor3(block)
         raw = block.tobytes()
         if compression == 8:
             raw = zlib.compress(raw)
@@ -644,8 +646,8 @@ def _planar_tiff(arr, *, rows_per_strip=None, tile=None, compression=1,
             (G._T_SAMPLE_FORMAT, G._TYPE_SHORT, spp, shorts([sfmt] * spp)),
             (G._T_PLANAR, G._TYPE_SHORT, 1, planar_value),
         ]
-        if predictor == 2:
-            es.append((G._T_PREDICTOR, G._TYPE_SHORT, 1, 2))
+        if predictor in (2, 3):
+            es.append((G._T_PREDICTOR, G._TYPE_SHORT, 1, predictor))
         counts = [len(p) for p in payloads]
         if tile:
             es += [
@@ -801,3 +803,58 @@ def test_packbits_spec_vector_and_stream_properties():
         b"A" * 127 + b"BC" + b"D" * 130,
     ):
         assert _packbits_decode(_packbits_encode(data)) == data
+
+
+# ------------------------------------------------- predictor 3 (floats)
+
+
+def test_predictor3_float_roundtrip_layouts():
+    """TIFF predictor 3 (TechNote 3 floating-point byte-plane
+    differencing): bit-exact round-trips across compressions, tile and
+    strip organization, float32 and float64."""
+    rng = np.random.default_rng(5)
+    arr32 = (rng.random((13, 11)) * 1000).astype("float32")
+    for comp in (None, "deflate", "lzw", "packbits"):
+        for tile in (None, (5, 4)):
+            p = encode_gtiff(arr32, compression=comp, tile=tile, predictor=3)
+            out, _ = decode_gtiff(p)
+            np.testing.assert_array_equal(out, arr32)
+    arr64 = (rng.random((6, 9)) - 0.5).astype("float64")
+    out, _ = decode_gtiff(encode_gtiff(arr64, compression="deflate", predictor=3))
+    np.testing.assert_array_equal(out, arr64)
+    # NaN/inf survive (byte-exact transform, no arithmetic on values)
+    weird = np.array([[np.nan, np.inf], [-np.inf, 0.0]], dtype="float32")
+    np.testing.assert_array_equal(
+        decode_gtiff(encode_gtiff(weird, predictor=3))[0], weird
+    )
+
+
+def test_predictor3_compresses_noisy_terrain():
+    """The reason predictor 3 exists: on realistic DEM-like data
+    (smooth trend + mantissa noise, modeled as a random walk)
+    neighboring floats share exponent and high-mantissa bytes, so
+    byte-plane deltas deflate measurably better than raw IEEE bytes
+    (0.76x on this fixture). On perfectly regular synthetic grids
+    plain LZ77 already finds the repeating 4-byte patterns, so those
+    are NOT the fixture."""
+    rng = np.random.default_rng(0)
+    dem = (
+        1000 + np.cumsum(rng.normal(0.0, 0.1, (64, 64)), axis=1)
+    ).astype("float32")
+    p1 = encode_gtiff(dem, compression="deflate")
+    p3 = encode_gtiff(dem, compression="deflate", predictor=3)
+    assert len(p3) < 0.85 * len(p1), (len(p1), len(p3))
+
+
+def test_predictor3_validation_and_planar():
+    """predictor 3 is float-only on both sides; planar float planes
+    decode through the same per-row inverse."""
+    with pytest.raises(ValueError, match="float-only"):
+        encode_gtiff(np.zeros((2, 2), np.uint8), predictor=3)
+    with pytest.raises(ValueError, match="integer-only"):
+        encode_gtiff(np.zeros((2, 2), np.float32), predictor=2)
+    rng = np.random.default_rng(9)
+    arr = rng.random((4, 5, 2)).astype("float32")
+    payload = _planar_tiff(arr, rows_per_strip=2, compression=8, predictor=3)
+    out, _ = decode_gtiff(payload)
+    np.testing.assert_array_equal(out, arr)

@@ -950,3 +950,21 @@ def test_fetchers_do_not_retry_permanent_4xx():
         assert len(srv.hits) - base == 1
     finally:
         srv.close()
+
+
+def test_band_labels_ext_ignores_host_and_query(spark):
+    """ADVICE r9: the metadata-side extension regex must mirror the
+    decode path's urlsplit semantics — a dot in the HOST of a path-less
+    href ('http://x.com') or in a query value must never read as a
+    format extension. With no usable extension the media_type decides,
+    so a pgm media type still yields the single-band hint."""
+    assets = _meta_assets(
+        spark,
+        "image/x-portable-graymap",
+        [
+            ("http://x.com", "red"),            # path-less: ext != 'com'
+            ("http://a.io/nir.pgm?sig=1.2", "nir"),  # query dot stripped
+        ],
+    )
+    cube = decode_assets_to_cube(assets, _boom)
+    assert sorted(cube.attrs["band_labels"]) == ["nir", "red"]
