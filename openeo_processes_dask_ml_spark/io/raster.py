@@ -46,6 +46,7 @@ _MEDIA_FMTS = {
     "image/x-portable-graymap": "pgm",
     "image/x-portable-pixmap": "ppm",
     "image/bmp": "bmp",
+    "image/jpeg": "jpg",
     "image/tiff; application=geotiff; profile=cloud-optimized": "cog",
     "image/tiff; application=geotiff": "gtiff",
     "image/tiff": "gtiff",

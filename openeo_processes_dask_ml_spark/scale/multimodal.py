@@ -120,6 +120,12 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
     return decode_gtiff(payload)[0]
 
 
+def _decode_jpeg(payload: bytes) -> "np.ndarray":
+    from openeo_processes_dask_ml_spark.io.jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
 _PURE_DECODERS = {
     "ppm": _decode_pnm,
     "pgm": _decode_pnm,
@@ -128,14 +134,17 @@ _PURE_DECODERS = {
     "tiff": _decode_tiff,
     "gtiff": _decode_tiff,
     "cog": _decode_tiff,
+    "jpg": _decode_jpeg,
+    "jpeg": _decode_jpeg,
 }
 
 
 def decode_image(payload: bytes, fmt: str) -> np.ndarray:
-    """Decode an image payload to an ndarray. PPM/PGM/BMP and
-    uncompressed/deflate TIFF decode with pure numpy; other formats —
-    and TIFF profiles beyond the pure codec (LZW/JPEG/planar) — fall
-    through to PIL (import-gated: clear NotImplementedError when
+    """Decode an image payload to an ndarray. PPM/PGM/BMP, baseline
+    JPEG, and classic/BigTIFF (none/LZW/deflate/PackBits, predictor
+    1/2/3, chunky/planar) decode with pure numpy; other formats — and
+    profiles beyond the pure codecs (JPEG-in-TIFF, progressive JPEG) —
+    fall through to PIL (import-gated: clear NotImplementedError when
     absent)."""
     dec = _PURE_DECODERS.get((fmt or "").lower())
     inner: NotImplementedError | None = None
