@@ -57,6 +57,7 @@ _T_TILE_WIDTH = 322
 _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
+_T_JPEG_TABLES = 347
 _T_PIXEL_SCALE = 33550
 _T_TIEPOINT = 33922
 _T_GEOKEYS = 34735
@@ -707,11 +708,11 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
     import zlib
 
     compression = tags.get(_T_COMPRESSION, (1,))[0]
-    # none, lzw, deflate (+legacy code), packbits
-    if compression not in (1, 5, 8, 32946, 32773):
+    # none, lzw, new-style JPEG, deflate (+legacy code), packbits
+    if compression not in (1, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression} needs rasterio "
-            "(uncompressed, LZW, deflate and PackBits are implemented)"
+            f"TIFF compression {compression} needs rasterio (uncompressed, "
+            "LZW, deflate, PackBits and baseline JPEG are implemented)"
         )
     predictor = tags.get(_T_PREDICTOR, (1,))[0]
     if predictor not in (1, 2, 3):
@@ -747,10 +748,45 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
             "predictor 3 with chunky multi-sample pixels (single-sample "
             "chunks — spp=1 or planar — are implemented)"
         )
+    jpeg_tables = b""
+    if compression == 7:
+        # new-style JPEG (TIFF-EP): every strip/tile is an independent
+        # baseline JPEG stream; shared DQT/DHT segments may live in the
+        # JPEGTables tag as a T.81 abbreviated table stream (SOI,
+        # tables, EOI) to be spliced after each chunk's SOI
+        if bits[0] != 8:
+            raise NotImplementedError("JPEG-in-TIFF with non-8-bit samples")
+        if predictor != 1:
+            raise ValueError("corrupt TIFF: predictor with JPEG compression")
+        if planar:
+            raise NotImplementedError("planar JPEG-in-TIFF")
+        jt = tags.get(_T_JPEG_TABLES)
+        if jt is not None:
+            jpeg_tables = bytes(jt[0])
+
+    def _jpeg_block(raw: bytes, rows: int, cols: int, nspp: int) -> np.ndarray:
+        from openeo_processes_dask_ml_spark.io.jpeg import decode_jpeg
+
+        if len(jpeg_tables) > 4 and raw[:2] == b"\xff\xd8":
+            raw = b"\xff\xd8" + jpeg_tables[2:-2] + raw[2:]
+        a = decode_jpeg(raw)
+        got = 1 if a.ndim == 2 else a.shape[2]
+        if got != nspp:
+            raise ValueError(
+                f"JPEG chunk decodes {got} channel(s), SamplesPerPixel={nspp}"
+            )
+        # edge chunks may be encoded unpadded: pad to the declared
+        # chunk geometry so the assembly grid stays rectangular
+        if a.shape[0] < rows or a.shape[1] < cols:
+            pad = [(0, rows - a.shape[0]), (0, cols - a.shape[1])]
+            if a.ndim == 3:
+                pad.append((0, 0))
+            a = np.pad(a, pad)
+        return a[:rows, :cols]
 
     def _chunk(o: int, c: int) -> bytes:
         raw = rd(o, c)
-        if compression == 1:
+        if compression in (1, 7):  # JPEG chunks decode in _block
             return raw
         if compression == 5:
             return _lzw_decode(raw)
@@ -766,6 +802,8 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
     def _block(raw: bytes, rows: int, cols: int, nspp: int) -> np.ndarray:
         # one decompressed chunk -> pixel block, applying the inverse
         # predictor (3 only reaches here single-sample, guarded above)
+        if compression == 7:
+            return _jpeg_block(raw, rows, cols, nspp)
         if predictor == 3:
             return _undo_predictor3(raw, rows, cols, dtype)
         a = np.frombuffer(raw, dtype=dtype, count=rows * cols * nspp)
@@ -830,6 +868,20 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
                 # safe on the assembled per-plane buffer
                 planes.append(_block(data, h, w, 1))
             arr = np.stack(planes, axis=-1)
+        elif compression == 7:
+            # each strip is an INDEPENDENT JPEG stream — decode per
+            # strip and stack (a byte-joined decode would misparse)
+            rows_per = tags.get(_T_ROWS_PER_STRIP, (h,))[0]
+            parts = [
+                _block(
+                    _chunk(o, c),
+                    min(rows_per, h - si * rows_per),
+                    w,
+                    spp,
+                )
+                for si, (o, c) in enumerate(zip(offs, counts))
+            ]
+            arr = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
         else:
             # strips never split a row, so the per-row inverse is safe
             # on the assembled buffer

@@ -54,13 +54,14 @@ def test_decode_rejects_unsupported_profiles():
     with pytest.raises(ValueError, match="byte-order"):
         decode_gtiff(b"not a tiff at all")
     payload = encode_gtiff(np.zeros((2, 2), dtype=np.uint8))
-    # flip the compression entry (tag 259, SHORT, count 1, value 1 -> 7
-    # JPEG — LZW (5) is implemented since r9)
+    # flip the compression entry (tag 259, SHORT, count 1, value 1 -> 6
+    # old-style JPEG, deprecated by TIFF-EP and genuinely unsupported —
+    # LZW (5) is implemented since r9, new-style JPEG (7) since r10)
     plain = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 1).ljust(4, b"\0")
-    jpeg = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 7).ljust(4, b"\0")
+    oldjpeg = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 6).ljust(4, b"\0")
     assert plain in payload
     with pytest.raises(NotImplementedError, match="compression"):
-        decode_gtiff(payload.replace(plain, jpeg))
+        decode_gtiff(payload.replace(plain, oldjpeg))
     # a BigTIFF header cut off before its 8-byte IFD pointer
     with pytest.raises(ValueError, match="truncated BigTIFF"):
         decode_gtiff(struct.pack("<2sHI", b"II", 43, 8))
@@ -858,3 +859,144 @@ def test_predictor3_validation_and_planar():
     payload = _planar_tiff(arr, rows_per_strip=2, compression=8, predictor=3)
     out, _ = decode_gtiff(payload)
     np.testing.assert_array_equal(out, arr)
+
+
+# ------------------------------------------------- JPEG-in-TIFF (comp 7)
+
+
+def _jpeg_tiff(chunks, h, w, spp, *, rows_per_strip=None, tile=None,
+               jpeg_tables=None):
+    """Hand-crafted new-style-JPEG TIFF (compression 7): each chunk is
+    an independent baseline JPEG stream; optional JPEGTables tag 347
+    carries the shared abbreviated table stream."""
+    from openeo_processes_dask_ml_spark.io import gtiff as G
+
+    def longs(vals):
+        return struct.pack(f"<{len(vals)}I", *vals)
+
+    def shorts(vals):
+        return struct.pack(f"<{len(vals)}H", *vals)
+
+    def entries(offsets):
+        es = [
+            (G._T_WIDTH, G._TYPE_LONG, 1, w),
+            (G._T_LENGTH, G._TYPE_LONG, 1, h),
+            (G._T_BITS, G._TYPE_SHORT, spp, shorts([8] * spp)),
+            (G._T_COMPRESSION, G._TYPE_SHORT, 1, 7),
+            (G._T_PHOTOMETRIC, G._TYPE_SHORT, 1, 6 if spp == 3 else 1),
+            (G._T_SPP, G._TYPE_SHORT, 1, spp),
+        ]
+        counts = [len(p) for p in chunks]
+        if tile:
+            es += [
+                (G._T_TILE_WIDTH, G._TYPE_LONG, 1, tile[1]),
+                (G._T_TILE_LENGTH, G._TYPE_LONG, 1, tile[0]),
+                (G._T_TILE_OFFSETS, G._TYPE_LONG, len(offsets), longs(offsets)),
+                (G._T_TILE_COUNTS, G._TYPE_LONG, len(counts), longs(counts)),
+            ]
+        else:
+            es += [
+                (G._T_STRIP_OFFSETS, G._TYPE_LONG, len(offsets), longs(offsets)),
+                (G._T_ROWS_PER_STRIP, G._TYPE_LONG, 1, rows_per_strip or h),
+                (G._T_STRIP_COUNTS, G._TYPE_LONG, len(counts), longs(counts)),
+            ]
+        if jpeg_tables is not None:
+            es.append((G._T_JPEG_TABLES, 7, len(jpeg_tables), bytes(jpeg_tables)))
+        return sorted(es, key=lambda e: e[0])
+
+    probe = G._emit_ifd(entries([0] * len(chunks)), 8, 0)
+    data_start = 8 + len(probe)
+    offsets, pos = [], data_start
+    for p in chunks:
+        offsets.append(pos)
+        pos += len(p)
+    ifd = G._emit_ifd(entries(offsets), 8, 0)
+    assert len(ifd) == len(probe)
+    return struct.pack("<2sHI", b"II", 42, 8) + ifd + b"".join(chunks)
+
+
+def test_jpeg_in_tiff_strips():
+    """Compression-7 strips: independent grayscale JPEG streams per
+    strip decode and stack into the declared (H, W)."""
+    from test_jpeg import _fdct_blocks, _gray_jpeg
+
+    rng = np.random.default_rng(21)
+    img = np.clip(
+        128 + np.cumsum(rng.normal(0, 4, (16, 24)), axis=1), 30, 220
+    ).astype(np.uint8)
+    top = _gray_jpeg(_fdct_blocks(img[:8]), 8, 24)
+    bot = _gray_jpeg(_fdct_blocks(img[8:]), 8, 24)
+    payload = _jpeg_tiff([top, bot], 16, 24, 1, rows_per_strip=8)
+    out, _ = decode_gtiff(payload)
+    assert out.shape == (16, 24)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_in_tiff_tiled_with_jpegtables():
+    """Compression-7 tiles sharing DQT/DHT via the JPEGTables tag: the
+    abbreviated table stream splices after each tile's SOI."""
+    from test_jpeg import (
+        _AC_COUNTS, _AC_SYMBOLS, _DC_COUNTS, _DC_SYMBOLS,
+        _dht, _dqt, _fdct_blocks, _gray_jpeg,
+    )
+
+    rng = np.random.default_rng(22)
+    img = np.clip(
+        128 + np.cumsum(rng.normal(0, 3, (16, 16)), axis=0), 30, 220
+    ).astype(np.uint8)
+    tables = (
+        b"\xff\xd8"
+        + _dqt(0, [1] * 64)
+        + _dht(0, 0, _DC_COUNTS, _DC_SYMBOLS)
+        + _dht(1, 0, _AC_COUNTS, _AC_SYMBOLS)
+        + b"\xff\xd9"
+    )
+
+    def strip_tables(jp: bytes) -> bytes:
+        # the per-tile stream keeps only SOI + SOF0 + SOS + entropy:
+        # drop DQT (ffdb) and DHT (ffc4) segments
+        out = bytearray(b"\xff\xd8")
+        i = 2
+        while i < len(jp) - 1:
+            assert jp[i] == 0xFF
+            m = jp[i + 1]
+            if m == 0xDA:
+                out += jp[i:-0 or None]
+                break
+            (ln,) = struct.unpack(">H", jp[i + 2 : i + 4])
+            if m not in (0xDB, 0xC4):
+                out += jp[i : i + 2 + ln]
+            i += 2 + ln
+        return bytes(out)
+
+    tiles = [
+        strip_tables(_gray_jpeg(_fdct_blocks(img[y : y + 8, x : x + 8]), 8, 8))
+        for y in (0, 8)
+        for x in (0, 8)
+    ]
+    payload = _jpeg_tiff(
+        tiles, 16, 16, 1, tile=(8, 8), jpeg_tables=tables
+    )
+    out, _ = decode_gtiff(payload)
+    assert out.shape == (16, 16)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_in_tiff_color_and_guards():
+    """A 3-sample YCbCr (photometric 6) strip decodes to RGB; channel
+    mismatch against SamplesPerPixel raises instead of mis-shaping."""
+    from test_jpeg import _color_jpeg_420, _fdct_blocks, _gray_jpeg
+
+    rng = np.random.default_rng(23)
+    base = np.cumsum(rng.normal(0, 2, (16, 16)), axis=1)
+    img = np.stack(
+        [np.clip(120 + base, 40, 215)] * 3, axis=-1
+    ).astype(np.uint8)
+    payload = _jpeg_tiff([_color_jpeg_420(img)], 16, 16, 3)
+    out, _ = decode_gtiff(payload)
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+    gray = _gray_jpeg(_fdct_blocks(np.full((8, 8), 90, np.uint8)), 8, 8)
+    with pytest.raises(ValueError, match="SamplesPerPixel"):
+        decode_gtiff(_jpeg_tiff([gray], 8, 8, 3))
