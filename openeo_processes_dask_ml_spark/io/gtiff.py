@@ -22,8 +22,10 @@ organization, with ModelPixelScale/ModelTiepoint/GeoKeyDirectory
 georeferencing — i.e. the interior layout of real deflate or LZW COGs
 (the decoder reads IFD 0, the full-resolution image; overview IFDs
 are pyramid copies), in classic or BigTIFF (magic 43, 64-bit offset)
-containers. JPEG compression still raises a clear
-``NotImplementedError`` pointing at rasterio; the format is never
+containers. New-style JPEG (compression 7 + JPEGTables) decodes
+through the pure-numpy baseline decoder in ``io/jpeg.py``; only
+old-style JPEG (6, deprecated by TIFF-EP) still raises a clear
+``NotImplementedError`` pointing at rasterio — the format is never
 faked.
 
 The distributed writer is the scale path: one GeoTIFF per (item, band)
