@@ -2845,6 +2845,96 @@ def q_raster_decode_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.df.select("item_id", "band", "y", "x", "value")
 
 
+def _synth_jpeg(i: int) -> bytes:
+    """Deterministic DC-ONLY baseline JPEG (16x16 grayscale, four 8x8
+    blocks): with all-ones quant tables and zero AC coefficients, the
+    T.81 IDCT of a DC-only block is EXACTLY flat at DC/8 + 128, so the
+    decoded pixels are integers an SQL oracle can replay — block
+    (by, bx) of item i is (i*5 + by*2 + bx) + 128. Self-contained
+    assembly (tiny canonical Huffman tables: DC categories 0..15 as
+    5-bit codes, a single 1-bit EOB code for AC)."""
+    import struct as _s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    bits: list[int] = []
+
+    def put(value, width):
+        for b in range(width - 1, -1, -1):
+            bits.append((value >> b) & 1)
+
+    pred = 0
+    for by in range(2):
+        for bx in range(2):
+            dc = 8 * (i * 5 + by * 2 + bx)  # pixel = dc/8 + 128
+            diff = dc - pred
+            pred = dc
+            t = 0 if diff == 0 else (diff if diff > 0 else -diff).bit_length()
+            put(t, 5)
+            if t:
+                put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            put(0, 1)  # EOB (single length-1 AC code)
+    bits += [1] * (-len(bits) % 8)
+    entropy = bytearray()
+    for k in range(0, len(bits), 8):
+        b = 0
+        for bit in bits[k : k + 8]:
+            b = (b << 1) | bit
+        entropy.append(b)
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC0, bytes([8]) + _s.pack(">HH", 16, 16) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 0, 16] + [0] * 11) + bytes(range(16)))
+        + seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(entropy).replace(b"\xff", b"\xff\x00")
+        + b"\xff\xd9"
+    )
+    return payload
+
+
+def _synth_jpeg_fetch(href: str) -> bytes:
+    """Fetcher for 'synthjpg://{i}/gray' hrefs (module-level so
+    executors import it instead of pickling test state)."""
+    return _synth_jpeg(int(href.split("/")[2]))
+
+
+def q_raster_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-numpy baseline JPEG decoder (io/jpeg.py, NEW r10)
+    under the driver's VALUE gate: 4 grayscale DC-only JPEG assets fan
+    out through the standard decode path (marker parse, canonical
+    Huffman, dequant, IDCT, level shift) and the oracle replays the
+    closed-form result — a DC-only 8x8 block is exactly flat at
+    DC/8 + 128 per the T.81 IDCT, so every decoded pixel is an integer
+    the SQL side reproduces from the block-position formula. A
+    mismatch means the entropy decode, predictor chain, IDCT, or
+    coordinate math broke. (AC-bearing JPEGs are covered by the
+    spec-formula unit tests in tests/test_jpeg.py; the gate uses the
+    SQL-expressible subset.)"""
+    from openeo_processes_dask_ml_spark.io.raster import (
+        decode_assets_to_cube,
+    )
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+    rows = [
+        (
+            f"item{i}",
+            "synthjpg/coll",
+            "2024-01-01T00:00:00Z",
+            "gray",
+            f"synthjpg://{i}/gray",
+            "image/jpeg",
+            [0.0, 0.0, 16.0, 16.0],
+        )
+        for i in range(4)
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    cube = decode_assets_to_cube(assets, _synth_jpeg_fetch)
+    return cube.df.select("item_id", "band", "y", "x", "value")
+
+
 def q_raster_ndvi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship chain fully distributed under the gate:
     STAC asset table -> mapInPandas decode -> ndvi band math -> monthly
@@ -3057,30 +3147,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green round per query: 30 at r7, 47 at r8, 49 at r9;
     # profile_table red r7-r9 — gate swapped this round to the
     # empirically driver-green per-stat shape):
-    #   slots 1-3: profile_table (NOW the per-stat shape on lineitem,
+    #   slots 1-4: profile_table (NOW the per-stat shape on lineitem,
     #     directive 1), the NEW wide-shape probe
     #     profile_table_wide_probe (pivot of the green shape vs the
     #     r7-r9 wide oracle — settles whether the 4x10 layout is
-    #     unhashable at the driver), and the NEW COG overview-read
-    #     gate raster_decode_overview (directive 4).
-    #   slots 4-33: ALL 30 r7-greens — the oldest cohort, due by the
+    #     unhashable at the driver), the NEW COG overview-read gate
+    #     raster_decode_overview (directive 4), and the NEW
+    #     raster_decode_jpeg (DC-only closed-form value oracle for the
+    #     r10 pure-numpy JPEG decoder).
+    #   slots 5-34: ALL 30 r7-greens — the oldest cohort, due by the
     #     3-round-cycle protocol (directive 2).
-    #   slots 34-50: the 17 oldest r8-greens.
-    # Tail: the 30 remaining r8-greens first (they fill the r11
+    #   slots 35-50: the 16 oldest r8-greens.
+    # Tail: the 31 remaining r8-greens first (they fill the r11
     # window next round), then the 49 r9-window greens (freshest
     # last; profile_table_cols leads that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 129 queries
+    # Rotation arithmetic (standing, stated honestly): at 130 queries
     # and a 50-slot window the steady-state re-verification cadence is
-    # ceil(129/50) = 3 rounds; after r10 every query's latest driver
+    # ceil(130/50) = 3 rounds; after r10 every query's latest driver
     # green is <= 2 rounds old.
     return {
-        # --- slots 1-3: swapped gate (driver-green shape) + wide probe
-        #     + NEW overview-read gate (VERDICT r9 next #4) ---
+        # --- slots 1-4: swapped gate (driver-green shape) + wide probe
+        #     + NEW overview-read gate (VERDICT r9 next #4) + NEW
+        #     JPEG-decoder gate (DC-only closed-form oracle) ---
         "profile_table": q_profile_table,
         "profile_table_wide_probe": q_profile_table_wide_probe,
         "raster_decode_overview": q_raster_decode_overview,
-        # --- slots 4-33: ALL 30 r7-greens (3 rounds old -- due by protocol) ---
+        "raster_decode_jpeg": q_raster_decode_jpeg,
+        # --- slots 5-34: ALL 30 r7-greens (3 rounds old -- due by protocol) ---
         "url_dedup": q_url_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "pipeline_web_ingest": q_pipeline_web_ingest,
@@ -3111,7 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_temporal": q_filter_temporal,
         "apply_unary": q_apply_unary,
         "doc_fingerprint": q_doc_fingerprint,
-        # --- slots 34-50: the 17 oldest r8-greens ---
+        # --- slots 35-50: the 16 oldest r8-greens ---
         "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
         "quarantine_ingest": q_quarantine_ingest,
         "duplicated_spans_combine": q_duplicated_spans_combine,
@@ -3128,8 +3222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_zonal": q_graph_zonal,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
+        # --- tail: 31 remaining r8-greens (they fill the r11 window next) ---
         "streaming_enrich": q_streaming_enrich,
-        # --- tail: 30 remaining r8-greens (they fill the r11 window next) ---
         "unigram_logprob": q_unigram_logprob,
         "ccnet_buckets": q_ccnet_buckets,
         "mixture_sample": q_mixture_sample,
@@ -6143,6 +6237,20 @@ SELECT 'item' || i AS item_id,
        16.0 - (yy + 0.5) * 2 AS y,
        (xx + 0.5) * 2 AS x,
        CAST((i * 31 + (2 * yy) * 16 + 2 * xx) % 251 AS DOUBLE) AS value
+FROM items, px
+"""
+
+    # DC-only JPEG replay (r10): a DC-only block IDCTs to exactly
+    # DC/8 + 128, so decoded pixels follow the block-position formula
+    # closed-form; north-up centers over bbox [0,0,16,16]
+    sql["raster_decode_jpeg"] = """
+WITH items AS (SELECT i FROM range(4) r(i)),
+px AS (SELECT yy, xx FROM range(16) a(yy), range(16) c(xx))
+SELECT 'item' || i AS item_id,
+       'gray' AS band,
+       16.0 - (yy + 0.5) AS y,
+       xx + 0.5 AS x,
+       CAST(i * 5 + (yy // 8) * 2 + (xx // 8) + 128 AS DOUBLE) AS value
 FROM items, px
 """
 

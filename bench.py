@@ -105,9 +105,11 @@ HEADLINE = [
     "decontaminate_semantic",
     # round 9 additions (VERDICT r8 #1 bisect twin)
     "profile_table_cols",
-    # round 10 additions (VERDICT r9 #1 wide-shape probe, #4 overview read)
+    # round 10 additions (VERDICT r9 #1 wide-shape probe, #4 overview
+    # read, JPEG-decoder value gate)
     "profile_table_wide_probe",
     "raster_decode_overview",
+    "raster_decode_jpeg",
 ]
 
 
