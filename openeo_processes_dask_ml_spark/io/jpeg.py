@@ -142,6 +142,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        # optional 0xFF fill bytes before a marker (B.1.1.2)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

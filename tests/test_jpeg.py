@@ -358,3 +358,13 @@ def test_decode_image_dispatches_jpeg():
     zz = [8] + [0] * 63
     out = decode_image(_gray_jpeg([zz], 8, 8, q=q), "jpg")
     assert (out == 144).all()
+
+
+def test_fill_bytes_before_marker():
+    """B.1.1.2: any number of 0xFF fill bytes may precede a marker."""
+    q = [16] + [1] * 63
+    zz = [8] + [0] * 63
+    payload = _gray_jpeg([zz], 8, 8, q=q)
+    # inject fill bytes before the SOF0 marker
+    padded = payload.replace(b"\xff\xc0", b"\xff\xff\xff\xc0")
+    assert (decode_jpeg(padded) == 144).all()
