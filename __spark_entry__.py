@@ -2338,17 +2338,21 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every individual statistic therefore matches cross-engine; only
     the 4-row x 10-column aggregate row layout diverged at the driver.
     Per the judge's directive the gate now ships the empirically green
-    per-stat form. This query profiles LINEITEM while the twin
-    profiles ORDERS, so the two stay independent evidence; the
-    10-column wide form remains the library API
+    per-stat form. This query profiles EVENTS (all four dtype classes:
+    BIGINT event_id, DOUBLE value, VARCHAR event_type, TIMESTAMP ts)
+    while the twin profiles ORDERS, so the two stay independent
+    evidence — and events is the smallest table carrying all four
+    classes, keeping the exact-NDV Expand (4x row replication,
+    gate-only) off the bigger fact tables. The 10-column wide form
+    remains the library API
     (`io/profile.py:profile_table_typed(per_stat=False)`), unit-pinned
     equal to the pivot of this shape, and is probed at the gate via
     `profile_table_wide_probe`."""
     from openeo_processes_dask_ml_spark.io.profile import profile_table_typed
 
     return profile_table_typed(
-        _t(spark, sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate"],
+        _t(spark, sf_dir, "events"),
+        columns=["event_id", "value", "event_type", "ts"],
         exact_ndv=True,
         per_stat=True,
     )
@@ -6337,13 +6341,14 @@ FROM documents WHERE doc_id % 7 IN (3, 5)
         "o_orderdate": ("epoch_us({v})", "NULL_D", "NULL_S"),
     }
     # independent-evidence table for the swapped gate (VERDICT r9 #1):
-    # the gate query profiles LINEITEM per-stat while the twin keeps
-    # profiling ORDERS per-stat
-    prof_typed_lineitem = {
-        "l_orderkey": ("CAST({v} AS BIGINT)", "NULL_D", "NULL_S"),
-        "l_extendedprice": ("NULL_L", "CAST({v} AS DOUBLE)", "NULL_S"),
-        "l_returnflag": ("NULL_L", "NULL_D", "CAST({v} AS VARCHAR)"),
-        "l_shipdate": ("epoch_us({v})", "NULL_D", "NULL_S"),
+    # the gate query profiles EVENTS per-stat while the twin keeps
+    # profiling ORDERS per-stat (events = smallest table with all four
+    # dtype classes, so the gate-only exact-NDV Expand stays cheap)
+    prof_typed_events = {
+        "event_id": ("CAST({v} AS BIGINT)", "NULL_D", "NULL_S"),
+        "value": ("NULL_L", "CAST({v} AS DOUBLE)", "NULL_S"),
+        "event_type": ("NULL_L", "NULL_D", "CAST({v} AS VARCHAR)"),
+        "ts": ("epoch_us({v})", "NULL_D", "NULL_S"),
     }
 
     def _slots(typed: dict, c: str, v: str) -> tuple[str, str, str]:
@@ -6376,8 +6381,8 @@ FROM documents WHERE doc_id % 7 IN (3, 5)
         return "\nUNION ALL\n".join(rows)
 
     # gate query: the empirically driver-green per-stat shape, on
-    # lineitem (independent of the orders twin)
-    sql["profile_table"] = _prof_cell_sql(prof_typed_lineitem, "lineitem")
+    # events (independent of the orders twin)
+    sql["profile_table"] = _prof_cell_sql(prof_typed_events, "events")
     # bisect twin (green since r9): same shape on orders
     sql["profile_table_cols"] = _prof_cell_sql(prof_typed_orders, "orders")
 
