@@ -2398,6 +2398,23 @@ def q_profile_table_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023, NEW r10): select
+    the 50 raw documents whose hashed uni+bigram distribution looks
+    most like a deterministic target-domain sample (doc_id % 17 == 3),
+    via add-one-smoothed bucket log-ratios and deterministic Gumbel
+    top-k (md5 uniforms). The oracle replays featurization, both
+    distributions, the log-ratio weights, and the Gumbel scores in
+    SQL. The famous data-SELECTION step between quality filtering and
+    mixture sampling in an LLM data pipeline."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 17 == 3)
+    raw = docs.filter(F.col("doc_id") % 17 != 3)
+    return dsir_select(raw, target, k=50, n_buckets=1024)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-mass-proportional sampling per source
     (Efraimidis-Spirakis priorities from md5 uniforms): same sample on
@@ -3151,24 +3168,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green round per query: 30 at r7, 47 at r8, 49 at r9;
     # profile_table red r7-r9 — gate swapped this round to the
     # empirically driver-green per-stat shape):
-    #   slots 1-4: profile_table (NOW the per-stat shape on lineitem,
+    #   slots 1-5: profile_table (NOW the per-stat shape on events,
     #     directive 1), the NEW wide-shape probe
     #     profile_table_wide_probe (pivot of the green shape vs the
     #     r7-r9 wide oracle — settles whether the 4x10 layout is
     #     unhashable at the driver), the NEW COG overview-read gate
-    #     raster_decode_overview (directive 4), and the NEW
+    #     raster_decode_overview (directive 4), the NEW
     #     raster_decode_jpeg (DC-only closed-form value oracle for the
-    #     r10 pure-numpy JPEG decoder).
-    #   slots 5-34: ALL 30 r7-greens — the oldest cohort, due by the
+    #     r10 pure-numpy JPEG decoder), and the NEW dsir_select
+    #     (DSIR importance resampling, full SQL replay).
+    #   slots 6-35: ALL 30 r7-greens — the oldest cohort, due by the
     #     3-round-cycle protocol (directive 2).
-    #   slots 35-50: the 16 oldest r8-greens.
-    # Tail: the 31 remaining r8-greens first (they fill the r11
+    #   slots 36-50: the 15 oldest r8-greens.
+    # Tail: the 32 remaining r8-greens first (they fill the r11
     # window next round), then the 49 r9-window greens (freshest
     # last; profile_table_cols leads that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 130 queries
+    # Rotation arithmetic (standing, stated honestly): at 131 queries
     # and a 50-slot window the steady-state re-verification cadence is
-    # ceil(130/50) = 3 rounds; after r10 every query's latest driver
+    # ceil(131/50) = 3 rounds; after r10 every query's latest driver
     # green is <= 2 rounds old.
     return {
         # --- slots 1-4: swapped gate (driver-green shape) + wide probe
@@ -3178,7 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table_wide_probe": q_profile_table_wide_probe,
         "raster_decode_overview": q_raster_decode_overview,
         "raster_decode_jpeg": q_raster_decode_jpeg,
-        # --- slots 5-34: ALL 30 r7-greens (3 rounds old -- due by protocol) ---
+        "dsir_select": q_dsir_select,
+        # --- slots 6-35: ALL 30 r7-greens (3 rounds old -- due by protocol) ---
         "url_dedup": q_url_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "pipeline_web_ingest": q_pipeline_web_ingest,
@@ -3209,7 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_temporal": q_filter_temporal,
         "apply_unary": q_apply_unary,
         "doc_fingerprint": q_doc_fingerprint,
-        # --- slots 35-50: the 16 oldest r8-greens ---
+        # --- slots 36-50: the 15 oldest r8-greens ---
         "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
         "quarantine_ingest": q_quarantine_ingest,
         "duplicated_spans_combine": q_duplicated_spans_combine,
@@ -3225,8 +3244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fit_curve": q_graph_fit_curve,
         "graph_zonal": q_graph_zonal,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # --- tail: 32 remaining r8-greens (they fill the r11 window next) ---
         "pack_sequences": q_pack_sequences,
-        # --- tail: 31 remaining r8-greens (they fill the r11 window next) ---
         "streaming_enrich": q_streaming_enrich,
         "unigram_logprob": q_unigram_logprob,
         "ccnet_buckets": q_ccnet_buckets,
@@ -5992,6 +6011,67 @@ FROM r WHERE rank <= 3
     # — deterministic uniforms, so both engines draw the same sample;
     # ln() agrees to ~1 ulp and the md5 keys make rank-flipping ties
     # practically impossible (same acceptance as unigram_logprob).
+    # DSIR replay (r10): hashed uni+bigram buckets, add-one-smoothed
+    # target/raw distributions, per-doc log-ratio sums, deterministic
+    # Gumbel top-k from md5 uniforms; dround twins on the two floats
+    sql["dsir_select"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(toks) AS g FROM toks
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM toks
+), bucketed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g || '#dsir'), 1, 15))::BIGINT % 1024 AS bucket
+  FROM grams
+), doc_bucket AS (
+  SELECT doc_id, bucket, count(*) AS cnt
+  FROM bucketed WHERE doc_id % 17 <> 3 GROUP BY 1, 2
+), t_dist AS (
+  SELECT bucket, count(*) AS t_cnt
+  FROM bucketed WHERE doc_id % 17 = 3 GROUP BY 1
+), r_dist AS (
+  SELECT bucket, sum(cnt) AS r_cnt FROM doc_bucket GROUP BY 1
+), dist AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         coalesce(t_cnt, 0) AS t_cnt,
+         coalesce(r_cnt, 0) AS r_cnt
+  FROM t_dist t FULL OUTER JOIN r_dist r ON t.bucket = r.bucket
+), tot AS (
+  SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM dist
+), ratios AS (
+  SELECT bucket,
+         ln((t_cnt + 1.0) / (t_tot + 1024.0))
+         - ln((r_cnt + 1.0) / (r_tot + 1024.0)) AS log_ratio
+  FROM dist, tot
+), weights AS (
+  SELECT db.doc_id,
+         sum(db.cnt * ratios.log_ratio) AS logw,
+         sum(db.cnt) AS n_grams
+  FROM doc_bucket db JOIN ratios ON db.bucket = ratios.bucket
+  GROUP BY 1
+), scored AS (
+  SELECT doc_id, n_grams, logw,
+         logw + (-ln(-ln(
+           (('0x' || substr(md5(doc_id::VARCHAR || '#dsirg'), 1, 15))::BIGINT
+            + 1) / 1152921504606846976.0))) AS score
+  FROM weights
+)
+SELECT doc_id, n_grams,
+       floor(logw * 1000000.0 + 0.5) / 1000000.0 AS log_weight,
+       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+         AS rank
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 50
+"""
+
     sql["weighted_sample"] = r"""
 WITH base AS (
   SELECT source, doc_id,

@@ -106,10 +106,11 @@ HEADLINE = [
     # round 9 additions (VERDICT r8 #1 bisect twin)
     "profile_table_cols",
     # round 10 additions (VERDICT r9 #1 wide-shape probe, #4 overview
-    # read, JPEG-decoder value gate)
+    # read, JPEG-decoder value gate, DSIR data selection)
     "profile_table_wide_probe",
     "raster_decode_overview",
     "raster_decode_jpeg",
+    "dsir_select",
 ]
 
 

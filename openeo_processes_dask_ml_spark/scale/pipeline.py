@@ -678,3 +678,127 @@ def decontaminate_semantic(
         .filter(F.col("rank") == 1)
         .select("train_id", "eval_id", "cosine")
     )
+
+
+def _dsir_bucket_rows(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket) rows of hashed uni+bigram features — the DSIR
+    featurization (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): every unigram and bigram
+    hashes into one of ``n_buckets`` buckets, COUNTS kept (not
+    distinct). Shape: posexplode tokens + ONE lead() window for the
+    bigram, everything else whole-stage codegen; the only movement is
+    the window shuffle on doc_id."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # materialize the lead in its own projection: a window expression
+    # cannot live inside the Generate of the explode that follows
+    led = ex.select(
+        "doc_id", "tok", F.lead("tok", 1).over(w).alias("nxt")
+    )
+    grams = F.array_compact(
+        F.array(
+            F.col("tok"),
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.concat_ws(" ", F.col("tok"), F.col("nxt")),
+            ),
+        )
+    )
+    return led.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id",
+        F.pmod(hash60(F.col("gram"), "dsir"), F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 50,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): pick the ``k`` raw
+    documents whose hashed-n-gram distribution looks most like a small
+    TARGET domain sample, via importance resampling.
+
+    1. Featurize both sides into hashed uni+bigram bucket counts.
+    2. Fit add-one-smoothed bucket distributions p (target) and q
+       (raw); per-bucket log ratio ln(p_b) - ln(q_b).
+    3. Per-doc importance log-weight = sum over its grams of the
+       bucket log ratio.
+    4. Gumbel top-k: score = logw + Gumbel(md5 uniform) — sampling
+       proportional to softmax of the log-weights, DETERMINISTIC
+       across engines/runs/retries (same md5-uniform posture as
+       ``weighted_sample``; ties broken by doc_id).
+
+    100 TB shape: the per-(doc, bucket) count aggregation is ONE
+    shuffle whose exchange is REUSED by both consumers (the raw
+    distribution rollup and the weight join read the same shuffle
+    output), the bucket-distribution table is at most ``n_buckets``
+    rows and broadcasts into the weight join, the target side is
+    domain-sample-sized by construction, and the final selection is a
+    per-partition top-k merge (TakeOrderedAndProject), never a global
+    sort of the corpus. Float posture: the log-ratio sum follows the
+    ``bigram_logprob`` precedent (doubles + dround(6) on outputs;
+    ranking ties broken by id).
+    """
+    doc_bucket = (
+        _dsir_bucket_rows(raw, text_col, id_col, n_buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t_dist = (
+        _dsir_bucket_rows(target, text_col, id_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    r_dist = doc_bucket.groupBy("bucket").agg(F.sum("cnt").alias("r_cnt"))
+    dist = t_dist.join(r_dist, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+        F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+    )
+    totals = dist.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    B = float(n_buckets)
+    log_ratio = F.log(
+        (F.col("t_cnt") + F.lit(1.0)) / (F.col("t_tot") + F.lit(B))
+    ) - F.log((F.col("r_cnt") + F.lit(1.0)) / (F.col("r_tot") + F.lit(B)))
+    ratios = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket", log_ratio.alias("log_ratio")
+    )
+    weights = (
+        doc_bucket.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("logw"),
+            F.sum("cnt").alias("n_grams"),
+        )
+    )
+    two60 = float(1 << 60)
+    u = (hash60(F.col("doc_id").cast("string"), "dsirg") + F.lit(1)).cast(
+        "double"
+    ) / F.lit(two60)
+    gumbel = -F.log(-F.log(u))
+    scored = weights.select(
+        "doc_id",
+        "n_grams",
+        F.col("logw"),
+        (F.col("logw") + gumbel).alias("score"),
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        "n_grams",
+        dround(F.col("logw"), 6).alias("log_weight"),
+        dround(F.col("score"), 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )

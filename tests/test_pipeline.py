@@ -195,3 +195,35 @@ def test_corpus_diff_statuses(spark):
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     # doc 3: differs only by case/whitespace -> normalized-unchanged
     assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): raw docs sharing the target domain's
+    n-gram distribution must out-rank off-domain docs, the log-weights
+    must be higher for on-domain docs, and the selection must be
+    deterministic across reruns (md5-uniform Gumbel noise)."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import dsir_select
+
+    med = "the patient showed elevated cardiac enzyme levels after surgery"
+    web = "click here to win a free prize now buy cheap deals online"
+    target = spark.createDataFrame(
+        [(1000 + i, med) for i in range(6)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(i, med if i % 2 == 0 else web) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = dsir_select(raw, target, k=10, n_buckets=256).collect()
+    assert len(out) == 10
+    picked = {r["doc_id"] for r in out}
+    # the medical (even-id) docs dominate the selection
+    assert sum(1 for d in picked if d % 2 == 0) >= 8
+    by_id = {r["doc_id"]: r for r in out}
+    meds = [r["log_weight"] for r in out if r["doc_id"] % 2 == 0]
+    webs = [r["log_weight"] for r in out if r["doc_id"] % 2 == 1]
+    if meds and webs:
+        assert min(meds) > max(webs)
+    # ranks are 1..k and deterministic on a rerun
+    assert sorted(r["rank"] for r in out) == list(range(1, 11))
+    again = dsir_select(raw, target, k=10, n_buckets=256).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
