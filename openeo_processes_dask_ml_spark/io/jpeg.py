@@ -145,12 +145,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # optional 0xFF fill bytes before a marker (B.1.1.2)
         while pos + 1 < n and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= n:
+            raise ValueError("truncated JPEG: payload ends mid-marker")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # TEM / bare RSTn outside a scan
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG: payload ends mid-segment")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -172,6 +176,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 counts = list(seg[i + 1 : i + 17])
                 total = sum(counts)
                 syms = seg[i + 17 : i + 17 + total]
+                if len(counts) < 16 or len(syms) < total:
+                    raise ValueError("truncated JPEG: short DHT segment")
                 (dc_tables if tc == 0 else ac_tables)[th] = _Huff(counts, syms)
                 i += 17 + total
         elif marker == 0xC0:  # SOF0 baseline

@@ -368,3 +368,20 @@ def test_fill_bytes_before_marker():
     # inject fill bytes before the SOF0 marker
     padded = payload.replace(b"\xff\xc0", b"\xff\xff\xff\xc0")
     assert (decode_jpeg(padded) == 144).all()
+
+
+def test_truncated_payload_clear_error():
+    """A crawl-truncated payload must raise a descriptive ValueError
+    (survivable by decode_assets_to_cube(on_error='skip')), never a
+    raw IndexError from header indexing."""
+    rng = np.random.default_rng(1)
+    img = np.clip(
+        128 + np.cumsum(rng.normal(0, 4, (16, 16)), axis=1), 30, 220
+    ).astype(np.uint8)
+    p = _gray_jpeg(_fdct_blocks(img), 16, 16)
+    for cut in (3, 8, len(p) // 4):
+        with pytest.raises(ValueError, match="JPEG"):
+            decode_jpeg(p[:cut])
+    # a stream that merely loses its EOI still decodes (lenient pad
+    # bits, F.2.2.5)
+    assert decode_jpeg(p[:-2]).shape == (16, 16)
