@@ -2956,6 +2956,64 @@ def q_raster_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.df.select("item_id", "band", "y", "x", "value")
 
 
+def _synth_png_fetch(href: str) -> bytes:
+    """Deterministic grayscale PNG for 'synthpng://{i}/gray' hrefs:
+    8x8, v = (i*31 + y*8 + x) % 251, assembled here from raw chunks
+    (signature/IHDR/IDAT with filter-0 scanlines/IEND) so the gate
+    exercises the decoder against an INDEPENDENT writer, not the
+    module's own encode_png."""
+    import struct as _s
+    import zlib as _z
+
+    i = int(href.split("/")[2])
+    scan = bytearray()
+    for y in range(8):
+        scan.append(0)  # filter 0
+        scan += bytes((i * 31 + y * 8 + x) % 251 for x in range(8))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(data)) + ctype + data
+            + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def q_raster_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-numpy PNG decoder (io/png.py, NEW r10) under the
+    driver's VALUE gate: PNG is lossless, so unlike the DC-only JPEG
+    construction the ENTIRE formula replays exactly — 4 grayscale
+    filter-0 PNGs (assembled independently of the codec module) fan
+    out through the standard asset decode path and every pixel must
+    equal (i*31 + y*8 + x) % 251 at the PGM-gate coordinate math."""
+    from openeo_processes_dask_ml_spark.io.raster import (
+        decode_assets_to_cube,
+    )
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+    rows = [
+        (
+            f"item{i}",
+            "synthpng/coll",
+            "2024-01-01T00:00:00Z",
+            "gray",
+            f"synthpng://{i}/gray",
+            "image/png",
+            [0.0, 0.0, 8.0, 8.0],
+        )
+        for i in range(4)
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    cube = decode_assets_to_cube(assets, _synth_png_fetch)
+    return cube.df.select("item_id", "band", "y", "x", "value")
+
+
 def q_raster_ndvi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship chain fully distributed under the gate:
     STAC asset table -> mapInPandas decode -> ndvi band math -> monthly
@@ -3175,18 +3233,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     unhashable at the driver), the NEW COG overview-read gate
     #     raster_decode_overview (directive 4), the NEW
     #     raster_decode_jpeg (DC-only closed-form value oracle for the
-    #     r10 pure-numpy JPEG decoder), and the NEW dsir_select
-    #     (DSIR importance resampling, full SQL replay).
-    #   slots 6-35: ALL 30 r7-greens — the oldest cohort, due by the
+    #     r10 pure-numpy JPEG decoder), the NEW raster_decode_png
+    #     (lossless full-formula replay for the r10 PNG decoder), and
+    #     the NEW dsir_select (DSIR importance resampling, full SQL
+    #     replay).
+    #   slots 7-36: ALL 30 r7-greens — the oldest cohort, due by the
     #     3-round-cycle protocol (directive 2).
-    #   slots 36-50: the 15 oldest r8-greens.
-    # Tail: the 32 remaining r8-greens first (they fill the r11
+    #   slots 37-50: the 14 oldest r8-greens.
+    # Tail: the 33 remaining r8-greens first (they fill the r11
     # window next round), then the 49 r9-window greens (freshest
     # last; profile_table_cols leads that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 131 queries
+    # Rotation arithmetic (standing, stated honestly): at 132 queries
     # and a 50-slot window the steady-state re-verification cadence is
-    # ceil(131/50) = 3 rounds; after r10 every query's latest driver
+    # ceil(132/50) = 3 rounds; after r10 every query's latest driver
     # green is <= 2 rounds old.
     return {
         # --- slots 1-4: swapped gate (driver-green shape) + wide probe
@@ -3196,8 +3256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table_wide_probe": q_profile_table_wide_probe,
         "raster_decode_overview": q_raster_decode_overview,
         "raster_decode_jpeg": q_raster_decode_jpeg,
+        "raster_decode_png": q_raster_decode_png,
         "dsir_select": q_dsir_select,
-        # --- slots 6-35: ALL 30 r7-greens (3 rounds old -- due by protocol) ---
+        # --- slots 7-36: ALL 30 r7-greens (3 rounds old -- due by protocol) ---
         "url_dedup": q_url_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "pipeline_web_ingest": q_pipeline_web_ingest,
@@ -3228,7 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_temporal": q_filter_temporal,
         "apply_unary": q_apply_unary,
         "doc_fingerprint": q_doc_fingerprint,
-        # --- slots 36-50: the 15 oldest r8-greens ---
+        # --- slots 37-50: the 14 oldest r8-greens ---
         "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
         "quarantine_ingest": q_quarantine_ingest,
         "duplicated_spans_combine": q_duplicated_spans_combine,
@@ -3243,8 +3304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "graph_fit_curve": q_graph_fit_curve,
         "graph_zonal": q_graph_zonal,
+        # --- tail: 33 remaining r8-greens (they fill the r11 window next) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        # --- tail: 32 remaining r8-greens (they fill the r11 window next) ---
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
         "unigram_logprob": q_unigram_logprob,
@@ -6321,6 +6382,19 @@ SELECT 'item' || i AS item_id,
        16.0 - (yy + 0.5) * 2 AS y,
        (xx + 0.5) * 2 AS x,
        CAST((i * 31 + (2 * yy) * 16 + 2 * xx) % 251 AS DOUBLE) AS value
+FROM items, px
+"""
+
+    # lossless PNG replay (r10): the full payload formula replays
+    # exactly (same coordinate math as raster_decode_cube's PGM gate)
+    sql["raster_decode_png"] = """
+WITH items AS (SELECT i FROM range(4) r(i)),
+px AS (SELECT y, x FROM range(8) a(y), range(8) c(x))
+SELECT 'item' || i AS item_id,
+       'gray' AS band,
+       8.0 - (y + 0.5) AS y,
+       x + 0.5 AS x,
+       CAST((i * 31 + y * 8 + x) % 251 AS DOUBLE) AS value
 FROM items, px
 """
 

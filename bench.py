@@ -110,6 +110,7 @@ HEADLINE = [
     "profile_table_wide_probe",
     "raster_decode_overview",
     "raster_decode_jpeg",
+    "raster_decode_png",
     "dsir_select",
 ]
 

@@ -47,6 +47,7 @@ _MEDIA_FMTS = {
     "image/x-portable-pixmap": "ppm",
     "image/bmp": "bmp",
     "image/jpeg": "jpg",
+    "image/png": "png",
     "image/tiff; application=geotiff; profile=cloud-optimized": "cog",
     "image/tiff; application=geotiff": "gtiff",
     "image/tiff": "gtiff",

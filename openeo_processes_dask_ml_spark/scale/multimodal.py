@@ -126,6 +126,12 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     return decode_jpeg(payload)
 
 
+def _decode_png(payload: bytes) -> "np.ndarray":
+    from openeo_processes_dask_ml_spark.io.png import decode_png
+
+    return decode_png(payload)
+
+
 _PURE_DECODERS = {
     "ppm": _decode_pnm,
     "pgm": _decode_pnm,
@@ -136,6 +142,7 @@ _PURE_DECODERS = {
     "cog": _decode_tiff,
     "jpg": _decode_jpeg,
     "jpeg": _decode_jpeg,
+    "png": _decode_png,
 }
 
 

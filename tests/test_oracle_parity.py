@@ -129,7 +129,8 @@ def test_driver_window_composition_pinned():
     window = list(entry.queries().keys())[:50]
     assert window == [
         "profile_table", "profile_table_wide_probe",
-        "raster_decode_overview", "raster_decode_jpeg", "dsir_select",
+        "raster_decode_overview", "raster_decode_jpeg",
+        "raster_decode_png", "dsir_select",
         "url_dedup",
         "cluster_balanced_sample", "pipeline_web_ingest",
         "skew_salted_agg", "corpus_diff", "duplicated_spans",
@@ -147,5 +148,5 @@ def test_driver_window_composition_pinned():
         "decontaminate_semantic", "text_language_id",
         "reduce_dimension", "aggregate_temporal_period",
         "ndvi_bandmath", "window_running_sum", "graph_fit_curve",
-        "graph_zonal", "dedup_minhash_lsh",
+        "graph_zonal",
     ]
