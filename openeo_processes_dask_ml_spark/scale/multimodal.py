@@ -132,6 +132,12 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     return decode_png(payload)
 
 
+def _decode_gif(payload: bytes) -> "np.ndarray":
+    from openeo_processes_dask_ml_spark.io.gif import decode_gif
+
+    return decode_gif(payload)
+
+
 _PURE_DECODERS = {
     "ppm": _decode_pnm,
     "pgm": _decode_pnm,
@@ -143,6 +149,7 @@ _PURE_DECODERS = {
     "jpg": _decode_jpeg,
     "jpeg": _decode_jpeg,
     "png": _decode_png,
+    "gif": _decode_gif,
 }
 
 

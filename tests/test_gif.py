@@ -1,0 +1,186 @@
+"""GIF decoder (io/gif.py) against an INDEPENDENT test-side encoder:
+the forward LZW (LSB-first packing, width growth on table fill, Clear
+resets) is implemented here from the spec's Appendix F description,
+sharing no code with the module's inverse — a decode that reproduces
+the source indices proves the inverse against the spec.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from openeo_processes_dask_ml_spark.io.gif import decode_gif
+
+
+class _LsbBits:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value: int, width: int):
+        for i in range(width):  # LSB first
+            self.bits.append((value >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _lzw_encode_gif(indices: bytes, mcs: int, clear_every: int = 0) -> bytes:
+    """Forward GIF LZW per spec Appendix F: dictionary of strings,
+    Clear emitted at start (and optionally every ``clear_every``
+    output codes, to exercise decoder resets), EOI at end; code width
+    grows when the NEXT assignable code would not fit."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bw = _LsbBits()
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, nxt, width = fresh()
+    bw.put(clear, width)
+    emitted = 0
+    s = b""
+    for ch in indices:
+        s2 = s + bytes([ch])
+        if s2 in table:
+            s = s2
+            continue
+        bw.put(table[s], width)
+        emitted += 1
+        if nxt < 4096:
+            table[s2] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                # the just-assigned code nxt-1 == 1<<width requires the
+                # wider size for the NEXT emitted code
+                width += 1
+        s = bytes([ch])
+        if clear_every and emitted % clear_every == 0:
+            bw.put(table[s], width)
+            bw.put(clear, width)
+            table, nxt, width = fresh()
+            s = b""
+    if s:
+        bw.put(table[s], width)
+    bw.put(eoi, width)
+    return bw.tobytes()
+
+
+def _blocks(data: bytes, size: int = 255) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), size):
+        part = data[i : i + size]
+        out.append(len(part))
+        out += part
+    out.append(0)
+    return bytes(out)
+
+
+def _gif(indices: np.ndarray, palette: list, *, mcs=None, interlace=False,
+         transparent=None, local_table=False, sub_block=255,
+         clear_every=0) -> bytes:
+    h, w = indices.shape
+    n_bits = max(2, (len(palette) - 1).bit_length())
+    table_size = 1 << n_bits
+    pal = bytes(
+        v for c in (list(palette) + [(0, 0, 0)] * table_size)[:table_size]
+        for v in c
+    )
+    mcs = mcs if mcs is not None else max(2, n_bits)
+    rows = indices
+    if interlace:
+        order = [
+            y
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for y in range(start, h, step)
+        ]
+        rows = indices[order]
+    lzw = _lzw_encode_gif(rows.astype(np.uint8).tobytes(), mcs,
+                          clear_every=clear_every)
+    flags = 0x80 | (n_bits - 1) if not local_table else 0
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, flags, 0, 0)
+    if not local_table:
+        out += pal
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    # an unrelated comment extension the decoder must skip
+    out += bytes([0x21, 0xFE]) + _blocks(b"made by hand")
+    iflags = (0x40 if interlace else 0) | (0x80 | (n_bits - 1) if local_table else 0)
+    out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local_table:
+        out += pal
+    out += bytes([mcs]) + _blocks(lzw, sub_block) + bytes([0x3B])
+    return bytes(out)
+
+
+_PAL4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+
+
+def test_basic_decode_and_extension_skip():
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    out = decode_gif(_gif(idx, _PAL4))
+    assert out.shape == (2, 4, 3)
+    np.testing.assert_array_equal(out, np.array(_PAL4, np.uint8)[idx])
+
+
+@pytest.mark.parametrize("sub_block", [255, 3])
+@pytest.mark.parametrize("clear_every", [0, 7])
+def test_lzw_growth_clears_and_subblocks(sub_block, clear_every):
+    """A stream long enough to grow the code width, optionally with
+    mid-stream Clear resets, split into tiny sub-blocks."""
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 4, (24, 32)).astype(np.uint8)
+    out = decode_gif(
+        _gif(idx, _PAL4, sub_block=sub_block, clear_every=clear_every)
+    )
+    np.testing.assert_array_equal(out, np.array(_PAL4, np.uint8)[idx])
+
+
+def test_interlaced_rows_deinterlace():
+    idx = (np.arange(16)[:, None] % 4 * np.ones((1, 5), int)).astype(np.uint8)
+    out = decode_gif(_gif(idx, _PAL4, interlace=True))
+    np.testing.assert_array_equal(out, np.array(_PAL4, np.uint8)[idx])
+
+
+def test_transparency_and_local_table():
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    out = decode_gif(_gif(idx, _PAL4, transparent=1))
+    assert out.shape == (2, 2, 4)
+    np.testing.assert_array_equal(out[..., 3], [[255, 0], [255, 0]])
+    out = decode_gif(_gif(idx, _PAL4, local_table=True))
+    np.testing.assert_array_equal(out, np.array(_PAL4, np.uint8)[idx])
+
+
+def test_eight_bit_palette_256_colors():
+    """mcs=8, full 256-entry table — the common photographic GIF."""
+    pal = [(i, 255 - i, i // 2) for i in range(256)]
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    out = decode_gif(_gif(idx, pal))
+    np.testing.assert_array_equal(out, np.array(pal, np.uint8)[idx])
+
+
+def test_rejections_and_truncations():
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"not a gif")
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    payload = _gif(idx, _PAL4)
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif(payload[:14])
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif(payload[: len(payload) - 6])
+
+
+def test_decode_image_dispatches_gif():
+    from openeo_processes_dask_ml_spark.scale.multimodal import decode_image
+
+    idx = np.array([[0, 3], [1, 2]], dtype=np.uint8)
+    out = decode_image(_gif(idx, _PAL4), "gif")
+    np.testing.assert_array_equal(out, np.array(_PAL4, np.uint8)[idx])
