@@ -703,6 +703,15 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
         else:
             (voff,) = struct.unpack(bo + ofmt, vfield[:osz])
             raw = rd(voff, size)
+        if len(raw) != size:
+            # a corrupt count field can claim gigabytes of values; the
+            # read comes back short — raise BEFORE building the struct
+            # format string (fmt * count on a hostile count is itself
+            # a multi-GB allocation, found by the codec fuzz suite)
+            raise ValueError(
+                f"truncated TIFF: tag {tag} claims {size} value bytes, "
+                f"got {len(raw)}"
+            )
         fmt = _TYPE_FMT.get(typ)
         vals = struct.unpack(bo + fmt * count, raw) if fmt else (raw,)
         tags[tag] = vals

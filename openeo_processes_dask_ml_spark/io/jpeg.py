@@ -78,20 +78,28 @@ class _BitReader:
     """MSB-first bit reader over an UNSTUFFED entropy segment (0xFF00
     already collapsed to 0xFF by the caller)."""
 
-    __slots__ = ("d", "p", "acc", "n")
+    __slots__ = ("d", "p", "acc", "n", "fab")
 
     def __init__(self, data: bytes):
         self.d = data
         self.p = 0
         self.acc = 0
         self.n = 0
+        self.fab = 0
 
     def bit(self) -> int:
         if self.n == 0:
             if self.p >= len(self.d):
-                # past-the-end pad bits read as 1s (F.2.2.5 allows the
-                # final byte's pad; a truncated stream surfaces as a
-                # table miss upstream)
+                # F.2.2.5 allows pad bits (read as 1s) — but only the
+                # final byte's worth. Fabricating more means the scan
+                # genuinely ran out of data: raise instead of decoding
+                # garbage for every remaining MCU (on a hostile header
+                # that is hours of Python loop — a crawl DoS)
+                self.fab += 1
+                if self.fab > 7:
+                    raise ValueError(
+                        "truncated JPEG: entropy data exhausted mid-scan"
+                    )
                 return 1
             self.acc = self.d[self.p]
             self.p += 1
@@ -126,9 +134,16 @@ def _unstuff(data: bytes) -> bytes:
     return data.replace(b"\xff\x00", b"\xff")
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
     """Decode a baseline JFIF/JPEG payload to uint8 ``(H, W)``
-    (grayscale) or ``(H, W, 3)`` RGB."""
+    (grayscale) or ``(H, W, 3)`` RGB.
+
+    ``max_pixels`` (default 64M — an 8192x8192 frame) bounds the
+    declared frame size: the entropy loop is per-coefficient Python,
+    so a hostile header declaring a 65535x65535 frame would otherwise
+    turn into a multi-hour decode of garbage bits — on a crawl decode
+    path that is a denial of service, not an image. Raise the cap
+    deliberately for genuinely huge frames."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI marker)")
     pos = 2
@@ -187,6 +202,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     f"JPEG precision {precision} (baseline is 8-bit)"
                 )
             h, w = struct.unpack(">HH", seg[1:5])
+            if h * w > max_pixels:
+                raise ValueError(
+                    f"JPEG frame {w}x{h} exceeds max_pixels={max_pixels} "
+                    "(raise the cap for genuinely huge frames)"
+                )
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):

@@ -140,8 +140,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     bits_per_px = depth * ch
     stride = (w * bits_per_px + 7) // 8
     bpp = max(1, bits_per_px // 8)
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) < h * (1 + stride):
+    # bounded inflate: the image geometry fixes the exact output size,
+    # so a decompression bomb (tiny IDAT inflating to GBs) can never
+    # allocate past the declared image — the crawl-safety property a
+    # bare zlib.decompress does not have
+    needed = h * (1 + stride)
+    raw = zlib.decompressobj().decompress(bytes(idat), needed)
+    if len(raw) < needed:
         raise ValueError("truncated PNG: inflated data shorter than image")
     grid = _unfilter(raw, h, stride, bpp)
 

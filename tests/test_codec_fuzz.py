@@ -1,0 +1,142 @@
+"""Deterministic mutation fuzzing of the crawl-facing decoders.
+
+A 100 TB crawl feeds these decoders truncated, bit-flipped, and
+hostile payloads constantly; `decode_assets_to_cube(on_error='skip')`
+and the multimodal pipeline survive any EXCEPTION, but not a hang or
+an interpreter crash. Contract fuzzed here: for every truncation
+point and every deterministic byte flip of a valid payload, each
+decoder either returns an ndarray or raises — quickly, with bounded
+memory — never hangs, never aborts the process.
+
+Mutations are seeded/deterministic so a failure reproduces exactly.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from openeo_processes_dask_ml_spark.io.gif import decode_gif
+from openeo_processes_dask_ml_spark.io.gtiff import decode_gtiff, encode_gtiff
+from openeo_processes_dask_ml_spark.io.jpeg import decode_jpeg
+from openeo_processes_dask_ml_spark.io.png import decode_png, encode_png
+
+# every exception class a hostile payload may legitimately surface —
+# the skip-path catches Exception, so anything derived from it is fine;
+# what must NEVER happen is a hang, a SystemExit, or a hard crash
+_OK = (Exception,)
+
+
+def _seed_payloads():
+    rng = np.random.default_rng(0)
+    img8 = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_gif import _PAL4, _gif
+    from test_jpeg import _fdct_blocks, _gray_jpeg
+
+    gif_idx = rng.integers(0, 4, (9, 13)).astype(np.uint8)
+    return {
+        decode_gtiff: encode_gtiff(
+            img8,
+            bbox=(0, 0, 24.0, 16.0),
+            epsg=32632,
+            compression="lzw",
+            tile=(8, 8),
+            predictor=2,
+            overviews=[img8[::2, ::2]],
+        ),
+        decode_png: encode_png(rgb),
+        decode_jpeg: _gray_jpeg(_fdct_blocks(img8), 16, 24),
+        decode_gif: _gif(gif_idx, _PAL4),
+    }
+
+
+@pytest.mark.parametrize("codec_idx", range(4))
+def test_truncations_never_hang_or_crash(codec_idx):
+    payloads = _seed_payloads()
+    decode, payload = list(payloads.items())[codec_idx]
+    for cut in range(0, len(payload), 3):
+        try:
+            out = decode(payload[:cut])
+            assert isinstance(out, np.ndarray)
+        except _OK:
+            pass
+
+
+@pytest.mark.parametrize("codec_idx", range(4))
+def test_byte_flips_never_hang_or_crash(codec_idx):
+    payloads = _seed_payloads()
+    decode, payload = list(payloads.items())[codec_idx]
+    rng = np.random.default_rng(codec_idx + 1)
+    buf = bytearray(payload)
+    # one pass of single-byte flips over deterministic positions, plus
+    # a pass of 4-byte garbage splices
+    positions = rng.integers(0, len(buf), 200)
+    for pos in positions:
+        orig = buf[pos]
+        buf[pos] = (orig + 1 + int(rng.integers(0, 255))) & 0xFF
+        try:
+            out = decode(bytes(buf))
+            assert isinstance(out, np.ndarray)
+        except _OK:
+            pass
+        buf[pos] = orig
+    for pos in rng.integers(0, max(1, len(buf) - 4), 50):
+        chunk = bytes(rng.integers(0, 256, 4).astype(np.uint8))
+        mutated = bytes(buf[:pos]) + chunk + bytes(buf[pos + 4 :])
+        try:
+            out = decode(mutated)
+            assert isinstance(out, np.ndarray)
+        except _OK:
+            pass
+
+
+def test_png_decompression_bomb_bounded():
+    """A tiny IDAT inflating to far more than the declared image must
+    not balloon memory: inflate is bounded to the image geometry."""
+    # 4x4 gray image, but IDAT carries 64 MB of zeros compressed
+    bomb = zlib.compress(b"\x00" * (64 << 20))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)  # decodes the 4x4 prefix, ignores the rest
+    assert out.shape == (4, 4)
+
+
+def test_jpeg_hostile_frame_size_rejected_fast():
+    """A header declaring a 65535x65535 frame must raise immediately
+    (the per-coefficient Python loop would otherwise run for hours on
+    garbage bits — a crawl DoS, not an image)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_jpeg import _gray_jpeg
+
+    payload = _gray_jpeg([[0] * 64], 8, 8)
+    i = payload.index(b"\xff\xc0")
+    hostile = (
+        payload[: i + 5]
+        + struct.pack(">HH", 65535, 65535)
+        + payload[i + 9 :]
+    )
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_jpeg(hostile)
+    # the cap is a parameter: a frame over a LOWERED cap is rejected,
+    # the same frame decodes under the default
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_jpeg(payload, max_pixels=16)
+    assert decode_jpeg(payload).shape == (8, 8)
