@@ -140,3 +140,46 @@ def test_jpeg_hostile_frame_size_rejected_fast():
     with pytest.raises(ValueError, match="max_pixels"):
         decode_jpeg(payload, max_pixels=16)
     assert decode_jpeg(payload).shape == (8, 8)
+
+
+@pytest.mark.parametrize("which", ["ppm", "pgm", "bmp", "wav"])
+def test_simple_format_parsers_survive_mutations(which):
+    """The simpler parsers (PNM/BMP headers, RIFF/WAVE chunks) get the
+    same contract: return-or-raise, never hang."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_cube_ops import _bmp_bytes, _ppm_bytes, _wav_bytes
+    from test_raster_decode import _pgm
+
+    from openeo_processes_dask_ml_spark.scale.multimodal import (
+        decode_audio,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(42)
+    px = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(9)]
+    if which == "ppm":
+        payload, decode = _ppm_bytes(3, 3, px), lambda b: decode_image(b, "ppm")
+    elif which == "pgm":
+        grid = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+        payload, decode = _pgm(grid), lambda b: decode_image(b, "pgm")
+    elif which == "bmp":
+        payload, decode = _bmp_bytes(3, 3, px), lambda b: decode_image(b, "bmp")
+    else:
+        payload = _wav_bytes(np.sin(np.arange(200) / 7.0))
+        decode = decode_audio
+    for cut in range(0, len(payload), 2):
+        try:
+            decode(payload[:cut])
+        except _OK:
+            pass
+    buf = bytearray(payload)
+    for pos in rng.integers(0, len(buf), 150):
+        orig = buf[pos]
+        buf[pos] = (orig + 1 + int(rng.integers(0, 255))) & 0xFF
+        try:
+            decode(bytes(buf))
+        except _OK:
+            pass
+        buf[pos] = orig
