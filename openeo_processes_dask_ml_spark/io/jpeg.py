@@ -1,26 +1,38 @@
-"""Pure-numpy baseline JPEG (JFIF) decoder.
+"""Pure-numpy JPEG (JFIF) decoder: baseline AND progressive.
 
 The reference reads JPEG imagery for free through rasterio/PIL; this
 environment has neither, and the multimodal pipeline treats image
 bytes as opaque ``binary`` columns decoded executor-side
 (``scale/multimodal.py::decode_image``). Everything here derives from
-the public ITU-T T.81 spec: baseline sequential DCT, 8-bit samples,
-Huffman entropy coding (Annex F), the zig-zag order of Figure 5, the
-IDCT of A.3.3, restart markers (E.2.4), and the JFIF YCbCr -> RGB
-matrix (BT.601). Scope, stated honestly:
+the public ITU-T T.81 spec: sequential baseline (SOF0) and
+progressive (SOF2) DCT with both spectral selection and successive
+approximation (Annex G), 8-bit samples, Huffman entropy coding
+(Annex F), the zig-zag order of Figure 5, the IDCT of A.3.3, restart
+markers (E.2.4), and the JFIF YCbCr -> RGB matrix (BT.601).
 
-- SOF0 (baseline) only — progressive (SOF2), extended sequential,
-  arithmetic coding, lossless and 12-bit raise ``NotImplementedError``.
-- 1- or 3-component scans, any sampling factors up to 2x2 (covers
-  4:4:4, 4:2:2, 4:2:0); chroma upsampling is sample replication, the
+Architecture: every scan decodes into per-component COEFFICIENT
+buffers (progressive scans refine them across multiple passes;
+baseline is the one-scan special case), then dequant + IDCT runs once
+at the end as a single vectorized einsum over all blocks. Scope,
+stated honestly:
+
+- SOF0/SOF2 only — extended sequential, arithmetic coding, lossless,
+  hierarchical and 12-bit raise ``NotImplementedError``.
+- 1- or 3-component frames, sampling factors up to 2x2 (4:4:4,
+  4:2:2, 4:2:0); chroma upsampling is sample replication, the
   JFIF-recommended simple upsampler.
-- One scan per image (baseline interleaved), DRI/RSTn honored.
+- DRI/RSTn honored per scan; DNL is not (rare).
+- ``max_pixels`` (default 64M — an 8192x8192 frame) bounds the
+  declared frame size: the entropy loop is per-coefficient Python, so
+  a hostile header would otherwise turn into a multi-hour decode of
+  garbage bits — on a crawl decode path that is a denial of service,
+  not an image.
 
 The entropy loop is per-coefficient Python (a JPEG bitstream is
-inherently sequential), vectorizing dequant/IDCT/upsample/color in
-numpy per block plane. At pipeline scale this runs inside the Arrow
-batches of ``mapInPandas`` fan-out like every other decoder — the
-parallelism is across images, not within one.
+inherently sequential); dequant/IDCT/upsample/color are vectorized
+numpy over all blocks at once. At pipeline scale this runs inside the
+Arrow batches of ``mapInPandas`` fan-out like every other decoder —
+the parallelism is across images, not within one.
 """
 
 from __future__ import annotations
@@ -29,7 +41,7 @@ import struct
 
 import numpy as np
 
-# zig-zag index order (T.81 Figure 5): ZIGZAG[k] = (row, col) flattened
+# zig-zag index order (T.81 Figure 5): ZIGZAG[k] = flattened (row, col)
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -46,11 +58,6 @@ _IDCT_B = np.array([
     ]
     for u in range(8)
 ])
-
-
-def _idct2(block: np.ndarray) -> np.ndarray:
-    """2-D 8x8 inverse DCT: f = B^T . F . B (separable A.3.3 form)."""
-    return _IDCT_B.T @ block @ _IDCT_B
 
 
 class _Huff:
@@ -134,25 +141,52 @@ def _unstuff(data: bytes) -> bytes:
     return data.replace(b"\xff\x00", b"\xff")
 
 
-def decode_jpeg(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
-    """Decode a baseline JFIF/JPEG payload to uint8 ``(H, W)``
-    (grayscale) or ``(H, W, 3)`` RGB.
+class _Component:
+    __slots__ = ("cid", "hs", "vs", "tq", "bw", "bh", "nbw", "nbh", "coef")
 
-    ``max_pixels`` (default 64M — an 8192x8192 frame) bounds the
-    declared frame size: the entropy loop is per-coefficient Python,
-    so a hostile header declaring a 65535x65535 frame would otherwise
-    turn into a multi-hour decode of garbage bits — on a crawl decode
-    path that is a denial of service, not an image. Raise the cap
-    deliberately for genuinely huge frames."""
+    def __init__(self, cid, hs, vs, tq):
+        self.cid = cid
+        self.hs = hs
+        self.vs = vs
+        self.tq = tq
+
+
+def _split_restart_segments(payload: bytes, start: int) -> tuple[list, int]:
+    """Split one scan's entropy data into restart intervals (unstuffed)
+    and return (segments, position of the terminating marker)."""
+    segments: list[bytes] = []
+    i = start
+    n = len(payload)
+    seg_start = i
+    while i < n - 1:
+        if payload[i] == 0xFF and payload[i + 1] != 0x00:
+            m = payload[i + 1]
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(_unstuff(payload[seg_start:i]))
+                i += 2
+                seg_start = i
+                continue
+            segments.append(_unstuff(payload[seg_start:i]))
+            return segments, i
+        i += 1
+    segments.append(_unstuff(payload[seg_start:]))
+    return segments, n
+
+
+def decode_jpeg(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
+    """Decode a baseline or progressive JFIF/JPEG payload to uint8
+    ``(H, W)`` (grayscale) or ``(H, W, 3)`` RGB."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI marker)")
     pos = 2
+    n = len(payload)
     qtables: dict[int, np.ndarray] = {}
     dc_tables: dict[int, _Huff] = {}
     ac_tables: dict[int, _Huff] = {}
-    frame = None  # (h, w, [(comp_id, hs, vs, tq), ...])
     restart_interval = 0
-    n = len(payload)
+    progressive = False
+    frame = None  # (h, w, [_Component, ...], hmax, vmax, mcux, mcuy)
+    saw_scan = False
 
     while pos < n:
         if payload[pos] != 0xFF:
@@ -195,11 +229,12 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
                     raise ValueError("truncated JPEG: short DHT segment")
                 (dc_tables if tc == 0 else ac_tables)[th] = _Huff(counts, syms)
                 i += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
-                    f"JPEG precision {precision} (baseline is 8-bit)"
+                    f"JPEG precision {precision} (8-bit supported)"
                 )
             h, w = struct.unpack(">HH", seg[1:5])
             if h * w > max_pixels:
@@ -211,17 +246,34 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                comps.append(_Component(cid, hv >> 4, hv & 15, tq))
+            hmax = max(c.hs for c in comps)
+            vmax = max(c.vs for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError(
+                    f"sampling factors up to 2x2 supported, got {hmax}x{vmax}"
+                )
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c.bw = mcux * c.hs  # padded (interleaved) block grid
+                c.bh = mcuy * c.vs
+                # the component's OWN block grid (non-interleaved scans)
+                cw = -(-w * c.hs // hmax)
+                chh = -(-h * c.vs // vmax)
+                c.nbw = -(-cw // 8)
+                c.nbh = -(-chh // 8)
+                c.coef = np.zeros((c.bh * c.bw, 64), dtype=np.int32)
+            frame = (h, w, comps, hmax, vmax, mcux, mcuy)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} is not baseline sequential "
-                "(progressive/extended/arithmetic/lossless need PIL)"
+                f"JPEG SOF{marker - 0xC0} is not baseline/progressive "
+                "sequential (extended/arithmetic/lossless need PIL)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows the header
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
@@ -229,131 +281,251 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_comps.append((cs, tables >> 4, tables & 15))
-            data_start = pos + seglen
-            return _decode_scan(
-                payload, data_start, frame, scan_comps,
-                qtables, dc_tables, ac_tables, restart_interval,
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            segments, pos = _split_restart_segments(payload, pos + seglen)
+            _decode_scan(
+                frame, scan_comps, ss, se, ah, al, segments,
+                dc_tables, ac_tables, restart_interval, progressive,
             )
+            saw_scan = True
+            continue
         # APPn / COM / others: skipped
         pos += seglen
-    raise ValueError("corrupt JPEG: no scan (SOS) found")
+
+    if frame is None or not saw_scan:
+        raise ValueError("corrupt JPEG: no frame/scan found")
+    return _assemble(frame, qtables)
 
 
 def _decode_scan(
-    payload, data_start, frame, scan_comps,
-    qtables, dc_tables, ac_tables, restart_interval,
-) -> np.ndarray:
-    h, w, comps = frame
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError(
-            "multi-scan (non-interleaved) JPEG is not baseline-typical"
-        )
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise NotImplementedError(
-            f"sampling factors up to 2x2 supported, got {hmax}x{vmax}"
-        )
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # split the entropy data into restart intervals, unstuffed
-    segments: list[bytes] = []
-    i = data_start
-    n = len(payload)
-    seg_start = i
-    while i < n - 1:
-        if payload[i] == 0xFF and payload[i + 1] != 0x00:
-            m = payload[i + 1]
-            if 0xD0 <= m <= 0xD7:  # RSTn
-                segments.append(_unstuff(payload[seg_start:i]))
-                i += 2
-                seg_start = i
-                continue
-            segments.append(_unstuff(payload[seg_start:i]))
-            seg_start = None
-            break
-        i += 1
-    if seg_start is not None:  # ran to end of payload without a marker
-        segments.append(_unstuff(payload[seg_start:]))
-
-    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
-    # per-component coefficient planes (in 8x8 block units)
-    planes = []
-    meta = []  # (hs, vs, qt, dc_table, ac_table, bw)
+    frame, scan_comps, ss, se, ah, al, segments,
+    dc_tables, ac_tables, restart_interval, progressive,
+):
+    h, w, comps, hmax, vmax, mcux, mcuy = frame
+    by_id = {c.cid: c for c in comps}
+    members = []
     for cs, td, ta in scan_comps:
-        hs, vs, tq = by_id[cs]
-        bw = mcux * hs
-        bh = mcuy * vs
-        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
-        if tq not in qtables:
-            raise ValueError(f"corrupt JPEG: missing quant table {tq}")
-        if td not in dc_tables or ta not in ac_tables:
-            raise ValueError("corrupt JPEG: missing Huffman table")
-        meta.append((hs, vs, qtables[tq], dc_tables[td], ac_tables[ta]))
+        if cs not in by_id:
+            raise ValueError(f"corrupt JPEG: scan component {cs} not in frame")
+        c = by_id[cs]
+        dct = dc_tables.get(td)
+        act = ac_tables.get(ta)
+        # a table is only required when the scan actually reads it
+        needs_dc = ss == 0 and ah == 0
+        needs_ac = se > 0 or ss > 0
+        if needs_dc and dct is None:
+            raise ValueError("corrupt JPEG: missing DC Huffman table")
+        if needs_ac and act is None:
+            raise ValueError("corrupt JPEG: missing AC Huffman table")
+        members.append((c, dct, act))
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+    if ss > se or se > 63:
+        raise ValueError(f"corrupt JPEG: spectral band {ss}..{se}")
+    if ss > 0 and len(members) != 1:
+        raise ValueError("corrupt JPEG: interleaved AC scan")
 
-    reader = _BitReader(segments[0])
-    seg_idx = 0
-    preds = [0] * len(meta)
-    coef = np.zeros(64, dtype=np.float64)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("corrupt JPEG: missing restart segment")
-                reader = _BitReader(segments[seg_idx])
-                preds = [0] * len(meta)
-            for ci, (hs, vs, q, dct, act) in enumerate(meta):
-                for by in range(vs):
-                    for bx in range(hs):
-                        coef[:] = 0.0
-                        t = reader.decode(dct)
-                        diff = _extend(reader.bits(t), t)
-                        preds[ci] += diff
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = reader.decode(act)
-                            if sym == 0:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 15
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError(
-                                        "corrupt JPEG: bad AC symbol"
-                                    )
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError(
-                                    "corrupt JPEG: AC run past block end"
-                                )
-                            coef[k] = _extend(reader.bits(size), size)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = coef * q
-                        px = _idct2(block.reshape(8, 8))
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
+    state = {"reader": _BitReader(segments[0]), "seg": 0,
+             "preds": [0] * len(members), "eobrun": 0}
 
-    # level shift, upsample to full resolution, crop, color transform
+    def restart(unit_count):
+        if (
+            restart_interval
+            and unit_count
+            and unit_count % restart_interval == 0
+        ):
+            state["seg"] += 1
+            if state["seg"] >= len(segments):
+                raise ValueError("corrupt JPEG: missing restart segment")
+            state["reader"] = _BitReader(segments[state["seg"]])
+            state["preds"] = [0] * len(members)
+            state["eobrun"] = 0
+
+    p1 = 1 << al
+
+    def dc_first(ci, c, dct, blk):
+        r = state["reader"]
+        t = r.decode(dct)
+        diff = _extend(r.bits(t), t)
+        state["preds"][ci] += diff
+        c.coef[blk, 0] = state["preds"][ci] << al
+
+    def dc_refine(c, blk):
+        if state["reader"].bit():
+            c.coef[blk, 0] |= p1
+
+    def ac_first(c, act, blk):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        r = state["reader"]
+        row = c.coef[blk]
+        k = ss
+        while k <= se:
+            sym = r.decode(act)
+            run, size = sym >> 4, sym & 15
+            if size == 0:
+                if run == 15:
+                    k += 16  # ZRL
+                    continue
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += r.bits(run)
+                return
+            k += run
+            if k > se:
+                raise ValueError("corrupt JPEG: AC run past band end")
+            row[k] = _extend(r.bits(size), size) << al
+            k += 1
+
+    def ac_refine(c, act, blk):
+        # T.81 G.1.2.3: corrections for already-nonzero coefficients
+        # interleave with newly significant ones
+        r = state["reader"]
+        row = c.coef[blk]
+        k = ss
+        # eobrun here counts blocks remaining in the EOB run INCLUDING
+        # the current one (ac_first's convention excludes it — each
+        # scan kind is self-consistent); a run started mid-block still
+        # owes the CURRENT block its correction bits from k onward
+        in_run = state["eobrun"] > 0
+        if not in_run:
+            while k <= se:
+                sym = r.decode(act)
+                run, size = sym >> 4, sym & 15
+                newval = 0
+                if size == 0:
+                    if run < 15:
+                        state["eobrun"] = (1 << run)
+                        if run:
+                            state["eobrun"] += r.bits(run)
+                        in_run = True
+                        break
+                    # run == 15: skip 16 zero-HISTORY positions
+                else:
+                    if size != 1:
+                        raise ValueError(
+                            "corrupt JPEG: refinement size != 1"
+                        )
+                    newval = p1 if r.bit() else -p1
+                while k <= se:
+                    v = int(row[k])
+                    if v != 0:
+                        # correction-bit guard on the RAW two's-
+                        # complement value, matching the reference
+                        # decoder's semantics for malformed streams
+                        if r.bit() and (v & p1) == 0:
+                            row[k] = v + p1 if v > 0 else v - p1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    row[k] = newval
+                k += 1
+        if in_run:
+            while k <= se:
+                v = int(row[k])
+                if v != 0:
+                    if r.bit() and (v & p1) == 0:
+                        row[k] = v + p1 if v > 0 else v - p1
+                k += 1
+            state["eobrun"] -= 1
+
+    def full_block(ci, c, dct, act, blk):
+        # baseline: DC + all 63 AC coefficients in one pass
+        r = state["reader"]
+        t = r.decode(dct)
+        diff = _extend(r.bits(t), t)
+        state["preds"][ci] += diff
+        row = c.coef[blk]
+        row[0] = state["preds"][ci]
+        k = 1
+        while k < 64:
+            sym = r.decode(act)
+            if sym == 0:  # EOB
+                return
+            run, size = sym >> 4, sym & 15
+            if size == 0:
+                if run != 15:
+                    raise ValueError("corrupt JPEG: bad AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("corrupt JPEG: AC run past block end")
+            row[k] = _extend(r.bits(size), size)
+            k += 1
+
+    interleaved = len(members) > 1 or (not progressive)
+    if interleaved and ss == 0:
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart(unit)
+                for ci, (c, dct, act) in enumerate(members):
+                    for by in range(c.vs):
+                        for bx in range(c.hs):
+                            blk = (my * c.vs + by) * c.bw + (mx * c.hs + bx)
+                            if not progressive:
+                                full_block(ci, c, dct, act, blk)
+                            elif ah == 0:
+                                dc_first(ci, c, dct, blk)
+                            else:
+                                dc_refine(c, blk)
+                unit += 1
+    else:
+        # non-interleaved: the component's own block raster order
+        c, dct, act = members[0]
+        unit = 0
+        for byy in range(c.nbh):
+            for bxx in range(c.nbw):
+                restart(unit)
+                blk = byy * c.bw + bxx
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(0, c, dct, blk)
+                    else:
+                        dc_refine(c, blk)
+                else:
+                    if ah == 0:
+                        ac_first(c, act, blk)
+                    else:
+                        ac_refine(c, act, blk)
+                unit += 1
+
+
+def _assemble(frame, qtables) -> np.ndarray:
+    h, w, comps, hmax, vmax, mcux, mcuy = frame
     out_planes = []
-    for ci, (hs, vs, _, _, _) in enumerate(meta):
-        p = planes[ci] + 128.0
-        if hs != hmax or vs != vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+    for c in comps:
+        if c.tq not in qtables:
+            raise ValueError(f"corrupt JPEG: missing quant table {c.tq}")
+        q = qtables[c.tq]
+        # vectorized dequant + de-zigzag + IDCT over ALL blocks at once
+        F = np.zeros((c.coef.shape[0], 64), dtype=np.float64)
+        F[:, ZIGZAG] = c.coef * q
+        F = F.reshape(-1, 8, 8)
+        px = np.einsum("ux,nuv,vy->nxy", _IDCT_B, F, _IDCT_B, optimize=True)
+        grid = (
+            px.reshape(c.bh, c.bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c.bh * 8, c.bw * 8)
+        )
+        p = grid + 128.0
+        if c.hs != hmax or c.vs != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c.vs, axis=0), hmax // c.hs, axis=1
+            )
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    if len(out_planes) != 3:
+        raise NotImplementedError(
+            f"{len(out_planes)}-component JPEG (1 or 3 supported)"
+        )
     y, cb, cr = out_planes
     cb = cb - 128.0
     cr = cr - 128.0

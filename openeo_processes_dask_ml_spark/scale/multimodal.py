@@ -157,8 +157,8 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
     """Decode an image payload to an ndarray. PPM/PGM/BMP, baseline
     JPEG, and classic/BigTIFF (none/LZW/deflate/PackBits, predictor
     1/2/3, chunky/planar) decode with pure numpy; other formats — and
-    profiles beyond the pure codecs (JPEG-in-TIFF, progressive JPEG) —
-    fall through to PIL (import-gated: clear NotImplementedError when
+    profiles beyond the pure codecs (WebP, video frames) — fall
+    through to PIL (import-gated: clear NotImplementedError when
     absent)."""
     dec = _PURE_DECODERS.get((fmt or "").lower())
     inner: NotImplementedError | None = None

@@ -338,12 +338,12 @@ def test_color_420_roundtrip():
 def test_unsupported_profiles_raise():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
-    # progressive (SOF2) is a clear NotImplementedError, never a wrong
-    # decode
+    # lossless (SOF3) is a clear NotImplementedError, never a wrong
+    # decode (progressive SOF2 is SUPPORTED since r10)
     payload = _gray_jpeg([[0] * 64], 8, 8)
     assert b"\xff\xc0" in payload
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc2"))
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc3"))
     with pytest.raises(NotImplementedError, match="precision"):
         # flip the precision byte (first SOF0 body byte) to 12
         i = payload.index(b"\xff\xc0")
@@ -385,3 +385,177 @@ def test_truncated_payload_clear_error():
     # a stream that merely loses its EOI still decodes (lenient pad
     # bits, F.2.2.5)
     assert decode_jpeg(p[:-2]).shape == (16, 16)
+
+
+# ------------------------------------------------ progressive (SOF2)
+
+
+def _sof2(h, w, comps):
+    body = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        body += bytes([cid, (hs << 4) | vs, tq])
+    return _seg(0xC2, body)
+
+
+def _sos_prog(comps, ss, se, ah, al):
+    body = bytes([len(comps)])
+    for cid, td, ta in comps:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def _put_dc_scan(blocks, al):
+    """DC-first scan bits: diffs of (dc >> al), arithmetic shift."""
+    bw = _Bits()
+    pred = 0
+    for zz in blocks:
+        t = int(zz[0]) >> al
+        _put_dc(bw, t - pred)
+        pred = t
+    return bw.tobytes()
+
+
+def _put_dc_refine_scan(blocks, al):
+    bw = _Bits()
+    for zz in blocks:
+        bw.put((int(zz[0]) >> al) & 1, 1)
+    return bw.tobytes()
+
+
+def _trunc_div(v, al):
+    """Toward-zero division by 2^al (G.1.2.2 AC coding)."""
+    return int(v) // (1 << al) if v >= 0 else -((-int(v)) // (1 << al))
+
+
+def _put_ac_first_scan(blocks, ss, se, al):
+    """AC-first scan of band ss..se at precision al: per-block run
+    coding with EOB0 (no cross-block EOB runs in this variant)."""
+    bw = _Bits()
+    for zz in blocks:
+        band = [_trunc_div(zz[k], al) for k in range(ss, se + 1)]
+        last_nz = -1
+        for i, v in enumerate(band):
+            if v:
+                last_nz = i
+        run = 0
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                _put_ac_sym(bw, 0xF0)
+                run -= 16
+            t = v.bit_length() if v > 0 else (-v).bit_length()
+            _put_ac_sym(bw, (run << 4) | t)
+            bw.put(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if last_nz < se - ss:
+            _put_ac_sym(bw, 0x00)  # EOB0
+    return bw.tobytes()
+
+
+def _put_ac_refine_scan(blocks, ss, se, ah, al):
+    """AC-refinement scan written in the all-EOB-run form: one EOBn
+    symbol covering every block, then each block's correction bits for
+    coefficients already nonzero at precision ah. Valid only when NO
+    coefficient becomes newly significant (|c| >> al == 1 excluded by
+    the fixture)."""
+    nblocks = len(blocks)
+    bw = _Bits()
+    r = nblocks.bit_length() - 1  # floor(log2)
+    extra = nblocks - (1 << r)
+    _put_ac_sym(bw, r << 4)
+    if r:
+        bw.put(extra, r)
+    for zz in blocks:
+        for k in range(ss, se + 1):
+            if _trunc_div(zz[k], ah) != 0:
+                bw.put((abs(int(zz[k])) >> al) & 1, 1)
+    return bw.tobytes()
+
+
+def _progressive_jpeg(blocks, h, w, plan, q=None):
+    """Assemble a progressive grayscale JPEG: ``plan`` is a list of
+    (kind, ss, se, ah, al) with kind in dc/dcr/ac/acr."""
+    q = [1] * 64 if q is None else q
+    out = (
+        b"\xff\xd8"
+        + _dqt(0, q)
+        + _sof2(h, w, [(1, 1, 1, 0)])
+        + _dht(0, 0, _DC_COUNTS, _DC_SYMBOLS)
+        + _dht(1, 0, _AC_COUNTS, _AC_SYMBOLS)
+    )
+    for kind, ss, se, ah, al in plan:
+        if kind == "dc":
+            data = _put_dc_scan(blocks, al)
+        elif kind == "dcr":
+            data = _put_dc_refine_scan(blocks, al)
+        elif kind == "ac":
+            data = _put_ac_first_scan(blocks, ss, se, al)
+        else:
+            data = _put_ac_refine_scan(blocks, ss, se, ah, al)
+        out += _sos_prog([(1, 0, 0)], ss, se, ah, al) + data
+    return out + b"\xff\xd9"
+
+
+def test_progressive_spectral_selection_equals_baseline():
+    """Spectral-selection-only progression (DC scan + two AC band
+    scans, Ah=Al=0) decodes identically to the baseline encoding of
+    the same coefficients."""
+    rng = np.random.default_rng(31)
+    img = np.clip(
+        128 + np.cumsum(rng.normal(0, 4, (16, 24)), axis=1), 30, 220
+    ).astype(np.uint8)
+    blocks = _fdct_blocks(img)
+    base = decode_jpeg(_gray_jpeg(blocks, 16, 24))
+    plan = [
+        ("dc", 0, 0, 0, 0),
+        ("ac", 1, 20, 0, 0),
+        ("ac", 21, 63, 0, 0),
+    ]
+    prog = decode_jpeg(_progressive_jpeg(blocks, 16, 24, plan))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_successive_approximation_equals_baseline():
+    """Full successive approximation: DC first at Al=1 + DC refinement,
+    AC bands first at Al=1 + EOB-run refinement scans — the layout real
+    progressive encoders emit — reconstructs the exact coefficients
+    (fixture excludes |c| = 1 so no coefficient turns newly significant
+    in the refinement, which the simple test-side encoder doesn't
+    emit)."""
+    rng = np.random.default_rng(33)
+    img = np.clip(
+        128 + np.cumsum(rng.normal(0, 5, (16, 16)), axis=0), 30, 220
+    ).astype(np.uint8)
+    blocks = _fdct_blocks(img)
+    for zz in blocks:  # remove magnitude-1 AC coefficients
+        for k in range(1, 64):
+            if zz[k] == 1:
+                zz[k] = 2
+            elif zz[k] == -1:
+                zz[k] = -2
+    base = decode_jpeg(_gray_jpeg(blocks, 16, 16))
+    plan = [
+        ("dc", 0, 0, 0, 1),
+        ("ac", 1, 10, 0, 1),
+        ("ac", 11, 63, 0, 1),
+        ("dcr", 0, 0, 1, 0),
+        ("acr", 1, 10, 1, 0),
+        ("acr", 11, 63, 1, 0),
+    ]
+    prog = decode_jpeg(_progressive_jpeg(blocks, 16, 16, plan))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_dc_only_prefix_decodes():
+    """A progressive stream truncated after only its DC scan still
+    decodes (every AC coefficient zero) — the defining property of
+    progressive delivery."""
+    zz = [16] + [0] * 63
+    blocks = [zz]
+    plan = [("dc", 0, 0, 0, 0)]
+    out = decode_jpeg(_progressive_jpeg(blocks, 8, 8, plan))
+    assert (out == 16 // 8 + 128).all()
