@@ -37,9 +37,17 @@ def _seed_payloads():
 
     sys.path.insert(0, "tests")
     from test_gif import _PAL4, _gif
-    from test_jpeg import _fdct_blocks, _gray_jpeg
+    from test_jpeg import _fdct_blocks, _gray_jpeg, _progressive_jpeg
 
     gif_idx = rng.integers(0, 4, (9, 13)).astype(np.uint8)
+    prog_plan = [
+        ("dc", 0, 0, 0, 1),
+        ("ac", 1, 10, 0, 1),
+        ("ac", 11, 63, 0, 1),
+        ("dcr", 0, 0, 1, 0),
+        ("acr", 1, 10, 1, 0),
+        ("acr", 11, 63, 1, 0),
+    ]
     return {
         decode_gtiff: encode_gtiff(
             img8,
@@ -53,10 +61,15 @@ def _seed_payloads():
         decode_png: encode_png(rgb),
         decode_jpeg: _gray_jpeg(_fdct_blocks(img8), 16, 24),
         decode_gif: _gif(gif_idx, _PAL4),
+        # the progressive multi-scan path is its own attack surface
+        # (scan headers, EOB runs, refinement state across scans)
+        lambda b: decode_jpeg(b): _progressive_jpeg(
+            _fdct_blocks(img8), 16, 24, prog_plan
+        ),
     }
 
 
-@pytest.mark.parametrize("codec_idx", range(4))
+@pytest.mark.parametrize("codec_idx", range(5))
 def test_truncations_never_hang_or_crash(codec_idx):
     payloads = _seed_payloads()
     decode, payload = list(payloads.items())[codec_idx]
@@ -68,7 +81,7 @@ def test_truncations_never_hang_or_crash(codec_idx):
             pass
 
 
-@pytest.mark.parametrize("codec_idx", range(4))
+@pytest.mark.parametrize("codec_idx", range(5))
 def test_byte_flips_never_hang_or_crash(codec_idx):
     payloads = _seed_payloads()
     decode, payload = list(payloads.items())[codec_idx]
