@@ -2346,8 +2346,11 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate-only) off the bigger fact tables. The 10-column wide form
     remains the library API
     (`io/profile.py:profile_table_typed(per_stat=False)`), unit-pinned
-    equal to the pivot of this shape, and is probed at the gate via
-    `profile_table_wide_probe`."""
+    equal to the pivot of this shape. The r10 wide-shape probe settled
+    the question permanently: the pivot of THESE driver-proven cells
+    hash-red at the driver (CORRECTNESS_r10), so the wide 4x10 layout
+    is unhashable there and was retired from the gate (VERDICT r10
+    #2); per-stat is the gate shape for good."""
     from openeo_processes_dask_ml_spark.io.profile import profile_table_typed
 
     return profile_table_typed(
@@ -2355,30 +2358,6 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["event_id", "value", "event_type", "ts"],
         exact_ndv=True,
         per_stat=True,
-    )
-
-
-def q_profile_table_wide_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide-shape probe (VERDICT r9 #1): the 10-column one-row-per-
-    column profile REBUILT by pivoting the driver-green per-stat shape
-    (`io/profile.py:pivot_per_stat`). The oracle is the same wide SQL
-    that `profile_table` carried in r7-r9. Every cell value is already
-    proven to hash-match cross-engine (profile_table_cols green r9),
-    so if THIS row is red the wide 4x10 layout itself is unhashable at
-    the driver and gets retired from the gate permanently; if green,
-    the wide library shape is driver-proven too."""
-    from openeo_processes_dask_ml_spark.io.profile import (
-        pivot_per_stat,
-        profile_table_typed,
-    )
-
-    return pivot_per_stat(
-        profile_table_typed(
-            _t(spark, sf_dir, "orders"),
-            columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
-            exact_ndv=True,
-            per_stat=True,
-        )
     )
 
 
@@ -2413,6 +2392,22 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("doc_id") % 17 == 3)
     raw = docs.filter(F.col("doc_id") % 17 != 3)
     return dsir_select(raw, target, k=50, n_buckets=1024)
+
+
+def q_dsir_select_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-only bisect twin of `dsir_select` (VERDICT r10 #1,
+    oracle-gotchas protocol #1): the SAME pipeline emitting only the
+    integer columns (doc_id, n_grams, rank) — no floats. If this twin
+    is driver-green while the full query stays red, the chosen set and
+    order match and only the reported float rendering diverges; if
+    both are red, the selection itself flips and the weight math is
+    the suspect."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 17 == 3)
+    raw = docs.filter(F.col("doc_id") % 17 != 3)
+    return dsir_select(raw, target, k=50, n_buckets=1024, values=False)
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3221,90 +3216,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every other round. When editing: (1) new/changed queries -> front,
     # (2) then oldest-green, (3) last-round greens -> tail.
     #
-    # r10 window (slots 1-50), per VERDICT r9 directives 1-2 + next #4.
-    # Ground truth recomputed from CORRECTNESS_r0{7,8,9}.json (latest
-    # green round per query: 30 at r7, 47 at r8, 49 at r9;
-    # profile_table red r7-r9 — gate swapped this round to the
-    # empirically driver-green per-stat shape):
-    #   slots 1-5: profile_table (NOW the per-stat shape on events,
-    #     directive 1), the NEW wide-shape probe
-    #     profile_table_wide_probe (pivot of the green shape vs the
-    #     r7-r9 wide oracle — settles whether the 4x10 layout is
-    #     unhashable at the driver), the NEW COG overview-read gate
-    #     raster_decode_overview (directive 4), the NEW
-    #     raster_decode_jpeg (DC-only closed-form value oracle for the
-    #     r10 pure-numpy JPEG decoder), the NEW raster_decode_png
-    #     (lossless full-formula replay for the r10 PNG decoder), and
-    #     the NEW dsir_select (DSIR importance resampling, full SQL
-    #     replay).
-    #   slots 7-36: ALL 30 r7-greens — the oldest cohort, due by the
-    #     3-round-cycle protocol (directive 2).
-    #   slots 37-50: the 14 oldest r8-greens.
-    # Tail: the 33 remaining r8-greens first (they fill the r11
-    # window next round), then the 49 r9-window greens (freshest
-    # last; profile_table_cols leads that cohort).
+    # r11 window (slots 1-50), per VERDICT r10 directives 1-3.
+    # Ground truth recomputed from CORRECTNESS_r0{8,9}.json +
+    # CORRECTNESS_r10.json (latest green round per query: 33 at r8,
+    # 49 at r9, 48 at r10; the r10 reds were dsir_select — changed
+    # this round, fold-ordered weight sum — and
+    # profile_table_wide_probe — RETIRED this round: the probe proved
+    # its hypothesis, see io/profile.py docstring + SCALE_NOTES; the
+    # wide layout stays library API with the wide-==-pivot unit pin):
+    #   slots 1-2: dsir_select (CHANGED — fold-ordered logw, directive
+    #     1b) and the NEW selection-only bisect twin dsir_select_picks
+    #     (directive 1a: integer columns only — localizes whether the
+    #     chosen set or just the float rendering diverges).
+    #   slots 3-35: ALL 33 remaining r8-greens — the oldest cohort,
+    #     3 rounds old, due by the 3-round-cycle protocol.
+    #   slots 36-50: the 15 oldest r9-greens.
+    # Tail: the 34 remaining r9-greens first (they fill the r12
+    # window next round), then the 48 r10-window greens (freshest
+    # last; profile_table leads that cohort).
     #
     # Rotation arithmetic (standing, stated honestly): at 132 queries
-    # and a 50-slot window the steady-state re-verification cadence is
-    # ceil(132/50) = 3 rounds; after r10 every query's latest driver
+    # (131 after the probe retirement + 1 new twin) and a 50-slot
+    # window the steady-state re-verification cadence is
+    # ceil(132/50) = 3 rounds; after r11 every query's latest driver
     # green is <= 2 rounds old.
     return {
-        # --- slots 1-4: swapped gate (driver-green shape) + wide probe
-        #     + NEW overview-read gate (VERDICT r9 next #4) + NEW
-        #     JPEG-decoder gate (DC-only closed-form oracle) ---
-        "profile_table": q_profile_table,
-        "profile_table_wide_probe": q_profile_table_wide_probe,
-        "raster_decode_overview": q_raster_decode_overview,
-        "raster_decode_jpeg": q_raster_decode_jpeg,
-        "raster_decode_png": q_raster_decode_png,
+        # --- slots 1-2: the changed dsir gate + its bisect twin ---
         "dsir_select": q_dsir_select,
-        # --- slots 7-36: ALL 30 r7-greens (3 rounds old -- due by protocol) ---
-        "url_dedup": q_url_dedup,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "pipeline_web_ingest": q_pipeline_web_ingest,
-        "skew_salted_agg": q_skew_salted_agg,
-        "corpus_diff": q_corpus_diff,
-        "duplicated_spans": q_duplicated_spans,
-        "pipeline_end_to_end": q_pipeline_end_to_end,
-        "graph_ml_pipeline": q_graph_ml_pipeline,
-        "ml_predict_tiled": q_ml_predict_tiled,
-        "ml_predict_linear": q_ml_predict_linear,
-        "process_graph": q_process_graph,
-        "graph_mask_pipeline": q_graph_mask_pipeline,
-        "fit_curve": q_fit_curve,
-        "predict_curve": q_predict_curve,
-        "dimension_ops": q_dimension_ops,
-        "resample_spatial": q_resample_spatial,
-        "quantiles_extrema": q_quantiles_extrema,
-        "cumulative_ops": q_cumulative_ops,
-        "set_ops": q_set_ops,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "top_k_orders": q_top_k_orders,
-        "streaming_rollup": q_streaming_rollup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "multimodal_features": q_multimodal_features,
-        "ann_lsh": q_ann_lsh,
-        "filter_bands": q_filter_bands,
-        "filter_temporal": q_filter_temporal,
-        "apply_unary": q_apply_unary,
-        "doc_fingerprint": q_doc_fingerprint,
-        # --- slots 37-50: the 14 oldest r8-greens ---
-        "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
-        "quarantine_ingest": q_quarantine_ingest,
-        "duplicated_spans_combine": q_duplicated_spans_combine,
-        "raster_decode_cube": q_raster_decode_cube,
-        "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
-        "raster_roundtrip_gtiff": q_raster_roundtrip_gtiff,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "text_language_id": q_text_language_id,
-        "reduce_dimension": q_reduce_dimension,
-        "aggregate_temporal_period": q_aggregate_temporal_period,
-        "ndvi_bandmath": q_ndvi_bandmath,
-        "window_running_sum": q_window_running_sum,
-        "graph_fit_curve": q_graph_fit_curve,
-        "graph_zonal": q_graph_zonal,
-        # --- tail: 33 remaining r8-greens (they fill the r11 window next) ---
+        "dsir_select_picks": q_dsir_select_picks,
+        # --- slots 3-35: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
@@ -3338,7 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
-        # --- tail: r9-window greens (driver-verified last round, freshest) ---
+        # --- slots 36-50: the 15 oldest r9-greens ---
         "profile_table_cols": q_profile_table_cols,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -3354,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "mask_polygon": q_mask_polygon,
         "mask": q_mask,
+        # --- tail: 34 remaining r9-greens (they fill the r12 window next) ---
         "array_interpolate_linear": q_interpolate,
         "scale_values": q_scale_values,
         "aggregate_spatial": q_aggregate_spatial,
@@ -3388,6 +3329,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "streaming_topk": q_streaming_topk,
         "weighted_sample": q_weighted_sample,
+        # --- tail: 48 r10-window greens (driver-verified last round,
+        #     freshest; profile_table leads -- GREEN r10 at last on the
+        #     bisect-proven per-stat shape) ---
+        "profile_table": q_profile_table,
+        "raster_decode_overview": q_raster_decode_overview,
+        "raster_decode_jpeg": q_raster_decode_jpeg,
+        "raster_decode_png": q_raster_decode_png,
+        "url_dedup": q_url_dedup,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "pipeline_web_ingest": q_pipeline_web_ingest,
+        "skew_salted_agg": q_skew_salted_agg,
+        "corpus_diff": q_corpus_diff,
+        "duplicated_spans": q_duplicated_spans,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
+        "graph_ml_pipeline": q_graph_ml_pipeline,
+        "ml_predict_tiled": q_ml_predict_tiled,
+        "ml_predict_linear": q_ml_predict_linear,
+        "process_graph": q_process_graph,
+        "graph_mask_pipeline": q_graph_mask_pipeline,
+        "fit_curve": q_fit_curve,
+        "predict_curve": q_predict_curve,
+        "dimension_ops": q_dimension_ops,
+        "resample_spatial": q_resample_spatial,
+        "quantiles_extrema": q_quantiles_extrema,
+        "cumulative_ops": q_cumulative_ops,
+        "set_ops": q_set_ops,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "top_k_orders": q_top_k_orders,
+        "streaming_rollup": q_streaming_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "multimodal_features": q_multimodal_features,
+        "ann_lsh": q_ann_lsh,
+        "filter_bands": q_filter_bands,
+        "filter_temporal": q_filter_temporal,
+        "apply_unary": q_apply_unary,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
+        "quarantine_ingest": q_quarantine_ingest,
+        "duplicated_spans_combine": q_duplicated_spans_combine,
+        "raster_decode_cube": q_raster_decode_cube,
+        "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
+        "raster_roundtrip_gtiff": q_raster_roundtrip_gtiff,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "text_language_id": q_text_language_id,
+        "reduce_dimension": q_reduce_dimension,
+        "aggregate_temporal_period": q_aggregate_temporal_period,
+        "ndvi_bandmath": q_ndvi_bandmath,
+        "window_running_sum": q_window_running_sum,
+        "graph_fit_curve": q_graph_fit_curve,
+        "graph_zonal": q_graph_zonal,
     }
 
 
@@ -6072,10 +6064,16 @@ FROM r WHERE rank <= 3
     # — deterministic uniforms, so both engines draw the same sample;
     # ln() agrees to ~1 ulp and the md5 keys make rank-flipping ties
     # practically impossible (same acceptance as unigram_logprob).
-    # DSIR replay (r10): hashed uni+bigram buckets, add-one-smoothed
-    # target/raw distributions, per-doc log-ratio sums, deterministic
-    # Gumbel top-k from md5 uniforms; dround twins on the two floats
-    sql["dsir_select"] = r"""
+    # DSIR replay (r10; fold-ordered r11 after the driver hash-red):
+    # hashed uni+bigram buckets, add-one-smoothed target/raw
+    # distributions, per-doc log-ratio weights as an ORDERED left fold
+    # (list(term ORDER BY bucket) + list_reduce, mirroring Spark's
+    # sort_array + F.aggregate — the ann_ivf_trained/bpe_merges
+    # posture, so the float addition order is engine-identical),
+    # deterministic Gumbel top-k from md5 uniforms; dround twins on
+    # the two floats. `dsir_select_picks` shares every CTE and emits
+    # only the integer columns (the shape-bisect twin).
+    _dsir_core = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
   FROM documents
@@ -6112,7 +6110,9 @@ WITH toks AS (
   FROM dist, tot
 ), weights AS (
   SELECT db.doc_id,
-         sum(db.cnt * ratios.log_ratio) AS logw,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(db.cnt * ratios.log_ratio ORDER BY ratios.bucket)),
+           (acc, x) -> acc + x) AS logw,
          sum(db.cnt) AS n_grams
   FROM doc_bucket db JOIN ratios ON db.bucket = ratios.bucket
   GROUP BY 1
@@ -6123,9 +6123,19 @@ WITH toks AS (
             + 1) / 1152921504606846976.0))) AS score
   FROM weights
 )
+"""
+    sql["dsir_select"] = _dsir_core + """
 SELECT doc_id, n_grams,
        floor(logw * 1000000.0 + 0.5) / 1000000.0 AS log_weight,
        floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+         AS rank
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 50
+"""
+    sql["dsir_select_picks"] = _dsir_core + """
+SELECT doc_id, n_grams,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
          AS rank
 FROM scored
@@ -6541,24 +6551,11 @@ FROM documents WHERE doc_id % 7 IN (3, 5)
     sql["profile_table_cols"] = _prof_cell_sql(prof_typed_orders, "orders")
 
     # wide-shape probe: the 4-row x 10-column aggregate form that was
-    # hash-red in r7-r9 on value-identical cells — Spark side rebuilds
-    # it by pivoting the green per-stat shape; red here means the wide
-    # LAYOUT is unhashable at the driver (then it leaves the gate for
-    # good), green means the wide library shape is driver-proven too
-    prof_rows = []
-    for c in prof_typed_orders:
-        mnl, mnd, mns = _slots(prof_typed_orders, c, f"min({c})")
-        mxl, mxd, mxs = _slots(prof_typed_orders, c, f"max({c})")
-        prof_rows.append(
-            f"""SELECT '{c}' AS column, count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-       count(DISTINCT {c}) AS n_distinct,
-       {mnl} AS min_long, {mxl} AS max_long,
-       {mnd} AS min_double, {mxd} AS max_double,
-       {mns} AS min_string, {mxs} AS max_string
-FROM orders"""
-        )
-    sql["profile_table_wide_probe"] = "\nUNION ALL\n".join(prof_rows)
+    # (r11) The wide-shape probe left the gate: r10 proved the 4x10
+    # pivot of driver-green per-stat cells hash-red at the driver, so
+    # the wide layout is unhashable there — conclusion recorded in
+    # io/profile.py and SCALE_NOTES; the wide form stays library API
+    # with the wide-==-pivot unit pin (test_profile.py).
 
     # Index-lifecycle queries (VERDICT r6 #6): the persisted-artifact
     # roundtrip is CONTRACTUALLY identical to the direct ANN query, so

@@ -105,13 +105,15 @@ HEADLINE = [
     "decontaminate_semantic",
     # round 9 additions (VERDICT r8 #1 bisect twin)
     "profile_table_cols",
-    # round 10 additions (VERDICT r9 #1 wide-shape probe, #4 overview
-    # read, JPEG-decoder value gate, DSIR data selection)
-    "profile_table_wide_probe",
+    # round 10 additions (VERDICT r9 #4 overview read, JPEG-decoder
+    # value gate, DSIR data selection; the r10 wide-shape probe was
+    # retired in r11 after proving the wide layout driver-unhashable)
     "raster_decode_overview",
     "raster_decode_jpeg",
     "raster_decode_png",
     "dsir_select",
+    # round 11 additions (VERDICT r10 #1 selection-only bisect twin)
+    "dsir_select_picks",
 ]
 
 

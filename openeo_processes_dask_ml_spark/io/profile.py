@@ -168,15 +168,21 @@ def pivot_per_stat(per_stat: DataFrame) -> DataFrame:
     from the per-(column, stat) form of ``profile_table_typed(...,
     per_stat=True)``.
 
-    Exists for two reasons: (1) a unit pin that the wide library shape
-    equals the pivot of the per-stat shape (they are the same
-    aggregates routed through two stack() layouts), and (2) the
-    correctness-gate wide-shape probe — the per-stat form is the
-    empirically driver-green contract (CORRECTNESS_r09:
-    ``profile_table_cols`` hash-green while the directly-stacked wide
-    form hash-red on identical values), so pivoting the green shape
-    back to 10 columns isolates whether the WIDE ROW LAYOUT itself is
-    what diverges at the driver.
+    Exists for the unit pin that the wide library shape equals the
+    pivot of the per-stat shape (they are the same aggregates routed
+    through two stack() layouts).
+
+    EXPERIMENT CONCLUDED (r10, VERDICT r10 #2): the r10 gate probe
+    ``profile_table_wide_probe`` ran exactly this pivot over the
+    driver-proven per-stat cells (``profile_table_cols`` hash-green
+    r9 AND r10) against the r7-r9 wide oracle — and hash-RED at the
+    real driver (CORRECTNESS_r10) while strict-green in every local
+    sim. Since every cell value matches cross-engine, the 4-row x
+    10-column wide layout ITSELF is unhashable at the driver
+    (mixed-type nullable slot columns in a wide row). The probe was
+    retired from the gate in r11; the per-stat long form is the gate
+    contract permanently, and the wide form remains library-API-only,
+    pinned here. Details: SCALE_NOTES.md "wide-shape probe".
 
     One hash-aggregate over the (tiny: 5 rows per profiled column)
     per-stat frame — no extra scan of the profiled table.

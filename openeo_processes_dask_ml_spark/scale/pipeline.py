@@ -722,6 +722,7 @@ def dsir_select(
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    values: bool = True,
 ) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): pick the ``k`` raw
     documents whose hashed-n-gram distribution looks most like a small
@@ -744,9 +745,18 @@ def dsir_select(
     rows and broadcasts into the weight join, the target side is
     domain-sample-sized by construction, and the final selection is a
     per-partition top-k merge (TakeOrderedAndProject), never a global
-    sort of the corpus. Float posture: the log-ratio sum follows the
-    ``bigram_logprob`` precedent (doubles + dround(6) on outputs;
-    ranking ties broken by id).
+    sort of the corpus. Float posture (tightened r11 after the r10
+    driver hash-red): the per-doc log-weight is a FOLD-ORDERED sum —
+    the (bucket, term) pairs are collected, sorted by bucket, and
+    left-folded with ``F.aggregate`` so the float addition order is
+    identical on every engine/partitioning (the ``ann_ivf_trained`` /
+    ``bpe_merges`` posture; a per-doc list is bounded by ``n_buckets``
+    so the collect is small). Outputs dround(6); ties broken by id.
+
+    ``values=False`` returns only the integer columns (doc_id,
+    n_grams, rank) — the selection-only bisect twin (oracle-gotchas
+    protocol): if the picks match while the full query diverges, the
+    chosen set is right and only the reported floats differ.
     """
     doc_bucket = (
         _dsir_bucket_rows(raw, text_col, id_col, n_buckets)
@@ -778,8 +788,22 @@ def dsir_select(
         doc_bucket.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("cnt") * F.col("log_ratio")).alias("logw"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket").alias("bucket"),
+                        (F.col("cnt") * F.col("log_ratio")).alias("term"),
+                    )
+                )
+            ).alias("terms"),
             F.sum("cnt").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.aggregate(
+                "terms", F.lit(0.0), lambda acc, x: acc + x["term"]
+            ).alias("logw"),
         )
     )
     two60 = float(1 << 60)
@@ -795,7 +819,12 @@ def dsir_select(
     )
     top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    if not values:
+        return ranked.select(
+            "doc_id", "n_grams", F.col("rank").cast("int").alias("rank")
+        )
+    return ranked.select(
         "doc_id",
         "n_grams",
         dround(F.col("logw"), 6).alias("log_weight"),

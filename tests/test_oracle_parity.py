@@ -118,7 +118,7 @@ def test_entry_surface_consistency():
 
 
 def test_driver_window_composition_pinned():
-    """The first 50 queries() entries ARE the driver's r10 verification
+    """The first 50 queries() entries ARE the driver's r11 verification
     window — its composition is deliberate (rotation protocol in the
     queries() header). Pin it so an accidental reorder fails CI
     instead of silently skewing the rotation. When rotating for a new
@@ -128,25 +128,21 @@ def test_driver_window_composition_pinned():
     entry = importlib.import_module("__spark_entry__")
     window = list(entry.queries().keys())[:50]
     assert window == [
-        "profile_table", "profile_table_wide_probe",
-        "raster_decode_overview", "raster_decode_jpeg",
-        "raster_decode_png", "dsir_select",
-        "url_dedup",
-        "cluster_balanced_sample", "pipeline_web_ingest",
-        "skew_salted_agg", "corpus_diff", "duplicated_spans",
-        "pipeline_end_to_end", "graph_ml_pipeline", "ml_predict_tiled",
-        "ml_predict_linear", "process_graph", "graph_mask_pipeline",
-        "fit_curve", "predict_curve", "dimension_ops",
-        "resample_spatial", "quantiles_extrema", "cumulative_ops",
-        "set_ops", "tpch_q1", "tpch_q3", "top_k_orders",
-        "streaming_rollup", "streaming_sessionize",
-        "multimodal_features", "ann_lsh", "filter_bands",
-        "filter_temporal", "apply_unary", "doc_fingerprint",
-        "ann_ivfpq_from_index", "quarantine_ingest",
-        "duplicated_spans_combine", "raster_decode_cube",
-        "raster_ndvi_pipeline", "raster_roundtrip_gtiff",
-        "decontaminate_semantic", "text_language_id",
-        "reduce_dimension", "aggregate_temporal_period",
-        "ndvi_bandmath", "window_running_sum", "graph_fit_curve",
-        "graph_zonal",
+        "dsir_select", "dsir_select_picks", "dedup_minhash_lsh",
+        "pack_sequences", "streaming_enrich", "unigram_logprob",
+        "ccnet_buckets", "mixture_sample", "incremental_dedup",
+        "hard_negatives", "property_filter", "json_extract", "cube_agg",
+        "asof_join", "resample_cube_temporal", "ann_pq",
+        "incremental_minhash", "span_removal",
+        "streaming_incremental_dedup", "decontaminate_fuzzy",
+        "ann_ivf", "semantic_dedup", "dedup_ngram_jaccard",
+        "leakage_safe_split", "dup_clusters", "sessionize",
+        "apply_dimension", "apply_neighborhood", "aggregate_temporal",
+        "resample_cube_spatial", "array_ops", "pii_scrub",
+        "repetition_stats", "streaming_dedup", "streaming_interval_join",
+        "profile_table_cols", "bpe_merges", "ann_ivf_trained",
+        "streaming_spend_alerts", "text_chunks", "embedding_quantize",
+        "quality_filter", "flatten_unflatten", "aggregate_spatial_window",
+        "decontaminate", "training_shards", "topk_per_group",
+        "ml_fit_predict_rf", "mask_polygon", "mask",
     ]
