@@ -97,7 +97,7 @@ def _subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
+def decode_gif(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
     if payload[:3] != b"GIF" or payload[3:6] not in (b"87a", b"89a"):
         raise ValueError("not a GIF payload (bad signature)")
     if len(payload) < 13:
@@ -139,6 +139,15 @@ def decode_gif(payload: bytes) -> np.ndarray:
         _, _, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
         iflags = payload[pos + 8]
         pos += 9
+        # hostile-header cap (ADVICE r10 #3, same crawl-DoS posture as
+        # decode_jpeg's): the declared frame geometry drives both the
+        # LZW output bound and the frame allocation, so reject a
+        # declared-huge frame BEFORE the per-code decode loop runs
+        if w * h > max_pixels:
+            raise ValueError(
+                f"GIF frame {w}x{h} exceeds max_pixels={max_pixels} "
+                "(raise the cap for genuinely huge frames)"
+            )
         table = gct
         if iflags & 0x80:  # local color table
             size = 2 << (iflags & 0x07)

@@ -774,13 +774,25 @@ def _decode_from(rd, ifd: int = 0) -> tuple[np.ndarray, dict]:
         jt = tags.get(_T_JPEG_TABLES)
         if jt is not None:
             jpeg_tables = bytes(jt[0])
+        # PhotometricInterpretation decides the chunk color space
+        # (ADVICE r10 #4): 6 = YCbCr (libtiff default, BT.601 matrix
+        # applies), 2 = RGB-mode JPEG (JPEGCOLORMODE_RAW writers — the
+        # planes ARE the channels, no matrix), 1/0 = grayscale. Other
+        # values (palette, CMYK, CIELab) would silently decode wrong
+        # colors, so they raise instead.
+        jpeg_photometric = tags.get(_T_PHOTOMETRIC, (1,))[0]
+        if jpeg_photometric not in (0, 1, 2, 6):
+            raise NotImplementedError(
+                f"JPEG-in-TIFF photometric {jpeg_photometric} "
+                "(0/1 grayscale, 2 RGB, 6 YCbCr supported)"
+            )
 
     def _jpeg_block(raw: bytes, rows: int, cols: int, nspp: int) -> np.ndarray:
         from openeo_processes_dask_ml_spark.io.jpeg import decode_jpeg
 
         if len(jpeg_tables) > 4 and raw[:2] == b"\xff\xd8":
             raw = b"\xff\xd8" + jpeg_tables[2:-2] + raw[2:]
-        a = decode_jpeg(raw)
+        a = decode_jpeg(raw, color_transform=jpeg_photometric == 6)
         got = 1 if a.ndim == 2 else a.shape[2]
         if got != nspp:
             raise ValueError(

@@ -173,9 +173,19 @@ def _split_restart_segments(payload: bytes, start: int) -> tuple[list, int]:
     return segments, n
 
 
-def decode_jpeg(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
+def decode_jpeg(
+    payload: bytes,
+    max_pixels: int = 1 << 26,
+    color_transform: bool = True,
+) -> np.ndarray:
     """Decode a baseline or progressive JFIF/JPEG payload to uint8
-    ``(H, W)`` (grayscale) or ``(H, W, 3)`` RGB."""
+    ``(H, W)`` (grayscale) or ``(H, W, 3)`` RGB.
+
+    ``color_transform=False`` skips the YCbCr->RGB matrix on
+    3-component images and returns the component planes as stored —
+    for containers that declare the color space externally (TIFF
+    compression 7 with PhotometricInterpretation=2 stores RGB-mode
+    JPEG, libtiff's JPEGCOLORMODE_RAW; ADVICE r10 #4)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI marker)")
     pos = 2
@@ -295,7 +305,7 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
 
     if frame is None or not saw_scan:
         raise ValueError("corrupt JPEG: no frame/scan found")
-    return _assemble(frame, qtables)
+    return _assemble(frame, qtables, color_transform)
 
 
 def _decode_scan(
@@ -459,7 +469,14 @@ def _decode_scan(
             row[k] = _extend(r.bits(size), size)
             k += 1
 
-    interleaved = len(members) > 1 or (not progressive)
+    # T.81 A.2: a scan is interleaved iff it carries >1 component — a
+    # single-component scan (Ns=1) ALWAYS traverses that component's
+    # own block raster (nbw x nbh), baseline included. A grayscale
+    # baseline file with 2x2 sampling factors, or a sequential file
+    # with one SOS per component, has nbw/nbh smaller than the MCU
+    # grid; routing it through the MCU loop reads the wrong block
+    # count/order (ADVICE r10 #1).
+    interleaved = len(members) > 1
     if interleaved and ss == 0:
         unit = 0
         for my in range(mcuy):
@@ -484,7 +501,9 @@ def _decode_scan(
             for bxx in range(c.nbw):
                 restart(unit)
                 blk = byy * c.bw + bxx
-                if ss == 0:
+                if not progressive:
+                    full_block(0, c, dct, act, blk)
+                elif ss == 0:
                     if ah == 0:
                         dc_first(0, c, dct, blk)
                     else:
@@ -497,7 +516,7 @@ def _decode_scan(
                 unit += 1
 
 
-def _assemble(frame, qtables) -> np.ndarray:
+def _assemble(frame, qtables, color_transform=True) -> np.ndarray:
     h, w, comps, hmax, vmax, mcux, mcuy = frame
     out_planes = []
     for c in comps:
@@ -526,6 +545,12 @@ def _assemble(frame, qtables) -> np.ndarray:
         raise NotImplementedError(
             f"{len(out_planes)}-component JPEG (1 or 3 supported)"
         )
+    if not color_transform:
+        # container-declared color space (e.g. TIFF photometric=2 RGB):
+        # planes are already the target channels
+        return np.clip(
+            np.round(np.stack(out_planes, axis=-1)), 0, 255
+        ).astype(np.uint8)
     y, cb, cr = out_planes
     cb = cb - 128.0
     cr = cr - 128.0

@@ -88,10 +88,12 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def decode_png(payload: bytes) -> np.ndarray:
+def decode_png(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
     """Decode a PNG payload to uint8/uint16 ``(H, W)`` (grayscale),
     ``(H, W, 2)`` (gray+alpha), ``(H, W, 3)`` (RGB / palette) or
-    ``(H, W, 4)`` (RGBA / palette+tRNS)."""
+    ``(H, W, 4)`` (RGBA / palette+tRNS). ``max_pixels`` (default 64M)
+    rejects a declared-huge IHDR before any inflate happens — the
+    same hostile-header cap as ``decode_jpeg`` (ADVICE r10 #3)."""
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG payload (bad signature)")
     pos = 8
@@ -119,6 +121,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("corrupt PNG: missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
+    if w * h > max_pixels:
+        raise ValueError(
+            f"PNG image {w}x{h} exceeds max_pixels={max_pixels} "
+            "(raise the cap for genuinely huge images)"
+        )
     if comp != 0 or filt != 0:
         raise ValueError("corrupt PNG: unknown compression/filter method")
     if interlace != 0:

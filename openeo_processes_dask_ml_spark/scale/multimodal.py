@@ -161,12 +161,19 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
     through to PIL (import-gated: clear NotImplementedError when
     absent)."""
     dec = _PURE_DECODERS.get((fmt or "").lower())
-    inner: NotImplementedError | None = None
+    inner: Exception | None = None
     if dec is not None:
         try:
             return dec(payload)
         except NotImplementedError as e:
             inner = e  # profile beyond the pure codec -> try PIL below
+        except ValueError as e:
+            # A pure decoder can misclassify a spec-valid-but-unusual
+            # payload as corrupt (ADVICE r10 #2). When PIL is present,
+            # give it the asset rather than hard-failing (or silently
+            # skipping under on_error='skip'); re-raise the original
+            # error only if PIL is absent or also rejects it.
+            inner = e
     try:
         import io
 
@@ -178,7 +185,12 @@ def decode_image(payload: bytes, fmt: str) -> np.ndarray:
             f"decoding {fmt!r} requires PIL, not present in this environment "
             f"(pure-numpy formats: {sorted(_PURE_DECODERS)})"
         ) from None
-    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    try:
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except Exception:
+        if inner is not None:
+            raise inner from None  # the pure decoder's specific error
+        raise
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -184,3 +184,63 @@ def test_decode_image_dispatches_gif():
     idx = np.array([[0, 3], [1, 2]], dtype=np.uint8)
     out = decode_image(_gif(idx, _PAL4), "gif")
     np.testing.assert_array_equal(out, np.array(_PAL4, np.uint8)[idx])
+
+
+def test_declared_huge_frame_rejected_before_lzw():
+    """Hostile-header cap (ADVICE r10 #3): a tiny payload declaring a
+    60000x60000 frame must be rejected from the header alone — BEFORE
+    the per-code LZW loop runs and before the w*h bytearray allocates
+    (the ~2700x LZW expansion makes this a crawl DoS otherwise)."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 60000, 60000, 0x80 | 0, 0, 0)
+    out += bytes(6)  # 2-entry global color table
+    out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, 60000, 60000, 0)
+    out += bytes([2, 1, 0x04, 0, 0x3B])  # minimal LZW sub-block + trailer
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_gif(bytes(out))
+    # the cap is a parameter, not a constant: a legitimate frame can
+    # opt into a higher bound, and a stricter pipeline into a lower one
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_gif(_gif(idx, _PAL4), max_pixels=2)
+    assert decode_gif(_gif(idx, _PAL4), max_pixels=4).shape == (2, 2, 3)
+
+
+def test_decode_image_valueerror_falls_through_to_pil(monkeypatch):
+    """ADVICE r10 #2: a pure decoder misclassifying a decodable asset
+    as corrupt (ValueError) must fall through to PIL when PIL is
+    importable — and re-raise the ORIGINAL error when PIL is absent
+    or also fails."""
+    import sys
+    import types
+
+    from openeo_processes_dask_ml_spark.scale import multimodal
+
+    bad = b"GIF89a\x00"  # truncated: pure decoder raises ValueError
+
+    # PIL absent (this environment): the pure decoder's error surfaces
+    with pytest.raises(ValueError, match="truncated GIF"):
+        multimodal.decode_image(bad, "gif")
+
+    # fake PIL that "decodes" anything: the asset must reach it
+    sentinel = np.full((2, 2, 3), 7, np.uint8)
+
+    class _Img:
+        def convert(self, mode):
+            return sentinel
+
+    fake_image = types.SimpleNamespace(open=lambda fh: _Img())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+    np.testing.assert_array_equal(multimodal.decode_image(bad, "gif"), sentinel)
+
+    # fake PIL that ALSO fails: the pure decoder's error, not PIL's
+    def _boom(fh):
+        raise OSError("cannot identify image file")
+
+    fake_pil.Image = types.SimpleNamespace(open=_boom)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+    with pytest.raises(ValueError, match="truncated GIF"):
+        multimodal.decode_image(bad, "gif")

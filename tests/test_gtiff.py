@@ -865,7 +865,7 @@ def test_predictor3_validation_and_planar():
 
 
 def _jpeg_tiff(chunks, h, w, spp, *, rows_per_strip=None, tile=None,
-               jpeg_tables=None):
+               jpeg_tables=None, photometric=None):
     """Hand-crafted new-style-JPEG TIFF (compression 7): each chunk is
     an independent baseline JPEG stream; optional JPEGTables tag 347
     carries the shared abbreviated table stream."""
@@ -883,7 +883,9 @@ def _jpeg_tiff(chunks, h, w, spp, *, rows_per_strip=None, tile=None,
             (G._T_LENGTH, G._TYPE_LONG, 1, h),
             (G._T_BITS, G._TYPE_SHORT, spp, shorts([8] * spp)),
             (G._T_COMPRESSION, G._TYPE_SHORT, 1, 7),
-            (G._T_PHOTOMETRIC, G._TYPE_SHORT, 1, 6 if spp == 3 else 1),
+            (G._T_PHOTOMETRIC, G._TYPE_SHORT, 1,
+             photometric if photometric is not None
+             else (6 if spp == 3 else 1)),
             (G._T_SPP, G._TYPE_SHORT, 1, spp),
         ]
         counts = [len(p) for p in chunks]
@@ -1000,3 +1002,50 @@ def test_jpeg_in_tiff_color_and_guards():
     gray = _gray_jpeg(_fdct_blocks(np.full((8, 8), 90, np.uint8)), 8, 8)
     with pytest.raises(ValueError, match="SamplesPerPixel"):
         decode_gtiff(_jpeg_tiff([gray], 8, 8, 3))
+
+
+def _rgb_444_dc_jpeg(r: int, g: int, b: int) -> bytes:
+    """One-MCU 4:4:4 3-component baseline JPEG whose planes are flat
+    DC-only blocks of exactly (r, g, b) AS STORED — with q[0]=8 the
+    IDCT flat value is DC + 128, so the plane values are exact."""
+    from test_jpeg import (
+        _AC_COUNTS, _AC_SYMBOLS, _Bits, _DC_COUNTS, _DC_SYMBOLS,
+        _dht, _dqt, _put_ac_block, _put_dc, _sof0, _sos,
+    )
+
+    bw = _Bits()
+    for v in (r, g, b):
+        _put_dc(bw, v - 128)  # per-component predictor starts at 0
+        _put_ac_block(bw, [0] * 63)
+    return (
+        b"\xff\xd8"
+        + _dqt(0, [8] + [1] * 63)
+        + _sof0(8, 8, [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)])
+        + _dht(0, 0, _DC_COUNTS, _DC_SYMBOLS)
+        + _dht(1, 0, _AC_COUNTS, _AC_SYMBOLS)
+        + _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)])
+        + bw.tobytes()
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_in_tiff_photometric_rgb_raw_and_unsupported():
+    """PhotometricInterpretation drives the chunk color space (ADVICE
+    r10 #4): photometric=2 (RGB-mode JPEG, libtiff JPEGCOLORMODE_RAW)
+    decodes the planes AS the channels — no YCbCr matrix — while the
+    same chunk under photometric=6 goes through BT.601 and lands on
+    different values; an unsupported photometric (5 = CMYK separated)
+    raises instead of silently mis-coloring."""
+    jp = _rgb_444_dc_jpeg(100, 50, 200)
+    out, _ = decode_gtiff(_jpeg_tiff([jp], 8, 8, 3, photometric=2))
+    assert out.shape == (8, 8, 3)
+    assert (out[:, :, 0] == 100).all()
+    assert (out[:, :, 1] == 50).all()
+    assert (out[:, :, 2] == 200).all()
+
+    ycc, _ = decode_gtiff(_jpeg_tiff([jp], 8, 8, 3, photometric=6))
+    # under the matrix the stored (100, 50, 200) is Y/Cb/Cr, not RGB
+    assert not (ycc == out).all()
+
+    with pytest.raises(NotImplementedError, match="photometric 5"):
+        decode_gtiff(_jpeg_tiff([jp], 8, 8, 3, photometric=5))

@@ -136,9 +136,12 @@ def _spec_idct(F: np.ndarray) -> np.ndarray:
     return out
 
 
-def _gray_jpeg(coeff_blocks, h, w, q=None, restart=0):
+def _gray_jpeg(coeff_blocks, h, w, q=None, restart=0, sampling=(1, 1)):
     """Assemble a grayscale baseline JPEG whose blocks carry the given
-    zig-zag DCT coefficient lists (DC first)."""
+    zig-zag DCT coefficient lists (DC first). ``sampling`` sets the
+    component's (hs, vs) factors — spec-valid for a single-component
+    file even when >1 (the scan is then still non-interleaved and the
+    block count is the component raster, T.81 A.2)."""
     q = [1] * 64 if q is None else q
     bw = _Bits()
     pred = 0
@@ -161,7 +164,7 @@ def _gray_jpeg(coeff_blocks, h, w, q=None, restart=0):
     payload = (
         b"\xff\xd8"
         + _dqt(0, q)
-        + _sof0(h, w, [(1, 1, 1, 0)])
+        + _sof0(h, w, [(1, sampling[0], sampling[1], 0)])
         + _dht(0, 0, _DC_COUNTS, _DC_SYMBOLS)
         + _dht(1, 0, _AC_COUNTS, _AC_SYMBOLS)
         + (_seg(0xDD, struct.pack(">H", restart)) if restart else b"")
@@ -230,6 +233,35 @@ def _fdct_blocks(img: np.ndarray):
             zz = np.round(F.flatten()[ZIGZAG]).astype(int)
             blocks.append(list(zz))
     return blocks
+
+
+def test_noninterleaved_baseline_single_component_2x2_sampling():
+    """T.81 A.2 (ADVICE r10 #1): a single-component scan is ALWAYS
+    non-interleaved, baseline included — it traverses the component's
+    own block raster (nbw x nbh), not the MCU grid. A 24x24 grayscale
+    baseline file with 2x2 sampling factors has a 16x16 MCU grid (2x2
+    MCUs x 4 blocks = 16 blocks) but only ceil(24/8)^2 = 9 actual
+    blocks; routing it through the interleaved loop read 16 blocks and
+    died with 'entropy data exhausted'. Value-checked against the
+    spec IDCT block-by-block."""
+    rng = np.random.default_rng(7)
+    blocks = []
+    for _ in range(9):  # nbw*nbh = 3*3, component raster order
+        zz = [0] * 64
+        zz[0] = int(rng.integers(-40, 40))
+        zz[1] = int(rng.integers(-10, 10))
+        zz[5] = int(rng.integers(-10, 10))
+        blocks.append(zz)
+    out = decode_jpeg(_gray_jpeg(blocks, 24, 24, sampling=(2, 2)))
+    assert out.shape == (24, 24)
+    for i, zz in enumerate(blocks):
+        by, bx = divmod(i, 3)
+        F = np.zeros((8, 8))
+        for k, v in enumerate(zz):
+            F.flat[ZIGZAG[k]] = float(v)
+        expect = np.clip(np.round(_spec_idct(F) + 128.0), 0, 255)
+        got = out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        np.testing.assert_array_equal(got.astype(np.float64), expect)
 
 
 def test_multi_mcu_grayscale_roundtrip_and_dimension_crop():

@@ -166,6 +166,19 @@ def test_rejections_and_truncations():
         decode_png(_png(4, 1, 8, 0, raw))
 
 
+def test_declared_huge_ihdr_rejected_before_inflate():
+    """Hostile-header cap (ADVICE r10 #3): a small payload whose IHDR
+    declares a 60000x60000 image is rejected from the header alone —
+    before the bounded-but-large (up to ~1030x input) inflate runs or
+    the h*(1+stride) buffer allocates."""
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_png(_png(60000, 60000, 8, 0, b""))
+    img = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_png(encode_png(img), max_pixels=8)
+    assert decode_png(encode_png(img), max_pixels=16).shape == (4, 4)
+
+
 def test_decode_image_dispatches_png():
     from openeo_processes_dask_ml_spark.scale.multimodal import decode_image
 
