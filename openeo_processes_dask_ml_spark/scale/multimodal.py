@@ -153,44 +153,70 @@ _PURE_DECODERS = {
 }
 
 
-def decode_image(payload: bytes, fmt: str) -> np.ndarray:
-    """Decode an image payload to an ndarray. PPM/PGM/BMP, baseline
-    JPEG, and classic/BigTIFF (none/LZW/deflate/PackBits, predictor
-    1/2/3, chunky/planar) decode with pure numpy; other formats — and
-    profiles beyond the pure codecs (WebP, video frames) — fall
-    through to PIL (import-gated: clear NotImplementedError when
-    absent)."""
-    dec = _PURE_DECODERS.get((fmt or "").lower())
-    inner: Exception | None = None
-    if dec is not None:
-        try:
-            return dec(payload)
-        except NotImplementedError as e:
-            inner = e  # profile beyond the pure codec -> try PIL below
-        except ValueError as e:
-            # A pure decoder can misclassify a spec-valid-but-unusual
-            # payload as corrupt (ADVICE r10 #2). When PIL is present,
-            # give it the asset rather than hard-failing (or silently
-            # skipping under on_error='skip'); re-raise the original
-            # error only if PIL is absent or also rejects it.
-            inner = e
-    try:
-        import io
+def decode_image(
+    payload: bytes,
+    fmt: str,
+    decoder_order: tuple[str, ...] = ("pure", "pil"),
+) -> np.ndarray:
+    """Decode an image payload to an ndarray. PPM/PGM/BMP, JPEG
+    (baseline + progressive), PNG, GIF, and classic/BigTIFF
+    (none/LZW/deflate/PackBits, predictor 1/2/3, chunky/planar) decode
+    with pure numpy; other formats — and profiles beyond the pure
+    codecs (WebP video frames, etc.) — need PIL (import-gated: clear
+    NotImplementedError when absent).
 
-        from PIL import Image  # type: ignore
-    except ImportError:
-        if inner is not None:
-            raise inner from None  # the specific unsupported profile
-        raise NotImplementedError(
-            f"decoding {fmt!r} requires PIL, not present in this environment "
-            f"(pure-numpy formats: {sorted(_PURE_DECODERS)})"
-        ) from None
-    try:
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-    except Exception:
-        if inner is not None:
-            raise inner from None  # the pure decoder's specific error
-        raise
+    ``decoder_order`` is the production knob (SCALE_NOTES "codec
+    throughput"): ``("pure", "pil")`` (default) tries the
+    deterministic numpy decoders first and falls through to PIL on an
+    unsupported profile or a decode error; ``("pil", "pure")`` is the
+    blessed crawl-ingest config where PIL/libjpeg's ~100x-faster
+    entropy decode leads and the numpy decoders serve as the
+    deterministic fallback/oracle twin."""
+    fmt_key = (fmt or "").lower()
+    pure_err: Exception | None = None
+    pil_missing = False
+    for which in decoder_order:
+        if which == "pure":
+            dec = _PURE_DECODERS.get(fmt_key)
+            if dec is None:
+                continue
+            try:
+                return dec(payload)
+            except NotImplementedError as e:
+                pure_err = e  # profile beyond the pure codec
+            except ValueError as e:
+                # A pure decoder can misclassify a spec-valid-but-
+                # unusual payload as corrupt (ADVICE r10 #2). Let the
+                # other decoder try; re-raise this original error only
+                # if nothing else succeeds.
+                pure_err = e
+        elif which == "pil":
+            try:
+                import io
+
+                from PIL import Image  # type: ignore
+            except ImportError:
+                pil_missing = True
+                continue
+            try:
+                return np.asarray(
+                    Image.open(io.BytesIO(payload)).convert("RGB")
+                )
+            except Exception:
+                if pure_err is None and decoder_order[-1] == which:
+                    raise
+                # fall through: a later (or earlier) pure decoder's
+                # specific error is the better message
+        else:
+            raise ValueError(f"unknown decoder {which!r} in decoder_order")
+    if pure_err is not None:
+        raise pure_err from None  # the specific pure-decoder error
+    raise NotImplementedError(
+        f"decoding {fmt!r} requires PIL, not present in this environment "
+        f"(pure-numpy formats: {sorted(_PURE_DECODERS)})"
+        if pil_missing
+        else f"no decoder in {decoder_order!r} could handle {fmt!r}"
+    ) from None
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -244,3 +244,83 @@ def test_decode_image_valueerror_falls_through_to_pil(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
     with pytest.raises(ValueError, match="truncated GIF"):
         multimodal.decode_image(bad, "gif")
+
+
+def test_decoder_order_knob(monkeypatch):
+    """The production decoder-order knob (SCALE_NOTES codec
+    throughput): ('pil', 'pure') consults PIL FIRST — the blessed
+    crawl-ingest fast path — and falls back to the deterministic numpy
+    decoder when PIL fails; the default ('pure', 'pil') never touches
+    PIL on a payload the pure codec handles."""
+    import sys
+    import types
+
+    from openeo_processes_dask_ml_spark.scale import multimodal
+
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    good = _gif(idx, _PAL4)
+    expect = np.array(_PAL4, np.uint8)[idx]
+
+    calls = []
+    sentinel = np.full((1, 1, 3), 9, np.uint8)
+
+    class _Img:
+        def convert(self, mode):
+            return sentinel
+
+    def _open_ok(fh):
+        calls.append("pil")
+        return _Img()
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=_open_ok)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+
+    # pil-first: PIL wins on a decodable payload
+    out = multimodal.decode_image(good, "gif", decoder_order=("pil", "pure"))
+    np.testing.assert_array_equal(out, sentinel)
+    assert calls == ["pil"]
+
+    # pure-first (default): numpy decodes, PIL never consulted
+    calls.clear()
+    out = multimodal.decode_image(good, "gif")
+    np.testing.assert_array_equal(out, expect)
+    assert calls == []
+
+    # pil-first with a failing PIL: numpy fallback still decodes
+    def _open_fail(fh):
+        calls.append("pil-fail")
+        raise OSError("cannot identify image file")
+
+    fake_pil.Image = types.SimpleNamespace(open=_open_fail)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+    out = multimodal.decode_image(good, "gif", decoder_order=("pil", "pure"))
+    np.testing.assert_array_equal(out, expect)
+    assert calls == ["pil-fail"]
+
+    with pytest.raises(ValueError, match="unknown decoder"):
+        multimodal.decode_image(good, "gif", decoder_order=("rasterio",))
+
+
+def test_pil_and_pure_paths_agree_on_fixtures():
+    """Value pin between the PIL fast path and the numpy decoders on
+    the same fixtures (VERDICT r10 next #5). Runs only where PIL is
+    installed — the sandbox has no PIL, so there it documents the
+    contract and is skipped; in a production image it is the agreement
+    gate for the blessed ('pil', 'pure') ingest config."""
+    pytest.importorskip("PIL")
+    from openeo_processes_dask_ml_spark.io.png import encode_png
+    from openeo_processes_dask_ml_spark.scale.multimodal import decode_image
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    png = encode_png(rgb)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    gif = _gif(idx, _PAL4)
+    for payload, fmt in ((png, "png"), (gif, "gif")):
+        pure = decode_image(payload, fmt, decoder_order=("pure",))
+        pil = decode_image(payload, fmt, decoder_order=("pil",))
+        if pure.ndim == 2:
+            pure = np.stack([pure] * 3, axis=-1)
+        np.testing.assert_array_equal(pil, pure)
