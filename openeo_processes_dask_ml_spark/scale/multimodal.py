@@ -138,6 +138,12 @@ def _decode_gif(payload: bytes) -> "np.ndarray":
     return decode_gif(payload)
 
 
+def _decode_webp(payload: bytes) -> "np.ndarray":
+    from openeo_processes_dask_ml_spark.io.webp import decode_webp
+
+    return decode_webp(payload)
+
+
 _PURE_DECODERS = {
     "ppm": _decode_pnm,
     "pgm": _decode_pnm,
@@ -150,6 +156,7 @@ _PURE_DECODERS = {
     "jpeg": _decode_jpeg,
     "png": _decode_png,
     "gif": _decode_gif,
+    "webp": _decode_webp,  # lossless VP8L; lossy VP8 -> PIL fallthrough
 }
 
 

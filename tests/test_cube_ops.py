@@ -577,15 +577,21 @@ def test_decode_image_ppm_bmp_and_resize():
     big = resize_nearest(decode_image(_ppm_bytes(2, 2, px), "ppm"), 4, 4)
     assert big.shape == (4, 4, 3)
     assert big[0, 0].tolist() == [255, 0, 0] and big[3, 3].tolist() == [10, 20, 30]
-    # unsupported format without PIL -> clear gate (png/jpg/gif are
-    # pure-numpy since r10, so webp is the remaining PIL-gated example)
+    # unsupported profile without PIL -> clear gate (png/jpg/gif are
+    # pure-numpy since r10 and lossless webp since r11, so LOSSY webp
+    # — a VP8 chunk — is the remaining PIL-gated example)
     try:
         import PIL  # noqa: F401
     except ImportError:
         import pytest
+        import struct as _s
 
+        lossy = (
+            b"RIFF" + _s.pack("<I", 12) + b"WEBP"
+            + b"VP8 " + _s.pack("<I", 0)
+        )
         with pytest.raises(NotImplementedError):
-            decode_image(b"RIFF....WEBP", "webp")
+            decode_image(lossy, "webp")
 
 
 def test_extract_features_real_decode_path(spark):
