@@ -3009,6 +3009,108 @@ def q_raster_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.df.select("item_id", "band", "y", "x", "value")
 
 
+def _synth_webp_fetch(href: str) -> bytes:
+    """Deterministic 8x8 RGB lossless WebP for 'synthwebp://{i}/rgb'
+    hrefs: channel c pixel = (i*31 + y*8 + x + c*85) % 251, assembled
+    here from the VP8L spec primitives (RIFF wrap, LSB-first value
+    bits, canonical all-length-8 literal codes written MSB-first) so
+    the gate exercises io/webp.py against an INDEPENDENT writer, not
+    the module's own tables."""
+    import struct as _s
+
+    i = int(href.split("/")[2])
+    bits: list[int] = []
+
+    def val(v: int, n: int) -> None:
+        bits.extend((v >> k) & 1 for k in range(n))
+
+    def code(v: int, n: int) -> None:
+        bits.extend((v >> k) & 1 for k in range(n - 1, -1, -1))
+
+    def byte_code(alphabet: int) -> None:
+        # normal prefix code with lengths {0,8}: every byte symbol
+        # 0..255 gets length 8, so canonical assignment makes
+        # code(sym) == sym and literals are plain MSB-first bytes
+        val(0, 1)  # not a simple code
+        val(12 - 4, 4)  # 12 code-length slots, through symbol 8
+        for sym in (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8):
+            val(1 if sym in (0, 8) else 0, 3)
+        if alphabet > 256:
+            val(1, 1)  # cap code-length reads at 256 symbols
+            val(3, 3)  # length_nbits = 2 + 2*3
+            val(254, 8)  # max_symbol = 2 + 254
+        else:
+            val(0, 1)
+        for _ in range(256):
+            code(1, 1)  # '8' is the 1-coded code-length symbol
+
+    def single(symbol: int) -> None:
+        val(1, 1)  # simple code
+        val(0, 1)  # one symbol
+        val(1, 1)  # 8-bit symbol follows
+        val(symbol, 8)
+
+    val(7, 14)  # width - 1
+    val(7, 14)  # height - 1
+    val(0, 1)  # no alpha
+    val(0, 3)  # version 0
+    val(0, 1)  # no transforms
+    val(0, 1)  # no color cache
+    val(0, 1)  # no meta prefix
+    byte_code(256 + 24)  # green + length symbols
+    byte_code(256)  # red
+    byte_code(256)  # blue
+    single(255)  # alpha
+    single(0)  # distance (unused)
+    for y in range(8):
+        for x in range(8):
+            base = i * 31 + y * 8 + x
+            code((base + 85) % 251, 8)  # G = channel 1
+            code(base % 251, 8)  # R = channel 0
+            code((base + 170) % 251, 8)  # B = channel 2
+    out = bytearray()
+    for k in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[k : k + 8]):
+            b |= bit << j
+        out.append(b)
+    vp8l = b"\x2f" + bytes(out)
+    pad = b"\x00" if len(vp8l) & 1 else b""
+    return (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(vp8l) + len(pad)) + b"WEBP"
+        + b"VP8L" + _s.pack("<I", len(vp8l)) + vp8l + pad
+    )
+
+
+def q_raster_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-numpy lossless-WebP decoder (io/webp.py, NEW r11)
+    under the driver's VALUE gate: VP8L is lossless, so the whole
+    payload formula replays exactly. 2 RGB items fan out through the
+    standard asset decode path; multi-channel assets expand to
+    per-channel bands 'rgb.{c}' and every pixel must equal
+    (i*31 + y*8 + x + c*85) % 251 at the PGM-gate coordinate math."""
+    from openeo_processes_dask_ml_spark.io.raster import (
+        decode_assets_to_cube,
+    )
+    from openeo_processes_dask_ml_spark.io.stac_client import ASSET_SCHEMA
+
+    rows = [
+        (
+            f"item{i}",
+            "synthwebp/coll",
+            "2024-01-01T00:00:00Z",
+            "rgb",
+            f"synthwebp://{i}/rgb",
+            "image/webp",
+            [0.0, 0.0, 8.0, 8.0],
+        )
+        for i in range(2)
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    cube = decode_assets_to_cube(assets, _synth_webp_fetch)
+    return cube.df.select("item_id", "band", "y", "x", "value")
+
+
 def q_raster_ndvi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship chain fully distributed under the gate:
     STAC asset table -> mapInPandas decode -> ndvi band math -> monthly
@@ -3224,27 +3326,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # profile_table_wide_probe — RETIRED this round: the probe proved
     # its hypothesis, see io/profile.py docstring + SCALE_NOTES; the
     # wide layout stays library API with the wide-==-pivot unit pin):
-    #   slots 1-2: dsir_select (CHANGED — fold-ordered logw, directive
+    #   slot 1: raster_decode_webp (NEW — the r11 VP8L decoder's
+    #     closed-form value gate).
+    #   slots 2-3: dsir_select (CHANGED — fold-ordered logw, directive
     #     1b) and the NEW selection-only bisect twin dsir_select_picks
     #     (directive 1a: integer columns only — localizes whether the
     #     chosen set or just the float rendering diverges).
-    #   slots 3-35: ALL 33 remaining r8-greens — the oldest cohort,
+    #   slots 4-36: ALL 33 remaining r8-greens — the oldest cohort,
     #     3 rounds old, due by the 3-round-cycle protocol.
-    #   slots 36-50: the 15 oldest r9-greens.
-    # Tail: the 34 remaining r9-greens first (they fill the r12
-    # window next round), then the 48 r10-window greens (freshest
-    # last; profile_table leads that cohort).
+    #   slots 37-50: the 14 oldest r9-greens.
+    # Tail: the 35 remaining r9-greens first (they fill the r12
+    # window next round; 'mask' — r9-green, displaced from slot 50 by
+    # the new webp gate — leads them), then the 48 r10-window greens
+    # (freshest last; profile_table leads that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 132 queries
-    # (131 after the probe retirement + 1 new twin) and a 50-slot
-    # window the steady-state re-verification cadence is
-    # ceil(132/50) = 3 rounds; after r11 every query's latest driver
-    # green is <= 2 rounds old.
+    # Rotation arithmetic (standing, stated honestly): at 133 queries
+    # (131 after the probe retirement, + the dsir twin + the webp
+    # gate) and a 50-slot window the steady-state re-verification
+    # cadence is ceil(133/50) = 3 rounds; after r11 every query's
+    # latest driver green is <= 2 rounds old.
     return {
-        # --- slots 1-2: the changed dsir gate + its bisect twin ---
+        # --- slot 1: the new r11 WebP decoder gate ---
+        "raster_decode_webp": q_raster_decode_webp,
+        # --- slots 2-3: the changed dsir gate + its bisect twin ---
         "dsir_select": q_dsir_select,
         "dsir_select_picks": q_dsir_select_picks,
-        # --- slots 3-35: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
+        # --- slots 4-36: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
@@ -3278,7 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
-        # --- slots 36-50: the 15 oldest r9-greens ---
+        # --- slots 37-50: the 14 oldest r9-greens ---
         "profile_table_cols": q_profile_table_cols,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -3293,8 +3400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "mask_polygon": q_mask_polygon,
+        # --- tail: 35 remaining r9-greens (they fill the r12 window
+        # next; mask was displaced from slot 50 by the webp gate) ---
         "mask": q_mask,
-        # --- tail: 34 remaining r9-greens (they fill the r12 window next) ---
         "array_interpolate_linear": q_interpolate,
         "scale_values": q_scale_values,
         "aggregate_spatial": q_aggregate_spatial,
@@ -6406,6 +6514,21 @@ SELECT 'item' || i AS item_id,
        x + 0.5 AS x,
        CAST((i * 31 + y * 8 + x) % 251 AS DOUBLE) AS value
 FROM items, px
+"""
+
+    # lossless WebP replay (r11): VP8L literal coding is exact, so the
+    # per-channel payload formula replays; multi-channel assets expand
+    # to bands 'rgb.{c}' in the decode path
+    sql["raster_decode_webp"] = """
+WITH items AS (SELECT i FROM range(2) r(i)),
+px AS (SELECT y, x FROM range(8) a(y), range(8) c(x)),
+ch AS (SELECT c FROM range(3) h(c))
+SELECT 'item' || i AS item_id,
+       'rgb.' || c AS band,
+       8.0 - (y + 0.5) AS y,
+       x + 0.5 AS x,
+       CAST((i * 31 + y * 8 + x + c * 85) % 251 AS DOUBLE) AS value
+FROM items, px, ch
 """
 
     # DC-only JPEG replay (r10): a DC-only block IDCTs to exactly

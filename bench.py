@@ -112,8 +112,10 @@ HEADLINE = [
     "raster_decode_jpeg",
     "raster_decode_png",
     "dsir_select",
-    # round 11 additions (VERDICT r10 #1 selection-only bisect twin)
+    # round 11 additions (VERDICT r10 #1 selection-only bisect twin,
+    # #6 pure-numpy lossless-WebP decoder value gate)
     "dsir_select_picks",
+    "raster_decode_webp",
 ]
 
 

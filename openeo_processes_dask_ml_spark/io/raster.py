@@ -48,6 +48,7 @@ _MEDIA_FMTS = {
     "image/bmp": "bmp",
     "image/jpeg": "jpg",
     "image/png": "png",
+    "image/webp": "webp",
     "image/tiff; application=geotiff; profile=cloud-optimized": "cog",
     "image/tiff; application=geotiff": "gtiff",
     "image/tiff": "gtiff",
