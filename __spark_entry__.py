@@ -3111,6 +3111,51 @@ def q_raster_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cube.df.select("item_id", "band", "y", "x", "value")
 
 
+def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED zarr v2 sink + source under the gate
+    (io/zarr.py, NEW r11): a deterministic 4-D cube is chunked and
+    written by executor tasks (pure stdlib zlib codec, driver writes
+    only axis coordinates + JSON metadata), then re-read through the
+    distributed chunk reader. The oracle replays the source formula —
+    a mismatch means the chunk layout, edge padding, fill-value
+    handling, or axis ordinal math corrupted data in write -> read.
+    Reference analog: xarray zarr export,
+    minibackend/custom_processes.py:115-118."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.zarr import (
+        read_zarr_cube,
+        write_zarr_cube,
+    )
+
+    px = spark.range(2 * 2 * 64).select(
+        (F.col("id") / 128).cast("int").alias("i"),
+        ((F.col("id") / 64).cast("int") % 2).alias("bi"),
+        ((F.col("id") / 8).cast("int") % 8).alias("yy"),
+        (F.col("id") % 8).alias("xx"),
+    )
+    cube_src = px.select(
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-0"), F.col("i") + 1)
+        ).alias("time"),
+        F.concat(F.lit("b"), F.col("bi")).alias("band"),
+        F.col("yy").cast("double").alias("y"),
+        F.col("xx").cast("double").alias("x"),
+        (
+            (F.col("i") * 97 + F.col("bi") * 17 + F.col("yy") * 8 + F.col("xx"))
+            % 251
+        ).cast("double").alias("value"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="zarr_roundtrip_") + "/store.zarr"
+    # chunks [1, 1, 5, 8]: y=5 forces EDGE chunks (8 = 5 + 3 padding),
+    # so the padded-chunk slice path is under the gate too
+    write_zarr_cube(cube_src, out_dir, chunks=[1, 1, 5, 8])
+    back = read_zarr_cube(spark, out_dir)
+    return back.select(
+        F.to_date("time").alias("day"), "band", "y", "x", "value"
+    )
+
+
 def q_raster_ndvi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship chain fully distributed under the gate:
     STAC asset table -> mapInPandas decode -> ndvi band math -> monthly
@@ -3326,32 +3371,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # profile_table_wide_probe — RETIRED this round: the probe proved
     # its hypothesis, see io/profile.py docstring + SCALE_NOTES; the
     # wide layout stays library API with the wide-==-pivot unit pin):
-    #   slot 1: raster_decode_webp (NEW — the r11 VP8L decoder's
-    #     closed-form value gate).
-    #   slots 2-3: dsir_select (CHANGED — fold-ordered logw, directive
+    #   slots 1-2: raster_decode_webp (NEW — the r11 VP8L decoder's
+    #     closed-form value gate) and zarr_roundtrip (NEW — the r11
+    #     distributed zarr sink/source round-trip gate).
+    #   slots 3-4: dsir_select (CHANGED — fold-ordered logw, directive
     #     1b) and the NEW selection-only bisect twin dsir_select_picks
     #     (directive 1a: integer columns only — localizes whether the
     #     chosen set or just the float rendering diverges).
-    #   slots 4-36: ALL 33 remaining r8-greens — the oldest cohort,
+    #   slots 5-37: ALL 33 remaining r8-greens — the oldest cohort,
     #     3 rounds old, due by the 3-round-cycle protocol.
-    #   slots 37-50: the 14 oldest r9-greens.
-    # Tail: the 35 remaining r9-greens first (they fill the r12
-    # window next round; 'mask' — r9-green, displaced from slot 50 by
-    # the new webp gate — leads them), then the 48 r10-window greens
-    # (freshest last; profile_table leads that cohort).
+    #   slots 38-50: the 13 oldest r9-greens.
+    # Tail: the 36 remaining r9-greens first (they fill the r12
+    # window next round; 'mask_polygon' and 'mask' — r9-green,
+    # displaced from slots 49-50 by the new r11 gates — lead them),
+    # then the 48 r10-window greens (freshest last; profile_table
+    # leads that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 133 queries
+    # Rotation arithmetic (standing, stated honestly): at 134 queries
     # (131 after the probe retirement, + the dsir twin + the webp
-    # gate) and a 50-slot window the steady-state re-verification
-    # cadence is ceil(133/50) = 3 rounds; after r11 every query's
-    # latest driver green is <= 2 rounds old.
+    # gate + the zarr gate) and a 50-slot window the steady-state
+    # re-verification cadence is ceil(134/50) = 3 rounds; after r11
+    # every query's latest driver green is <= 2 rounds old.
     return {
-        # --- slot 1: the new r11 WebP decoder gate ---
+        # --- slots 1-2: the new r11 WebP decoder + zarr sink gates ---
         "raster_decode_webp": q_raster_decode_webp,
-        # --- slots 2-3: the changed dsir gate + its bisect twin ---
+        "zarr_roundtrip": q_zarr_roundtrip,
+        # --- slots 3-4: the changed dsir gate + its bisect twin ---
         "dsir_select": q_dsir_select,
         "dsir_select_picks": q_dsir_select_picks,
-        # --- slots 4-36: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
+        # --- slots 5-37: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
@@ -3385,7 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
-        # --- slots 37-50: the 14 oldest r9-greens ---
+        # --- slots 38-50: the 13 oldest r9-greens ---
         "profile_table_cols": q_profile_table_cols,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -3399,9 +3447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "topk_per_group": q_topk_per_group,
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
+        # --- tail: 36 remaining r9-greens (they fill the r12 window
+        # next; mask_polygon/mask were displaced from slots 49-50 by
+        # the r11 webp + zarr gates) ---
         "mask_polygon": q_mask_polygon,
-        # --- tail: 35 remaining r9-greens (they fill the r12 window
-        # next; mask was displaced from slot 50 by the webp gate) ---
         "mask": q_mask,
         "array_interpolate_linear": q_interpolate,
         "scale_values": q_scale_values,
@@ -6529,6 +6578,21 @@ SELECT 'item' || i AS item_id,
        x + 0.5 AS x,
        CAST((i * 31 + y * 8 + x + c * 85) % 251 AS DOUBLE) AS value
 FROM items, px, ch
+"""
+
+    # distributed zarr round-trip (r11): lossless store, the source
+    # formula replays exactly; y chunk of 5 over extent 8 exercises
+    # the padded edge-chunk path
+    sql["zarr_roundtrip"] = """
+WITH t AS (SELECT i FROM range(2) r(i)),
+b AS (SELECT bi FROM range(2) s(bi)),
+px AS (SELECT y, x FROM range(8) a(y), range(8) c(x))
+SELECT make_date(2024, 1, 1 + i) AS day,
+       'b' || bi AS band,
+       CAST(y AS DOUBLE) AS y,
+       CAST(x AS DOUBLE) AS x,
+       CAST((i * 97 + bi * 17 + y * 8 + x) % 251 AS DOUBLE) AS value
+FROM t, b, px
 """
 
     # DC-only JPEG replay (r10): a DC-only block IDCTs to exactly

@@ -113,9 +113,11 @@ HEADLINE = [
     "raster_decode_png",
     "dsir_select",
     # round 11 additions (VERDICT r10 #1 selection-only bisect twin,
-    # #6 pure-numpy lossless-WebP decoder value gate)
+    # #6 pure-numpy lossless-WebP decoder value gate, #7 distributed
+    # zarr sink/source round-trip)
     "dsir_select_picks",
     "raster_decode_webp",
+    "zarr_roundtrip",
 ]
 
 

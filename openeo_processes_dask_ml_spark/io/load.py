@@ -665,10 +665,11 @@ def save_result(
     **options,
 ) -> str:
     """Sink dispatch: parquet (default) / csv / json distributed writes —
-    one file per partition, no driver collect. Raster container formats
-    (netcdf/gtiff/zarr) export driver-side when the geo stack is
-    installed; otherwise the data lands as parquet WITH an explicit
-    warning — never a silent format substitution."""
+    one file per partition, no driver collect. gtiff and zarr are
+    DISTRIBUTED sinks (executor-side tile/chunk encode, driver-side
+    manifest/metadata only); netcdf exports driver-side when the geo
+    stack is installed, otherwise the data lands as parquet WITH an
+    explicit warning — never a silent format substitution."""
     import warnings
 
     fmt = format.lower()
@@ -737,6 +738,37 @@ def save_result(
                 os.path.join(path, "_manifest")
             )
             return path
+    if fmt == "zarr":
+        # DISTRIBUTED zarr v2 sink (pure stdlib+numpy, io/zarr.py):
+        # executor tasks write the chunk files, the driver writes only
+        # axis coordinates + JSON metadata — no geo stack, no toPandas.
+        # (The reference's save_result writes zarr via xarray on one
+        # machine, minibackend/custom_processes.py:115-118.)
+        from openeo_processes_dask_ml_spark.io.zarr import write_zarr_cube
+
+        vc = value_col if value_col is not None else df.columns[-1]
+        dc = (
+            dim_cols
+            if dim_cols is not None
+            else [c for c in df.columns if c != vc]
+        )
+        known = {"chunks", "dtype", "attrs"}
+        unknown = set(options) - known
+        if unknown:
+            raise ValueError(
+                f"save_result(zarr): unknown options {sorted(unknown)}; "
+                f"supported: {sorted(known)}"
+            )
+        write_zarr_cube(
+            df,
+            path,
+            value_col=vc,
+            dim_cols=dc,
+            chunks=options.get("chunks"),
+            dtype=options.get("dtype", "float64"),
+            attrs=options.get("attrs"),
+        )
+        return path
     if fmt in RASTER_FORMATS:
         if _try_raster_export(df, path, fmt, value_col, dim_cols):
             return path

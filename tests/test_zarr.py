@@ -1,0 +1,164 @@
+"""Distributed zarr v2 sink/source (io/zarr.py): round-trips through
+save_result, spec-layout parsing INDEPENDENT of the module's reader
+(json + zlib + frombuffer only), sparse stores, date axes, the
+duplicate-cell and integer-coverage guards, and the default chunker."""
+
+import datetime as dt
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from openeo_processes_dask_ml_spark.io.zarr import (
+    default_chunks,
+    read_zarr_cube,
+    write_zarr_cube,
+)
+
+
+def _cube_df(spark):
+    rows = []
+    for t in range(3):
+        for b in ("red", "nir"):
+            for y in range(5):
+                for x in range(7):
+                    rows.append(
+                        (
+                            dt.datetime(2024, 1, 1 + t),
+                            b,
+                            float(y),
+                            float(x),
+                            float(t * 100 + (b == "nir") * 50 + y * 7 + x),
+                        )
+                    )
+    return spark.createDataFrame(
+        rows, "time timestamp, band string, y double, x double, value double"
+    )
+
+
+def test_zarr_roundtrip_via_save_result(spark, tmp_path):
+    from openeo_processes_dask_ml_spark.io.load import save_result
+
+    df = _cube_df(spark)
+    out = str(tmp_path / "store.zarr")
+    assert save_result(df, out, format="zarr", chunks=[1, 1, 5, 7]) == out
+    back = read_zarr_cube(spark, out)
+    assert back.columns == ["time", "band", "y", "x", "value"]
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_zarr_store_layout_parses_independently(spark, tmp_path):
+    """Validate the on-disk store with json/zlib/frombuffer ONLY — no
+    module reader involved — so the layout itself is pinned to the
+    zarr v2 spec (shape/chunks/dtype/fill_value/C-order, consolidated
+    metadata, xarray _ARRAY_DIMENSIONS convention)."""
+    df = _cube_df(spark)
+    out = str(tmp_path / "store.zarr")
+    write_zarr_cube(df, out, chunks=[1, 1, 5, 7]).count()
+
+    assert json.load(open(os.path.join(out, ".zgroup"))) == {"zarr_format": 2}
+    za = json.load(open(os.path.join(out, "value", ".zarray")))
+    assert za["shape"] == [3, 2, 5, 7]
+    assert za["chunks"] == [1, 1, 5, 7]
+    assert za["dtype"] == "<f8"
+    assert za["fill_value"] == "NaN"
+    assert za["compressor"]["id"] == "zlib"
+    assert za["order"] == "C"
+    attrs = json.load(open(os.path.join(out, "value", ".zattrs")))
+    assert attrs["_ARRAY_DIMENSIONS"] == ["time", "band", "y", "x"]
+    zmeta = json.load(open(os.path.join(out, ".zmetadata")))
+    assert zmeta["zarr_consolidated_format"] == 1
+    assert "value/.zarray" in zmeta["metadata"]
+
+    # band axis sorts ("nir", "red"); chunk (0, 0) is t=0 / nir, so
+    # cell (y=2, x=3) = 0*100 + 50 + 2*7 + 3 = 67
+    raw = zlib.decompress(
+        open(os.path.join(out, "value", "0.0.0.0"), "rb").read()
+    )
+    arr = np.frombuffer(raw, "<f8").reshape(5, 7)
+    assert arr[2, 3] == 67.0
+    band_axis = np.frombuffer(
+        zlib.decompress(open(os.path.join(out, "band", "0"), "rb").read()),
+        json.load(open(os.path.join(out, "band", ".zarray")))["dtype"],
+    )
+    assert band_axis.tolist() == ["nir", "red"]
+    time_meta = json.load(open(os.path.join(out, "time", ".zarray")))
+    assert time_meta["dtype"] == "<M8[ns]"
+    # 18 chunk files: 3 time x 2 band x 1 y x 1 x... no: chunks [1,1,5,7]
+    files = [
+        n for n in os.listdir(os.path.join(out, "value"))
+        if not n.startswith(".")
+    ]
+    assert len(files) == 6
+
+
+def test_zarr_sparse_and_edge_chunks(spark, tmp_path):
+    """Missing cells come back as ABSENT rows (fill_value dropped) and
+    edge chunks are stored padded to the chunk shape per spec."""
+    df = _cube_df(spark).filter("value % 7 != 3")
+    out = str(tmp_path / "sparse.zarr")
+    write_zarr_cube(df, out, chunks=[2, 2, 3, 4]).count()
+    # edge chunk 1.0.1.1 (time 2, band nir.., y 3-4, x 4-6) is padded:
+    # stored cells = 2*2*3*4 even though valid extent is 1*2*2*3
+    raw = zlib.decompress(
+        open(os.path.join(out, "value", "1.0.1.1"), "rb").read()
+    )
+    assert len(raw) == 2 * 2 * 3 * 4 * 8
+    back = read_zarr_cube(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_zarr_date_axis_and_int_dtype(spark, tmp_path):
+    df = (
+        _cube_df(spark)
+        .selectExpr(
+            "cast(time as date) as day", "band", "y", "x", "value"
+        )
+        .filter("band = 'red'")
+    )
+    out = str(tmp_path / "day.zarr")
+    write_zarr_cube(df, out, dtype="int64").count()
+    za = json.load(open(os.path.join(out, "value", ".zarray")))
+    assert za["dtype"] == "<i8" and za["fill_value"] == 0
+    back = read_zarr_cube(spark, out)
+    assert dict(back.dtypes)["day"] == "date"
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_zarr_guards(spark, tmp_path):
+    from pyspark.errors import PythonException
+
+    df = _cube_df(spark)
+    # duplicate cells (band dim dropped) must raise, never average
+    dup = df.select("time", "y", "x", "value")
+    with pytest.raises(PythonException, match="duplicate cells"):
+        write_zarr_cube(dup, str(tmp_path / "dup.zarr")).count()
+    # integer dtype + incomplete coverage must raise (no NaN to carry)
+    sparse = df.filter("value % 7 != 3")
+    with pytest.raises(PythonException, match="not fully covered"):
+        write_zarr_cube(
+            sparse, str(tmp_path / "hole.zarr"), dtype="int32"
+        ).count()
+    with pytest.raises(ValueError, match="chunks"):
+        write_zarr_cube(df, str(tmp_path / "bad.zarr"), chunks=[9, 9])
+    # unknown save_result option rejected
+    from openeo_processes_dask_ml_spark.io.load import save_result
+
+    with pytest.raises(ValueError, match="unknown options"):
+        save_result(df, str(tmp_path / "o.zarr"), format="zarr", epsg=4326)
+
+
+def test_default_chunks_policy():
+    # trailing dims keep full runs first (C-order contiguity)
+    assert default_chunks([3, 2, 5, 7]) == [3, 2, 5, 7]  # tiny: one chunk
+    ch = default_chunks([1000, 10, 4096, 4096], target_cells=1 << 21)
+    assert ch[3] == 4096 and ch[2] == 512 and ch[1] == 1 and ch[0] == 1
+    assert default_chunks([5], target_cells=2) == [2]
