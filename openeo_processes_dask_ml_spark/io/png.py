@@ -9,9 +9,9 @@ for it. Scope, stated honestly:
 - decode: 8- and 16-bit grayscale (color type 0), RGB (2), palette
   (3, bit depth 1/2/4/8, with optional tRNS), gray+alpha (4) and RGBA
   (6); all five scanline filters (None/Sub/Up/Average/Paeth);
-  multiple IDAT chunks. Adam7 interlace and sub-byte grayscale raise
-  ``NotImplementedError`` (progressive delivery is a transport
-  optimization no pipeline needs server-side).
+  multiple IDAT chunks; Adam7 interlace (7 independently-filtered
+  sub-images scattered back on the pass grid). Sub-byte grayscale
+  raises ``NotImplementedError``.
 - encode: filter-0 rows + zlib, 8/16-bit gray, RGB, RGBA — enough to
   round-trip every decode path and emit artifacts.
 
@@ -128,8 +128,8 @@ def decode_png(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
         )
     if comp != 0 or filt != 0:
         raise ValueError("corrupt PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG: interlace method {interlace}")
     if color not in _CHANNELS:
         raise ValueError(f"corrupt PNG: color type {color}")
     ch = _CHANNELS[color]
@@ -145,41 +145,84 @@ def decode_png(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
         )
 
     bits_per_px = depth * ch
-    stride = (w * bits_per_px + 7) // 8
     bpp = max(1, bits_per_px // 8)
+
+    def sub_stride(pw: int) -> int:
+        return (pw * bits_per_px + 7) // 8
+
+    def samples(grid: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """Unfiltered rows -> per-pixel samples: palette index grid
+        (ph, pw) or channel grid (ph, pw, ch)."""
+        if color == 3 and depth < 8:
+            # unpack sub-byte palette indices, MSB-first
+            bits = np.unpackbits(grid, axis=1)[:, : pw * depth]
+            idx = bits.reshape(ph, pw, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            return (idx * weights).sum(axis=2).astype(np.uint8)
+        if color == 3:
+            return grid[:, :pw]
+        if depth == 16:
+            return (
+                grid.reshape(ph, sub_stride(pw))
+                .view(">u2")
+                .astype(np.uint16)
+                .reshape(ph, pw, ch)
+            )
+        return grid[:, : pw * ch].reshape(ph, pw, ch)
+
+    # Adam7 passes: (x0, y0, dx, dy); the deflate stream concatenates
+    # the 7 independently-filtered sub-images (empty passes contribute
+    # no scanlines). interlace 0 is the single full pass.
+    passes = (
+        [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        if interlace == 1
+        else [(0, 0, 1, 1)]
+    )
+    dims = []
+    needed = 0
+    for x0, y0, dx, dy in passes:
+        pw = max(0, -(-(w - x0) // dx))
+        ph = max(0, -(-(h - y0) // dy))
+        if pw == 0 or ph == 0:
+            pw = ph = 0
+        dims.append((pw, ph))
+        needed += ph * (1 + sub_stride(pw))
     # bounded inflate: the image geometry fixes the exact output size,
     # so a decompression bomb (tiny IDAT inflating to GBs) can never
     # allocate past the declared image — the crawl-safety property a
     # bare zlib.decompress does not have
-    needed = h * (1 + stride)
     raw = zlib.decompressobj().decompress(bytes(idat), needed)
     if len(raw) < needed:
         raise ValueError("truncated PNG: inflated data shorter than image")
-    grid = _unfilter(raw, h, stride, bpp)
 
     if color == 3:
-        if depth < 8:
-            # unpack sub-byte palette indices, MSB-first
-            bits = np.unpackbits(grid, axis=1)[:, : w * depth]
-            idx = bits.reshape(h, w, depth)
-            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-            indices = (idx * weights).sum(axis=2).astype(np.uint8)
-        else:
-            indices = grid[:, :w]
-        rgb = plte[indices]
+        full = np.zeros((h, w), dtype=np.uint8)
+    else:
+        full = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+    pos = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
+        if pw == 0:
+            continue
+        st = sub_stride(pw)
+        size = ph * (1 + st)
+        grid = _unfilter(raw[pos : pos + size], ph, st, bpp)
+        pos += size
+        full[y0::dy, x0::dx] = samples(grid, ph, pw)
+
+    if color == 3:
+        rgb = plte[full]
         if trns is not None:
             alpha = np.full(len(plte), 255, dtype=np.uint8)
             t = np.frombuffer(trns, dtype=np.uint8)
             alpha[: len(t)] = t
-            return np.dstack([rgb, alpha[indices]])
+            return np.dstack([rgb, alpha[full]])
         return rgb
-
-    if depth == 16:
-        arr = grid.reshape(h, stride).view(">u2").astype(np.uint16)
-        arr = arr.reshape(h, w, ch)
-    else:
-        arr = grid.reshape(h, w, ch)
-    return arr[:, :, 0] if ch == 1 else arr
+    return full[:, :, 0] if ch == 1 else full
 
 
 def encode_png(arr: np.ndarray) -> bytes:

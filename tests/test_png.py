@@ -153,10 +153,10 @@ def test_rejections_and_truncations():
         decode_png(b"not a png")
     img = np.zeros((4, 4), dtype=np.uint8)
     payload = encode_png(img)
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        # flip the interlace byte inside IHDR and ignore the stale CRC
+    with pytest.raises(ValueError, match="interlace"):
+        # interlace methods beyond 0/1 are undefined by the spec
         i = payload.index(b"IHDR")
-        bad = payload[: i + 16] + b"\x01" + payload[i + 17 :]
+        bad = payload[: i + 16] + b"\x02" + payload[i + 17 :]
         decode_png(bad)
     with pytest.raises(ValueError, match="truncated PNG"):
         decode_png(payload[: len(payload) - 20])
@@ -177,6 +177,95 @@ def test_declared_huge_ihdr_rejected_before_inflate():
     with pytest.raises(ValueError, match="max_pixels"):
         decode_png(encode_png(img), max_pixels=8)
     assert decode_png(encode_png(img), max_pixels=16).shape == (4, 4)
+
+
+# Adam7 pass grid straight from the spec table (§8.2): starting
+# offsets and intervals per pass, (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _pack_rows(sub: np.ndarray, depth: int) -> np.ndarray:
+    """Per-pixel sub-image -> (ph, stride) byte rows: 8-bit channels
+    flatten, 16-bit go big-endian, sub-byte palette indices pack
+    MSB-first."""
+    ph = sub.shape[0]
+    if depth == 16:
+        return np.frombuffer(
+            sub.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(ph, -1)
+    if depth == 8:
+        return sub.reshape(ph, -1)
+    per = 8 // depth
+    rows = []
+    for r in sub:
+        out = bytearray()
+        for i in range(0, len(r), per):
+            b = 0
+            for j, v in enumerate(r[i : i + per]):
+                b |= int(v) << (8 - depth * (j + 1))
+            out.append(b)
+        rows.append(bytes(out))
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(ph, -1)
+
+
+def _adam7_scanlines(samples: np.ndarray, depth: int, bpp: int) -> bytes:
+    """FORWARD Adam7 interleave per spec: extract each pass's
+    sub-image on the (x0, y0, dx, dy) grid, filter its scanlines
+    independently (cycling through all five filters), concatenate."""
+    out = b""
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = samples[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        rows = _pack_rows(sub, depth)
+        out += _spec_filter(rows, bpp, [p % 5, (p + 1) % 5])
+    return out
+
+
+def test_adam7_rgb_odd_size_matches_sequential():
+    rng = np.random.default_rng(20)
+    img = rng.integers(0, 256, (9, 10, 3), dtype=np.uint8)
+    scan = _adam7_scanlines(img, 8, 3)
+    out = decode_png(_png(10, 9, 8, 2, scan, interlace=1))
+    np.testing.assert_array_equal(out, img)
+    # and the interlaced decode equals the sequential decode bit-exact
+    np.testing.assert_array_equal(out, decode_png(encode_png(img)))
+
+
+def test_adam7_16bit_grayscale():
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 1 << 16, (5, 7), dtype=np.uint16)
+    scan = _adam7_scanlines(img[:, :, None], 16, 2)
+    out = decode_png(_png(7, 5, 16, 0, scan, interlace=1))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_adam7_palette_4bit_with_trns():
+    rng = np.random.default_rng(22)
+    palette = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    trns = bytes([255, 255, 0, 255, 128, 255, 255])
+    idx = rng.integers(0, 7, (6, 9), dtype=np.uint8)
+    scan = _adam7_scanlines(idx, 4, 1)
+    out = decode_png(
+        _png(9, 6, 4, 3, scan, plte=palette.tobytes(), trns=trns, interlace=1)
+    )
+    alpha = np.frombuffer(trns, np.uint8)[idx]
+    expect = np.dstack([palette[idx], alpha])
+    np.testing.assert_array_equal(out, expect)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (2, 3), (8, 8), (3, 17)])
+def test_adam7_small_and_empty_passes(shape):
+    """Sizes below the 8x8 tile leave whole passes EMPTY (zero
+    scanlines contributed) — the stream layout must still line up."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    scan = _adam7_scanlines(img[:, :, None], 8, 1)
+    out = decode_png(_png(shape[1], shape[0], 8, 0, scan, interlace=1))
+    np.testing.assert_array_equal(out, img)
 
 
 def test_decode_image_dispatches_png():
