@@ -282,13 +282,17 @@ def write_zarr_cube(
     )
 
     # 4. the one shuffle: group rows into their output chunks and
-    # write on the executors
-    manifest = keyed.groupBy(*chunk_cols).applyInPandas(
+    # write on the executors. The un-executed plan is kept on the
+    # result as `_zarr_plan` so tests can pin its shape (broadcast
+    # ordinal joins + exactly one real exchange) — the checkpointed
+    # manifest itself reads back as a plain scan.
+    plan = keyed.groupBy(*chunk_cols).applyInPandas(
         write_chunk, schema=ZARR_MANIFEST_SCHEMA
     )
     # the manifest is chunk-count-sized; localCheckpoint forces the
     # writes to actually happen exactly once
-    manifest = manifest.localCheckpoint(eager=True)
+    manifest = plan.localCheckpoint(eager=True)
+    manifest._zarr_plan = plan
     n_expected = 1
     for g in grid:
         n_expected *= g
@@ -298,6 +302,22 @@ def write_zarr_cube(
             f"zarr sink wrote {n_written} chunks for a {grid} grid"
         )
     return manifest
+
+
+def load_zarr_collection(spark, path: str, value_col: str | None = None):
+    """zarr store -> CubeFrame: the distributed chunk reader plus the
+    store's own ``_ARRAY_DIMENSIONS`` as the cube dims (spatial names
+    map onto the openEO x/y/t/bands conventions the rest of the cube
+    API resolves through ``utils/dim_utils.resolve_dim``). The
+    reference loads zarr through xarray into a dask cube
+    (get_datacube.py cube materialization); here the store explodes
+    straight into the long-form Catalyst plan."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+
+    df = read_zarr_cube(spark, path, value_col)
+    vc = df.columns[-1]
+    dims = {d: d for d in df.columns[:-1]}
+    return CubeFrame(df, dims, vc, {"source": f"zarr:{path}"})
 
 
 def read_zarr_cube(

@@ -419,3 +419,36 @@ def test_raster_decode_spreads_then_maps(spark):
     assert map_pos < exchange_pos
     rows = cube.df.collect()
     assert len(rows) == 4
+
+
+def test_zarr_sink_ordinal_joins_broadcast(spark, tmp_path):
+    """The zarr sink's coordinate-to-ordinal resolution must stay
+    BROADCAST joins (axis tables are tiny); a SortMergeJoin here would
+    shuffle the full cube once per dimension at 100 TB. The one
+    allowed exchange is the groupBy(chunk id) — the output layout."""
+    import datetime as dt
+
+    from openeo_processes_dask_ml_spark.io.zarr import write_zarr_cube
+
+    rows = [
+        (dt.datetime(2024, 1, 1 + t), float(y), float(x), float(t + y + x))
+        for t in range(2)
+        for y in range(4)
+        for x in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, y double, x double, value double"
+    )
+    manifest = write_zarr_cube(df, str(tmp_path / "p.zarr"), chunks=[1, 4, 4])
+    # AQE appends an "== Initial Plan ==" copy — count the final plan only
+    plan = _plan(manifest._zarr_plan).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one real exchange: the chunk grouping (broadcast
+    # exchanges don't count — they move only the axis tables)
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+    ]
+    assert len(shuffles) == 1, shuffles

@@ -162,3 +162,27 @@ def test_default_chunks_policy():
     ch = default_chunks([1000, 10, 4096, 4096], target_cells=1 << 21)
     assert ch[3] == 4096 and ch[2] == 512 and ch[1] == 1 and ch[0] == 1
     assert default_chunks([5], target_cells=2) == [2]
+
+
+def test_load_zarr_collection_cube(spark, tmp_path):
+    """zarr store -> CubeFrame with the store's dims, usable by the
+    cube API (dim aliasing via resolve_dim, reduce over time)."""
+    from openeo_processes_dask_ml_spark.io.zarr import load_zarr_collection
+
+    df = _cube_df(spark)
+    out = str(tmp_path / "cube.zarr")
+    write_zarr_cube(df, out, chunks=[1, 1, 5, 7]).count()
+    cube = load_zarr_collection(spark, out)
+    assert cube.dims == {"time": "time", "band": "band", "y": "y", "x": "x"}
+    assert cube.value_col == "value"
+    assert cube.attrs["source"] == f"zarr:{out}"
+    # 't' resolves to the time column through the openEO alias table
+    assert cube.dim_col("t") == "time"
+    reduced = cube.reduce_dimension("t", "mean")
+    got = {
+        (r["band"], r["y"], r["x"]): r["value"]
+        for r in reduced.df.collect()
+    }
+    # mean over t of t*100 + base = 100 + base
+    assert got[("red", 0.0, 0.0)] == 100.0
+    assert got[("nir", 4.0, 6.0)] == 100.0 + 50 + 4 * 7 + 6
