@@ -21,6 +21,7 @@ from openeo_processes_dask_ml_spark.io.gif import decode_gif
 from openeo_processes_dask_ml_spark.io.gtiff import decode_gtiff, encode_gtiff
 from openeo_processes_dask_ml_spark.io.jpeg import decode_jpeg
 from openeo_processes_dask_ml_spark.io.png import decode_png, encode_png
+from openeo_processes_dask_ml_spark.io.webp import decode_webp
 
 # every exception class a hostile payload may legitimately surface —
 # the skip-path catches Exception, so anything derived from it is fine;
@@ -66,10 +67,41 @@ def _seed_payloads():
         lambda b: decode_jpeg(b): _progressive_jpeg(
             _fdct_blocks(img8), 16, 24, prog_plan
         ),
+        # lossless WebP: a plain literal stream and a transform-rich
+        # one (subtract-green + predictor sub-image) — prefix-code
+        # tables, LZ77 state, and the transform readers all fuzzed
+        decode_webp: _webp_payloads(rng)[0],
+        lambda b: decode_webp(b): _webp_payloads(rng)[1],
     }
 
 
-@pytest.mark.parametrize("codec_idx", range(5))
+def _webp_payloads(rng):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_webp import _literal_codes, _simple_lossless
+
+    rgb = rng.integers(0, 256, (8, 6, 3)).astype(np.uint8)
+    plain = _simple_lossless(rgb)
+
+    def tr(bw):
+        bw.val(1, 1)
+        bw.val(2, 2)  # subtract green (no sub-image)
+        bw.val(1, 1)
+        bw.val(0, 2)  # predictor, bits=2 -> 2x2 sub-image
+        bw.val(0, 3)
+        bw.val(0, 1)  # sub-image: no cache
+        _literal_codes(bw)
+        for _ in range(4):
+            bw.code(2, 8)  # mode 2 (top) in green
+            bw.code(0, 8)
+            bw.code(0, 8)
+
+    rich = _simple_lossless(rgb, tr)
+    return plain, rich
+
+
+@pytest.mark.parametrize("codec_idx", range(7))
 def test_truncations_never_hang_or_crash(codec_idx):
     payloads = _seed_payloads()
     decode, payload = list(payloads.items())[codec_idx]
@@ -81,7 +113,7 @@ def test_truncations_never_hang_or_crash(codec_idx):
             pass
 
 
-@pytest.mark.parametrize("codec_idx", range(5))
+@pytest.mark.parametrize("codec_idx", range(7))
 def test_byte_flips_never_hang_or_crash(codec_idx):
     payloads = _seed_payloads()
     decode, payload = list(payloads.items())[codec_idx]
