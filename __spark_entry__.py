@@ -3156,6 +3156,91 @@ def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_avi(v: int, n_frames: int = 6) -> bytes:
+    """Deterministic MJPEG-AVI: frame f is the DC-only 16x16 JPEG
+    ``_synth_jpeg(v*7 + f)`` (flat blocks at the closed-form value),
+    wrapped in a RIFF/AVI container assembled HERE from the public AVI
+    layout (avih + vids strl + movi/00dc) — independent of
+    io/avi.py's own writer, so the gate exercises the module's parse
+    against foreign bytes."""
+    import struct as _s
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fcc + _s.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frames = [_synth_jpeg(v * 7 + f) for f in range(n_frames)]
+    avih = _s.pack(
+        "<14I", 100000, 0, 0, 0, n_frames, 0, 1, 0, 16, 16, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG" + _s.pack("<I", 0)
+        + _s.pack("<HHI", 0, 0, 0)
+        + _s.pack("<II", 1, 10)
+        + _s.pack("<5I", 0, n_frames, 0, 0, 0)
+        + _s.pack("<4h", 0, 0, 16, 16)
+    )
+    strf = _s.pack(
+        "<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG", 768, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def q_video_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI video decode (io/avi.py + io/jpeg.py, NEW r11)
+    under the driver's VALUE gate: two synthetic AVI payloads decode
+    their every-2nd frame inside mapInPandas (sampling skips the
+    dropped frames' entropy decode entirely — the chunk walk is
+    offsets-only), and every pixel replays closed-form because each
+    frame is a DC-only JPEG: block (by, bx) of frame f in video v is
+    exactly (v*7 + f)*5 + by*2 + bx + 128 (T.81 IDCT)."""
+    import pandas as pd
+
+    rows = [(v, bytearray(_synth_avi(v))) for v in range(2)]
+    media = spark.createDataFrame(rows, "vid long, payload binary")
+
+    def run(batches):
+        import numpy as np
+
+        from openeo_processes_dask_ml_spark.scale.multimodal import (
+            decode_video_frames,
+        )
+
+        for pdf in batches:
+            for vid, payload in zip(pdf["vid"], pdf["payload"]):
+                for idx, arr in decode_video_frames(
+                    bytes(payload), every_n=2
+                ):
+                    h, w = arr.shape
+                    yy, xx = np.meshgrid(
+                        np.arange(h), np.arange(w), indexing="ij"
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "vid": int(vid),
+                            "frame_idx": int(idx),
+                            "y": yy.ravel(),
+                            "x": xx.ravel(),
+                            "value": arr.astype(np.float64).ravel(),
+                        }
+                    )
+
+    return media.repartition(2, "vid").mapInPandas(
+        run,
+        "vid long, frame_idx long, y long, x long, value double",
+    )
+
+
 def q_raster_ndvi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship chain fully distributed under the gate:
     STAC asset table -> mapInPandas decode -> ndvi band math -> monthly
@@ -3371,35 +3456,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # profile_table_wide_probe — RETIRED this round: the probe proved
     # its hypothesis, see io/profile.py docstring + SCALE_NOTES; the
     # wide layout stays library API with the wide-==-pivot unit pin):
-    #   slots 1-2: raster_decode_webp (NEW — the r11 VP8L decoder's
-    #     closed-form value gate) and zarr_roundtrip (NEW — the r11
-    #     distributed zarr sink/source round-trip gate).
-    #   slots 3-4: dsir_select (CHANGED — fold-ordered logw, directive
+    #   slots 1-3: raster_decode_webp (NEW — the r11 VP8L decoder's
+    #     closed-form value gate), zarr_roundtrip (NEW — the r11
+    #     distributed zarr sink/source round-trip gate), and
+    #     video_decode_mjpeg (NEW — MJPEG-AVI frame-sampled decode,
+    #     DC-only closed form).
+    #   slots 4-5: dsir_select (CHANGED — fold-ordered logw, directive
     #     1b) and the NEW selection-only bisect twin dsir_select_picks
     #     (directive 1a: integer columns only — localizes whether the
     #     chosen set or just the float rendering diverges).
-    #   slots 5-37: ALL 33 remaining r8-greens — the oldest cohort,
+    #   slots 6-38: ALL 33 remaining r8-greens — the oldest cohort,
     #     3 rounds old, due by the 3-round-cycle protocol.
-    #   slots 38-50: the 13 oldest r9-greens.
-    # Tail: the 36 remaining r9-greens first (they fill the r12
-    # window next round; 'mask_polygon' and 'mask' — r9-green,
-    # displaced from slots 49-50 by the new r11 gates — lead them),
-    # then the 48 r10-window greens (freshest last; profile_table
-    # leads that cohort).
+    #   slots 39-50: the 12 oldest r9-greens.
+    # Tail: the 37 remaining r9-greens first (they fill the r12
+    # window next round; 'ml_fit_predict_rf', 'mask_polygon' and
+    # 'mask' — r9-green, displaced from slots 48-50 by the new r11
+    # gates — lead them), then the 48 r10-window greens (freshest
+    # last; profile_table leads that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 134 queries
-    # (131 after the probe retirement, + the dsir twin + the webp
-    # gate + the zarr gate) and a 50-slot window the steady-state
-    # re-verification cadence is ceil(134/50) = 3 rounds; after r11
+    # Rotation arithmetic (standing, stated honestly): at 135 queries
+    # (131 after the probe retirement, + the dsir twin + the webp,
+    # zarr and mjpeg gates) and a 50-slot window the steady-state
+    # re-verification cadence is ceil(135/50) = 3 rounds; after r11
     # every query's latest driver green is <= 2 rounds old.
     return {
-        # --- slots 1-2: the new r11 WebP decoder + zarr sink gates ---
+        # --- slots 1-3: the new r11 webp / zarr / mjpeg gates ---
         "raster_decode_webp": q_raster_decode_webp,
         "zarr_roundtrip": q_zarr_roundtrip,
-        # --- slots 3-4: the changed dsir gate + its bisect twin ---
+        "video_decode_mjpeg": q_video_decode_mjpeg,
+        # --- slots 4-5: the changed dsir gate + its bisect twin ---
         "dsir_select": q_dsir_select,
         "dsir_select_picks": q_dsir_select_picks,
-        # --- slots 5-37: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
+        # --- slots 6-38: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
@@ -3433,7 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
-        # --- slots 38-50: the 13 oldest r9-greens ---
+        # --- slots 39-50: the 12 oldest r9-greens ---
         "profile_table_cols": q_profile_table_cols,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -3446,10 +3534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "training_shards": q_training_shards,
         "topk_per_group": q_topk_per_group,
+        # --- tail: 37 remaining r9-greens (they fill the r12 window
+        # next; ml_fit_predict_rf/mask_polygon/mask were displaced
+        # from slots 48-50 by the r11 gates) ---
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
-        # --- tail: 36 remaining r9-greens (they fill the r12 window
-        # next; mask_polygon/mask were displaced from slots 49-50 by
-        # the r11 webp + zarr gates) ---
         "mask_polygon": q_mask_polygon,
         "mask": q_mask,
         "array_interpolate_linear": q_interpolate,
@@ -6593,6 +6681,19 @@ SELECT make_date(2024, 1, 1 + i) AS day,
        CAST(x AS DOUBLE) AS x,
        CAST((i * 97 + bi * 17 + y * 8 + x) % 251 AS DOUBLE) AS value
 FROM t, b, px
+"""
+
+    # MJPEG-AVI frame-sampled decode (r11): each kept frame is a
+    # DC-only JPEG, so every pixel replays from the block-position
+    # formula; raw integer pixel coordinates (no bbox on video frames)
+    sql["video_decode_mjpeg"] = """
+WITH v AS (SELECT v FROM range(2) t(v)),
+f AS (SELECT f FROM range(0, 6, 2) s(f)),
+px AS (SELECT y, x FROM range(16) a(y), range(16) c(x))
+SELECT v AS vid, f AS frame_idx, y, x,
+       CAST((v * 7 + f) * 5 + (y // 8) * 2 + (x // 8) + 128 AS DOUBLE)
+         AS value
+FROM v, f, px
 """
 
     # DC-only JPEG replay (r10): a DC-only block IDCTs to exactly

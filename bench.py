@@ -114,10 +114,11 @@ HEADLINE = [
     "dsir_select",
     # round 11 additions (VERDICT r10 #1 selection-only bisect twin,
     # #6 pure-numpy lossless-WebP decoder value gate, #7 distributed
-    # zarr sink/source round-trip)
+    # zarr sink/source round-trip, MJPEG-AVI frame-sampled decode)
     "dsir_select_picks",
     "raster_decode_webp",
     "zarr_roundtrip",
+    "video_decode_mjpeg",
 ]
 
 

@@ -1,0 +1,178 @@
+"""Pure-python RIFF/AVI container parsing + MJPEG frame decode.
+
+Video in a crawl-scale multimodal pipeline is mostly an opaque-binary
+column with metadata; the one profile this repo decodes END-TO-END
+without a media library is Motion-JPEG in AVI — each '##dc' chunk in
+the 'movi' list is a standalone baseline JPEG, which the pure-numpy
+T.81 decoder (io/jpeg.py) already handles. Everything else (MPEG-4,
+H.264, ...) is inter-frame video coding and raises a clear
+``NotImplementedError`` naming the ffmpeg/PIL route — the same honest
+boundary as lossy WebP.
+
+Scope:
+- container: RIFF 'AVI ' with LIST hdrl (avih + per-stream strl) and
+  LIST movi; '##dc'/'##db' video chunks located by a linear chunk
+  walk (no idx1 required; RECList-nested movi entries handled).
+- codec: MJPG/mjpg/dmb1 fourcc -> io/jpeg.py. MJPEG streams that omit
+  Huffman tables (pre-OpenDML quirk) raise from the JPEG layer with a
+  clear "missing table" error rather than being guessed at.
+- DoS posture (matching the image codecs): ``max_frames`` bounds how
+  many frames decode, ``max_pixels`` flows through to each JPEG
+  decode, and the chunk walk validates sizes so a hostile header
+  cannot loop or over-allocate.
+
+Frame-sampling (`every_n`) happens on the CHUNK OFFSETS before any
+pixel work — skipping 9 of 10 frames skips 9 of 10 entropy decodes,
+which is the point of sampling at crawl scale.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+
+_MJPEG_FOURCC = {b"MJPG", b"mjpg", b"dmb1", b"MJPA"}
+
+
+def _walk(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_size) for a RIFF chunk run."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > len(payload):
+            raise ValueError("truncated AVI: chunk data cut short")
+        yield fourcc, body, size
+        pos = body + size + (size & 1)  # word-aligned
+
+
+def parse_avi(payload: bytes) -> dict:
+    """Header metadata + video-frame chunk locations (no pixel work).
+
+    Returns: width, height, n_frames (declared), fps, handler (video
+    fourcc, upper-cased str), frames: list[(offset, size)] of video
+    chunk payloads in stream order."""
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise ValueError("not an AVI payload (bad RIFF header)")
+    info = {
+        "width": 0, "height": 0, "n_frames": 0, "fps": 0.0,
+        "handler": "", "frames": [],
+    }
+
+    def walk_list(start: int, end: int) -> None:
+        for fourcc, body, size in _walk(payload, start, end):
+            if fourcc == b"LIST":
+                ltype = payload[body : body + 4]
+                if ltype in (b"hdrl", b"movi", b"strl", b"rec "):
+                    walk_list(body + 4, body + size)
+            elif fourcc == b"avih" and size >= 40:
+                (usec_pf,) = struct.unpack("<I", payload[body : body + 4])
+                total, _init, _streams = struct.unpack(
+                    "<III", payload[body + 16 : body + 28]
+                )
+                w, h = struct.unpack("<II", payload[body + 32 : body + 40])
+                info["n_frames"] = total
+                info["width"], info["height"] = w, h
+                if usec_pf:
+                    info["fps"] = 1e6 / usec_pf
+            elif fourcc == b"strh" and size >= 28:
+                if payload[body : body + 4] == b"vids":
+                    handler = payload[body + 4 : body + 8]
+                    scale, rate = struct.unpack(
+                        "<II", payload[body + 20 : body + 28]
+                    )
+                    info["handler"] = handler.decode("ascii", "replace")
+                    if scale and rate:
+                        info["fps"] = rate / scale
+            elif fourcc[2:4] in (b"dc", b"db") and all(
+                c in b"0123456789abcdefABCDEF" for c in fourcc[:2]
+            ):  # stream ids are two ASCII hex digits
+                info["frames"].append((body, size))
+
+    walk_list(12, len(payload))
+    return info
+
+
+def iter_mjpeg_frames(payload: bytes) -> Iterator[bytes]:
+    """The raw JPEG bytes of each video frame, container-validated."""
+    info = parse_avi(payload)
+    if info["handler"] and info["handler"].encode() not in _MJPEG_FOURCC:
+        raise NotImplementedError(
+            f"AVI video codec {info['handler']!r} is inter-frame coded — "
+            "decode via ffmpeg/PIL; only MJPEG decodes here"
+        )
+    for off, size in info["frames"]:
+        yield payload[off : off + size]
+
+
+def decode_avi_frames(
+    payload: bytes,
+    every_n: int = 1,
+    max_frames: int = 64,
+    max_pixels: int = 1 << 26,
+) -> list[tuple[int, np.ndarray]]:
+    """Decode every ``every_n``-th MJPEG frame to (frame_index, array).
+
+    Sampling skips the entropy decode of dropped frames entirely (the
+    chunk walk is offsets-only); ``max_frames`` caps total decode work
+    per payload — a crawl must never spend unbounded CPU on one file.
+    """
+    from openeo_processes_dask_ml_spark.io.jpeg import decode_jpeg
+
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    out: list[tuple[int, np.ndarray]] = []
+    for i, jpeg in enumerate(iter_mjpeg_frames(payload)):
+        if i % every_n:
+            continue
+        out.append((i, decode_jpeg(jpeg, max_pixels=max_pixels)))
+        if len(out) >= max_frames:
+            break
+    return out
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: float = 10.0
+) -> bytes:
+    """Minimal MJPEG-AVI writer (hdrl with avih + vids strl, movi with
+    00dc chunks) — enough to round-trip ``decode_avi_frames`` and emit
+    inspectable artifacts."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    usec_pf = int(1e6 / fps) if fps else 0
+    avih = struct.pack(
+        "<14I", usec_pf, 0, 0, 0, len(jpeg_frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<I", 0)
+        + struct.pack("<HHI", 0, 0, 0)
+        + struct.pack("<II", 1, int(round(fps)))  # scale, rate
+        + struct.pack("<5I", 0, len(jpeg_frames), 0, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

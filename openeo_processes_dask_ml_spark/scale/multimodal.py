@@ -295,10 +295,69 @@ def extract_features(media_df: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def decode_video_frames(payload: bytes, every_n: int = 1, max_frames: int = 64):
+    """Real video frame decode for the one library-free profile:
+    MJPEG-in-AVI through io/avi.py + the pure-numpy JPEG decoder.
+    Inter-frame codecs raise NotImplementedError (the ffmpeg route)."""
+    from openeo_processes_dask_ml_spark.io.avi import decode_avi_frames
+
+    return decode_avi_frames(payload, every_n=every_n, max_frames=max_frames)
+
+
+VIDEO_FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def video_frame_features(
+    media_df: DataFrame, every_n: int = 10, feature_dim: int = 8
+) -> DataFrame:
+    """Frame-sampled feature extraction over video rows: AVI payloads
+    decode their kept MJPEG frames for REAL pixel-statistic features
+    (sampling skips the entropy decode of dropped frames — offsets
+    only); other containers fall back to one deterministic md5
+    stand-in row per sampled index, exactly like ``extract_features``
+    does for opaque images. One mapInPandas pass, no driver pixels."""
+
+    def rows_for(media_id, payload, meta):
+        fmt = ((meta or {}).get("format") or "").lower()
+        if payload is not None and fmt == "avi":
+            return [
+                (media_id, idx, image_features(arr, feature_dim))
+                for idx, arr in decode_video_frames(
+                    bytes(payload), every_n=every_n
+                )
+            ]
+        n = int((meta or {}).get("n_frames") or 0)
+        return [
+            (media_id, i, fake_decode_features(payload, feature_dim))
+            for i in range(0, max(n, 1), every_n)
+        ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if (meta or {}).get("kind") == "video":
+                    out.extend(rows_for(media_id, payload, meta))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "feature"]
+            )
+
+    return media_df.mapInPandas(run, schema=VIDEO_FRAME_FEATURE_SCHEMA)
+
+
 def frame_sample(media_df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per kept frame
     index (posexplode over a sequence sized by metadata — the decode of
-    the actual frame is the stubbed step)."""
+    the actual frame is the stubbed step; ``video_frame_features`` is
+    the real-decode path for MJPEG-AVI payloads)."""
     frames = F.sequence(
         F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n)
     )

@@ -1,0 +1,113 @@
+"""MJPEG-in-AVI container (io/avi.py): parse, frame-sampled decode
+through the pure-numpy JPEG decoder, the inter-frame-codec boundary,
+DoS caps, and the Spark-side video_frame_features op. Frames are
+DC-only JPEGs, so every decoded pixel has the closed-form value
+DC/8 + 128 (the raster_decode_jpeg gate's construction)."""
+
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+from openeo_processes_dask_ml_spark.io.avi import (
+    decode_avi_frames,
+    encode_avi_mjpeg,
+    iter_mjpeg_frames,
+    parse_avi,
+)
+
+sys.path.insert(0, "tests")
+
+
+def _dc_frame_jpeg(dc: int) -> bytes:
+    """16x16 grayscale baseline JPEG, all four blocks DC-only ``dc`` —
+    decodes to a flat dc/8 + 128 image (T.81 IDCT closed form)."""
+    from test_jpeg import _gray_jpeg
+
+    return _gray_jpeg([[dc * 8] + [0] * 63] * 4, 16, 16)
+
+
+def _avi(n_frames=5, fps=10.0) -> bytes:
+    frames = [_dc_frame_jpeg(i) for i in range(n_frames)]
+    return encode_avi_mjpeg(frames, 16, 16, fps=fps)
+
+
+def test_parse_and_sampled_decode():
+    payload = _avi(5)
+    info = parse_avi(payload)
+    assert (info["width"], info["height"]) == (16, 16)
+    assert info["n_frames"] == 5 and len(info["frames"]) == 5
+    assert info["handler"] == "MJPG"
+    assert info["fps"] == 10.0
+    # every_n=2 keeps frames 0, 2, 4 and never entropy-decodes 1, 3
+    out = decode_avi_frames(payload, every_n=2)
+    assert [i for i, _ in out] == [0, 2, 4]
+    for i, arr in out:
+        assert arr.shape == (16, 16)
+        np.testing.assert_array_equal(
+            arr, np.full((16, 16), i + 128, np.uint8)
+        )
+
+
+def test_max_frames_cap_and_every_n_guard():
+    payload = _avi(5)
+    out = decode_avi_frames(payload, max_frames=2)
+    assert [i for i, _ in out] == [0, 1]
+    with pytest.raises(ValueError, match="every_n"):
+        decode_avi_frames(payload, every_n=0)
+
+
+def test_interframe_codec_raises():
+    payload = _avi(2).replace(b"vids" + b"MJPG", b"vids" + b"H264")
+    with pytest.raises(NotImplementedError, match="H264"):
+        list(iter_mjpeg_frames(payload))
+
+
+def test_container_guards():
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi(b"not an avi at all")
+    payload = _avi(2)
+    with pytest.raises(ValueError, match="truncated AVI"):
+        parse_avi(payload[: len(payload) - 10])
+    # a declared-huge chunk size must not read past the buffer
+    i = payload.index(b"00dc")
+    hostile = (
+        payload[: i + 4] + struct.pack("<I", 1 << 30) + payload[i + 8 :]
+    )
+    with pytest.raises(ValueError, match="truncated AVI"):
+        parse_avi(hostile)
+
+
+def test_video_frame_features_real_and_fallback(spark):
+    from openeo_processes_dask_ml_spark.scale.multimodal import (
+        image_features,
+        video_frame_features,
+    )
+
+    avi = _avi(5)
+    rows = [
+        (1, bytearray(avi), ("video", "avi", 16, 16, 5)),
+        (2, bytearray(b"\x00" * 32), ("video", "mp4", 8, 8, 20)),
+        (3, bytearray(b"\x00" * 8), ("image", "pgm", 4, 4, 1)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,"
+        "n_frames:int>",
+    )
+    got = video_frame_features(media, every_n=2, feature_dim=4).collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # image rows contribute nothing
+    assert 3 not in by_media
+    # AVI: real features of the flat dc/8+128 frames
+    avi_rows = {r["frame_idx"]: r["feature"] for r in by_media[1]}
+    assert sorted(avi_rows) == [0, 2, 4]
+    expect = image_features(np.full((16, 16), 2 + 128, np.uint8), 4)
+    assert avi_rows[2] == expect
+    # opaque container: one md5 stand-in row per sampled index
+    mp4_rows = {r["frame_idx"] for r in by_media[2]}
+    assert mp4_rows == set(range(0, 20, 2))

@@ -128,7 +128,7 @@ def test_driver_window_composition_pinned():
     entry = importlib.import_module("__spark_entry__")
     window = list(entry.queries().keys())[:50]
     assert window == [
-        "raster_decode_webp", "zarr_roundtrip",
+        "raster_decode_webp", "zarr_roundtrip", "video_decode_mjpeg",
         "dsir_select", "dsir_select_picks", "dedup_minhash_lsh",
         "pack_sequences", "streaming_enrich", "unigram_logprob",
         "ccnet_buckets", "mixture_sample", "incremental_dedup",
@@ -145,5 +145,4 @@ def test_driver_window_composition_pinned():
         "streaming_spend_alerts", "text_chunks", "embedding_quantize",
         "quality_filter", "flatten_unflatten", "aggregate_spatial_window",
         "decontaminate", "training_shards", "topk_per_group",
-        "ml_fit_predict_rf",
     ]
