@@ -72,7 +72,27 @@ def _seed_payloads():
         # tables, LZ77 state, and the transform readers all fuzzed
         decode_webp: _webp_payloads(rng)[0],
         lambda b: decode_webp(b): _webp_payloads(rng)[1],
+        # MJPEG-AVI: the RIFF walk (nested lists, chunk sizes) AND the
+        # embedded per-frame JPEGs get mutated together; the adapter
+        # unwraps the (idx, frame) list so the ndarray contract holds
+        _avi_first_frame: _avi_payload(),
     }
+
+
+def _avi_first_frame(payload: bytes) -> np.ndarray:
+    from openeo_processes_dask_ml_spark.io.avi import decode_avi_frames
+
+    frames = decode_avi_frames(payload, max_frames=4)
+    return frames[0][1] if frames else np.zeros((0, 0), np.uint8)
+
+
+def _avi_payload() -> bytes:
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_avi import _avi
+
+    return _avi(3)
 
 
 def _webp_payloads(rng):
@@ -101,7 +121,7 @@ def _webp_payloads(rng):
     return plain, rich
 
 
-@pytest.mark.parametrize("codec_idx", range(7))
+@pytest.mark.parametrize("codec_idx", range(8))
 def test_truncations_never_hang_or_crash(codec_idx):
     payloads = _seed_payloads()
     decode, payload = list(payloads.items())[codec_idx]
@@ -113,7 +133,7 @@ def test_truncations_never_hang_or_crash(codec_idx):
             pass
 
 
-@pytest.mark.parametrize("codec_idx", range(7))
+@pytest.mark.parametrize("codec_idx", range(8))
 def test_byte_flips_never_hang_or_crash(codec_idx):
     payloads = _seed_payloads()
     decode, payload = list(payloads.items())[codec_idx]
