@@ -3,11 +3,16 @@
 Completes the web-crawl image trio (JPEG/PNG/GIF) for the multimodal
 pipeline's executor-side ``decode_image``. Scope, stated honestly:
 
-- First image of the stream (for animations that is the first frame);
-  global and local color tables; interlaced row order (the 4-pass
-  scheme of spec §23); GIF89a extensions skipped, except the Graphic
-  Control Extension's transparency index, which upgrades the output
-  to RGBA.
+- ``decode_gif``: first image of the stream (raw frame-rect size, the
+  ``decode_image`` contract); global and local color tables;
+  interlaced row order (the 4-pass scheme of spec §23); GIF89a
+  extensions skipped, except the Graphic Control Extension's
+  transparency index, which upgrades the output to RGBA.
+- ``decode_gif_frames`` (r11): ANIMATED GIF — every frame composited
+  onto the logical-screen canvas with the GCE disposal methods
+  (keep / restore-background / restore-previous), frame-rect
+  placement clipped to the screen, per-frame transparency, sampled
+  RGBA snapshots.
 - GIF-variant LZW: LSB-first bit packing, code width grows when the
   table reaches ``1 << width`` (NO TIFF-style early change), 12-bit
   cap with explicit Clear handling, data carried in 255-byte
@@ -97,14 +102,14 @@ def _subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
-    if payload[:3] != b"GIF" or payload[3:6] not in (b"87a", b"89a"):
-        raise ValueError("not a GIF payload (bad signature)")
-    if len(payload) < 13:
-        raise ValueError("truncated GIF: missing screen descriptor")
-    flags = payload[10]
+def _iter_raw_frames(payload: bytes, max_pixels: int):
+    """Yield one dict per image descriptor: placement (left, top),
+    de-interlaced index grid, its color table, and the preceding
+    Graphic Control Extension's disposal/transparency. The Graphic
+    Control Extension scopes to the NEXT image only (spec §23)."""
     pos = 13
     gct = None
+    flags = payload[10]
     if flags & 0x80:
         size = 2 << (flags & 0x07)
         if pos + 3 * size > len(payload):
@@ -114,21 +119,24 @@ def decode_gif(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
         ).reshape(-1, 3)
         pos += 3 * size
     transparent = None
+    disposal = 0
     n = len(payload)
     while pos < n:
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            break
+            return
         if block == 0x21:  # extension
             if pos >= n:
                 raise ValueError("truncated GIF: bare extension introducer")
             label = payload[pos]
             pos += 1
             if label == 0xF9 and pos + 5 <= n and payload[pos] == 4:
-                # Graphic Control Extension: transparency flag + index
-                if payload[pos + 1] & 0x01:
-                    transparent = payload[pos + 4]
+                # Graphic Control Extension: disposal + transparency
+                disposal = (payload[pos + 1] >> 2) & 0x07
+                transparent = (
+                    payload[pos + 4] if payload[pos + 1] & 0x01 else None
+                )
             _, pos = _subblocks(payload, pos)
             continue
         if block != 0x2C:
@@ -136,7 +144,7 @@ def decode_gif(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
         # image descriptor
         if pos + 9 > n:
             raise ValueError("truncated GIF: short image descriptor")
-        _, _, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
+        left, top, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
         iflags = payload[pos + 8]
         pos += 9
         # hostile-header cap (ADVICE r10 #3, same crawl-DoS posture as
@@ -181,10 +189,91 @@ def decode_gif(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
             deinterlaced = np.zeros_like(indices)
             deinterlaced[order] = indices
             indices = deinterlaced
-        indices = np.minimum(indices, len(table) - 1)
-        rgb = table[indices]
-        if transparent is not None:
-            alpha = np.where(indices == transparent, 0, 255).astype(np.uint8)
+        yield {
+            "left": left, "top": top,
+            "indices": indices, "table": table,
+            "disposal": disposal, "transparent": transparent,
+        }
+        transparent = None
+        disposal = 0
+
+
+def _check_header(payload: bytes) -> None:
+    if payload[:3] != b"GIF" or payload[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF: missing screen descriptor")
+
+
+def decode_gif(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
+    _check_header(payload)
+    for f in _iter_raw_frames(payload, max_pixels):
+        indices = np.minimum(f["indices"], len(f["table"]) - 1)
+        rgb = f["table"][indices]
+        if f["transparent"] is not None:
+            alpha = np.where(
+                indices == f["transparent"], 0, 255
+            ).astype(np.uint8)
             return np.dstack([rgb, alpha])
         return rgb
     raise ValueError("corrupt GIF: no image descriptor found")
+
+
+def decode_gif_frames(
+    payload: bytes,
+    every_n: int = 1,
+    max_frames: int = 64,
+    max_pixels: int = 1 << 26,
+) -> list[tuple[int, np.ndarray]]:
+    """Animated GIF: composite every frame onto the logical-screen
+    canvas (disposal 0/1 keep, 2 restore-to-background = transparent
+    per universal practice, 3 restore-previous; per-frame transparency
+    leaves the canvas through) and return every ``every_n``-th
+    snapshot as ``(frame_index, RGBA (screen_h, screen_w, 4))``.
+
+    Unlike MJPEG (independent frames), GIF frames are DELTAS — skipped
+    frames must still LZW-decode to keep the canvas correct, so
+    ``every_n`` saves only the snapshot copies; ``max_frames`` is the
+    real work bound (it caps frames DECODED, kept or not)."""
+    _check_header(payload)
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    if sw * sh > max_pixels:
+        raise ValueError(
+            f"GIF screen {sw}x{sh} exceeds max_pixels={max_pixels} "
+            "(raise the cap for genuinely huge screens)"
+        )
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    out: list[tuple[int, np.ndarray]] = []
+    for i, f in enumerate(_iter_raw_frames(payload, max_pixels)):
+        if i >= max_frames:
+            break
+        # clip the frame rect to the screen (a hostile descriptor may
+        # place it out of bounds)
+        h, w = f["indices"].shape
+        top, left = f["top"], f["left"]
+        ch = max(0, min(h, sh - top))
+        cw = max(0, min(w, sw - left))
+        before = canvas.copy() if f["disposal"] == 3 else None
+        if ch and cw:
+            indices = np.minimum(f["indices"][:ch, :cw], len(f["table"]) - 1)
+            rgba = np.dstack(
+                [
+                    f["table"][indices],
+                    np.full((ch, cw), 255, dtype=np.uint8),
+                ]
+            )
+            region = canvas[top : top + ch, left : left + cw]
+            if f["transparent"] is not None:
+                keep = f["indices"][:ch, :cw] == f["transparent"]
+                rgba[keep] = region[keep]
+            canvas[top : top + ch, left : left + cw] = rgba
+        if i % every_n == 0:
+            out.append((i, canvas.copy()))
+        # dispose AFTER the snapshot, readying the canvas for the next
+        if f["disposal"] == 2 and ch and cw:
+            canvas[top : top + ch, left : left + cw] = 0
+        elif f["disposal"] == 3 and before is not None:
+            canvas = before
+    return out

@@ -319,7 +319,9 @@ def video_frame_features(
     """Frame-sampled feature extraction over video rows: AVI payloads
     decode their kept MJPEG frames for REAL pixel-statistic features
     (sampling skips the entropy decode of dropped frames — offsets
-    only); other containers fall back to one deterministic md5
+    only), and animated GIFs composite through ``decode_gif_frames``
+    (deltas, so skipped frames still decode — the honest GIF cost
+    model); other containers fall back to one deterministic md5
     stand-in row per sampled index, exactly like ``extract_features``
     does for opaque images. One mapInPandas pass, no driver pixels."""
 
@@ -329,6 +331,17 @@ def video_frame_features(
             return [
                 (media_id, idx, image_features(arr, feature_dim))
                 for idx, arr in decode_video_frames(
+                    bytes(payload), every_n=every_n
+                )
+            ]
+        if payload is not None and fmt == "gif":
+            from openeo_processes_dask_ml_spark.io.gif import (
+                decode_gif_frames,
+            )
+
+            return [
+                (media_id, idx, image_features(arr, feature_dim))
+                for idx, arr in decode_gif_frames(
                     bytes(payload), every_n=every_n
                 )
             ]

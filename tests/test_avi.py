@@ -111,3 +111,35 @@ def test_video_frame_features_real_and_fallback(spark):
     # opaque container: one md5 stand-in row per sampled index
     mp4_rows = {r["frame_idx"] for r in by_media[2]}
     assert mp4_rows == set(range(0, 20, 2))
+
+
+def test_video_frame_features_animated_gif(spark):
+    sys.path.insert(0, "tests")
+    from test_gif import _PAL4, _animated_gif
+
+    from openeo_processes_dask_ml_spark.scale.multimodal import (
+        image_features,
+        video_frame_features,
+    )
+
+    full = np.zeros((4, 6), np.uint8)
+    patch = np.full((2, 2), 1, np.uint8)
+    gif = _animated_gif(
+        (6, 4), [(0, 0, full, 1, None), (1, 1, patch, 1, None)]
+    )
+    media = spark.createDataFrame(
+        [(9, bytearray(gif), ("video", "gif", 6, 4, 2))],
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,"
+        "n_frames:int>",
+    )
+    got = {
+        r["frame_idx"]: r["feature"]
+        for r in video_frame_features(media, every_n=1, feature_dim=4).collect()
+    }
+    assert sorted(got) == [0, 1]
+    canvas = np.zeros((4, 6, 4), np.uint8)
+    canvas[:, :] = (255, 0, 0, 255)
+    assert got[0] == image_features(canvas, 4)
+    canvas[1:3, 1:3] = (0, 255, 0, 255)
+    assert got[1] == image_features(canvas, 4)

@@ -324,3 +324,92 @@ def test_pil_and_pure_paths_agree_on_fixtures():
         if pure.ndim == 2:
             pure = np.stack([pure] * 3, axis=-1)
         np.testing.assert_array_equal(pil, pure)
+
+
+def _animated_gif(screen_wh, frames, palette=None) -> bytes:
+    """Independent multi-frame writer: frames are (left, top, indices,
+    disposal, transparent) tuples composited on a screen_wh canvas.
+    One global color table; GCE before every image descriptor."""
+    palette = palette if palette is not None else _PAL4
+    sw, sh = screen_wh
+    n_bits = max(2, (len(palette) - 1).bit_length())
+    table_size = 1 << n_bits
+    pal = bytes(
+        v for c in (list(palette) + [(0, 0, 0)] * table_size)[:table_size]
+        for v in c
+    )
+    mcs = max(2, n_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (n_bits - 1), 0, 0)
+    out += pal
+    for left, top, indices, disposal, transparent in frames:
+        h, w = indices.shape
+        gce_flags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes(
+            [0x21, 0xF9, 4, gce_flags, 0, 0, transparent or 0, 0]
+        )
+        out += bytes([0x2C]) + struct.pack("<HHHHB", left, top, w, h, 0)
+        lzw = _lzw_encode_gif(indices.astype(np.uint8).tobytes(), mcs)
+        out += bytes([mcs]) + _blocks(lzw)  # _blocks writes the terminator
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def test_animated_compositing_disposals_and_sampling():
+    from openeo_processes_dask_ml_spark.io.gif import decode_gif_frames
+
+    full = np.zeros((4, 6), np.uint8)  # screen-sized, color 0 (red)
+    patch = np.full((2, 2), 1, np.uint8)  # green 2x2
+    patch2 = np.full((2, 2), 2, np.uint8)  # blue 2x2
+    frames = [
+        (0, 0, full, 1, None),      # frame 0: red screen, keep
+        (1, 1, patch, 2, None),     # frame 1: green patch, restore-bg after
+        (3, 0, patch2, 3, None),    # frame 2: blue patch, restore-prev after
+        (0, 0, patch, 1, 1),        # frame 3: FULLY transparent patch (idx 1)
+    ]
+    payload = _animated_gif((6, 4), frames)
+    out = decode_gif_frames(payload)
+    assert [i for i, _ in out] == [0, 1, 2, 3]
+    red, green, blue = (255, 0, 0, 255), (0, 255, 0, 255), (0, 0, 255, 255)
+    f0, f1, f2, f3 = (a for _, a in out)
+    assert tuple(f0[0, 0]) == red and tuple(f0[3, 5]) == red
+    # frame 1: green patch at (1,1)
+    assert tuple(f1[1, 1]) == green and tuple(f1[2, 2]) == green
+    assert tuple(f1[0, 0]) == red
+    # frame 2: patch region from frame 1 was DISPOSED to background
+    # (transparent), blue patch visible at (0,3)
+    assert tuple(f2[1, 1]) == (0, 0, 0, 0)
+    assert tuple(f2[0, 3]) == blue and tuple(f2[1, 4]) == blue
+    # frame 3: disposal 3 restored the canvas BEFORE frame 2, then a
+    # fully-transparent frame changed nothing
+    assert tuple(f3[0, 3]) == red  # blue patch gone
+    assert tuple(f3[1, 1]) == (0, 0, 0, 0)  # still disposed from frame 1
+    assert tuple(f3[0, 0]) == red
+
+    # sampling keeps 0, 2 but still composites 1 (canvas correctness)
+    sampled = decode_gif_frames(payload, every_n=2)
+    assert [i for i, _ in sampled] == [0, 2]
+    np.testing.assert_array_equal(sampled[1][1], f2)
+    # max_frames bounds DECODE work
+    assert [i for i, _ in decode_gif_frames(payload, max_frames=2)] == [0, 1]
+
+
+def test_animated_out_of_bounds_frame_clipped():
+    from openeo_processes_dask_ml_spark.io.gif import decode_gif_frames
+
+    full = np.zeros((3, 3), np.uint8)
+    over = np.full((3, 3), 1, np.uint8)
+    payload = _animated_gif((3, 3), [(0, 0, full, 1, None), (2, 2, over, 1, None)])
+    out = decode_gif_frames(payload)
+    f1 = out[1][1]
+    assert tuple(f1[2, 2]) == (0, 255, 0, 255)  # the one in-bounds pixel
+    assert tuple(f1[0, 0]) == (255, 0, 0, 255)
+
+
+def test_decode_gif_still_returns_first_frame_of_animation():
+    full = np.zeros((4, 6), np.uint8)
+    patch = np.full((2, 2), 1, np.uint8)
+    payload = _animated_gif((6, 4), [(0, 0, full, 1, None), (1, 1, patch, 1, None)])
+    out = decode_gif(payload)
+    assert out.shape == (4, 6, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0)
