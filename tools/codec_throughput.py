@@ -64,6 +64,22 @@ def _gif_fixture(n: int = 256) -> tuple[bytes, int]:
     return _gif(idx, pal), n * n
 
 
+def _webp_fixture(n: int = 128) -> tuple[bytes, int]:
+    from test_webp import _simple_lossless
+
+    rng = np.random.default_rng(8)
+    img = np.clip(
+        np.cumsum(rng.normal(0, 5, (n, n, 3)), axis=1) + 128, 0, 255
+    ).astype(np.uint8)
+    return _simple_lossless(img), n * n
+
+
+def _avi_fixture(frames: int = 8) -> tuple[bytes, int]:
+    from test_avi import _avi
+
+    return _avi(frames), frames * 16 * 16
+
+
 def measure(name, payload, pixels, decode, min_sec=2.0):
     t0 = time.perf_counter()
     reps = 0
@@ -89,6 +105,13 @@ def main():
     rows.append(measure("png_numpy", p, px, decode_png))
     p, px = _gif_fixture()
     rows.append(measure("gif_numpy", p, px, decode_gif))
+    from openeo_processes_dask_ml_spark.io.avi import decode_avi_frames
+    from openeo_processes_dask_ml_spark.io.webp import decode_webp
+
+    p, px = _webp_fixture()
+    rows.append(measure("webp_numpy", p, px, decode_webp))
+    p, px = _avi_fixture()
+    rows.append(measure("avi_mjpeg_numpy", p, px, decode_avi_frames))
     print(json.dumps({"codec_throughput_single_core": rows}))
 
 
