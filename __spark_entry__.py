@@ -3156,6 +3156,57 @@ def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_zarr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming -> distributed zarr sink -> distributed
+    zarr source, one gate (io/zarr.py stream_zarr_sink, NEW r11):
+    three parquet files stream with maxFilesPerTrigger=1, so THREE
+    micro-batches each append one time slice inside foreachBatch
+    (executor-side chunk writes, leading-axis chunk length 1, arrival-
+    order coordinates, tail-replay idempotency); the store then reads
+    back through the chunk reader and every cell replays the source
+    formula. Beyond-reference: the reference's zarr export is a
+    single-machine xarray write with no streaming path at all
+    (minibackend/custom_processes.py:115-118)."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.zarr import (
+        read_zarr_cube,
+        stream_zarr_sink,
+    )
+
+    src = tempfile.mkdtemp(prefix="zarr_stream_src_")
+    for t in range(3):
+        px = spark.range(12).select(
+            F.lit(t).alias("t"),
+            (F.col("id") / 4).cast("int").alias("yy"),
+            (F.col("id") % 4).alias("xx"),
+        )
+        sl = px.select(
+            F.to_timestamp(F.concat(F.lit("2024-01-0"), F.col("t") + 1))
+            .alias("time"),
+            F.col("yy").cast("double").alias("y"),
+            F.col("xx").cast("double").alias("x"),
+            (F.col("t") * 100 + F.col("yy") * 4 + F.col("xx"))
+            .cast("double")
+            .alias("value"),
+        )
+        sl.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "time timestamp, y double, x double, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = tempfile.mkdtemp(prefix="zarr_stream_out_") + "/store.zarr"
+    q = stream_zarr_sink(stream, out, tempfile.mkdtemp(prefix="zarr_ckpt_"))
+    q.awaitTermination()
+    back = read_zarr_cube(spark, out)
+    return back.select(
+        F.to_date("time").alias("day"), "y", "x", "value"
+    )
+
+
 def _synth_avi(v: int, n_frames: int = 6) -> bytes:
     """Deterministic MJPEG-AVI: frame f is the DC-only 16x16 JPEG
     ``_synth_jpeg(v*7 + f)`` (flat blocks at the closed-form value),
@@ -3456,38 +3507,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # profile_table_wide_probe — RETIRED this round: the probe proved
     # its hypothesis, see io/profile.py docstring + SCALE_NOTES; the
     # wide layout stays library API with the wide-==-pivot unit pin):
-    #   slots 1-3: raster_decode_webp (NEW — the r11 VP8L decoder's
+    #   slots 1-4: raster_decode_webp (NEW — the r11 VP8L decoder's
     #     closed-form value gate), zarr_roundtrip (NEW — the r11
-    #     distributed zarr sink/source round-trip gate), and
+    #     distributed zarr sink/source round-trip gate),
     #     video_decode_mjpeg (NEW — MJPEG-AVI frame-sampled decode,
-    #     DC-only closed form).
-    #   slots 4-5: dsir_select (CHANGED — fold-ordered logw, directive
+    #     DC-only closed form), and streaming_zarr_ingest (NEW —
+    #     micro-batched zarr append under the value gate).
+    #   slots 5-6: dsir_select (CHANGED — fold-ordered logw, directive
     #     1b) and the NEW selection-only bisect twin dsir_select_picks
     #     (directive 1a: integer columns only — localizes whether the
     #     chosen set or just the float rendering diverges).
-    #   slots 6-38: ALL 33 remaining r8-greens — the oldest cohort,
+    #   slots 7-39: ALL 33 remaining r8-greens — the oldest cohort,
     #     3 rounds old, due by the 3-round-cycle protocol.
-    #   slots 39-50: the 12 oldest r9-greens.
-    # Tail: the 37 remaining r9-greens first (they fill the r12
-    # window next round; 'ml_fit_predict_rf', 'mask_polygon' and
-    # 'mask' — r9-green, displaced from slots 48-50 by the new r11
-    # gates — lead them), then the 48 r10-window greens (freshest
-    # last; profile_table leads that cohort).
+    #   slots 40-50: the 11 oldest r9-greens.
+    # Tail: the 38 remaining r9-greens first (they fill the r12
+    # window next round; 'topk_per_group', 'ml_fit_predict_rf',
+    # 'mask_polygon' and 'mask' — r9-green, displaced from slots
+    # 47-50 by the new r11 gates — lead them), then the 48 r10-window
+    # greens (freshest last; profile_table leads that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 135 queries
+    # Rotation arithmetic (standing, stated honestly): at 136 queries
     # (131 after the probe retirement, + the dsir twin + the webp,
-    # zarr and mjpeg gates) and a 50-slot window the steady-state
-    # re-verification cadence is ceil(135/50) = 3 rounds; after r11
-    # every query's latest driver green is <= 2 rounds old.
+    # zarr, mjpeg and streaming-zarr gates) and a 50-slot window the
+    # steady-state re-verification cadence is ceil(136/50) = 3
+    # rounds; after r11 every query's latest driver green is <= 2
+    # rounds old.
     return {
-        # --- slots 1-3: the new r11 webp / zarr / mjpeg gates ---
+        # --- slots 1-4: the new r11 webp/zarr/mjpeg/streaming gates ---
         "raster_decode_webp": q_raster_decode_webp,
         "zarr_roundtrip": q_zarr_roundtrip,
         "video_decode_mjpeg": q_video_decode_mjpeg,
-        # --- slots 4-5: the changed dsir gate + its bisect twin ---
+        "streaming_zarr_ingest": q_streaming_zarr_ingest,
+        # --- slots 5-6: the changed dsir gate + its bisect twin ---
         "dsir_select": q_dsir_select,
         "dsir_select_picks": q_dsir_select_picks,
-        # --- slots 6-38: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
+        # --- slots 7-39: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
@@ -3521,7 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
-        # --- slots 39-50: the 12 oldest r9-greens ---
+        # --- slots 40-50: the 11 oldest r9-greens ---
         "profile_table_cols": q_profile_table_cols,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -3533,10 +3587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_spatial_window": q_aggregate_spatial_window,
         "decontaminate": q_decontaminate,
         "training_shards": q_training_shards,
+        # --- tail: 38 remaining r9-greens (they fill the r12 window
+        # next; topk_per_group/ml_fit_predict_rf/mask_polygon/mask
+        # were displaced from slots 47-50 by the r11 gates) ---
         "topk_per_group": q_topk_per_group,
-        # --- tail: 37 remaining r9-greens (they fill the r12 window
-        # next; ml_fit_predict_rf/mask_polygon/mask were displaced
-        # from slots 48-50 by the r11 gates) ---
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "mask_polygon": q_mask_polygon,
         "mask": q_mask,
@@ -6671,6 +6725,18 @@ FROM items, px, ch
     # distributed zarr round-trip (r11): lossless store, the source
     # formula replays exactly; y chunk of 5 over extent 8 exercises
     # the padded edge-chunk path
+    # streaming zarr ingest (r11): three micro-batched slices land
+    # in the store, the formula replays per cell
+    sql["streaming_zarr_ingest"] = """
+WITH t AS (SELECT t FROM range(3) a(t)),
+px AS (SELECT y, x FROM range(3) b(y), range(4) c(x))
+SELECT make_date(2024, 1, 1 + t) AS day,
+       CAST(y AS DOUBLE) AS y,
+       CAST(x AS DOUBLE) AS x,
+       CAST(t * 100 + y * 4 + x AS DOUBLE) AS value
+FROM t, px
+"""
+
     sql["zarr_roundtrip"] = """
 WITH t AS (SELECT i FROM range(2) r(i)),
 b AS (SELECT bi FROM range(2) s(bi)),

@@ -119,6 +119,7 @@ HEADLINE = [
     "raster_decode_webp",
     "zarr_roundtrip",
     "video_decode_mjpeg",
+    "streaming_zarr_ingest",
 ]
 
 

@@ -182,13 +182,82 @@ def write_zarr_cube(
             f"write_zarr_cube: chunks {chunks} invalid for shape {shape}"
         )
 
-    # 2. ordinal resolution via broadcast joins against the tiny
-    # coordinate tables — the cube side never shuffles here
+    os.makedirs(os.path.join(out_dir, value_col), exist_ok=True)
+    ords = {d: list(enumerate(axis_vals[d])) for d in dim_cols}
+
+    # 3. driver-side metadata FIRST (tiny), so a concurrently-started
+    # reader sees a valid store skeleton
+    zdtype = {"f": "<f8" if np_dtype.itemsize == 8 else "<f4"}.get(
+        np_dtype.kind
+    ) or {"i": "<i8", "u": "<u8", "b": "|b1"}.get(np_dtype.kind)
+    if zdtype is None:
+        raise ValueError(f"write_zarr_cube: unsupported dtype {dtype}")
+    if np_dtype.kind in ("i", "u") and np_dtype.itemsize != 8:
+        zdtype = f"<{np_dtype.kind}{np_dtype.itemsize}"
+    consolidated: dict[str, dict] = {}
+    zgroup = _write_json(
+        os.path.join(out_dir, ".zgroup"), {"zarr_format": _ZARR_FORMAT}
+    )
+    consolidated[".zgroup"] = zgroup
+    for d in dim_cols:
+        consolidated.update(_write_axis(out_dir, d, axes[d], spark_types[d]))
+    fill_json = "NaN" if np_dtype.kind == "f" else 0
+    zarray = _zarray_doc(shape, chunks, zdtype, fill_json)
+    _write_json(os.path.join(out_dir, value_col, ".zarray"), zarray)
+    zattrs = {"_ARRAY_DIMENSIONS": list(dim_cols)}
+    if attrs:
+        zattrs.update(attrs)
+    _write_json(os.path.join(out_dir, value_col, ".zattrs"), zattrs)
+    consolidated[f"{value_col}/.zarray"] = zarray
+    consolidated[f"{value_col}/.zattrs"] = zattrs
+    _write_json(
+        os.path.join(out_dir, ".zmetadata"),
+        {"zarr_consolidated_format": 1, "metadata": consolidated},
+    )
+
+    # 4. the one shuffle: group rows into their output chunks and
+    # write on the executors
+    manifest = _write_chunks(
+        df, out_dir, value_col, dim_cols, spark_types, ords, chunks,
+        shape, np_dtype,
+    )
+    grid = [math.ceil(s / c) for s, c in zip(shape, chunks)]
+    n_expected = 1
+    for g in grid:
+        n_expected *= g
+    n_written = manifest.count()
+    if n_written > n_expected:
+        raise RuntimeError(
+            f"zarr sink wrote {n_written} chunks for a {grid} grid"
+        )
+    return manifest
+
+
+def _write_chunks(
+    df: DataFrame,
+    out_dir: str,
+    value_col: str,
+    dim_cols: list[str],
+    spark_types: dict[str, str],
+    ords: dict[str, list],
+    chunks: list[int],
+    shape: list[int],
+    np_dtype: np.dtype,
+) -> DataFrame:
+    """The distributed half of the sink, shared by the batch writer
+    and the streaming appender: ordinal resolution via per-dim
+    BROADCAST joins against the tiny (value, ordinal) tables (``ords``
+    — the appender passes offset ordinals for the leading axis), then
+    ONE shuffle into the output chunk layout, chunk files written on
+    the executors. Returns the eager chunk manifest; the un-executed
+    plan rides on it as ``_zarr_plan`` so tests can pin its shape
+    (the checkpointed manifest itself reads back as a plain scan)."""
+    spark = df.sparkSession
     keyed = df.select(value_col, *dim_cols)
     chunk_cols, local_cols = [], []
     for d, cl in zip(dim_cols, chunks):
         axis_df = spark.createDataFrame(
-            [(v, i) for i, v in enumerate(axis_vals[d])],
+            [(v, i) for i, v in ords[d]],
             schema=f"`{d}` {spark_types[d]}, `__ord_{d}` bigint",
         )
         keyed = keyed.join(F.broadcast(axis_df), on=d, how="inner")
@@ -198,9 +267,7 @@ def write_zarr_cube(
         chunk_cols.append(f"__chunk_{d}")
         local_cols.append(f"__local_{d}")
 
-    n_dims = len(dim_cols)
     chunk_shape = list(chunks)
-    grid = [math.ceil(s / c) for s, c in zip(shape, chunk_shape)]
     fill = np.nan if np_dtype.kind == "f" else 0
 
     import pandas as pd
@@ -221,7 +288,7 @@ def write_zarr_cube(
         vals = pdf[value_col].to_numpy()
         if np_dtype.kind != "f":
             edge_cells = 1
-            for gi, (ci, s, cl) in enumerate(zip(cidx, shape, chunk_shape)):
+            for ci, s, cl in zip(cidx, shape, chunk_shape):
                 lo = ci * cl
                 edge_cells *= min(cl, s - lo)
             if len(flat) != edge_cells or (
@@ -249,43 +316,6 @@ def write_zarr_cube(
             }
         )
 
-    os.makedirs(os.path.join(out_dir, value_col), exist_ok=True)
-
-    # 3. driver-side metadata FIRST (tiny), so a concurrently-started
-    # reader sees a valid store skeleton
-    zdtype = {"f": "<f8" if np_dtype.itemsize == 8 else "<f4"}.get(
-        np_dtype.kind
-    ) or {"i": "<i8", "u": "<u8", "b": "|b1"}.get(np_dtype.kind)
-    if zdtype is None:
-        raise ValueError(f"write_zarr_cube: unsupported dtype {dtype}")
-    if np_dtype.kind in ("i", "u") and np_dtype.itemsize != 8:
-        zdtype = f"<{np_dtype.kind}{np_dtype.itemsize}"
-    consolidated: dict[str, dict] = {}
-    zgroup = _write_json(
-        os.path.join(out_dir, ".zgroup"), {"zarr_format": _ZARR_FORMAT}
-    )
-    consolidated[".zgroup"] = zgroup
-    for d in dim_cols:
-        consolidated.update(_write_axis(out_dir, d, axes[d], spark_types[d]))
-    fill_json = "NaN" if np_dtype.kind == "f" else 0
-    zarray = _zarray_doc(shape, chunk_shape, zdtype, fill_json)
-    _write_json(os.path.join(out_dir, value_col, ".zarray"), zarray)
-    zattrs = {"_ARRAY_DIMENSIONS": list(dim_cols)}
-    if attrs:
-        zattrs.update(attrs)
-    _write_json(os.path.join(out_dir, value_col, ".zattrs"), zattrs)
-    consolidated[f"{value_col}/.zarray"] = zarray
-    consolidated[f"{value_col}/.zattrs"] = zattrs
-    _write_json(
-        os.path.join(out_dir, ".zmetadata"),
-        {"zarr_consolidated_format": 1, "metadata": consolidated},
-    )
-
-    # 4. the one shuffle: group rows into their output chunks and
-    # write on the executors. The un-executed plan is kept on the
-    # result as `_zarr_plan` so tests can pin its shape (broadcast
-    # ordinal joins + exactly one real exchange) — the checkpointed
-    # manifest itself reads back as a plain scan.
     plan = keyed.groupBy(*chunk_cols).applyInPandas(
         write_chunk, schema=ZARR_MANIFEST_SCHEMA
     )
@@ -293,15 +323,210 @@ def write_zarr_cube(
     # writes to actually happen exactly once
     manifest = plan.localCheckpoint(eager=True)
     manifest._zarr_plan = plan
-    n_expected = 1
-    for g in grid:
-        n_expected *= g
+    return manifest
+
+
+def _axis_to_python(arr: np.ndarray, spark_type: str | None) -> list:
+    """Stored axis array -> python values matching the Spark type, for
+    the broadcast ordinal tables and duplicate checks."""
+    if arr.dtype.kind == "M":
+        if spark_type == "date":
+            return arr.astype("datetime64[D]").tolist()
+        return arr.astype("datetime64[us]").tolist()
+    return arr.tolist()
+
+
+def append_zarr_slices(
+    df: DataFrame,
+    path: str,
+    value_col: str = "value",
+    dim_cols: list[str] | None = None,
+    chunks: list[int] | None = None,
+    dtype: str = "float64",
+) -> DataFrame | None:
+    """Append slices along the LEADING dimension of an existing zarr
+    store (the streaming micro-batch sink primitive). The first call
+    creates the store with leading-axis chunk length 1, so every later
+    append is pure chunk-file addition + a tiny driver-side metadata
+    update — no existing chunk is ever rewritten or renamed.
+
+    Semantics:
+    - trailing axes are FIXED at creation: every append must cover
+      exactly the same grid values (a slice sink, not a re-gridder);
+    - new leading values get the next ordinals in ARRIVAL order (zarr
+      does not require sorted coordinates; the long-form reader is
+      order-independent);
+    - a batch whose leading values are exactly the stored TAIL is a
+      REPLAY (foreachBatch retries after a failure): its chunks are
+      rewritten in place — idempotent, exactly-once semantics without
+      a transaction log;
+    - a batch mixing already-stored and new leading values raises
+      (neither a clean append nor a clean replay — data bug upstream).
+
+    Single-writer by contract (a streaming query owns its sink).
+    Returns the chunk manifest, or None for an empty batch.
+    """
+    meta_path = os.path.join(path, ".zmetadata")
+    if not os.path.exists(meta_path):
+        if dim_cols is None:
+            dim_cols = [c for c in df.columns if c != value_col]
+        shape0 = df.select(dim_cols[0]).distinct().count()
+        if shape0 == 0:
+            return None
+        if chunks is None:
+            trailing = [
+                df.select(d).distinct().count() for d in dim_cols[1:]
+            ]
+            chunks = [1] + default_chunks(trailing)
+        chunks = [1] + list(chunks[1:])
+        return write_zarr_cube(
+            df, path, value_col=value_col, dim_cols=dim_cols,
+            chunks=chunks, dtype=dtype,
+        )
+
+    with open(meta_path) as f:
+        meta = json.load(f)["metadata"]
+    zarray = dict(meta[f"{value_col}/.zarray"])
+    dims = meta[f"{value_col}/.zattrs"]["_ARRAY_DIMENSIONS"]
+    if dim_cols is not None and list(dim_cols) != list(dims):
+        raise ValueError(
+            f"append_zarr_slices: store dims {dims} != {dim_cols}"
+        )
+    dim_cols = list(dims)
+    if zarray["chunks"][0] != 1:
+        raise ValueError(
+            "append_zarr_slices: store was not created by this sink "
+            f"(leading chunk length {zarray['chunks'][0]}, need 1)"
+        )
+    np_dtype = np.dtype(zarray["dtype"])
+    spark_types = dict(df.dtypes)
+
+    # stored axes
+    stored: dict[str, np.ndarray] = {}
+    for d in dim_cols:
+        a_meta = meta[f"{d}/.zarray"]
+        with open(os.path.join(path, d, "0"), "rb") as f:
+            raw = zlib.decompress(f.read())
+        stored[d] = np.frombuffer(raw, dtype=np.dtype(a_meta["dtype"]))[
+            : a_meta["shape"][0]
+        ]
+
+    # trailing axes must match the stored grid exactly
+    lead = dim_cols[0]
+    for d in dim_cols[1:]:
+        batch_vals = [
+            r[0] for r in df.select(d).distinct().orderBy(d).collect()
+        ]
+        want = _axis_to_python(
+            stored[d], meta.get(f"{d}/.zattrs", {}).get("_SPARK_TYPE")
+        )
+        if batch_vals != want:
+            raise ValueError(
+                f"append_zarr_slices: axis {d!r} of the batch does not "
+                f"match the stored grid ({len(batch_vals)} vs "
+                f"{len(want)} values)"
+            )
+
+    lead_spark_type = meta.get(f"{lead}/.zattrs", {}).get("_SPARK_TYPE")
+    stored_lead = _axis_to_python(stored[lead], lead_spark_type)
+    new_vals = [
+        r[0] for r in df.select(lead).distinct().orderBy(lead).collect()
+    ]
+    if not new_vals:
+        return None
+    n0 = len(stored_lead)
+    overlap = set(new_vals) & set(stored_lead)
+    if overlap and set(new_vals) == set(stored_lead[n0 - len(new_vals):]):
+        # exact replay of the stored tail: rewrite those chunks in
+        # place (idempotent micro-batch retry)
+        lead_ords = [(stored_lead.index(v), v) for v in new_vals]
+        new_shape0 = n0
+        append = False
+    elif overlap:
+        raise ValueError(
+            f"append_zarr_slices: {len(overlap)} leading values already "
+            "stored but the batch is not an exact tail replay"
+        )
+    else:
+        lead_ords = [(n0 + i, v) for i, v in enumerate(new_vals)]
+        new_shape0 = n0 + len(new_vals)
+        append = True
+
+    # ords are (ordinal, value) pairs, the _write_chunks contract
+    ords = {lead: lead_ords}
+    for d in dim_cols[1:]:
+        ords[d] = list(
+            enumerate(
+                _axis_to_python(
+                    stored[d], meta.get(f"{d}/.zattrs", {}).get("_SPARK_TYPE")
+                )
+            )
+        )
+    shape = [new_shape0] + zarray["shape"][1:]
+
+    manifest = _write_chunks(
+        df, path, value_col, dim_cols, spark_types, ords,
+        zarray["chunks"], shape, np_dtype,
+    )
     n_written = manifest.count()
-    if n_written > n_expected:
-        raise RuntimeError(
-            f"zarr sink wrote {n_written} chunks for a {grid} grid"
+    if n_written > len(new_vals) * max(
+        1,
+        math.prod(
+            math.ceil(s / c)
+            for s, c in zip(zarray["shape"][1:], zarray["chunks"][1:])
+        ),
+    ):
+        raise RuntimeError("append_zarr_slices: wrote more chunks than the slice grid")
+
+    if append:
+        # tiny driver-side metadata update: extended leading axis +
+        # new shape, consolidated metadata rebuilt
+        if stored[lead].dtype.kind == "M":
+            new_arr = np.concatenate(
+                [stored[lead], np.array(new_vals, dtype="datetime64[ns]")]
+            )
+        else:
+            new_arr = np.concatenate(
+                [stored[lead], np.asarray(new_vals, dtype=stored[lead].dtype)]
+            )
+        meta.update(_write_axis(path, lead, new_arr, lead_spark_type))
+        zarray["shape"] = [int(new_shape0)] + list(zarray["shape"][1:])
+        _write_json(os.path.join(path, value_col, ".zarray"), zarray)
+        meta[f"{value_col}/.zarray"] = zarray
+        _write_json(
+            meta_path, {"zarr_consolidated_format": 1, "metadata": meta}
         )
     return manifest
+
+
+def stream_zarr_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    dim_cols: list[str] | None = None,
+    chunks: list[int] | None = None,
+    available_now: bool = True,
+):
+    """Structured-Streaming zarr sink: every micro-batch appends its
+    time slices via ``append_zarr_slices`` inside ``foreachBatch`` —
+    chunk files are written by the executors, only axis + JSON
+    metadata touch the driver, and a retried batch is an idempotent
+    tail replay. Returns the started StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        append_zarr_slices(
+            batch_df, path, value_col=value_col, dim_cols=dim_cols,
+            chunks=chunks,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def load_zarr_collection(spark, path: str, value_col: str | None = None):

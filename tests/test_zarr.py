@@ -186,3 +186,82 @@ def test_load_zarr_collection_cube(spark, tmp_path):
     # mean over t of t*100 + base = 100 + base
     assert got[("red", 0.0, 0.0)] == 100.0
     assert got[("nir", 4.0, 6.0)] == 100.0 + 50 + 4 * 7 + 6
+
+
+def _slice_df(spark, t, n=None):
+    rows = [
+        (
+            dt.datetime(2024, 1, 1 + t),
+            float(y),
+            float(x),
+            float(t * 100 + y * 4 + x),
+        )
+        for y in range(3)
+        for x in range(4)
+    ]
+    return spark.createDataFrame(
+        rows, "time timestamp, y double, x double, value double"
+    )
+
+
+def test_append_zarr_slices_grow_replay_and_guards(spark, tmp_path):
+    from openeo_processes_dask_ml_spark.io.zarr import append_zarr_slices
+
+    out = str(tmp_path / "a.zarr")
+    append_zarr_slices(_slice_df(spark, 0), out)
+    append_zarr_slices(_slice_df(spark, 1), out)
+    append_zarr_slices(_slice_df(spark, 2), out)
+    za = json.load(open(os.path.join(out, "value", ".zarray")))
+    assert za["shape"] == [3, 3, 4] and za["chunks"][0] == 1
+    expect = (
+        _slice_df(spark, 0)
+        .union(_slice_df(spark, 1))
+        .union(_slice_df(spark, 2))
+    )
+    back = read_zarr_cube(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # exact tail replay (foreachBatch retry) is idempotent
+    append_zarr_slices(_slice_df(spark, 2), out)
+    back2 = read_zarr_cube(spark, out)
+    assert sorted(map(tuple, back2.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # mixed stored+new leading values are neither append nor replay
+    with pytest.raises(ValueError, match="tail replay"):
+        append_zarr_slices(
+            _slice_df(spark, 2).union(_slice_df(spark, 3)), out
+        )
+    # a batch on a different trailing grid must be rejected
+    bad = _slice_df(spark, 4).filter("x < 3")
+    with pytest.raises(ValueError, match="stored grid"):
+        append_zarr_slices(bad, out)
+
+
+def test_stream_zarr_sink_microbatches(spark, tmp_path):
+    """Three parquet files -> maxFilesPerTrigger=1 -> three
+    micro-batches, each appending one time slice; the final store
+    equals the batch union."""
+    from openeo_processes_dask_ml_spark.io.zarr import stream_zarr_sink
+
+    src = str(tmp_path / "src")
+    for t in range(3):
+        _slice_df(spark, t).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "time timestamp, y double, x double, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "s.zarr")
+    q = stream_zarr_sink(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    za = json.load(open(os.path.join(out, "value", ".zarray")))
+    assert za["shape"] == [3, 3, 4]
+    back = read_zarr_cube(spark, out)
+    expect = spark.read.parquet(src)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
