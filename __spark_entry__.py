@@ -259,6 +259,74 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure filter + global agg —
+    every predicate reaches the parquet scan (PushedFilters), the agg
+    is partial+final, zero joins. The classic pushdown probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), adapted to this generator's
+    p_type domain ('PROMO' is a literal type): one month of lineitem
+    joins the part DIMENSION (broadcast — part is catalog-sized at
+    any SF), promo revenue share as a percentage."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        dround(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+            / F.sum(disc),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates), adapted
+    to this generator's brand domain: OR'd (brand, size-range,
+    quantity-range) conjunctions over the broadcast part join — the
+    classic optimizer test for disjunction pushdown and join-filter
+    interplay."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(5, 15)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return j.filter(cond).agg(
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
 def q_top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -3513,35 +3581,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     video_decode_mjpeg (NEW — MJPEG-AVI frame-sampled decode,
     #     DC-only closed form), and streaming_zarr_ingest (NEW —
     #     micro-batched zarr append under the value gate).
-    #   slots 5-6: dsir_select (CHANGED — fold-ordered logw, directive
+    #   slots 5-7: tpch_q6/q14/q19 (NEW — pushdown, broadcast-dim
+    #     join, disjunctive-predicate relational gates).
+    #   slots 8-9: dsir_select (CHANGED — fold-ordered logw, directive
     #     1b) and the NEW selection-only bisect twin dsir_select_picks
     #     (directive 1a: integer columns only — localizes whether the
     #     chosen set or just the float rendering diverges).
-    #   slots 7-39: ALL 33 remaining r8-greens — the oldest cohort,
+    #   slots 10-42: ALL 33 remaining r8-greens — the oldest cohort,
     #     3 rounds old, due by the 3-round-cycle protocol.
-    #   slots 40-50: the 11 oldest r9-greens.
-    # Tail: the 38 remaining r9-greens first (they fill the r12
-    # window next round; 'topk_per_group', 'ml_fit_predict_rf',
-    # 'mask_polygon' and 'mask' — r9-green, displaced from slots
-    # 47-50 by the new r11 gates — lead them), then the 48 r10-window
-    # greens (freshest last; profile_table leads that cohort).
+    #   slots 43-50: the 8 oldest r9-greens.
+    # Tail: the 41 remaining r9-greens first (they fill the r12
+    # window next round; the 7 displaced from slots 44-50 by the new
+    # r11 entries — aggregate_spatial_window through mask — lead
+    # them), then the 48 r10-window greens (freshest last;
+    # profile_table leads that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 136 queries
+    # Rotation arithmetic (standing, stated honestly): at 139 queries
     # (131 after the probe retirement, + the dsir twin + the webp,
-    # zarr, mjpeg and streaming-zarr gates) and a 50-slot window the
-    # steady-state re-verification cadence is ceil(136/50) = 3
-    # rounds; after r11 every query's latest driver green is <= 2
-    # rounds old.
+    # zarr, mjpeg, streaming-zarr and 3 tpch gates) and a 50-slot
+    # window the steady-state re-verification cadence is
+    # ceil(139/50) = 3 rounds; after r11 every query's latest driver
+    # green is <= 2 rounds old.
     return {
         # --- slots 1-4: the new r11 webp/zarr/mjpeg/streaming gates ---
         "raster_decode_webp": q_raster_decode_webp,
         "zarr_roundtrip": q_zarr_roundtrip,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "streaming_zarr_ingest": q_streaming_zarr_ingest,
-        # --- slots 5-6: the changed dsir gate + its bisect twin ---
+        # --- slots 5-7: the new relational gates ---
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+        # --- slots 8-9: the changed dsir gate + its bisect twin ---
         "dsir_select": q_dsir_select,
         "dsir_select_picks": q_dsir_select_picks,
-        # --- slots 7-39: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
+        # --- slots 10-42: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
@@ -3575,7 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
-        # --- slots 40-50: the 11 oldest r9-greens ---
+        # --- slots 43-50: the 8 oldest r9-greens ---
         "profile_table_cols": q_profile_table_cols,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -3584,12 +3658,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "quality_filter": q_quality_filter,
         "flatten_unflatten": q_flatten_unflatten,
+        # --- tail: 41 remaining r9-greens (they fill the r12 window
+        # next; the 7 displaced from slots 44-50 by the r11 entries
+        # lead them) ---
         "aggregate_spatial_window": q_aggregate_spatial_window,
         "decontaminate": q_decontaminate,
         "training_shards": q_training_shards,
-        # --- tail: 38 remaining r9-greens (they fill the r12 window
-        # next; topk_per_group/ml_fit_predict_rf/mask_polygon/mask
-        # were displaced from slots 47-50 by the r11 gates) ---
         "topk_per_group": q_topk_per_group,
         "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "mask_polygon": q_mask_polygon,
@@ -4195,6 +4269,37 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["tpch_q6"] = """
+SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+    sql["tpch_q14"] = """
+SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END)
+              / sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5)
+         / 1000000.0 AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+    sql["tpch_q19"] = """
+SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 5 AND 15
+       AND l_quantity BETWEEN 10 AND 30)
 """
 
     sql["top_k_orders"] = """
