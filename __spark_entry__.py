@@ -327,6 +327,28 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to this schema:
+    the EXISTS subquery becomes a LEFT SEMI join — the one relational
+    plan shape not previously under the gate. One quarter of orders,
+    kept iff at least one of their line items has l_quantity > 45,
+    counted per priority. The semi join deduplicates probe-side
+    matches inside the join (no distinct/agg on lineitem needed) and
+    the quarter filter pushes to the orders scan."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 def q_top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -3581,26 +3603,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     video_decode_mjpeg (NEW — MJPEG-AVI frame-sampled decode,
     #     DC-only closed form), and streaming_zarr_ingest (NEW —
     #     micro-batched zarr append under the value gate).
-    #   slots 5-7: tpch_q6/q14/q19 (NEW — pushdown, broadcast-dim
-    #     join, disjunctive-predicate relational gates).
-    #   slots 8-9: dsir_select (CHANGED — fold-ordered logw, directive
+    #   slots 5-8: tpch_q4/q6/q14/q19 (NEW — semi-join, pushdown,
+    #     broadcast-dim join, disjunctive-predicate relational gates).
+    #   slots 9-10: dsir_select (CHANGED — fold-ordered logw, directive
     #     1b) and the NEW selection-only bisect twin dsir_select_picks
     #     (directive 1a: integer columns only — localizes whether the
     #     chosen set or just the float rendering diverges).
-    #   slots 10-42: ALL 33 remaining r8-greens — the oldest cohort,
+    #   slots 11-43: ALL 33 remaining r8-greens — the oldest cohort,
     #     3 rounds old, due by the 3-round-cycle protocol.
-    #   slots 43-50: the 8 oldest r9-greens.
-    # Tail: the 41 remaining r9-greens first (they fill the r12
-    # window next round; the 7 displaced from slots 44-50 by the new
-    # r11 entries — aggregate_spatial_window through mask — lead
-    # them), then the 48 r10-window greens (freshest last;
-    # profile_table leads that cohort).
+    #   slots 44-50: the 7 oldest r9-greens.
+    # Tail: the 42 remaining r9-greens first (they fill the r12
+    # window next round; the 8 displaced from slots 43-50 by the new
+    # r11 entries — flatten_unflatten through mask — lead them), then
+    # the 48 r10-window greens (freshest last; profile_table leads
+    # that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 139 queries
+    # Rotation arithmetic (standing, stated honestly): at 140 queries
     # (131 after the probe retirement, + the dsir twin + the webp,
-    # zarr, mjpeg, streaming-zarr and 3 tpch gates) and a 50-slot
+    # zarr, mjpeg, streaming-zarr and 4 tpch gates) and a 50-slot
     # window the steady-state re-verification cadence is
-    # ceil(139/50) = 3 rounds; after r11 every query's latest driver
+    # ceil(140/50) = 3 rounds; after r11 every query's latest driver
     # green is <= 2 rounds old.
     return {
         # --- slots 1-4: the new r11 webp/zarr/mjpeg/streaming gates ---
@@ -3608,14 +3630,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_roundtrip": q_zarr_roundtrip,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "streaming_zarr_ingest": q_streaming_zarr_ingest,
-        # --- slots 5-7: the new relational gates ---
+        # --- slots 5-8: the new relational gates ---
+        "tpch_q4": q_tpch_q4,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
         # --- slots 8-9: the changed dsir gate + its bisect twin ---
         "dsir_select": q_dsir_select,
         "dsir_select_picks": q_dsir_select_picks,
-        # --- slots 10-42: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
+        # --- slots 11-43: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
@@ -3649,7 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
-        # --- slots 43-50: the 8 oldest r9-greens ---
+        # --- slots 44-50: the 7 oldest r9-greens ---
         "profile_table_cols": q_profile_table_cols,
         "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -3657,10 +3680,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "embedding_quantize": q_embedding_quantize,
         "quality_filter": q_quality_filter,
-        "flatten_unflatten": q_flatten_unflatten,
-        # --- tail: 41 remaining r9-greens (they fill the r12 window
-        # next; the 7 displaced from slots 44-50 by the r11 entries
+        # --- tail: 42 remaining r9-greens (they fill the r12 window
+        # next; the 8 displaced from slots 43-50 by the r11 entries
         # lead them) ---
+        "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
         "decontaminate": q_decontaminate,
         "training_shards": q_training_shards,
@@ -4269,6 +4292,16 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
 """
 
     sql["tpch_q6"] = """

@@ -120,6 +120,7 @@ HEADLINE = [
     "zarr_roundtrip",
     "video_decode_mjpeg",
     "streaming_zarr_ingest",
+    "tpch_q4",
     "tpch_q6",
     "tpch_q14",
     "tpch_q19",

@@ -129,7 +129,8 @@ def test_driver_window_composition_pinned():
     window = list(entry.queries().keys())[:50]
     assert window == [
         "raster_decode_webp", "zarr_roundtrip", "video_decode_mjpeg",
-        "streaming_zarr_ingest", "tpch_q6", "tpch_q14", "tpch_q19",
+        "streaming_zarr_ingest", "tpch_q4", "tpch_q6", "tpch_q14",
+        "tpch_q19",
         "dsir_select", "dsir_select_picks", "dedup_minhash_lsh",
         "pack_sequences", "streaming_enrich", "unigram_logprob",
         "ccnet_buckets", "mixture_sample", "incremental_dedup",
@@ -144,5 +145,5 @@ def test_driver_window_composition_pinned():
         "repetition_stats", "streaming_dedup", "streaming_interval_join",
         "profile_table_cols", "bpe_merges", "ann_ivf_trained",
         "streaming_spend_alerts", "text_chunks", "embedding_quantize",
-        "quality_filter", "flatten_unflatten",
+        "quality_filter",
     ]
