@@ -76,7 +76,36 @@ def _seed_payloads():
         # embedded per-frame JPEGs get mutated together; the adapter
         # unwraps the (idx, frame) list so the ndarray contract holds
         _avi_first_frame: _avi_payload(),
+        # animated GIF: the disposal-method compositor and frame-rect
+        # clipping run over mutated multi-frame streams
+        _gif_last_frame: _animated_payload(),
     }
+
+
+def _gif_last_frame(payload: bytes) -> np.ndarray:
+    from openeo_processes_dask_ml_spark.io.gif import decode_gif_frames
+
+    frames = decode_gif_frames(payload, max_frames=8)
+    return frames[-1][1] if frames else np.zeros((0, 0), np.uint8)
+
+
+def _animated_payload() -> bytes:
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_gif import _animated_gif
+
+    rng = np.random.default_rng(11)
+    full = rng.integers(0, 4, (9, 13)).astype(np.uint8)
+    patch = rng.integers(0, 4, (4, 5)).astype(np.uint8)
+    return _animated_gif(
+        (13, 9),
+        [
+            (0, 0, full, 1, None),
+            (2, 3, patch, 2, 1),
+            (8, 1, patch, 3, None),
+        ],
+    )
 
 
 def _avi_first_frame(payload: bytes) -> np.ndarray:
@@ -121,7 +150,7 @@ def _webp_payloads(rng):
     return plain, rich
 
 
-@pytest.mark.parametrize("codec_idx", range(8))
+@pytest.mark.parametrize("codec_idx", range(9))
 def test_truncations_never_hang_or_crash(codec_idx):
     payloads = _seed_payloads()
     decode, payload = list(payloads.items())[codec_idx]
@@ -133,7 +162,7 @@ def test_truncations_never_hang_or_crash(codec_idx):
             pass
 
 
-@pytest.mark.parametrize("codec_idx", range(8))
+@pytest.mark.parametrize("codec_idx", range(9))
 def test_byte_flips_never_hang_or_crash(codec_idx):
     payloads = _seed_payloads()
     decode, payload = list(payloads.items())[codec_idx]
