@@ -61,74 +61,122 @@ _IDCT_B = np.array([
 
 
 class _Huff:
-    """Canonical Huffman table from a DHT segment (T.81 Annex C):
-    ``lookup[(length, code)] -> symbol`` plus per-length code bounds
-    for the sequential decode of F.2.2.3."""
+    """Canonical Huffman table from a DHT segment (T.81 Annex C),
+    flattened into a peek-table: ``fast[next L bits] -> (symbol << 5)
+    | code_length`` (0 = invalid prefix), where L is the table's
+    longest code. One list index replaces the bit-by-bit walk of
+    F.2.2.3 — the entropy decode is the pure-Python hot loop the r10
+    VERDICT flagged at ~100x libjpeg, and this is its biggest
+    constant-factor lever (~4x measured, SCALE_NOTES)."""
+
+    __slots__ = ("fast", "max_len")
 
     def __init__(self, counts: list[int], symbols: bytes):
-        self.lookup: dict[tuple[int, int], int] = {}
+        max_len = 0
+        for length in range(1, 17):
+            if counts[length - 1]:
+                max_len = length
+        self.max_len = max(1, max_len)
+        table = np.zeros(1 << self.max_len, dtype=np.uint32)
         code = 0
         k = 0
-        self.min_code = [0] * 17
-        self.max_code = [-1] * 17
-        for length in range(1, 17):
-            self.min_code[length] = code
+        for length in range(1, self.max_len + 1):
+            span = 1 << (self.max_len - length)
             for _ in range(counts[length - 1]):
-                self.lookup[(length, code)] = symbols[k]
+                start = code << (self.max_len - length)
+                table[start : start + span] = (symbols[k] << 5) | length
                 code += 1
                 k += 1
-            self.max_code[length] = code - 1
             code <<= 1
+        # a plain list indexes faster than a numpy array per-element
+        self.fast = table.tolist()
 
 
 class _BitReader:
     """MSB-first bit reader over an UNSTUFFED entropy segment (0xFF00
-    already collapsed to 0xFF by the caller)."""
+    already collapsed to 0xFF by the caller). Bits buffer in an int
+    accumulator so `bits(k)` is one shift+mask and `decode` is one
+    peek-table index per symbol — not a per-bit Python loop.
+
+    F.2.2.5 pad-bit rule, preserved exactly from the per-bit version:
+    bits past the end of the segment read as 1s, but only 7 of them
+    may ever be CONSUMED — an 8th means the scan genuinely ran out of
+    data, and decoding garbage for every remaining MCU would be a
+    crawl DoS, so it raises."""
 
     __slots__ = ("d", "p", "acc", "n", "fab")
 
     def __init__(self, data: bytes):
         self.d = data
         self.p = 0
-        self.acc = 0
+        self.acc = 0  # next `n` bits, MSB-first, in the low bits
         self.n = 0
-        self.fab = 0
-
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.p >= len(self.d):
-                # F.2.2.5 allows pad bits (read as 1s) — but only the
-                # final byte's worth. Fabricating more means the scan
-                # genuinely ran out of data: raise instead of decoding
-                # garbage for every remaining MCU (on a hostile header
-                # that is hours of Python loop — a crawl DoS)
-                self.fab += 1
-                if self.fab > 7:
-                    raise ValueError(
-                        "truncated JPEG: entropy data exhausted mid-scan"
-                    )
-                return 1
-            self.acc = self.d[self.p]
-            self.p += 1
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        self.fab = 0  # fabricated pad bits CONSUMED so far
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        n = self.n
+        acc = self.acc
+        d = self.d
+        p = self.p
+        end = len(d)
+        while n < k and p < end:
+            acc = (acc << 8) | d[p]
+            p += 1
+            n += 8
+        if n < k:
+            short = k - n
+            if self.fab + short > 7:
+                raise ValueError(
+                    "truncated JPEG: entropy data exhausted mid-scan"
+                )
+            self.fab += short
+            acc = (acc << short) | ((1 << short) - 1)
+            n = k
+        self.p = p
+        self.n = n - k
+        self.acc = acc & ((1 << self.n) - 1)
+        return (acc >> self.n) & ((1 << k) - 1)
+
+    def bit(self) -> int:
+        return self.bits(1)
 
     def decode(self, table: _Huff) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            if code <= table.max_code[length]:
-                sym = table.lookup.get((length, code))
-                if sym is not None:
-                    return sym
-        raise ValueError("corrupt JPEG: Huffman code not in table")
+        L = table.max_len
+        n = self.n
+        acc = self.acc
+        d = self.d
+        p = self.p
+        end = len(d)
+        while n < L and p < end:
+            acc = (acc << 8) | d[p]
+            p += 1
+            n += 8
+        if n < L:
+            # peek-pad with 1s WITHOUT consuming: only the bits the
+            # decoded code actually covers count against the pad budget
+            peek = (acc << (L - n)) | ((1 << (L - n)) - 1)
+        else:
+            peek = acc >> (n - L)
+        entry = table.fast[peek]
+        if entry == 0:
+            raise ValueError("corrupt JPEG: Huffman code not in table")
+        length = entry & 31
+        if length > n:
+            short = length - n
+            if self.fab + short > 7:
+                raise ValueError(
+                    "truncated JPEG: entropy data exhausted mid-scan"
+                )
+            self.fab += short
+            n = 0
+            acc = 0
+        else:
+            n -= length
+            acc &= (1 << n) - 1
+        self.p = p
+        self.n = n
+        self.acc = acc
+        return entry >> 5
 
 
 def _extend(v: int, t: int) -> int:
@@ -445,29 +493,104 @@ def _decode_scan(
             state["eobrun"] -= 1
 
     def full_block(ci, c, dct, act, blk):
-        # baseline: DC + all 63 AC coefficients in one pass
+        # baseline: DC + all 63 AC coefficients in one pass. The
+        # decode/receive/extend steps are INLINED over local bindings
+        # of the reader state — this loop runs once per coefficient
+        # over the whole image and Python call overhead was its
+        # largest remaining cost (profile in SCALE_NOTES r11).
         r = state["reader"]
-        t = r.decode(dct)
-        diff = _extend(r.bits(t), t)
-        state["preds"][ci] += diff
-        row = c.coef[blk]
-        row[0] = state["preds"][ci]
-        k = 1
-        while k < 64:
-            sym = r.decode(act)
-            if sym == 0:  # EOB
-                return
-            run, size = sym >> 4, sym & 15
-            if size == 0:
-                if run != 15:
-                    raise ValueError("corrupt JPEG: bad AC symbol")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("corrupt JPEG: AC run past block end")
-            row[k] = _extend(r.bits(size), size)
-            k += 1
+        d = r.d
+        end = len(d)
+        p = r.p
+        acc = r.acc
+        n = r.n
+        fab = r.fab
+
+        def take(k):
+            # inlined _BitReader.bits over the hoisted locals
+            nonlocal p, acc, n, fab
+            while n < k and p < end:
+                acc = (acc << 8) | d[p]
+                p += 1
+                n += 8
+            if n < k:
+                short = k - n
+                if fab + short > 7:
+                    raise ValueError(
+                        "truncated JPEG: entropy data exhausted mid-scan"
+                    )
+                fab += short
+                acc = (acc << short) | ((1 << short) - 1)
+                n = k
+            n -= k
+            v = (acc >> n) & ((1 << k) - 1)
+            acc &= (1 << n) - 1
+            return v
+
+        def huff(table):
+            # inlined _BitReader.decode over the hoisted locals
+            nonlocal p, acc, n, fab
+            L = table.max_len
+            while n < L and p < end:
+                acc = (acc << 8) | d[p]
+                p += 1
+                n += 8
+            if n < L:
+                peek = (acc << (L - n)) | ((1 << (L - n)) - 1)
+            else:
+                peek = acc >> (n - L)
+            entry = table.fast[peek]
+            if entry == 0:
+                raise ValueError("corrupt JPEG: Huffman code not in table")
+            length = entry & 31
+            if length > n:
+                short = length - n
+                if fab + short > 7:
+                    raise ValueError(
+                        "truncated JPEG: entropy data exhausted mid-scan"
+                    )
+                fab += short
+                n = 0
+                acc = 0
+            else:
+                n -= length
+                acc &= (1 << n) - 1
+            return entry >> 5
+
+        try:
+            t = huff(dct)
+            v = take(t)
+            # EXTEND (F.2.2.1): a t-bit magnitude below 2^(t-1) is
+            # negative: v - (2^t - 1)
+            diff = v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+            state["preds"][ci] += diff
+            row = c.coef[blk]
+            row[0] = state["preds"][ci]
+            k = 1
+            while k < 64:
+                sym = huff(act)
+                if sym == 0:  # EOB
+                    return
+                run, size = sym >> 4, sym & 15
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("corrupt JPEG: bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("corrupt JPEG: AC run past block end")
+                v = take(size)
+                row[k] = (
+                    v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+                )
+                k += 1
+        finally:
+            # commit the consumed position back to the shared reader
+            r.p = p
+            r.acc = acc
+            r.n = n
+            r.fab = fab
 
     # T.81 A.2: a scan is interleaved iff it carries >1 component — a
     # single-component scan (Ns=1) ALWAYS traverses that component's
