@@ -290,53 +290,126 @@ def _decode_pixels(br: _Bits, w: int, h: int, level0: bool):
     groups = _read_groups(br, cache_bits, n_groups)
 
     n = w * h
-    out = np.zeros(n, dtype=np.uint32)
+    # a plain int list beats per-element numpy stores by ~10x in the
+    # Python pixel loop; the array materializes once at the end
+    out = [0] * n
     cache = [0] * (1 << cache_bits) if cache_bits else None
     cache_shift = 32 - cache_bits if cache_bits else 0
     pos = 0
     group = groups[0]
     single_group = len(groups) == 1
-    while pos < n:
-        if not single_group:
-            y, x = divmod(pos, w)
-            gi = int(meta[y >> meta_bits, x >> meta_bits])
-            # group index = (red << 8) | green of the meta pixel
-            group = groups[(((gi >> 16) & 0xFF) << 8) | ((gi >> 8) & 0xFF)]
-        s = group[0].decode(br)
-        if s < 256:  # literal: G already read, then R, B, A
-            g = s
-            r = group[1].decode(br)
-            b = group[2].decode(br)
-            a = group[3].decode(br)
-            px = (a << 24) | (r << 16) | (g << 8) | b
-            out[pos] = px
-            if cache is not None:
-                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift] = px
-            pos += 1
-        elif s < 256 + 24:  # LZ77 backward reference
-            length = _prefix_value(s - 256, br)
-            dist_code = _prefix_value(group[4].decode(br), br)
-            if dist_code > 120:
-                dist = dist_code - 120
-            else:
-                dx, dy = _DIST_MAP[dist_code - 1]
-                dist = dy * w + dx
-                if dist < 1:
-                    dist = 1
-            if dist > pos or pos + length > n:
-                raise ValueError("corrupt WebP: LZ77 reference out of range")
-            for _ in range(length):
-                px = int(out[pos - dist])
+
+    # hoist the reader state into locals for the per-pixel loop (the
+    # r11 fast-decode posture, same as io/jpeg.py full_block); state
+    # commits back to `br` on every exit path
+    d = br.d
+    dn = len(d)
+    p = br.p
+    acc = br.acc
+    bn = br.n
+
+    def huff(t: _Huff) -> int:
+        # inlined _Huff.decode over the hoisted locals
+        nonlocal p, acc, bn
+        single = t.single
+        if single is not None:
+            return single
+        L = t.max_len
+        while bn < L and p < dn:
+            acc |= d[p] << bn
+            p += 1
+            bn += 8
+        entry = t.fast[acc & ((1 << L) - 1)]
+        if entry == 0:
+            raise ValueError("corrupt WebP: prefix code not in table")
+        ln = entry & 31
+        if ln > bn:
+            raise ValueError("truncated WebP: bitstream exhausted")
+        acc >>= ln
+        bn -= ln
+        return entry >> 5
+
+    def take(k: int) -> int:
+        # inlined _Bits.bits over the hoisted locals
+        nonlocal p, acc, bn
+        while bn < k:
+            if p >= dn:
+                raise ValueError("truncated WebP: bitstream exhausted")
+            acc |= d[p] << bn
+            p += 1
+            bn += 8
+        v = acc & ((1 << k) - 1)
+        acc >>= k
+        bn -= k
+        return v
+
+    def prefix_value(code: int) -> int:
+        if code < 4:
+            return code + 1
+        extra = (code - 2) >> 1
+        return ((2 + (code & 1)) << extra) + take(extra) + 1
+
+    try:
+        while pos < n:
+            if not single_group:
+                y, x = divmod(pos, w)
+                gi = int(meta[y >> meta_bits, x >> meta_bits])
+                # group index = (red << 8) | green of the meta pixel
+                group = groups[(((gi >> 16) & 0xFF) << 8) | ((gi >> 8) & 0xFF)]
+            s = huff(group[0])
+            if s < 256:  # literal: G already read, then R, B, A
+                r = huff(group[1])
+                b = huff(group[2])
+                a = huff(group[3])
+                px = (a << 24) | (r << 16) | (s << 8) | b
                 out[pos] = px
                 if cache is not None:
                     cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift] = px
                 pos += 1
-        else:  # color cache hit
-            if cache is None:
-                raise ValueError("corrupt WebP: cache symbol without cache")
-            out[pos] = cache[s - 256 - 24]
-            pos += 1
-    return out.reshape(h, w)
+            elif s < 256 + 24:  # LZ77 backward reference
+                length = prefix_value(s - 256)
+                dist_code = prefix_value(huff(group[4]))
+                if dist_code > 120:
+                    dist = dist_code - 120
+                else:
+                    dx, dy = _DIST_MAP[dist_code - 1]
+                    dist = dy * w + dx
+                    if dist < 1:
+                        dist = 1
+                if dist > pos or pos + length > n:
+                    raise ValueError(
+                        "corrupt WebP: LZ77 reference out of range"
+                    )
+                if cache is None and dist >= length:
+                    # non-overlapping: one slice copy
+                    out[pos : pos + length] = out[
+                        pos - dist : pos - dist + length
+                    ]
+                    pos += length
+                elif cache is None:
+                    # overlapping source: must copy sequentially (each
+                    # written pixel becomes source for the next)
+                    for _ in range(length):
+                        out[pos] = out[pos - dist]
+                        pos += 1
+                else:
+                    for _ in range(length):
+                        px = out[pos - dist]
+                        out[pos] = px
+                        cache[
+                            (0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift
+                        ] = px
+                        pos += 1
+            else:  # color cache hit
+                if cache is None:
+                    raise ValueError("corrupt WebP: cache symbol without cache")
+                out[pos] = cache[s - 256 - 24]
+                pos += 1
+    finally:
+        br.p = p
+        br.acc = acc
+        br.n = bn
+    return np.array(out, dtype=np.uint32).reshape(h, w)
 
 
 # --------------------------------------------------------- transforms
