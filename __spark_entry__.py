@@ -2500,6 +2500,30 @@ def q_dsir_select_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(raw, target, k=50, n_buckets=1024, values=False)
 
 
+def q_dsir_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR featurization bisect gate (VERDICT r11 directive 1a): the
+    `dist` intermediate of `dsir_select` verbatim — (bucket, t_cnt,
+    r_cnt), all-integer, ≤1024 rows. Green here ⇒ the tokenize →
+    bigram → md5 → bucket pipeline is engine-identical."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import dsir_bucket_hist
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 17 == 3)
+    raw = docs.filter(F.col("doc_id") % 17 != 3)
+    return dsir_bucket_hist(raw, target, n_buckets=1024)
+
+
+def q_dsir_doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR per-doc gram-count bisect gate (VERDICT r11 directive 1b):
+    (doc_id, n_grams) for every raw document — the other discrete
+    input to the weight computation, with no floats anywhere."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import dsir_doc_grams
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("doc_id") % 17 != 3)
+    return dsir_doc_grams(raw, n_buckets=1024)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-mass-proportional sampling per source
     (Efraimidis-Spirakis priorities from md5 uniforms): same sample on
@@ -3589,100 +3613,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every other round. When editing: (1) new/changed queries -> front,
     # (2) then oldest-green, (3) last-round greens -> tail.
     #
-    # r11 window (slots 1-50), per VERDICT r10 directives 1-3.
-    # Ground truth recomputed from CORRECTNESS_r0{8,9}.json +
-    # CORRECTNESS_r10.json (latest green round per query: 33 at r8,
-    # 49 at r9, 48 at r10; the r10 reds were dsir_select — changed
-    # this round, fold-ordered weight sum — and
-    # profile_table_wide_probe — RETIRED this round: the probe proved
-    # its hypothesis, see io/profile.py docstring + SCALE_NOTES; the
-    # wide layout stays library API with the wide-==-pivot unit pin):
-    #   slots 1-4: raster_decode_webp (NEW — the r11 VP8L decoder's
-    #     closed-form value gate), zarr_roundtrip (NEW — the r11
-    #     distributed zarr sink/source round-trip gate),
-    #     video_decode_mjpeg (NEW — MJPEG-AVI frame-sampled decode,
-    #     DC-only closed form), and streaming_zarr_ingest (NEW —
-    #     micro-batched zarr append under the value gate).
-    #   slots 5-8: tpch_q4/q6/q14/q19 (NEW — semi-join, pushdown,
-    #     broadcast-dim join, disjunctive-predicate relational gates).
-    #   slots 9-10: dsir_select (CHANGED — fold-ordered logw, directive
-    #     1b) and the NEW selection-only bisect twin dsir_select_picks
-    #     (directive 1a: integer columns only — localizes whether the
-    #     chosen set or just the float rendering diverges).
-    #   slots 11-43: ALL 33 remaining r8-greens — the oldest cohort,
-    #     3 rounds old, due by the 3-round-cycle protocol.
-    #   slots 44-50: the 7 oldest r9-greens.
-    # Tail: the 42 remaining r9-greens first (they fill the r12
-    # window next round; the 8 displaced from slots 43-50 by the new
-    # r11 entries — flatten_unflatten through mask — lead them), then
-    # the 48 r10-window greens (freshest last; profile_table leads
-    # that cohort).
+    # r12 window (slots 1-50), per VERDICT r11 directives 1-2.
+    # Ground truth from CORRECTNESS_r0{9}.json + r10 + r11 (latest
+    # green round per query: 42 at r9, 48 at r10, 48 at r11; the only
+    # reds were the dsir pair — CHANGED this round, see below):
+    #   slots 1-2: dsir_bucket_hist + dsir_doc_grams (NEW — the
+    #     all-integer bisect gates of VERDICT r11 directives 1a/1b:
+    #     the dist CTE verbatim and the per-doc gram totals).
+    #   slots 3-4: dsir_select + dsir_select_picks (CHANGED — two
+    #     fixes: the oracle's n_grams was the suite's ONE output-level
+    #     bare DuckDB sum() [DECIMAL(38,0) renders "29.0" under a
+    #     pandas fetch vs Spark's "29" — the exact local-strict-green/
+    #     driver-red signature], now CAST AS BIGINT like every green
+    #     gate; and quantize-before-order — both engines rank on
+    #     qscore = floor(score*1e6+0.5) as BIGINT).
+    #   slots 5-46: the 42-query r9-green cohort (flatten_unflatten …
+    #     weighted_sample) — 3 rounds old, due by the 3-round cadence.
+    #   slots 47-50: the 4 oldest r10-greens (profile_table,
+    #     raster_decode_overview/jpeg/png).
+    # Tail: the 44 remaining r10-greens first (they fill the r13
+    # window next round), then the 48 r11-window greens (freshest
+    # last; the 8 r11-new gates lead that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 140 queries
-    # (131 after the probe retirement, + the dsir twin + the webp,
-    # zarr, mjpeg, streaming-zarr and 4 tpch gates) and a 50-slot
-    # window the steady-state re-verification cadence is
-    # ceil(140/50) = 3 rounds; after r11 every query's latest driver
-    # green is <= 2 rounds old.
+    # Rotation arithmetic (standing, stated honestly): at 142 queries
+    # (140 + the two dsir bisect gates) and a 50-slot window the
+    # steady-state re-verification cadence is ceil(142/50) = 3 rounds;
+    # after r12 every query's latest driver green is <= 2 rounds old.
     return {
-        # --- slots 1-4: the new r11 webp/zarr/mjpeg/streaming gates ---
-        "raster_decode_webp": q_raster_decode_webp,
-        "zarr_roundtrip": q_zarr_roundtrip,
-        "video_decode_mjpeg": q_video_decode_mjpeg,
-        "streaming_zarr_ingest": q_streaming_zarr_ingest,
-        # --- slots 5-8: the new relational gates ---
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q19": q_tpch_q19,
-        # --- slots 8-9: the changed dsir gate + its bisect twin ---
+        # --- slots 1-2: the NEW all-integer dsir bisect gates ---
+        "dsir_bucket_hist": q_dsir_bucket_hist,
+        "dsir_doc_grams": q_dsir_doc_grams,
+        # --- slots 3-4: the CHANGED dsir pair (CAST n_grams +
+        #     quantize-before-order, VERDICT r11 #1) ---
         "dsir_select": q_dsir_select,
         "dsir_select_picks": q_dsir_select_picks,
-        # --- slots 11-43: ALL 33 r8-greens (3 rounds old -- due by protocol) ---
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "pack_sequences": q_pack_sequences,
-        "streaming_enrich": q_streaming_enrich,
-        "unigram_logprob": q_unigram_logprob,
-        "ccnet_buckets": q_ccnet_buckets,
-        "mixture_sample": q_mixture_sample,
-        "incremental_dedup": q_incremental_dedup,
-        "hard_negatives": q_hard_negatives,
-        "property_filter": q_property_filter,
-        "json_extract": q_json_extract,
-        "cube_agg": q_cube_agg,
-        "asof_join": q_asof_join,
-        "resample_cube_temporal": q_resample_cube_temporal,
-        "ann_pq": q_ann_pq,
-        "incremental_minhash": q_incremental_minhash,
-        "span_removal": q_span_removal,
-        "streaming_incremental_dedup": q_streaming_incremental_dedup,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "ann_ivf": q_ann_ivf,
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "leakage_safe_split": q_leakage_safe_split,
-        "dup_clusters": q_dup_clusters,
-        "sessionize": q_sessionize,
-        "apply_dimension": q_apply_dimension,
-        "apply_neighborhood": q_apply_neighborhood,
-        "aggregate_temporal": q_aggregate_temporal,
-        "resample_cube_spatial": q_resample_cube_spatial,
-        "array_ops": q_array_ops,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_interval_join": q_streaming_interval_join,
-        # --- slots 44-50: the 7 oldest r9-greens ---
-        "profile_table_cols": q_profile_table_cols,
-        "bpe_merges": q_bpe_merges,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "streaming_spend_alerts": q_streaming_spend_alerts,
-        "text_chunks": q_text_chunks,
-        "embedding_quantize": q_embedding_quantize,
-        "quality_filter": q_quality_filter,
-        # --- tail: 42 remaining r9-greens (they fill the r12 window
-        # next; the 8 displaced from slots 43-50 by the r11 entries
-        # lead them) ---
+        # --- slots 5-46: the 42-query r9-green cohort (3 rounds old,
+        #     due by the rotation protocol) ---
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
         "decontaminate": q_decontaminate,
@@ -3725,13 +3691,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "streaming_topk": q_streaming_topk,
         "weighted_sample": q_weighted_sample,
-        # --- tail: 48 r10-window greens (driver-verified last round,
-        #     freshest; profile_table leads -- GREEN r10 at last on the
-        #     bisect-proven per-stat shape) ---
+        # --- slots 47-50: the 4 oldest r10-greens ---
         "profile_table": q_profile_table,
         "raster_decode_overview": q_raster_decode_overview,
         "raster_decode_jpeg": q_raster_decode_jpeg,
         "raster_decode_png": q_raster_decode_png,
+        # --- tail: the 44 remaining r10-greens (they fill the r13
+        #     window next round) ---
         "url_dedup": q_url_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "pipeline_web_ingest": q_pipeline_web_ingest,
@@ -3776,6 +3742,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "graph_fit_curve": q_graph_fit_curve,
         "graph_zonal": q_graph_zonal,
+        # --- tail: the 48 r11-window greens (driver-verified last
+        #     round, freshest; the 8 r11-new gates lead) ---
+        "raster_decode_webp": q_raster_decode_webp,
+        "zarr_roundtrip": q_zarr_roundtrip,
+        "video_decode_mjpeg": q_video_decode_mjpeg,
+        "streaming_zarr_ingest": q_streaming_zarr_ingest,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "pack_sequences": q_pack_sequences,
+        "streaming_enrich": q_streaming_enrich,
+        "unigram_logprob": q_unigram_logprob,
+        "ccnet_buckets": q_ccnet_buckets,
+        "mixture_sample": q_mixture_sample,
+        "incremental_dedup": q_incremental_dedup,
+        "hard_negatives": q_hard_negatives,
+        "property_filter": q_property_filter,
+        "json_extract": q_json_extract,
+        "cube_agg": q_cube_agg,
+        "asof_join": q_asof_join,
+        "resample_cube_temporal": q_resample_cube_temporal,
+        "ann_pq": q_ann_pq,
+        "incremental_minhash": q_incremental_minhash,
+        "span_removal": q_span_removal,
+        "streaming_incremental_dedup": q_streaming_incremental_dedup,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "ann_ivf": q_ann_ivf,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "leakage_safe_split": q_leakage_safe_split,
+        "dup_clusters": q_dup_clusters,
+        "sessionize": q_sessionize,
+        "apply_dimension": q_apply_dimension,
+        "apply_neighborhood": q_apply_neighborhood,
+        "aggregate_temporal": q_aggregate_temporal,
+        "resample_cube_spatial": q_resample_cube_spatial,
+        "array_ops": q_array_ops,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_interval_join": q_streaming_interval_join,
+        # (the 7 r9-refreshed r11 greens close the tail)
+        "profile_table_cols": q_profile_table_cols,
+        "bpe_merges": q_bpe_merges,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "streaming_spend_alerts": q_streaming_spend_alerts,
+        "text_chunks": q_text_chunks,
+        "embedding_quantize": q_embedding_quantize,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -6550,34 +6567,87 @@ WITH toks AS (
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list(db.cnt * ratios.log_ratio ORDER BY ratios.bucket)),
            (acc, x) -> acc + x) AS logw,
-         sum(db.cnt) AS n_grams
+         CAST(sum(db.cnt) AS BIGINT) AS n_grams
   FROM doc_bucket db JOIN ratios ON db.bucket = ratios.bucket
   GROUP BY 1
 ), scored AS (
   SELECT doc_id, n_grams, logw,
-         logw + (-ln(-ln(
+         CAST(floor((logw + (-ln(-ln(
            (('0x' || substr(md5(doc_id::VARCHAR || '#dsirg'), 1, 15))::BIGINT
-            + 1) / 1152921504606846976.0))) AS score
+            + 1) / 1152921504606846976.0)))) * 1000000.0 + 0.5) AS BIGINT)
+           AS qscore
   FROM weights
 )
 """
+    # r12 fix, two changes (VERDICT r11 #1): (1) n_grams was the ONE
+    # output-level bare DuckDB sum() in the whole oracle suite —
+    # sum(BIGINT) returns DECIMAL(38,0)/HUGEINT, which a pandas-side
+    # fetch renders as "29.0" vs Spark's "29"; every green gate CASTs
+    # (cf. repetition_stats). Both dsir reds carried n_grams, local
+    # fetchall()-based strict sim str()s Decimal('29') to "29" — the
+    # exact local-green/driver-red signature. (2) quantize-before-order:
+    # rank over qscore = floor(score*1e6+0.5) as BIGINT in BOTH engines
+    # so ordering can never inherit transcendental noise.
     sql["dsir_select"] = _dsir_core + """
 SELECT doc_id, n_grams,
        floor(logw * 1000000.0 + 0.5) / 1000000.0 AS log_weight,
-       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
-       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       qscore / 1000000.0 AS score,
+       CAST(row_number() OVER (ORDER BY qscore DESC, doc_id) AS INTEGER)
          AS rank
 FROM scored
-ORDER BY score DESC, doc_id
+ORDER BY qscore DESC, doc_id
 LIMIT 50
 """
     sql["dsir_select_picks"] = _dsir_core + """
 SELECT doc_id, n_grams,
-       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+       CAST(row_number() OVER (ORDER BY qscore DESC, doc_id) AS INTEGER)
          AS rank
 FROM scored
-ORDER BY score DESC, doc_id
+ORDER BY qscore DESC, doc_id
 LIMIT 50
+"""
+    # the two all-integer bisect gates (VERDICT r11 directives 1a/1b):
+    # the dist CTE verbatim, and the per-doc gram totals.
+    sql["dsir_bucket_hist"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(toks) AS g FROM toks
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM toks
+), bucketed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g || '#dsir'), 1, 15))::BIGINT % 1024 AS bucket
+  FROM grams
+), t_dist AS (
+  SELECT bucket, count(*) AS t_cnt
+  FROM bucketed WHERE doc_id % 17 = 3 GROUP BY 1
+), r_dist AS (
+  SELECT bucket, count(*) AS r_cnt
+  FROM bucketed WHERE doc_id % 17 <> 3 GROUP BY 1
+)
+SELECT coalesce(t.bucket, r.bucket) AS bucket,
+       coalesce(t_cnt, 0) AS t_cnt,
+       coalesce(r_cnt, 0) AS r_cnt
+FROM t_dist t FULL OUTER JOIN r_dist r ON t.bucket = r.bucket
+"""
+    sql["dsir_doc_grams"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE doc_id % 17 <> 3
+), grams AS (
+  SELECT doc_id, unnest(toks) AS g FROM toks
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM toks
+)
+SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
 """
 
     sql["weighted_sample"] = r"""

@@ -124,6 +124,9 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q14",
     "tpch_q19",
+    # round 12 additions (VERDICT r11 #1 all-integer dsir bisect gates)
+    "dsir_bucket_hist",
+    "dsir_doc_grams",
 ]
 
 

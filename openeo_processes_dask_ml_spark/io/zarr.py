@@ -194,6 +194,10 @@ def write_zarr_cube(
         raise ValueError(f"write_zarr_cube: unsupported dtype {dtype}")
     if np_dtype.kind in ("i", "u") and np_dtype.itemsize != 8:
         zdtype = f"<{np_dtype.kind}{np_dtype.itemsize}"
+    # the chunk encoder must use EXACTLY the declared wire dtype —
+    # e.g. dtype='float16' resolves to '<f4' above, and encoding the
+    # chunks as float16 bytes would produce a self-inconsistent store
+    np_dtype = np.dtype(zdtype)
     consolidated: dict[str, dict] = {}
     zgroup = _write_json(
         os.path.join(out_dir, ".zgroup"), {"zarr_format": _ZARR_FORMAT}
@@ -552,9 +556,37 @@ def read_zarr_cube(
     metadata and the (axis-sized) coordinate arrays; chunk files
     decompress and explode to long form INSIDE mapInPandas on the
     executors. fill_value cells are dropped, so a cube written by
-    ``write_zarr_cube`` round-trips to its own row set."""
-    with open(os.path.join(path, ".zmetadata")) as f:
-        meta = json.load(f)["metadata"]
+    ``write_zarr_cube`` round-trips to its own row set. Integer
+    stores come back as ``bigint`` (they are hole-free by the sink
+    contract); float stores as ``double``.
+
+    Stores without consolidated metadata (e.g. written by stock
+    xarray ``to_zarr(consolidated=False)``, the reference's
+    minibackend/custom_processes.py:187-188 output mode) are opened
+    by walking the per-array ``.zarray``/``.zattrs`` files instead."""
+    zmeta = os.path.join(path, ".zmetadata")
+    if os.path.exists(zmeta):
+        with open(zmeta) as f:
+            meta = json.load(f)["metadata"]
+    else:
+        # non-consolidated fallback: one tiny JSON read per array
+        meta = {}
+        for name in sorted(os.listdir(path)):
+            adir_ = os.path.join(path, name)
+            zarr_doc = os.path.join(adir_, ".zarray")
+            if not os.path.isfile(zarr_doc):
+                continue
+            with open(zarr_doc) as f:
+                meta[f"{name}/.zarray"] = json.load(f)
+            zattrs_doc = os.path.join(adir_, ".zattrs")
+            if os.path.isfile(zattrs_doc):
+                with open(zattrs_doc) as f:
+                    meta[f"{name}/.zattrs"] = json.load(f)
+        if not meta:
+            raise FileNotFoundError(
+                f"read_zarr_cube: no .zmetadata and no <array>/.zarray "
+                f"files under {path}"
+            )
     if value_col is None:
         data_arrays = [
             k.split("/")[0]
@@ -617,7 +649,13 @@ def read_zarr_cube(
     dim_fields = ", ".join(
         f"`{d}` {t}" for d, t in zip(dims, dim_sql)
     )
-    out_schema = f"{dim_fields}, `{value_col}` double"
+    # integer stores are hole-free by the sink contract, so they come
+    # back lossless as bigint (ADVICE r11: double coercion silently
+    # loses int64/uint64 values above 2^53); floats stay double
+    is_int = np_dtype.kind in ("i", "u")
+    out_schema = (
+        f"{dim_fields}, `{value_col}` {'bigint' if is_int else 'double'}"
+    )
     is_float = np_dtype.kind == "f"
     # datetime64 axes whose original Spark type was DATE hand back
     # python date objects so the declared schema holds
@@ -651,7 +689,9 @@ def read_zarr_cube(
                     if d in date_dims:
                         vals = pd.Series(vals).dt.date
                     cols[d] = vals
-                cols[value_col] = arr[locs].astype(np.float64)
+                cols[value_col] = arr[locs].astype(
+                    np.int64 if is_int else np.float64
+                )
                 yield pd.DataFrame(cols)
 
     return files_df.mapInPandas(explode_chunks, schema=out_schema)

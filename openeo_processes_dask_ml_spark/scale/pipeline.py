@@ -811,14 +811,20 @@ def dsir_select(
         "double"
     ) / F.lit(two60)
     gumbel = -F.log(-F.log(u))
+    # quantize-before-order (r12, VERDICT r11 #1 defense-in-depth): rank
+    # over floor(score*1e6 + 0.5) — an exact IEEE-754 integer — so the
+    # ordering can never inherit sub-microunit transcendental noise from
+    # ln(); the reported score is qscore/1e6, identical to dround(.,6).
     scored = weights.select(
         "doc_id",
         "n_grams",
         F.col("logw"),
-        (F.col("logw") + gumbel).alias("score"),
+        F.floor((F.col("logw") + gumbel) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("qscore"),
     )
-    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    top = scored.orderBy(F.col("qscore").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("qscore").desc(), F.col("doc_id"))
     ranked = top.withColumn("rank", F.row_number().over(w))
     if not values:
         return ranked.select(
@@ -828,6 +834,54 @@ def dsir_select(
         "doc_id",
         "n_grams",
         dround(F.col("logw"), 6).alias("log_weight"),
-        dround(F.col("score"), 6).alias("score"),
+        (F.col("qscore").cast("double") / F.lit(1e6)).alias("score"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def dsir_bucket_hist(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The `dist` intermediate of :func:`dsir_select`, verbatim, as an
+    all-integer gate table (VERDICT r11 directive 1a): one row per
+    occupied hash bucket with the target and raw gram counts. At most
+    ``n_buckets`` rows. If this table matches the oracle while the full
+    selection diverges, the featurization (tokenize → bigram → md5 →
+    bucket) is proven identical and the divergence is downstream in
+    scoring/ordering."""
+    t_dist = (
+        _dsir_bucket_rows(target, text_col, id_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    r_dist = (
+        _dsir_bucket_rows(raw, text_col, id_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("r_cnt"))
+    )
+    return t_dist.join(r_dist, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+        F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+    )
+
+
+def dsir_doc_grams(
+    raw: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document total gram count of :func:`dsir_select` — the
+    `n_grams` intermediate for every raw doc, all-integer (VERDICT r11
+    directive 1b). Green here + green bucket_hist ⇒ every discrete
+    input to the weight computation matches across engines."""
+    return (
+        _dsir_bucket_rows(raw, text_col, id_col, n_buckets)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
     )

@@ -118,7 +118,7 @@ def test_entry_surface_consistency():
 
 
 def test_driver_window_composition_pinned():
-    """The first 50 queries() entries ARE the driver's r11 verification
+    """The first 50 queries() entries ARE the driver's r12 verification
     window — its composition is deliberate (rotation protocol in the
     queries() header). Pin it so an accidental reorder fails CI
     instead of silently skewing the rotation. When rotating for a new
@@ -128,22 +128,22 @@ def test_driver_window_composition_pinned():
     entry = importlib.import_module("__spark_entry__")
     window = list(entry.queries().keys())[:50]
     assert window == [
-        "raster_decode_webp", "zarr_roundtrip", "video_decode_mjpeg",
-        "streaming_zarr_ingest", "tpch_q4", "tpch_q6", "tpch_q14",
-        "tpch_q19",
-        "dsir_select", "dsir_select_picks", "dedup_minhash_lsh",
-        "pack_sequences", "streaming_enrich", "unigram_logprob",
-        "ccnet_buckets", "mixture_sample", "incremental_dedup",
-        "hard_negatives", "property_filter", "json_extract", "cube_agg",
-        "asof_join", "resample_cube_temporal", "ann_pq",
-        "incremental_minhash", "span_removal",
-        "streaming_incremental_dedup", "decontaminate_fuzzy",
-        "ann_ivf", "semantic_dedup", "dedup_ngram_jaccard",
-        "leakage_safe_split", "dup_clusters", "sessionize",
-        "apply_dimension", "apply_neighborhood", "aggregate_temporal",
-        "resample_cube_spatial", "array_ops", "pii_scrub",
-        "repetition_stats", "streaming_dedup", "streaming_interval_join",
-        "profile_table_cols", "bpe_merges", "ann_ivf_trained",
-        "streaming_spend_alerts", "text_chunks", "embedding_quantize",
-        "quality_filter",
+        "dsir_bucket_hist", "dsir_doc_grams",
+        "dsir_select", "dsir_select_picks",
+        "flatten_unflatten", "aggregate_spatial_window", "decontaminate",
+        "training_shards", "topk_per_group", "ml_fit_predict_rf",
+        "mask_polygon", "mask", "array_interpolate_linear",
+        "scale_values", "aggregate_spatial", "rollup_revenue",
+        "dedup_exact", "dedup_simhash", "dedup_embedding",
+        "dedup_embedding_exact", "ann_topk", "text_quality",
+        "token_count", "tfidf_top_terms", "stratified_sample",
+        "approx_aggregates", "apply_kernel", "climatology_anomaly",
+        "chunk_dedup", "ann_ivf_from_index", "ann_pq_from_index",
+        "dedup_canonical", "dedup_fuzzy", "merge_cubes",
+        "image_neardup", "ann_ivfpq", "tfidf_cosine", "containment",
+        "bigram_logprob", "bloom_decontaminate", "random_projection",
+        "bin_pack", "tpch_q5", "tpch_q18", "streaming_topk",
+        "weighted_sample",
+        "profile_table", "raster_decode_overview", "raster_decode_jpeg",
+        "raster_decode_png",
     ]

@@ -265,3 +265,65 @@ def test_stream_zarr_sink_microbatches(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_zarr_nonconsolidated_fallback(spark, tmp_path):
+    """A store without .zmetadata (stock xarray to_zarr(
+    consolidated=False), the reference's custom_processes.py:187-188
+    output mode) opens via the per-array .zarray/.zattrs walk."""
+    df = _cube_df(spark)
+    out = str(tmp_path / "noconso.zarr")
+    write_zarr_cube(df, out, chunks=[1, 1, 5, 7]).count()
+    os.remove(os.path.join(out, ".zmetadata"))
+    back = read_zarr_cube(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # and a directory with neither form of metadata fails loudly
+    empty = tmp_path / "empty.zarr"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no .zmetadata"):
+        read_zarr_cube(spark, str(empty))
+
+
+def test_zarr_float16_normalizes_to_f4(spark, tmp_path):
+    """dtype='float16' resolves to the declared '<f4' wire dtype for
+    the CHUNK BYTES too (ADVICE r11): the store must be
+    self-consistent, not float16 bytes under an f4 header."""
+    df = (
+        _cube_df(spark)
+        .filter("band = 'red'")
+        .select("time", "y", "x", "value")
+    )
+    out = str(tmp_path / "f16.zarr")
+    write_zarr_cube(
+        df, out, dim_cols=["time", "y", "x"], dtype="float16",
+        chunks=[1, 5, 7],
+    ).count()
+    za = json.load(open(os.path.join(out, "value", ".zarray")))
+    assert za["dtype"] == "<f4"
+    raw = zlib.decompress(
+        open(os.path.join(out, "value", "0.0.0"), "rb").read()
+    )
+    assert len(raw) == 5 * 7 * 4  # f4 bytes, not f2
+    back = read_zarr_cube(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_zarr_int64_reads_lossless_bigint(spark, tmp_path):
+    """int64 stores come back as bigint (ADVICE r11): a value above
+    2^53 — unrepresentable in double — must round-trip exactly."""
+    big = (1 << 60) + 12345
+    df = spark.createDataFrame(
+        [(0, 0, big), (0, 1, big + 1), (1, 0, 7), (1, 1, 8)],
+        "y bigint, x bigint, value bigint",
+    )
+    out = str(tmp_path / "big.zarr")
+    write_zarr_cube(df, out, dtype="int64", chunks=[2, 2]).count()
+    back = read_zarr_cube(spark, out)
+    assert dict(back.dtypes)["value"] == "bigint"
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )

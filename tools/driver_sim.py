@@ -117,6 +117,26 @@ def compare(spark, con, name, fn, sql):
             elif sv != dv:
                 return f"FAIL value row{i} {c}: {sv!r} != {dv!r}"
     if STRICT:
+        # typed-slot contract (r12, the dsir n_grams lesson): a DuckDB
+        # output cell of SCALE-0 Decimal type means a bare sum() of an
+        # integer reached the SELECT — fetchall() str()s Decimal('29')
+        # to "29" (green here) but a pandas-side fetch renders float64
+        # "29.0" (red at the real driver). Fail loudly instead of
+        # passing greenly. Fractional-scale decimals are safe: both
+        # fetch paths render Decimal('3.5') as "3.5" (the r10/r11
+        # driver-green raster gates carry DECIMAL(_, 1) y columns).
+        import decimal
+
+        for row in d_raw:
+            for c, v in zip(d_desc, row):
+                if (
+                    isinstance(v, decimal.Decimal)
+                    and v.as_tuple().exponent >= 0
+                ):
+                    return (
+                        f"STRICT-FAIL scale-0 decimal column {c!r}: "
+                        "CAST the aggregate to BIGINT in the oracle"
+                    )
         _, ss = strict_normalize(s_raw, list(qdf.columns))
         _, ds = strict_normalize(d_raw, d_desc)
         sh, dh = strict_hash(ss), strict_hash(ds)
