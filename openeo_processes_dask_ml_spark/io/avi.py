@@ -65,11 +65,19 @@ def parse_avi(payload: bytes) -> dict:
         "width": 0, "height": 0, "n_frames": 0, "fps": 0.0,
         "handler": "", "frames": [],
     }
+    # multi-stream discipline (ADVICE r11): streams are numbered by
+    # strl order; keep frames of ONE video stream only — the first
+    # MJPEG 'vids' stream if any, else the first 'vids' stream (so the
+    # codec validation error still names the real handler)
+    state = {"strl": -1, "vids_sid": None, "mjpeg_sid": None}
+    raw_frames: list[tuple[int, int, int]] = []  # (sid, offset, size)
 
     def walk_list(start: int, end: int) -> None:
         for fourcc, body, size in _walk(payload, start, end):
             if fourcc == b"LIST":
                 ltype = payload[body : body + 4]
+                if ltype == b"strl":
+                    state["strl"] += 1
                 if ltype in (b"hdrl", b"movi", b"strl", b"rec "):
                     walk_list(body + 4, body + size)
             elif fourcc == b"avih" and size >= 40:
@@ -88,15 +96,31 @@ def parse_avi(payload: bytes) -> dict:
                     scale, rate = struct.unpack(
                         "<II", payload[body + 20 : body + 28]
                     )
-                    info["handler"] = handler.decode("ascii", "replace")
-                    if scale and rate:
-                        info["fps"] = rate / scale
+                    sid = max(state["strl"], 0)
+                    is_mjpeg = handler in _MJPEG_FOURCC
+                    take = (
+                        info["handler"] == ""
+                        or (is_mjpeg and state["mjpeg_sid"] is None)
+                    )
+                    if take:
+                        info["handler"] = handler.decode("ascii", "replace")
+                        state["vids_sid"] = sid
+                        if scale and rate:
+                            info["fps"] = rate / scale
+                    if is_mjpeg and state["mjpeg_sid"] is None:
+                        state["mjpeg_sid"] = sid
             elif fourcc[2:4] in (b"dc", b"db") and all(
                 c in b"0123456789abcdefABCDEF" for c in fourcc[:2]
             ):  # stream ids are two ASCII hex digits
-                info["frames"].append((body, size))
+                raw_frames.append((int(fourcc[:2], 16), body, size))
 
     walk_list(12, len(payload))
+    keep_sid = state["vids_sid"]
+    info["frames"] = [
+        (off, size)
+        for sid, off, size in raw_frames
+        if keep_sid is None or sid == keep_sid
+    ]
     return info
 
 

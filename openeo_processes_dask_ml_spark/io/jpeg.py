@@ -41,6 +41,8 @@ import struct
 
 import numpy as np
 
+from .limits import ImageLimitError
+
 # zig-zag index order (T.81 Figure 5): ZIGZAG[k] = flattened (row, col)
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -296,7 +298,7 @@ def decode_jpeg(
                 )
             h, w = struct.unpack(">HH", seg[1:5])
             if h * w > max_pixels:
-                raise ValueError(
+                raise ImageLimitError(
                     f"JPEG frame {w}x{h} exceeds max_pixels={max_pixels} "
                     "(raise the cap for genuinely huge frames)"
                 )

@@ -30,6 +30,8 @@ import zlib
 
 import numpy as np
 
+from .limits import ImageLimitError
+
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel
@@ -122,7 +124,7 @@ def decode_png(payload: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
         raise ValueError("corrupt PNG: missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
     if w * h > max_pixels:
-        raise ValueError(
+        raise ImageLimitError(
             f"PNG image {w}x{h} exceeds max_pixels={max_pixels} "
             "(raise the cap for genuinely huge images)"
         )

@@ -37,6 +37,8 @@ import struct
 
 import numpy as np
 
+from .limits import ImageLimitError
+
 # DEFLATE-style code-length-code order (VP8L spec, "Normal Code Length
 # Code")
 _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -589,7 +591,7 @@ def _decode_vp8l_stream(data: bytes, max_pixels: int) -> np.ndarray:
     if version != 0:
         raise ValueError(f"corrupt WebP: VP8L version {version}")
     if w * h > max_pixels:
-        raise ValueError(
+        raise ImageLimitError(
             f"WebP image {w}x{h} exceeds max_pixels={max_pixels} "
             "(raise the cap for genuinely huge images)"
         )

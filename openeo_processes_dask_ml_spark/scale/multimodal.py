@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from openeo_processes_dask_ml_spark.io.limits import ImageLimitError
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -189,6 +191,11 @@ def decode_image(
                 continue
             try:
                 return dec(payload)
+            except ImageLimitError:
+                # the max_pixels decompression-bomb cap is a resource
+                # POLICY, not a decoder limitation — never hand the
+                # payload to PIL's much higher bomb limit (ADVICE r11)
+                raise
             except NotImplementedError as e:
                 pure_err = e  # profile beyond the pure codec
             except ValueError as e:

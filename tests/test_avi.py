@@ -143,3 +143,50 @@ def test_video_frame_features_animated_gif(spark):
     assert got[0] == image_features(canvas, 4)
     canvas[1:3, 1:3] = (0, 255, 0, 255)
     assert got[1] == image_features(canvas, 4)
+
+
+def test_multistream_avi_keeps_one_video_stream():
+    """ADVICE r11: a two-video-stream AVI must not interleave frames
+    across streams, and the handler must come from the stream whose
+    frames are kept (the first MJPEG 'vids' strl) — not the last."""
+    import struct as _s
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + _s.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    def strl(handler, n):
+        strh = (
+            b"vids" + handler + _s.pack("<I", 0)
+            + _s.pack("<HHI", 0, 0, 0)
+            + _s.pack("<II", 1, 10)
+            + _s.pack("<5I", 0, n, 0, 0, 0)
+            + _s.pack("<4h", 0, 0, 16, 16)
+        )
+        strf = _s.pack(
+            "<IiiHH4sIiiII", 40, 16, 16, 1, 24, handler,
+            16 * 16 * 3, 0, 0, 0, 0,
+        )
+        return lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+
+    avih = _s.pack("<14I", 100000, 0, 0, 0, 2, 0, 2, 0, 16, 16, 0, 0, 0, 0)
+    # stream 00 = H264 vids, stream 01 = MJPEG vids
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl(b"H264", 2)
+               + strl(b"MJPG", 2))
+    f0, f1 = _dc_frame_jpeg(0), _dc_frame_jpeg(1)
+    movi = lst(b"movi",
+               chunk(b"00dc", b"\x11" * 10) + chunk(b"01dc", f0)
+               + chunk(b"00dc", b"\x22" * 10) + chunk(b"01dc", f1))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+
+    info = parse_avi(payload)
+    assert info["handler"] == "MJPG"
+    assert len(info["frames"]) == 2  # only the 01dc chunks
+    out = decode_avi_frames(payload)
+    assert [i for i, _ in out] == [0, 1]
+    np.testing.assert_array_equal(out[0][1], np.full((16, 16), 128, np.uint8))
+    np.testing.assert_array_equal(out[1][1], np.full((16, 16), 129, np.uint8))

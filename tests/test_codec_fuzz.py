@@ -277,3 +277,48 @@ def test_simple_format_parsers_survive_mutations(which):
         except _OK:
             pass
         buf[pos] = orig
+
+
+def test_max_pixels_cap_never_falls_through_to_pil(monkeypatch):
+    """ADVICE r11: the max_pixels decompression-bomb rejection is a
+    resource policy — decode_image must re-raise it, NOT retry the
+    hostile payload under PIL's much higher bomb limit. Pinned with a
+    fake PIL that records whether it was consulted."""
+    import sys
+    import types
+
+    import openeo_processes_dask_ml_spark.scale.multimodal as mm
+    from openeo_processes_dask_ml_spark.io.limits import ImageLimitError
+    from openeo_processes_dask_ml_spark.scale.multimodal import decode_image
+
+    sys.path.insert(0, "tests")
+    from test_gif import _PAL4, _gif
+
+    payload = _gif(np.array([[0, 1], [2, 3]]), _PAL4)
+
+    called = []
+
+    class _FakeImg:
+        def convert(self, mode):
+            called.append(mode)
+            return np.zeros((2, 2, 3), dtype=np.uint8)
+
+    fake_image_mod = types.SimpleNamespace(open=lambda buf: _FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    # the fake PIL is wired up and handles formats the pure path lacks
+    out = decode_image(payload, "bogus-fmt", decoder_order=("pure", "pil"))
+    assert out.shape == (2, 2, 3) and called == ["RGB"]
+
+    # ... but the limit rejection must never reach it: shrink the cap
+    # at the dispatched decoder and confirm no PIL consultation
+    called.clear()
+    monkeypatch.setitem(
+        mm._PURE_DECODERS, "gif", lambda p: decode_gif(p, max_pixels=2)
+    )
+    with pytest.raises(ImageLimitError, match="max_pixels"):
+        decode_image(payload, "gif", decoder_order=("pure", "pil"))
+    assert called == []  # PIL was never consulted
