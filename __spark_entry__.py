@@ -1582,6 +1582,72 @@ def q_ml_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", dround("score", 4).alias("score"))
 
 
+def q_ml_predict_preproc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.4 pre-processing path under the value gate (VERDICT r11
+    #6): per-band MLM ``value_scaling`` chains (offset -> scale ->
+    clip, reference scaling_utils.py:61-98) fused as Column
+    expressions, then a python-format ProcessingExpression from the
+    allowlist (``numpy:tanh``, resolved through the importlib dispatch
+    of proc_expression_utils.py:36-56 with the enable flag toggled
+    around resolution) wrapping the sklearn fast path. The oracle
+    replays scaling + tanh + the linear head in SQL."""
+    import os
+
+    import numpy as np
+
+    from openeo_processes_dask_ml_spark.ml.inference import sklearn_fast_path
+    from openeo_processes_dask_ml_spark.utils.proc_expression import (
+        ENABLE_ENV,
+        resolve_python_expression,
+    )
+    from openeo_processes_dask_ml_spark.utils.scaling import (
+        ValueScaling,
+        apply_scaling,
+    )
+
+    # per-band scaling chains (band j): offset, scale, then clip [-1, 1]
+    def params(j: int) -> tuple[float, float]:
+        return ((j * 13) % 11 - 5) / 8.0, 1.0 + (j % 5) / 4.0
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scaled = F.array(
+        *[
+            apply_scaling(
+                F.col("embedding")[j].cast("double"),
+                [
+                    ValueScaling("offset", value=params(j)[0]),
+                    ValueScaling("scale", value=params(j)[1]),
+                    ValueScaling("clip", minimum=-1.0, maximum=1.0),
+                ],
+            )
+            for j in range(64)
+        ]
+    )
+    pre = emb.select("vec_id", "label", scaled.alias("feat"))
+
+    # allowlisted python-format expression, resolved driver-side (the
+    # resolver itself is the surface under test; executors get the
+    # already-resolved callable, mirroring the reference's resolve-
+    # then-run order in proc_expression_utils)
+    saved = os.environ.get(ENABLE_ENV)
+    os.environ[ENABLE_ENV] = "1"
+    try:
+        pre_fn = resolve_python_expression("numpy:tanh")
+    finally:
+        if saved is None:
+            del os.environ[ENABLE_ENV]
+        else:
+            os.environ[ENABLE_ENV] = saved
+
+    w = np.array([((i * 37) % 19 - 9) / 10.0 for i in range(64)])
+
+    def predict(feats: np.ndarray) -> np.ndarray:
+        return np.asarray(pre_fn(feats)) @ w
+
+    out = sklearn_fast_path(pre, "feat", predict, out_col="score")
+    return out.select("vec_id", "label", dround("score", 4).alias("score"))
+
+
 def q_ml_fit_predict_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mlm_class_random_forest -> ml_fit -> ml_predict on MLlib, checked
     through a PARTIAL oracle: tree predictions are engine-specific, but
@@ -3627,18 +3693,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     driver-red signature], now CAST AS BIGINT like every green
     #     gate; and quantize-before-order — both engines rank on
     #     qscore = floor(score*1e6+0.5) as BIGINT).
-    #   slots 5-46: the 42-query r9-green cohort (flatten_unflatten …
+    #   slot 5: ml_predict_preproc (NEW — §2.4 value_scaling chain +
+    #     allowlisted python ProcessingExpression through the sklearn
+    #     fast path, VERDICT r11 #6).
+    #   slots 6-47: the 42-query r9-green cohort (flatten_unflatten …
     #     weighted_sample) — 3 rounds old, due by the 3-round cadence.
-    #   slots 47-50: the 4 oldest r10-greens (profile_table,
-    #     raster_decode_overview/jpeg/png).
-    # Tail: the 44 remaining r10-greens first (they fill the r13
-    # window next round), then the 48 r11-window greens (freshest
-    # last; the 8 r11-new gates lead that cohort).
+    #   slots 48-50: the 3 oldest r10-greens (profile_table,
+    #     raster_decode_overview/jpeg).
+    # Tail: the 45 remaining r10-greens first (raster_decode_png leads;
+    # they fill the r13 window next round), then the 48 r11-window
+    # greens (freshest last; the 8 r11-new gates lead that cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 142 queries
-    # (140 + the two dsir bisect gates) and a 50-slot window the
-    # steady-state re-verification cadence is ceil(142/50) = 3 rounds;
-    # after r12 every query's latest driver green is <= 2 rounds old.
+    # Rotation arithmetic (standing, stated honestly): at 143 queries
+    # (140 + the two dsir bisect gates + ml_predict_preproc) and a
+    # 50-slot window the steady-state re-verification cadence is
+    # ceil(143/50) = 3 rounds; after r12 every query's latest driver
+    # green is <= 2 rounds old.
     return {
         # --- slots 1-2: the NEW all-integer dsir bisect gates ---
         "dsir_bucket_hist": q_dsir_bucket_hist,
@@ -3647,7 +3717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     quantize-before-order, VERDICT r11 #1) ---
         "dsir_select": q_dsir_select,
         "dsir_select_picks": q_dsir_select_picks,
-        # --- slots 5-46: the 42-query r9-green cohort (3 rounds old,
+        # --- slot 5: ml_predict_preproc (NEW — the §2.4 expression
+        #     path value gate, VERDICT r11 #6) ---
+        "ml_predict_preproc": q_ml_predict_preproc,
+        # --- slots 6-47: the 42-query r9-green cohort (3 rounds old,
         #     due by the rotation protocol) ---
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
@@ -3691,13 +3764,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "streaming_topk": q_streaming_topk,
         "weighted_sample": q_weighted_sample,
-        # --- slots 47-50: the 4 oldest r10-greens ---
+        # --- slots 48-50: the 3 oldest r10-greens ---
         "profile_table": q_profile_table,
         "raster_decode_overview": q_raster_decode_overview,
         "raster_decode_jpeg": q_raster_decode_jpeg,
-        "raster_decode_png": q_raster_decode_png,
-        # --- tail: the 44 remaining r10-greens (they fill the r13
+        # --- tail: the 45 remaining r10-greens (they fill the r13
         #     window next round) ---
+        "raster_decode_png": q_raster_decode_png,
         "url_dedup": q_url_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "pipeline_web_ingest": q_pipeline_web_ingest,
@@ -5032,6 +5105,32 @@ SELECT vec_id, label,
           i -> embedding[i + 1]::DOUBLE * ((((i * 37) % 19) - 9) / 10.0)),
       (a, b) -> a + b)) * 10000.0 + 0.5) / 10000.0 AS score
 FROM embeddings
+"""
+
+    # §2.4 preproc replay: per-band (offset, scale, clip) chain ->
+    # tanh -> linear head; params mirror q_ml_predict_preproc exactly.
+    # tanh(x) spelled (e^2x - 1)/(e^2x + 1): DuckDB 1.0 ships no tanh
+    # scalar; the identity differs from np.tanh by ulps, absorbed by
+    # the dround(4) contract (inputs are clipped to [-1, 1], no
+    # overflow)
+    sql["ml_predict_preproc"] = """
+WITH scaled AS (
+  SELECT vec_id, label,
+    list_transform(range(0, 64),
+        i -> exp(2.0 * least(greatest(
+                 (embedding[i + 1]::DOUBLE
+                  - (((i * 13) % 11) - 5) / 8.0)
+                 / (1.0 + (i % 5) / 4.0),
+                 -1.0), 1.0))) AS e2x
+  FROM embeddings
+)
+SELECT vec_id, label,
+  floor((list_reduce(
+      list_transform(range(0, 64),
+          i -> (e2x[i + 1] - 1.0) / (e2x[i + 1] + 1.0)
+               * ((((i * 37) % 19) - 9) / 10.0)),
+      (a, b) -> a + b)) * 10000.0 + 0.5) / 10000.0 AS score
+FROM scaled
 """
 
     # focal convolution parity: scatter each cell through the non-zero

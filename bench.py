@@ -124,9 +124,11 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q14",
     "tpch_q19",
-    # round 12 additions (VERDICT r11 #1 all-integer dsir bisect gates)
+    # round 12 additions (VERDICT r11 #1 all-integer dsir bisect gates,
+    # #6 §2.4 preprocessing-expression value gate)
     "dsir_bucket_hist",
     "dsir_doc_grams",
+    "ml_predict_preproc",
 ]
 
 
