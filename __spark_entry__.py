@@ -2566,6 +2566,20 @@ def q_dsir_select_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(raw, target, k=50, n_buckets=1024, values=False)
 
 
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-domain PageRank (NEW r12, beyond-reference): 8 damped
+    power-iteration rounds with dangling-mass redistribution over a
+    deterministic synthetic domain graph derived from documents (the
+    raster-gate posture — synthetic graph, real operator). The oracle
+    unrolls all 8 iterations as MATERIALIZED CTEs with the identical
+    fold-ordered sums (bpe_merges posture), and both engines rank on
+    the quantized score."""
+    from openeo_processes_dask_ml_spark.scale.web import domain_pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_pagerank(docs, n_domains=97, iters=8, damping=0.85)
+
+
 def q_dsir_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR featurization bisect gate (VERDICT r11 directive 1a): the
     `dist` intermediate of `dsir_select` verbatim — (bucket, t_cnt,
@@ -3696,19 +3710,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   slot 5: ml_predict_preproc (NEW — §2.4 value_scaling chain +
     #     allowlisted python ProcessingExpression through the sklearn
     #     fast path, VERDICT r11 #6).
-    #   slots 6-47: the 42-query r9-green cohort (flatten_unflatten …
+    #   slot 6: domain_pagerank (NEW r12 — crawl-domain PageRank with
+    #     dangling-mass redistribution, 8 rounds unrolled in the
+    #     oracle as MATERIALIZED CTEs).
+    #   slots 7-48: the 42-query r9-green cohort (flatten_unflatten …
     #     weighted_sample) — 3 rounds old, due by the 3-round cadence.
-    #   slots 48-50: the 3 oldest r10-greens (profile_table,
-    #     raster_decode_overview/jpeg).
-    # Tail: the 45 remaining r10-greens first (raster_decode_png leads;
-    # they fill the r13 window next round), then the 48 r11-window
-    # greens (freshest last; the 8 r11-new gates lead that cohort).
+    #   slots 49-50: the 2 oldest r10-greens (profile_table,
+    #     raster_decode_overview).
+    # Tail: the 46 remaining r10-greens first (raster_decode_jpeg/png
+    # lead; they fill the r13 window next round), then the 48
+    # r11-window greens (freshest last; the 8 r11-new gates lead that
+    # cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 143 queries
-    # (140 + the two dsir bisect gates + ml_predict_preproc) and a
-    # 50-slot window the steady-state re-verification cadence is
-    # ceil(143/50) = 3 rounds; after r12 every query's latest driver
-    # green is <= 2 rounds old.
+    # Rotation arithmetic (standing, stated honestly): at 144 queries
+    # (140 + two dsir bisect gates + ml_predict_preproc +
+    # domain_pagerank) and a 50-slot window the steady-state
+    # re-verification cadence is ceil(144/50) = 3 rounds; after r12
+    # every query's latest driver green is <= 2 rounds old.
     return {
         # --- slots 1-2: the NEW all-integer dsir bisect gates ---
         "dsir_bucket_hist": q_dsir_bucket_hist,
@@ -3720,7 +3738,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slot 5: ml_predict_preproc (NEW — the §2.4 expression
         #     path value gate, VERDICT r11 #6) ---
         "ml_predict_preproc": q_ml_predict_preproc,
-        # --- slots 6-47: the 42-query r9-green cohort (3 rounds old,
+        # --- slot 6: domain_pagerank (NEW r12 — crawl-domain PageRank,
+        #     unrolled-CTE oracle) ---
+        "domain_pagerank": q_domain_pagerank,
+        # --- slots 7-48: the 42-query r9-green cohort (3 rounds old,
         #     due by the rotation protocol) ---
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
@@ -3764,12 +3785,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "streaming_topk": q_streaming_topk,
         "weighted_sample": q_weighted_sample,
-        # --- slots 48-50: the 3 oldest r10-greens ---
+        # --- slots 49-50: the 2 oldest r10-greens ---
         "profile_table": q_profile_table,
         "raster_decode_overview": q_raster_decode_overview,
-        "raster_decode_jpeg": q_raster_decode_jpeg,
-        # --- tail: the 45 remaining r10-greens (they fill the r13
+        # --- tail: the 46 remaining r10-greens (they fill the r13
         #     window next round) ---
+        "raster_decode_jpeg": q_raster_decode_jpeg,
         "raster_decode_png": q_raster_decode_png,
         "url_dedup": q_url_dedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
@@ -4069,6 +4090,71 @@ SELECT vec_id,
        {cols}
 FROM v
 """
+
+
+def _pagerank_oracle(
+    n_domains: int = 97, iters: int = 8, damping: float = 0.85
+) -> str:
+    """Full SQL replay of domain_pagerank: the ``iters`` damped
+    power-iteration rounds unroll as chained MATERIALIZED CTEs (the
+    bpe_merges posture). Every float accumulation is the same
+    fold-ordered list_reduce the Spark side uses (per-dst
+    contributions ordered by src, dangling mass ordered by domain),
+    the teleport constant is embedded as the repr of the identical
+    Python float, and the final ordering quantizes before ranking —
+    so the replay is bit-identical, not merely close."""
+    n = n_domains
+    teleport = repr((1.0 - damping) / n_domains)
+    ctes = [
+        f"""edges AS MATERIALIZED (
+  SELECT s, d, count(*) AS cnt FROM (
+    SELECT doc_id % {n} AS s,
+           ('0x' || substr(md5(doc_id::VARCHAR || '#pr'), 1, 15))::BIGINT
+             % {n} AS d
+    FROM documents
+  ) WHERE s <> d GROUP BY 1, 2
+), outdeg AS MATERIALIZED (
+  SELECT s, CAST(sum(cnt) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+), edges_n AS MATERIALIZED (
+  SELECT e.s, e.d, e.cnt, o.outdeg FROM edges e JOIN outdeg o USING (s)
+), universe AS MATERIALIZED (
+  SELECT unnest(generate_series(0, {n - 1}))::BIGINT AS domain
+), r0 AS MATERIALIZED (
+  SELECT domain, CAST(1.0 AS DOUBLE) / {float(n)} AS rank FROM universe
+)"""
+    ]
+    for k in range(1, iters + 1):
+        s = k - 1
+        ctes.append(f"""dm{k} AS MATERIALIZED (
+  SELECT coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(r.rank ORDER BY r.domain)), (a, b) -> a + b), 0.0) AS m
+  FROM r{s} r LEFT JOIN outdeg o ON r.domain = o.s
+  WHERE o.s IS NULL
+), c{k} AS MATERIALIZED (
+  SELECT e.d AS domain,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(r.rank * (e.cnt::DOUBLE) / e.outdeg ORDER BY e.s)),
+           (a, b) -> a + b) AS c
+  FROM edges_n e JOIN r{s} r ON e.s = r.domain
+  GROUP BY 1
+), r{k} AS MATERIALIZED (
+  SELECT u.domain,
+         CAST({teleport} AS DOUBLE)
+           + CAST({damping!r} AS DOUBLE)
+             * (coalesce(c.c, 0.0) + (SELECT m FROM dm{k}) / {float(n)})
+           AS rank
+  FROM universe u LEFT JOIN c{k} c USING (domain)
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT domain, qr / 1000000.0 AS rank,
+       CAST(row_number() OVER (ORDER BY qr DESC, domain) AS INTEGER) AS pos
+FROM (SELECT domain, CAST(floor(rank * 1000000.0 + 0.5) AS BIGINT) AS qr
+      FROM r{iters})
+"""
+    )
 
 
 def _bpe_oracle(num_merges: int = 20, min_cnt: int = 2) -> str:
@@ -7236,6 +7322,7 @@ FROM documents WHERE doc_id % 7 IN (3, 5)
     # k-means replayed bit-identically (ordered folds) before the
     # standard IVF replica + recall self-check columns.
     sql["bpe_merges"] = _bpe_oracle(num_merges=20, min_cnt=2)
+    sql["domain_pagerank"] = _pagerank_oracle(n_domains=97, iters=8, damping=0.85)
     sql["ann_ivf_trained"] = _ann_ivf_trained_oracle()
 
     return sql

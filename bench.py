@@ -129,6 +129,7 @@ HEADLINE = [
     "dsir_bucket_hist",
     "dsir_doc_grams",
     "ml_predict_preproc",
+    "domain_pagerank",
 ]
 
 

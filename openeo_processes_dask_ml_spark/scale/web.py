@@ -105,3 +105,121 @@ def url_dedup(
         .where(F.col("rn") == 1)
         .select("canonical_url", "doc_id", "n_dups", *carry)
     )
+
+
+def domain_pagerank(
+    docs: DataFrame,
+    n_domains: int = 97,
+    iters: int = 8,
+    damping: float = 0.85,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PageRank over a crawl domain graph — the canonical crawl-
+    prioritization signal (CommonCrawl publishes exactly this family
+    of host/domain rank lists; a training-data pipeline uses it to
+    weight or filter sources before ingest). Beyond-reference surface,
+    same bucket as the dedup/ANN family.
+
+    The gate derives a DETERMINISTIC synthetic edge list from the
+    documents table (src domain = doc_id mod n, dst = md5-hash mod n —
+    the raster-gate posture: the graph is synthetic, the OPERATOR is
+    real), then runs ``iters`` damped power-iteration rounds with
+    proper dangling-mass redistribution.
+
+    100 TB shape: the expensive stage is the corpus -> edge-list
+    aggregation (ONE shuffle, map-side combined); the rank vector is
+    domains-sized (millions of rows at web scale, 97 here), so each
+    iteration is a broadcast join of rank into the edge table plus a
+    tiny per-dst aggregation, ``localCheckpoint``ed to keep the plan
+    from doubling per round (the bpe_merges posture). Nothing
+    all-pairs; the driver never sees per-edge data.
+
+    Float posture (the ann_ivf_trained/dsir discipline): every
+    accumulation is a FOLD-ORDERED ``sort_array + F.aggregate`` sum
+    (per-dst contributions ordered by src, dangling mass ordered by
+    domain), and the final ordering quantizes before ranking
+    (``floor(rank*1e6+0.5)`` as BIGINT), so the oracle replay is
+    bit-identical, not merely close."""
+    from openeo_processes_dask_ml_spark.scale.dedup import hash60
+
+    spark = docs.sparkSession
+    teleport = (1.0 - damping) / n_domains
+
+    ids = docs.select(F.col(id_col).alias("id"))
+    edges = (
+        ids.select(
+            F.pmod(F.col("id"), F.lit(n_domains)).alias("s"),
+            F.pmod(
+                hash60(F.col("id").cast("string"), "pr"), F.lit(n_domains)
+            ).alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outdeg = edges.groupBy("s").agg(F.sum("cnt").alias("outdeg"))
+    edges_n = edges.join(outdeg, "s").localCheckpoint()
+
+    universe = spark.range(n_domains).select(F.col("id").alias("domain"))
+    rank = universe.select(
+        "domain", (F.lit(1.0) / F.lit(float(n_domains))).alias("rank")
+    ).localCheckpoint()
+
+    for _ in range(iters):
+        dang = (
+            rank.join(outdeg, rank["domain"] == outdeg["s"], "left_anti")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("domain", "rank"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x["rank"],
+                ).alias("m")
+            )
+        )
+        contrib = (
+            edges_n.join(F.broadcast(rank), edges_n["s"] == rank["domain"])
+            .select(
+                F.col("d").alias("domain"),
+                F.col("s"),
+                (
+                    F.col("rank") * F.col("cnt").cast("double")
+                    / F.col("outdeg")
+                ).alias("term"),
+            )
+            .groupBy("domain")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("s", "term"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x["term"],
+                ).alias("c")
+            )
+        )
+        rank = (
+            universe.join(contrib, "domain", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "domain",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("m") / F.lit(float(n_domains))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+
+    qrank = F.floor(F.col("rank") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    w = Window.orderBy(F.desc("q"), F.asc("domain"))
+    return (
+        rank.select("domain", qrank.alias("q"))
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select(
+            "domain",
+            (F.col("q").cast("double") / F.lit(1e6)).alias("rank"),
+            "pos",
+        )
+    )
