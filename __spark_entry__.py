@@ -2566,6 +2566,18 @@ def q_dsir_select_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(raw, target, k=50, n_buckets=1024, values=False)
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking duplicate detection (NEW r12,
+    beyond-reference): word-hash-triggered chunk boundaries (the
+    word-level gear/Rabin CDC analog — insert-robust where fixed-width
+    chunking shifts every downstream boundary), then cross-document
+    duplicate chunk accounting. All-integer/varchar output."""
+    from openeo_processes_dask_ml_spark.scale.text import cdc_duplicate_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_duplicate_chunks(docs, boundary_bits=3, min_docs=2)
+
+
 def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-domain PageRank (NEW r12, beyond-reference): 8 damped
     power-iteration rounds with dangling-mass redistribution over a
@@ -3713,20 +3725,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   slot 6: domain_pagerank (NEW r12 — crawl-domain PageRank with
     #     dangling-mass redistribution, 8 rounds unrolled in the
     #     oracle as MATERIALIZED CTEs).
-    #   slots 7-48: the 42-query r9-green cohort (flatten_unflatten …
+    #   slot 7: cdc_chunk_dedup (NEW r12 — content-defined chunking
+    #     duplicate detection, the insert-robust chunk_dedup sibling).
+    #   slots 8-49: the 42-query r9-green cohort (flatten_unflatten …
     #     weighted_sample) — 3 rounds old, due by the 3-round cadence.
-    #   slots 49-50: the 2 oldest r10-greens (profile_table,
-    #     raster_decode_overview).
-    # Tail: the 46 remaining r10-greens first (raster_decode_jpeg/png
-    # lead; they fill the r13 window next round), then the 48
+    #   slot 50: the oldest r10-green (profile_table).
+    # Tail: the 47 remaining r10-greens first (raster_decode_overview/
+    # jpeg/png lead; they fill the r13 window next round), then the 48
     # r11-window greens (freshest last; the 8 r11-new gates lead that
     # cohort).
     #
-    # Rotation arithmetic (standing, stated honestly): at 144 queries
+    # Rotation arithmetic (standing, stated honestly): at 145 queries
     # (140 + two dsir bisect gates + ml_predict_preproc +
-    # domain_pagerank) and a 50-slot window the steady-state
-    # re-verification cadence is ceil(144/50) = 3 rounds; after r12
-    # every query's latest driver green is <= 2 rounds old.
+    # domain_pagerank + cdc_chunk_dedup) and a 50-slot window the
+    # steady-state re-verification cadence is ceil(145/50) = 3 rounds;
+    # after r12 every query's latest driver green is <= 2 rounds old.
     return {
         # --- slots 1-2: the NEW all-integer dsir bisect gates ---
         "dsir_bucket_hist": q_dsir_bucket_hist,
@@ -3741,7 +3754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slot 6: domain_pagerank (NEW r12 — crawl-domain PageRank,
         #     unrolled-CTE oracle) ---
         "domain_pagerank": q_domain_pagerank,
-        # --- slots 7-48: the 42-query r9-green cohort (3 rounds old,
+        # --- slot 7: cdc_chunk_dedup (NEW r12 — content-defined
+        #     chunking duplicate detection) ---
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        # --- slots 8-49: the 42-query r9-green cohort (3 rounds old,
         #     due by the rotation protocol) ---
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
@@ -3785,11 +3801,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "streaming_topk": q_streaming_topk,
         "weighted_sample": q_weighted_sample,
-        # --- slots 49-50: the 2 oldest r10-greens ---
+        # --- slot 50: the oldest r10-green ---
         "profile_table": q_profile_table,
-        "raster_decode_overview": q_raster_decode_overview,
-        # --- tail: the 46 remaining r10-greens (they fill the r13
+        # --- tail: the 47 remaining r10-greens (they fill the r13
         #     window next round) ---
+        "raster_decode_overview": q_raster_decode_overview,
         "raster_decode_jpeg": q_raster_decode_jpeg,
         "raster_decode_png": q_raster_decode_png,
         "url_dedup": q_url_dedup,
@@ -7323,6 +7339,39 @@ FROM documents WHERE doc_id % 7 IN (3, 5)
     # standard IVF replica + recall self-check columns.
     sql["bpe_merges"] = _bpe_oracle(num_merges=20, min_cnt=2)
     sql["domain_pagerank"] = _pagerank_oracle(n_domains=97, iters=8, damping=0.85)
+    # CDC replay: boundary AFTER any word whose 60-bit md5 hash is 0
+    # mod 8; chunk index = cumulative boundary count over PRECEDING
+    # words; chunks reassemble position-ordered and dedup across docs
+    sql["cdc_chunk_dedup"] = r"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+        FROM documents)
+), flagged AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN ('0x' || substr(md5(word || '#cdc'), 1, 15))::BIGINT
+                   % 8 = 0 THEN 1 ELSE 0 END AS b
+  FROM toks
+), cidx AS (
+  SELECT doc_id, pos, word,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM flagged
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash,
+         count(*) AS nw
+  FROM cidx GROUP BY 1, 2
+)
+SELECT chunk_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       CAST(max(nw) AS BIGINT) AS n_words
+FROM chunks
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2
+"""
     sql["ann_ivf_trained"] = _ann_ivf_trained_oracle()
 
     return sql

@@ -130,6 +130,7 @@ HEADLINE = [
     "dsir_doc_grams",
     "ml_predict_preproc",
     "domain_pagerank",
+    "cdc_chunk_dedup",
 ]
 
 

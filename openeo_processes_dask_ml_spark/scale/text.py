@@ -933,3 +933,73 @@ def bigram_logprob(
             dround(F.col("raw"), 6).alias("lm2_score"),
         )
     )
+
+
+def cdc_duplicate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_bits: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplicate detection: chunk
+    boundaries fall AFTER any word whose hash lands in a
+    ``1/2^boundary_bits`` bucket (the word-level analog of gear/Rabin
+    rolling-hash CDC), so chunk edges are determined by CONTENT alone
+    — an insertion or deletion only perturbs the one chunk it touches,
+    where fixed-width chunking (``chunk_dedup``) shifts every
+    subsequent boundary and misses all downstream repeats. Returns one
+    row per chunk seen in at least ``min_docs`` distinct documents:
+    (chunk_hash, n_docs, n_occurrences, n_words).
+
+    Plan shape (the ``chunk_dedup`` scale posture): one posexplode,
+    one window shuffle on doc_id (the boundary cumulative sum), one
+    (doc, chunk)-keyed reassembly aggregation, one final aggregation
+    keyed by chunk hash — every shuffle hash-partitioned on a
+    high-cardinality key. No driver materialization. The standard
+    caveat applies and is deliberate: pure content-defined cuts carry
+    no min/max chunk-size clamps (clamps re-introduce the positional
+    dependence CDC exists to remove, and make the operator
+    sequentially stateful); degenerate runs are bounded by document
+    length."""
+    from pyspark.sql import Window
+
+    toks = tokens_expr(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "word")
+    )
+    boundary = (
+        F.pmod(hash60(F.col("word"), "cdc"), F.lit(1 << boundary_bits))
+        == 0
+    ).cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk_idx = F.coalesce(F.sum(boundary).over(w), F.lit(0))
+    chunks = (
+        exploded.withColumn("chunk_idx", chunk_idx)
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda s: s["word"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("nw").alias("n_words"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -130,7 +130,7 @@ def test_driver_window_composition_pinned():
     assert window == [
         "dsir_bucket_hist", "dsir_doc_grams",
         "dsir_select", "dsir_select_picks", "ml_predict_preproc",
-        "domain_pagerank",
+        "domain_pagerank", "cdc_chunk_dedup",
         "flatten_unflatten", "aggregate_spatial_window", "decontaminate",
         "training_shards", "topk_per_group", "ml_fit_predict_rf",
         "mask_polygon", "mask", "array_interpolate_linear",
@@ -145,5 +145,5 @@ def test_driver_window_composition_pinned():
         "bigram_logprob", "bloom_decontaminate", "random_projection",
         "bin_pack", "tpch_q5", "tpch_q18", "streaming_topk",
         "weighted_sample",
-        "profile_table", "raster_decode_overview",
+        "profile_table",
     ]
