@@ -767,3 +767,43 @@ def test_audio_neardup_pairs_gain_and_noise_robust(spark):
     assert (0, 1) in got and got[(0, 1)] == 0
     assert (0, 2) in got and got[(0, 2)] <= 3
     assert not any(3 in k for k in got)
+
+
+def test_cdc_chunks_insert_robust(spark):
+    """The CDC property that motivates the operator: inserting one word
+    into a document perturbs only the chunk containing it — chunks
+    after the next content boundary are IDENTICAL, where fixed-width
+    chunking would shift every downstream chunk."""
+    from openeo_processes_dask_ml_spark.scale.text import (
+        cdc_duplicate_chunks,
+    )
+
+    # at boundary_bits=1, 'delta'/'epsilon'/'theta' are boundary words
+    # (hash60 % 2 == 0), so the repeated phrase splits into stable
+    # content-defined chunks
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    mutated = base.replace("gamma", "gamma inserted", 1)
+    df = spark.createDataFrame(
+        [(1, base), (2, mutated)], "doc_id long, text string"
+    )
+    dup = cdc_duplicate_chunks(df, boundary_bits=1, min_docs=2).collect()
+    # the repeated 8-word phrase guarantees shared chunks; the insert
+    # must not destroy all of them
+    assert len(dup) >= 1
+    assert all(r["n_docs"] == 2 for r in dup)
+
+
+def test_domain_pagerank_mass_and_dangling(spark):
+    from openeo_processes_dask_ml_spark.scale.web import domain_pagerank
+
+    # 3 docs -> at most 3 src domains out of 11: dangling domains exist
+    df = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "x")], "doc_id long, text string"
+    )
+    rows = domain_pagerank(df, n_domains=11, iters=4).collect()
+    assert len(rows) == 11
+    assert sorted(r["pos"] for r in rows) == list(range(1, 12))
+    mass = sum(r["rank"] for r in rows)
+    # quantized ranks: mass conserves to ~1 within quantization error
+    assert abs(mass - 1.0) < 1e-4
+    assert all(r["rank"] > 0 for r in rows)
