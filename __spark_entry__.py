@@ -5214,7 +5214,11 @@ FROM embeddings
     # tanh(x) spelled (e^2x - 1)/(e^2x + 1): DuckDB 1.0 ships no tanh
     # scalar; the identity differs from np.tanh by ulps, absorbed by
     # the dround(4) contract (inputs are clipped to [-1, 1], no
-    # overflow)
+    # overflow). Residual boundary risk, stated honestly: dround
+    # quantization flips only if a true score lands within ~1e-14 of
+    # a 0.5e-4 step edge (~1e-10/row) — the same accepted class as
+    # every ln()-carrying gate (weighted_sample, unigram_logprob);
+    # there is no transcendental-free cross-engine tanh.
     sql["ml_predict_preproc"] = """
 WITH scaled AS (
   SELECT vec_id, label,

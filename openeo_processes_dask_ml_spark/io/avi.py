@@ -96,7 +96,9 @@ def parse_avi(payload: bytes) -> dict:
                     scale, rate = struct.unpack(
                         "<II", payload[body + 20 : body + 28]
                     )
-                    sid = max(state["strl"], 0)
+                    # a strh outside any strl has no defined stream
+                    # number — don't claim stream 0 for it
+                    sid = state["strl"] if state["strl"] >= 0 else None
                     is_mjpeg = handler in _MJPEG_FOURCC
                     take = (
                         info["handler"] == ""
@@ -109,10 +111,11 @@ def parse_avi(payload: bytes) -> dict:
                             info["fps"] = rate / scale
                     if is_mjpeg and state["mjpeg_sid"] is None:
                         state["mjpeg_sid"] = sid
-            elif fourcc[2:4] in (b"dc", b"db") and all(
-                c in b"0123456789abcdefABCDEF" for c in fourcc[:2]
-            ):  # stream ids are two ASCII hex digits
-                raw_frames.append((int(fourcc[:2], 16), body, size))
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                # stream numbers in chunk ids are two DECIMAL ASCII
+                # digits (matching the decimal strl ordinal — ffmpeg
+                # writes '10dc' for stream ten, not '0adc')
+                raw_frames.append((int(fourcc[:2]), body, size))
 
     walk_list(12, len(payload))
     keep_sid = state["vids_sid"]

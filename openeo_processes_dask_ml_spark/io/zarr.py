@@ -689,9 +689,20 @@ def read_zarr_cube(
                     if d in date_dims:
                         vals = pd.Series(vals).dt.date
                     cols[d] = vals
-                cols[value_col] = arr[locs].astype(
-                    np.int64 if is_int else np.float64
-                )
+                vals = arr[locs]
+                if is_int:
+                    if np_dtype.kind == "u" and np_dtype.itemsize == 8 and (
+                        vals > np.iinfo(np.int64).max
+                    ).any():
+                        raise ValueError(
+                            "read_zarr_cube: uint64 store holds values "
+                            "above int64 range — unrepresentable as "
+                            "bigint without wrapping"
+                        )
+                    vals = vals.astype(np.int64)
+                else:
+                    vals = vals.astype(np.float64)
+                cols[value_col] = vals
                 yield pd.DataFrame(cols)
 
     return files_df.mapInPandas(explode_chunks, schema=out_schema)

@@ -715,6 +715,37 @@ def _dsir_bucket_rows(
     )
 
 
+def _dsir_dist(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_bucket, dist): the per-(doc, bucket) count table and the
+    per-bucket (t_cnt, r_cnt) distribution table — the SHARED
+    featurization core of :func:`dsir_select` and its bisect gate
+    :func:`dsir_bucket_hist`. One definition, so the gate's
+    'verbatim-intermediate' contract cannot drift."""
+    doc_bucket = (
+        _dsir_bucket_rows(raw, text_col, id_col, n_buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t_dist = (
+        _dsir_bucket_rows(target, text_col, id_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    r_dist = doc_bucket.groupBy("bucket").agg(F.sum("cnt").alias("r_cnt"))
+    dist = t_dist.join(r_dist, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+        F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+    )
+    return doc_bucket, dist
+
+
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,
@@ -758,22 +789,7 @@ def dsir_select(
     protocol): if the picks match while the full query diverges, the
     chosen set is right and only the reported floats differ.
     """
-    doc_bucket = (
-        _dsir_bucket_rows(raw, text_col, id_col, n_buckets)
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    t_dist = (
-        _dsir_bucket_rows(target, text_col, id_col, n_buckets)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("t_cnt"))
-    )
-    r_dist = doc_bucket.groupBy("bucket").agg(F.sum("cnt").alias("r_cnt"))
-    dist = t_dist.join(r_dist, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
-        F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
-    )
+    doc_bucket, dist = _dsir_dist(raw, target, n_buckets, text_col, id_col)
     totals = dist.agg(
         F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
     )
@@ -853,21 +869,8 @@ def dsir_bucket_hist(
     selection diverges, the featurization (tokenize → bigram → md5 →
     bucket) is proven identical and the divergence is downstream in
     scoring/ordering."""
-    t_dist = (
-        _dsir_bucket_rows(target, text_col, id_col, n_buckets)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("t_cnt"))
-    )
-    r_dist = (
-        _dsir_bucket_rows(raw, text_col, id_col, n_buckets)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("r_cnt"))
-    )
-    return t_dist.join(r_dist, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
-        F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
-    )
+    _, dist = _dsir_dist(raw, target, n_buckets, text_col, id_col)
+    return dist
 
 
 def dsir_doc_grams(

@@ -157,7 +157,15 @@ def domain_pagerank(
         .groupBy("s", "d")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    outdeg = edges.groupBy("s").agg(F.sum("cnt").alias("outdeg"))
+    # ONE corpus scan: edges materialize first, then outdeg and the
+    # joined table derive from the checkpointed edges — and outdeg is
+    # ALSO checkpointed because every iteration's dangling-mass anti
+    # join reads it (un-checkpointed it would re-derive from the
+    # corpus 8 times)
+    edges = edges.localCheckpoint()
+    outdeg = (
+        edges.groupBy("s").agg(F.sum("cnt").alias("outdeg")).localCheckpoint()
+    )
     edges_n = edges.join(outdeg, "s").localCheckpoint()
 
     universe = spark.range(n_domains).select(F.col("id").alias("domain"))
