@@ -1588,16 +1588,13 @@ def q_ml_predict_preproc(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip, reference scaling_utils.py:61-98) fused as Column
     expressions, then a python-format ProcessingExpression from the
     allowlist (``numpy:tanh``, resolved through the importlib dispatch
-    of proc_expression_utils.py:36-56 with the enable flag toggled
-    around resolution) wrapping the sklearn fast path. The oracle
+    of proc_expression_utils.py:36-56 with a per-call enabled=True
+    override) wrapping the sklearn fast path. The oracle
     replays scaling + tanh + the linear head in SQL."""
-    import os
-
     import numpy as np
 
     from openeo_processes_dask_ml_spark.ml.inference import sklearn_fast_path
     from openeo_processes_dask_ml_spark.utils.proc_expression import (
-        ENABLE_ENV,
         resolve_python_expression,
     )
     from openeo_processes_dask_ml_spark.utils.scaling import (
@@ -1628,16 +1625,9 @@ def q_ml_predict_preproc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # allowlisted python-format expression, resolved driver-side (the
     # resolver itself is the surface under test; executors get the
     # already-resolved callable, mirroring the reference's resolve-
-    # then-run order in proc_expression_utils)
-    saved = os.environ.get(ENABLE_ENV)
-    os.environ[ENABLE_ENV] = "1"
-    try:
-        pre_fn = resolve_python_expression("numpy:tanh")
-    finally:
-        if saved is None:
-            del os.environ[ENABLE_ENV]
-        else:
-            os.environ[ENABLE_ENV] = saved
+    # then-run order in proc_expression_utils). enabled=True is the
+    # thread-safe per-call override (ADVICE r12) — no env mutation.
+    pre_fn = resolve_python_expression("numpy:tanh", enabled=True)
 
     w = np.array([((i * 37) % 19 - 9) / 10.0 for i in range(64)])
 

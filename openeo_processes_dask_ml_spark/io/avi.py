@@ -69,7 +69,8 @@ def parse_avi(payload: bytes) -> dict:
     # strl order; keep frames of ONE video stream only — the first
     # MJPEG 'vids' stream if any, else the first 'vids' stream (so the
     # codec validation error still names the real handler)
-    state = {"strl": -1, "vids_sid": None, "mjpeg_sid": None}
+    state = {"strl": -1, "vids_sid": None, "mjpeg_sid": None,
+             "odd_id_chunks": 0}
     raw_frames: list[tuple[int, int, int]] = []  # (sid, offset, size)
 
     def walk_list(start: int, end: int) -> None:
@@ -111,13 +112,25 @@ def parse_avi(payload: bytes) -> dict:
                             info["fps"] = rate / scale
                     if is_mjpeg and state["mjpeg_sid"] is None:
                         state["mjpeg_sid"] = sid
-            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+            elif fourcc[2:4] in (b"dc", b"db"):
                 # stream numbers in chunk ids are two DECIMAL ASCII
                 # digits (matching the decimal strl ordinal — ffmpeg
                 # writes '10dc' for stream ten, not '0adc')
-                raw_frames.append((int(fourcc[:2]), body, size))
+                if fourcc[:2].isdigit():
+                    raw_frames.append((int(fourcc[:2]), body, size))
+                else:
+                    state["odd_id_chunks"] += 1
 
     walk_list(12, len(payload))
+    if state["odd_id_chunks"] and not raw_frames:
+        # every video chunk carried a non-decimal stream id (ADVICE
+        # r12: a hex-id muxer must fail loudly, not decode to an
+        # empty frame list)
+        raise ValueError(
+            f"AVI: all {state['odd_id_chunks']} video chunks carry "
+            "non-decimal stream ids (hex-id muxer?); cannot map them "
+            "to strl ordinals"
+        )
     keep_sid = state["vids_sid"]
     info["frames"] = [
         (off, size)

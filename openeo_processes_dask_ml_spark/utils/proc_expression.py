@@ -68,10 +68,18 @@ def expressions_enabled() -> bool:
     return os.environ.get(ENABLE_ENV, "0") in ("1", "true", "True")
 
 
-def resolve_python_expression(expression: str) -> Callable:
+def resolve_python_expression(
+    expression: str, *, enabled: bool | None = None
+) -> Callable:
     """Resolve 'pkg.module:func' / 'pkg.module:Class.method' with the
-    package allowlist enforced on the root package."""
-    if not expressions_enabled():
+    package allowlist enforced on the root package.
+
+    ``enabled`` overrides the process-global env flag for this single
+    resolution (ADVICE r12: callers that need a one-off enable — tests,
+    gate queries — must not mutate ``os.environ``, which leaks across
+    threads). ``None`` defers to ``expressions_enabled()``; the
+    allowlists below are enforced either way."""
+    if not (expressions_enabled() if enabled is None else enabled):
         raise PermissionError(
             "processing expressions are disabled by default; set "
             f"{ENABLE_ENV}=1 in the driver environment (and in "

@@ -190,3 +190,33 @@ def test_multistream_avi_keeps_one_video_stream():
     assert [i for i, _ in out] == [0, 1]
     np.testing.assert_array_equal(out[0][1], np.full((16, 16), 128, np.uint8))
     np.testing.assert_array_equal(out[1][1], np.full((16, 16), 129, np.uint8))
+
+
+def test_hex_stream_id_only_fails_loudly():
+    """ADVICE r12: a muxer writing hex stream ids ('0adc') must raise,
+    not silently decode to an empty frame list; mixed files keep the
+    decimal-id frames."""
+    import struct as _s
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + _s.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = _s.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, 0, 16, 16, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi_hex = lst(b"movi", chunk(b"0adc", b"\x11" * 10))
+    body = b"AVI " + hdrl + movi_hex
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="non-decimal stream ids"):
+        parse_avi(payload)
+
+    # mixed decimal + hex: the decimal frames survive, no raise
+    f0 = _dc_frame_jpeg(0)
+    movi_mixed = lst(b"movi", chunk(b"0adc", b"\x11" * 10)
+                     + chunk(b"00dc", f0))
+    body = b"AVI " + hdrl + movi_mixed
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+    assert len(parse_avi(payload)["frames"]) == 1

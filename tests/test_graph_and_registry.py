@@ -364,6 +364,24 @@ def test_expressions_disabled_by_default(monkeypatch):
     assert expressions_enabled()
 
 
+def test_expression_per_call_enabled_override(monkeypatch):
+    """ADVICE r12: enabled=True is a per-call override that never
+    touches os.environ (thread-safe for gate queries); enabled=False
+    force-disables even when the env flag is on; the allowlist is
+    enforced regardless of the override."""
+    import os
+
+    monkeypatch.delenv("OPENEO_SPARK_ENABLE_PROC_EXPRESSIONS", raising=False)
+    fn = resolve_python_expression("numpy:sqrt", enabled=True)
+    assert fn(9.0) == 3.0
+    assert "OPENEO_SPARK_ENABLE_PROC_EXPRESSIONS" not in os.environ
+    monkeypatch.setenv("OPENEO_SPARK_ENABLE_PROC_EXPRESSIONS", "1")
+    with pytest.raises(PermissionError, match="disabled"):
+        resolve_python_expression("numpy:sqrt", enabled=False)
+    with pytest.raises(PermissionError, match="allowlist"):
+        resolve_python_expression("os:system", enabled=True)
+
+
 def test_graph_dimension_manipulation_pipeline(spark):
     """add_dimension -> rename_dimension -> rename_labels -> trim_cube
     compose through the executor."""
