@@ -51,6 +51,28 @@ from pyspark.sql import DataFrame, functions as F
 _ZARR_FORMAT = 2
 _COMPRESSOR = {"id": "zlib", "level": 1}
 
+
+def _chunk_decoder(zarray: dict, name: str):
+    """bytes -> raw C-order cell bytes for one array's chunks.
+
+    Two codecs read here: ``compressor: null`` (stock xarray's
+    ``encoding={"compressor": None}`` — raw chunk bytes, no codec
+    needed) and the zlib codec this sink writes. Blosc — stock
+    zarr-python's *default* — is a declared offline boundary
+    (COVERAGE.md: c-blosc framing + codecs unavailable in-sandbox);
+    the error names the two readable encodings."""
+    comp = zarray.get("compressor")
+    if comp is None:
+        return lambda b: b
+    if isinstance(comp, dict) and comp.get("id") == "zlib":
+        return zlib.decompress
+    raise NotImplementedError(
+        f"zarr array {name!r} compressor {comp}: only raw "
+        "(compressor: null) and zlib chunks are readable here — "
+        "re-write the store with encoding={'compressor': None} or a "
+        "zlib codec (blosc is a declared offline boundary)"
+    )
+
 # manifest returned to the driver: one row per written chunk
 ZARR_MANIFEST_SCHEMA = "chunk string, path string, cells bigint, bytes bigint"
 
@@ -402,6 +424,14 @@ def append_zarr_slices(
             "append_zarr_slices: store was not created by this sink "
             f"(leading chunk length {zarray['chunks'][0]}, need 1)"
         )
+    if zarray.get("compressor") != _COMPRESSOR:
+        # the append path writes zlib chunks; appending into a store
+        # declaring another codec (raw/blosc) would corrupt it
+        raise ValueError(
+            "append_zarr_slices: store compressor "
+            f"{zarray.get('compressor')} != {_COMPRESSOR}; append only "
+            "extends stores this sink wrote"
+        )
     np_dtype = np.dtype(zarray["dtype"])
     spark_types = dict(df.dtypes)
 
@@ -606,19 +636,26 @@ def read_zarr_cube(
     dims = meta[f"{value_col}/.zattrs"]["_ARRAY_DIMENSIONS"]
     shape, chunk_shape = zarray["shape"], zarray["chunks"]
     np_dtype = np.dtype(zarray["dtype"])
-    if zarray.get("compressor", {}).get("id") != "zlib":
+    if zarray.get("order", "C") != "C":
         raise NotImplementedError(
-            f"zarr compressor {zarray.get('compressor')}: only the "
-            "zlib codec this sink writes is supported"
+            f"zarr array {value_col!r} is {zarray['order']}-order; "
+            "only C-order chunks are readable here"
         )
+    if zarray.get("filters"):
+        raise NotImplementedError(
+            f"zarr array {value_col!r} declares filters "
+            f"{zarray['filters']}; filtered stores are not readable here"
+        )
+    decode = _chunk_decoder(zarray, value_col)
 
     # axis coordinates: driver-read, axis-sized
     axes: list[np.ndarray] = []
     spark_types: list[str | None] = []
     for d in dims:
         a_meta = meta[f"{d}/.zarray"]
+        a_decode = _chunk_decoder(a_meta, d)
         with open(os.path.join(path, d, "0"), "rb") as f:
-            raw = zlib.decompress(f.read())
+            raw = a_decode(f.read())
         axes.append(
             np.frombuffer(raw, dtype=np.dtype(a_meta["dtype"]))[
                 : a_meta["shape"][0]
@@ -669,7 +706,7 @@ def read_zarr_cube(
                 cidx = [int(p) for p in name.split(".")]
                 with open(os.path.join(adir, name), "rb") as f:
                     arr = np.frombuffer(
-                        zlib.decompress(f.read()), dtype=np_dtype
+                        decode(f.read()), dtype=np_dtype
                     ).reshape(chunk_shape)
                 # slice off edge padding
                 slices = tuple(

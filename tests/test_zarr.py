@@ -327,3 +327,74 @@ def test_zarr_int64_reads_lossless_bigint(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def _strip_compression(store: str) -> None:
+    """Rewrite a sink-written store as a raw (compressor: null) store —
+    the shape stock xarray produces under encoding={'compressor': None}:
+    decompress every chunk file in place, patch every .zarray doc."""
+    metas = {}
+    for name in os.listdir(store):
+        adir = os.path.join(store, name)
+        zdoc = os.path.join(adir, ".zarray")
+        if not os.path.isfile(zdoc):
+            continue
+        za = json.load(open(zdoc))
+        za["compressor"] = None
+        json.dump(za, open(zdoc, "w"))
+        metas[f"{name}/.zarray"] = za
+        for chunk in os.listdir(adir):
+            if chunk.startswith("."):
+                continue
+            cp = os.path.join(adir, chunk)
+            raw = zlib.decompress(open(cp, "rb").read())
+            open(cp, "wb").write(raw)
+    zmeta_path = os.path.join(store, ".zmetadata")
+    zmeta = json.load(open(zmeta_path))
+    for k, v in metas.items():
+        zmeta["metadata"][k] = v
+    json.dump(zmeta, open(zmeta_path, "w"))
+
+
+def test_zarr_raw_uncompressed_store_reads(spark, tmp_path):
+    """VERDICT r12 #3: a compressor:null store (stock xarray's
+    encoding={'compressor': None} output) must read — raw C-order
+    chunk bytes, zero codec work — in both consolidated and
+    .zarray-walk forms."""
+    df = _cube_df(spark)
+    out = str(tmp_path / "raw.zarr")
+    write_zarr_cube(df, out, chunks=[1, 1, 5, 7]).count()
+    _strip_compression(out)
+    back = read_zarr_cube(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # the .zarray-walk (non-consolidated) path honors null too
+    os.remove(os.path.join(out, ".zmetadata"))
+    back2 = read_zarr_cube(spark, out)
+    assert back2.count() == df.count()
+
+
+def test_zarr_unsupported_codec_and_raw_append_guards(spark, tmp_path):
+    """Blosc (or any other codec) names the readable encodings in its
+    error; append refuses to extend a store it didn't write (raw
+    chunks + zlib appends would corrupt the store)."""
+    from openeo_processes_dask_ml_spark.io.zarr import append_zarr_slices
+
+    df = _cube_df(spark)
+    out = str(tmp_path / "blosc.zarr")
+    write_zarr_cube(df, out, chunks=[1, 1, 5, 7]).count()
+    zmeta_path = os.path.join(out, ".zmetadata")
+    zmeta = json.load(open(zmeta_path))
+    zmeta["metadata"]["value/.zarray"]["compressor"] = {
+        "id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1,
+    }
+    json.dump(zmeta, open(zmeta_path, "w"))
+    with pytest.raises(NotImplementedError, match="compressor: null"):
+        read_zarr_cube(spark, out)
+
+    out2 = str(tmp_path / "raw2.zarr")
+    write_zarr_cube(df, out2, chunks=[1, 1, 5, 7]).count()
+    _strip_compression(out2)
+    with pytest.raises(ValueError, match="only extends stores this sink"):
+        append_zarr_slices(df, out2)
