@@ -131,6 +131,8 @@ HEADLINE = [
     "ml_predict_preproc",
     "domain_pagerank",
     "cdc_chunk_dedup",
+    # round 13 additions (VERDICT r12 #4 netCDF3-classic sink/source)
+    "netcdf_roundtrip",
 ]
 
 

@@ -667,9 +667,9 @@ def save_result(
     """Sink dispatch: parquet (default) / csv / json distributed writes —
     one file per partition, no driver collect. gtiff and zarr are
     DISTRIBUTED sinks (executor-side tile/chunk encode, driver-side
-    manifest/metadata only); netcdf exports driver-side when the geo
-    stack is installed, otherwise the data lands as parquet WITH an
-    explicit warning — never a silent format substitution."""
+    manifest/metadata only); netcdf writes netCDF3-classic through the
+    pure-numpy sink (executor slab encode, driver streams the single
+    sequential file) with no geo-stack dependency (r13)."""
     import warnings
 
     fmt = format.lower()
@@ -765,6 +765,38 @@ def save_result(
             value_col=vc,
             dim_cols=dc,
             chunks=options.get("chunks"),
+            dtype=options.get("dtype", "float64"),
+            attrs=options.get("attrs"),
+        )
+        return path
+    if fmt == "netcdf":
+        # netCDF3-classic sink (pure numpy, io/netcdf3.py, r13):
+        # executor-encoded leading-dim slabs streamed to one file by
+        # the driver — no xarray/netCDF4 needed, the parquet fallback
+        # is gone. (The reference's to_netcdf ships the geo stack,
+        # minibackend/custom_processes.py:115-118.)
+        from openeo_processes_dask_ml_spark.io.netcdf3 import (
+            write_netcdf3_cube,
+        )
+
+        vc = value_col if value_col is not None else df.columns[-1]
+        dc = (
+            dim_cols
+            if dim_cols is not None
+            else [c for c in df.columns if c != vc]
+        )
+        known = {"dtype", "attrs"}
+        unknown = set(options) - known
+        if unknown:
+            raise ValueError(
+                f"save_result(netcdf): unknown options {sorted(unknown)}; "
+                f"supported: {sorted(known)}"
+            )
+        write_netcdf3_cube(
+            df,
+            path,
+            value_col=vc,
+            dim_cols=dc,
             dtype=options.get("dtype", "float64"),
             attrs=options.get("attrs"),
         )

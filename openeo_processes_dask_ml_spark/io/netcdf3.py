@@ -1,0 +1,546 @@
+"""netCDF3-classic (CDF-1/CDF-2) cube sink + source, pure numpy.
+
+The reference's first-listed save format is netCDF via xarray
+``to_netcdf`` (minibackend/custom_processes.py:115-118), which needs
+the netCDF4/HDF5 stack. Here the classic format is written directly
+from its public spec — magic ``CDF\\x01``/``\\x02``, big-endian
+header, 4-byte-aligned fixed variables — the same offline-verifiable
+discipline as the gtiff/zarr codecs (VERDICT r12 #4).
+
+Spark shape: the format is ONE sequential file, so the sink encodes
+leading-dimension slabs on the executors (ordinal-resolved through
+broadcast axis joins, one shuffle) and the driver streams the ordered
+slab bytes to disk via ``toLocalIterator`` — it never holds more than
+one slab. The source distributes (offset, nbytes) slab ranges and
+explodes cells to long form inside ``mapInPandas``, mirroring the
+zarr chunk reader.
+
+Layout notes (classic model):
+- no record dimension: every dim is fixed-length, every variable
+  contiguous at its ``begin`` offset;
+- coordinate variables carry their Spark type in a ``_spark_type``
+  attribute (dates/timestamps stored as NC_DOUBLE epoch seconds with
+  CF ``units``; generic readers see plain CF, our reader restores the
+  exact Spark column type);
+- string axes use the classic char-matrix convention: a 2-D NC_CHAR
+  variable over (dim, string-length dim);
+- CDF-2 (64-bit ``begin``) is selected automatically when any offset
+  exceeds the CDF-1 signed-32 range.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+_TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
+_TYPE_SIZE = {NC_BYTE: 1, NC_CHAR: 1, NC_SHORT: 2, NC_INT: 4,
+              NC_FLOAT: 4, NC_DOUBLE: 8}
+_NP_OF_NC = {NC_BYTE: ">i1", NC_CHAR: "S1", NC_SHORT: ">i2",
+             NC_INT: ">i4", NC_FLOAT: ">f4", NC_DOUBLE: ">f8"}
+_EPOCH_UNITS = "seconds since 1970-01-01 00:00:00"
+
+
+def _pad4(n: int) -> int:
+    return (n + 3) & ~3
+
+
+def _name_bytes(name: str) -> bytes:
+    raw = name.encode("utf-8")
+    return struct.pack(">i", len(raw)) + raw + b"\x00" * (_pad4(len(raw)) - len(raw))
+
+
+def _att_bytes(name: str, value) -> bytes:
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+        out = _name_bytes(name) + struct.pack(">ii", NC_CHAR, len(raw)) + raw
+        return out + b"\x00" * (_pad4(len(raw)) - len(raw))
+    arr = np.atleast_1d(np.asarray(value))
+    if arr.dtype == np.float32:
+        nct, wire = NC_FLOAT, arr.astype(">f4")
+    elif arr.dtype.kind == "f":
+        nct, wire = NC_DOUBLE, arr.astype(">f8")
+    else:
+        nct, wire = NC_INT, arr.astype(">i4")
+    payload = wire.tobytes()
+    out = _name_bytes(name) + struct.pack(">ii", nct, len(arr)) + payload
+    return out + b"\x00" * (_pad4(len(payload)) - len(payload))
+
+
+def _att_list(atts: dict) -> bytes:
+    if not atts:
+        return struct.pack(">ii", 0, 0)
+    return struct.pack(">ii", _TAG_ATT, len(atts)) + b"".join(
+        _att_bytes(k, v) for k, v in atts.items()
+    )
+
+
+class _Var:
+    def __init__(self, name, dimids, nc_type, atts, n_cells):
+        self.name, self.dimids, self.nc_type = name, dimids, nc_type
+        self.atts = atts
+        self.vsize = _pad4(n_cells * _TYPE_SIZE[nc_type])
+        self.begin = 0
+
+    def header_bytes(self, cdf2: bool) -> bytes:
+        out = _name_bytes(self.name)
+        out += struct.pack(">i", len(self.dimids))
+        out += b"".join(struct.pack(">i", d) for d in self.dimids)
+        out += _att_list(self.atts)
+        # vsize is informational in modern readers; the spec clamps
+        # overflowing sizes to 2^32-1 (vars > 4 GiB are CDF-2-legal)
+        vs = min(self.vsize, 0xFFFFFFFF)
+        out += struct.pack(">iI", self.nc_type, vs)
+        out += struct.pack(">q" if cdf2 else ">i", self.begin)
+        return out
+
+
+def _header(dims: list[tuple[str, int]], gatts: dict,
+            variables: list[_Var], cdf2: bool) -> bytes:
+    out = b"CDF" + (b"\x02" if cdf2 else b"\x01")
+    out += struct.pack(">i", 0)  # numrecs: no record dimension
+    if dims:
+        out += struct.pack(">ii", _TAG_DIM, len(dims))
+        for name, size in dims:
+            out += _name_bytes(name) + struct.pack(">i", size)
+    else:
+        out += struct.pack(">ii", 0, 0)
+    out += _att_list(gatts)
+    if variables:
+        out += struct.pack(">ii", _TAG_VAR, len(variables))
+        out += b"".join(v.header_bytes(cdf2) for v in variables)
+    else:
+        out += struct.pack(">ii", 0, 0)
+    return out
+
+
+def _axis_wire(vals: list, spark_type: str):
+    """(nc_type, big-endian bytes, extra char dim length or 0, atts)
+    for one coordinate variable."""
+    atts: dict = {"_spark_type": spark_type}
+    if spark_type.startswith("timestamp") or spark_type == "date":
+        arr = np.array(vals, dtype="datetime64[ns]")
+        secs = arr.astype("datetime64[us]").astype(np.int64) / 1e6
+        atts["units"] = _EPOCH_UNITS
+        atts["calendar"] = "standard"
+        return NC_DOUBLE, secs.astype(">f8").tobytes(), 0, atts
+    arr = np.asarray(vals)
+    if arr.dtype.kind in ("U", "S", "O"):
+        enc = [str(v).encode("utf-8") for v in vals]
+        width = max(1, max((len(e) for e in enc), default=1))
+        payload = b"".join(e + b"\x00" * (width - len(e)) for e in enc)
+        return NC_CHAR, payload, width, atts
+    if arr.dtype.kind in ("i", "u"):
+        if (np.abs(arr.astype(np.int64, copy=False)) > 2**31 - 1).any():
+            # classic has no 64-bit int type; doubles are exact to 2^53
+            if (np.abs(arr.astype(np.int64)) > 2**53).any():
+                raise ValueError(
+                    "netCDF3 axis values exceed 2^53: unrepresentable "
+                    "in the classic model without loss"
+                )
+            return NC_DOUBLE, arr.astype(">f8").tobytes(), 0, atts
+        return NC_INT, arr.astype(">i4").tobytes(), 0, atts
+    if arr.dtype.kind == "b":
+        return NC_BYTE, arr.astype(">i1").tobytes(), 0, atts
+    return NC_DOUBLE, arr.astype(">f8").tobytes(), 0, atts
+
+
+def _data_nc_type(dtype: str) -> int:
+    np_dt = np.dtype(dtype)
+    nct = {("f", 8): NC_DOUBLE, ("f", 4): NC_FLOAT, ("f", 2): NC_FLOAT,
+           ("i", 4): NC_INT, ("i", 2): NC_SHORT, ("i", 1): NC_BYTE,
+           }.get((np_dt.kind, np_dt.itemsize))
+    if nct is None:
+        raise ValueError(
+            f"netCDF3 classic cannot store dtype {dtype}; use "
+            "float64/float32/int32/int16/int8"
+        )
+    return nct
+
+
+def write_netcdf3_cube(
+    df: DataFrame,
+    path: str,
+    value_col: str = "value",
+    dim_cols: list[str] | None = None,
+    dtype: str = "float64",
+    attrs: dict | None = None,
+) -> str:
+    """Write a long-form cube as one netCDF3-classic file.
+
+    Executors encode per-leading-dim slabs (one shuffle); the driver
+    streams them in order — bounded by one slab, never the cube.
+    Missing float cells become NaN (``_FillValue``); integer dtypes
+    raise on incomplete coverage, the zarr-sink contract.
+    """
+    spark = df.sparkSession
+    if dim_cols is None:
+        dim_cols = [c for c in df.columns if c != value_col]
+    if not dim_cols:
+        raise ValueError("write_netcdf3_cube: at least one dim column")
+    nc_type = _data_nc_type(dtype)
+    item = _TYPE_SIZE[nc_type]
+    wire_dt = np.dtype(_NP_OF_NC[nc_type])
+
+    spark_types = dict(df.dtypes)
+    axis_vals: dict[str, list] = {}
+    for d in dim_cols:
+        axis_vals[d] = [
+            r[0] for r in df.select(d).distinct().orderBy(d).collect()
+        ]
+    shape = [len(axis_vals[d]) for d in dim_cols]
+    if 0 in shape:
+        raise ValueError("write_netcdf3_cube: empty cube")
+
+    # --- header skeleton: dims, coordinate vars, the data var -------
+    dims: list[tuple[str, int]] = [(d, s) for d, s in zip(dim_cols, shape)]
+    dim_id = {d: i for i, (d, _) in enumerate(dims)}
+    variables: list[_Var] = []
+    coord_payloads: list[bytes] = []
+    for d in dim_cols:
+        nct, payload, strlen, atts = _axis_wire(
+            axis_vals[d], spark_types[d]
+        )
+        dimids = [dim_id[d]]
+        if strlen:
+            sname = f"{d}_strlen"
+            dims.append((sname, strlen))
+            dim_id[sname] = len(dims) - 1
+            dimids.append(dim_id[sname])
+        n_cells = len(axis_vals[d]) * (strlen or 1)
+        variables.append(_Var(d, dimids, nct, atts, n_cells))
+        coord_payloads.append(payload)
+
+    n_total = 1
+    for s in shape:
+        n_total *= s
+    datts: dict = dict(attrs or {})
+    if wire_dt.kind == "f":
+        # typed to the variable (CF requires _FillValue type == var type)
+        datts.setdefault(
+            "_FillValue", np.array(np.nan, dtype=wire_dt.newbyteorder("="))
+        )
+    variables.append(
+        _Var(value_col, [dim_id[d] for d in dim_cols], nc_type, datts,
+             n_total)
+    )
+
+    # --- offsets: try CDF-1, escalate to CDF-2 on overflow ----------
+    gatts = {"Conventions": "CF-1.6", "source": "openeo-spark netcdf3 sink"}
+    for cdf2 in (False, True):
+        begin = len(_header(dims, gatts, variables, cdf2))
+        for v in variables:
+            v.begin = begin
+            begin += v.vsize
+        if not cdf2 and begin <= 0x7FFFFFFF:
+            break
+    header = _header(dims, gatts, variables, cdf2)
+
+    # --- distributed slab encode: ordinal-resolve, group by leading
+    # ordinal, one big-endian byte block per slab ---------------------
+    keyed = df.select(value_col, *dim_cols)
+    for d in dim_cols:
+        axis_df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(axis_vals[d])],
+            schema=f"`{d}` {spark_types[d]}, `__ord_{d}` bigint",
+        )
+        keyed = keyed.join(F.broadcast(axis_df), on=d, how="inner")
+    slab_shape = shape[1:]
+    slab_cells = n_total // shape[0]
+    local_cols = [f"__ord_{d}" for d in dim_cols[1:]]
+    lead_col = f"__ord_{dim_cols[0]}"
+    is_float = wire_dt.kind == "f"
+
+    import pandas as pd
+
+    def encode_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+        lead = int(pdf[lead_col].iloc[0])
+        fill = np.nan if is_float else 0
+        arr = np.full(slab_cells, fill, dtype=wire_dt)
+        if local_cols:
+            locs = tuple(
+                pdf[c].to_numpy(dtype=np.int64) for c in local_cols
+            )
+            flat = np.ravel_multi_index(locs, slab_shape)
+        else:
+            flat = np.zeros(len(pdf), dtype=np.int64)
+        if len(np.unique(flat)) != len(flat):
+            raise ValueError(
+                f"duplicate cells in netCDF slab {lead}: more than one "
+                "row per coordinate — add the missing dim to dim_cols"
+            )
+        vals = pdf[value_col].to_numpy()
+        if not is_float and (
+            len(flat) != slab_cells
+            or (vals.dtype.kind == "f" and np.isnan(vals).any())
+        ):
+            raise ValueError(
+                f"netCDF slab {lead} is not fully covered and dtype "
+                f"{wire_dt} has no NaN — use a float dtype or densify"
+            )
+        arr[flat] = vals.astype(wire_dt)
+        return pd.DataFrame({"lead": [lead], "payload": [arr.tobytes()]})
+
+    slabs = (
+        keyed.repartition(max(1, min(shape[0], 256)), lead_col)
+        .groupBy(lead_col)
+        .applyInPandas(encode_slab, schema="lead bigint, payload binary")
+        .orderBy("lead")
+    )
+
+    # --- driver assembly: header + coord vars + streamed slabs ------
+    with open(path, "wb") as f:
+        f.write(header)
+        for v, payload in zip(variables, coord_payloads):
+            assert f.tell() == v.begin
+            f.write(payload + b"\x00" * (v.vsize - len(payload)))
+        dv = variables[-1]
+        assert f.tell() == dv.begin
+        fill_slab = None
+        expect = 0
+        for row in slabs.toLocalIterator():
+            while expect < row["lead"]:  # absent slabs -> fill
+                if fill_slab is None:
+                    if not is_float:
+                        raise ValueError(
+                            f"netCDF leading slab {expect} empty and "
+                            f"dtype {wire_dt} has no NaN"
+                        )
+                    fill_slab = np.full(
+                        slab_cells, np.nan, dtype=wire_dt
+                    ).tobytes()
+                f.write(fill_slab)
+                expect += 1
+            f.write(row["payload"])
+            expect += 1
+        if expect != shape[0]:
+            raise RuntimeError(
+                f"netCDF sink wrote {expect}/{shape[0]} slabs"
+            )
+        f.write(b"\x00" * (dv.vsize - slab_cells * item * shape[0]))
+    return path
+
+
+# =====================================================================
+# reader
+# =====================================================================
+
+
+class _Parser:
+    def __init__(self, buf: bytes):
+        self.buf, self.pos = buf, 0
+
+    def take(self, n: int) -> bytes:
+        out = self.buf[self.pos:self.pos + n]
+        if len(out) != n:
+            raise ValueError("truncated netCDF header")
+        self.pos += n
+        return out
+
+    def i4(self) -> int:
+        return struct.unpack(">i", self.take(4))[0]
+
+    def i8(self) -> int:
+        return struct.unpack(">q", self.take(8))[0]
+
+    def name(self) -> str:
+        n = self.i4()
+        raw = self.take(_pad4(n))[:n]
+        return raw.decode("utf-8")
+
+    def att_list(self) -> dict:
+        tag, count = self.i4(), self.i4()
+        if tag == 0 and count == 0:
+            return {}
+        if tag != _TAG_ATT:
+            raise ValueError(f"bad attribute-list tag {tag:#x}")
+        atts = {}
+        for _ in range(count):
+            nm = self.name()
+            nct, nelem = self.i4(), self.i4()
+            size = _TYPE_SIZE[nct] * nelem
+            raw = self.take(_pad4(size))[:size]
+            if nct == NC_CHAR:
+                atts[nm] = raw.decode("utf-8", "replace")
+            else:
+                atts[nm] = np.frombuffer(raw, dtype=_NP_OF_NC[nct])
+                if nelem == 1:
+                    atts[nm] = atts[nm][0].item()
+        return atts
+
+
+def parse_netcdf3_header(buf: bytes) -> dict:
+    """Header -> {cdf2, numrecs, dims: [(name, size)], gatts,
+    vars: {name: {dimids, nc_type, atts, vsize, begin}}}. Pure spec
+    parse, no numpy reshaping — shared by the reader and tests."""
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+        raise ValueError("not a netCDF classic payload (bad magic)")
+    cdf2 = buf[3] == 2
+    p = _Parser(buf)
+    p.take(4)
+    numrecs = p.i4()
+    tag, count = p.i4(), p.i4()
+    dims: list[tuple[str, int]] = []
+    if tag == _TAG_DIM:
+        dims = [(p.name(), p.i4()) for _ in range(count)]
+    elif (tag, count) != (0, 0):
+        raise ValueError(f"bad dim-list tag {tag:#x}")
+    gatts = p.att_list()
+    tag, count = p.i4(), p.i4()
+    variables: dict[str, dict] = {}
+    if tag == _TAG_VAR:
+        for _ in range(count):
+            nm = p.name()
+            nd = p.i4()
+            dimids = [p.i4() for _ in range(nd)]
+            atts = p.att_list()
+            nct = p.i4()
+            vsize = struct.unpack(">I", p.take(4))[0]
+            begin = p.i8() if cdf2 else p.i4()
+            variables[nm] = {
+                "dimids": dimids, "nc_type": nct, "atts": atts,
+                "vsize": vsize, "begin": begin,
+            }
+    elif (tag, count) != (0, 0):
+        raise ValueError(f"bad var-list tag {tag:#x}")
+    return {"cdf2": cdf2, "numrecs": numrecs, "dims": dims,
+            "gatts": gatts, "vars": variables}
+
+
+def _axis_python(raw: np.ndarray, atts: dict):
+    """Wire values of one coordinate var -> python objects matching the
+    recorded _spark_type (or plain numerics for foreign files)."""
+    st = atts.get("_spark_type", "")
+    if st.startswith("timestamp") or st == "date":
+        micros = np.rint(np.asarray(raw, dtype=np.float64) * 1e6)
+        ts = micros.astype(np.int64).astype("datetime64[us]")
+        import pandas as pd
+
+        s = pd.Series(ts)
+        return list(s.dt.date) if st == "date" else list(s)
+    if st in ("bigint", "int", "smallint", "tinyint"):
+        return [int(v) for v in raw]
+    return [v.item() if hasattr(v, "item") else v for v in raw]
+
+
+def read_netcdf3_cube(
+    spark, path: str, value_col: str | None = None
+) -> DataFrame:
+    """Distributed netCDF3-classic source: the driver parses the
+    header + coordinate vars (axis-sized); leading-dim slabs of the
+    data variable decode inside ``mapInPandas`` from ranged reads.
+    NaN cells are dropped, so a cube written by ``write_netcdf3_cube``
+    round-trips to its own row set."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 16)
+        hdr = parse_netcdf3_header(head)
+        if hdr["numrecs"]:
+            raise NotImplementedError(
+                "record-dimension netCDF files are not readable here "
+                "(this sink writes fixed dims only)"
+            )
+        dims = hdr["dims"]
+        dim_names = [d for d, _ in dims]
+        if value_col is None:
+            # coordinate variables (incl. char matrices) are named
+            # after their dimension; anything else is data
+            cands = [n for n in hdr["vars"] if n not in dim_names]
+            if len(cands) != 1:
+                raise ValueError(
+                    f"cannot infer the data variable from {sorted(cands)};"
+                    " pass value_col"
+                )
+            value_col = cands[0]
+        dv = hdr["vars"][value_col]
+        shape = [dims[i][1] for i in dv["dimids"]]
+        axis_names = [dims[i][0] for i in dv["dimids"]]
+        wire_dt = np.dtype(_NP_OF_NC[dv["nc_type"]])
+
+        axes: list[list] = []
+        for d in axis_names:
+            av = hdr["vars"][d]
+            if av["nc_type"] == NC_CHAR and len(av["dimids"]) == 2:
+                n, w = (dims[i][1] for i in av["dimids"])
+                f.seek(av["begin"])
+                raw = f.read(n * w)
+                axes.append([
+                    raw[i * w:(i + 1) * w].rstrip(b"\x00 ").decode("utf-8")
+                    for i in range(n)
+                ])
+            else:
+                f.seek(av["begin"])
+                n = dims[av["dimids"][0]][1]
+                raw = np.frombuffer(
+                    f.read(n * _TYPE_SIZE[av["nc_type"]]),
+                    dtype=_NP_OF_NC[av["nc_type"]],
+                )
+                axes.append(_axis_python(raw, av["atts"]))
+
+    sql_type = {
+        "timestamp": "timestamp", "date": "date", "string": "string",
+        "bigint": "bigint", "int": "bigint", "double": "double",
+        "float": "double", "boolean": "boolean",
+    }
+    dim_sql = []
+    for d, vals in zip(axis_names, axes):
+        st = hdr["vars"][d]["atts"].get("_spark_type", "")
+        if st in sql_type:
+            dim_sql.append(sql_type[st])
+        elif vals and isinstance(vals[0], str):
+            dim_sql.append("string")
+        elif vals and isinstance(vals[0], int):
+            dim_sql.append("bigint")
+        else:
+            dim_sql.append("double")
+    is_float = wire_dt.kind == "f"
+    out_schema = ", ".join(
+        [f"`{d}` {t}" for d, t in zip(axis_names, dim_sql)]
+        + [f"`{value_col}` {'double' if is_float else 'bigint'}"]
+    )
+
+    slab_cells = 1
+    for s in shape[1:]:
+        slab_cells *= s
+    item = wire_dt.itemsize
+    begin = dv["begin"]
+    slab_meta = [
+        (i, begin + i * slab_cells * item, slab_cells * item)
+        for i in range(shape[0])
+    ]
+    slabs_df = spark.createDataFrame(
+        slab_meta, schema="lead bigint, off bigint, nbytes bigint"
+    ).repartition(max(1, min(shape[0], 64)))
+    slab_shape = shape[1:]
+
+    import pandas as pd
+
+    def explode(batches):
+        for pdf in batches:
+            with open(path, "rb") as fh:
+                for lead, off, nbytes in zip(
+                    pdf["lead"], pdf["off"], pdf["nbytes"]
+                ):
+                    fh.seek(int(off))
+                    arr = np.frombuffer(
+                        fh.read(int(nbytes)), dtype=wire_dt
+                    ).reshape(slab_shape or (1,))
+                    keep = ~np.isnan(arr) if is_float else np.ones(
+                        arr.shape, dtype=bool
+                    )
+                    locs = np.nonzero(keep)
+                    cols = {}
+                    cols[axis_names[0]] = [axes[0][int(lead)]] * len(locs[0])
+                    for ax_i, d in enumerate(axis_names[1:], start=0):
+                        vals = [axes[ax_i + 1][j] for j in locs[ax_i]]
+                        cols[d] = vals
+                    vals = arr[keep]
+                    cols[value_col] = (
+                        vals.astype(np.float64) if is_float
+                        else vals.astype(np.int64)
+                    )
+                    yield pd.DataFrame(cols)
+
+    return slabs_df.mapInPandas(explode, schema=out_schema)

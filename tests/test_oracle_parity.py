@@ -128,22 +128,24 @@ def test_driver_window_composition_pinned():
     entry = importlib.import_module("__spark_entry__")
     window = list(entry.queries().keys())[:50]
     assert window == [
-        "dsir_bucket_hist", "dsir_doc_grams",
-        "dsir_select", "dsir_select_picks", "ml_predict_preproc",
-        "domain_pagerank", "cdc_chunk_dedup",
-        "flatten_unflatten", "aggregate_spatial_window", "decontaminate",
-        "training_shards", "topk_per_group", "ml_fit_predict_rf",
-        "mask_polygon", "mask", "array_interpolate_linear",
-        "scale_values", "aggregate_spatial", "rollup_revenue",
-        "dedup_exact", "dedup_simhash", "dedup_embedding",
-        "dedup_embedding_exact", "ann_topk", "text_quality",
-        "token_count", "tfidf_top_terms", "stratified_sample",
-        "approx_aggregates", "apply_kernel", "climatology_anomaly",
-        "chunk_dedup", "ann_ivf_from_index", "ann_pq_from_index",
-        "dedup_canonical", "dedup_fuzzy", "merge_cubes",
-        "image_neardup", "ann_ivfpq", "tfidf_cosine", "containment",
-        "bigram_logprob", "bloom_decontaminate", "random_projection",
-        "bin_pack", "tpch_q5", "tpch_q18", "streaming_topk",
-        "weighted_sample",
-        "profile_table",
+        "netcdf_roundtrip", "zarr_roundtrip",
+        "raster_decode_overview", "raster_decode_jpeg",
+        "raster_decode_png", "url_dedup", "cluster_balanced_sample",
+        "pipeline_web_ingest", "skew_salted_agg", "corpus_diff",
+        "duplicated_spans", "pipeline_end_to_end", "graph_ml_pipeline",
+        "ml_predict_tiled", "ml_predict_linear", "process_graph",
+        "graph_mask_pipeline", "fit_curve", "predict_curve",
+        "dimension_ops", "resample_spatial", "quantiles_extrema",
+        "cumulative_ops", "set_ops", "tpch_q1", "tpch_q3",
+        "top_k_orders", "streaming_rollup", "streaming_sessionize",
+        "multimodal_features", "ann_lsh", "filter_bands",
+        "filter_temporal", "apply_unary", "doc_fingerprint",
+        "ann_ivfpq_from_index", "quarantine_ingest",
+        "duplicated_spans_combine", "raster_decode_cube",
+        "raster_ndvi_pipeline", "raster_roundtrip_gtiff",
+        "decontaminate_semantic", "text_language_id",
+        "reduce_dimension", "aggregate_temporal_period",
+        "ndvi_bandmath", "window_running_sum", "graph_fit_curve",
+        "graph_zonal",
+        "raster_decode_webp",
     ]
