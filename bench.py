@@ -131,8 +131,10 @@ HEADLINE = [
     "ml_predict_preproc",
     "domain_pagerank",
     "cdc_chunk_dedup",
-    # round 13 additions (VERDICT r12 #4 netCDF3-classic sink/source)
+    # round 13 additions (VERDICT r12 #4 netCDF3-classic sink/source,
+    # #7 hashed-feature quality classifier)
     "netcdf_roundtrip",
+    "quality_classifier",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Hashed-feature quality classifier (scale/classifier.py): feature
+shape/normalization, the deterministic LMS trainer, the bounded-sample
+guard, and the production logistic/MLlib trainers on separable data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openeo_processes_dask_ml_spark.scale.classifier import (
+    _lms_train_py,
+    hashed_ngram_features,
+    predict_quality,
+    train_quality_classifier,
+)
+
+
+def _docs(spark, n=60):
+    # separable synthetic corpus: "good" docs speak one vocabulary,
+    # "bad" docs another
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rows.append((i, "clean prose with careful structure " * 3, 1.0))
+        else:
+            rows.append((i, "spam junk buy now click here " * 3, 0.0))
+    return spark.createDataFrame(rows, "doc_id bigint, text string, y double")
+
+
+def test_feature_shape_and_normalization(spark):
+    df = _docs(spark, 10)
+    feats = hashed_ngram_features(df, k_buckets=16)
+    row = feats.orderBy("doc_id").first()
+    assert len(row["xs"]) == 17
+    assert row["xs"][-1] == 1.0
+    assert abs(sum(row["xs"][:-1]) - 1.0) < 1e-12  # counts / n_grams
+
+
+def test_lms_trainer_is_deterministic_and_learns(spark):
+    df = _docs(spark)
+    feats = hashed_ngram_features(df, k_buckets=16)
+    labels = df.select("doc_id", "y")
+    w1 = train_quality_classifier(feats, labels, trainer="gd",
+                                  sample_pct=100)
+    w2 = train_quality_classifier(feats, labels, trainer="gd",
+                                  sample_pct=100)
+    assert w1 == w2  # bit-identical reruns
+    pred = predict_quality(feats, w1).join(labels, "doc_id")
+    acc = pred.agg(
+        F.avg((F.col("pred") == F.col("y").cast("bigint")).cast("double"))
+    ).first()[0]
+    assert acc > 0.9  # separable vocabularies -> near-perfect
+
+
+def test_lms_fold_matches_pure_python_reference():
+    """The driver trainer IS the pinned-order fold: cross-check one
+    tiny case against an independently-written numpy batch update."""
+    import numpy as np
+
+    rows = [([0.5, 0.25, 1.0], 1.0), ([0.1, 0.9, 1.0], 0.0),
+            ([0.7, 0.2, 1.0], 1.0)]
+    w = _lms_train_py(rows, iters=3, lr=0.5)
+    X = np.array([r[0] for r in rows])
+    y = np.array([r[1] for r in rows])
+    wref = np.zeros(3)
+    for _ in range(3):
+        wref = wref - 0.5 * (X.T @ (X @ wref - y)) / len(y)
+    assert np.allclose(w, wref, rtol=0, atol=1e-12)
+
+
+def test_max_train_rows_guard(spark):
+    df = _docs(spark, 30)
+    feats = hashed_ngram_features(df, k_buckets=8)
+    labels = df.select("doc_id", "y")
+    with pytest.raises(ValueError, match="max_train_rows"):
+        train_quality_classifier(
+            feats, labels, trainer="gd", sample_pct=100, max_train_rows=10
+        )
+
+
+def test_logistic_and_mllib_trainers(spark):
+    df = _docs(spark)
+    feats = hashed_ngram_features(df, k_buckets=16)
+    labels = df.select("doc_id", "y")
+
+    wl = train_quality_classifier(feats, labels, trainer="logistic",
+                                  sample_pct=100)
+    pred = predict_quality(feats, wl).join(labels, "doc_id")
+    # logistic weights feed the same linear fold; threshold at 0.5
+    # sits mid-sigmoid, so the separable case still splits cleanly
+    acc = pred.agg(
+        F.avg((F.col("pred") == F.col("y").cast("bigint")).cast("double"))
+    ).first()[0]
+    assert acc > 0.9
+
+    model = train_quality_classifier(feats, labels, trainer="mllib")
+    out = predict_quality(feats, model).join(labels, "doc_id")
+    acc_m = out.agg(
+        F.avg((F.col("prediction") == F.col("y")).cast("double"))
+    ).first()[0]
+    assert acc_m > 0.9
+
+    with pytest.raises(ValueError, match="unknown trainer"):
+        train_quality_classifier(feats, labels, trainer="nope")

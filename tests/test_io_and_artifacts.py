@@ -49,12 +49,15 @@ def test_save_result_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 100
     assert dict(back.dtypes)["v"] == "double"
-    # raster container formats fall back to the columnar sink WITH an
-    # explicit warning when the geo stack is absent (never silently)
-    path2 = str(tmp_path / "out2")
-    with pytest.warns(UserWarning, match="geo stack"):
-        save_result(df, path2, format="netcdf")
-    assert spark.read.parquet(path2).count() == 100
+    # netcdf routes to the pure-numpy netCDF3-classic sink (r13) —
+    # a real file, no geo stack, no fallback
+    from openeo_processes_dask_ml_spark.io.netcdf3 import read_netcdf3_cube
+
+    path2 = str(tmp_path / "out2.nc")
+    save_result(df, path2, format="netcdf")
+    back2 = read_netcdf3_cube(spark, path2)
+    assert back2.count() == 100
+    assert dict(back2.dtypes)["v"] == "double"
 
 
 def test_gtiff_slice_naming_and_nan_skip():
