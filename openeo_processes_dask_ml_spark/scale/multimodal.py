@@ -162,6 +162,19 @@ _PURE_DECODERS = {
 }
 
 
+# The DOCUMENTED DEFAULT for crawl-scale ingest (VERDICT r12 #5,
+# closed r13): PIL/libjpeg leads wherever installed — JPEG entropy
+# decode is the one remaining per-core constant of the pure codecs
+# (1.1 Mpx/s vs libjpeg-turbo's ~100-300; SCALE_NOTES r13 profile:
+# 87% of decode time is the per-symbol loop whose variable-width
+# code->length dependency chain cannot be width-batched the way GIF's
+# fixed-width LZW was) — and the numpy decoders remain the
+# deterministic verification/fallback codecs. The library default
+# below stays ("pure", "pil") because the oracle gates pin the
+# deterministic path.
+CRAWL_DECODER_ORDER: tuple[str, ...] = ("pil", "pure")
+
+
 def decode_image(
     payload: bytes,
     fmt: str,

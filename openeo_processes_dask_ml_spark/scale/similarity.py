@@ -1009,19 +1009,67 @@ def _pq_codebooks(
     d_sub: int,
     train_codebooks: bool,
     sample_fraction: float,
+    trainer: str = "lloyd",
+    max_train_rows: int = 100_000,
 ) -> list:
     """Per-subspace codebooks as a python nested list [m][ks][d_sub].
 
     Seeded default: subvectors of the ``ks`` smallest ids (bounded
-    driver collect of ks rows, SQL-replicable). Trained: per-subspace
-    Lloyd k-means on a seeded sample — at real scale pass a small
-    ``sample_fraction``; PQ training needs ~100k points regardless of
-    corpus size."""
+    driver collect of ks rows, SQL-replicable). Trained, two paths
+    (VERDICT r12 #6):
+
+    - ``trainer="lloyd"``: per-subspace deterministic numpy Lloyd on a
+      seeded driver-side sample, now under the same ``max_train_rows``
+      guard as the IVF trainer (the collect was unbounded before) —
+      PQ training needs ~1e5 points regardless of corpus size, so at
+      100 TB lower ``sample_fraction`` rather than raising the cap.
+    - ``trainer="mllib"``: ``pyspark.ml.clustering.KMeans`` per
+      subspace — DISTRIBUTED and uncapped; the driver only ever sees
+      the m*ks*d_sub centroid floats. Engine-internal reduction order,
+      so not SQL-replayable (recall-tested, not value-gated)."""
     if train_codebooks:
         sample = base if sample_fraction >= 1.0 else base.sample(
             fraction=sample_fraction, seed=42
         )
-        rows = sample.orderBy("vid").collect()
+        if trainer == "mllib":
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            sliced = sample.select(
+                *[
+                    array_to_vector(
+                        F.slice(F.col("v"), j * d_sub + 1, d_sub)
+                    ).alias(f"__sub_{j}")
+                    for j in range(m)
+                ]
+            ).cache()
+            try:
+                cb = [
+                    [
+                        [float(x) for x in c]
+                        for c in KMeans(
+                            k=ks, seed=42, maxIter=20,
+                            featuresCol=f"__sub_{j}",
+                        )
+                        .fit(sliced)
+                        .clusterCenters()
+                    ]
+                    for j in range(m)
+                ]
+            finally:
+                sliced.unpersist()
+            return cb
+        if trainer != "lloyd":
+            raise ValueError(f"unknown PQ trainer {trainer!r}")
+        rows = (
+            sample.orderBy("vid").limit(max_train_rows + 1).collect()
+        )
+        if len(rows) > max_train_rows:
+            raise ValueError(
+                f"PQ training sample exceeds max_train_rows="
+                f"{max_train_rows}; lower sample_fraction or use "
+                "trainer='mllib' (distributed, uncapped)"
+            )
         X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
         return [
             _lloyd_np(X[:, j * d_sub:(j + 1) * d_sub], ks).tolist()
@@ -1139,6 +1187,8 @@ def pq_topk(
     train_codebooks: bool = False,
     sample_fraction: float = 1.0,
     rerank: int = 0,
+    codebook_trainer: str = "lloyd",
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """Product-quantization ANN (public method: Jegou, Douze, Schmid
     2011, "Product Quantization for Nearest Neighbor Search"): split
@@ -1175,7 +1225,10 @@ def pq_topk(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cb = _pq_codebooks(base, m, ks, d_sub, train_codebooks, sample_fraction)
+    cb = _pq_codebooks(
+        base, m, ks, d_sub, train_codebooks, sample_fraction,
+        trainer=codebook_trainer, max_train_rows=max_train_rows,
+    )
     encoded = _pq_encode(base, cb, m, ks, d_sub)
 
     # per-query ADC tables, computed driver-side on python floats with
@@ -1243,6 +1296,8 @@ def build_pq_index(
     dim: int = 64,
     train_codebooks: bool = False,
     sample_fraction: float = 1.0,
+    codebook_trainer: str = "lloyd",
+    max_train_rows: int = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """FAISS-style build/query split for PQ ANN: returns
     (codebooks_df, codes_df) — the persist-once index artifacts.
@@ -1260,7 +1315,10 @@ def build_pq_index(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cb = _pq_codebooks(base, m, ks, d_sub, train_codebooks, sample_fraction)
+    cb = _pq_codebooks(
+        base, m, ks, d_sub, train_codebooks, sample_fraction,
+        trainer=codebook_trainer, max_train_rows=max_train_rows,
+    )
     cb_df = df.sparkSession.createDataFrame(
         [(j, c, cb[j][c]) for j in range(m) for c in range(ks)],
         "j int, c int, w array<double>",
@@ -1517,6 +1575,8 @@ def build_ivfpq_index(
     train_quantizer: bool = False,
     train_codebooks: bool = False,
     sample_fraction: float = 1.0,
+    codebook_trainer: str = "lloyd",
+    max_train_rows: int = 100_000,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Persist-once IVF-PQ (IVFADC) artifacts:
     (seeds_df, codebooks_df, codes_df).
@@ -1537,7 +1597,10 @@ def build_ivfpq_index(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cb = _pq_codebooks(base, m, ks, d_sub, train_codebooks, sample_fraction)
+    cb = _pq_codebooks(
+        base, m, ks, d_sub, train_codebooks, sample_fraction,
+        trainer=codebook_trainer, max_train_rows=max_train_rows,
+    )
     cb_df = df.sparkSession.createDataFrame(
         [(j, c, cb[j][c]) for j in range(m) for c in range(ks)],
         "j int, c int, w array<double>",
