@@ -186,11 +186,15 @@ def write_netcdf3_cube(
     wire_dt = np.dtype(_NP_OF_NC[nc_type])
 
     spark_types = dict(df.dtypes)
-    axis_vals: dict[str, list] = {}
-    for d in dim_cols:
-        axis_vals[d] = [
-            r[0] for r in df.select(d).distinct().orderBy(d).collect()
-        ]
+    # all axes in ONE aggregation job (sort_array(collect_set) ==
+    # per-dim distinct().orderBy() for never-null axis values — the
+    # zarr-sink convention, r13)
+    axis_row = df.agg(
+        *[F.sort_array(F.collect_set(d)).alias(d) for d in dim_cols]
+    ).first()
+    axis_vals: dict[str, list] = {
+        d: list(axis_row[d]) for d in dim_cols
+    }
     shape = [len(axis_vals[d]) for d in dim_cols]
     if 0 in shape:
         raise ValueError("write_netcdf3_cube: empty cube")

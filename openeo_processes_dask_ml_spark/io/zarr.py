@@ -177,18 +177,25 @@ def write_zarr_cube(
     np_dtype = np.dtype(dtype)
     os.makedirs(out_dir, exist_ok=True)
 
-    # 1. axis coordinates: one small sorted distinct per dim (bounded
-    # by axis length, never pixels). Spark hands temporal values back
+    # 1. axis coordinates: ALL dims in ONE aggregation job
+    # (sort_array(collect_set(d)) == the old per-dim
+    # distinct().orderBy() for the never-null axis values; the r11
+    # shape ran one driver round-trip PER DIM, which dominated
+    # micro-batch latency in the streaming sink — r13). Bounded by
+    # axis lengths, never pixels. Spark hands temporal values back
     # as Python datetime/date objects — np.asarray would type those
     # axes as OBJECT and the store would silently stringify them, so
     # temporal axes are forced to datetime64[ns] explicitly.
     spark_types = dict(df.dtypes)
     axes: dict[str, np.ndarray] = {}
     axis_vals: dict[str, list] = {}
-    for d in dim_cols:
-        vals = [
-            r[0] for r in df.select(d).distinct().orderBy(d).collect()
+    axis_row = df.agg(
+        *[
+            F.sort_array(F.collect_set(d)).alias(d) for d in dim_cols
         ]
+    ).first()
+    for d in dim_cols:
+        vals = list(axis_row[d])
         axis_vals[d] = vals
         if spark_types[d].startswith("timestamp") or spark_types[d] == "date":
             axes[d] = np.array(vals, dtype="datetime64[ns]")
@@ -396,14 +403,16 @@ def append_zarr_slices(
     if not os.path.exists(meta_path):
         if dim_cols is None:
             dim_cols = [c for c in df.columns if c != value_col]
-        shape0 = df.select(dim_cols[0]).distinct().count()
-        if shape0 == 0:
+        # all axis cardinalities in ONE job (r13, micro-batch latency)
+        card = df.agg(
+            *[F.countDistinct(d).alias(d) for d in dim_cols]
+        ).first()
+        if card[dim_cols[0]] == 0:
             return None
         if chunks is None:
-            trailing = [
-                df.select(d).distinct().count() for d in dim_cols[1:]
-            ]
-            chunks = [1] + default_chunks(trailing)
+            chunks = [1] + default_chunks(
+                [card[d] for d in dim_cols[1:]]
+            )
         chunks = [1] + list(chunks[1:])
         return write_zarr_cube(
             df, path, value_col=value_col, dim_cols=dim_cols,
@@ -445,16 +454,20 @@ def append_zarr_slices(
             : a_meta["shape"][0]
         ]
 
-    # trailing axes must match the stored grid exactly
+    # axis checks: ALL dims in ONE aggregation job (the r11 shape ran
+    # one driver round-trip per dim, which dominated micro-batch
+    # latency — r13; sort_array(collect_set) == distinct().orderBy()
+    # for the never-null axis values)
     lead = dim_cols[0]
+    axis_row = df.agg(
+        *[F.sort_array(F.collect_set(d)).alias(d) for d in dim_cols]
+    ).first()
     for d in dim_cols[1:]:
-        batch_vals = [
-            r[0] for r in df.select(d).distinct().orderBy(d).collect()
-        ]
+        batch_vals = list(axis_row[d])
         want = _axis_to_python(
             stored[d], meta.get(f"{d}/.zattrs", {}).get("_SPARK_TYPE")
         )
-        if batch_vals != want:
+        if batch_vals and batch_vals != want:
             raise ValueError(
                 f"append_zarr_slices: axis {d!r} of the batch does not "
                 f"match the stored grid ({len(batch_vals)} vs "
@@ -463,9 +476,7 @@ def append_zarr_slices(
 
     lead_spark_type = meta.get(f"{lead}/.zattrs", {}).get("_SPARK_TYPE")
     stored_lead = _axis_to_python(stored[lead], lead_spark_type)
-    new_vals = [
-        r[0] for r in df.select(lead).distinct().orderBy(lead).collect()
-    ]
+    new_vals = list(axis_row[lead])
     if not new_vals:
         return None
     n0 = len(stored_lead)

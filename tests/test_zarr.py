@@ -237,6 +237,10 @@ def test_append_zarr_slices_grow_replay_and_guards(spark, tmp_path):
     bad = _slice_df(spark, 4).filter("x < 3")
     with pytest.raises(ValueError, match="stored grid"):
         append_zarr_slices(bad, out)
+    # an EMPTY micro-batch returns None per the documented contract
+    # (r13: the old per-dim axis loop raised a spurious grid mismatch
+    # on multi-dim stores before reaching the empty check)
+    assert append_zarr_slices(_slice_df(spark, 5).filter("1=0"), out) is None
 
 
 def test_stream_zarr_sink_microbatches(spark, tmp_path):
