@@ -734,6 +734,33 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_GATE_QUERIES = [
+    (0, "hash join order"),
+    (1, "fast scan filter"),
+    (2, "spark window agg"),
+    (3, "customer query table"),
+    (4, "merge batch stream vector"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (scale/text.py::bm25_topk, NEW r13): five
+    fixed query strings against the documents corpus, k=10. The one
+    transcendental (the Lucene-style idf ln) is quantized per term at
+    dround(6) in both engines before any arithmetic; tf normalization
+    is rational over exact integer tf/dl and the exact sum/count
+    avgdl; per-(query, doc) scores are fold-ordered sort_array +
+    F.aggregate sums by term (ordered list_reduce in the oracle); the
+    ranking key is the quantized floor(score*1e6+0.5) with doc_id
+    tie-breaks. Beyond-reference: the reference has no text-retrieval
+    surface; this is the text sibling of the ANN top-k queries."""
+    from openeo_processes_dask_ml_spark.scale.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_GATE_QUERIES, k=10
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.text import token_counts
 
@@ -3798,27 +3825,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     VERDICT r12 #7).
     #   slot 2: netcdf_roundtrip (NEW r13 — pure-numpy netCDF3-classic
     #     sink/source, VERDICT r12 #4).
-    #   slot 3: zarr_roundtrip (CHANGED r13 — the zarr reader grew the
-    #     compressor:null/raw decode path + filters/order guards,
-    #     VERDICT r12 #3).
+    #   slot 3: bm25_topk (NEW r13 — BM25 top-k text retrieval,
+    #     quantized idf + fold-ordered score sums, beyond-reference).
     #   slots 4-50: the FULL 47-query r10-green cohort
     #     (raster_decode_overview … graph_zonal) — 3 rounds old at
     #     r13, mandated by VERDICT r12 #1 to fill this window.
-    # Tail: the 47 remaining r11-greens (raster_decode_webp leads;
-    # they lead the r14 window), then the 50 r12-window greens
-    # (freshest last).
+    # Tail: zarr_roundtrip (CHANGED r13 — raw-store decode path,
+    # VERDICT r12 #3 — displaced by the three NEW gates + the
+    # mandatory cohort; strict-verified at HEAD this session, leads
+    # the r14 window), then the 47 remaining r11-greens, then the 50
+    # r12-window greens (freshest last).
     #
     # Changed-but-not-windowed this round (the 47-cohort mandate
-    # leaves no free slots): ml_predict_preproc (resolver call now
-    # uses the per-call enabled=True override, ADVICE r12) and
-    # streaming_zarr_ingest (reader decode refactor) — both r12/r11
-    # green AND strict-verified at HEAD via tools/driver_sim.py this
-    # session; they rotate into the r14 window with their cohorts.
+    # leaves no free slots): zarr_roundtrip + streaming_zarr_ingest
+    # (reader decode refactor + one-agg axis collection) and
+    # ml_predict_preproc (resolver call now uses the per-call
+    # enabled=True override, ADVICE r12) — all r11/r12 green AND
+    # strict-verified at HEAD via tools/driver_sim.py this session;
+    # they rotate into the r14 window with their cohorts.
     #
-    # Rotation arithmetic (standing, stated honestly): at 147 queries
-    # (145 + netcdf_roundtrip + quality_classifier) and a 50-slot
-    # window the steady-state re-verification cadence is
-    # ceil(147/50) = 3 rounds; after r13 every query's latest driver
+    # Rotation arithmetic (standing, stated honestly): at 148 queries
+    # (145 + netcdf_roundtrip + quality_classifier + bm25_topk) and a
+    # 50-slot window the steady-state re-verification cadence is
+    # ceil(148/50) = 3 rounds; after r13 every query's latest driver
     # green is <= 3 rounds old.
     return {
         # --- slot 1: quality_classifier (NEW r13 — hashed-feature LMS
@@ -3828,9 +3857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slot 2: netcdf_roundtrip (NEW r13 — the pure-numpy
         #     netCDF3-classic sink/source, VERDICT r12 #4) ---
         "netcdf_roundtrip": q_netcdf_roundtrip,
-        # --- slot 3: zarr_roundtrip (CHANGED r13 — the reader grew
-        #     the compressor:null decode path, VERDICT r12 #3) ---
-        "zarr_roundtrip": q_zarr_roundtrip,
+        # --- slot 3: bm25_topk (NEW r13 — BM25 text retrieval,
+        #     quantized-idf + fold-ordered sums) ---
+        "bm25_topk": q_bm25_topk,
         # --- slots 3-49: the full 47-query r10-green cohort — 3
         #     rounds old, MUST fill the r13 window (VERDICT r12 #1) ---
         "raster_decode_overview": q_raster_decode_overview,
@@ -3880,8 +3909,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "graph_fit_curve": q_graph_fit_curve,
         "graph_zonal": q_graph_zonal,
-        # --- tail: the 47 remaining r11-window greens (2 rounds
-        #     old; they lead the r14 window), oldest first ---
+        # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
+        #     decode path; displaced from the window by the three NEW
+        #     gates + the mandatory 47-cohort, but strict-verified at
+        #     HEAD this session and r11-green; it leads the r14
+        #     window), then the 47 remaining r11 greens oldest
+        #     first ---
+        "zarr_roundtrip": q_zarr_roundtrip,
         "raster_decode_webp": q_raster_decode_webp,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "streaming_zarr_ingest": q_streaming_zarr_ingest,
@@ -4318,6 +4352,66 @@ def _bpe_oracle(num_merges: int = 20, min_cnt: int = 2) -> str:
         for k in range(1, num_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """SQL replay of bm25_topk: same quantized-idf / rational-tf /
+    fold-ordered-sum / quantize-before-order contract, with the
+    driver-computed float constants embedded via repr() (the
+    domain_pagerank discipline — a hand-typed 2.2 need not equal
+    python's k1 + 1.0)."""
+    vals = ", ".join(
+        f"({qid}, '{qs}')" for qid, qs in BM25_GATE_QUERIES
+    )
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {vals}),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS term
+  FROM q
+), tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), post AS (
+  SELECT tok.doc_id, tok.term, count(*) AS tf
+  FROM tok JOIN (SELECT DISTINCT term FROM qt) qterms USING (term)
+  GROUP BY tok.doc_id, tok.term
+), idf AS (
+  SELECT term,
+         floor(ln((stats.n_docs - dfc + 0.5) / (dfc + 0.5) + 1.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS idf
+  FROM (SELECT term, count(*) AS dfc FROM post GROUP BY term), stats
+), contrib AS (
+  SELECT qt.query_id, post.doc_id, post.term,
+         (idf.idf * (CAST(post.tf AS DOUBLE) * {k1 + 1.0!r}))
+         / (CAST(post.tf AS DOUBLE)
+            + {k1!r} * ({1.0 - b!r}
+                        + ({b!r} * CAST(dl.dl AS DOUBLE)) / stats.avgdl))
+           AS w
+  FROM qt
+  JOIN post USING (term)
+  JOIN idf USING (term)
+  JOIN dl ON dl.doc_id = post.doc_id, stats
+), scored AS (
+  SELECT query_id, doc_id,
+         CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(w ORDER BY term)), (a, x) -> a + x)
+              * 1000000.0 + 0.5) AS BIGINT) AS qscore
+  FROM contrib GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id, qscore,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY qscore DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, qscore, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def _quality_classifier_oracle(
@@ -7567,5 +7661,6 @@ HAVING count(DISTINCT doc_id) >= 2
 """
     sql["ann_ivf_trained"] = _ann_ivf_trained_oracle()
     sql["quality_classifier"] = _quality_classifier_oracle()
+    sql["bm25_topk"] = _bm25_oracle()
 
     return sql

@@ -132,9 +132,10 @@ HEADLINE = [
     "domain_pagerank",
     "cdc_chunk_dedup",
     # round 13 additions (VERDICT r12 #4 netCDF3-classic sink/source,
-    # #7 hashed-feature quality classifier)
+    # #7 hashed-feature quality classifier, BM25 retrieval)
     "netcdf_roundtrip",
     "quality_classifier",
+    "bm25_topk",
 ]
 
 

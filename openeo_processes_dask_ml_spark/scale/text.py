@@ -1003,3 +1003,125 @@ def cdc_duplicate_chunks(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Sparck Jones; the Lucene-style
+    non-negative ``ln(1 + (N - df + .5)/(df + .5))`` idf) over a
+    document corpus for a bounded batch of query strings — the text
+    sibling of the ANN top-k surface (NEW r13).
+
+    Engine-exact value discipline: idf is the ONE transcendental and
+    is quantized per term (``dround(.., 6)``) before any arithmetic;
+    tf normalization is rational (exact given integer tf/dl and the
+    exact ``sum(dl)/n`` avgdl); per-(query, doc) scores accumulate as
+    the FOLD-ORDERED ``sort_array + F.aggregate`` sum by term (the
+    domain_pagerank idiom, bit-identical to DuckDB's ordered
+    ``list_reduce``); ranking is on the quantized
+    ``floor(score * 1e6 + .5)`` with doc_id tie-breaks
+    (quantize-before-order, r12 doctrine). Query term frequency is
+    ignored (distinct query terms — the standard short-query
+    simplification).
+
+    100 TB shape: ONE corpus explode; doc lengths are a doc-keyed
+    aggregation; postings are filtered to the query-term set by a
+    BROADCAST semi join BEFORE the (doc, term) tf aggregation, so
+    only matching-term occurrences shuffle; idf/avgdl are tiny
+    broadcast sides; the final top-k is a per-query window over one
+    row per MATCHED (query, doc) pair. For adversarially common query
+    terms (stopword queries over a crawl) pre-trim the candidate set
+    with a per-term postings cap — the WAND-family pruning — before
+    the window; this implementation scores all matches."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qt_rows = sorted(
+        {
+            (int(qid), t)
+            for qid, qs in queries
+            for t in set(qs.strip().lower().split())
+        }
+    )
+    if not qt_rows:
+        raise ValueError("bm25_topk: no query terms")
+    qt = spark.createDataFrame(qt_rows, "query_id bigint, term string")
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    post = (
+        tok.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            dround(
+                F.log(
+                    (F.col("n_docs") - F.col("dfc") + F.lit(0.5))
+                    / (F.col("dfc") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    w_term = (
+        F.col("idf") * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + (F.lit(b) * F.col("dl").cast("double")) / F.col("avgdl")
+        )
+    )
+    scored = (
+        post.join(F.broadcast(qt), "term")
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select("query_id", "doc_id", "term", w_term.alias("w"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "w"))),
+                F.lit(0.0),
+                lambda a, x: a + x["w"],
+            ).alias("score")
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(F.col("score") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("qscore"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w_rank).cast("bigint")
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -128,7 +128,7 @@ def test_driver_window_composition_pinned():
     entry = importlib.import_module("__spark_entry__")
     window = list(entry.queries().keys())[:50]
     assert window == [
-        "quality_classifier", "netcdf_roundtrip", "zarr_roundtrip",
+        "quality_classifier", "netcdf_roundtrip", "bm25_topk",
         "raster_decode_overview", "raster_decode_jpeg",
         "raster_decode_png", "url_dedup", "cluster_balanced_sample",
         "pipeline_web_ingest", "skew_salted_agg", "corpus_diff",

@@ -550,3 +550,37 @@ def test_decontaminate_fuzzy_catches_paraphrase(spark):
     ).collect()}
     assert set(out) == {1}
     assert out[1]["eval_id"] == 100 and out[1]["jaccard"] > 0.5
+
+
+def test_bm25_topk_semantics(spark):
+    """BM25 (r13): a term unique to one doc tops that query; ranks are
+    dense 1..n with non-increasing quantized scores; reruns are
+    bit-identical (the fold-ordered/quantized contract)."""
+    from openeo_processes_dask_ml_spark.scale.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "banana cherry banana durian"),
+            (3, "zebra quokka xylophone"),
+            (4, "apple apple apple apple apple apple"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = bm25_topk(docs, [(0, "zebra"), (1, "apple banana")], k=3)
+    rows = sorted(tuple(r) for r in out.collect())
+    by_q = {}
+    for qid, doc, qscore, rank in rows:
+        by_q.setdefault(qid, []).append((rank, doc, qscore))
+    # 'zebra' appears only in doc 3
+    assert [e[1] for e in sorted(by_q[0])] == [3]
+    # apple/banana match docs 1, 2, 4 — three ranked rows
+    assert [e[0] for e in sorted(by_q[1])] == [1, 2, 3]
+    scores = [e[2] for e in sorted(by_q[1])]
+    assert scores == sorted(scores, reverse=True)
+    # doc 3 shares no term with query 1
+    assert 3 not in [e[1] for e in by_q[1]]
+    rerun = sorted(tuple(r) for r in
+                   bm25_topk(docs, [(0, "zebra"), (1, "apple banana")],
+                             k=3).collect())
+    assert rerun == rows
