@@ -709,7 +709,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.dedup import tokens_expr
 
     docs = _t(spark, sf_dir, "documents")
-    feats = hashed_ngram_features(docs, k_buckets=32)
+    # checkpoint: the feature table is read three times (trainer
+    # sample collect, predict, and the join below) — without this the
+    # explode+two-agg plan re-executes each time (r13 bench fix)
+    feats = hashed_ngram_features(docs, k_buckets=32).localCheckpoint(
+        eager=False
+    )
     labels = docs.select(
         "doc_id",
         (F.size(tokens_expr(F.col("text"))) >= 40)

@@ -48,11 +48,16 @@ from openeo_processes_dask_ml_spark.scale.dedup import hash32, tokens_expr
 DEFAULT_BUCKETS = 32
 
 
-def _grams(text: Column) -> Column:
-    """Word unigrams + bigrams, duplicates kept (counts matter).
-    DuckDB twin: list_concat(toks, list_transform(range(1, len(toks)),
-    i -> toks[i] || ' ' || toks[i+1]))."""
-    toks = tokens_expr(text)
+def _grams(toks: Column) -> Column:
+    """Word unigrams + bigrams over an ALREADY-BOUND token-array
+    column, duplicates kept (counts matter). DuckDB twin:
+    list_concat(toks, list_transform(range(1, len(toks)),
+    i -> toks[i] || ' ' || toks[i+1])).
+
+    The tokens MUST be a materialized column, not the split(...)
+    expression itself: element_at(<split expr>, i) inside the bigram
+    lambda re-evaluates the split PER ELEMENT — O(tokens^2) per doc
+    (measured 9.2 s vs 1.4 s for the sf0.1 feature build, r13)."""
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat(
@@ -76,8 +81,14 @@ def hashed_ngram_features(
     """(id, xs array<double>) — xs has ``k_buckets`` + 1 entries: the
     normalized bucket counts (count_j / n_grams) plus a trailing 1.0
     bias term, so trainers and predict fold over one array."""
+    toks_df = df.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+    )
     grams = (
-        df.select(F.col(id_col), F.explode(_grams(F.col(text_col))).alias("g"))
+        toks_df.select(
+            F.col(id_col),
+            F.explode(_grams(F.col("__toks"))).alias("g"),
+        )
         .withColumn("bkt", F.pmod(hash32(F.col("g")), F.lit(k_buckets)))
     )
     counts = grams.groupBy(id_col, "bkt").agg(
