@@ -2783,6 +2783,374 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): supplier and
+    customer are each pre-filtered to the two target nations via a
+    broadcast of the 25-row nation dim BEFORE touching the fact
+    tables — at 100 TB that prunes both join inputs ~12x ahead of the
+    lineitem/orders shuffle (the selective-dim-first plan). The
+    cross-pair disjunction then runs on the already-tiny tagged rows.
+    2-year shipdate band pushed to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    nations = ("NATION_1", "NATION_2")
+    ndim = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    supp2 = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(ndim), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust2 = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(ndim), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == nations[0])
+        & (F.col("cust_nation") == nations[1])
+    ) | (
+        (F.col("supp_nation") == nations[1])
+        & (F.col("cust_nation") == nations[0])
+    )
+    return (
+        li.join(supp2, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust2, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_5-supplier share of
+    PROMO-part volume sold to ASIA customers, per order year. The
+    part filter broadcasts into lineitem FIRST (the most selective
+    reduction, ~1/6 of the fact), the ASIA customer set is pruned via
+    the broadcast region->nation chain, and the supplier nation tag
+    is a second broadcast of the same 25-row dim. Share ratio
+    quantized at 1e-6 (dround 6) — the two engines' sum orders differ
+    by ~1e-12 relative, absorbed."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp2 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp2, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dround(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): one-quarter order window
+    pushed to the orders scan, returnflag filter pushed to lineitem,
+    customer attributes attached AFTER the per-customer revenue
+    aggregation (probe side stays one-row-per-customer), nation
+    broadcast. Deterministic top-20 by (rounded revenue desc,
+    custkey) — both engines sort the identically-quantized value."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            dround("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority classes). The testdata
+    schema carries no l_commitdate/l_receiptdate/l_shipmode (see
+    TESTDATA.md), so the late predicate is adapted honestly:
+    "shipped >= 90 days after the order date", grouped by
+    l_linestatus in place of l_shipmode — the join + conditional
+    two-way count shape of the original is intact. Ship-year band
+    pushed to the lineitem scan; the late predicate is a pure
+    codegen timestamp comparison evaluated at the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT join with
+    the order filter INSIDE the join condition (customers with zero
+    qualifying orders must survive — the o_comment-filter shape of
+    the original, adapted to o_orderpriority since the slim schema
+    has no comment column), then the two-level count-of-counts
+    aggregation. Both aggregations are map-side combinable; the
+    second input is one row per customer."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): per-supplier revenue over one
+    quarter (map-side combinable agg straight off the pruned lineitem
+    scan), the global max reduced to a 1-row broadcast, equality join
+    back — no global sort, no window over a single partition. The
+    revenue is quantized (dround 2) BEFORE the max/equality so the
+    max-tie semantics are engine-identical."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the 7-part
+    brand+type filter broadcasts into lineitem (p_container doesn't
+    exist in the slim schema; p_type stands in), the per-part 20%-avg
+    threshold is a self-aggregation joined back on partkey. Safe as
+    an exact gate because l_quantity is integer-valued (verified in
+    testdata): the avg is an exact-integer-sum / count, bit-identical
+    in both engines, so the `<` comparison can never flip."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(lim), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting). The slim
+    schema has no l_commitdate/l_receiptdate, so "waiting" is adapted
+    honestly to ship-lateness: for F-status multi-supplier orders,
+    blame the unique supplier whose latest lineitem shipdate is
+    strictly the order's latest (exists-other-supplier AND
+    not-exists-equally-late-other — the original's double-EXISTS
+    anti-join shape). Expressed as ONE ordered window pass over the
+    per-(order,supplier) pre-aggregation: row_number + lead + framed
+    count share a single (partition, order) spec, so the physical
+    plan carries exactly one Window node over one shuffle — "unique
+    latest" is rank 1 with the lead strictly smaller. Timestamp
+    comparisons are exact, no quantization anywhere. The nation
+    filter applies only to the blamed supplier, AFTER blame is
+    computed over ALL suppliers of the order (as in the original).
+    The SQL oracle deliberately uses the two-window max/count
+    formulation — two independent spellings of the semantics."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_4"
+    )
+    sup_ship = (
+        li.join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_max"))
+    )
+    wo = Window.partitionBy("l_orderkey").orderBy(
+        F.col("s_max").desc(), "l_suppkey"
+    )
+    wf = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    blamed = (
+        sup_ship.withColumn("rn", F.row_number().over(wo))
+        .withColumn("nxt", F.lead("s_max").over(wo))
+        .withColumn("n_sup", F.count(F.lit(1)).over(wf))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("n_sup") > 1)
+            & (F.col("nxt") < F.col("s_max"))
+        )
+    )
+    return (
+        blamed.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): country code is
+    c_nationkey % 5 (the slim schema has no c_phone to take a prefix
+    of), the above-average-balance threshold, and the no-orders anti
+    join. The avg comparison is made EXACT by working in integer
+    cents (c_acctbal is 2-decimal by construction, verified):
+    `cents * n > total_cents` is pure int64 arithmetic, bit-identical
+    in both engines — no float-boundary flake class at all (the r12
+    dsir lesson applied at design time). The 1-row threshold
+    broadcast-crosses into the customer scan; orders anti-joins on
+    custkey. "No orders" is adapted to "no orders since 1999-01-01"
+    (the synthetic orders table covers nearly every customer, so the
+    literal predicate selects zero rows — a trivially-empty gate; the
+    dated variant keeps the anti join doing real work)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    cc = (F.col("c_nationkey") % 5).cast("int")
+    cust0 = cust.filter(cc.isin(0, 1, 3)).select(
+        "c_custkey",
+        "c_acctbal",
+        cc.alias("cntrycode"),
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    thr = cust0.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum("cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        cust0.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") * F.col("n") > F.col("total_cents"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL dimensionality reduction 64 -> 4 with the deterministic
     md5-sign matrix (Achlioptas ±1 projection): pure projection over
@@ -3914,6 +4282,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "graph_fit_curve": q_graph_fit_curve,
         "graph_zonal": q_graph_zonal,
+        # --- NEW r13, added AFTER the 50-slot window was sealed (the
+        #     mandated 47-cohort leaves no free slots — VERDICT r12
+        #     #1): nine TPC-H queries widening the §2.9 relational
+        #     surface (q12/q21/q22 are honest shape adaptations to the
+        #     slim schema — no commitdate/receiptdate/phone columns;
+        #     see docstrings). Strict-verified at HEAD via
+        #     tools/driver_sim.py --strict this session; they lead the
+        #     r14 window together with zarr_roundtrip. ---
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
         #     decode path; displaced from the window by the three NEW
         #     gates + the mandatory 47-cohort, but strict-verified at
@@ -6971,6 +7356,177 @@ FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey LIMIT 20
+"""
+
+    sql["tpch_q7"] = """
+SELECT supp_nation, cust_nation, l_year,
+       floor(sum(volume) * 100.0 + 0.5) / 100.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY 1, 2, 3
+"""
+
+    sql["tpch_q8"] = """
+SELECT o_year,
+       floor((sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                       ELSE 0.0 END) / sum(volume)) * 1000000.0 + 0.5)
+         / 1000000.0 AS mkt_share
+FROM (
+  SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY 1
+"""
+
+    sql["tpch_q10"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+           / 100.0 AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, revenue,
+       floor(c_acctbal * 100.0 + 0.5) / 100.0 AS c_acctbal, n_name
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+    sql["tpch_q12"] = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+    sql["tpch_q13"] = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+    sql["tpch_q15"] = """
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+           / 100.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+"""
+
+    sql["tpch_q17"] = """
+SELECT floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13' AND p_type = 'ECONOMY'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+    sql["tpch_q21"] = """
+WITH sup_ship AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+), w1 AS (
+  SELECT l_suppkey, s_max,
+         max(s_max) OVER (PARTITION BY l_orderkey) AS o_max,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_sup,
+         l_orderkey
+  FROM sup_ship
+), w2 AS (
+  SELECT *,
+         sum(CASE WHEN s_max = o_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS n_at_max
+  FROM w1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM w2
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_max = o_max AND n_sup > 1 AND n_at_max = 1
+  AND n_name = 'NATION_4'
+GROUP BY 1
+ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+    sql["tpch_q22"] = """
+WITH cust0 AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(c_nationkey % 5 AS INT) AS cntrycode,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM customer
+  WHERE c_nationkey % 5 IN (0, 1, 3)
+), thr AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cust0 WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS totacctbal
+FROM cust0, thr
+WHERE cents * n > total_cents
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = cust0.c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY 1
 """
 
     sql["streaming_topk"] = """

@@ -136,6 +136,18 @@ HEADLINE = [
     "netcdf_roundtrip",
     "quality_classifier",
     "bm25_topk",
+    # round 13 second batch: the nine remaining TPC-H(-shape) queries
+    # expressible on the slim schema (q2/q9/q11/q16/q20 need partsupp,
+    # which the testdata doesn't carry)
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 

@@ -452,3 +452,63 @@ def test_zarr_sink_ordinal_joins_broadcast(spark, tmp_path):
         if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
     ]
     assert len(shuffles) == 1, shuffles
+
+
+def test_tpch_q7_filters_nations_before_facts(spark):
+    """Q7 must prune supplier/customer to the two target nations via
+    broadcast BEFORE the fact joins: every nation join is a
+    BroadcastHashJoin and the pair disjunction never forces a
+    cartesian."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_tpch_q7(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # shipdate band pushed into the lineitem scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].splitlines()[0]
+
+
+def test_tpch_q8_broadcasts_part_filter(spark):
+    """Q8's PROMO part filter (the most selective reduction) must
+    reach lineitem as a broadcast join, not a shuffle."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_tpch_q8(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_tpch_q10_aggregates_before_customer_join(spark):
+    """Q10 must pre-aggregate revenue per customer BEFORE attaching
+    customer attributes: the per-custkey HashAggregate sits below the
+    customer join."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_tpch_q10(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # top-20 without global sort
+
+
+def test_tpch_q22_anti_join_and_one_row_broadcast(spark):
+    """Q22's no-recent-orders predicate must be a LeftAnti hash join
+    and the threshold a broadcast (1-row) nested loop, never a
+    shuffled cartesian."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_tpch_q22(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_single_window_pass(spark):
+    """Q21's blame computation is ONE window pass over the per-(order,
+    supplier) pre-aggregation — the three window columns share a
+    partitioning, so exactly one Window node (no re-shuffle per
+    column)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_tpch_q21(spark, SF_DIR))
+    assert plan.count("Window") == 1
+    assert "TakeOrderedAndProject" in plan
