@@ -3846,6 +3846,45 @@ def q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WARC (Common Crawl layout) sink + source under one
+    gate (io/warc.py, NEW r13, beyond-reference): every document
+    becomes an HTTP response record, partitions stream into 4
+    member-per-record gzip shards executor-side, then the shards
+    re-read one-file-per-task through binaryFile + mapInPandas and
+    every payload is fingerprinted. The oracle replays doc_id, status,
+    byte length and md5 straight off the documents table — a mismatch
+    means record framing, gzip member layout, HTTP head split, or
+    binary payload transport corrupted bytes in write -> read. The
+    reader is independently verified against hand-built ISO 28500
+    spec bytes in tests/test_warc.py."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.warc import (
+        load_warc,
+        write_warc_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(
+            F.lit("https://crawl.example/doc/"), F.col("doc_id")
+        ).alias("uri"),
+        F.col("text").alias("body"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_ingest_")
+    write_warc_shards(src, out, n_shards=4)
+    back = load_warc(spark, out + "/*.warc.gz")
+    return back.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("http_status").alias("status"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def q_streaming_zarr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming -> distributed zarr sink -> distributed
     zarr source, one gate (io/zarr.py stream_zarr_sink, NEW r11):
@@ -4299,6 +4338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        # --- NEW r13, same post-window placement: distributed WARC
+        #     (Common Crawl layout) sink + source roundtrip gate,
+        #     beyond-reference crawl ingest (io/warc.py) ---
+        "warc_ingest": q_warc_ingest,
         # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
         #     decode path; displaced from the window by the three NEW
         #     gates + the mandatory 47-cohort, but strict-verified at
@@ -8004,6 +8047,17 @@ SELECT make_date(2024, 1, 1 + i) AS day,
        CAST(x AS DOUBLE) AS x,
        CAST(val AS DOUBLE) AS value
 FROM cells WHERE val % 17 != 3
+"""
+
+    # WARC roundtrip (r13): the corpus goes through the distributed
+    # member-per-record gzip sink and back through the one-file-per-
+    # task source; byte length + md5 fingerprint every payload. md5
+    # over the UTF-8 bytes agrees between engines (verified).
+    sql["warc_ingest"] = """
+SELECT doc_id, CAST(200 AS INT) AS status,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
 """
 
     # MJPEG-AVI frame-sampled decode (r11): each kept frame is a

@@ -148,6 +148,9 @@ HEADLINE = [
     "tpch_q17",
     "tpch_q21",
     "tpch_q22",
+    # round 13 second batch: distributed WARC (Common Crawl layout)
+    # sink + source roundtrip
+    "warc_ingest",
 ]
 
 
