@@ -3874,7 +3874,7 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tempfile.mkdtemp(prefix="warc_ingest_")
     write_warc_shards(src, out, n_shards=4)
-    back = load_warc(spark, out + "/*.warc.gz")
+    back = load_warc(spark, out)
     return back.filter(F.col("warc_type") == "response").select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
         .cast("bigint")
@@ -3882,6 +3882,58 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("http_status").alias("status"),
         F.length("payload").cast("bigint").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
+    )
+
+
+def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl ingest: documents wrapped in an HTML template
+    become WARC response records (io/warc.py distributed sink), the
+    shards re-read one-per-task, payloads decode to strings, and
+    html_text_extract (scale/web.py) runs title + script/style-strip +
+    tag-flatten + token count ENTIRELY in whole-stage codegen — zero
+    Python in the extraction path, so at 100 TB the text extraction
+    runs at scan speed behind the per-file gzip decode. The oracle
+    replays the template construction and the identical RE2-safe
+    regexes in DuckDB. keep = n_tokens >= 5 (the downstream
+    quality-gate hook)."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.warc import (
+        load_warc,
+        write_warc_shards,
+    )
+    from openeo_processes_dask_ml_spark.scale.web import html_text_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(
+            F.lit("https://crawl.example/doc/"), F.col("doc_id")
+        ).alias("uri"),
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id"),
+            F.lit("</title><script>var x=1;</script></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("body"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_html_")
+    write_warc_shards(src, out, n_shards=4, http_content_type="text/html")
+    back = load_warc(spark, out).filter(
+        F.col("warc_type") == "response"
+    )
+    pages = back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.decode(F.col("payload"), "UTF-8").alias("html"),
+    )
+    ex = html_text_extract(pages, "html", carry=("doc_id",))
+    return ex.select(
+        "doc_id",
+        "title",
+        "n_tokens",
+        (F.col("n_tokens") >= 5).alias("keep"),
     )
 
 
@@ -4256,11 +4308,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict-verified at HEAD via tools/driver_sim.py this session;
     # they rotate into the r14 window with their cohorts.
     #
-    # Rotation arithmetic (standing, stated honestly): at 148 queries
-    # (145 + netcdf_roundtrip + quality_classifier + bm25_topk) and a
+    # Rotation arithmetic (standing, stated honestly): at 159 queries
+    # (145 + netcdf_roundtrip + quality_classifier + bm25_topk + the
+    # nine-TPC-H batch + warc_ingest + warc_html_pipeline) and a
     # 50-slot window the steady-state re-verification cadence is
-    # ceil(148/50) = 3 rounds; after r13 every query's latest driver
-    # green is <= 3 rounds old.
+    # ceil(159/50) = 4 rounds. After r13 every query's latest driver
+    # green is <= 3 rounds old (the 11 post-window r13 additions have
+    # no driver green yet — they are NEW, strict-verified at HEAD via
+    # tools/driver_sim.py, and lead the r14 window).
     return {
         # --- slot 1: quality_classifier (NEW r13 — hashed-feature LMS
         #     quality classifier with a full unrolled-CTE training
@@ -4342,6 +4397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     (Common Crawl layout) sink + source roundtrip gate,
         #     beyond-reference crawl ingest (io/warc.py) ---
         "warc_ingest": q_warc_ingest,
+        "warc_html_pipeline": q_warc_html_pipeline,
         # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
         #     decode path; displaced from the window by the three NEW
         #     gates + the mandatory 47-cohort, but strict-verified at
@@ -8058,6 +8114,35 @@ SELECT doc_id, CAST(200 AS INT) AS status,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS payload_md5
 FROM documents
+"""
+
+    # WARC -> HTML -> text pipeline (r13): the oracle rebuilds the
+    # exact HTML template and replays the RE2-safe extraction regexes
+    # (scale/web.py _TITLE_RE/_SCRIPT_RE/_TAG_RE/_WS_RE) verbatim —
+    # DuckDB regexp_replace needs the explicit 'g' flag where Spark
+    # replaces globally by default.
+    sql["warc_html_pipeline"] = r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id ||
+         '</title><script>var x=1;</script></head><body><p>' || text ||
+         '</p></body></html>' AS h
+  FROM documents
+), ex AS (
+  SELECT doc_id,
+         regexp_extract(h, '<title>([^<]*)</title>', 1) AS title,
+         trim(regexp_replace(regexp_replace(regexp_replace(h,
+           '<(script|style)[^>]*>[^<]*(<[^/][^<]*)*</(script|style)>',
+           ' ', 'g'), '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS body
+  FROM page
+)
+SELECT doc_id, title,
+       CASE WHEN body = '' THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(string_split(body, ' ')) AS BIGINT)
+       END AS n_tokens,
+       CASE WHEN body = '' THEN 0
+            ELSE len(string_split(body, ' ')) END >= 5 AS keep
+FROM ex
 """
 
     # MJPEG-AVI frame-sampled decode (r11): each kept frame is a

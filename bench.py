@@ -149,8 +149,9 @@ HEADLINE = [
     "tpch_q21",
     "tpch_q22",
     # round 13 second batch: distributed WARC (Common Crawl layout)
-    # sink + source roundtrip
+    # sink + source roundtrip, and the end-to-end crawl HTML pipeline
     "warc_ingest",
+    "warc_html_pipeline",
 ]
 
 

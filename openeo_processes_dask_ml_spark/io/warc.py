@@ -144,13 +144,20 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
 
 
 def load_warc(
-    spark: SparkSession, path: str, batch_records: int = 1024
+    spark: SparkSession,
+    path: str,
+    batch_records: int = 1024,
+    glob: str = "*.warc.gz",
 ) -> DataFrame:
     """Distributed WARC source: one shard per task via binaryFile,
-    records streamed out in bounded Arrow batches."""
-    files = spark.read.format("binaryFile").load(path).select(
-        "path", "content"
-    )
+    records streamed out in bounded Arrow batches. ``path`` is a
+    directory matched against ``glob`` (a pathGlobFilter, quieter
+    than a wildcard path), or any exact/wildcard path with
+    ``glob=None``."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [

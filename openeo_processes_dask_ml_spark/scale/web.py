@@ -231,3 +231,47 @@ def domain_pagerank(
             "pos",
         )
     )
+
+
+# RE2-safe (and Java-regex-identical) HTML pieces, mirrored verbatim
+# by the DuckDB oracle. Deliberately the simple crawl-extraction
+# subset: tags stripped, entities NOT decoded (a decode table is a
+# dictionary join, orthogonal to the shape), scripts/styles removed
+# whole before the generic tag strip.
+_TITLE_RE = "<title>([^<]*)</title>"
+_SCRIPT_RE = "<(script|style)[^>]*>[^<]*(<[^/][^<]*)*</(script|style)>"
+_TAG_RE = "<[^>]+>"
+_WS_RE = r"\s+"
+
+
+def html_text_extract(
+    df: DataFrame, html_col: str = "html", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Crawl-style HTML -> text extraction, entirely JVM-side
+    (regexp_extract / regexp_replace — whole-stage codegen, no UDFs,
+    so it runs at scan speed over 100 TB of payloads): title from the
+    <title> element, body text with script/style blocks dropped
+    whole, all tags flattened to spaces, whitespace normalized. The
+    regex subset is RE2-safe so the SQL oracle replays it verbatim.
+
+    Returns ``carry`` columns + title, text, n_tokens (whitespace
+    tokens of the extracted text — the corpus-side token_count
+    semantics)."""
+    html = F.col(html_col)
+    no_scripts = F.regexp_replace(html, _SCRIPT_RE, " ")
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(no_scripts, _TAG_RE, " "), _WS_RE, " "
+        )
+    )
+    out = df.select(
+        *carry,
+        F.regexp_extract(html, _TITLE_RE, 1).alias("title"),
+        text.alias("text"),
+    )
+    return out.withColumn(
+        "n_tokens",
+        F.when(F.col("text") == "", F.lit(0)).otherwise(
+            F.size(F.split(F.col("text"), " "))
+        ).cast("bigint"),
+    )

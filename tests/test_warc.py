@@ -147,7 +147,7 @@ def test_distributed_roundtrip(spark, tmp_path):
     assert sum(r["n_records"] for r in rows) == 40
     assert all(r["shard"].endswith(".warc.gz") for r in rows)
 
-    back = load_warc(spark, out + "/*.warc.gz")
+    back = load_warc(spark, out)
     got = {
         r["target_uri"]: r
         for r in back.filter(F.col("warc_type") == "response").collect()
