@@ -3937,6 +3937,35 @@ def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe global ordinal (scale/pipeline.global_sorted_index):
+    the deterministic total order (lang, n_chars desc, doc_id) gets a
+    dense 0-based rank WITHOUT a single-partition window — range
+    repartition, per-partition counts to the driver (one int each),
+    broadcast offsets, partition-local row_number. The oracle is the
+    naive single-partition ``row_number() OVER (ORDER BY ...)``,
+    which DuckDB can afford at sf0.01 — the two must agree exactly
+    because the composite key is unique. shard = rank // 64: the
+    exact-size shard export this primitive exists for."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        global_sorted_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = global_sorted_index(
+        docs,
+        ["lang", F.col("n_chars").desc(), "doc_id"],
+        n_partitions=16,
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "rank",
+        F.floor(F.col("rank") / 64).cast("int").alias("shard"),
+    )
+
+
 def q_streaming_zarr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming -> distributed zarr sink -> distributed
     zarr source, one gate (io/zarr.py stream_zarr_sink, NEW r11):
@@ -4308,12 +4337,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict-verified at HEAD via tools/driver_sim.py this session;
     # they rotate into the r14 window with their cohorts.
     #
-    # Rotation arithmetic (standing, stated honestly): at 159 queries
+    # Rotation arithmetic (standing, stated honestly): at 160 queries
     # (145 + netcdf_roundtrip + quality_classifier + bm25_topk + the
-    # nine-TPC-H batch + warc_ingest + warc_html_pipeline) and a
-    # 50-slot window the steady-state re-verification cadence is
-    # ceil(159/50) = 4 rounds. After r13 every query's latest driver
-    # green is <= 3 rounds old (the 11 post-window r13 additions have
+    # nine-TPC-H batch + warc_ingest + warc_html_pipeline +
+    # global_sort_index) and a 50-slot window the steady-state
+    # re-verification cadence is ceil(160/50) = 4 rounds. After r13
+    # every query's latest driver green is <= 3 rounds old (the 12
+    # post-window r13 additions have
     # no driver green yet — they are NEW, strict-verified at HEAD via
     # tools/driver_sim.py, and lead the r14 window).
     return {
@@ -4398,6 +4428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     beyond-reference crawl ingest (io/warc.py) ---
         "warc_ingest": q_warc_ingest,
         "warc_html_pipeline": q_warc_html_pipeline,
+        # --- NEW r13, same post-window placement: scale-safe global
+        #     ordinal (the distributed row_number() OVER (ORDER BY)) ---
+        "global_sort_index": q_global_sort_index,
         # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
         #     decode path; displaced from the window by the three NEW
         #     gates + the mandatory 47-cohort, but strict-verified at
@@ -8143,6 +8176,20 @@ SELECT doc_id, title,
        CASE WHEN body = '' THEN 0
             ELSE len(string_split(body, ' ')) END >= 5 AS keep
 FROM ex
+"""
+
+    # Global sorted index (r13): the oracle is the naive single-
+    # partition window, affordable in DuckDB at sf0.01; ranks must
+    # agree exactly because the composite sort key is unique.
+    sql["global_sort_index"] = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(row_number() OVER (ORDER BY lang, n_chars DESC, doc_id)
+              - 1 AS BIGINT) AS rank
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, rank, CAST(rank // 64 AS INT) AS shard
+FROM r
 """
 
     # MJPEG-AVI frame-sampled decode (r11): each kept frame is a

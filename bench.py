@@ -152,6 +152,8 @@ HEADLINE = [
     # sink + source roundtrip, and the end-to-end crawl HTML pipeline
     "warc_ingest",
     "warc_html_pipeline",
+    # round 13 second batch: scale-safe global ordinal
+    "global_sort_index",
 ]
 
 

@@ -888,3 +888,66 @@ def dsir_doc_grams(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_grams"))
     )
+
+
+def global_sorted_index(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic 0-based GLOBAL ordinal under a total order,
+    without ever funnelling the data through one partition — the
+    scale-safe spelling of ``row_number() OVER (ORDER BY ...)``
+    (whose naive plan is a single-partition window: the one shape
+    that cannot survive 100 TB).
+
+    Plan: repartitionByRange on the sort key (one balanced shuffle,
+    boundaries from Spark's reservoir sample), count rows per
+    physical partition (the only driver traffic — one int per
+    partition), turn the counts into cumulative offsets broadcast
+    back as a literal map, then row_number within each partition
+    plus its offset. Two fact shuffles total (range + the window's
+    hash-on-pid), both balanced by construction.
+
+    The composite key MUST be a total order (unique per row — add an
+    id tiebreak); the rank is then independent of the sampled range
+    boundaries, because ties can never straddle a boundary
+    ambiguously. Used for curriculum ordering, reproducible corpus
+    layout, and exact-size shard export.
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # tiny: one (pid, count) row per partition reaches the driver
+    counts = dict(
+        (r["__pid"], r["cnt"])
+        for r in with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[
+                F.lit(v)
+                for kv in sorted(offsets.items())
+                for v in kv
+            ]
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        with_pid.withColumn(
+            rank_col,
+            (F.row_number().over(w) - 1 + off_expr).cast("bigint"),
+        )
+        .drop("__pid")
+    )

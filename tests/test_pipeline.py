@@ -227,3 +227,26 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert sorted(r["rank"] for r in out) == list(range(1, 11))
     again = dsir_select(raw, target, k=10, n_buckets=256).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_global_sorted_index_matches_naive_window(spark):
+    """Dense 0-based, equal to the single-partition row_number ground
+    truth, independent of partition count."""
+    from pyspark.sql import Window
+
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        global_sorted_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keys = ["lang", F.col("n_chars").desc(), "doc_id"]
+    gt = {
+        r["doc_id"]: r["rk"] - 1
+        for r in docs.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*keys))
+        ).collect()
+    }
+    for n_parts in (3, 16):
+        got = global_sorted_index(docs, keys, n_partitions=n_parts).collect()
+        assert len(got) == len(gt)
+        assert all(gt[r["doc_id"]] == r["rank"] for r in got)

@@ -512,3 +512,17 @@ def test_tpch_q21_single_window_pass(spark):
     plan = _plan(entry.q_tpch_q21(spark, SF_DIR))
     assert plan.count("Window") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_global_sort_index_never_single_partition(spark):
+    """The global ordinal must come from rangepartitioning + a
+    pid-partitioned window — NEVER the naive single-partition window
+    (Exchange SinglePartition feeding a Window would funnel 100 TB
+    through one task)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_global_sort_index(spark, SF_DIR))
+    assert "rangepartitioning" in plan
+    win = plan.find("Window")
+    assert win > -1
+    assert "SinglePartition" not in plan[:win]  # no global funnel above
