@@ -3937,6 +3937,53 @@ def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of warc_ingest (io/warc.py stream_warc): the 4
+    shards arrive as a file stream with maxFilesPerTrigger=2 — two
+    micro-batches of per-shard parse + fingerprint appended to a
+    memory sink. Stateless projection, so append mode; the oracle is
+    the same documents-table replay as the batch gate — streaming
+    arrival must never change bytes."""
+    import tempfile
+    import uuid as _uuid
+
+    from openeo_processes_dask_ml_spark.io.warc import (
+        stream_warc,
+        write_warc_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(
+            F.lit("https://crawl.example/doc/"), F.col("doc_id")
+        ).alias("uri"),
+        F.col("text").alias("body"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_stream_")
+    write_warc_shards(src, out, n_shards=4)
+    recs = stream_warc(spark, out, max_files_per_trigger=2).filter(
+        F.col("warc_type") == "response"
+    )
+    fp = recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("http_status").alias("status"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+    table = f"warc_stream_{_uuid.uuid4().hex[:8]}"
+    query = (
+        fp.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table)
+
+
 def q_global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe global ordinal (scale/pipeline.global_sorted_index):
     the deterministic total order (lang, n_chars desc, doc_id) gets a
@@ -4337,13 +4384,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict-verified at HEAD via tools/driver_sim.py this session;
     # they rotate into the r14 window with their cohorts.
     #
-    # Rotation arithmetic (standing, stated honestly): at 160 queries
+    # Rotation arithmetic (standing, stated honestly): at 161 queries
     # (145 + netcdf_roundtrip + quality_classifier + bm25_topk + the
     # nine-TPC-H batch + warc_ingest + warc_html_pipeline +
-    # global_sort_index) and a 50-slot window the steady-state
-    # re-verification cadence is ceil(160/50) = 4 rounds. After r13
-    # every query's latest driver green is <= 3 rounds old (the 12
-    # post-window r13 additions have
+    # global_sort_index + streaming_warc_ingest) and a 50-slot
+    # window the steady-state re-verification cadence is
+    # ceil(161/50) = 4 rounds. After r13 every query's latest driver
+    # green is <= 3 rounds old (the 13 post-window r13 additions have
     # no driver green yet — they are NEW, strict-verified at HEAD via
     # tools/driver_sim.py, and lead the r14 window).
     return {
@@ -4431,6 +4478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r13, same post-window placement: scale-safe global
         #     ordinal (the distributed row_number() OVER (ORDER BY)) ---
         "global_sort_index": q_global_sort_index,
+        # --- NEW r13, same post-window placement: streaming twin of
+        #     the WARC source (micro-batched shard arrival) ---
+        "streaming_warc_ingest": q_streaming_warc_ingest,
         # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
         #     decode path; displaced from the window by the three NEW
         #     gates + the mandatory 47-cohort, but strict-verified at
@@ -8177,6 +8227,10 @@ SELECT doc_id, title,
             ELSE len(string_split(body, ' ')) END >= 5 AS keep
 FROM ex
 """
+
+    # Streaming WARC twin (r13): same documents replay as the batch
+    # gate — micro-batched arrival must never change bytes.
+    sql["streaming_warc_ingest"] = sql["warc_ingest"]
 
     # Global sorted index (r13): the oracle is the naive single-
     # partition window, affordable in DuckDB at sf0.01; ranks must

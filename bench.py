@@ -152,8 +152,10 @@ HEADLINE = [
     # sink + source roundtrip, and the end-to-end crawl HTML pipeline
     "warc_ingest",
     "warc_html_pipeline",
-    # round 13 second batch: scale-safe global ordinal
+    # round 13 second batch: scale-safe global ordinal + streaming
+    # WARC twin
     "global_sort_index",
+    "streaming_warc_ingest",
 ]
 
 

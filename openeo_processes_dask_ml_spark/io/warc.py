@@ -143,6 +143,37 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
             }
 
 
+def _records_gen(batch_records: int):
+    """mapInPandas generator factory shared by the batch and streaming
+    sources: (path, content) file rows -> bounded record batches."""
+    cols = [
+        "shard",
+        "warc_type",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        "content_type",
+        "http_status",
+        "http_content_type",
+        "payload",
+    ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for shard, content in zip(pdf["path"], pdf["content"]):
+                buf: list[dict] = []
+                for rec in parse_warc_records(bytes(content)):
+                    rec["shard"] = shard
+                    buf.append(rec)
+                    if len(buf) >= batch_records:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=cols)
+
+    return gen
+
+
 def load_warc(
     spark: SparkSession,
     path: str,
@@ -158,32 +189,9 @@ def load_warc(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path).select("path", "content")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
-            "shard",
-            "warc_type",
-            "record_id",
-            "target_uri",
-            "warc_date",
-            "content_type",
-            "http_status",
-            "http_content_type",
-            "payload",
-        ]
-        for pdf in batches:
-            for shard, content in zip(pdf["path"], pdf["content"]):
-                buf: list[dict] = []
-                for rec in parse_warc_records(bytes(content)):
-                    rec["shard"] = shard
-                    buf.append(rec)
-                    if len(buf) >= batch_records:
-                        yield pd.DataFrame(buf, columns=cols)
-                        buf = []
-                if buf:
-                    yield pd.DataFrame(buf, columns=cols)
-
-    return files.mapInPandas(gen, schema=WARC_ROW_SCHEMA)
+    return files.mapInPandas(
+        _records_gen(batch_records), schema=WARC_ROW_SCHEMA
+    )
 
 
 def build_record(
@@ -306,3 +314,29 @@ def read_warc_file(path: str) -> list[dict]:
     """Driver-side convenience (tests): parse one shard from disk."""
     with open(path, "rb") as fh:
         return list(parse_warc_records(fh.read()))
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    batch_records: int = 1024,
+    glob: str = "*.warc.gz",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WARC source: shards arriving in a directory become
+    micro-batches (the live-crawl ingest shape — Common Crawl drops
+    finished shards into a prefix; maxFilesPerTrigger bounds batch
+    size). Identical record schema and parse path as ``load_warc``,
+    so batch and streaming plans share every downstream operator."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, "
+        "content binary"
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _records_gen(batch_records), schema=WARC_ROW_SCHEMA
+    )

@@ -174,3 +174,41 @@ def test_sink_skips_empty_partitions(spark, tmp_path):
     import os
 
     assert len(os.listdir(out)) == 2  # no zero-record files on disk
+
+
+def test_stream_warc_matches_batch(spark, tmp_path):
+    """Micro-batched shard arrival (2 files per trigger) must surface
+    the identical record set as the batch source."""
+    import uuid
+
+    from openeo_processes_dask_ml_spark.io.warc import stream_warc
+
+    src = spark.range(30).select(
+        F.concat(F.lit("https://s/"), F.col("id")).alias("uri"),
+        F.concat(F.lit("b"), F.col("id")).alias("body"),
+    )
+    out = str(tmp_path / "stream_shards")
+    write_warc_shards(src, out, n_shards=4)
+    table = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_warc(spark, out, max_files_per_trigger=2)
+        .filter(F.col("warc_type") == "response")
+        .select("target_uri", "payload")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["target_uri"]: bytes(r["payload"])
+        for r in spark.table(table).collect()
+    }
+    want = {
+        r["target_uri"]: bytes(r["payload"])
+        for r in load_warc(spark, out)
+        .filter(F.col("warc_type") == "response")
+        .collect()
+    }
+    assert got == want and len(got) == 30
