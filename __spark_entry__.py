@@ -3984,6 +3984,37 @@ def q_streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet stage-1 line dedup (scale/text.py::line_dedup, Wenzek et
+    al. 2020): pages are documents plus a per-source footer and a
+    global banner line — the banner repeats 500x, footers per-source
+    ~60x, bodies mostly once (the corpus's real duplicate texts
+    exceed the threshold too, which the oracle replays identically).
+    Lines with corpus count > 2 vanish; survivors reassemble in
+    order. Output keeps rows narrow: md5 of the cleaned text + line
+    counts. Plan: one explode, one md5-keyed count shuffle, one
+    verdict join, one doc regroup — no window."""
+    from openeo_processes_dask_ml_spark.scale.text import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("footer of "), F.col("source")),
+            F.lit("SUBSCRIBE NOW"),
+        ).alias("text"),
+    )
+    out = line_dedup(pages, max_count=2)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines",
+        "n_removed",
+    )
+
+
 def q_global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe global ordinal (scale/pipeline.global_sorted_index):
     the deterministic total order (lang, n_chars desc, doc_id) gets a
@@ -4384,13 +4415,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict-verified at HEAD via tools/driver_sim.py this session;
     # they rotate into the r14 window with their cohorts.
     #
-    # Rotation arithmetic (standing, stated honestly): at 161 queries
+    # Rotation arithmetic (standing, stated honestly): at 162 queries
     # (145 + netcdf_roundtrip + quality_classifier + bm25_topk + the
     # nine-TPC-H batch + warc_ingest + warc_html_pipeline +
-    # global_sort_index + streaming_warc_ingest) and a 50-slot
-    # window the steady-state re-verification cadence is
-    # ceil(161/50) = 4 rounds. After r13 every query's latest driver
-    # green is <= 3 rounds old (the 13 post-window r13 additions have
+    # global_sort_index + streaming_warc_ingest + line_dedup) and a
+    # 50-slot window the steady-state re-verification cadence is
+    # ceil(162/50) = 4 rounds. After r13 every query's latest driver
+    # green is <= 3 rounds old (the 14 post-window r13 additions have
     # no driver green yet — they are NEW, strict-verified at HEAD via
     # tools/driver_sim.py, and lead the r14 window).
     return {
@@ -4481,6 +4512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r13, same post-window placement: streaming twin of
         #     the WARC source (micro-batched shard arrival) ---
         "streaming_warc_ingest": q_streaming_warc_ingest,
+        # --- NEW r13, same post-window placement: CCNet stage-1
+        #     corpus line dedup ---
+        "line_dedup": q_line_dedup,
         # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
         #     decode path; displaced from the window by the three NEW
         #     gates + the mandatory 47-cohort, but strict-verified at
@@ -8231,6 +8265,35 @@ FROM ex
     # Streaming WARC twin (r13): same documents replay as the batch
     # gate — micro-batched arrival must never change bytes.
     sql["streaming_warc_ingest"] = sql["warc_ingest"]
+
+    # CCNet line dedup (r13): full replay — explode with ordinality,
+    # corpus line counts, threshold, FILTERed ordered string_agg
+    # reassembly (coalesced to '' for the all-hot-doc edge to match
+    # Spark's empty array_join).
+    sql["line_dedup"] = """
+WITH pages AS (
+  SELECT doc_id,
+         text || chr(10) || 'footer of ' || source || chr(10) ||
+         'SUBSCRIBE NOW' AS page
+  FROM documents
+), lines AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, string_split(page, chr(10)) AS l FROM pages)
+), hot AS (
+  SELECT line FROM lines GROUP BY line HAVING count(*) > 2
+), tagged AS (
+  SELECT l.doc_id, l.pos, l.line, h.line IS NOT NULL AS is_hot
+  FROM lines l LEFT JOIN hot h ON l.line = h.line
+)
+SELECT doc_id,
+       md5(coalesce(
+         string_agg(line, chr(10) ORDER BY pos)
+           FILTER (WHERE NOT is_hot), '')) AS clean_md5,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM tagged GROUP BY doc_id
+"""
 
     # Global sorted index (r13): the oracle is the naive single-
     # partition window, affordable in DuckDB at sf0.01; ranks must

@@ -156,6 +156,8 @@ HEADLINE = [
     # WARC twin
     "global_sort_index",
     "streaming_warc_ingest",
+    # round 13 second batch: CCNet stage-1 corpus line dedup
+    "line_dedup",
 ]
 
 

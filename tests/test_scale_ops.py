@@ -584,3 +584,27 @@ def test_bm25_topk_semantics(spark):
                    bm25_topk(docs, [(0, "zebra"), (1, "apple banana")],
                              k=3).collect())
     assert rerun == rows
+
+
+def test_line_dedup_removes_hot_lines_in_order(spark):
+    from openeo_processes_dask_ml_spark.scale.text import line_dedup
+
+    rows = [
+        (1, "unique one\nSUBSCRIBE\nbody a"),
+        (2, "SUBSCRIBE\nbody b\ncookie notice"),
+        (3, "cookie notice\nSUBSCRIBE\nbody c"),
+        (4, "body d\ncookie notice"),
+        (5, "SUBSCRIBE\ncookie notice\nSUBSCRIBE"),  # all-hot doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup(df, max_count=2).collect()
+    }
+    # SUBSCRIBE x4 and cookie notice x4 exceed max_count=2; bodies stay
+    assert got[1]["clean_text"] == "unique one\nbody a"
+    assert got[2]["clean_text"] == "body b"
+    assert got[4]["clean_text"] == "body d"
+    assert got[5]["clean_text"] == ""  # every line hot -> empty doc
+    assert got[5]["n_removed"] == 3 and got[5]["n_lines"] == 3
+    assert got[1]["n_removed"] == 1
