@@ -4015,6 +4015,61 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness (scale/web.py robots_rules + robots_filter):
+    per-source robots.txt bodies are PARSED from raw text (explode +
+    carry-forward UA grouping windows) into a rule table, then URLs
+    take longest-prefix-match verdicts (RFC 9309: most specific wins,
+    Allow beats Disallow at equal length, no match = allowed). The
+    oracle is NOT a parse replay — it hand-derives each verdict with
+    CASE logic from the same construction rules, so the parser, the
+    grouping windows, and the max_by verdict are all independently
+    checked. Even-length sources carry a second '*' group (multi-group
+    merge per RFC)."""
+    from openeo_processes_dask_ml_spark.scale.web import (
+        robots_filter,
+        robots_rules,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "\nUser-agent: evil\nDisallow: /"
+    )
+    robots = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.col("source").alias("domain"),
+            F.when(
+                F.length("source") % 2 == 0,
+                F.lit(base + "\n\nUser-agent: *\nDisallow: /tmp"),
+            )
+            .otherwise(F.lit(base))
+            .alias("robots_txt"),
+        )
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/"),
+            F.element_at(
+                F.array(
+                    F.lit("private"),
+                    F.lit("private/ok"),
+                    F.lit("public"),
+                    F.lit("tmp"),
+                ),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+            F.lit("/x"),
+            F.col("doc_id"),
+        ).alias("url")
+    )
+    return robots_filter(urls, robots_rules(robots), agent="*")
+
+
 def q_global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe global ordinal (scale/pipeline.global_sorted_index):
     the deterministic total order (lang, n_chars desc, doc_id) gets a
@@ -4415,13 +4470,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict-verified at HEAD via tools/driver_sim.py this session;
     # they rotate into the r14 window with their cohorts.
     #
-    # Rotation arithmetic (standing, stated honestly): at 162 queries
+    # Rotation arithmetic (standing, stated honestly): at 163 queries
     # (145 + netcdf_roundtrip + quality_classifier + bm25_topk + the
     # nine-TPC-H batch + warc_ingest + warc_html_pipeline +
-    # global_sort_index + streaming_warc_ingest + line_dedup) and a
-    # 50-slot window the steady-state re-verification cadence is
-    # ceil(162/50) = 4 rounds. After r13 every query's latest driver
-    # green is <= 3 rounds old (the 14 post-window r13 additions have
+    # global_sort_index + streaming_warc_ingest + line_dedup +
+    # robots_filter) and a 50-slot window the steady-state
+    # re-verification cadence is ceil(163/50) = 4 rounds. After r13
+    # every query's latest driver green is <= 3 rounds old (the 15
+    # post-window r13 additions have
     # no driver green yet — they are NEW, strict-verified at HEAD via
     # tools/driver_sim.py, and lead the r14 window).
     return {
@@ -4515,6 +4571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r13, same post-window placement: CCNet stage-1
         #     corpus line dedup ---
         "line_dedup": q_line_dedup,
+        # --- NEW r13, same post-window placement: robots.txt parse +
+        #     longest-prefix-match URL filter (crawl politeness) ---
+        "robots_filter": q_robots_filter,
         # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
         #     decode path; displaced from the window by the three NEW
         #     gates + the mandatory 47-cohort, but strict-verified at
@@ -8293,6 +8352,33 @@ SELECT doc_id,
        CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT)
          AS n_removed
 FROM tagged GROUP BY doc_id
+"""
+
+    # Robots filter (r13): the oracle derives each verdict with CASE
+    # logic from the construction rules — an INDEPENDENT spelling of
+    # the semantics, not a parse replay. Paths: doc_id%4 ->
+    # private | private/ok | public | tmp; /private blocked except
+    # the /private/ok subtree; /tmp blocked only on even-length
+    # sources (their robots carry a second '*' group).
+    sql["robots_filter"] = """
+WITH u AS (
+  SELECT doc_id, source,
+         'https://' || source || '/' ||
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'private' WHEN 1 THEN 'private/ok'
+           WHEN 2 THEN 'public' ELSE 'tmp' END || '/x' || doc_id AS url,
+         '/' ||
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'private' WHEN 1 THEN 'private/ok'
+           WHEN 2 THEN 'public' ELSE 'tmp' END || '/x' || doc_id AS path
+  FROM documents
+)
+SELECT url, source AS domain, path,
+       NOT (
+         (path LIKE '/private%' AND path NOT LIKE '/private/ok%')
+         OR (length(source) % 2 = 0 AND path LIKE '/tmp%')
+       ) AS allowed
+FROM u
 """
 
     # Global sorted index (r13): the oracle is the naive single-

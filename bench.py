@@ -156,8 +156,10 @@ HEADLINE = [
     # WARC twin
     "global_sort_index",
     "streaming_warc_ingest",
-    # round 13 second batch: CCNet stage-1 corpus line dedup
+    # round 13 second batch: CCNet stage-1 corpus line dedup +
+    # robots.txt politeness filter
     "line_dedup",
+    "robots_filter",
 ]
 
 

@@ -139,3 +139,60 @@ def test_canonical_invariance_bulk(spark):
         (F.col("cc") != F.col("cm")) | (F.col("cc") != F.col("ccc"))
     ).collect()
     assert bad == [], bad[:5]
+
+
+def test_robots_rules_grouping_and_filter_semantics(spark):
+    """RFC 9309 subset: shared rule blocks after consecutive UA lines,
+    comments, empty Disallow = allow-all, longest-prefix verdicts with
+    Allow winning length ties, default allow for unknown domains."""
+    from openeo_processes_dask_ml_spark.scale.web import (
+        robots_filter,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+                "\nUser-agent: evil\nDisallow: /",
+            ),
+            (
+                "b.com",
+                "# hi\nUser-agent: bot\nUser-agent: *\nDisallow: /tmp\n"
+                "Disallow:\nAllow: /tmp/keep",
+            ),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    # consecutive UA lines share the block
+    bot = {
+        (r["prefix"], r["allow"])
+        for r in rules.filter(F.col("agent") == "bot").collect()
+    }
+    assert bot == {("/tmp", False), ("", True), ("/tmp/keep", True)}
+    # wildcard prefixes never match (stated boundary)
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/private/x",),
+            ("https://a.com/private/ok/y",),
+            ("https://a.com/pub",),
+            ("https://b.com/tmp/z",),
+            ("https://b.com/tmp/keep/w",),
+            ("https://c.com/any",),
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_filter(urls, rules, agent="*").collect()
+    }
+    assert got == {
+        "https://a.com/private/x": False,
+        "https://a.com/private/ok/y": True,
+        "https://a.com/pub": True,
+        "https://b.com/tmp/z": False,
+        "https://b.com/tmp/keep/w": True,
+        "https://c.com/any": True,
+    }
