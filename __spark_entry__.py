@@ -8307,9 +8307,11 @@ WITH page AS (
 ), ex AS (
   SELECT doc_id,
          regexp_extract(h, '<title>([^<]*)</title>', 1) AS title,
-         trim(regexp_replace(regexp_replace(regexp_replace(h,
-           '<(script|style)[^>]*>[^<]*(<[^/][^<]*)*</(script|style)>',
-           ' ', 'g'), '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS body
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(h,
+             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+           '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS body
   FROM page
 )
 SELECT doc_id, title,

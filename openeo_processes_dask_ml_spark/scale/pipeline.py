@@ -903,12 +903,16 @@ def global_sorted_index(
     that cannot survive 100 TB).
 
     Plan: repartitionByRange on the sort key (one balanced shuffle,
-    boundaries from Spark's reservoir sample), count rows per
-    physical partition (the only driver traffic — one int per
-    partition), turn the counts into cumulative offsets broadcast
-    back as a literal map, then row_number within each partition
-    plus its offset. Two fact shuffles total (range + the window's
-    hash-on-pid), both balanced by construction.
+    boundaries from Spark's reservoir sample), localCheckpoint to PIN
+    that partitioning (range boundaries are re-sampled per job — the
+    counts job and the rank job would otherwise see different
+    partitionings and the offsets would be applied to the wrong
+    partitions; caught by an at-scale probe: 188k/200k wrong ranks
+    uncheckpointed), count rows per physical partition (the only
+    driver traffic — one int per partition), join the cumulative
+    offsets back as a BROADCAST dataframe (a literal map would grow
+    to 2 x n_partitions expressions in the plan), then row_number
+    within each partition plus its offset.
 
     The composite key MUST be a total order (unique per row — add an
     id tiebreak); the rank is then independent of the sampled range
@@ -920,7 +924,11 @@ def global_sorted_index(
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint()
+    )
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     # tiny: one (pid, count) row per partition reaches the driver
     counts = dict(
@@ -929,25 +937,21 @@ def global_sorted_index(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    off_expr = F.element_at(
-        F.create_map(
-            *[
-                F.lit(v)
-                for kv in sorted(offsets.items())
-                for v in kv
-            ]
-        ),
-        F.col("__pid"),
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __offset long"
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
     return (
-        with_pid.withColumn(
+        with_pid.join(F.broadcast(off_df), "__pid")
+        .withColumn(
             rank_col,
-            (F.row_number().over(w) - 1 + off_expr).cast("bigint"),
+            (F.row_number().over(w) - 1 + F.col("__offset")).cast(
+                "bigint"
+            ),
         )
-        .drop("__pid")
+        .drop("__pid", "__offset")
     )

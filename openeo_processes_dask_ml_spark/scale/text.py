@@ -1147,9 +1147,16 @@ def line_dedup(
     one groupBy(id) with an order-restoring sort_array over (pos,
     line) structs — two narrow shuffles and one equi-join total, no
     window. Emits (id, clean_text, n_lines, n_removed)."""
+    # F.split takes a REGEX but reassembly joins the LITERAL sep —
+    # escape so a metachar separator ('|', '.') can't explode the text
+    # into characters (caught in review)
+    import re as _re
+
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
     ).withColumn("lh", F.md5("line"))
     hot = (
         lines.groupBy("lh")

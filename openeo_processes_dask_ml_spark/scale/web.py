@@ -237,9 +237,14 @@ def domain_pagerank(
 # by the DuckDB oracle. Deliberately the simple crawl-extraction
 # subset: tags stripped, entities NOT decoded (a decode table is a
 # dictionary join, orthogonal to the shape), scripts/styles removed
-# whole before the generic tag strip.
+# whole before the generic tag strip. Script and style strip in TWO
+# non-greedy dotall passes — a single alternation with a char-class
+# body could not consume '</' inside JS string literals and allowed
+# <script> to close with </style> (caught in review; RE2 has no
+# backreferences, so per-tag passes instead of a \1 closer).
 _TITLE_RE = "<title>([^<]*)</title>"
-_SCRIPT_RE = "<(script|style)[^>]*>[^<]*(<[^/][^<]*)*</(script|style)>"
+_SCRIPT_RE = "(?s)<script[^>]*>.*?</script>"
+_STYLE_RE = "(?s)<style[^>]*>.*?</style>"
 _TAG_RE = "<[^>]+>"
 _WS_RE = r"\s+"
 
@@ -258,7 +263,9 @@ def html_text_extract(
     tokens of the extracted text — the corpus-side token_count
     semantics)."""
     html = F.col(html_col)
-    no_scripts = F.regexp_replace(html, _SCRIPT_RE, " ")
+    no_scripts = F.regexp_replace(
+        F.regexp_replace(html, _SCRIPT_RE, " "), _STYLE_RE, " "
+    )
     text = F.trim(
         F.regexp_replace(
             F.regexp_replace(no_scripts, _TAG_RE, " "), _WS_RE, " "
@@ -303,7 +310,9 @@ def robots_rules(
     from pyspark.sql import Window
 
     lines = robots.select(
-        F.col(domain_col).alias("domain"),
+        # hostnames are case-insensitive; normalize here so the filter
+        # join (which lowercases the URL host) can never miss
+        F.lower(F.col(domain_col)).alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
     ).select(
         "domain",
@@ -362,11 +371,14 @@ def robots_filter(
     """Apply a robots rule table to URLs with longest-prefix-match
     semantics (RFC 9309 / Google spec: the most specific matching
     rule wins; at equal length Allow beats Disallow; no matching rule
-    means allowed). Wildcard-bearing prefixes never match (see
-    robots_rules). The rule table joins on domain — rules are
-    domain-count sized, so the join is broadcast- or shuffle-hash
-    eligible; the verdict is one max_by aggregation keyed by URL, no
-    window."""
+    means allowed). Per RFC 9309 §2.2.1, a named agent obeys its own
+    group where the domain defines one and FALLS BACK to the ``*``
+    group otherwise (first cut ignored ``*`` for named agents —
+    default-allowing nearly every real domain; caught in review).
+    Wildcard-bearing prefixes never match (see robots_rules). The
+    rule table joins on domain — rules are domain-count sized, so the
+    join is broadcast- or shuffle-hash eligible; the verdict is one
+    max_by aggregation keyed by URL, no window."""
     host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
     path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
     u = urls.select(
@@ -374,10 +386,18 @@ def robots_filter(
         host.alias("domain"),
         F.when(path == "", "/").otherwise(path).alias("path"),
     )
-    r = rules.filter(
-        (F.lower(F.col("agent")) == agent.lower())
-        & ~F.col("prefix").rlike(r"[*$]")
-    ).select("domain", "prefix", "allow")
+    usable = rules.filter(~F.col("prefix").rlike(r"[*$]")).select(
+        "domain", F.lower("agent").alias("agent"), "prefix", "allow"
+    )
+    specific = usable.filter(F.col("agent") == agent.lower())
+    if agent != "*":
+        star_fallback = usable.filter(F.col("agent") == "*").join(
+            specific.select("domain").distinct(),
+            "domain",
+            "left_anti",
+        )
+        specific = specific.unionByName(star_fallback)
+    r = specific.select("domain", "prefix", "allow")
     joined = u.join(r, "domain", "left").withColumn(
         "matches",
         F.col("prefix").isNotNull()

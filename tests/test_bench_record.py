@@ -38,7 +38,13 @@ def test_compact_record_fits_driver_capture_worst_case():
         assert doc.get("omitted", 0) == n_names - len(doc["queries"])
         if doc.get("omitted", 0):
             assert len(rec) > 1800 - 40, len(rec)
-        assert len(doc["queries"]) >= (3 * n_names) // 4
+        # retention floor: 1800 B holds ~75-80 entries at ~21 B each
+        # (name + ":10.0,"), so a 3/4 fraction stopped being possible
+        # once the headline list passed ~100 queries (r13: 113). Pin
+        # the ABSOLUTE floor the capture can actually hold instead —
+        # over-dropping (a record far below the cap) is still caught
+        # by the close-to-cap assert above.
+        assert len(doc["queries"]) >= min(n_names, 70)
 
     rec = compact_record({n: 9.99 for n in names}, 729.27, 0.1, 3)
     doc = json.loads(rec)

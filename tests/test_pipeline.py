@@ -250,3 +250,21 @@ def test_global_sorted_index_matches_naive_window(spark):
         got = global_sorted_index(docs, keys, n_partitions=n_parts).collect()
         assert len(got) == len(gt)
         assert all(gt[r["doc_id"]] == r["rank"] for r in got)
+
+
+def test_global_sorted_index_at_50k_partial_sample(spark):
+    """Regression for the two-job range-boundary resample bug (review
+    finding: 188k/200k wrong ranks at 200k rows uncheckpointed): at
+    50k rows the reservoir sample is partial, so an unpinned
+    partitioning would disagree between the counts job and the rank
+    job."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        global_sorted_index,
+    )
+
+    df = spark.range(0, 50000, 1, 4).select(
+        F.col("id"), (F.col("id") * 2654435761 % 999983).alias("k")
+    )
+    out = global_sorted_index(df, ["k", "id"], n_partitions=16)
+    ranks = sorted(r["rank"] for r in out.select("rank").collect())
+    assert ranks == list(range(50000))

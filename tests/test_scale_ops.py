@@ -608,3 +608,18 @@ def test_line_dedup_removes_hot_lines_in_order(spark):
     assert got[5]["clean_text"] == ""  # every line hot -> empty doc
     assert got[5]["n_removed"] == 3 and got[5]["n_lines"] == 3
     assert got[1]["n_removed"] == 1
+
+
+def test_line_dedup_metachar_separator(spark):
+    """A '|' separator must split literally, not as regex alternation
+    (review finding)."""
+    from openeo_processes_dask_ml_spark.scale.text import line_dedup
+
+    rows = [(1, "keep a|HOT|keep b"), (2, "HOT|x"), (3, "HOT|y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in line_dedup(df, max_count=2, sep="|").collect()
+    }
+    assert got[1] == "keep a|keep b"
+    assert got[2] == "x" and got[3] == "y"

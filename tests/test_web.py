@@ -196,3 +196,54 @@ def test_robots_rules_grouping_and_filter_semantics(spark):
         "https://b.com/tmp/keep/w": True,
         "https://c.com/any": True,
     }
+
+
+def test_robots_star_fallback_for_named_agent(spark):
+    """RFC 9309 §2.2.1: a named agent with no group of its own obeys
+    the '*' group (review finding: first cut default-allowed)."""
+    from openeo_processes_dask_ml_spark.scale.web import (
+        robots_filter,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /"),
+            ("b.com", "User-agent: mybot\nDisallow: /x\nUser-agent: *\nDisallow: /"),
+            ("C.example", "User-agent: *\nDisallow: /s"),  # mixed-case domain
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/anything",),
+            ("https://b.com/x/1",),
+            ("https://b.com/y",),
+            ("https://c.example/s/2",),
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_filter(urls, rules, agent="mybot").collect()
+    }
+    assert got["https://a.com/anything"] is False  # * fallback applies
+    assert got["https://b.com/x/1"] is False  # own group blocks /x
+    assert got["https://b.com/y"] is True  # own group exists: * ignored
+    assert got["https://c.example/s/2"] is False  # case-normalized domain
+
+
+def test_html_extract_script_with_closing_tag_literal(spark):
+    """'</div>' inside a JS string must not break the script strip
+    (review finding: the char-class regex could not consume '</')."""
+    from openeo_processes_dask_ml_spark.scale.web import html_text_extract
+
+    h = (
+        '<html><body><script>document.write("</div>")</script>'
+        '<p>hi there</p><style>.a{content:"</b>"}</style>ok</body></html>'
+    )
+    df = spark.createDataFrame([(1, h)], "id long, html string")
+    row = html_text_extract(df, "html", carry=("id",)).collect()[0]
+    assert row["text"] == "hi there ok"
+    assert row["n_tokens"] == 3
