@@ -515,14 +515,18 @@ def test_tpch_q21_single_window_pass(spark):
 
 
 def test_global_sort_index_never_single_partition(spark):
-    """The global ordinal must come from rangepartitioning + a
-    pid-partitioned window — NEVER the naive single-partition window
-    (Exchange SinglePartition feeding a Window would funnel 100 TB
-    through one task)."""
+    """The global ordinal must come from a pid-partitioned window over
+    the CHECKPOINTED range layout — NEVER the naive single-partition
+    window (Exchange SinglePartition feeding a Window would funnel
+    100 TB through one task). The range shuffle itself sits behind the
+    localCheckpoint that pins the partitioning (the r13 review fix:
+    un-pinned boundaries re-sample per job and mis-rank at scale), so
+    the visible plan starts at the checkpoint scan."""
     import __spark_entry__ as entry
 
     plan = _plan(entry.q_global_sort_index(spark, SF_DIR))
-    assert "rangepartitioning" in plan
+    assert "ExistingRDD" in plan  # the pinned (checkpointed) layout
     win = plan.find("Window")
     assert win > -1
     assert "SinglePartition" not in plan[:win]  # no global funnel above
+    assert plan.count("Window") == 1
