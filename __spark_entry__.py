@@ -4070,6 +4070,34 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(urls, robots_rules(robots), agent="*")
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (scale/layout.py, beyond-reference — the
+    Delta/Iceberg OPTIMIZE ZORDER story): events get a 24-bit Morton
+    key over two synthetic 12-bit dims, then per 10-bit key bucket
+    the gate emits count + min/max of BOTH dims — the tight
+    per-bucket envelopes (max-min < 128 on each dim) ARE the
+    data-skipping property the layout exists for, and the unit test
+    asserts them. The key is an unrolled shift/mask/or codegen
+    expression; the oracle's SQL twin is GENERATED by the same loop
+    (zorder_key_sql), so the two spellings cannot drift."""
+    from openeo_processes_dask_ml_spark.scale.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4096).alias("ax"),
+        (F.col("event_id") % 4096).alias("by"),
+    )
+    keyed = ev.withColumn(
+        "zkey", zorder_key(["ax", "by"], bits=12)
+    ).withColumn("bucket", F.shiftright("zkey", 14))
+    return keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ax").alias("ax_min"),
+        F.max("ax").alias("ax_max"),
+        F.min("by").alias("by_min"),
+        F.max("by").alias("by_max"),
+    )
+
+
 def q_global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe global ordinal (scale/pipeline.global_sorted_index):
     the deterministic total order (lang, n_chars desc, doc_id) gets a
@@ -4470,14 +4498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict-verified at HEAD via tools/driver_sim.py this session;
     # they rotate into the r14 window with their cohorts.
     #
-    # Rotation arithmetic (standing, stated honestly): at 163 queries
+    # Rotation arithmetic (standing, stated honestly): at 164 queries
     # (145 + netcdf_roundtrip + quality_classifier + bm25_topk + the
     # nine-TPC-H batch + warc_ingest + warc_html_pipeline +
     # global_sort_index + streaming_warc_ingest + line_dedup +
-    # robots_filter) and a 50-slot window the steady-state
-    # re-verification cadence is ceil(163/50) = 4 rounds. After r13
-    # every query's latest driver green is <= 3 rounds old (the 15
-    # post-window r13 additions have
+    # robots_filter + zorder_layout) and a 50-slot window the
+    # steady-state re-verification cadence is ceil(164/50) = 4
+    # rounds. After r13 every query's latest driver green is <= 3
+    # rounds old (the 16 post-window r13 additions have
     # no driver green yet — they are NEW, strict-verified at HEAD via
     # tools/driver_sim.py, and lead the r14 window).
     return {
@@ -4574,6 +4602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r13, same post-window placement: robots.txt parse +
         #     longest-prefix-match URL filter (crawl politeness) ---
         "robots_filter": q_robots_filter,
+        # --- NEW r13, same post-window placement: Z-order layout
+        #     (Morton-key clustering for multi-dim data skipping) ---
+        "zorder_layout": q_zorder_layout,
         # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
         #     decode path; displaced from the window by the three NEW
         #     gates + the mandatory 47-cohort, but strict-verified at
@@ -8381,6 +8412,26 @@ SELECT url, source AS domain, path,
          OR (length(source) % 2 = 0 AND path LIKE '/tmp%')
        ) AS allowed
 FROM u
+"""
+
+    # Z-order layout (r13): the bit-interleave expression is
+    # GENERATED by the same loop as the Spark key (zorder_key_sql) —
+    # the two spellings cannot drift.
+    from openeo_processes_dask_ml_spark.scale.layout import (
+        zorder_key_sql,
+    )
+
+    _zexpr = zorder_key_sql(["ax", "by"], bits=12)
+    sql["zorder_layout"] = f"""
+WITH dims AS (
+  SELECT user_id % 4096 AS ax, event_id % 4096 AS by FROM events
+), keyed AS (
+  SELECT ax, by, {_zexpr} AS zkey FROM dims
+)
+SELECT zkey >> 14 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       min(ax) AS ax_min, max(ax) AS ax_max,
+       min(by) AS by_min, max(by) AS by_max
+FROM keyed GROUP BY 1
 """
 
     # Global sorted index (r13): the oracle is the naive single-

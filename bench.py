@@ -160,6 +160,8 @@ HEADLINE = [
     # robots.txt politeness filter
     "line_dedup",
     "robots_filter",
+    # round 13 second batch: Z-order clustering layout
+    "zorder_layout",
 ]
 
 

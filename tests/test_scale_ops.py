@@ -623,3 +623,66 @@ def test_line_dedup_metachar_separator(spark):
     }
     assert got[1] == "keep a|keep b"
     assert got[2] == "x" and got[3] == "y"
+
+
+def test_zorder_key_envelopes_and_cluster(spark):
+    """The Morton key's bucket envelopes must be tight on EVERY
+    interleaved dim (the data-skipping property), and zorder_cluster
+    must range-sort by the key."""
+    from openeo_processes_dask_ml_spark.scale.layout import (
+        zorder_cluster,
+        zorder_key,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") * 48271 % 4096).alias("ax"),
+        (F.col("id") * 16807 % 4096).alias("by"),
+    )
+    keyed = df.withColumn("zkey", zorder_key(["ax", "by"], bits=12))
+    env = (
+        keyed.withColumn("bucket", F.shiftright("zkey", 14))
+        .groupBy("bucket")
+        .agg(
+            (F.max("ax") - F.min("ax")).alias("dax"),
+            (F.max("by") - F.min("by")).alias("dby"),
+        )
+        .agg(F.max("dax").alias("max_dax"), F.max("dby").alias("max_dby"))
+        .collect()[0]
+    )
+    # bucket = top 10 interleaved bits = 5 bits/dim -> 128-wide tiles
+    assert env["max_dax"] < 128 and env["max_dby"] < 128
+
+    clustered = zorder_cluster(df, ["ax", "by"], bits=12, n_partitions=8)
+    import pandas as pd  # noqa: F401
+
+    def keys_sorted(it):
+        for pdf in it:
+            z = pdf["zkey"]
+            yield pd.DataFrame(
+                {"ok": [bool((z.sort_values().values == z.values).all())]}
+            )
+
+    oks = clustered.mapInPandas(keys_sorted, "ok boolean").collect()
+    assert all(r["ok"] for r in oks)
+
+
+def test_zorder_key_matches_reference_interleave():
+    """Pin against a pure-Python bit interleave."""
+    from openeo_processes_dask_ml_spark.scale.layout import zorder_key_sql
+
+    import duckdb
+
+    def ref(a, b, bits=12):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    expr = zorder_key_sql(["a", "b"], bits=12)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT a, b, {expr} AS z FROM (SELECT x % 4096 AS a, "
+        "(x * 7919) % 4096 AS b FROM range(500) t(x))"
+    ).fetchall()
+    for a, b, z in rows:
+        assert z == ref(a, b)

@@ -212,3 +212,45 @@ def test_stream_warc_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 30
+
+
+def test_warc_fuzz_roundtrip_framing():
+    """Property: ANY payload bytes — including ones containing the
+    record delimiter and fake 'WARC/' magics — roundtrip exactly
+    through build -> concatenate -> parse, plain AND gzipped
+    (Content-Length framing must never scan for delimiters)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.lists(
+        st.binary(min_size=0, max_size=400),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(payloads)
+    def run(bodies):
+        recs = [
+            build_record(
+                "resource",
+                b + (b"\r\n\r\nWARC/1.0\r\n" if i % 3 == 0 else b""),
+                target_uri=f"u{i}",
+            )
+            for i, b in enumerate(bodies)
+        ]
+        want = [
+            b + (b"\r\n\r\nWARC/1.0\r\n" if i % 3 == 0 else b"")
+            for i, b in enumerate(bodies)
+        ]
+        for blob in (
+            b"".join(recs),
+            b"".join(gzip.compress(r, 1) for r in recs),
+        ):
+            got = list(parse_warc_records(blob))
+            assert [r["payload"] for r in got] == want
+            assert [r["target_uri"] for r in got] == [
+                f"u{i}" for i in range(len(bodies))
+            ]
+
+    run()
