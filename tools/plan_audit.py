@@ -178,6 +178,34 @@ AUDIT = [
         "only exchange is the (item, band) grouping.",
     ),
     (
+        "tpch_q7",
+        "Selective-dim-first: supplier AND customer prune to the two "
+        "target nations via broadcast BEFORE any fact join; no "
+        "cartesian from the pair disjunction; shipdate band pushed.",
+    ),
+    (
+        "tpch_q21",
+        "Blame pass as ONE Window node over one shuffle (row_number + "
+        "lead + framed count share a (partition, order) spec); "
+        "TakeOrderedAndProject top-20.",
+    ),
+    (
+        "tpch_q22",
+        "Integer-cents threshold as a 1-row BroadcastNestedLoopJoin; "
+        "no-recent-orders as LeftAnti hash join; no cartesian.",
+    ),
+    (
+        "global_sort_index",
+        "Distributed row_number() OVER (ORDER BY): pid-partitioned "
+        "window over the checkpointed range layout + broadcast "
+        "offsets join — no Exchange SinglePartition anywhere.",
+    ),
+    (
+        "zorder_layout",
+        "Morton key = one unrolled shift/mask/or codegen projection "
+        "(zero Python); bucket envelopes aggregate map-side.",
+    ),
+    (
         "raster_ndvi_pipeline",
         "The full reference chain as ONE plan: decode fan-out -> ndvi "
         "conditional aggregation -> monthly mean, with exactly two "
@@ -226,9 +254,26 @@ def main() -> None:
         out.append(tree)
         out.append("```")
         out.append("")
+    # preserve the hand-written narrative tail across regenerations
+    marker = (
+        "<!-- MANUAL SECTIONS \u2014 plan_audit.py preserves everything "
+        "below this line -->"
+    )
+    tail = ""
+    try:
+        prev = open("/root/repo/PLANS.md").read()
+        if marker in prev:
+            tail = prev[prev.index(marker):]
+    except FileNotFoundError:
+        pass
+    body = "\n".join(out)
+    if tail:
+        body = body + "\n" + tail
+    else:
+        body = body + "\n" + marker + "\n"
     with open("/root/repo/PLANS.md", "w") as f:
-        f.write("\n".join(out))
-    print(f"PLANS.md written ({len(AUDIT)} plans)")
+        f.write(body)
+    print(f"PLANS.md written ({len(AUDIT)} plans, manual tail {'kept' if tail else 'initialized'})")
 
 
 if __name__ == "__main__":
