@@ -525,8 +525,15 @@ def test_global_sort_index_never_single_partition(spark):
     import __spark_entry__ as entry
 
     plan = _plan(entry.q_global_sort_index(spark, SF_DIR))
+    # the DISCRIMINATING pin check (r13 follow-up review): with the
+    # checkpoint in place the range shuffle is hidden behind the RDD
+    # scan, so rangepartitioning must NOT appear; an un-pinned
+    # regression re-exposes it (ExistingRDD alone can't tell — the
+    # broadcast offsets df is also an ExistingRDD scan)
+    assert "rangepartitioning" not in plan
     assert "ExistingRDD" in plan  # the pinned (checkpointed) layout
-    win = plan.find("Window")
-    assert win > -1
-    assert "SinglePartition" not in plan[:win]  # no global funnel above
+    assert plan.find("Window") > -1
+    # no single-partition funnel ANYWHERE (plans print children after
+    # parents, so a prefix scan would miss the Window's child Exchange)
+    assert "SinglePartition" not in plan
     assert plan.count("Window") == 1
