@@ -4070,6 +4070,55 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(urls, robots_rules(robots), agent="*")
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET generation — the third Common Crawl product (WARC crawl /
+    WAT metadata / WET extracted text): documents wrap in the HTML
+    template, html_text_extract pulls the text (codegen), and the
+    extraction is exported as ``conversion`` records (text/plain, no
+    HTTP head) through the same member-per-record gzip sink, then
+    re-read and fingerprinted. The oracle replays the template + the
+    extraction regexes and fingerprints the expected text — framing,
+    the conversion-record branch, and the extraction all sit under
+    one value gate."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.warc import (
+        load_warc,
+        write_warc_shards,
+    )
+    from openeo_processes_dask_ml_spark.scale.web import html_text_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id"),
+            F.lit("</title><script>var x=1;</script></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    ex = html_text_extract(pages, "html", carry=("doc_id",))
+    src = ex.select(
+        F.concat(
+            F.lit("https://crawl.example/doc/"), F.col("doc_id")
+        ).alias("uri"),
+        F.col("text").alias("body"),
+    )
+    out = tempfile.mkdtemp(prefix="wet_export_")
+    write_warc_shards(src, out, n_shards=4, record_kind="conversion")
+    back = load_warc(spark, out)
+    return back.filter(F.col("warc_type") == "conversion").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("content_type"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("text_md5"),
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering (scale/layout.py, beyond-reference — the
     Delta/Iceberg OPTIMIZE ZORDER story): events get a 24-bit Morton
@@ -4498,14 +4547,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict-verified at HEAD via tools/driver_sim.py this session;
     # they rotate into the r14 window with their cohorts.
     #
-    # Rotation arithmetic (standing, stated honestly): at 164 queries
+    # Rotation arithmetic (standing, stated honestly): at 165 queries
     # (145 + netcdf_roundtrip + quality_classifier + bm25_topk + the
     # nine-TPC-H batch + warc_ingest + warc_html_pipeline +
     # global_sort_index + streaming_warc_ingest + line_dedup +
-    # robots_filter + zorder_layout) and a 50-slot window the
-    # steady-state re-verification cadence is ceil(164/50) = 4
-    # rounds. After r13 every query's latest driver green is <= 3
-    # rounds old (the 16 post-window r13 additions have
+    # robots_filter + zorder_layout + wet_export) and a 50-slot
+    # window the steady-state re-verification cadence is
+    # ceil(165/50) = 4 rounds. After r13 every query's latest driver
+    # green is <= 3 rounds old (the 17 post-window r13 additions have
     # no driver green yet — they are NEW, strict-verified at HEAD via
     # tools/driver_sim.py, and lead the r14 window).
     return {
@@ -4605,6 +4654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r13, same post-window placement: Z-order layout
         #     (Morton-key clustering for multi-dim data skipping) ---
         "zorder_layout": q_zorder_layout,
+        # --- NEW r13, same post-window placement: WET extracted-text
+        #     export (the third Common Crawl product) ---
+        "wet_export": q_wet_export,
         # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
         #     decode path; displaced from the window by the three NEW
         #     gates + the mandatory 47-cohort, but strict-verified at
@@ -8412,6 +8464,30 @@ SELECT url, source AS domain, path,
          OR (length(source) % 2 = 0 AND path LIKE '/tmp%')
        ) AS allowed
 FROM u
+"""
+
+    # WET export (r13): replay the template + extraction (the
+    # warc_html_pipeline CTEs) and fingerprint the expected text.
+    sql["wet_export"] = r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id ||
+         '</title><script>var x=1;</script></head><body><p>' || text ||
+         '</p></body></html>' AS h
+  FROM documents
+), ex AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(h,
+             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+           '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS body
+  FROM page
+)
+SELECT doc_id, 'text/plain' AS content_type,
+       CAST(octet_length(encode(body)) AS BIGINT) AS n_bytes,
+       md5(body) AS text_md5
+FROM ex
 """
 
     # Z-order layout (r13): the bit-interleave expression is

@@ -160,8 +160,9 @@ HEADLINE = [
     # robots.txt politeness filter
     "line_dedup",
     "robots_filter",
-    # round 13 second batch: Z-order clustering layout
+    # round 13 second batch: Z-order clustering layout + WET export
     "zorder_layout",
+    "wet_export",
 ]
 
 

@@ -248,13 +248,16 @@ def write_warc_shards(
     status_col: str | None = None,
     n_shards: int | None = None,
     http_content_type: str = "text/plain",
+    record_kind: str = "response",
 ) -> DataFrame:
     """Distributed WARC sink: each partition streams its rows into ONE
     ``part-<n>.warc.gz`` shard (gzip member per record, a warcinfo
     record leading — the Common Crawl layout), written executor-side;
     returns the collected manifest as a DataFrame (shard path, record
-    count, byte size). Bodies are written as HTTP response records so
-    stock WARC tooling sees a normal crawl.
+    count, byte size). ``record_kind="response"`` wraps bodies as HTTP
+    response records (the WARC crawl product); ``"conversion"`` writes
+    them raw with Content-Type text/plain — the WET extracted-text
+    product (status_col/http_content_type ignored).
 
     Commit protocol (task retries / speculative execution — caught in
     review): every attempt writes to a ``.part-<n>-<attempt>.tmp``
@@ -295,16 +298,24 @@ def write_warc_shards(
                     status = (
                         int(getattr(row, status_col)) if status_col else 200
                     )
-                    rec = build_record(
-                        "response",
-                        build_http_response(
-                            bytes(body), status, http_content_type
-                        ),
-                        target_uri=uri,
-                        content_type=(
-                            'application/http; msgtype="response"'
-                        ),
-                    )
+                    if record_kind == "conversion":
+                        rec = build_record(
+                            "conversion",
+                            bytes(body),
+                            target_uri=uri,
+                            content_type="text/plain",
+                        )
+                    else:
+                        rec = build_record(
+                            "response",
+                            build_http_response(
+                                bytes(body), status, http_content_type
+                            ),
+                            target_uri=uri,
+                            content_type=(
+                                'application/http; msgtype="response"'
+                            ),
+                        )
                     fh.write(gzip.compress(rec, 6))
                     n += 1
             size = fh.tell()

@@ -254,3 +254,23 @@ def test_warc_fuzz_roundtrip_framing():
             ]
 
     run()
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """record_kind='conversion' writes raw text/plain records (no HTTP
+    head) that parse back byte-exact."""
+    src = spark.range(10).select(
+        F.concat(F.lit("https://w/"), F.col("id")).alias("uri"),
+        F.concat(F.lit("extracted text "), F.col("id")).alias("body"),
+    )
+    out = str(tmp_path / "wet")
+    write_warc_shards(src, out, n_shards=2, record_kind="conversion")
+    recs = load_warc(spark, out).filter(
+        F.col("warc_type") == "conversion"
+    ).collect()
+    assert len(recs) == 10
+    by_uri = {r["target_uri"]: r for r in recs}
+    r3 = by_uri["https://w/3"]
+    assert bytes(r3["payload"]) == b"extracted text 3"
+    assert r3["content_type"] == "text/plain"
+    assert r3["http_status"] is None  # no HTTP head on conversion
