@@ -266,6 +266,11 @@ def write_warc_shards(
     attempt leaves only an ignored temp file, a duplicate attempt
     overwrites the final shard with identical content."""
     spark = df.sparkSession
+    if record_kind not in ("response", "conversion"):
+        raise ValueError(
+            f"record_kind must be 'response' or 'conversion', "
+            f"got {record_kind!r}"
+        )
     cols = [uri_col, body_col] + ([status_col] if status_col else [])
     src = df.select(*cols)
     if n_shards:
@@ -295,9 +300,6 @@ def write_warc_shards(
                     body = getattr(row, body_col)
                     if isinstance(body, str):
                         body = body.encode()
-                    status = (
-                        int(getattr(row, status_col)) if status_col else 200
-                    )
                     if record_kind == "conversion":
                         rec = build_record(
                             "conversion",
@@ -306,6 +308,11 @@ def write_warc_shards(
                             content_type="text/plain",
                         )
                     else:
+                        status = (
+                            int(getattr(row, status_col))
+                            if status_col
+                            else 200
+                        )
                         rec = build_record(
                             "response",
                             build_http_response(

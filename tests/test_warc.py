@@ -274,3 +274,13 @@ def test_wet_conversion_records(spark, tmp_path):
     assert bytes(r3["payload"]) == b"extracted text 3"
     assert r3["content_type"] == "text/plain"
     assert r3["http_status"] is None  # no HTTP head on conversion
+
+
+def test_sink_rejects_unknown_record_kind(spark, tmp_path):
+    src = spark.range(1).select(
+        F.lit("u").alias("uri"), F.lit("b").alias("body")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="record_kind"):
+        write_warc_shards(src, str(tmp_path / "x"), record_kind="wet")
