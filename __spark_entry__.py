@@ -4150,13 +4150,15 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe global ordinal (scale/pipeline.global_sorted_index):
     the deterministic total order (lang, n_chars desc, doc_id) gets a
-    dense 0-based rank WITHOUT a single-partition window — range
-    repartition, per-partition counts to the driver (one int each),
-    broadcast offsets, partition-local row_number. The oracle is the
-    naive single-partition ``row_number() OVER (ORDER BY ...)``,
-    which DuckDB can afford at sf0.01 — the two must agree exactly
-    because the composite key is unique. shard = rank // 64: the
-    exact-size shard export this primitive exists for."""
+    dense 0-based rank WITHOUT a single-partition window — the bucket
+    id is a PURE codegen expression over md5-sampled boundaries
+    (collected once, deterministic), so no job, retry, or physical
+    layout can disagree about it; per-bucket counts to the driver
+    (one int each), broadcast offsets, bucket-local row_number. The
+    oracle is the naive single-partition ``row_number() OVER (ORDER
+    BY ...)``, which DuckDB can afford at sf0.01 — the two must agree
+    exactly because the composite key is unique. shard = rank // 64:
+    the exact-size shard export this primitive exists for."""
     from openeo_processes_dask_ml_spark.scale.pipeline import (
         global_sorted_index,
     )
@@ -4164,7 +4166,7 @@ def q_global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = global_sorted_index(
         docs,
-        ["lang", F.col("n_chars").desc(), "doc_id"],
+        ["lang", ("n_chars", "desc"), "doc_id"],
         n_partitions=16,
     )
     return out.select(

@@ -895,6 +895,7 @@ def global_sorted_index(
     order_cols: list,
     rank_col: str = "rank",
     n_partitions: int | None = None,
+    sample_per_partition: int = 64,
 ) -> DataFrame:
     """Deterministic 0-based GLOBAL ordinal under a total order,
     without ever funnelling the data through one partition — the
@@ -902,56 +903,105 @@ def global_sorted_index(
     (whose naive plan is a single-partition window: the one shape
     that cannot survive 100 TB).
 
-    Plan: repartitionByRange on the sort key (one balanced shuffle,
-    boundaries from Spark's reservoir sample), localCheckpoint to PIN
-    that partitioning (range boundaries are re-sampled per job — the
-    counts job and the rank job would otherwise see different
-    partitionings and the offsets would be applied to the wrong
-    partitions; caught by an at-scale probe: 188k/200k wrong ranks
-    uncheckpointed), count rows per physical partition (the only
-    driver traffic — one int per partition), join the cumulative
-    offsets back as a BROADCAST dataframe (a literal map would grow
-    to 2 x n_partitions expressions in the plan), then row_number
-    within each partition plus its offset.
+    Design (the PURE-FUNCTION partitioning, r13 final): the bucket a
+    row belongs to is computed from the ROW ALONE — an md5-sampled
+    boundary list is collected once driver-side (deterministic: the
+    sample predicate is a hash threshold, not an RNG), and
+    ``bucket = #boundaries below my key`` becomes a literal codegen
+    expression. Nothing depends on physical partitioning, so the
+    bucket-count job and the rank job can NEVER disagree — the
+    earlier repartitionByRange design needed a localCheckpoint pin
+    because Spark re-samples range boundaries per job (caught by a
+    200k-row probe: 188k wrong ranks un-pinned), and the pin costs a
+    full materialization at 100 TB and dies with an executor. Here
+    there is no pin: a retry recomputes the same pure expression.
 
-    The composite key MUST be a total order (unique per row — add an
-    id tiebreak); the rank is then independent of the sampled range
-    boundaries, because ties can never straddle a boundary
-    ambiguously. Used for curriculum ordering, reproducible corpus
-    layout, and exact-size shard export.
+    Plan: one scan for the count + one for the tiny hash-threshold
+    sample (driver gets ~64 rows x n_partitions), then ONE shuffle
+    hash-partitioned on the bucket id feeding the per-bucket window,
+    plus a broadcast join of the bucket-offset table (one int per
+    bucket to the driver and back).
+
+    ``order_cols`` entries are column names, optionally ``(name,
+    "desc")`` tuples. The composite key MUST be a total order over
+    NON-NULL columns (add an id tiebreak) — uniqueness makes the rank
+    independent of where the sampled boundaries happen to land. Used
+    for curriculum ordering, reproducible corpus layout, and
+    exact-size shard export.
     """
     from pyspark.sql import Window
 
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    spec: list[tuple[str, bool]] = []
+    for c in order_cols:
+        if isinstance(c, tuple):
+            spec.append((c[0], c[1] != "desc"))
+        else:
+            spec.append((c, True))
+    sort_cols = [
+        F.col(name) if asc else F.col(name).desc() for name, asc in spec
+    ]
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .localCheckpoint()
+
+    total = df.count()
+    if total == 0:
+        return df.withColumn(rank_col, F.lit(0).cast("bigint"))
+
+    # deterministic sample: md5 of the key tuple under a threshold —
+    # every job (and every retry) selects the same rows
+    key_str = F.concat_ws("\x1f", *[F.col(name).cast("string") for name, _ in spec])
+    frac = min(1.0, (sample_per_partition * n) / total)
+    hash60 = F.conv(F.substring(F.md5(key_str), 1, 15), 16, 10).cast(
+        "bigint"
     )
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    # tiny: one (pid, count) row per partition reaches the driver
+    sample = (
+        df.filter(hash60 < int(frac * (16 ** 15)))
+        .select(*[name for name, _ in spec])
+        .orderBy(*sort_cols)
+        .collect()
+    )
+    boundaries = [
+        sample[(i * len(sample)) // n]
+        for i in range(1, n)
+        if sample
+    ]
+
+    def row_gt(bound) -> F.Column:
+        # lexicographic "row key > boundary" honoring per-col direction
+        expr = F.lit(False)
+        for name, asc in reversed(spec):
+            c, b = F.col(name), F.lit(bound[name])
+            gt = (c > b) if asc else (c < b)
+            expr = gt | ((c == b) & expr)
+        return expr
+
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(row_gt(b), 1).otherwise(0)
+    keyed = df.withColumn("__bucket", bucket.cast("int"))
+
+    # tiny: one (bucket, count) row per bucket reaches the driver;
+    # bucket ids are monotone in the key order by construction
     counts = dict(
-        (r["__pid"], r["cnt"])
-        for r in with_pid.groupBy("__pid")
+        (r["__bucket"], r["cnt"])
+        for r in keyed.groupBy("__bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
     offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
+    for bid in sorted(counts):
+        offsets.append((bid, acc))
+        acc += counts[bid]
     off_df = df.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "__pid int, __offset long"
+        offsets, "__bucket int, __offset long"
     )
-    w = Window.partitionBy("__pid").orderBy(*cols)
+    w = Window.partitionBy("__bucket").orderBy(*sort_cols)
     return (
-        with_pid.join(F.broadcast(off_df), "__pid")
+        keyed.join(F.broadcast(off_df), "__bucket")
         .withColumn(
             rank_col,
             (F.row_number().over(w) - 1 + F.col("__offset")).cast(
                 "bigint"
             ),
         )
-        .drop("__pid", "__offset")
+        .drop("__bucket", "__offset")
     )

@@ -239,11 +239,14 @@ def test_global_sorted_index_matches_naive_window(spark):
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    keys = ["lang", F.col("n_chars").desc(), "doc_id"]
+    keys = ["lang", ("n_chars", "desc"), "doc_id"]
     gt = {
         r["doc_id"]: r["rk"] - 1
         for r in docs.withColumn(
-            "rk", F.row_number().over(Window.orderBy(*keys))
+            "rk",
+            F.row_number().over(
+                Window.orderBy("lang", F.col("n_chars").desc(), "doc_id")
+            ),
         ).collect()
     }
     for n_parts in (3, 16):

@@ -525,13 +525,14 @@ def test_global_sort_index_never_single_partition(spark):
     import __spark_entry__ as entry
 
     plan = _plan(entry.q_global_sort_index(spark, SF_DIR))
-    # the DISCRIMINATING pin check (r13 follow-up review): with the
-    # checkpoint in place the range shuffle is hidden behind the RDD
-    # scan, so rangepartitioning must NOT appear; an un-pinned
-    # regression re-exposes it (ExistingRDD alone can't tell — the
-    # broadcast offsets df is also an ExistingRDD scan)
+    # pure-function partitioning (r13 final): the bucket id is a
+    # codegen expression, so the fact side is a live parquet scan
+    # (NOT a checkpointed RDD materialization) shuffled by hash on
+    # the bucket — rangepartitioning (whose boundaries re-sample per
+    # job and mis-rank, the original review bug) must never appear
+    assert "Scan parquet" in plan  # no full-data materialization
     assert "rangepartitioning" not in plan
-    assert "ExistingRDD" in plan  # the pinned (checkpointed) layout
+    assert "hashpartitioning" in plan
     assert plan.find("Window") > -1
     # no single-partition funnel ANYWHERE (plans print children after
     # parents, so a prefix scan would miss the Window's child Exchange)

@@ -196,8 +196,10 @@ AUDIT = [
     ),
     (
         "global_sort_index",
-        "Distributed row_number() OVER (ORDER BY): pid-partitioned "
-        "window over the checkpointed range layout + broadcast "
+        "Distributed row_number() OVER (ORDER BY): the bucket id is "
+        "a PURE codegen expression over md5-sampled boundaries (live "
+        "parquet scan, no checkpoint materialization), one hash "
+        "shuffle on the bucket feeding the window + broadcast "
         "offsets join — no Exchange SinglePartition anywhere.",
     ),
     (
