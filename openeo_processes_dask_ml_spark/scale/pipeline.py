@@ -890,12 +890,29 @@ def dsir_doc_grams(
     )
 
 
+class _Rev:
+    """Order-reversing comparable wrapper (desc keys in the bisect
+    bucket path). Only __lt__/__eq__ — all tuple comparison needs."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 def global_sorted_index(
     df: DataFrame,
     order_cols: list,
     rank_col: str = "rank",
     n_partitions: int | None = None,
     sample_per_partition: int = 64,
+    max_expr_terms: int = 256,
 ) -> DataFrame:
     """Deterministic 0-based GLOBAL ordinal under a total order,
     without ever funnelling the data through one partition — the
@@ -903,81 +920,155 @@ def global_sorted_index(
     (whose naive plan is a single-partition window: the one shape
     that cannot survive 100 TB).
 
-    Design (the PURE-FUNCTION partitioning, r13 final): the bucket a
-    row belongs to is computed from the ROW ALONE — an md5-sampled
-    boundary list is collected once driver-side (deterministic: the
-    sample predicate is a hash threshold, not an RNG), and
-    ``bucket = #boundaries below my key`` becomes a literal codegen
-    expression. Nothing depends on physical partitioning, so the
-    bucket-count job and the rank job can NEVER disagree — the
-    earlier repartitionByRange design needed a localCheckpoint pin
-    because Spark re-samples range boundaries per job (caught by a
-    200k-row probe: 188k wrong ranks un-pinned), and the pin costs a
-    full materialization at 100 TB and dies with an executor. Here
-    there is no pin: a retry recomputes the same pure expression.
+    Design (pure-function partitioning): the bucket a row belongs to
+    is computed from the ROW ALONE against an md5-sampled boundary
+    list collected once driver-side (deterministic: the sample
+    predicate is a hash threshold, not an RNG), so no job, retry, or
+    physical layout can disagree about any row's bucket — the earlier
+    repartitionByRange design needed a localCheckpoint pin because
+    Spark re-samples range boundaries per job (a 200k-row probe
+    showed 188k wrong ranks un-pinned), and the pin cost a full
+    materialization at 100 TB. Bucket computation is an unrolled
+    lexicographic-compare expression while ``(n_partitions - 1) *
+    n_cols <= max_expr_terms`` (whole-stage codegen, zero Python);
+    past that budget — thousands of buckets would blow Janino's 64 KB
+    codegen limit and cost O(n) compares per row — it switches to an
+    Arrow-vectorized ``bisect`` over the same boundary tuples
+    (O(log n) per row, constant plan size). Both paths produce
+    identical buckets from identical boundaries.
 
-    Plan: one scan for the count + one for the tiny hash-threshold
-    sample (driver gets ~64 rows x n_partitions), then ONE shuffle
-    hash-partitioned on the bucket id feeding the per-bucket window,
-    plus a broadcast join of the bucket-offset table (one int per
-    bucket to the driver and back).
+    Plan: one scan for count + null validation, one for the tiny
+    hash-threshold sample, then ONE shuffle hash-partitioned on the
+    bucket id feeding the per-bucket window, plus a broadcast join of
+    the bucket-offset table.
 
-    ``order_cols`` entries are column names, optionally ``(name,
-    "desc")`` tuples. The composite key MUST be a total order over
-    NON-NULL columns (add an id tiebreak) — uniqueness makes the rank
-    independent of where the sampled boundaries happen to land. Used
-    for curriculum ordering, reproducible corpus layout, and
-    exact-size shard export.
-    """
+    Preconditions (validated where cheap): ``order_cols`` entries are
+    column NAMES, optionally ``(name, "asc"|"desc")`` tuples —
+    expression keys must be materialized as columns first; key
+    columns must be NON-NULL (checked in the count pass — null
+    comparisons would silently corrupt buckets); the composite key
+    must be a total order (add an id tiebreak); and ``df`` must be
+    deterministically recomputable (file-backed, no unseeded
+    sample/rand upstream) — the function runs multiple actions over
+    it, like any multi-action Spark computation."""
     from pyspark.sql import Window
 
     spec: list[tuple[str, bool]] = []
     for c in order_cols:
         if isinstance(c, tuple):
-            spec.append((c[0], c[1] != "desc"))
-        else:
+            name, direction = c
+            if direction not in ("asc", "desc"):
+                raise ValueError(
+                    f"direction for {name!r} must be 'asc' or 'desc', "
+                    f"got {direction!r}"
+                )
+            spec.append((name, direction == "asc"))
+        elif isinstance(c, str):
             spec.append((c, True))
+        else:
+            raise TypeError(
+                "order_cols entries must be column names or "
+                "(name, 'asc'|'desc') tuples — materialize expression "
+                f"keys as columns first (got {type(c).__name__})"
+            )
+    names = [name for name, _ in spec]
     sort_cols = [
         F.col(name) if asc else F.col(name).desc() for name, asc in spec
     ]
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
 
-    total = df.count()
+    # one validation pass: total count + per-key-column null counts
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(name).isNull().cast("int")).alias(f"__null_{i}")
+            for i, name in enumerate(names)
+        ],
+    ).collect()[0]
+    total = stats["__n"]
     if total == 0:
         return df.withColumn(rank_col, F.lit(0).cast("bigint"))
+    for i, name in enumerate(names):
+        if stats[f"__null_{i}"]:
+            raise ValueError(
+                f"key column {name!r} contains "
+                f"{stats[f'__null_{i}']} NULLs — the composite key "
+                "must be a non-null total order (null comparisons "
+                "would silently corrupt bucket assignment)"
+            )
 
     # deterministic sample: md5 of the key tuple under a threshold —
     # every job (and every retry) selects the same rows
-    key_str = F.concat_ws("\x1f", *[F.col(name).cast("string") for name, _ in spec])
+    key_str = F.concat_ws(
+        "\x1f", *[F.col(name).cast("string") for name in names]
+    )
     frac = min(1.0, (sample_per_partition * n) / total)
     hash60 = F.conv(F.substring(F.md5(key_str), 1, 15), 16, 10).cast(
         "bigint"
     )
     sample = (
         df.filter(hash60 < int(frac * (16 ** 15)))
-        .select(*[name for name, _ in spec])
+        .select(*names)
         .orderBy(*sort_cols)
         .collect()
     )
+    if not sample and n > 1 and total > sample_per_partition:
+        raise RuntimeError(
+            "boundary sample came back empty on a non-trivial input — "
+            "the key tuple likely has (near-)constant string form, so "
+            "bucketing would silently funnel into one partition; "
+            "check the total-order precondition"
+        )
     boundaries = [
         sample[(i * len(sample)) // n]
         for i in range(1, n)
         if sample
     ]
 
-    def row_gt(bound) -> F.Column:
-        # lexicographic "row key > boundary" honoring per-col direction
-        expr = F.lit(False)
-        for name, asc in reversed(spec):
-            c, b = F.col(name), F.lit(bound[name])
-            gt = (c > b) if asc else (c < b)
-            expr = gt | ((c == b) & expr)
-        return expr
+    if (len(boundaries)) * len(spec) <= max_expr_terms:
+        # codegen path: unrolled lexicographic compares
+        def row_gt(bound) -> F.Column:
+            expr = F.lit(False)
+            for name, asc in reversed(spec):
+                c, b = F.col(name), F.lit(bound[name])
+                gt = (c > b) if asc else (c < b)
+                expr = gt | ((c == b) & expr)
+            return expr
 
-    bucket = F.lit(0)
-    for b in boundaries:
-        bucket = bucket + F.when(row_gt(b), 1).otherwise(0)
-    keyed = df.withColumn("__bucket", bucket.cast("int"))
+        bucket = F.lit(0)
+        for b in boundaries:
+            bucket = bucket + F.when(row_gt(b), 1).otherwise(0)
+        bucket = bucket.cast("int")
+    else:
+        # scale path: Arrow-vectorized bisect over the SAME boundary
+        # tuples — O(log n) per row, constant-size plan
+        import bisect
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        dirs = [asc for _, asc in spec]
+        cmp_bounds = sorted(
+            tuple(
+                b[name] if asc else _Rev(b[name])
+                for (name, asc) in spec
+            )
+            for b in boundaries
+        )
+
+        @pandas_udf("int")
+        def bucket_udf(*cols: pd.Series) -> pd.Series:
+            out = []
+            for vals in zip(*cols):
+                key = tuple(
+                    v if asc else _Rev(v) for v, asc in zip(vals, dirs)
+                )
+                out.append(bisect.bisect_left(cmp_bounds, key))
+            return pd.Series(out, dtype="int32")
+
+        bucket = bucket_udf(*[F.col(name) for name in names])
+
+    keyed = df.withColumn("__bucket", bucket)
 
     # tiny: one (bucket, count) row per bucket reaches the driver;
     # bucket ids are monotone in the key order by construction

@@ -271,3 +271,55 @@ def test_global_sorted_index_at_50k_partial_sample(spark):
     out = global_sorted_index(df, ["k", "id"], n_partitions=16)
     ranks = sorted(r["rank"] for r in out.select("rank").collect())
     assert ranks == list(range(50000))
+
+
+def test_global_sorted_index_bisect_path_matches_expression(spark):
+    """Past the codegen term budget the bucket comes from the
+    Arrow-vectorized bisect — identical buckets, identical ranks
+    (forced here with max_expr_terms=0), mixed directions included."""
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        global_sorted_index,
+    )
+
+    df = spark.range(0, 20000, 1, 4).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 999983).alias("k"),
+        (F.col("id") % 7).cast("string").alias("s"),
+    )
+    keys = [("k", "asc"), ("s", "desc"), "id"]
+    a = {
+        r["id"]: r["rank"]
+        for r in global_sorted_index(df, keys, n_partitions=32).collect()
+    }
+    b = {
+        r["id"]: r["rank"]
+        for r in global_sorted_index(
+            df, keys, n_partitions=32, max_expr_terms=0
+        ).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(20000))
+
+
+def test_global_sorted_index_validates_preconditions(spark):
+    """NULL keys, bad direction tokens, and Column entries all fail
+    fast with clear errors (r13 review findings — silent corruption
+    otherwise)."""
+    import pytest as _pytest
+
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        global_sorted_index,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 9).alias("k")
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        bad = df.withColumn(
+            "k", F.when(F.col("id") == 5, None).otherwise(F.col("k"))
+        )
+        global_sorted_index(bad, ["k", "id"], n_partitions=4)
+    with _pytest.raises(ValueError, match="direction"):
+        global_sorted_index(df, [("k", "DESC")], n_partitions=4)
+    with _pytest.raises(TypeError, match="column names"):
+        global_sorted_index(df, [F.col("k").desc()], n_partitions=4)
