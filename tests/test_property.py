@@ -552,3 +552,140 @@ def test_lzw_decoder_rejects_or_returns_on_garbage(raw):
         assert isinstance(out, bytes)
     except ValueError:
         pass
+
+
+def test_line_dedup_matches_pure_python_reference(spark):
+    """Property: line_dedup equals a pure-Python replay (split, count,
+    threshold, ordered reassembly) on randomized corpora."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from openeo_processes_dask_ml_spark.scale.text import line_dedup
+
+    line = st.sampled_from(
+        ["alpha", "beta", "SUBSCRIBE", "cookie", "x y z", "", "beta"]
+    )
+    docs = st.lists(
+        st.lists(line, min_size=1, max_size=6), min_size=1, max_size=8
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(docs, st.integers(min_value=1, max_value=3))
+    def run(texts, max_count):
+        rows = [(i, "\n".join(t)) for i, t in enumerate(texts)]
+        # pure-python reference
+        from collections import Counter
+
+        counts = Counter(ln for _, t in rows for ln in t.split("\n"))
+        want = {}
+        for i, t in rows:
+            lines = t.split("\n")
+            keep = [ln for ln in lines if counts[ln] <= max_count]
+            want[i] = (
+                "\n".join(keep),
+                len(lines),
+                len(lines) - len(keep),
+            )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+            for r in line_dedup(df, max_count=max_count).collect()
+        }
+        assert got == want
+
+    run()
+
+
+def test_robots_matches_pure_python_reference(spark):
+    """Property: parse + longest-prefix verdicts equal a pure-Python
+    RFC 9309-subset reference on randomized robots bodies and URLs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from openeo_processes_dask_ml_spark.scale.web import (
+        robots_filter,
+        robots_rules,
+    )
+
+    prefix = st.sampled_from(["/a", "/a/b", "/c", "/", ""])
+    rule_line = st.builds(
+        lambda allow, p: f"{'Allow' if allow else 'Disallow'}: {p}",
+        st.booleans(),
+        prefix,
+    )
+    group = st.builds(
+        lambda agents, rules: "\n".join(
+            [f"User-agent: {a}" for a in agents] + rules
+        ),
+        st.lists(st.sampled_from(["*", "bot"]), min_size=1, max_size=2),
+        st.lists(rule_line, min_size=1, max_size=3),
+    )
+    body = st.builds(lambda gs: "\n\n".join(gs), st.lists(group, min_size=1, max_size=3))
+    paths = st.lists(
+        st.sampled_from(["/a", "/a/b/c", "/c/d", "/", "/zz"]),
+        min_size=1,
+        max_size=5,
+    )
+
+    def ref_verdicts(text, agent, urls_paths):
+        # pure-python parse: consecutive UA lines share the block
+        groups = []  # (set(agents), [(prefix, allow)])
+        cur_agents, cur_rules, in_ua = [], [], False
+        for raw in text.split("\n"):
+            ln = raw.split("#")[0].strip()
+            if not ln or ":" not in ln:
+                continue
+            f, _, v = ln.partition(":")
+            f, v = f.strip().lower(), v.strip()
+            if f == "user-agent":
+                if not in_ua:
+                    if cur_agents:
+                        groups.append((cur_agents, cur_rules))
+                    cur_agents, cur_rules = [], []
+                    in_ua = True
+                cur_agents.append(v.lower())
+            elif f in ("allow", "disallow"):
+                in_ua = False
+                cur_rules.append((v, f == "allow" or v == ""))
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        # agent group selection with * fallback
+        rules = [
+            r for agents, rs in groups for r in rs if agent in agents
+        ]
+        if not rules and agent != "*":
+            rules = [
+                r for agents, rs in groups for r in rs if "*" in agents
+            ]
+        out = {}
+        for p in urls_paths:
+            best = None  # (len, allow)
+            for pref, allow in rules:
+                if any(ch in pref for ch in "*$"):
+                    continue
+                if p.startswith(pref):
+                    k = (len(pref), allow)
+                    if best is None or k > best:
+                        best = k
+            out[p] = best is None or best[1]
+        return out
+
+    @settings(max_examples=20, deadline=None)
+    @given(body, paths, st.sampled_from(["*", "bot"]))
+    def run(text, ps, agent):
+        want = ref_verdicts(text, agent, ps)
+        robots = spark.createDataFrame(
+            [("d.com", text)], "domain string, robots_txt string"
+        )
+        urls = spark.createDataFrame(
+            [(f"https://d.com{p}",) for p in set(ps)], "url string"
+        )
+        got = {
+            r["path"]: r["allowed"]
+            for r in robots_filter(
+                urls, robots_rules(robots), agent=agent
+            ).collect()
+        }
+        assert got == {p: want[p] for p in set(ps)}
+
+    run()
