@@ -4119,6 +4119,63 @@ def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT generation — completing the WARC/WAT/WET Common Crawl
+    product triple: per-page metadata (uri, extracted title, token
+    count) serializes to JSON (F.to_json over a struct — JVM-side),
+    exports as ``metadata`` records (application/json) through the
+    member-per-record gzip sink, re-reads, and parses back with
+    get_json_object. The oracle replays the extraction and emits the
+    same three fields — JSON framing, the metadata-record branch, and
+    the extraction sit under one value gate."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.warc import (
+        load_warc,
+        write_warc_shards,
+    )
+    from openeo_processes_dask_ml_spark.scale.web import html_text_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id"),
+            F.lit("</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    ex = html_text_extract(pages, "html", carry=("doc_id",))
+    src = ex.select(
+        F.concat(
+            F.lit("https://crawl.example/doc/"), F.col("doc_id")
+        ).alias("uri"),
+        F.to_json(
+            F.struct(
+                F.col("title"), F.col("n_tokens").alias("n_tokens")
+            )
+        ).alias("body"),
+    )
+    out = tempfile.mkdtemp(prefix="wat_export_")
+    write_warc_shards(src, out, n_shards=4, record_kind="metadata")
+    back = load_warc(spark, out)
+    meta = back.filter(F.col("warc_type") == "metadata").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.decode(F.col("payload"), "UTF-8").alias("js"),
+    )
+    return meta.select(
+        "doc_id",
+        F.get_json_object("js", "$.title").alias("title"),
+        F.get_json_object("js", "$.n_tokens")
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering (scale/layout.py, beyond-reference — the
     Delta/Iceberg OPTIMIZE ZORDER story): events get a 24-bit Morton
@@ -4549,14 +4606,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict-verified at HEAD via tools/driver_sim.py this session;
     # they rotate into the r14 window with their cohorts.
     #
-    # Rotation arithmetic (standing, stated honestly): at 165 queries
+    # Rotation arithmetic (standing, stated honestly): at 166 queries
     # (145 + netcdf_roundtrip + quality_classifier + bm25_topk + the
     # nine-TPC-H batch + warc_ingest + warc_html_pipeline +
     # global_sort_index + streaming_warc_ingest + line_dedup +
-    # robots_filter + zorder_layout + wet_export) and a 50-slot
-    # window the steady-state re-verification cadence is
-    # ceil(165/50) = 4 rounds. After r13 every query's latest driver
-    # green is <= 3 rounds old (the 17 post-window r13 additions have
+    # robots_filter + zorder_layout + wet_export + wat_export) and a
+    # 50-slot window the steady-state re-verification cadence is
+    # ceil(166/50) = 4 rounds. After r13 every query's latest driver
+    # green is <= 3 rounds old (the 18 post-window r13 additions have
     # no driver green yet — they are NEW, strict-verified at HEAD via
     # tools/driver_sim.py, and lead the r14 window).
     return {
@@ -4659,6 +4716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r13, same post-window placement: WET extracted-text
         #     export (the third Common Crawl product) ---
         "wet_export": q_wet_export,
+        "wat_export": q_wat_export,
         # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
         #     decode path; displaced from the window by the three NEW
         #     gates + the mandatory 47-cohort, but strict-verified at
@@ -8489,6 +8547,29 @@ WITH page AS (
 SELECT doc_id, 'text/plain' AS content_type,
        CAST(octet_length(encode(body)) AS BIGINT) AS n_bytes,
        md5(body) AS text_md5
+FROM ex
+"""
+
+    # WAT export (r13): replay the (script-free) template extraction
+    # and emit the same metadata fields the JSON roundtrip carries.
+    sql["wat_export"] = r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id ||
+         '</title></head><body><p>' || text ||
+         '</p></body></html>' AS h
+  FROM documents
+), ex AS (
+  SELECT doc_id,
+         regexp_extract(h, '<title>([^<]*)</title>', 1) AS title,
+         trim(regexp_replace(regexp_replace(h,
+           '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS body
+  FROM page
+)
+SELECT doc_id, title,
+       CASE WHEN body = '' THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(string_split(body, ' ')) AS BIGINT)
+       END AS n_tokens
 FROM ex
 """
 

@@ -160,9 +160,10 @@ HEADLINE = [
     # robots.txt politeness filter
     "line_dedup",
     "robots_filter",
-    # round 13 second batch: Z-order clustering layout + WET export
+    # round 13 second batch: Z-order clustering layout + WET/WAT export
     "zorder_layout",
     "wet_export",
+    "wat_export",
 ]
 
 

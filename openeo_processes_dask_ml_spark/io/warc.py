@@ -257,7 +257,9 @@ def write_warc_shards(
     count, byte size). ``record_kind="response"`` wraps bodies as HTTP
     response records (the WARC crawl product); ``"conversion"`` writes
     them raw with Content-Type text/plain — the WET extracted-text
-    product (status_col/http_content_type ignored).
+    product; ``"metadata"`` writes them raw with Content-Type
+    application/json — the WAT metadata product
+    (status_col/http_content_type ignored for both raw kinds).
 
     Commit protocol (task retries / speculative execution — caught in
     review): every attempt writes to a ``.part-<n>-<attempt>.tmp``
@@ -266,10 +268,10 @@ def write_warc_shards(
     attempt leaves only an ignored temp file, a duplicate attempt
     overwrites the final shard with identical content."""
     spark = df.sparkSession
-    if record_kind not in ("response", "conversion"):
+    if record_kind not in ("response", "conversion", "metadata"):
         raise ValueError(
-            f"record_kind must be 'response' or 'conversion', "
-            f"got {record_kind!r}"
+            f"record_kind must be 'response', 'conversion' or "
+            f"'metadata', got {record_kind!r}"
         )
     cols = [uri_col, body_col] + ([status_col] if status_col else [])
     src = df.select(*cols)
@@ -306,6 +308,13 @@ def write_warc_shards(
                             bytes(body),
                             target_uri=uri,
                             content_type="text/plain",
+                        )
+                    elif record_kind == "metadata":
+                        rec = build_record(
+                            "metadata",
+                            bytes(body),
+                            target_uri=uri,
+                            content_type="application/json",
                         )
                     else:
                         status = (

@@ -284,3 +284,20 @@ def test_sink_rejects_unknown_record_kind(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="record_kind"):
         write_warc_shards(src, str(tmp_path / "x"), record_kind="wet")
+
+
+def test_wat_metadata_records(spark, tmp_path):
+    """record_kind='metadata' writes raw application/json records."""
+    src = spark.range(5).select(
+        F.concat(F.lit("https://m/"), F.col("id")).alias("uri"),
+        F.to_json(F.struct(F.col("id").alias("n"))).alias("body"),
+    )
+    out = str(tmp_path / "wat")
+    write_warc_shards(src, out, n_shards=2, record_kind="metadata")
+    recs = load_warc(spark, out).filter(
+        F.col("warc_type") == "metadata"
+    ).collect()
+    assert len(recs) == 5
+    r2 = next(r for r in recs if r["target_uri"] == "https://m/2")
+    assert bytes(r2["payload"]) == b'{"n":2}'
+    assert r2["content_type"] == "application/json"
