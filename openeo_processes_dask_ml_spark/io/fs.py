@@ -1,0 +1,120 @@
+"""Executor-side filesystem routing for the binary sinks.
+
+Reference analog: the reference writes wherever fsspec reaches
+(`minibackend/custom_processes.py:191-219` hands paths straight to
+xarray/zarr, which resolve s3://... through fsspec). Our binary sinks
+(WARC/zarr/gtiff/netCDF3) run INSIDE executor tasks where the JVM
+Hadoop FileSystem is unreachable (Python workers have no py4j
+gateway), so the driver-side `spark._jvm...FileSystem` pattern used
+by `compact_table` (io/load.py:822) cannot serve them. `pyarrow.fs`
+is the executor-usable equivalent: pure C++ filesystem handlers for
+local, s3://, gs://, and hdfs:// paths that ship inside the pyarrow
+wheel every worker already imports for Arrow batches.
+
+Commit semantics by scheme (the part sinks must get right):
+- local / file:// — POSIX rename is atomic: write `.tmp`, then
+  `replace()` onto the deterministic final name. hdfs:// renames are
+  atomic too and take the same path.
+- s3:// / gs:// — object stores have NO rename (copy+delete is
+  neither atomic nor cheap), but a PUT/multipart-complete is atomic:
+  an object never appears half-written. So sinks write the FINAL key
+  directly; `replace()` is the identity. This is only safe because
+  every sink attempt produces byte-identical content (deterministic
+  record IDs — ADVICE r13), making duplicate/speculative commits
+  last-writer-wins idempotent.
+
+Local *bare* paths (no scheme) are resolved relative to the worker's
+cwd — correct under local[*] and shared-NFS clusters, silently wrong
+on multi-node clusters with independent disks. That trade-off is
+documented at each sink; this module keeps bare paths working
+because every test and the driver contract use them.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import BinaryIO
+
+try:  # pyarrow is a baked-in dependency, but keep the gate explicit
+    from pyarrow import fs as _pafs
+except ImportError:  # pragma: no cover
+    _pafs = None
+
+# schemes whose FileSystem.move is an atomic rename
+_RENAME_SCHEMES = ("local", "hdfs")
+
+
+class SinkPath:
+    """One resolved sink location: scheme-aware open/commit/delete.
+
+    `tmp_path()` returns the name an attempt should write (the final
+    name itself on object stores — see module docstring), and
+    `commit()` promotes it. All byte counting is done by the caller
+    (object-store streams don't all support tell())."""
+
+    def __init__(self, fs, path: str, scheme: str):
+        self.fs = fs
+        self.path = path
+        self.scheme = scheme
+        self.atomic_rename = scheme in _RENAME_SCHEMES
+
+    def tmp_path(self, attempt: str) -> str:
+        if not self.atomic_rename:
+            return self.path
+        d, name = os.path.split(self.path)
+        return f"{d}/.{name}-{attempt}.tmp"
+
+    def open_write(self, path: str) -> BinaryIO:
+        return self.fs.open_output_stream(path)
+
+    def commit(self, tmp: str) -> None:
+        if self.atomic_rename and tmp != self.path:
+            self.fs.move(tmp, self.path)
+
+    def abort(self, tmp: str) -> None:
+        try:
+            self.fs.delete_file(tmp)
+        except (FileNotFoundError, OSError):  # pragma: no cover
+            pass
+
+    def open_read(self):
+        return self.fs.open_input_stream(self.path)
+
+
+def resolve(path: str) -> SinkPath:
+    """Resolve a URI or bare path to a SinkPath. Bare and file://
+    paths get the local handler; s3:// gs:// hdfs:// get pyarrow's
+    native handlers; anything else raises with the supported list."""
+    if _pafs is None:  # pragma: no cover
+        raise ImportError("pyarrow.fs is required for sink routing")
+    scheme, sep, rest = path.partition("://")
+    if not sep:
+        return SinkPath(
+            _pafs.LocalFileSystem(), os.path.abspath(path), "local"
+        )
+    if scheme == "file":
+        return SinkPath(_pafs.LocalFileSystem(), rest or "/", "local")
+    if scheme in ("s3", "s3a", "gs", "hdfs"):
+        try:
+            fs, p = _pafs.FileSystem.from_uri(
+                path.replace("s3a://", "s3://", 1)
+            )
+        except Exception as exc:  # credentials / endpoint problems
+            raise IOError(
+                f"cannot initialise {scheme}:// filesystem for "
+                f"{path!r}: {exc}"
+            ) from exc
+        return SinkPath(fs, p, "hdfs" if scheme == "hdfs" else scheme)
+    raise ValueError(
+        f"unsupported sink scheme {scheme!r} in {path!r}: supported "
+        "are bare/absolute local paths, file://, s3://, s3a://, "
+        "gs://, hdfs://"
+    )
+
+
+def makedirs(path: str) -> SinkPath:
+    """resolve() + create the directory tree (no-op namespace on
+    object stores, where create_dir is cheap metadata)."""
+    sp = resolve(path)
+    sp.fs.create_dir(sp.path, recursive=True)
+    return sp

@@ -10,9 +10,18 @@ Scale design: shards are read ONE FILE PER TASK through Spark's
 ``binaryFile`` source — Common Crawl ships hundreds of thousands of
 shards per snapshot, so file-level parallelism saturates any cluster
 without intra-file splitting (a gzip member stream has no cheap split
-points anyway). Record parsing is a ``mapInPandas`` generator that
-emits bounded Arrow batches, so a 1 GB shard never materializes more
-than ``batch_records`` parsed records at once on an executor. The
+points anyway). Decompression is a ``zlib.decompressobj`` loop over
+fixed-size input slices with a capped per-call output budget, feeding
+an incremental record parser whose buffer is compacted after every
+record — so beyond the compressed ``binaryFile`` cell itself (which
+Spark materializes whole, unavoidably), peak executor memory is
+O(decompress_chunk + largest record), NOT O(decompressed shard):
+a 1 GB Common Crawl shard costs ~1 GB compressed + single-digit MBs,
+not the ~5 GB a whole-shard ``gzip.decompress`` held (VERDICT r13
+finding #1; bounded-memory property pinned by a peak-RSS probe test).
+Record parsing is a ``mapInPandas`` generator that emits bounded
+Arrow batches, so downstream also sees at most ``batch_records``
+parsed records at once. The
 sink writes the standard member-per-record gzip layout (warcinfo
 record first), so stock readers (warcio et al.) can consume the
 output; the gate re-reads it with this module's own reader — the
@@ -31,12 +40,15 @@ from __future__ import annotations
 import gzip
 import os
 import uuid
+import zlib
 from typing import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import fs
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -49,20 +61,55 @@ WARC_ROW_SCHEMA = (
 )
 
 
-def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
-    """Decompress a (possibly concatenated-member) gzip stream. WARC
-    records are self-delimiting (Content-Length framing), so member
-    boundaries carry no information — the whole stream decompresses
-    in ONE C-speed pass (``gzip.decompress`` walks every member).
-    The first cut iterated members with per-member ``decompressobj``
-    calls, which re-copied the remaining shard per member: O(members
-    x shard bytes) — quadratic, ~hours on a real 25k-member Common
-    Crawl shard (caught in review by a 2k/4k/8k-member benchmark).
-    Plain (uncompressed) input yields itself whole."""
+# compressed bytes fed to zlib per call / decompressed bytes yielded
+# per call. Both bounded => peak transient memory per shard task is
+# O(_IN_CHUNK + _OUT_CHUNK + largest record), independent of shard size.
+_IN_CHUNK = 1 << 20
+_OUT_CHUNK = 1 << 22
+
+
+def _iter_decompressed_chunks(data: bytes) -> Iterator[bytes]:
+    """Stream-decompress a (possibly concatenated-member) gzip shard
+    in bounded chunks. WARC records are self-delimiting
+    (Content-Length framing), so member boundaries carry no
+    information; ``zlib.decompressobj(wbits=31)`` handles one member,
+    and on ``eof`` the leftover ``unused_data`` seeds a fresh object
+    for the next member. Two earlier designs both failed at crawl
+    scale: per-member ``decompressobj`` calls that re-sliced the
+    remaining shard were O(members x shard bytes) — quadratic, ~hours
+    on a 25k-member shard — and the one-shot ``gzip.decompress``
+    that replaced them was linear-time but held the ENTIRE ~5x
+    decompressed shard in memory at once (VERDICT r13 #1). This loop
+    is linear time (each compressed byte is fed exactly once; the
+    only re-fed bytes are ``unconsumed_tail`` when the output cap
+    truncates a call) AND O(chunk) memory. Plain (uncompressed)
+    input yields itself whole."""
     if not data[:2] == b"\x1f\x8b":
         yield data
         return
-    yield gzip.decompress(data)
+    mv = memoryview(data)
+    n = len(data)
+    i = 0
+    d = zlib.decompressobj(wbits=31)
+    tail = b""  # compressed bytes owed to the CURRENT decompressobj
+    while True:
+        if d.eof:
+            rest = d.unused_data
+            d = zlib.decompressobj(wbits=31)
+            tail = rest  # start of the next member (possibly empty)
+        if tail:
+            chunk, tail = tail, b""
+        elif i < n:
+            chunk = bytes(mv[i : i + _IN_CHUNK])
+            i += _IN_CHUNK
+        else:
+            if not d.eof and d.flush():
+                raise ValueError("truncated gzip member in WARC shard")
+            return
+        out = d.decompress(chunk, _OUT_CHUNK)
+        if out:
+            yield out
+        tail = d.unconsumed_tail
 
 
 def _parse_http(payload: bytes):
@@ -89,62 +136,99 @@ def _parse_http(payload: bytes):
     return status, ctype, payload[head_end + 4 :]
 
 
+def _iter_records_incremental(chunks: Iterator[bytes]) -> Iterator[dict]:
+    """Parse WARC records from a stream of decompressed chunks. The
+    working buffer holds only not-yet-parsed bytes — it is compacted
+    after every record — so peak memory is O(chunk + largest record)
+    regardless of how many records or chunks the shard holds. Strict
+    on the parts that carry data (version line, Content-Length),
+    lenient on unknown headers."""
+    it = iter(chunks)
+    buf = bytearray()
+    pos = 0
+    eof = False
+
+    def fill() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        try:
+            buf.extend(next(it))
+            return True
+        except StopIteration:
+            eof = True
+            return False
+
+    while True:
+        # compact: drop the parsed prefix so the buffer never grows
+        # past one record + one chunk (the memory bound of the module)
+        if pos:
+            del buf[:pos]
+            pos = 0
+        # skip inter-record CRLFs (record trailers / concatenation)
+        while True:
+            while len(buf) - pos < 2 and fill():
+                pass
+            if buf[pos : pos + 2] == b"\r\n":
+                pos += 2
+            else:
+                break
+        if pos >= len(buf) and eof:
+            return
+        while len(buf) - pos < 5 and fill():
+            pass
+        if not bytes(buf[pos : pos + 5]) == b"WARC/":
+            raise ValueError(
+                f"not a WARC record: {bytes(buf[pos : pos + 16])!r}"
+            )
+        while True:
+            head_end = buf.find(_CRLF2, pos)
+            if head_end >= 0:
+                break
+            if not fill():
+                raise ValueError("unterminated WARC header block")
+        headers: dict[str, str] = {}
+        for ln in bytes(buf[pos:head_end]).split(b"\r\n")[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+        if "content-length" not in headers:
+            raise ValueError(
+                "record has no Content-Length header (folded/"
+                "continuation headers are not supported)"
+            )
+        length = int(headers["content-length"])
+        body_start = head_end + 4
+        while len(buf) - body_start < length and fill():
+            pass
+        if len(buf) - body_start < length:
+            raise ValueError(
+                f"truncated record: want {length} bytes, "
+                f"have {len(buf) - body_start}"
+            )
+        payload = bytes(buf[body_start : body_start + length])
+        pos = body_start + length
+        ctype = headers.get("content-type", "")
+        status = http_ctype = None
+        if ctype.split(";")[0].strip() == "application/http":
+            status, http_ctype, payload = _parse_http(payload)
+        yield {
+            "warc_type": headers.get("warc-type", ""),
+            "record_id": headers.get("warc-record-id", ""),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": ctype,
+            "http_status": status,
+            "http_content_type": http_ctype,
+            "payload": payload,
+        }
+
+
 def parse_warc_records(data: bytes) -> Iterator[dict]:
     """Yield record dicts from raw shard bytes (gzip-member or plain
-    concatenated WARC). Strict on the parts that carry data (version
-    line, Content-Length), lenient on unknown headers."""
-    for member in _iter_gzip_members(data):
-        pos = 0
-        n = len(member)
-        while pos < n:
-            # skip inter-record CRLFs (plain concatenation)
-            while pos < n and member[pos : pos + 2] == b"\r\n":
-                pos += 2
-            if pos >= n:
-                break
-            if not member[pos : pos + 5] == b"WARC/":
-                raise ValueError(
-                    f"not a WARC record at offset {pos}: "
-                    f"{member[pos : pos + 16]!r}"
-                )
-            head_end = member.find(_CRLF2, pos)
-            if head_end < 0:
-                raise ValueError("unterminated WARC header block")
-            headers: dict[str, str] = {}
-            for ln in member[pos:head_end].split(b"\r\n")[1:]:
-                k, _, v = ln.partition(b":")
-                headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
-                    "latin-1"
-                )
-            if "content-length" not in headers:
-                raise ValueError(
-                    f"record at offset {pos} has no Content-Length "
-                    "header (folded/continuation headers are not "
-                    "supported)"
-                )
-            length = int(headers["content-length"])
-            body_start = head_end + 4
-            payload = member[body_start : body_start + length]
-            if len(payload) != length:
-                raise ValueError(
-                    f"truncated record: want {length} bytes, "
-                    f"have {len(payload)}"
-                )
-            pos = body_start + length
-            ctype = headers.get("content-type", "")
-            status = http_ctype = None
-            if ctype.split(";")[0].strip() == "application/http":
-                status, http_ctype, payload = _parse_http(payload)
-            yield {
-                "warc_type": headers.get("warc-type", ""),
-                "record_id": headers.get("warc-record-id", ""),
-                "target_uri": headers.get("warc-target-uri"),
-                "warc_date": headers.get("warc-date"),
-                "content_type": ctype,
-                "http_status": status,
-                "http_content_type": http_ctype,
-                "payload": payload,
-            }
+    concatenated WARC) via the bounded-memory chunk pipeline."""
+    yield from _iter_records_incremental(_iter_decompressed_chunks(data))
 
 
 def _records_gen(batch_records: int):
@@ -265,8 +349,20 @@ def write_warc_shards(
     review): every attempt writes to a ``.part-<n>-<attempt>.tmp``
     name the reader's ``*.warc.gz`` glob never matches, then
     os.replace()s onto the DETERMINISTIC final name — a failed
-    attempt leaves only an ignored temp file, a duplicate attempt
-    overwrites the final shard with identical content."""
+    attempt leaves only an ignored temp file. Record IDs are uuid5 of
+    (out_dir, partition, sequence) rather than per-attempt uuid4, so
+    a duplicate/speculative attempt re-produces byte-identical shards
+    and a late commit can never make the collected manifest's n_bytes
+    disagree with the file (ADVICE r13; IDs stay globally unique per
+    sink invocation, which is the scope a crawl writer controls).
+
+    Filesystem contract: ``out_dir`` is opened executor-side, so it
+    must be reachable from every executor — a shared filesystem
+    (NFS, local[*] mode) for plain paths, or an object-store/HDFS URI
+    (``s3://..., hdfs://...``) routed through ``io.fs``; a bare local
+    path on a real multi-node cluster would scatter shards across
+    executor-local disks and is rejected unless the path is shared
+    (see ``io/fs.py`` for the scheme rules)."""
     spark = df.sparkSession
     if record_kind not in ("response", "conversion", "metadata"):
         raise ValueError(
@@ -277,27 +373,41 @@ def write_warc_shards(
     src = df.select(*cols)
     if n_shards:
         src = src.repartition(n_shards)
-    os.makedirs(out_dir, exist_ok=True)
+    fs.makedirs(out_dir)  # driver-side: fail fast on bad scheme/creds
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
-        tmp = os.path.join(
-            out_dir, f".part-{pid:05d}-{ctx.taskAttemptId()}.tmp"
-        )
-        n = 0
-        with open(tmp, "wb", buffering=1 << 20) as fh:
-            info = build_record(
-                "warcinfo",
-                b"software: openeo_processes_dask_ml_spark.io.warc\r\n",
-                content_type="application/warc-fields",
+        sp = fs.resolve(f"{out_dir}/part-{pid:05d}.warc.gz")
+        tmp = sp.tmp_path(str(ctx.taskAttemptId()))
+
+        def rid(seq) -> str:
+            # deterministic per (out_dir, shard, sequence): retries
+            # and speculative attempts produce byte-identical shards
+            return "<urn:uuid:%s>" % uuid.uuid5(
+                uuid.NAMESPACE_URL, f"{out_dir}|{pid}|{seq}"
             )
-            fh.write(gzip.compress(info, 6))
+
+        n = 0
+        size = 0
+        fh = None  # lazy: empty partitions create no object at all
+        try:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
+                    if fh is None:
+                        fh = sp.open_write(tmp)
+                        info = build_record(
+                            "warcinfo",
+                            b"software: "
+                            b"openeo_processes_dask_ml_spark.io.warc\r\n",
+                            content_type="application/warc-fields",
+                            record_id=rid("info"),
+                        )
+                        gz = gzip.compress(info, 6)
+                        fh.write(gz)
+                        size += len(gz)
                     uri = getattr(row, uri_col)
                     body = getattr(row, body_col)
                     if isinstance(body, str):
@@ -308,6 +418,7 @@ def write_warc_shards(
                             bytes(body),
                             target_uri=uri,
                             content_type="text/plain",
+                            record_id=rid(n),
                         )
                     elif record_kind == "metadata":
                         rec = build_record(
@@ -315,6 +426,7 @@ def write_warc_shards(
                             bytes(body),
                             target_uri=uri,
                             content_type="application/json",
+                            record_id=rid(n),
                         )
                     else:
                         status = (
@@ -331,19 +443,26 @@ def write_warc_shards(
                             content_type=(
                                 'application/http; msgtype="response"'
                             ),
+                            record_id=rid(n),
                         )
-                    fh.write(gzip.compress(rec, 6))
+                    gz = gzip.compress(rec, 6)
+                    fh.write(gz)
+                    size += len(gz)
                     n += 1
-            size = fh.tell()
-        if n == 0:
-            os.unlink(tmp)  # no empty shards (barrier-free layout)
+        except BaseException:
+            if fh is not None:
+                fh.close()
+                sp.abort(tmp)
+            raise
+        if fh is None:  # no rows: no shard (barrier-free layout)
             yield pd.DataFrame(
                 [], columns=["shard", "n_records", "n_bytes"]
             )
             return
-        os.replace(tmp, path)  # commit: atomic on POSIX
+        fh.close()
+        sp.commit(tmp)
         yield pd.DataFrame(
-            [{"shard": path, "n_records": n, "n_bytes": size}]
+            [{"shard": sp.path, "n_records": n, "n_bytes": size}]
         )
 
     manifest = src.mapInPandas(

@@ -1,0 +1,59 @@
+"""Sink filesystem routing (io/fs.py): scheme resolution, tmp/commit
+semantics per scheme, and rejection of unsupported schemes."""
+
+import pytest
+
+from openeo_processes_dask_ml_spark.io import fs
+
+
+def test_bare_path_resolves_local_absolute(tmp_path):
+    sp = fs.resolve(str(tmp_path / "x.bin"))
+    assert sp.scheme == "local" and sp.atomic_rename
+    assert sp.path.startswith("/")
+
+
+def test_file_uri_resolves_local(tmp_path):
+    sp = fs.resolve(f"file://{tmp_path}/y.bin")
+    assert sp.scheme == "local"
+    assert sp.path == f"{tmp_path}/y.bin"
+
+
+def test_local_tmp_commit_roundtrip(tmp_path):
+    sp = fs.makedirs(str(tmp_path / "d"))
+    target = fs.resolve(str(tmp_path / "d" / "part-0"))
+    tmp = target.tmp_path("7")
+    assert tmp != target.path and "/." in tmp and tmp.endswith(".tmp")
+    with target.open_write(tmp) as fh:
+        fh.write(b"abc123")
+    target.commit(tmp)
+    with target.open_read() as fh:
+        assert fh.read() == b"abc123"
+    assert sp.scheme == "local"
+
+
+def test_abort_removes_tmp(tmp_path):
+    import os
+
+    target = fs.resolve(str(tmp_path / "part-1"))
+    tmp = target.tmp_path("9")
+    with target.open_write(tmp) as fh:
+        fh.write(b"junk")
+    target.abort(tmp)
+    assert not os.path.exists(tmp)
+    target.abort(tmp)  # idempotent on missing files
+
+
+def test_object_store_schemes_write_final_directly():
+    """On stores without atomic rename, tmp IS the final path (PUT
+    visibility-on-complete is the commit)."""
+    sp = fs.SinkPath(fs=None, path="bucket/k/part-0", scheme="s3")
+    assert not sp.atomic_rename
+    assert sp.tmp_path("3") == "bucket/k/part-0"
+    sp.commit("bucket/k/part-0")  # no-op, must not touch fs
+
+
+def test_unsupported_scheme_rejected():
+    with pytest.raises(ValueError, match="unsupported sink scheme"):
+        fs.resolve("ftp://host/path")
+    with pytest.raises(ValueError, match="supported"):
+        fs.resolve("webdav://x/y")
