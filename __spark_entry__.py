@@ -4019,13 +4019,18 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl politeness (scale/web.py robots_rules + robots_filter):
     per-source robots.txt bodies are PARSED from raw text (explode +
     carry-forward UA grouping windows) into a rule table, then URLs
-    take longest-prefix-match verdicts (RFC 9309: most specific wins,
-    Allow beats Disallow at equal length, no match = allowed). The
-    oracle is NOT a parse replay — it hand-derives each verdict with
-    CASE logic from the same construction rules, so the parser, the
-    grouping windows, and the max_by verdict are all independently
-    checked. Even-length sources carry a second '*' group (multi-group
-    merge per RFC)."""
+    take longest-match verdicts (RFC 9309: most specific wins, Allow
+    beats Disallow at equal length, no match = allowed) — including
+    the §2.2.3 wildcard forms NEW r14: ``/*.bin`` ('*' any run, all
+    domains) and ``/tmp/*3$`` (trailing end-anchor — blocks only tmp
+    docs whose id ends in 3 on odd-length domains). Odd-length
+    sources serve the body CRLF-encoded (ADVICE r13: real-world line
+    endings must parse identically); even-length sources carry a
+    second '*' group (multi-group merge per RFC). The oracle is NOT a
+    parse replay — it hand-derives each verdict with CASE logic from
+    the same construction rules, so the parser, the grouping windows,
+    the wildcard compilation, and the max_by verdict are all
+    independently checked."""
     from openeo_processes_dask_ml_spark.scale.web import (
         robots_filter,
         robots_rules,
@@ -4034,6 +4039,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     base = (
         "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "Disallow: /*.bin\nDisallow: /tmp/*3$\n"
         "\nUser-agent: evil\nDisallow: /"
     )
     robots = (
@@ -4045,7 +4051,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.length("source") % 2 == 0,
                 F.lit(base + "\n\nUser-agent: *\nDisallow: /tmp"),
             )
-            .otherwise(F.lit(base))
+            .otherwise(F.lit(base.replace("\n", "\r\n")))
             .alias("robots_txt"),
         )
     )
@@ -4060,8 +4066,9 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("private/ok"),
                     F.lit("public"),
                     F.lit("tmp"),
+                    F.lit("d.bin"),
                 ),
-                (F.col("doc_id") % 4 + 1).cast("int"),
+                (F.col("doc_id") % 5 + 1).cast("int"),
             ),
             F.lit("/x"),
             F.col("doc_id"),
@@ -8508,20 +8515,22 @@ FROM tagged GROUP BY doc_id
     sql["robots_filter"] = """
 WITH u AS (
   SELECT doc_id, source,
-         'https://' || source || '/' ||
-         CASE CAST(doc_id % 4 AS INT)
+         CASE CAST(doc_id % 5 AS INT)
            WHEN 0 THEN 'private' WHEN 1 THEN 'private/ok'
-           WHEN 2 THEN 'public' ELSE 'tmp' END || '/x' || doc_id AS url,
-         '/' ||
-         CASE CAST(doc_id % 4 AS INT)
-           WHEN 0 THEN 'private' WHEN 1 THEN 'private/ok'
-           WHEN 2 THEN 'public' ELSE 'tmp' END || '/x' || doc_id AS path
+           WHEN 2 THEN 'public' WHEN 3 THEN 'tmp'
+           ELSE 'd.bin' END AS seg
   FROM documents
 )
-SELECT url, source AS domain, path,
+SELECT 'https://' || source || '/' || seg || '/x' || doc_id AS url,
+       source AS domain,
+       '/' || seg || '/x' || doc_id AS path,
        NOT (
-         (path LIKE '/private%' AND path NOT LIKE '/private/ok%')
-         OR (length(source) % 2 = 0 AND path LIKE '/tmp%')
+         seg = 'private'                       -- Disallow: /private
+         OR seg = 'd.bin'                      -- Disallow: /*.bin
+         OR (seg = 'tmp' AND (
+               length(source) % 2 = 0          -- Disallow: /tmp (2nd * group)
+               OR CAST(doc_id AS VARCHAR) LIKE '%3'  -- Disallow: /tmp/*3$
+             ))
        ) AS allowed
 FROM u
 """

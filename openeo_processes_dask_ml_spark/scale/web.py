@@ -296,11 +296,14 @@ def robots_rules(
     Grammar subset (stated honestly): ``User-agent`` / ``Allow`` /
     ``Disallow`` fields, ``#`` comments, case-insensitive field names;
     consecutive User-agent lines share the rule block that follows
-    (the RFC 9309 record rule); ``*`` and ``$`` wildcards inside path
-    patterns are NOT interpreted — a prefix containing them simply
-    never matches, which fails CLOSED for Allow and OPEN for Disallow
-    wildcards. Empty Disallow ("allow all") parses to a rule with an
-    empty prefix and allow=true.
+    (the RFC 9309 record rule); line endings may be LF or CRLF (real
+    robots.txt is overwhelmingly CRLF — a bare-'\\n' split left '\\r'
+    on every value and silently failed every rule OPEN; ADVICE r13).
+    ``*`` and ``$`` wildcards in path patterns are carried through
+    verbatim here and interpreted by ``robots_filter`` (RFC 9309
+    §2.2.3 — '*' matches any character run, a trailing '$' anchors
+    end-of-path). Empty Disallow ("allow all") parses to a rule with
+    an empty prefix and allow=true.
 
     Plan: one explode over lines; group ids from a running sum of
     new-User-agent markers (a UA line whose previous field line is not
@@ -313,7 +316,9 @@ def robots_rules(
         # hostnames are case-insensitive; normalize here so the filter
         # join (which lowercases the URL host) can never miss
         F.lower(F.col(domain_col)).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        F.posexplode(
+            F.split(F.col(text_col), "\r?\n")
+        ).alias("pos", "raw"),
     ).select(
         "domain",
         "pos",
@@ -368,17 +373,35 @@ def robots_filter(
     agent: str = "*",
     url_col: str = "url",
 ) -> DataFrame:
-    """Apply a robots rule table to URLs with longest-prefix-match
-    semantics (RFC 9309 / Google spec: the most specific matching
-    rule wins; at equal length Allow beats Disallow; no matching rule
-    means allowed). Per RFC 9309 §2.2.1, a named agent obeys its own
-    group where the domain defines one and FALLS BACK to the ``*``
-    group otherwise (first cut ignored ``*`` for named agents —
-    default-allowing nearly every real domain; caught in review).
-    Wildcard-bearing prefixes never match (see robots_rules). The
-    rule table joins on domain — rules are domain-count sized, so the
-    join is broadcast- or shuffle-hash eligible; the verdict is one
-    max_by aggregation keyed by URL, no window."""
+    """Apply a robots rule table to URLs with longest-match semantics
+    (RFC 9309 / Google spec: the most specific matching rule — most
+    pattern octets — wins; at equal length Allow beats Disallow; no
+    matching rule means allowed). Per RFC 9309 §2.2.1, a named agent
+    obeys its own group where the domain defines one and FALLS BACK
+    to the ``*`` group otherwise (first cut ignored ``*`` for named
+    agents — default-allowing nearly every real domain; caught in
+    review).
+
+    Wildcards (RFC 9309 §2.2.3, NEW r14 — previously a stated
+    boundary that failed OPEN for the common ``Disallow: /*.pdf$``
+    shape): ``*`` in a pattern matches any character run and a
+    TRAILING ``$`` anchors end-of-path (a ``$`` anywhere else is
+    literal, per the Google reference parser). Patterns compile to
+    RE2-safe regexes entirely in codegen — escape regex
+    metacharacters, strip a trailing ``$`` into an anchor, substitute
+    ``\\*`` -> ``.*`` — and only wildcard-bearing rules take the
+    ``regexp_like`` path; plain prefixes keep the cheaper
+    ``startswith``. Precedence uses the PATTERN length (the RFC's
+    octet count of the rule path), identical for both kinds.
+
+    The rule table joins on domain — rules are domain-count sized, so
+    the join is broadcast- or shuffle-hash eligible; the verdict is
+    one max_by aggregation per distinct URL, no window. The verdict
+    table is then joined back to the input frame, so the output is
+    ROW-PRESERVING: duplicate input URLs yield duplicate output rows
+    (ADVICE r13 — a filter-shaped API must not change cardinality);
+    the join-back reuses the aggregation's url partitioning, so it
+    costs one shuffle of the input, not two."""
     host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
     path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
     u = urls.select(
@@ -386,7 +409,7 @@ def robots_filter(
         host.alias("domain"),
         F.when(path == "", "/").otherwise(path).alias("path"),
     )
-    usable = rules.filter(~F.col("prefix").rlike(r"[*$]")).select(
+    usable = rules.select(
         "domain", F.lower("agent").alias("agent"), "prefix", "allow"
     )
     specific = usable.filter(F.col("agent") == agent.lower())
@@ -397,14 +420,37 @@ def robots_filter(
             "left_anti",
         )
         specific = specific.unionByName(star_fallback)
-    r = specific.select("domain", "prefix", "allow")
+    # compile RFC 9309 wildcards once, on the rule table (small side):
+    # trailing '$' -> end anchor; remaining metachars escaped; '*' -> .*
+    anchored = F.col("prefix").endswith("$")
+    base = F.when(
+        anchored, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    esc = F.regexp_replace(
+        base, r"([\\.\^\$\+\?\(\)\[\]\{\}\|])", r"\\$1"
+    )
+    pattern = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    r = specific.select(
+        "domain",
+        "prefix",
+        "allow",
+        F.col("prefix").rlike(r"[*$]").alias("is_wild"),
+        pattern.alias("pattern"),
+    )
     joined = u.join(r, "domain", "left").withColumn(
         "matches",
         F.col("prefix").isNotNull()
-        & F.col("path").startswith(F.col("prefix")),
+        & F.when(
+            F.col("is_wild"),
+            F.regexp_like(F.col("path"), F.col("pattern")),
+        ).otherwise(F.col("path").startswith(F.col("prefix"))),
     )
-    # verdict key: (prefix length, allow) — longest wins, allow breaks
-    # ties; non-matching rows contribute (-1, true) = default allow
+    # verdict key: (pattern length, allow) — longest wins, allow
+    # breaks ties; non-matching rows contribute (-1, true) = allow
     verdict = joined.groupBy("url", "domain", "path").agg(
         F.max_by(
             F.col("matches") & ~F.col("allow"),
@@ -413,10 +459,10 @@ def robots_filter(
                 F.length("prefix") * 2 + F.col("allow").cast("int"),
             ).otherwise(F.lit(-1)),
         ).alias("blocked")
-    )
-    return verdict.select(
+    ).select(
         "url",
         "domain",
         "path",
         (~F.coalesce(F.col("blocked"), F.lit(False))).alias("allowed"),
     )
+    return u.join(verdict, ["url", "domain", "path"], "left")

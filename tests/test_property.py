@@ -597,8 +597,13 @@ def test_line_dedup_matches_pure_python_reference(spark):
 
 
 def test_robots_matches_pure_python_reference(spark):
-    """Property: parse + longest-prefix verdicts equal a pure-Python
-    RFC 9309-subset reference on randomized robots bodies and URLs."""
+    """Property: parse + longest-match verdicts equal a pure-Python
+    RFC 9309-subset reference on randomized robots bodies and URLs —
+    including '*'/'$' wildcard patterns (§2.2.3) and CRLF line
+    endings (ADVICE r13: the real-world form; a bare-LF split left
+    '\\r' on every value and failed every rule OPEN)."""
+    import re as _re
+
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -607,7 +612,22 @@ def test_robots_matches_pure_python_reference(spark):
         robots_rules,
     )
 
-    prefix = st.sampled_from(["/a", "/a/b", "/c", "/", ""])
+    prefix = st.sampled_from(
+        [
+            "/a",
+            "/a/b",
+            "/c",
+            "/",
+            "",
+            # RFC 9309 §2.2.3 wildcard shapes
+            "/a*",
+            "/*/b",
+            "/a/b$",
+            "/*.x$",
+            "*",
+            "/c$d",  # non-trailing '$' is literal
+        ]
+    )
     rule_line = st.builds(
         lambda allow, p: f"{'Allow' if allow else 'Disallow'}: {p}",
         st.booleans(),
@@ -622,10 +642,24 @@ def test_robots_matches_pure_python_reference(spark):
     )
     body = st.builds(lambda gs: "\n\n".join(gs), st.lists(group, min_size=1, max_size=3))
     paths = st.lists(
-        st.sampled_from(["/a", "/a/b/c", "/c/d", "/", "/zz"]),
+        st.sampled_from(
+            ["/a", "/a/b/c", "/c/d", "/", "/zz", "/a/b", "/q.x", "/c$d/e"]
+        ),
         min_size=1,
         max_size=5,
     )
+
+    def _match(pattern, path):
+        if "*" in pattern or "$" in pattern:
+            anchored = pattern.endswith("$")
+            core = pattern[:-1] if anchored else pattern
+            rx = (
+                "^"
+                + ".*".join(_re.escape(p) for p in core.split("*"))
+                + ("$" if anchored else "")
+            )
+            return _re.search(rx, path) is not None
+        return path.startswith(pattern)
 
     def ref_verdicts(text, agent, urls_paths):
         # pure-python parse: consecutive UA lines share the block
@@ -659,11 +693,9 @@ def test_robots_matches_pure_python_reference(spark):
             ]
         out = {}
         for p in urls_paths:
-            best = None  # (len, allow)
+            best = None  # (pattern octets, allow)
             for pref, allow in rules:
-                if any(ch in pref for ch in "*$"):
-                    continue
-                if p.startswith(pref):
+                if _match(pref, p):
                     k = (len(pref), allow)
                     if best is None or k > best:
                         best = k
@@ -671,9 +703,11 @@ def test_robots_matches_pure_python_reference(spark):
         return out
 
     @settings(max_examples=20, deadline=None)
-    @given(body, paths, st.sampled_from(["*", "bot"]))
-    def run(text, ps, agent):
+    @given(body, paths, st.sampled_from(["*", "bot"]), st.booleans())
+    def run(text, ps, agent, crlf):
         want = ref_verdicts(text, agent, ps)
+        if crlf:
+            text = text.replace("\n", "\r\n")
         robots = spark.createDataFrame(
             [("d.com", text)], "domain string, robots_txt string"
         )

@@ -234,6 +234,73 @@ def test_robots_star_fallback_for_named_agent(spark):
     assert got["https://c.example/s/2"] is False  # case-normalized domain
 
 
+def test_robots_wildcards_and_crlf(spark):
+    """RFC 9309 §2.2.3 wildcards ('*' any run, trailing '$' anchors)
+    and CRLF bodies (ADVICE r13: must not leave '\\r' on values)."""
+    from openeo_processes_dask_ml_spark.scale.web import (
+        robots_filter,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\r\nDisallow: /*.pdf$\r\n"
+                "Disallow: /tmp/*/x\r\nAllow: /tmp/ok/x\r\n"
+                "Disallow: /exact$\r\nDisallow: /lit$eral\r\n",
+            ),
+        ],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/doc.pdf",),  # *.pdf$ blocks
+            ("https://a.com/doc.pdfx",),  # $ anchor: not blocked
+            ("https://a.com/tmp/z/x",),  # /tmp/*/x blocks
+            ("https://a.com/tmp/ok/x",),  # Allow wins (longer pattern)
+            ("https://a.com/exact",),  # anchored exact match blocks
+            ("https://a.com/exact/sub",),  # past the anchor: allowed
+            ("https://a.com/lit$eral/y",),  # internal '$' is literal
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_filter(urls, robots_rules(robots)).collect()
+    }
+    assert got == {
+        "https://a.com/doc.pdf": False,
+        "https://a.com/doc.pdfx": True,
+        "https://a.com/tmp/z/x": False,
+        "https://a.com/tmp/ok/x": True,
+        "https://a.com/exact": False,
+        "https://a.com/exact/sub": True,
+        "https://a.com/lit$eral/y": False,
+    }
+
+
+def test_robots_filter_preserves_input_rows(spark):
+    """Filter-shaped contract (ADVICE r13): duplicate input URLs must
+    come back as duplicate rows, not be silently deduplicated."""
+    from openeo_processes_dask_ml_spark.scale.web import (
+        robots_filter,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("https://a.com/p/1",)] * 3 + [("https://a.com/q",)],
+        "url string",
+    )
+    out = robots_filter(urls, robots_rules(robots)).collect()
+    assert len(out) == 4
+    assert sorted(r["allowed"] for r in out) == [False] * 3 + [True]
+
+
 def test_html_extract_script_with_closing_tag_literal(spark):
     """'</div>' inside a JS string must not break the script strip
     (review finding: the char-class regex could not consume '</')."""
