@@ -766,6 +766,41 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index lifecycle (scale/text.py::build_bm25_index +
+    bm25_topk_from_index, NEW r14 — VERDICT r13 #6): the inverted
+    index (postings/doclen/stats) is BUILT, written to parquet with
+    the postings term-repartitioned + term-sorted (the row-group
+    pushdown layout), re-read, and then served — the query session
+    never touches the raw documents. The scoring core is shared with
+    bm25_topk, so the oracle is the direct query's SQL replica:
+    roundtrip == direct is the property under gate."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.scale.text import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+
+    post, dl, stats = build_bm25_index(_t(spark, sf_dir, "documents"))
+    d = tempfile.mkdtemp(prefix="bm25idx_")
+    (
+        post.repartition(4, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{d}/postings")
+    )
+    dl.write.mode("overwrite").parquet(f"{d}/doclen")
+    stats.write.mode("overwrite").parquet(f"{d}/stats")
+    return bm25_topk_from_index(
+        spark.read.parquet(f"{d}/postings"),
+        spark.read.parquet(f"{d}/doclen"),
+        spark.read.parquet(f"{d}/stats"),
+        BM25_GATE_QUERIES,
+        k=10,
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.text import token_counts
 
@@ -3000,23 +3035,33 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter (map-side combinable agg straight off the pruned lineitem
     scan), the global max reduced to a 1-row broadcast, equality join
     back — no global sort, no window over a single partition. The
-    revenue is quantized (dround 2) BEFORE the max/equality so the
-    max-tie semantics are engine-identical."""
+    max/equality gate runs on EXACT INTEGER revenue (ADVICE r13: a
+    dround-quantized float sum could still straddle a .5 boundary
+    differently per accumulation order): price cents and discount
+    basis points are integer-valued by construction, so revenue in
+    10^-4 currency units is a pure int64 sum — bit-identical in both
+    engines regardless of order (the q22 technique); the float
+    division for display happens after the tie is decided, on the
+    same integer in both engines."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     supp = _t(spark, sf_dir, "supplier")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    disc_bp = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dround(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        F.sum(cents * (F.lit(100).cast("long") - disc_bp)).alias("rev_e4")
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    mx = rev.agg(F.max("rev_e4").alias("mx"))
     return (
-        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        rev.join(F.broadcast(mx), F.col("rev_e4") == F.col("mx"))
         .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_e4") / 10000.0).alias("total_revenue"),
+        )
     )
 
 
@@ -4624,6 +4669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no driver green yet — they are NEW, strict-verified at HEAD via
     # tools/driver_sim.py, and lead the r14 window).
     return {
+        # --- NEW r14: BM25 build-once/query-many index lifecycle
+        #     (VERDICT r13 #6) ---
+        "bm25_from_index": q_bm25_from_index,
         # --- slot 1: quality_classifier (NEW r13 — hashed-feature LMS
         #     quality classifier with a full unrolled-CTE training
         #     replay, VERDICT r12 #7) ---
@@ -7877,17 +7925,19 @@ FROM per_cust GROUP BY 1
     sql["tpch_q15"] = """
 WITH revenue0 AS (
   SELECT l_suppkey AS supplier_no,
-         floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
-           / 100.0 AS total_revenue
+         CAST(sum(
+           CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+         ) AS BIGINT) AS rev_e4
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY 1
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, rev_e4 / 10000.0 AS total_revenue
 FROM supplier
 JOIN revenue0 ON s_suppkey = supplier_no
-WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+WHERE rev_e4 = (SELECT max(rev_e4) FROM revenue0)
 """
 
     sql["tpch_q17"] = """
@@ -8833,5 +8883,8 @@ HAVING count(DISTINCT doc_id) >= 2
     sql["ann_ivf_trained"] = _ann_ivf_trained_oracle()
     sql["quality_classifier"] = _quality_classifier_oracle()
     sql["bm25_topk"] = _bm25_oracle()
+    # the from-index path shares the scoring core (roundtrip ==
+    # direct by construction), so the oracle is the direct replica
+    sql["bm25_from_index"] = _bm25_oracle()
 
     return sql

@@ -1040,20 +1040,8 @@ def bm25_topk(
     terms (stopword queries over a crawl) pre-trim the candidate set
     with a per-term postings cap — the WAND-family pruning — before
     the window; this implementation scores all matches."""
-    from pyspark.sql import Window
-
     spark = df.sparkSession
-    qt_rows = sorted(
-        {
-            (int(qid), t)
-            for qid, qs in queries
-            for t in set(qs.strip().lower().split())
-        }
-    )
-    if not qt_rows:
-        raise ValueError("bm25_topk: no query terms")
-    qt = spark.createDataFrame(qt_rows, "query_id bigint, term string")
-
+    qt = _bm25_query_terms(spark, queries)
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_expr(F.col(text_col))).alias("term"),
@@ -1068,6 +1056,37 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _bm25_rank(post, dl, stats, qt, k, k1, b)
+
+
+def _bm25_query_terms(spark, queries: list[tuple[int, str]]) -> DataFrame:
+    qt_rows = sorted(
+        {
+            (int(qid), t)
+            for qid, qs in queries
+            for t in set(qs.strip().lower().split())
+        }
+    )
+    if not qt_rows:
+        raise ValueError("bm25: no query terms")
+    return spark.createDataFrame(qt_rows, "query_id bigint, term string")
+
+
+def _bm25_rank(
+    post: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    qt: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared scoring core of the direct and from-index paths: posts
+    MUST already be pruned to the query-term set. df-per-term comes
+    from counting the pruned postings — identical to the corpus df
+    for those terms, so roundtrip == direct by construction."""
+    from pyspark.sql import Window
+
     idf = (
         post.groupBy("term")
         .agg(F.count(F.lit(1)).alias("dfc"))
@@ -1125,6 +1144,70 @@ def bm25_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def build_bm25_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build-once / query-many lifecycle for BM25 (VERDICT r13 #6 —
+    the ANN ``build_*_index`` discipline of similarity.py applied to
+    text retrieval): returns the three persist-ready index artifacts
+
+    - ``postings`` (term, doc_id, tf) — the full inverted index,
+    - ``doclen``   (doc_id, dl) — per-doc token counts,
+    - ``stats``    (n_docs, avgdl) — one row.
+
+    Write each with ``.write.parquet``; for 100 TB corpora write the
+    postings ``repartition(n, "term").sortWithinPartitions("term")``
+    so a query session's term IN-filter prunes row groups at the
+    scan (min/max stats pushdown) instead of rescanning the corpus.
+    A query session then serves any number of top-k requests through
+    ``bm25_topk_from_index`` without touching the raw documents."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    post = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return post, dl, stats
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    doclen: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve BM25 top-k from persisted index artifacts — identical
+    scoring core as ``bm25_topk`` (quantized idf, fold-ordered sums,
+    quantize-before-order ranking), so roundtrip == direct. The
+    query-term prune happens TWICE on purpose: a literal IN filter
+    (parquet row-group pushdown when the postings were written
+    term-sorted) and the broadcast semi-join (exact prune for
+    whatever the scan still surfaced) — only matching postings ever
+    shuffle."""
+    spark = postings.sparkSession
+    qt = _bm25_query_terms(spark, queries)
+    terms = sorted(
+        {t for _, qs in queries for t in qs.strip().lower().split()}
+    )
+    post = (
+        postings.filter(F.col("term").isin(terms))
+        .join(F.broadcast(qt.select("term").distinct()), "term")
+        .select("doc_id", "term", "tf")
+    )
+    return _bm25_rank(post, doclen, stats, qt, k, k1, b)
 
 
 def line_dedup(

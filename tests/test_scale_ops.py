@@ -586,6 +586,48 @@ def test_bm25_topk_semantics(spark):
     assert rerun == rows
 
 
+def test_bm25_index_roundtrip_equals_direct(spark, tmp_path):
+    """Index lifecycle (r14): build -> parquet persist -> serve must
+    be bit-identical to the direct query (shared scoring core), and
+    the build artifacts must carry the full vocabulary."""
+    from openeo_processes_dask_ml_spark.scale.text import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "banana cherry banana durian"),
+            (3, "zebra quokka xylophone"),
+            (4, "apple apple apple apple apple apple"),
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = [(0, "zebra"), (1, "apple banana")]
+    post, dl, stats = build_bm25_index(docs)
+    assert post.select("term").distinct().count() == 7  # full vocab
+    d = str(tmp_path)
+    (
+        post.repartition(2, "term")
+        .sortWithinPartitions("term")
+        .write.parquet(f"{d}/postings")
+    )
+    dl.write.parquet(f"{d}/doclen")
+    stats.write.parquet(f"{d}/stats")
+    served = bm25_topk_from_index(
+        spark.read.parquet(f"{d}/postings"),
+        spark.read.parquet(f"{d}/doclen"),
+        spark.read.parquet(f"{d}/stats"),
+        qs,
+        k=3,
+    )
+    assert sorted(tuple(r) for r in served.collect()) == sorted(
+        tuple(r) for r in bm25_topk(docs, qs, k=3).collect()
+    )
+
+
 def test_line_dedup_removes_hot_lines_in_order(spark):
     from openeo_processes_dask_ml_spark.scale.text import line_dedup
 
