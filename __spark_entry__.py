@@ -3930,6 +3930,55 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) index export + random-access fetch — the fourth Common
+    Crawl product (io/warc.py, NEW r14, VERDICT r13 #4): documents
+    write as WARC shards with ``emit_cdx=True`` (per-record member
+    offset/length/digest rows, never driver-collected), the CDX rows
+    materialize once to parquet, gain SURT urlkeys and a GLOBAL
+    SURT-ordered ordinal through the scale-safe global_sorted_index,
+    and then EVERY record is fetched back by seek(offset)/
+    read(length) alone — single gzip member, one record — and its
+    payload re-fingerprinted. The oracle derives urlkey, the global
+    ordinal (row_number over the SURT order), and both digests
+    straight off the documents table: a mismatch means offsets,
+    member framing, the SURT key, or the global sort is wrong.
+    Hosts get www/com affixes so the SURT reversal is non-trivial."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.warc import (
+        cdx_export,
+        fetch_cdx_records,
+        write_warc_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".com/d/"),
+            F.col("doc_id"),
+        ).alias("uri"),
+        F.col("text").alias("body"),
+    )
+    out = tempfile.mkdtemp(prefix="cdx_export_")
+    cdx_raw = write_warc_shards(src, out, n_shards=4, emit_cdx=True)
+    cdx_dir = tempfile.mkdtemp(prefix="cdx_rows_")
+    cdx_raw.write.mode("overwrite").parquet(cdx_dir)
+    indexed = cdx_export(spark.read.parquet(cdx_dir))
+    fetched = fetch_cdx_records(
+        indexed, carry=("idx", "urlkey", "digest")
+    )
+    return fetched.select(
+        F.col("idx").cast("bigint").alias("idx"),
+        "urlkey",
+        "url",
+        "digest",
+        "fetch_md5",
+    )
+
+
 def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl ingest: documents wrapped in an HTML template
     become WARC response records (io/warc.py distributed sink), the
@@ -4672,6 +4721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r14: BM25 build-once/query-many index lifecycle
         #     (VERDICT r13 #6) ---
         "bm25_from_index": q_bm25_from_index,
+        # --- NEW r14: CDX(J) index export + random-access fetch, the
+        #     fourth Common Crawl product (VERDICT r13 #4) ---
+        "cdx_export": q_cdx_export,
         # --- slot 1: quality_classifier (NEW r13 — hashed-feature LMS
         #     quality classifier with a full unrolled-CTE training
         #     replay, VERDICT r12 #7) ---
@@ -8886,5 +8938,22 @@ HAVING count(DISTINCT doc_id) >= 2
     # the from-index path shares the scoring core (roundtrip ==
     # direct by construction), so the oracle is the direct replica
     sql["bm25_from_index"] = _bm25_oracle()
+
+    # CDX export (r14): urlkey, the global SURT ordinal, and both
+    # digests derive straight from documents — the Spark side must
+    # round-trip every payload through seek/read to reproduce
+    # fetch_md5, so equal hashes prove the offsets address records.
+    sql["cdx_export"] = """
+WITH u AS (
+  SELECT doc_id, text,
+         'https://www.' || source || '.com/d/' || doc_id AS url,
+         'com,' || source || ',www)/d/' || doc_id AS urlkey
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY urlkey, url) - 1 AS BIGINT)
+         AS idx,
+       urlkey, url, md5(text) AS digest, md5(text) AS fetch_md5
+FROM u
+"""
 
     return sql

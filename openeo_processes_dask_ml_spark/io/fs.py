@@ -80,6 +80,11 @@ class SinkPath:
     def open_read(self):
         return self.fs.open_input_stream(self.path)
 
+    def open_read_random(self):
+        """Seekable handle (ranged reads on object stores) — the CDX
+        random-access path; open_read streams are sequential-only."""
+        return self.fs.open_input_file(self.path)
+
 
 def resolve(path: str) -> SinkPath:
     """Resolve a URI or bare path to a SinkPath. Bare and file://

@@ -38,6 +38,7 @@ and ``Transfer-Encoding: gzip`` HTTP bodies pass through undecoded.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import os
 import uuid
 import zlib
@@ -324,6 +325,18 @@ def build_http_response(
     return head + b"\r\n" + body
 
 
+# per-record index rows for the CDX product: where each record's gzip
+# member lives inside its shard, plus a content digest. Offsets are
+# member-start positions, so `seek(offset); read(length)` fetches one
+# standalone gzip member — the Common Crawl random-access contract.
+CDX_ROW_SCHEMA = (
+    "url string, cdx_ts string, shard string, offset bigint, "
+    "length bigint, digest string"
+)
+
+_DEFAULT_WARC_DATE = "2024-01-01T00:00:00Z"
+
+
 def write_warc_shards(
     df: DataFrame,
     out_dir: str,
@@ -333,6 +346,7 @@ def write_warc_shards(
     n_shards: int | None = None,
     http_content_type: str = "text/plain",
     record_kind: str = "response",
+    emit_cdx: bool = False,
 ) -> DataFrame:
     """Distributed WARC sink: each partition streams its rows into ONE
     ``part-<n>.warc.gz`` shard (gzip member per record, a warcinfo
@@ -362,7 +376,18 @@ def write_warc_shards(
     (``s3://..., hdfs://...``) routed through ``io.fs``; a bare local
     path on a real multi-node cluster would scatter shards across
     executor-local disks and is rejected unless the path is shared
-    (see ``io/fs.py`` for the scheme rules)."""
+    (see ``io/fs.py`` for the scheme rules).
+
+    ``emit_cdx=True`` (NEW r14 — the fourth Common Crawl product)
+    returns a LAZY DataFrame of per-record CDX index rows (url,
+    timestamp, shard, member offset, member length, payload md5)
+    instead of the eager manifest: record-count-sized output must
+    never collect to the driver. Consuming the frame runs the write;
+    re-consumption rewrites byte-identical shards (deterministic
+    record IDs), so materialize it ONCE to parquet and feed that to
+    ``cdx_export`` (which runs multiple actions for the global SURT
+    sort). Digest is md5 (not Common Crawl's sha1-b32) so the value
+    gate can replay it engine-side; stated format deviation."""
     spark = df.sparkSession
     if record_kind not in ("response", "conversion", "metadata"):
         raise ValueError(
@@ -390,11 +415,21 @@ def write_warc_shards(
                 uuid.NAMESPACE_URL, f"{out_dir}|{pid}|{seq}"
             )
 
+        cdx_cols = [
+            "url",
+            "cdx_ts",
+            "shard",
+            "offset",
+            "length",
+            "digest",
+        ]
+        cdx_ts = "".join(c for c in _DEFAULT_WARC_DATE if c.isdigit())
         n = 0
         size = 0
         fh = None  # lazy: empty partitions create no object at all
         try:
             for pdf in batches:
+                cdx_buf: list[tuple] = []
                 for row in pdf.itertuples(index=False):
                     if fh is None:
                         fh = sp.open_write(tmp)
@@ -405,7 +440,7 @@ def write_warc_shards(
                             content_type="application/warc-fields",
                             record_id=rid("info"),
                         )
-                        gz = gzip.compress(info, 6)
+                        gz = gzip.compress(info, 6, mtime=0)
                         fh.write(gz)
                         size += len(gz)
                     uri = getattr(row, uri_col)
@@ -445,26 +480,43 @@ def write_warc_shards(
                             ),
                             record_id=rid(n),
                         )
-                    gz = gzip.compress(rec, 6)
+                    gz = gzip.compress(rec, 6, mtime=0)
                     fh.write(gz)
+                    if emit_cdx:
+                        cdx_buf.append(
+                            (
+                                uri,
+                                cdx_ts,
+                                sp.path,
+                                size,
+                                len(gz),
+                                hashlib.md5(bytes(body)).hexdigest(),
+                            )
+                        )
                     size += len(gz)
                     n += 1
+                if emit_cdx and cdx_buf:
+                    yield pd.DataFrame(cdx_buf, columns=cdx_cols)
         except BaseException:
             if fh is not None:
                 fh.close()
                 sp.abort(tmp)
             raise
         if fh is None:  # no rows: no shard (barrier-free layout)
-            yield pd.DataFrame(
-                [], columns=["shard", "n_records", "n_bytes"]
-            )
+            if not emit_cdx:
+                yield pd.DataFrame(
+                    [], columns=["shard", "n_records", "n_bytes"]
+                )
             return
         fh.close()
         sp.commit(tmp)
-        yield pd.DataFrame(
-            [{"shard": sp.path, "n_records": n, "n_bytes": size}]
-        )
+        if not emit_cdx:
+            yield pd.DataFrame(
+                [{"shard": sp.path, "n_records": n, "n_bytes": size}]
+            )
 
+    if emit_cdx:
+        return src.mapInPandas(sink, schema=CDX_ROW_SCHEMA)
     manifest = src.mapInPandas(
         sink, schema="shard string, n_records long, n_bytes long"
     ).collect()
@@ -472,6 +524,117 @@ def write_warc_shards(
         [tuple(r) for r in manifest] or [("", 0, 0)],
         "shard string, n_records long, n_bytes long",
     ).filter(F.col("n_records") > 0)
+
+
+def surt_key_expr(url_col: str = "url") -> F.Column:
+    """SURT canonical sort key, pure codegen: host components
+    reversed and comma-joined, then ')' and the path —
+    ``https://www.example.com/a/b`` -> ``com,example,www)/a/b``.
+    The Common Crawl CDX ordering key (scheme and port dropped; the
+    full SURT spec's query-arg normalization is out of scope and
+    stated)."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://([^/]+)", 1)
+    )
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z]+://[^/]*(/.*)?$", 1
+    )
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+    )
+
+
+def cdx_export(cdx: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """CDX(J) index — the fourth Common Crawl product
+    (warc/wat/wet/cdx): per-record rows from the sink's
+    ``emit_cdx=True`` pass gain their SURT ``urlkey``, a GLOBAL
+    SURT-ordered ordinal ``idx`` (via ``global_sorted_index`` — the
+    scale-safe row_number, never a single-partition window), and the
+    formatted CDX-J ``cdx_line``. ``cdx`` must be deterministically
+    recomputable (materialize the sink output to parquet first —
+    the global sort runs multiple actions over it)."""
+    from ..scale.pipeline import global_sorted_index
+
+    withkey = cdx.withColumn("urlkey", surt_key_expr("url"))
+    indexed = global_sorted_index(
+        withkey, ["urlkey", "url"], rank_col="idx",
+        n_partitions=n_partitions,
+    )
+    line = F.concat_ws(
+        " ",
+        F.col("urlkey"),
+        F.col("cdx_ts"),
+        F.to_json(
+            F.struct(
+                F.col("url"),
+                F.col("digest"),
+                F.col("length"),
+                F.col("offset"),
+                F.element_at(F.split("shard", "/"), -1).alias(
+                    "filename"
+                ),
+            )
+        ),
+    )
+    return indexed.withColumn("cdx_line", line)
+
+
+def fetch_cdx_records(cdx: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Random-access record fetch — the consumer side of the CDX
+    contract: for each (shard, offset, length) row, seek into the
+    shard, read the single gzip member, parse the one record it
+    frames, and surface the parsed fields next to the index row.
+    Rows are grouped per shard and offset-sorted inside each task so
+    every file opens once and reads move forward; routed through
+    ``io.fs`` so shards on object stores fetch with ranged reads.
+    Returns url + ``carry`` columns + (target_uri, http_status,
+    fetch_md5) — fetch_md5 is the md5 of the fetched payload, the
+    end-to-end addressability check against the index digest."""
+    carry_cols = list(carry)
+    dtypes = dict(cdx.dtypes)  # carry columns keep their input types
+    out_cols = (
+        ["url"]
+        + carry_cols
+        + ["target_uri", "http_status", "fetch_md5"]
+    )
+    schema = ", ".join(
+        ["url string"]
+        + [f"{c} {dtypes[c]}" for c in carry_cols]
+        + ["target_uri string", "http_status int", "fetch_md5 string"]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for shard, grp in pdf.groupby("shard", sort=True):
+                sp = fs.resolve(shard)
+                buf: list[tuple] = []
+                with sp.open_read_random() as fh:
+                    for row in grp.sort_values("offset").itertuples():
+                        fh.seek(int(row.offset))
+                        member = gzip.decompress(
+                            fh.read(int(row.length))
+                        )
+                        rec = next(
+                            _iter_records_incremental(iter([member]))
+                        )
+                        buf.append(
+                            (row.url,)
+                            + tuple(
+                                getattr(row, c) for c in carry_cols
+                            )
+                            + (
+                                rec["target_uri"],
+                                rec["http_status"],
+                                hashlib.md5(
+                                    rec["payload"]
+                                ).hexdigest(),
+                            )
+                        )
+                yield pd.DataFrame(buf, columns=out_cols)
+
+    return cdx.mapInPandas(gen, schema=schema)
 
 
 def read_warc_file(path: str) -> list[dict]:

@@ -367,6 +367,80 @@ def test_sink_accepts_file_uri(spark, tmp_path):
     assert back.filter(F.col("warc_type") == "response").count() == 6
 
 
+def test_cdx_rows_address_members_exactly(spark, tmp_path):
+    """emit_cdx offsets/lengths must frame standalone gzip members:
+    seek+read+gunzip with stdlib alone yields the one record, and the
+    digest matches the payload."""
+    import hashlib
+    import os
+
+    src = spark.range(20).select(
+        F.concat(F.lit("https://www.s"), F.col("id"), F.lit(".com/p")).alias(
+            "uri"
+        ),
+        F.concat(F.lit("body-"), F.col("id")).alias("body"),
+    )
+    out = str(tmp_path / "cdx_shards")
+    rows = write_warc_shards(src, out, n_shards=3, emit_cdx=True).collect()
+    assert len(rows) == 20
+    for r in rows[:8]:
+        with open(r["shard"], "rb") as fh:
+            fh.seek(r["offset"])
+            member = gzip.decompress(fh.read(r["length"]))
+        (rec,) = parse_warc_records(member)
+        assert rec["target_uri"] == r["url"]
+        assert hashlib.md5(rec["payload"]).hexdigest() == r["digest"]
+    # offsets start past the warcinfo member and lengths tile the file
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r["offset"])
+        assert rs[0]["offset"] > 0  # warcinfo leads
+        for a, b in zip(rs, rs[1:]):
+            assert a["offset"] + a["length"] == b["offset"]
+        assert rs[-1]["offset"] + rs[-1]["length"] == os.path.getsize(shard)
+
+
+def test_cdx_export_surt_order_and_line(spark, tmp_path):
+    """cdx_export: SURT urlkey reverses host components, idx is the
+    dense 0-based global SURT ordinal, cdx_line carries
+    urlkey/timestamp/json."""
+    import json
+
+    from openeo_processes_dask_ml_spark.io.warc import cdx_export
+
+    src = spark.createDataFrame(
+        [
+            ("https://b.example.org/x", "b1"),
+            ("https://a.example.org/y", "a1"),
+            ("https://example.com/z", "c1"),
+        ],
+        "uri string, body string",
+    )
+    out = str(tmp_path / "shards")
+    cdx_raw = write_warc_shards(src, out, n_shards=2, emit_cdx=True)
+    pdir = str(tmp_path / "cdxrows")
+    cdx_raw.write.parquet(pdir)
+    got = {
+        r["url"]: r
+        for r in cdx_export(spark.read.parquet(pdir)).collect()
+    }
+    assert got["https://a.example.org/y"]["urlkey"] == "org,example,a)/y"
+    assert got["https://example.com/z"]["urlkey"] == "com,example)/z"
+    order = sorted(got.values(), key=lambda r: r["idx"])
+    assert [r["urlkey"] for r in order] == sorted(
+        r["urlkey"] for r in got.values()
+    )
+    assert [r["idx"] for r in order] == [0, 1, 2]
+    key, ts, js = got["https://example.com/z"]["cdx_line"].split(" ", 2)
+    assert key == "com,example)/z" and ts == "20240101000000"
+    meta = json.loads(js)
+    assert meta["url"] == "https://example.com/z"
+    assert meta["filename"].endswith(".warc.gz")
+    assert meta["length"] > 0 and meta["offset"] > 0
+
+
 def test_wat_metadata_records(spark, tmp_path):
     """record_kind='metadata' writes raw application/json records."""
     src = spark.range(5).select(
