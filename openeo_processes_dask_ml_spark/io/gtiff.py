@@ -42,6 +42,8 @@ import struct
 
 import numpy as np
 
+from . import fs
+
 # TIFF tag ids (public TIFF 6.0 / GeoTIFF spec constants)
 _T_WIDTH = 256
 _T_LENGTH = 257
@@ -963,7 +965,7 @@ def write_gtiff_tiles(
     """
     import pandas as pd
 
-    os.makedirs(out_dir, exist_ok=True)
+    fs.makedirs(out_dir)  # io.fs-routed (r14): local/file/s3/gs/hdfs
     key_fields = ", ".join(f"`{c}` string" for c in group_cols)
     schema = f"{key_fields}, {GTIFF_MANIFEST_SCHEMA}"
     np_dtype = np.dtype(dtype)
@@ -1035,7 +1037,10 @@ def write_gtiff_tiles(
             k.replace(os.sep, "-").replace(":", "-") for k in keys
         )
         path = os.path.join(out_dir, f"{safe}_{digest}.tif")
-        with open(path, "wb") as f:
+        # direct final-name write: payload bytes are deterministic,
+        # so retry/speculative overwrites are idempotent per scheme
+        sp = fs.resolve(path)
+        with sp.open_write(sp.path) as f:
             f.write(payload)
         return pd.DataFrame(
             [

@@ -35,6 +35,8 @@ import struct
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from . import fs
+
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
 _TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
 _TYPE_SIZE = {NC_BYTE: 1, NC_CHAR: 1, NC_SHORT: 2, NC_INT: 4,
@@ -296,7 +298,11 @@ def write_netcdf3_cube(
     )
 
     # --- driver assembly: header + coord vars + streamed slabs ------
-    with open(path, "wb") as f:
+    # io.fs-routed (r14): the format-mandated single sequential file
+    # streams through one driver-side handle on any scheme (object
+    # stores commit on close via multipart upload)
+    _sp = fs.resolve(path)
+    with _sp.open_write(_sp.path) as f:
         f.write(header)
         for v, payload in zip(variables, coord_payloads):
             assert f.tell() == v.begin

@@ -48,6 +48,8 @@ import zlib
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from . import fs
+
 _ZARR_FORMAT = 2
 _COMPRESSOR = {"id": "zlib", "level": 1}
 
@@ -95,8 +97,13 @@ def _axis_dtype(values: np.ndarray) -> tuple[str, np.ndarray]:
 
 
 def _write_json(path: str, doc: dict) -> dict:
-    with open(path, "w") as f:
-        json.dump(doc, f, indent=1, sort_keys=True)
+    # io.fs-routed (r14): metadata docs land on whatever scheme
+    # out_dir carries (local/file/s3/gs/hdfs), same as the chunks
+    sp = fs.resolve(path)
+    with sp.open_write(sp.path) as f:
+        f.write(
+            json.dumps(doc, indent=1, sort_keys=True).encode()
+        )
     return doc
 
 
@@ -122,14 +129,15 @@ def _write_axis(
     column back with its original Spark type (date vs timestamp)."""
     dtype, arr = _axis_dtype(values)
     adir = os.path.join(out_dir, name)
-    os.makedirs(adir, exist_ok=True)
+    fs.makedirs(adir)
     zarray = _zarray_doc([len(arr)], [max(1, len(arr))], dtype, None)
     _write_json(os.path.join(adir, ".zarray"), zarray)
     zattrs = {"_ARRAY_DIMENSIONS": [name]}
     if spark_type:
         zattrs["_SPARK_TYPE"] = spark_type
     _write_json(os.path.join(adir, ".zattrs"), zattrs)
-    with open(os.path.join(adir, "0"), "wb") as f:
+    apath = fs.resolve(os.path.join(adir, "0"))
+    with apath.open_write(apath.path) as f:
         f.write(zlib.compress(np.ascontiguousarray(arr).tobytes(), 1))
     return {f"{name}/.zarray": zarray, f"{name}/.zattrs": zattrs}
 
@@ -175,7 +183,7 @@ def write_zarr_cube(
     if not dim_cols:
         raise ValueError("write_zarr_cube: at least one dim column required")
     np_dtype = np.dtype(dtype)
-    os.makedirs(out_dir, exist_ok=True)
+    fs.makedirs(out_dir)  # fail fast driver-side on bad scheme/creds
 
     # 1. axis coordinates: ALL dims in ONE aggregation job
     # (sort_array(collect_set(d)) == the old per-dim
@@ -211,7 +219,7 @@ def write_zarr_cube(
             f"write_zarr_cube: chunks {chunks} invalid for shape {shape}"
         )
 
-    os.makedirs(os.path.join(out_dir, value_col), exist_ok=True)
+    fs.makedirs(os.path.join(out_dir, value_col))
     ords = {d: list(enumerate(axis_vals[d])) for d in dim_cols}
 
     # 3. driver-side metadata FIRST (tiny), so a concurrently-started
@@ -338,7 +346,11 @@ def _write_chunks(
         name = ".".join(str(i) for i in cidx)
         payload = zlib.compress(np.ascontiguousarray(arr).tobytes(), 1)
         path = os.path.join(out_dir, value_col, name)
-        with open(path, "wb") as f:
+        # direct final-name write (no tmp): chunk bytes are
+        # deterministic, so retry/speculative overwrites are
+        # idempotent on every scheme
+        sp = fs.resolve(path)
+        with sp.open_write(sp.path) as f:
             f.write(payload)
         return pd.DataFrame(
             {

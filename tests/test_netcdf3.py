@@ -240,3 +240,16 @@ def test_netcdf3_header_fuzz_roundtrip():
         for cut in rng.integers(4, len(buf), size=5):
             with pytest.raises(ValueError):
                 parse_netcdf3_header(buf[:int(cut)])
+
+
+def test_netcdf3_sink_accepts_file_uri(spark, tmp_path):
+    """file:// paths route the driver stream through io.fs (r14)."""
+    df = spark.createDataFrame(
+        [(float(x), float(x) * 2.0) for x in range(9)],
+        "x double, value double",
+    )
+    local = str(tmp_path / "uri.nc")
+    write_netcdf3_cube(df, f"file://{local}", dim_cols=["x"])
+    back = read_netcdf3_cube(spark, local)
+    got = {r["x"]: r["value"] for r in back.collect()}
+    assert got == {float(x): float(x) * 2.0 for x in range(9)}

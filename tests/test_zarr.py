@@ -402,3 +402,16 @@ def test_zarr_unsupported_codec_and_raw_append_guards(spark, tmp_path):
     _strip_compression(out2)
     with pytest.raises(ValueError, match="only extends stores this sink"):
         append_zarr_slices(df, out2)
+
+
+def test_zarr_sink_accepts_file_uri(spark, tmp_path):
+    """file:// out_dirs route through io.fs (r14) and the store reads
+    back from the same local path."""
+    df = _cube_df(spark)
+    local = str(tmp_path / "store_uri")
+    write_zarr_cube(df, f"file://{local}", dim_cols=["time", "band", "y", "x"])
+    back = read_zarr_cube(spark, local)
+    assert back.count() == df.count()
+    a = {tuple(r)[:4]: r["value"] for r in df.collect()}
+    b = {tuple(r)[:4]: r["value"] for r in back.collect()}
+    assert a == b
