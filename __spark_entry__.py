@@ -4673,124 +4673,47 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION PROTOCOL (standing, VERDICT r2 item 1 / r4 item 1): the
     # driver checks only the FIRST 50 entries each round. Queries whose
-    # latest green CORRECTNESS row is OLDEST go first; queries green in the
-    # immediately-previous round rotate to the tail. With ~80 queries and a
-    # 50-slot window this 2-round rotation re-verifies every query at least
-    # every other round. When editing: (1) new/changed queries -> front,
-    # (2) then oldest-green, (3) last-round greens -> tail.
+    # latest green CORRECTNESS row is OLDEST go first; queries green in
+    # the immediately-previous round rotate to the tail. When editing:
+    # (1) new/changed queries -> front, (2) then oldest-green,
+    # (3) last-round greens -> tail.
     #
-    # r13 window (slots 1-50), per VERDICT r12 directive 1. Ground
-    # truth: CORRECTNESS_r12 was 50/50 green (zero reds on the whole
-    # 145-query surface); latest green per query is r10 for the
-    # 47-query cohort below, r11 for 48, r12 for 50.
-    #   slot 1: quality_classifier (NEW r13 — hashed-feature LMS
-    #     quality classifier, full unrolled-CTE training replay,
-    #     VERDICT r12 #7).
-    #   slot 2: netcdf_roundtrip (NEW r13 — pure-numpy netCDF3-classic
-    #     sink/source, VERDICT r12 #4).
-    #   slot 3: bm25_topk (NEW r13 — BM25 top-k text retrieval,
-    #     quantized idf + fold-ordered score sums, beyond-reference).
-    #   slots 4-50: the FULL 47-query r10-green cohort
-    #     (raster_decode_overview … graph_zonal) — 3 rounds old at
-    #     r13, mandated by VERDICT r12 #1 to fill this window.
-    # Tail: zarr_roundtrip (CHANGED r13 — raw-store decode path,
-    # VERDICT r12 #3 — displaced by the three NEW gates + the
-    # mandatory cohort; strict-verified at HEAD this session, leads
-    # the r14 window), then the 47 remaining r11-greens, then the 50
-    # r12-window greens (freshest last).
+    # r14 window (slots 1-50), per VERDICT r13 directive 1:
+    #   slots 1-2:   NEW r14 gates — bm25_from_index (the BM25
+    #     build-once/query-many index lifecycle, VERDICT r13 #6) and
+    #     cdx_export (the CDX(J) product + random-access fetch,
+    #     VERDICT r13 #4).
+    #   slots 3-20:  ALL 18 r13 additions that have never been inside
+    #     a driver window (the nine TPC-H completions, the WARC/WET/
+    #     WAT product suite + streaming twin, robots_filter +
+    #     line_dedup, global_sort_index, zorder_layout) — exactly the
+    #     set VERDICT r13 #1 mandates. robots_filter, tpch_q15 and
+    #     the four WARC-family gates also CHANGED r14 (RFC 9309
+    #     wildcards + CRLF + row-preserving output; exact-integer max
+    #     gate; bounded-memory streaming decompressor + deterministic
+    #     record IDs) — their first driver check covers the new
+    #     semantics.
+    #   slots 21-22: zarr_roundtrip + streaming_zarr_ingest (CHANGED
+    #     r13 — raw-store decode + one-agg axis collection; mandated
+    #     into this window by VERDICT r13 #1).
+    #   slots 23-50: the 28 OLDEST greens (r11 cohort, 3 rounds old).
+    # Tail: the remaining 18 r11 greens (they complete the r11 cohort
+    # in the r15 window), then the 50 r12 greens, then the 50
+    # r13-window greens (freshest last).
     #
-    # Changed-but-not-windowed this round (the 47-cohort mandate
-    # leaves no free slots): zarr_roundtrip + streaming_zarr_ingest
-    # (reader decode refactor + one-agg axis collection) and
-    # ml_predict_preproc (resolver call now uses the per-call
-    # enabled=True override, ADVICE r12) — all r11/r12 green AND
-    # strict-verified at HEAD via tools/driver_sim.py this session;
-    # they rotate into the r14 window with their cohorts.
-    #
-    # Rotation arithmetic (standing, stated honestly): at 166 queries
-    # (145 + netcdf_roundtrip + quality_classifier + bm25_topk + the
-    # nine-TPC-H batch + warc_ingest + warc_html_pipeline +
-    # global_sort_index + streaming_warc_ingest + line_dedup +
-    # robots_filter + zorder_layout + wet_export + wat_export) and a
-    # 50-slot window the steady-state re-verification cadence is
-    # ceil(166/50) = 4 rounds. After r13 every query's latest driver
-    # green is <= 3 rounds old (the 18 post-window r13 additions have
-    # no driver green yet — they are NEW, strict-verified at HEAD via
-    # tools/driver_sim.py, and lead the r14 window).
+    # Rotation arithmetic (standing, stated honestly): at 168 queries
+    # (166 + bm25_from_index + cdx_export) and a 50-slot window the
+    # steady-state re-verification cadence is ceil(168/50) = 4
+    # rounds. After r14 the oldest driver green on the surface is r12
+    # for 18 queries (the r11-cohort remainder leading the r15
+    # window); everything else is <= 2 rounds old.
     return {
-        # --- NEW r14: BM25 build-once/query-many index lifecycle
-        #     (VERDICT r13 #6) ---
+        # --- slots 1-2: NEW r14 gates ---
         "bm25_from_index": q_bm25_from_index,
-        # --- NEW r14: CDX(J) index export + random-access fetch, the
-        #     fourth Common Crawl product (VERDICT r13 #4) ---
         "cdx_export": q_cdx_export,
-        # --- slot 1: quality_classifier (NEW r13 — hashed-feature LMS
-        #     quality classifier with a full unrolled-CTE training
-        #     replay, VERDICT r12 #7) ---
-        "quality_classifier": q_quality_classifier,
-        # --- slot 2: netcdf_roundtrip (NEW r13 — the pure-numpy
-        #     netCDF3-classic sink/source, VERDICT r12 #4) ---
-        "netcdf_roundtrip": q_netcdf_roundtrip,
-        # --- slot 3: bm25_topk (NEW r13 — BM25 text retrieval,
-        #     quantized-idf + fold-ordered sums) ---
-        "bm25_topk": q_bm25_topk,
-        # --- slots 3-49: the full 47-query r10-green cohort — 3
-        #     rounds old, MUST fill the r13 window (VERDICT r12 #1) ---
-        "raster_decode_overview": q_raster_decode_overview,
-        "raster_decode_jpeg": q_raster_decode_jpeg,
-        "raster_decode_png": q_raster_decode_png,
-        "url_dedup": q_url_dedup,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "pipeline_web_ingest": q_pipeline_web_ingest,
-        "skew_salted_agg": q_skew_salted_agg,
-        "corpus_diff": q_corpus_diff,
-        "duplicated_spans": q_duplicated_spans,
-        "pipeline_end_to_end": q_pipeline_end_to_end,
-        "graph_ml_pipeline": q_graph_ml_pipeline,
-        "ml_predict_tiled": q_ml_predict_tiled,
-        "ml_predict_linear": q_ml_predict_linear,
-        "process_graph": q_process_graph,
-        "graph_mask_pipeline": q_graph_mask_pipeline,
-        "fit_curve": q_fit_curve,
-        "predict_curve": q_predict_curve,
-        "dimension_ops": q_dimension_ops,
-        "resample_spatial": q_resample_spatial,
-        "quantiles_extrema": q_quantiles_extrema,
-        "cumulative_ops": q_cumulative_ops,
-        "set_ops": q_set_ops,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "top_k_orders": q_top_k_orders,
-        "streaming_rollup": q_streaming_rollup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "multimodal_features": q_multimodal_features,
-        "ann_lsh": q_ann_lsh,
-        "filter_bands": q_filter_bands,
-        "filter_temporal": q_filter_temporal,
-        "apply_unary": q_apply_unary,
-        "doc_fingerprint": q_doc_fingerprint,
-        "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
-        "quarantine_ingest": q_quarantine_ingest,
-        "duplicated_spans_combine": q_duplicated_spans_combine,
-        "raster_decode_cube": q_raster_decode_cube,
-        "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
-        "raster_roundtrip_gtiff": q_raster_roundtrip_gtiff,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "text_language_id": q_text_language_id,
-        "reduce_dimension": q_reduce_dimension,
-        "aggregate_temporal_period": q_aggregate_temporal_period,
-        "ndvi_bandmath": q_ndvi_bandmath,
-        "window_running_sum": q_window_running_sum,
-        "graph_fit_curve": q_graph_fit_curve,
-        "graph_zonal": q_graph_zonal,
-        # --- NEW r13, added AFTER the 50-slot window was sealed (the
-        #     mandated 47-cohort leaves no free slots — VERDICT r12
-        #     #1): nine TPC-H queries widening the §2.9 relational
-        #     surface (q12/q21/q22 are honest shape adaptations to the
-        #     slim schema — no commitdate/receiptdate/phone columns;
-        #     see docstrings). Strict-verified at HEAD via
-        #     tools/driver_sim.py --strict this session; they lead the
-        #     r14 window together with zarr_roundtrip. ---
+        # --- slots 3-20: the 18 never-driver-checked r13
+        #     additions (VERDICT r13 #1); robots_filter/tpch_q15/the
+        #     WARC family also changed r14 ---
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
@@ -4800,40 +4723,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
-        # --- NEW r13, same post-window placement: distributed WARC
-        #     (Common Crawl layout) sink + source roundtrip gate,
-        #     beyond-reference crawl ingest (io/warc.py) ---
         "warc_ingest": q_warc_ingest,
         "warc_html_pipeline": q_warc_html_pipeline,
-        # --- NEW r13, same post-window placement: scale-safe global
-        #     ordinal (the distributed row_number() OVER (ORDER BY)) ---
-        "global_sort_index": q_global_sort_index,
-        # --- NEW r13, same post-window placement: streaming twin of
-        #     the WARC source (micro-batched shard arrival) ---
         "streaming_warc_ingest": q_streaming_warc_ingest,
-        # --- NEW r13, same post-window placement: CCNet stage-1
-        #     corpus line dedup ---
-        "line_dedup": q_line_dedup,
-        # --- NEW r13, same post-window placement: robots.txt parse +
-        #     longest-prefix-match URL filter (crawl politeness) ---
-        "robots_filter": q_robots_filter,
-        # --- NEW r13, same post-window placement: Z-order layout
-        #     (Morton-key clustering for multi-dim data skipping) ---
-        "zorder_layout": q_zorder_layout,
-        # --- NEW r13, same post-window placement: WET extracted-text
-        #     export (the third Common Crawl product) ---
         "wet_export": q_wet_export,
         "wat_export": q_wat_export,
-        # --- tail: zarr_roundtrip first (CHANGED r13 — raw-store
-        #     decode path; displaced from the window by the three NEW
-        #     gates + the mandatory 47-cohort, but strict-verified at
-        #     HEAD this session and r11-green; it leads the r14
-        #     window), then the 47 remaining r11 greens oldest
-        #     first ---
+        "robots_filter": q_robots_filter,
+        "line_dedup": q_line_dedup,
+        "global_sort_index": q_global_sort_index,
+        "zorder_layout": q_zorder_layout,
+        # --- slots 21-22: changed r13 (zarr decode refactor) ---
         "zarr_roundtrip": q_zarr_roundtrip,
+        "streaming_zarr_ingest": q_streaming_zarr_ingest,
+        # --- slots 23-50: the 28 oldest greens (r11) ---
         "raster_decode_webp": q_raster_decode_webp,
         "video_decode_mjpeg": q_video_decode_mjpeg,
-        "streaming_zarr_ingest": q_streaming_zarr_ingest,
         "tpch_q4": q_tpch_q4,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
@@ -4860,6 +4764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "leakage_safe_split": q_leakage_safe_split,
+        # --- tail: the remaining 18 r11 greens (they lead the
+        #     r15 window) ---
         "dup_clusters": q_dup_clusters,
         "sessionize": q_sessionize,
         "apply_dimension": q_apply_dimension,
@@ -4878,10 +4784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "embedding_quantize": q_embedding_quantize,
         "quality_filter": q_quality_filter,
-        # --- tail: the 50 r12-window greens (driver-verified last
-        #     round, freshest; ml_predict_preproc and
-        #     streaming_zarr_ingest were touched r13 and re-verified
-        #     strict at HEAD — see the rotation note above) ---
+        # --- tail: the 50 r12 greens ---
         "dsir_bucket_hist": q_dsir_bucket_hist,
         "dsir_doc_grams": q_dsir_doc_grams,
         "dsir_select": q_dsir_select,
@@ -4932,6 +4835,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk": q_streaming_topk,
         "weighted_sample": q_weighted_sample,
         "profile_table": q_profile_table,
+        # --- tail: the 50 r13-window greens (freshest last) ---
+        "quality_classifier": q_quality_classifier,
+        "netcdf_roundtrip": q_netcdf_roundtrip,
+        "bm25_topk": q_bm25_topk,
+        "raster_decode_overview": q_raster_decode_overview,
+        "raster_decode_jpeg": q_raster_decode_jpeg,
+        "raster_decode_png": q_raster_decode_png,
+        "url_dedup": q_url_dedup,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "pipeline_web_ingest": q_pipeline_web_ingest,
+        "skew_salted_agg": q_skew_salted_agg,
+        "corpus_diff": q_corpus_diff,
+        "duplicated_spans": q_duplicated_spans,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
+        "graph_ml_pipeline": q_graph_ml_pipeline,
+        "ml_predict_tiled": q_ml_predict_tiled,
+        "ml_predict_linear": q_ml_predict_linear,
+        "process_graph": q_process_graph,
+        "graph_mask_pipeline": q_graph_mask_pipeline,
+        "fit_curve": q_fit_curve,
+        "predict_curve": q_predict_curve,
+        "dimension_ops": q_dimension_ops,
+        "resample_spatial": q_resample_spatial,
+        "quantiles_extrema": q_quantiles_extrema,
+        "cumulative_ops": q_cumulative_ops,
+        "set_ops": q_set_ops,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "top_k_orders": q_top_k_orders,
+        "streaming_rollup": q_streaming_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "multimodal_features": q_multimodal_features,
+        "ann_lsh": q_ann_lsh,
+        "filter_bands": q_filter_bands,
+        "filter_temporal": q_filter_temporal,
+        "apply_unary": q_apply_unary,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
+        "quarantine_ingest": q_quarantine_ingest,
+        "duplicated_spans_combine": q_duplicated_spans_combine,
+        "raster_decode_cube": q_raster_decode_cube,
+        "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
+        "raster_roundtrip_gtiff": q_raster_roundtrip_gtiff,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "text_language_id": q_text_language_id,
+        "reduce_dimension": q_reduce_dimension,
+        "aggregate_temporal_period": q_aggregate_temporal_period,
+        "ndvi_bandmath": q_ndvi_bandmath,
+        "window_running_sum": q_window_running_sum,
+        "graph_fit_curve": q_graph_fit_curve,
+        "graph_zonal": q_graph_zonal,
     }
 
 
