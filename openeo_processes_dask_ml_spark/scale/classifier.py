@@ -72,22 +72,78 @@ def _grams(toks: Column) -> Column:
     return F.concat(toks, bigrams)
 
 
+def _char_grams(toks: Column, n_lo: int, n_hi: int) -> Column:
+    """fastText's actual feature space: character n-grams of each
+    token with ``<``/``>`` boundary markers (``where`` ->
+    ``<wh, whe, her, ere, re>`` at n=3), lengths ``n_lo..n_hi``,
+    duplicates kept. Pure codegen; per-token work is O(len * widths)
+    over short word tokens, so the r13 O(tokens^2) lambda trap (an
+    unbound split re-evaluated per element) does not apply — the
+    token array is already materialized."""
+    def per_tok(t: Column) -> Column:
+        padded = F.concat(F.lit("<"), t, F.lit(">"))
+
+        def slicer(n: int):
+            # a closure, NOT `lambda i, n=n`: F.transform inspects
+            # lambda arity and a 2-parameter lambda receives the
+            # ARRAY INDEX as its second argument, silently replacing
+            # the default (caught in review — every gram length
+            # became the element position)
+            return lambda i: padded.substr(i, F.lit(n))
+
+        parts = []
+        for n in range(n_lo, n_hi + 1):
+            arr = F.when(
+                F.length(padded) >= n,
+                F.transform(
+                    # sequence(1, 0) yields a DESCENDING ramp, not []
+                    # — the length guard above keeps the stop >= 1
+                    F.sequence(F.lit(1), F.length(padded) - (n - 1)),
+                    slicer(n),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            parts.append(arr)
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    return F.flatten(F.transform(toks, per_tok))
+
+
 def hashed_ngram_features(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "word",
+    char_n: tuple[int, int] = (3, 5),
 ) -> DataFrame:
     """(id, xs array<double>) — xs has ``k_buckets`` + 1 entries: the
     normalized bucket counts (count_j / n_grams) plus a trailing 1.0
-    bias term, so trainers and predict fold over one array."""
+    bias term, so trainers and predict fold over one array.
+
+    ``mode`` picks the gram space (NEW r14, VERDICT r13 #9):
+    ``"word"`` (unigrams + bigrams — the r13 gate space), ``"char"``
+    (boundary-marked character n-grams of ``char_n`` widths —
+    fastText's subword features, robust to OOV/typo-heavy crawl
+    text), or ``"word+char"`` (both). Same hashing, normalization,
+    and trainer/oracle discipline in every mode."""
     toks_df = df.select(
         F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
     )
+    toks = F.col("__toks")
+    if mode == "word":
+        gexpr = _grams(toks)
+    elif mode == "char":
+        gexpr = _char_grams(toks, *char_n)
+    elif mode == "word+char":
+        gexpr = F.concat(_grams(toks), _char_grams(toks, *char_n))
+    else:
+        raise ValueError(
+            f"mode must be 'word', 'char' or 'word+char', got {mode!r}"
+        )
     grams = (
         toks_df.select(
             F.col(id_col),
-            F.explode(_grams(F.col("__toks"))).alias("g"),
+            F.explode(gexpr).alias("g"),
         )
         .withColumn("bkt", F.pmod(hash32(F.col("g")), F.lit(k_buckets)))
     )

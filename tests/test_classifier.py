@@ -100,3 +100,71 @@ def test_logistic_and_mllib_trainers(spark):
 
     with pytest.raises(ValueError, match="unknown trainer"):
         train_quality_classifier(feats, labels, trainer="nope")
+
+
+def test_char_mode_matches_pure_python_reference(spark):
+    """Subword mode (r14): Spark's boundary-marked char n-gram
+    features must equal a pure-Python replica (same tokenization, md5
+    bucket hashing, normalization), and the gd trainer over them must
+    produce identical weights — the trainer is shared, so feature
+    parity is the whole proof."""
+    import hashlib
+    import re
+
+    from openeo_processes_dask_ml_spark.scale.classifier import (
+        DEFAULT_BUCKETS,
+        _lms_train_py,
+        hashed_ngram_features,
+        train_quality_classifier,
+    )
+
+    texts = [
+        (1, "Where is the library", 1.0),
+        (2, "zzz qqq unseen tokens", 0.0),
+        (3, "the where there here", 1.0),
+        (4, "xx", 0.0),  # shorter than every padded width but n=3
+        (5, "a", 0.0),  # padded len 3: exactly one 3-gram, no 4/5
+    ]
+
+    def ref_xs(text, k=DEFAULT_BUCKETS, n_lo=3, n_hi=5):
+        toks = re.split(r"\s+", text.strip().lower())
+        grams = []
+        for t in toks:
+            p = f"<{t}>"
+            for n in range(n_lo, n_hi + 1):
+                grams += [p[i : i + n] for i in range(len(p) - n + 1)]
+        counts = [0] * k
+        for g in grams:
+            counts[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % k] += 1
+        return [c / len(grams) for c in counts] + [1.0]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in texts], "doc_id bigint, text string"
+    )
+    feats = hashed_ngram_features(df, mode="char")
+    got = {r["doc_id"]: list(r["xs"]) for r in feats.collect()}
+    want = {i: ref_xs(t) for i, t, _ in texts}
+    assert got == want
+
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in texts], "doc_id bigint, y double"
+    )
+    w_spark = train_quality_classifier(feats, labels, sample_pct=100)
+    pairs = [(want[i], y) for i, _, y in texts]  # id-ordered
+    w_ref = _lms_train_py(pairs, iters=8, lr=0.5)
+    assert w_spark == w_ref
+
+
+def test_word_char_mode_concatenates_spaces(spark):
+    from openeo_processes_dask_ml_spark.scale.classifier import (
+        hashed_ngram_features,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "hello world")], "doc_id bigint, text string"
+    )
+    xs = hashed_ngram_features(df, mode="word+char").collect()[0]["xs"]
+    assert abs(sum(xs[:-1]) - 1.0) < 1e-12  # still a distribution
+    with _pytest.raises(ValueError, match="mode"):
+        hashed_ngram_features(df, mode="chars")
