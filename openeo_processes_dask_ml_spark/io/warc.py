@@ -69,28 +69,23 @@ _IN_CHUNK = 1 << 20
 _OUT_CHUNK = 1 << 22
 
 
-def _iter_decompressed_chunks(data: bytes) -> Iterator[bytes]:
-    """Stream-decompress a (possibly concatenated-member) gzip shard
-    in bounded chunks. WARC records are self-delimiting
-    (Content-Length framing), so member boundaries carry no
-    information; ``zlib.decompressobj(wbits=31)`` handles one member,
-    and on ``eof`` the leftover ``unused_data`` seeds a fresh object
-    for the next member. Two earlier designs both failed at crawl
-    scale: per-member ``decompressobj`` calls that re-sliced the
-    remaining shard were O(members x shard bytes) — quadratic, ~hours
-    on a 25k-member shard — and the one-shot ``gzip.decompress``
-    that replaced them was linear-time but held the ENTIRE ~5x
-    decompressed shard in memory at once (VERDICT r13 #1). This loop
-    is linear time (each compressed byte is fed exactly once; the
-    only re-fed bytes are ``unconsumed_tail`` when the output cap
-    truncates a call) AND O(chunk) memory. Plain (uncompressed)
-    input yields itself whole."""
-    if not data[:2] == b"\x1f\x8b":
-        yield data
-        return
-    mv = memoryview(data)
-    n = len(data)
-    i = 0
+def _gunzip_stream(comp: Iterator[bytes]) -> Iterator[bytes]:
+    """Stream-decompress a (possibly concatenated-member) gzip byte
+    stream arriving in bounded compressed chunks. WARC records are
+    self-delimiting (Content-Length framing), so member boundaries
+    carry no information; ``zlib.decompressobj(wbits=31)`` handles
+    one member, and on ``eof`` the leftover ``unused_data`` seeds a
+    fresh object for the next member. Two earlier designs both failed
+    at crawl scale: per-member ``decompressobj`` calls that re-sliced
+    the remaining shard were O(members x shard bytes) — quadratic,
+    ~hours on a 25k-member shard — and the one-shot
+    ``gzip.decompress`` that replaced them was linear-time but held
+    the ENTIRE ~5x decompressed shard in memory at once (VERDICT r13
+    #1). This loop is linear time (each compressed byte is fed
+    exactly once; the only re-fed bytes are ``unconsumed_tail`` when
+    the output cap truncates a call) AND O(chunk) memory."""
+    it = iter(comp)
+    exhausted = False
     d = zlib.decompressobj(wbits=31)
     tail = b""  # compressed bytes owed to the CURRENT decompressobj
     while True:
@@ -98,19 +93,33 @@ def _iter_decompressed_chunks(data: bytes) -> Iterator[bytes]:
             rest = d.unused_data
             d = zlib.decompressobj(wbits=31)
             tail = rest  # start of the next member (possibly empty)
-        if tail:
-            chunk, tail = tail, b""
-        elif i < n:
-            chunk = bytes(mv[i : i + _IN_CHUNK])
-            i += _IN_CHUNK
-        else:
+        while not tail and not exhausted:  # skip any empty chunks
+            try:
+                tail = next(it)
+            except StopIteration:
+                exhausted = True
+        if not tail:
             if not d.eof and d.flush():
                 raise ValueError("truncated gzip member in WARC shard")
             return
+        chunk, tail = tail, b""
         out = d.decompress(chunk, _OUT_CHUNK)
         if out:
             yield out
         tail = d.unconsumed_tail
+
+
+def _iter_decompressed_chunks(data: bytes) -> Iterator[bytes]:
+    """In-memory front-end of ``_gunzip_stream`` (the binaryFile
+    source hands whole compressed cells). Plain (uncompressed) input
+    yields itself whole."""
+    if not data[:2] == b"\x1f\x8b":
+        yield data
+        return
+    mv = memoryview(data)
+    yield from _gunzip_stream(
+        bytes(mv[i : i + _IN_CHUNK]) for i in range(0, len(data), _IN_CHUNK)
+    )
 
 
 def _parse_http(payload: bytes):
@@ -268,19 +277,105 @@ def load_warc(
     path: str,
     batch_records: int = 1024,
     glob: str = "*.warc.gz",
+    via: str = "auto",
 ) -> DataFrame:
-    """Distributed WARC source: one shard per task via binaryFile,
-    records streamed out in bounded Arrow batches. ``path`` is a
-    directory matched against ``glob`` (a pathGlobFilter, quieter
-    than a wildcard path), or any exact/wildcard path with
-    ``glob=None``."""
-    reader = spark.read.format("binaryFile")
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    files = reader.load(path).select("path", "content")
-    return files.mapInPandas(
-        _records_gen(batch_records), schema=WARC_ROW_SCHEMA
+    """Distributed WARC source: one shard per task, records streamed
+    out in bounded Arrow batches. ``path`` is a directory matched
+    against ``glob``, or any exact/wildcard path with ``glob=None``
+    (binaryFile route only).
+
+    Two routes (``via``): ``"binaryfile"`` — Spark's binaryFile
+    source (JVM-native listing/scheduling; materializes each
+    compressed shard as one cell, so peak memory is compressed-shard
+    + O(chunk + record)); ``"fs"`` — pyarrow.fs listing + an
+    executor-side STREAMING fetch through ``io.fs`` that never holds
+    even the compressed shard in memory (read _IN_CHUNK at a time ->
+    ``_gunzip_stream`` -> incremental parser), and works on schemes
+    the JVM may have no connector for (s3:// gs:// without
+    hadoop-aws jars). ``"auto"`` picks binaryFile for local/file
+    paths and the fs route for any other scheme. Both routes produce
+    the identical record frame (pinned by a unit test)."""
+    if via == "auto":
+        scheme = path.partition("://")[0] if "://" in path else ""
+        via = "fs" if scheme not in ("", "file") else "binaryfile"
+    if via == "binaryfile":
+        reader = spark.read.format("binaryFile")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        files = reader.load(path).select("path", "content")
+        return files.mapInPandas(
+            _records_gen(batch_records), schema=WARC_ROW_SCHEMA
+        )
+    if via != "fs":
+        raise ValueError(
+            f"via must be 'auto', 'binaryfile' or 'fs', got {via!r}"
+        )
+    import fnmatch
+
+    from pyarrow import fs as pafs
+
+    sp = fs.resolve(path)
+    scheme = path.partition("://")[0] if "://" in path else ""
+    prefix = f"{scheme}://" if scheme and scheme != "file" else ""
+    infos = sp.fs.get_file_info(
+        pafs.FileSelector(sp.path, recursive=False)
     )
+    shards = sorted(
+        prefix + i.path
+        for i in infos
+        if i.is_file
+        and (glob is None or fnmatch.fnmatch(i.path.rsplit("/", 1)[-1], glob))
+    )
+    if not shards:
+        raise FileNotFoundError(
+            f"load_warc: no shards matching {glob!r} under {path!r}"
+        )
+    # round-robin repartition: exactly one shard per task (hash
+    # partitioning on path could double-up shards and idle tasks)
+    files = spark.createDataFrame(
+        [(s,) for s in shards], "path string"
+    ).repartition(len(shards))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "shard",
+            "warc_type",
+            "record_id",
+            "target_uri",
+            "warc_date",
+            "content_type",
+            "http_status",
+            "http_content_type",
+            "payload",
+        ]
+        for pdf in batches:
+            for shard in pdf["path"]:
+                shard_sp = fs.resolve(shard)
+                with shard_sp.open_read() as fh:
+                    first = fh.read(_IN_CHUNK)
+                    comp = iter(
+                        lambda: fh.read(_IN_CHUNK), b""
+                    )
+
+                    def chunks(first=first, comp=comp):
+                        yield first
+                        yield from comp
+
+                    if first[:2] == b"\x1f\x8b":
+                        dec = _gunzip_stream(chunks())
+                    else:  # plain concatenated WARC
+                        dec = chunks()
+                    buf: list[dict] = []
+                    for rec in _iter_records_incremental(dec):
+                        rec["shard"] = shard
+                        buf.append(rec)
+                        if len(buf) >= batch_records:
+                            yield pd.DataFrame(buf, columns=cols)
+                            buf = []
+                    if buf:
+                        yield pd.DataFrame(buf, columns=cols)
+
+    return files.mapInPandas(gen, schema=WARC_ROW_SCHEMA)
 
 
 def build_record(

@@ -456,3 +456,38 @@ def test_wat_metadata_records(spark, tmp_path):
     r2 = next(r for r in recs if r["target_uri"] == "https://m/2")
     assert bytes(r2["payload"]) == b'{"n":2}'
     assert r2["content_type"] == "application/json"
+
+
+def test_load_warc_fs_route_matches_binaryfile(spark, tmp_path):
+    """via='fs' (pyarrow.fs listing + streaming fetch, the
+    object-store route) must surface the identical record set as the
+    binaryFile route — same schema, same payloads, same shard
+    attribution."""
+    src = spark.range(25).select(
+        F.concat(F.lit("https://r/"), F.col("id")).alias("uri"),
+        F.concat(F.lit("pay"), F.col("id")).alias("body"),
+    )
+    out = str(tmp_path / "fsroute")
+    write_warc_shards(src, out, n_shards=3)
+
+    def snap(df):
+        return sorted(
+            (
+                r["shard"].rsplit("/", 1)[-1],
+                r["warc_type"],
+                r["target_uri"],
+                bytes(r["payload"]),
+            )
+            for r in df.collect()
+        )
+
+    a = snap(load_warc(spark, out, via="binaryfile"))
+    b = snap(load_warc(spark, out, via="fs"))
+    assert a == b and len(a) == 28  # 25 responses + 3 warcinfo
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="via"):
+        load_warc(spark, out, via="http")
+    with _pytest.raises(FileNotFoundError, match="no shards"):
+        load_warc(spark, str(tmp_path / "empty_nowhere"), via="fs")

@@ -208,6 +208,14 @@ AUDIT = [
         "(zero Python); bucket envelopes aggregate map-side.",
     ),
     (
+        "bm25_from_index",
+        "Persisted-postings serve path (r14): the literal query-term "
+        "IN filter reaches the postings parquet scan (PushedFilters: "
+        "In(term, ...)) BEFORE the broadcast semi-join prune, so a "
+        "term-sorted postings layout skips non-matching row groups at "
+        "the scan; scoring core shared with the direct bm25_topk.",
+    ),
+    (
         "raster_ndvi_pipeline",
         "The full reference chain as ONE plan: decode fan-out -> ndvi "
         "conditional aggregation -> monthly mean, with exactly two "
