@@ -489,5 +489,11 @@ def test_load_warc_fs_route_matches_binaryfile(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="via"):
         load_warc(spark, out, via="http")
-    with _pytest.raises(FileNotFoundError, match="no shards"):
+    # nonexistent dir: pyarrow's own FileNotFoundError surfaces
+    with _pytest.raises(FileNotFoundError):
         load_warc(spark, str(tmp_path / "empty_nowhere"), via="fs")
+    # existing dir, nothing matching the glob: our explicit error
+    empty = tmp_path / "existing_empty"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError, match="no shards"):
+        load_warc(spark, str(empty), via="fs")
