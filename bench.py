@@ -165,9 +165,10 @@ HEADLINE = [
     "wet_export",
     "wat_export",
     # round 14 additions (VERDICT r13 #4 CDX product, #6 BM25 index
-    # lifecycle)
+    # lifecycle, cross-crawl revisit resolution)
     "bm25_from_index",
     "cdx_export",
+    "cdx_revisit",
 ]
 
 

@@ -442,6 +442,7 @@ def write_warc_shards(
     http_content_type: str = "text/plain",
     record_kind: str = "response",
     emit_cdx: bool = False,
+    warc_date: str = _DEFAULT_WARC_DATE,
 ) -> DataFrame:
     """Distributed WARC sink: each partition streams its rows into ONE
     ``part-<n>.warc.gz`` shard (gzip member per record, a warcinfo
@@ -518,7 +519,7 @@ def write_warc_shards(
             "length",
             "digest",
         ]
-        cdx_ts = "".join(c for c in _DEFAULT_WARC_DATE if c.isdigit())
+        cdx_ts = "".join(c for c in warc_date if c.isdigit())
         n = 0
         size = 0
         fh = None  # lazy: empty partitions create no object at all
@@ -532,6 +533,7 @@ def write_warc_shards(
                             "warcinfo",
                             b"software: "
                             b"openeo_processes_dask_ml_spark.io.warc\r\n",
+                            warc_date=warc_date,
                             content_type="application/warc-fields",
                             record_id=rid("info"),
                         )
@@ -547,6 +549,7 @@ def write_warc_shards(
                             "conversion",
                             bytes(body),
                             target_uri=uri,
+                            warc_date=warc_date,
                             content_type="text/plain",
                             record_id=rid(n),
                         )
@@ -555,6 +558,7 @@ def write_warc_shards(
                             "metadata",
                             bytes(body),
                             target_uri=uri,
+                            warc_date=warc_date,
                             content_type="application/json",
                             record_id=rid(n),
                         )
@@ -570,6 +574,7 @@ def write_warc_shards(
                                 bytes(body), status, http_content_type
                             ),
                             target_uri=uri,
+                            warc_date=warc_date,
                             content_type=(
                                 'application/http; msgtype="response"'
                             ),
@@ -674,6 +679,50 @@ def cdx_export(cdx: DataFrame, n_partitions: int | None = None) -> DataFrame:
         ),
     )
     return indexed.withColumn("cdx_line", line)
+
+
+def cdx_revisit_resolve(cdx: DataFrame, scope: str = "url") -> DataFrame:
+    """Cross-crawl revisit resolution — Common Crawl's actual dedup
+    model: among captures sharing a content digest (per URL by
+    default; ``scope="global"`` dedups identical content across
+    URLs/mirrors), the EARLIEST capture keeps its ``response``
+    verdict and every later capture becomes a ``revisit`` referencing
+    the original (the WARC-Refers-To semantics) — so a corpus built
+    from N crawl snapshots stores each unchanged page's bytes once.
+
+    Input: unioned CDX rows from any number of ``emit_cdx`` passes
+    (crawls distinguished by their ``warc_date``). Output: every
+    input row + (verdict, orig_ts, orig_shard, orig_offset).
+
+    100 TB shape: ONE min-of-struct aggregation on the dedup key
+    (map-side combinable — the lexicographic (ts, shard, offset)
+    tuple min) + one key join back; no window, row-preserving."""
+    if scope == "url":
+        keys = ["url", "digest"]
+    elif scope == "global":
+        keys = ["digest"]
+    else:
+        raise ValueError(
+            f"scope must be 'url' or 'global', got {scope!r}"
+        )
+    orig = cdx.groupBy(*keys).agg(
+        F.min(F.struct("cdx_ts", "shard", "offset")).alias("__o")
+    )
+    out = cdx.join(orig, keys)
+    is_orig = (
+        (F.col("cdx_ts") == F.col("__o.cdx_ts"))
+        & (F.col("shard") == F.col("__o.shard"))
+        & (F.col("offset") == F.col("__o.offset"))
+    )
+    return out.select(
+        *cdx.columns,
+        F.when(is_orig, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("verdict"),
+        F.col("__o.cdx_ts").alias("orig_ts"),
+        F.col("__o.shard").alias("orig_shard"),
+        F.col("__o.offset").alias("orig_offset"),
+    )
 
 
 def fetch_cdx_records(cdx: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:

@@ -118,33 +118,33 @@ def test_entry_surface_consistency():
 
 
 def test_driver_window_composition_pinned():
-    """The first 50 queries() entries ARE the driver's r12 verification
+    """The first 50 queries() entries ARE the driver's r14 verification
     window — its composition is deliberate (rotation protocol in the
-    queries() header). Pin it so an accidental reorder fails CI
-    instead of silently skewing the rotation. When rotating for a new
-    round, update this pin IN THE SAME COMMIT as the dict reorder."""
+    queries() header): the 3 NEW r14 gates, the 18 never-driver-checked
+    r13 additions, the 2 r13-changed zarr queries, then the oldest
+    (r11) greens. Pin it so an accidental reorder fails CI instead of
+    silently skewing the rotation. When rotating for a new round,
+    update this pin IN THE SAME COMMIT as the dict reorder."""
     import importlib
 
     entry = importlib.import_module("__spark_entry__")
     window = list(entry.queries().keys())[:50]
     assert window == [
-        "quality_classifier", "netcdf_roundtrip", "bm25_topk",
-        "raster_decode_overview", "raster_decode_jpeg",
-        "raster_decode_png", "url_dedup", "cluster_balanced_sample",
-        "pipeline_web_ingest", "skew_salted_agg", "corpus_diff",
-        "duplicated_spans", "pipeline_end_to_end", "graph_ml_pipeline",
-        "ml_predict_tiled", "ml_predict_linear", "process_graph",
-        "graph_mask_pipeline", "fit_curve", "predict_curve",
-        "dimension_ops", "resample_spatial", "quantiles_extrema",
-        "cumulative_ops", "set_ops", "tpch_q1", "tpch_q3",
-        "top_k_orders", "streaming_rollup", "streaming_sessionize",
-        "multimodal_features", "ann_lsh", "filter_bands",
-        "filter_temporal", "apply_unary", "doc_fingerprint",
-        "ann_ivfpq_from_index", "quarantine_ingest",
-        "duplicated_spans_combine", "raster_decode_cube",
-        "raster_ndvi_pipeline", "raster_roundtrip_gtiff",
-        "decontaminate_semantic", "text_language_id",
-        "reduce_dimension", "aggregate_temporal_period",
-        "ndvi_bandmath", "window_running_sum", "graph_fit_curve",
-        "graph_zonal",
+        "bm25_from_index", "cdx_export", "cdx_revisit",
+        "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q12", "tpch_q13",
+        "tpch_q15", "tpch_q17", "tpch_q21", "tpch_q22",
+        "warc_ingest", "warc_html_pipeline", "streaming_warc_ingest",
+        "wet_export", "wat_export", "robots_filter", "line_dedup",
+        "global_sort_index", "zorder_layout",
+        "zarr_roundtrip", "streaming_zarr_ingest",
+        "raster_decode_webp", "video_decode_mjpeg",
+        "tpch_q4", "tpch_q6", "tpch_q14", "tpch_q19",
+        "dedup_minhash_lsh", "pack_sequences", "streaming_enrich",
+        "unigram_logprob", "ccnet_buckets", "mixture_sample",
+        "incremental_dedup", "hard_negatives", "property_filter",
+        "json_extract", "cube_agg", "asof_join",
+        "resample_cube_temporal", "ann_pq", "incremental_minhash",
+        "span_removal", "streaming_incremental_dedup",
+        "decontaminate_fuzzy", "ann_ivf", "semantic_dedup",
+        "dedup_ngram_jaccard",
     ]

@@ -497,3 +497,43 @@ def test_load_warc_fs_route_matches_binaryfile(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(FileNotFoundError, match="no shards"):
         load_warc(spark, str(empty), via="fs")
+
+
+def test_cdx_revisit_scopes_and_row_preservation(spark, tmp_path):
+    """Revisit resolution: per-URL scope keeps mirrors independent,
+    global scope dedups them; earliest capture wins; output is
+    row-preserving."""
+    from openeo_processes_dask_ml_spark.io.warc import cdx_revisit_resolve
+
+    rows = [
+        # url, ts, shard, offset, length, digest
+        ("u1", "20240101", "s1", 10, 5, "AAA"),
+        ("u1", "20240601", "s2", 10, 5, "AAA"),  # unchanged re-crawl
+        ("u1", "20240901", "s3", 10, 5, "BBB"),  # changed content
+        ("u2", "20240601", "s2", 99, 5, "AAA"),  # mirror of u1's AAA
+    ]
+    cdx = spark.createDataFrame(
+        rows,
+        "url string, cdx_ts string, shard string, offset bigint, "
+        "length bigint, digest string",
+    )
+    by_url = {
+        (r["url"], r["cdx_ts"]): (r["verdict"], r["orig_ts"])
+        for r in cdx_revisit_resolve(cdx).collect()
+    }
+    assert len(by_url) == 4
+    assert by_url[("u1", "20240101")] == ("response", "20240101")
+    assert by_url[("u1", "20240601")] == ("revisit", "20240101")
+    assert by_url[("u1", "20240901")] == ("response", "20240901")
+    assert by_url[("u2", "20240601")] == ("response", "20240601")
+
+    g = {
+        (r["url"], r["cdx_ts"]): r["verdict"]
+        for r in cdx_revisit_resolve(cdx, scope="global").collect()
+    }
+    assert g[("u2", "20240601")] == "revisit"  # mirror dedups globally
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scope"):
+        cdx_revisit_resolve(cdx, scope="per-domain")
