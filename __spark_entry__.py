@@ -3979,6 +3979,51 @@ def q_cdx_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-rule robots.txt directives (scale/web.py::robots_directives,
+    NEW r14): per-source bodies carry a ``*``-group Crawl-delay and a
+    domain-scoped Sitemap; even-length sources add a faster ``fast``
+    agent group and a second sitemap, and odd-length sources serve
+    CRLF. Queried as agent='fast': even domains take their own
+    group's delay, odd domains FALL BACK to ``*`` (the §2.2.1
+    discipline); sitemaps collect domain-wide, sorted and
+    comma-joined. The oracle derives both columns from source-length
+    parity alone."""
+    from openeo_processes_dask_ml_spark.scale.web import robots_directives
+
+    docs = _t(spark, sf_dir, "documents")
+    robots = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.col("source").alias("domain"),
+            F.when(
+                F.length("source") % 2 == 0,
+                F.concat(
+                    F.lit("User-agent: *\nDisallow: /x\nCrawl-delay: 3\nSitemap: https://"),
+                    F.col("source"),
+                    F.lit("/sitemap.xml\n\nUser-agent: fast\nCrawl-delay: 1.5\nSitemap: https://"),
+                    F.col("source"),
+                    F.lit("/extra.xml"),
+                ),
+            )
+            .otherwise(
+                F.regexp_replace(
+                    F.concat(
+                        F.lit("User-agent: *\nDisallow: /x\nCrawl-delay: 3\nSitemap: https://"),
+                        F.col("source"),
+                        F.lit("/sitemap.xml"),
+                    ),
+                    "\n",
+                    "\r\n",
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
+    return robots_directives(robots, agent="fast")
+
+
 def q_cdx_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-crawl revisit resolution (io/warc.py::cdx_revisit_resolve,
     NEW r14) — Common Crawl's dedup model: two crawl snapshots of the
@@ -4731,12 +4776,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (3) last-round greens -> tail.
     #
     # r14 window (slots 1-50), per VERDICT r13 directive 1:
-    #   slots 1-3:   NEW r14 gates — bm25_from_index (the BM25
+    #   slots 1-4:   NEW r14 gates — bm25_from_index (the BM25
     #     build-once/query-many index lifecycle, VERDICT r13 #6),
     #     cdx_export (the CDX(J) product + random-access fetch,
-    #     VERDICT r13 #4), and cdx_revisit (cross-crawl revisit
-    #     resolution — Common Crawl's dedup model).
-    #   slots 4-21:  ALL 18 r13 additions that have never been inside
+    #     VERDICT r13 #4), cdx_revisit (cross-crawl revisit
+    #     resolution — Common Crawl's dedup model), and
+    #     robots_directives (crawl-delay + sitemap extraction).
+    #   slots 5-22:  ALL 18 r13 additions that have never been inside
     #     a driver window (the nine TPC-H completions, the WARC/WET/
     #     WAT product suite + streaming twin, robots_filter +
     #     line_dedup, global_sort_index, zorder_layout) — exactly the
@@ -4746,26 +4792,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     gate; bounded-memory streaming decompressor + deterministic
     #     record IDs) — their first driver check covers the new
     #     semantics.
-    #   slots 22-23: zarr_roundtrip + streaming_zarr_ingest (CHANGED
+    #   slots 23-24: zarr_roundtrip + streaming_zarr_ingest (CHANGED
     #     r13 — raw-store decode + one-agg axis collection; mandated
     #     into this window by VERDICT r13 #1).
-    #   slots 24-50: the 27 OLDEST greens (r11 cohort, 3 rounds old).
-    # Tail: the remaining 19 r11 greens, leakage_safe_split first
-    # (they complete the r11 cohort in the r15 window), then the 50
-    # r12 greens, then the 50 r13-window greens (freshest last).
+    #   slots 25-50: the 26 OLDEST greens (r11 cohort, 3 rounds old).
+    # Tail: the remaining 20 r11 greens, dedup_ngram_jaccard and
+    # leakage_safe_split first (they complete the r11 cohort in the
+    # r15 window), then the 50 r12 greens, then the 50 r13-window
+    # greens (freshest last).
     #
-    # Rotation arithmetic (standing, stated honestly): at 169 queries
-    # (166 + bm25_from_index + cdx_export + cdx_revisit) and a
-    # 50-slot window the steady-state re-verification cadence is
-    # ceil(169/50) = 4 rounds. After r14 the oldest driver green on
-    # the surface is r12 for 19 queries (the r11-cohort remainder
-    # leading the r15 window); everything else is <= 2 rounds old.
+    # Rotation arithmetic (standing, stated honestly): at 170 queries
+    # (166 + bm25_from_index + cdx_export + cdx_revisit +
+    # robots_directives) and a 50-slot window the steady-state
+    # re-verification cadence is ceil(170/50) = 4 rounds. After r14
+    # the oldest driver green on the surface is r12 for 20 queries
+    # (the r11-cohort remainder leading the r15 window); everything
+    # else is <= 2 rounds old.
     return {
         # --- slots 1-2: NEW r14 gates ---
         "bm25_from_index": q_bm25_from_index,
         "cdx_export": q_cdx_export,
         "cdx_revisit": q_cdx_revisit,
-        # --- slots 4-21: the 18 never-driver-checked r13
+        "robots_directives": q_robots_directives,
+        # --- slots 5-22: the 18 never-driver-checked r13
         #     additions (VERDICT r13 #1); robots_filter/tpch_q15/the
         #     WARC family also changed r14 ---
         "tpch_q7": q_tpch_q7,
@@ -4786,12 +4835,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "global_sort_index": q_global_sort_index,
         "zorder_layout": q_zorder_layout,
-        # --- slots 22-23: changed r13 (zarr decode refactor) ---
+        # --- slots 23-24: changed r13 (zarr decode refactor) ---
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_zarr_ingest": q_streaming_zarr_ingest,
-        # --- slots 24-50: the 27 oldest greens (r11);
-        #     leakage_safe_split shifted to the tail head when
-        #     cdx_revisit took slot 3 ---
+        # --- slots 25-50: the 26 oldest greens (r11);
+        #     dedup_ngram_jaccard + leakage_safe_split shifted to the
+        #     tail head when cdx_revisit/robots_directives took
+        #     slots 3-4 ---
         "raster_decode_webp": q_raster_decode_webp,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "tpch_q4": q_tpch_q4,
@@ -8970,6 +9020,22 @@ FROM u
     # CDX revisit resolution (r14): verdicts derive from doc_id
     # parity alone — even docs re-crawl byte-identical (June capture
     # = revisit of January), odd docs change (June stays response).
+    # robots directives (r14): both columns derive from
+    # source-length parity (even sources add a 'fast' group + a
+    # second sitemap; the query agent is 'fast', so odd sources
+    # exercise the * fallback).
+    sql["robots_directives"] = """
+SELECT source AS domain,
+       CASE WHEN length(source) % 2 = 0 THEN 1.5 ELSE 3.0 END
+         AS crawl_delay,
+       CASE WHEN length(source) % 2 = 0
+            THEN 'https://' || source || '/extra.xml,https://' ||
+                 source || '/sitemap.xml'
+            ELSE 'https://' || source || '/sitemap.xml' END
+         AS sitemaps
+FROM (SELECT DISTINCT source FROM documents)
+"""
+
     sql["cdx_revisit"] = """
 WITH u AS (
   SELECT 'https://www.' || source || '.com/d/' || doc_id AS url,

@@ -169,6 +169,7 @@ HEADLINE = [
     "bm25_from_index",
     "cdx_export",
     "cdx_revisit",
+    "robots_directives",
 ]
 
 

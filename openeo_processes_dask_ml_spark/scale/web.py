@@ -310,6 +310,30 @@ def robots_rules(
     UA); agents collect per group and rules join to every agent of
     their group — two windows over (domain, pos), one self-join,
     rule-table sized."""
+    grouped, agents = _robots_groups(robots, domain_col, text_col)
+    rules = grouped.filter(
+        F.col("field").isin("allow", "disallow")
+    ).select(
+        "domain",
+        "grp",
+        "pos",
+        (
+            (F.col("field") == "allow") | (F.col("value") == "")
+        ).alias("allow"),
+        F.col("value").alias("prefix"),
+    )
+    return rules.join(agents, ["domain", "grp"]).select(
+        "domain", "agent", "prefix", "allow", "pos"
+    )
+
+
+def _robots_groups(robots, domain_col: str, text_col: str):
+    """Shared robots.txt parse: comment-stripped field lines with the
+    RFC 9309 group id (running sum of new-UA markers) and the
+    per-group agent table. Group-scoped fields are user-agent /
+    allow / disallow / crawl-delay; sitemap lines ride along (grp
+    value irrelevant — sitemap is domain-scoped per the sitemaps
+    protocol)."""
     from pyspark.sql import Window
 
     lines = robots.select(
@@ -331,7 +355,11 @@ def robots_rules(
             "field"
         ),
         F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("value"),
-    ).filter(F.col("field").isin("user-agent", "allow", "disallow"))
+    ).filter(
+        F.col("field").isin(
+            "user-agent", "allow", "disallow", "crawl-delay", "sitemap"
+        )
+    )
     w = Window.partitionBy("domain").orderBy("pos")
     grouped = fields.withColumn(
         "new_group",
@@ -353,17 +381,65 @@ def robots_rules(
         .select("domain", "grp", F.lower("value").alias("agent"))
         .distinct()
     )
-    rules = grouped.filter(F.col("field") != "user-agent").select(
-        "domain",
-        "grp",
-        "pos",
-        (
-            (F.col("field") == "allow") | (F.col("value") == "")
-        ).alias("allow"),
-        F.col("value").alias("prefix"),
+    return grouped, agents
+
+
+def robots_directives(
+    robots: DataFrame,
+    agent: str = "*",
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-domain non-rule directives (NEW r14): ``crawl_delay`` for
+    ``agent`` (group-scoped de-facto standard; the agent's own group
+    wins, ``*`` is the fallback per the robots_filter §2.2.1
+    discipline; multiple values take the MIN — the conservative
+    politeness read) and ``sitemaps`` (domain-scoped per the sitemaps
+    protocol; sorted, comma-joined — a STRING so value gates compare
+    it engine-exactly). One row per domain that declares either;
+    NULL crawl_delay / empty sitemaps where only the other appears.
+
+    Plan: reuses the shared grouped-field parse (explode + two
+    windows), then two rule-table-sized aggregations and one outer
+    join — everything bounded by robots.txt sizes, never URLs."""
+    grouped, agents = _robots_groups(robots, domain_col, text_col)
+    delays = (
+        grouped.filter(F.col("field") == "crawl-delay")
+        .join(agents, ["domain", "grp"])
+        .select(
+            "domain",
+            "agent",
+            # try_cast: malformed delays (e.g. 'soon') drop as NULL
+            # instead of failing the job under ANSI mode
+            F.col("value").try_cast("double").alias("d"),
+        )
+        .filter(F.col("d").isNotNull())
     )
-    return rules.join(agents, ["domain", "grp"]).select(
-        "domain", "agent", "prefix", "allow", "pos"
+    own = delays.filter(F.col("agent") == agent.lower())
+    if agent != "*":
+        star = delays.filter(F.col("agent") == "*").join(
+            own.select("domain").distinct(), "domain", "left_anti"
+        )
+        own = own.unionByName(star)
+    delay = own.groupBy("domain").agg(F.min("d").alias("crawl_delay"))
+    maps = (
+        grouped.filter(
+            (F.col("field") == "sitemap") & (F.col("value") != "")
+        )
+        .groupBy("domain")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("value")), ","
+            ).alias("sitemaps")
+        )
+    )
+    return (
+        delay.join(maps, "domain", "full")
+        .select(
+            "domain",
+            "crawl_delay",
+            F.coalesce(F.col("sitemaps"), F.lit("")).alias("sitemaps"),
+        )
     )
 
 

@@ -314,3 +314,61 @@ def test_html_extract_script_with_closing_tag_literal(spark):
     row = html_text_extract(df, "html", carry=("id",)).collect()[0]
     assert row["text"] == "hi there ok"
     assert row["n_tokens"] == 3
+
+
+def test_robots_directives_delay_fallback_and_sitemaps(spark):
+    """Crawl-delay: own group wins, '*' is the fallback, MIN across
+    duplicates, unparseable values drop; sitemaps collect domain-wide
+    (sorted, comma-joined), independent of groups."""
+    from openeo_processes_dask_ml_spark.scale.web import robots_directives
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\r\nCrawl-delay: 3\r\nDisallow: /x\r\n"
+                "Sitemap: https://a.com/s1.xml\r\n"
+                "User-agent: fast\r\nCrawl-delay: 1.5\r\n"
+                "Sitemap: https://a.com/s0.xml",
+            ),
+            ("b.com", "User-agent: *\nCrawl-delay: 10\nCrawl-delay: 4"),
+            ("c.com", "User-agent: *\nDisallow: /\nSitemap: https://c.com/m.xml"),
+            ("d.com", "User-agent: *\nCrawl-delay: soon"),  # unparseable
+        ],
+        "domain string, robots_txt string",
+    )
+    fast = {
+        r["domain"]: (r["crawl_delay"], r["sitemaps"])
+        for r in robots_directives(robots, agent="fast").collect()
+    }
+    assert fast["a.com"] == (1.5, "https://a.com/s0.xml,https://a.com/s1.xml")
+    assert fast["b.com"] == (4.0, "")  # * fallback + MIN
+    assert fast["c.com"] == (None, "https://c.com/m.xml")
+    assert "d.com" not in fast  # nothing parseable, no sitemap
+
+    star = {
+        r["domain"]: r["crawl_delay"]
+        for r in robots_directives(robots, agent="*").collect()
+    }
+    assert star["a.com"] == 3.0  # '*' group, not fast's
+
+
+def test_robots_rules_unaffected_by_directive_lines(spark):
+    """Crawl-delay/Sitemap lines must not leak into the rule table or
+    break UA-group detection."""
+    from openeo_processes_dask_ml_spark.scale.web import robots_rules
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: a\nCrawl-delay: 2\n"
+                "User-agent: b\nDisallow: /q\nSitemap: https://a.com/s.xml",
+            )
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = robots_rules(robots).collect()
+    # the UA 'b' line follows a crawl-delay line -> NEW group per the
+    # RFC (a rule line ends the preceding group's UA run)
+    assert {(r["agent"], r["prefix"]) for r in rules} == {("b", "/q")}
