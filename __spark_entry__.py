@@ -3979,6 +3979,116 @@ def q_cdx_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap <loc> extraction (scale/web.py::sitemap_urls, NEW r14
+    — the crawl-frontier consumer of robots_directives' sitemap
+    pointers): odd-length sources serve a <urlset> leaf sitemap
+    listing their documents (whitespace-padded <loc> bodies exercise
+    the trim), even-length sources serve a <sitemapindex> pointing at
+    two sub-sitemaps — the extractor must label kinds so a frontier
+    can loop index -> fetch -> extract. Pure regexp_extract_all
+    codegen; the oracle rebuilds the exact URL set from the documents
+    table with CASE logic, no XML in SQL."""
+    from openeo_processes_dask_ml_spark.scale.web import sitemap_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    leaf_entries = docs.groupBy("source").agg(
+        F.array_join(
+            F.collect_list(
+                F.concat(
+                    F.lit("<url><loc> https://"),
+                    F.col("source"),
+                    F.lit("/d/"),
+                    F.col("doc_id"),
+                    F.lit(" </loc></url>"),
+                )
+            ),
+            "",
+        ).alias("entries")
+    )
+    xml = F.when(
+        F.length("source") % 2 == 0,
+        F.concat(
+            F.lit(
+                '<?xml version="1.0"?><sitemapindex><sitemap><loc>'
+                "https://"
+            ),
+            F.col("source"),
+            F.lit(
+                "/sitemap-a.xml</loc></sitemap><sitemap><loc>https://"
+            ),
+            F.col("source"),
+            F.lit("/sitemap-b.xml</loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.col("entries"),
+            F.lit("</urlset>"),
+        )
+    )
+    pages = leaf_entries.select("source", xml.alias("sitemap_xml"))
+    return sitemap_urls(pages, carry=("source",))
+
+
+def q_streaming_warc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WARC SINK (io/warc.py::stream_warc_sink, NEW r14 —
+    the write twin of streaming_warc_ingest): documents staged as
+    three parquet files stream with maxFilesPerTrigger=1, so three
+    micro-batches each write their own batch-<id> shard set through
+    the batch sink inside foreachBatch (deterministic names + bytes,
+    so failure replays are invisible); all batches then re-read
+    one-shard-per-task and fingerprint. The oracle is the batch
+    warc_ingest replica — the streaming path must surface the
+    identical corpus."""
+    import tempfile
+
+    from openeo_processes_dask_ml_spark.io.warc import (
+        load_warc,
+        stream_warc_sink,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staging = tempfile.mkdtemp(prefix="warc_sink_src_")
+    src = docs.select(
+        F.concat(
+            F.lit("https://crawl.example/doc/"), F.col("doc_id")
+        ).alias("uri"),
+        F.col("text").alias("body"),
+        (F.col("doc_id") % 3).alias("part"),
+    )
+    for p in range(3):
+        (
+            src.filter(F.col("part") == p)
+            .drop("part")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(staging)
+        )
+    stream = (
+        spark.readStream.schema("uri string, body string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = tempfile.mkdtemp(prefix="warc_sink_out_")
+    q = stream_warc_sink(
+        stream,
+        out,
+        tempfile.mkdtemp(prefix="warc_sink_ckpt_"),
+        n_shards=2,
+    )
+    q.awaitTermination()
+    back = load_warc(spark, f"{out}/batch-*")
+    return back.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("http_status").alias("status"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-rule robots.txt directives (scale/web.py::robots_directives,
     NEW r14): per-source bodies carry a ``*``-group Crawl-delay and a
@@ -4780,9 +4890,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     build-once/query-many index lifecycle, VERDICT r13 #6),
     #     cdx_export (the CDX(J) product + random-access fetch,
     #     VERDICT r13 #4), cdx_revisit (cross-crawl revisit
-    #     resolution — Common Crawl's dedup model), and
-    #     robots_directives (crawl-delay + sitemap extraction).
-    #   slots 5-22:  ALL 18 r13 additions that have never been inside
+    #     resolution — Common Crawl's dedup model),
+    #     robots_directives (crawl-delay + sitemap pointers),
+    #     sitemap_urls (frontier <loc> extraction), and
+    #     streaming_warc_sink (the foreachBatch write twin). The
+    #     window header is slots 1-6 now.
+    #   slots 7-24:  ALL 18 r13 additions that have never been inside
     #     a driver window (the nine TPC-H completions, the WARC/WET/
     #     WAT product suite + streaming twin, robots_filter +
     #     line_dedup, global_sort_index, zorder_layout) — exactly the
@@ -4792,20 +4905,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     gate; bounded-memory streaming decompressor + deterministic
     #     record IDs) — their first driver check covers the new
     #     semantics.
-    #   slots 23-24: zarr_roundtrip + streaming_zarr_ingest (CHANGED
+    #   slots 25-26: zarr_roundtrip + streaming_zarr_ingest (CHANGED
     #     r13 — raw-store decode + one-agg axis collection; mandated
     #     into this window by VERDICT r13 #1).
-    #   slots 25-50: the 26 OLDEST greens (r11 cohort, 3 rounds old).
-    # Tail: the remaining 20 r11 greens, dedup_ngram_jaccard and
-    # leakage_safe_split first (they complete the r11 cohort in the
-    # r15 window), then the 50 r12 greens, then the 50 r13-window
-    # greens (freshest last).
+    #   slots 27-50: the 24 OLDEST greens (r11 cohort, 3 rounds old).
+    # Tail: the remaining 22 r11 greens (ann_ivf, semantic_dedup,
+    # dedup_ngram_jaccard, leakage_safe_split first — they complete
+    # the r11 cohort in the r15 window), then the 50 r12 greens, then
+    # the 50 r13-window greens (freshest last).
     #
-    # Rotation arithmetic (standing, stated honestly): at 170 queries
-    # (166 + bm25_from_index + cdx_export + cdx_revisit +
-    # robots_directives) and a 50-slot window the steady-state
-    # re-verification cadence is ceil(170/50) = 4 rounds. After r14
-    # the oldest driver green on the surface is r12 for 20 queries
+    # Rotation arithmetic (standing, stated honestly): at 172 queries
+    # (166 + the six r14 gates) and a 50-slot window the steady-state
+    # re-verification cadence is ceil(172/50) = 4 rounds. After r14
+    # the oldest driver green on the surface is r12 for 22 queries
     # (the r11-cohort remainder leading the r15 window); everything
     # else is <= 2 rounds old.
     return {
@@ -4814,7 +4926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_export": q_cdx_export,
         "cdx_revisit": q_cdx_revisit,
         "robots_directives": q_robots_directives,
-        # --- slots 5-22: the 18 never-driver-checked r13
+        "sitemap_urls": q_sitemap_urls,
+        "streaming_warc_sink": q_streaming_warc_sink,
+        # --- slots 7-24: the 18 never-driver-checked r13
         #     additions (VERDICT r13 #1); robots_filter/tpch_q15/the
         #     WARC family also changed r14 ---
         "tpch_q7": q_tpch_q7,
@@ -4835,13 +4949,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "global_sort_index": q_global_sort_index,
         "zorder_layout": q_zorder_layout,
-        # --- slots 23-24: changed r13 (zarr decode refactor) ---
+        # --- slots 25-26: changed r13 (zarr decode refactor) ---
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_zarr_ingest": q_streaming_zarr_ingest,
-        # --- slots 25-50: the 26 oldest greens (r11);
-        #     dedup_ngram_jaccard + leakage_safe_split shifted to the
-        #     tail head when cdx_revisit/robots_directives took
-        #     slots 3-4 ---
+        # --- slots 27-50: the 24 oldest greens (r11); the last four
+        #     of the cohort shifted to the tail head as the six r14
+        #     gates took the window header ---
         "raster_decode_webp": q_raster_decode_webp,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "tpch_q4": q_tpch_q4,
@@ -9035,6 +9148,25 @@ SELECT source AS domain,
          AS sitemaps
 FROM (SELECT DISTINCT source FROM documents)
 """
+
+    # sitemap extraction (r14): the exact URL set rebuilds from the
+    # documents table with CASE logic — no XML anywhere in SQL.
+    sql["sitemap_urls"] = """
+SELECT source, 'urlset' AS kind,
+       'https://' || source || '/d/' || doc_id AS url
+FROM documents
+WHERE length(source) % 2 = 1
+UNION ALL
+SELECT s.source, 'index' AS kind,
+       'https://' || s.source || '/sitemap-' || k.sfx || '.xml' AS url
+FROM (SELECT DISTINCT source FROM documents) s
+CROSS JOIN (VALUES ('a'), ('b')) k(sfx)
+WHERE length(s.source) % 2 = 0
+"""
+
+    # streaming WARC sink (r14): the streaming write path must
+    # surface the identical corpus as the batch warc_ingest replica.
+    sql["streaming_warc_sink"] = sql["warc_ingest"]
 
     sql["cdx_revisit"] = """
 WITH u AS (

@@ -170,6 +170,8 @@ HEADLINE = [
     "cdx_export",
     "cdx_revisit",
     "robots_directives",
+    "sitemap_urls",
+    "streaming_warc_sink",
 ]
 
 

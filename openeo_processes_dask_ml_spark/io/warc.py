@@ -781,6 +781,51 @@ def fetch_cdx_records(cdx: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     return cdx.mapInPandas(gen, schema=schema)
 
 
+def stream_warc_sink(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    uri_col: str = "uri",
+    body_col: str = "body",
+    status_col: str | None = None,
+    n_shards: int | None = None,
+    http_content_type: str = "text/plain",
+    record_kind: str = "response",
+    warc_date: str = _DEFAULT_WARC_DATE,
+):
+    """Streaming WARC sink (NEW r14): each micro-batch writes its own
+    ``batch-<id>/part-*.warc.gz`` shard set through
+    ``write_warc_shards`` inside ``foreachBatch`` — the live-crawl
+    WRITE shape (fetchers stream captures in; finished shards appear
+    under a per-batch prefix a downstream ``load_warc``/``cdx`` pass
+    consumes). Exactly-once layout without any sink-side state: a
+    replayed batch after failure re-writes byte-identical shards onto
+    the same deterministic names (uuid5 record IDs + mtime=0 — the
+    same idempotency contract the batch sink guarantees), so replays
+    are invisible. Returns the started StreamingQuery (availableNow
+    semantics are the caller's trigger choice)."""
+
+    def sink_batch(bdf: DataFrame, batch_id: int) -> None:
+        write_warc_shards(
+            bdf,
+            f"{out_dir}/batch-{batch_id:09d}",
+            uri_col=uri_col,
+            body_col=body_col,
+            status_col=status_col,
+            n_shards=n_shards,
+            http_content_type=http_content_type,
+            record_kind=record_kind,
+            warc_date=warc_date,
+        )
+
+    return (
+        df.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_warc_file(path: str) -> list[dict]:
     """Driver-side convenience (tests): parse one shard from disk."""
     with open(path, "rb") as fh:

@@ -284,6 +284,29 @@ def html_text_extract(
     )
 
 
+def sitemap_urls(
+    df: DataFrame, xml_col: str = "sitemap_xml", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Crawl-frontier feeder (NEW r14, the consumer of
+    ``robots_directives``' sitemap pointers): extract ``<loc>``
+    entries from sitemap XML bodies — both ``<urlset>`` leaf sitemaps
+    and ``<sitemapindex>`` index files (``kind`` tells which, so a
+    frontier can loop: index -> fetch -> extract again). Entirely
+    RE2-safe ``regexp_extract_all`` codegen (runs at scan speed over
+    crawled sitemap payloads; no XML parser in the path — attribute
+    or CDATA exotica are out of the regex subset and stated).
+    Returns ``carry`` columns + (kind, url), one row per <loc>."""
+    kind = F.when(
+        F.col(xml_col).contains("<sitemapindex"), F.lit("index")
+    ).otherwise(F.lit("urlset"))
+    locs = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), 1
+    )
+    return df.select(
+        *carry, kind.alias("kind"), F.explode(locs).alias("url")
+    )
+
+
 def robots_rules(
     robots: DataFrame,
     domain_col: str = "domain",

@@ -537,3 +537,43 @@ def test_cdx_revisit_scopes_and_row_preservation(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="scope"):
         cdx_revisit_resolve(cdx, scope="per-domain")
+
+
+def test_stream_warc_sink_matches_batch_corpus(spark, tmp_path):
+    """The streaming write path (foreachBatch, one batch-<id> prefix
+    per micro-batch) must surface the identical record corpus as a
+    batch write of the same rows."""
+    from openeo_processes_dask_ml_spark.io.warc import stream_warc_sink
+
+    staging = str(tmp_path / "staging")
+    for p in range(3):
+        (
+            spark.range(p * 10, p * 10 + 10)
+            .select(
+                F.concat(F.lit("https://s/"), F.col("id")).alias("uri"),
+                F.concat(F.lit("b"), F.col("id")).alias("body"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(staging)
+        )
+    out = str(tmp_path / "stream_out")
+    q = stream_warc_sink(
+        spark.readStream.schema("uri string, body string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging),
+        out,
+        str(tmp_path / "ckpt"),
+        n_shards=2,
+    )
+    q.awaitTermination()
+    import os
+
+    batches = sorted(os.listdir(out))
+    assert len(batches) == 3 and all(b.startswith("batch-") for b in batches)
+    back = load_warc(spark, f"{out}/batch-*")
+    got = {
+        r["target_uri"]: bytes(r["payload"])
+        for r in back.filter(F.col("warc_type") == "response").collect()
+    }
+    assert got == {f"https://s/{i}": f"b{i}".encode() for i in range(30)}

@@ -372,3 +372,33 @@ def test_robots_rules_unaffected_by_directive_lines(spark):
     # the UA 'b' line follows a crawl-delay line -> NEW group per the
     # RFC (a rule line ends the preceding group's UA run)
     assert {(r["agent"], r["prefix"]) for r in rules} == {("b", "/q")}
+
+
+def test_sitemap_urls_kinds_and_trim(spark):
+    from openeo_processes_dask_ml_spark.scale.web import sitemap_urls
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "leaf",
+                '<?xml version="1.0"?><urlset>'
+                "<url><loc> https://a/1 </loc></url>"
+                "<url><loc>https://a/2</loc></url></urlset>",
+            ),
+            (
+                "idx",
+                "<sitemapindex><sitemap><loc>https://a/s1.xml</loc>"
+                "</sitemap></sitemapindex>",
+            ),
+            ("empty", "<urlset></urlset>"),  # no rows
+        ],
+        "source string, sitemap_xml string",
+    )
+    got = sorted(
+        tuple(r) for r in sitemap_urls(pages, carry=("source",)).collect()
+    )
+    assert got == [
+        ("idx", "index", "https://a/s1.xml"),
+        ("leaf", "urlset", "https://a/1"),
+        ("leaf", "urlset", "https://a/2"),
+    ]
