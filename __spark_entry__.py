@@ -3979,6 +3979,43 @@ def q_cdx_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-wise boilerplate removal (scale/text.py::
+    boilerplate_removal, NEW r14 — the RefinedWeb per-doc stage that
+    precedes corpus-level line_dedup): every document gets one
+    injected line per drop rule (keyword, counter, all-digits,
+    all-uppercase, legal footer) plus one clean survivor; the oracle
+    replays the identical rule expressions line-by-line in SQL —
+    integer-ratio comparisons are IEEE-identical across engines, so
+    the verdicts and the reassembled-text md5 must match exactly
+    (original corpus lines are judged by the same rules in both
+    engines too)."""
+    from openeo_processes_dask_ml_spark.scale.text import (
+        boilerplate_removal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("SUBSCRIBE NOW"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(" likes")),
+        F.lit("This line stays here fine."),
+        F.lit("404"),
+        F.lit("READ THE DOCS TODAY"),
+        F.lit("All rights reserved 2024"),
+    )
+    out = boilerplate_removal(
+        docs.select("doc_id", page.alias("text"))
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines",
+        "n_removed",
+    )
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap <loc> extraction (scale/web.py::sitemap_urls, NEW r14
     — the crawl-frontier consumer of robots_directives' sitemap
@@ -4892,10 +4929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     VERDICT r13 #4), cdx_revisit (cross-crawl revisit
     #     resolution — Common Crawl's dedup model),
     #     robots_directives (crawl-delay + sitemap pointers),
-    #     sitemap_urls (frontier <loc> extraction), and
-    #     streaming_warc_sink (the foreachBatch write twin). The
-    #     window header is slots 1-6 now.
-    #   slots 7-24:  ALL 18 r13 additions that have never been inside
+    #     sitemap_urls (frontier <loc> extraction),
+    #     streaming_warc_sink (the foreachBatch write twin), and
+    #     boilerplate_removal (RefinedWeb line-wise corrections). The
+    #     window header is slots 1-7 now.
+    #   slots 8-25:  ALL 18 r13 additions that have never been inside
     #     a driver window (the nine TPC-H completions, the WARC/WET/
     #     WAT product suite + streaming twin, robots_filter +
     #     line_dedup, global_sort_index, zorder_layout) — exactly the
@@ -4905,30 +4943,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     gate; bounded-memory streaming decompressor + deterministic
     #     record IDs) — their first driver check covers the new
     #     semantics.
-    #   slots 25-26: zarr_roundtrip + streaming_zarr_ingest (CHANGED
+    #   slots 26-27: zarr_roundtrip + streaming_zarr_ingest (CHANGED
     #     r13 — raw-store decode + one-agg axis collection; mandated
     #     into this window by VERDICT r13 #1).
-    #   slots 27-50: the 24 OLDEST greens (r11 cohort, 3 rounds old).
-    # Tail: the remaining 22 r11 greens (ann_ivf, semantic_dedup,
-    # dedup_ngram_jaccard, leakage_safe_split first — they complete
-    # the r11 cohort in the r15 window), then the 50 r12 greens, then
-    # the 50 r13-window greens (freshest last).
+    #   slots 28-50: the 23 OLDEST greens (r11 cohort, 3 rounds old).
+    # Tail: the remaining 23 r11 greens (decontaminate_fuzzy, ann_ivf,
+    # semantic_dedup, dedup_ngram_jaccard, leakage_safe_split first —
+    # they complete the r11 cohort in the r15 window), then the 50
+    # r12 greens, then the 50 r13-window greens (freshest last).
     #
-    # Rotation arithmetic (standing, stated honestly): at 172 queries
-    # (166 + the six r14 gates) and a 50-slot window the steady-state
-    # re-verification cadence is ceil(172/50) = 4 rounds. After r14
-    # the oldest driver green on the surface is r12 for 22 queries
-    # (the r11-cohort remainder leading the r15 window); everything
-    # else is <= 2 rounds old.
+    # Rotation arithmetic (standing, stated honestly): at 173 queries
+    # (166 + the seven r14 gates) and a 50-slot window the
+    # steady-state re-verification cadence is ceil(173/50) = 4
+    # rounds. After r14 the oldest driver green on the surface is r12
+    # for 23 queries (the r11-cohort remainder leading the r15
+    # window); everything else is <= 2 rounds old.
     return {
         # --- slots 1-2: NEW r14 gates ---
         "bm25_from_index": q_bm25_from_index,
         "cdx_export": q_cdx_export,
         "cdx_revisit": q_cdx_revisit,
         "robots_directives": q_robots_directives,
+        "boilerplate_removal": q_boilerplate_removal,
         "sitemap_urls": q_sitemap_urls,
         "streaming_warc_sink": q_streaming_warc_sink,
-        # --- slots 7-24: the 18 never-driver-checked r13
+        # --- slots 8-25: the 18 never-driver-checked r13
         #     additions (VERDICT r13 #1); robots_filter/tpch_q15/the
         #     WARC family also changed r14 ---
         "tpch_q7": q_tpch_q7,
@@ -4949,11 +4988,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "global_sort_index": q_global_sort_index,
         "zorder_layout": q_zorder_layout,
-        # --- slots 25-26: changed r13 (zarr decode refactor) ---
+        # --- slots 26-27: changed r13 (zarr decode refactor) ---
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_zarr_ingest": q_streaming_zarr_ingest,
-        # --- slots 27-50: the 24 oldest greens (r11); the last four
-        #     of the cohort shifted to the tail head as the six r14
+        # --- slots 28-50: the 23 oldest greens (r11); the cohort
+        #     remainder shifted to the tail head as the seven r14
         #     gates took the window header ---
         "raster_decode_webp": q_raster_decode_webp,
         "video_decode_mjpeg": q_video_decode_mjpeg,
@@ -9147,6 +9186,54 @@ SELECT source AS domain,
             ELSE 'https://' || source || '/sitemap.xml' END
          AS sitemaps
 FROM (SELECT DISTINCT source FROM documents)
+"""
+
+    # boilerplate removal (r14): replay the identical per-line rule
+    # expressions in SQL — trim, word count, uppercase/digit ratios
+    # (int-division -> double in BOTH engines), counter and keyword
+    # regexes with inline (?i) flags (RE2-safe both sides).
+    sql["boilerplate_removal"] = r"""
+WITH pages AS (
+  SELECT doc_id,
+         text || chr(10) || 'SUBSCRIBE NOW' || chr(10) ||
+         CAST(doc_id AS VARCHAR) || ' likes' || chr(10) ||
+         'This line stays here fine.' || chr(10) || '404' ||
+         chr(10) || 'READ THE DOCS TODAY' || chr(10) ||
+         'All rights reserved 2024' AS page
+  FROM documents
+), lines AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos,
+         unnest(l) AS line
+  FROM (SELECT doc_id, string_split(page, chr(10)) AS l FROM pages)
+), scored AS (
+  SELECT doc_id, pos, line,
+         (
+           (CASE WHEN trim(line) = '' THEN 0
+                 ELSE len(string_split_regex(trim(line), '\s+')) END)
+             < 2
+           OR (length(regexp_replace(trim(line), '[^A-Za-z]', '', 'g')) > 0
+               AND length(regexp_replace(trim(line), '[^A-Z]', '', 'g'))
+                   / length(regexp_replace(trim(line), '[^A-Za-z]', '', 'g'))
+                   > 0.6)
+           OR (length(regexp_replace(trim(line), '\s', '', 'g')) > 0
+               AND length(regexp_replace(trim(line), '[^0-9]', '', 'g'))
+                   / length(regexp_replace(trim(line), '\s', '', 'g'))
+                   > 0.5)
+           OR regexp_matches(trim(line),
+                '(?i)^\d+\s+(likes?|comments?|shares?|views?|votes?)$')
+           OR regexp_matches(trim(line),
+                '(?i)(cookie|subscribe|sign (in|up)|all rights reserved|terms of (use|service)|privacy policy|click here|read more|share this|advertisement)')
+         ) AS bp
+  FROM lines
+)
+SELECT doc_id,
+       md5(coalesce(
+         string_agg(line, chr(10) ORDER BY pos)
+           FILTER (WHERE NOT bp), '')) AS clean_md5,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM scored GROUP BY doc_id
 """
 
     # sitemap extraction (r14): the exact URL set rebuilds from the

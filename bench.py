@@ -172,6 +172,7 @@ HEADLINE = [
     "robots_directives",
     "sitemap_urls",
     "streaming_warc_sink",
+    "boilerplate_removal",
 ]
 
 

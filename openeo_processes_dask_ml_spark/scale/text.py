@@ -1210,6 +1210,90 @@ def bm25_topk_from_index(
     return _bm25_rank(post, doclen, stats, qt, k, k1, b)
 
 
+_BP_COUNTER_RE = r"(?i)^\d+\s+(likes?|comments?|shares?|views?|votes?)$"
+_BP_KEYWORD_RE = (
+    r"(?i)(cookie|subscribe|sign (in|up)|all rights reserved"
+    r"|terms of (use|service)|privacy policy|click here|read more"
+    r"|share this|advertisement)"
+)
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 2,
+    max_upper_ratio: float = 0.6,
+    max_digit_ratio: float = 0.5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-document line-wise boilerplate removal (NEW r14) — the
+    RefinedWeb/MassiveText "line-wise corrections" stage that runs
+    BEFORE corpus-level ``line_dedup``: drop a line when it (a) has
+    fewer than ``min_words`` words, (b) is mostly uppercase
+    (uppercase/letters > ``max_upper_ratio``), (c) is mostly digits
+    (digits/non-space > ``max_digit_ratio``), (d) is a social counter
+    ("3 likes"), or (e) carries a navigation/legal keyword (cookie /
+    subscribe / all rights reserved / ...). Survivors reassemble in
+    original order. Emits (id, clean_text, n_lines, n_removed) — the
+    ``line_dedup`` output contract, so the two stages chain.
+
+    Per-doc only — NO shuffle at all besides the reassembly groupBy
+    (and Catalyst keeps explode -> filter -> groupBy in one exchange
+    on the id); every rule is a codegen column expression whose
+    integer-ratio comparisons are IEEE-identical across engines, so
+    the SQL oracle replays them exactly."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
+    )
+    t = F.trim(F.col("line"))
+    n_words = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    letters = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    uppers = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    drop = (
+        (n_words < F.lit(min_words))
+        | ((letters > 0) & (uppers / letters > F.lit(max_upper_ratio)))
+        | (
+            (nonspace > 0)
+            & (digits / nonspace > F.lit(max_digit_ratio))
+        )
+        | t.rlike(_BP_COUNTER_RE)
+        | t.rlike(_BP_KEYWORD_RE)
+    )
+    tagged = lines.withColumn("bp", drop)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("bp"), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("bp").cast("int"))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     max_count: int = 2,

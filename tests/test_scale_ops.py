@@ -728,3 +728,30 @@ def test_zorder_key_matches_reference_interleave():
     ).fetchall()
     for a, b, z in rows:
         assert z == ref(a, b)
+
+
+def test_boilerplate_removal_rules(spark):
+    """Each drop rule fires independently; survivors keep order; the
+    output contract chains into line_dedup."""
+    from openeo_processes_dask_ml_spark.scale.text import (
+        boilerplate_removal,
+    )
+
+    page = "\n".join(
+        [
+            "A perfectly normal sentence here.",
+            "SUBSCRIBE NOW",          # keyword + uppercase
+            "42 likes",               # counter
+            "word",                   # < 2 words
+            "123 456 789",            # mostly digits
+            "SHOUTING AT EVERYONE",   # uppercase ratio
+            "Please accept our cookie policy",  # keyword, mixed case
+            "Another good line survives.",
+        ]
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id bigint, text string")
+    row = boilerplate_removal(df).collect()[0]
+    assert row["clean_text"] == (
+        "A perfectly normal sentence here.\nAnother good line survives."
+    )
+    assert row["n_lines"] == 8 and row["n_removed"] == 6
