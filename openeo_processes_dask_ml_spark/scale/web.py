@@ -220,16 +220,24 @@ def domain_pagerank(
             .localCheckpoint()
         )
 
+    # final global ordering through the pure-function bucketed ordinal
+    # (r14 — the last Window.orderBy() single-partition rank in the
+    # repo; domains-sized so it was only cosmetic, but it warned on
+    # every run and the scale-safe spelling costs nothing here)
+    from openeo_processes_dask_ml_spark.scale.pipeline import (
+        global_sorted_index,
+    )
+
     qrank = F.floor(F.col("rank") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-    w = Window.orderBy(F.desc("q"), F.asc("domain"))
-    return (
-        rank.select("domain", qrank.alias("q"))
-        .withColumn("pos", F.row_number().over(w).cast("int"))
-        .select(
-            "domain",
-            (F.col("q").cast("double") / F.lit(1e6)).alias("rank"),
-            "pos",
-        )
+    ranked = global_sorted_index(
+        rank.select("domain", qrank.alias("q")),
+        [("q", "desc"), ("domain", "asc")],
+        rank_col="__pos",
+    )
+    return ranked.select(
+        "domain",
+        (F.col("q").cast("double") / F.lit(1e6)).alias("rank"),
+        (F.col("__pos") + 1).cast("int").alias("pos"),
     )
 
 
