@@ -723,3 +723,66 @@ def test_robots_matches_pure_python_reference(spark):
         assert got == {p: want[p] for p in set(ps)}
 
     run()
+
+
+def test_boilerplate_matches_pure_python_reference(spark):
+    """Property: the per-line drop rules equal a pure-Python replica
+    (trim, word count, uppercase/digit ratios, counter + keyword
+    regexes) on randomized multi-line pages."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from openeo_processes_dask_ml_spark.scale.text import (
+        _BP_COUNTER_RE,
+        _BP_KEYWORD_RE,
+        boilerplate_removal,
+    )
+
+    word = st.sampled_from(
+        [
+            "hello", "WORLD", "Spark", "a", "B", "42", "100",
+            "likes", "cookie", "subscribe", "reserved", "fine",
+            "READ", "MORE", "x9", "",
+        ]
+    )
+    line = st.builds(lambda ws: " ".join(ws), st.lists(word, max_size=5))
+    pages = st.lists(line, min_size=1, max_size=8)
+
+    def ref(lines):
+        kept, removed = [], 0
+        for ln in lines:
+            t = ln.strip()
+            words = 0 if t == "" else len(_re.split(r"\s+", t))
+            letters = len(_re.sub(r"[^A-Za-z]", "", t))
+            uppers = len(_re.sub(r"[^A-Z]", "", t))
+            nonspace = len(_re.sub(r"\s", "", t))
+            digits = len(_re.sub(r"[^0-9]", "", t))
+            drop = (
+                words < 2
+                or (letters > 0 and uppers / letters > 0.6)
+                or (nonspace > 0 and digits / nonspace > 0.5)
+                or _re.search(_BP_COUNTER_RE, t) is not None
+                or _re.search(_BP_KEYWORD_RE, t) is not None
+            )
+            if drop:
+                removed += 1
+            else:
+                kept.append(ln)
+        return "\n".join(kept), len(lines), removed
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(pages, min_size=1, max_size=4))
+    def run(docs):
+        df = spark.createDataFrame(
+            [(i, "\n".join(p)) for i, p in enumerate(docs)],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+            for r in boilerplate_removal(df).collect()
+        }
+        assert got == {i: ref(p) for i, p in enumerate(docs)}
+
+    run()
