@@ -3979,6 +3979,68 @@ def q_cdx_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier assembly — the r14 web operators composed into
+    ONE plan (sitemap_urls -> url_canonicalize -> dedup ->
+    robots_rules/robots_filter): odd-length sources publish <urlset>
+    sitemaps listing every doc TWICE (a clean URL and a messy
+    WWW/uppercase/trailing-slash variant that must canonicalize onto
+    it), the deduped frontier then takes robots verdicts against a
+    wildcard rule (``Disallow: /d/*3$`` — docs whose id ends in 3),
+    and only allowed URLs survive. The oracle derives the frontier
+    from the documents table alone: doc parity picks the sources, a
+    LIKE picks the blocked ids, n_variants is 2 by construction."""
+    from openeo_processes_dask_ml_spark.scale.web import (
+        robots_filter,
+        robots_rules,
+        sitemap_urls,
+        url_canonicalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length("source") % 2 == 1
+    )
+    entry_xml = F.concat(
+        F.lit("<url><loc> https://"),
+        F.col("source"),
+        F.lit("/d/"),
+        F.col("doc_id"),
+        F.lit(" </loc></url><url><loc>HTTPS://WWW."),
+        F.upper("source"),
+        F.lit("/d/"),
+        F.col("doc_id"),
+        F.lit("/</loc></url>"),
+    )
+    pages = docs.groupBy("source").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(F.collect_list(entry_xml), ""),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    urls = sitemap_urls(pages)
+    canon = url_canonicalize(urls)
+    frontier = canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants")
+    )
+    robots = docs.select("source").distinct().select(
+        F.col("source").alias("domain"),
+        F.lit("User-agent: *\r\nDisallow: /d/*3$").alias("robots_txt"),
+    )
+    verdicts = robots_filter(
+        frontier.select(F.col("canonical_url").alias("url")),
+        robots_rules(robots),
+    )
+    return (
+        verdicts.filter(F.col("allowed"))
+        .join(
+            frontier,
+            verdicts["url"] == frontier["canonical_url"],
+        )
+        .select("url", "domain", "n_variants")
+    )
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-wise boilerplate removal (scale/text.py::
     boilerplate_removal, NEW r14 — the RefinedWeb per-doc stage that
@@ -4930,10 +4992,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     resolution — Common Crawl's dedup model),
     #     robots_directives (crawl-delay + sitemap pointers),
     #     sitemap_urls (frontier <loc> extraction),
-    #     streaming_warc_sink (the foreachBatch write twin), and
-    #     boilerplate_removal (RefinedWeb line-wise corrections). The
-    #     window header is slots 1-7 now.
-    #   slots 8-25:  ALL 18 r13 additions that have never been inside
+    #     streaming_warc_sink (the foreachBatch write twin),
+    #     boilerplate_removal (RefinedWeb line-wise corrections), and
+    #     pipeline_crawl_frontier (the r14 web operators composed:
+    #     sitemap -> canonicalize -> dedup -> robots). The window
+    #     header is slots 1-8 now.
+    #   slots 9-26:  ALL 18 r13 additions that have never been inside
     #     a driver window (the nine TPC-H completions, the WARC/WET/
     #     WAT product suite + streaming twin, robots_filter +
     #     line_dedup, global_sort_index, zorder_layout) — exactly the
@@ -4943,20 +5007,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     gate; bounded-memory streaming decompressor + deterministic
     #     record IDs) — their first driver check covers the new
     #     semantics.
-    #   slots 26-27: zarr_roundtrip + streaming_zarr_ingest (CHANGED
+    #   slots 27-28: zarr_roundtrip + streaming_zarr_ingest (CHANGED
     #     r13 — raw-store decode + one-agg axis collection; mandated
     #     into this window by VERDICT r13 #1).
-    #   slots 28-50: the 23 OLDEST greens (r11 cohort, 3 rounds old).
-    # Tail: the remaining 23 r11 greens (decontaminate_fuzzy, ann_ivf,
-    # semantic_dedup, dedup_ngram_jaccard, leakage_safe_split first —
-    # they complete the r11 cohort in the r15 window), then the 50
-    # r12 greens, then the 50 r13-window greens (freshest last).
+    #   slots 29-50: the 22 OLDEST greens (r11 cohort, 3 rounds old).
+    # Tail: the remaining 24 r11 greens (streaming_incremental_dedup,
+    # decontaminate_fuzzy, ann_ivf, semantic_dedup,
+    # dedup_ngram_jaccard, leakage_safe_split first — they complete
+    # the r11 cohort in the r15 window), then the 50 r12 greens, then
+    # the 50 r13-window greens (freshest last).
     #
-    # Rotation arithmetic (standing, stated honestly): at 173 queries
-    # (166 + the seven r14 gates) and a 50-slot window the
-    # steady-state re-verification cadence is ceil(173/50) = 4
+    # Rotation arithmetic (standing, stated honestly): at 174 queries
+    # (166 + the eight r14 gates) and a 50-slot window the
+    # steady-state re-verification cadence is ceil(174/50) = 4
     # rounds. After r14 the oldest driver green on the surface is r12
-    # for 23 queries (the r11-cohort remainder leading the r15
+    # for 24 queries (the r11-cohort remainder leading the r15
     # window); everything else is <= 2 rounds old.
     return {
         # --- slots 1-2: NEW r14 gates ---
@@ -4965,9 +5030,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_revisit": q_cdx_revisit,
         "robots_directives": q_robots_directives,
         "boilerplate_removal": q_boilerplate_removal,
+        "pipeline_crawl_frontier": q_pipeline_crawl_frontier,
         "sitemap_urls": q_sitemap_urls,
         "streaming_warc_sink": q_streaming_warc_sink,
-        # --- slots 8-25: the 18 never-driver-checked r13
+        # --- slots 9-26: the 18 never-driver-checked r13
         #     additions (VERDICT r13 #1); robots_filter/tpch_q15/the
         #     WARC family also changed r14 ---
         "tpch_q7": q_tpch_q7,
@@ -4988,11 +5054,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "global_sort_index": q_global_sort_index,
         "zorder_layout": q_zorder_layout,
-        # --- slots 26-27: changed r13 (zarr decode refactor) ---
+        # --- slots 27-28: changed r13 (zarr decode refactor) ---
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_zarr_ingest": q_streaming_zarr_ingest,
-        # --- slots 28-50: the 23 oldest greens (r11); the cohort
-        #     remainder shifted to the tail head as the seven r14
+        # --- slots 29-50: the 22 oldest greens (r11); the cohort
+        #     remainder shifted to the tail head as the eight r14
         #     gates took the window header ---
         "raster_decode_webp": q_raster_decode_webp,
         "video_decode_mjpeg": q_video_decode_mjpeg,
@@ -9186,6 +9252,19 @@ SELECT source AS domain,
             ELSE 'https://' || source || '/sitemap.xml' END
          AS sitemaps
 FROM (SELECT DISTINCT source FROM documents)
+"""
+
+    # crawl-frontier composite (r14): the frontier derives from the
+    # documents table alone — odd-length sources, ids not ending in
+    # 3, n_variants = 2 by construction (clean + messy sitemap entry
+    # canonicalize onto one URL).
+    sql["pipeline_crawl_frontier"] = """
+SELECT 'https://' || source || '/d/' || doc_id AS url,
+       source AS domain,
+       CAST(2 AS BIGINT) AS n_variants
+FROM documents
+WHERE length(source) % 2 = 1
+  AND CAST(doc_id AS VARCHAR) NOT LIKE '%3'
 """
 
     # boilerplate removal (r14): replay the identical per-line rule

@@ -173,6 +173,7 @@ HEADLINE = [
     "sitemap_urls",
     "streaming_warc_sink",
     "boilerplate_removal",
+    "pipeline_crawl_frontier",
 ]
 
 

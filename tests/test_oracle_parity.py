@@ -120,7 +120,7 @@ def test_entry_surface_consistency():
 def test_driver_window_composition_pinned():
     """The first 50 queries() entries ARE the driver's r14 verification
     window — its composition is deliberate (rotation protocol in the
-    queries() header): the 7 NEW r14 gates, the 18 never-driver-checked
+    queries() header): the 8 NEW r14 gates, the 18 never-driver-checked
     r13 additions, the 2 r13-changed zarr queries, then the oldest
     (r11) greens. Pin it so an accidental reorder fails CI instead of
     silently skewing the rotation. When rotating for a new round,
@@ -131,7 +131,8 @@ def test_driver_window_composition_pinned():
     window = list(entry.queries().keys())[:50]
     assert window == [
         "bm25_from_index", "cdx_export", "cdx_revisit",
-        "robots_directives", "boilerplate_removal", "sitemap_urls",
+        "robots_directives", "boilerplate_removal",
+        "pipeline_crawl_frontier", "sitemap_urls",
         "streaming_warc_sink",
         "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q12", "tpch_q13",
         "tpch_q15", "tpch_q17", "tpch_q21", "tpch_q22",
@@ -146,5 +147,5 @@ def test_driver_window_composition_pinned():
         "incremental_dedup", "hard_negatives", "property_filter",
         "json_extract", "cube_agg", "asof_join",
         "resample_cube_temporal", "ann_pq", "incremental_minhash",
-        "span_removal", "streaming_incremental_dedup",
+        "span_removal",
     ]
