@@ -52,10 +52,15 @@ class SinkPath:
     `commit()` promotes it. All byte counting is done by the caller
     (object-store streams don't all support tell())."""
 
-    def __init__(self, fs, path: str, scheme: str):
+    def __init__(self, fs, path: str, scheme: str, uri: str | None = None):
         self.fs = fs
-        self.path = path
+        self.path = path  # the filesystem-internal path (no scheme)
         self.scheme = scheme
+        # scheme-PRESERVING address: what manifests/indexes should
+        # record so a later resolve() round-trips to the same store
+        # (sp.path for s3 is "bucket/key", which a naive re-resolve
+        # would treat as a local path — caught in review)
+        self.uri = uri if uri is not None else path
         self.atomic_rename = scheme in _RENAME_SCHEMES
 
     def tmp_path(self, attempt: str) -> str:
@@ -94,11 +99,11 @@ def resolve(path: str) -> SinkPath:
         raise ImportError("pyarrow.fs is required for sink routing")
     scheme, sep, rest = path.partition("://")
     if not sep:
-        return SinkPath(
-            _pafs.LocalFileSystem(), os.path.abspath(path), "local"
-        )
+        ap = os.path.abspath(path)
+        return SinkPath(_pafs.LocalFileSystem(), ap, "local", ap)
     if scheme == "file":
-        return SinkPath(_pafs.LocalFileSystem(), rest or "/", "local")
+        p = rest or "/"
+        return SinkPath(_pafs.LocalFileSystem(), p, "local", p)
     if scheme in ("s3", "s3a", "gs", "hdfs"):
         try:
             fs, p = _pafs.FileSystem.from_uri(
@@ -109,7 +114,9 @@ def resolve(path: str) -> SinkPath:
                 f"cannot initialise {scheme}:// filesystem for "
                 f"{path!r}: {exc}"
             ) from exc
-        return SinkPath(fs, p, "hdfs" if scheme == "hdfs" else scheme)
+        return SinkPath(
+            fs, p, "hdfs" if scheme == "hdfs" else scheme, path
+        )
     raise ValueError(
         f"unsupported sink scheme {scheme!r} in {path!r}: supported "
         "are bare/absolute local paths, file://, s3://, s3a://, "

@@ -587,7 +587,7 @@ def write_warc_shards(
                             (
                                 uri,
                                 cdx_ts,
-                                sp.path,
+                                sp.uri,
                                 size,
                                 len(gz),
                                 hashlib.md5(bytes(body)).hexdigest(),
@@ -612,7 +612,7 @@ def write_warc_shards(
         sp.commit(tmp)
         if not emit_cdx:
             yield pd.DataFrame(
-                [{"shard": sp.path, "n_records": n, "n_bytes": size}]
+                [{"shard": sp.uri, "n_records": n, "n_bytes": size}]
             )
 
     if emit_cdx:
