@@ -15,13 +15,21 @@ Commit semantics by scheme (the part sinks must get right):
 - local / file:// — POSIX rename is atomic: write `.tmp`, then
   `replace()` onto the deterministic final name. hdfs:// renames are
   atomic too and take the same path.
-- s3:// / gs:// — object stores have NO rename (copy+delete is
-  neither atomic nor cheap), but a PUT/multipart-complete is atomic:
-  an object never appears half-written. So sinks write the FINAL key
-  directly; `replace()` is the identity. This is only safe because
-  every sink attempt produces byte-identical content (deterministic
-  record IDs — ADVICE r13), making duplicate/speculative commits
-  last-writer-wins idempotent.
+- s3:// / gs:// — object stores have NO rename, but a
+  PUT/multipart-complete is atomic: an object never appears
+  half-written. Sinks therefore write a `.tmp` KEY the readers' glob
+  never matches, and `commit()` promotes it with a SERVER-SIDE copy
+  (S3 CopyObject / GCS rewrite via pyarrow `copy_file`) + delete of
+  the tmp key. An earlier design wrote the final key directly and
+  relied on byte-identical retries, but its error path could
+  `close()` — i.e. COMPLETE — a truncated multipart upload at the
+  final name before the abort delete ran (ADVICE r14 medium): if the
+  delete failed or the worker died in between, a corrupt shard
+  persisted where readers look. With the tmp-key protocol a failed
+  attempt can at worst leave a truncated `.tmp` object no reader
+  matches. Duplicate/speculative commits remain last-writer-wins
+  idempotent because every attempt produces byte-identical content
+  (deterministic record IDs — ADVICE r13).
 
 Local *bare* paths (no scheme) are resolved relative to the worker's
 cwd — correct under local[*] and shared-NFS clusters, silently wrong
@@ -47,10 +55,12 @@ _RENAME_SCHEMES = ("local", "hdfs")
 class SinkPath:
     """One resolved sink location: scheme-aware open/commit/delete.
 
-    `tmp_path()` returns the name an attempt should write (the final
-    name itself on object stores — see module docstring), and
-    `commit()` promotes it. All byte counting is done by the caller
-    (object-store streams don't all support tell())."""
+    `tmp_path()` returns the per-attempt name a sink should write —
+    never the final name on ANY scheme — and `commit()` promotes it
+    (atomic rename where the scheme has one, server-side copy +
+    delete on object stores; see module docstring). All byte counting
+    is done by the caller (object-store streams don't all support
+    tell())."""
 
     def __init__(self, fs, path: str, scheme: str, uri: str | None = None):
         self.fs = fs
@@ -64,8 +74,6 @@ class SinkPath:
         self.atomic_rename = scheme in _RENAME_SCHEMES
 
     def tmp_path(self, attempt: str) -> str:
-        if not self.atomic_rename:
-            return self.path
         d, name = os.path.split(self.path)
         return f"{d}/.{name}-{attempt}.tmp"
 
@@ -73,8 +81,16 @@ class SinkPath:
         return self.fs.open_output_stream(path)
 
     def commit(self, tmp: str) -> None:
-        if self.atomic_rename and tmp != self.path:
+        if tmp == self.path:
+            return
+        if self.atomic_rename:
             self.fs.move(tmp, self.path)
+            return
+        # object stores: server-side copy (atomic PUT at the final
+        # key — readers never see a partial object) then drop the tmp
+        # key; a failed delete leaves only an ignored .tmp object.
+        self.fs.copy_file(tmp, self.path)
+        self.abort(tmp)
 
     def abort(self, tmp: str) -> None:
         try:

@@ -87,11 +87,13 @@ def _gunzip_stream(comp: Iterator[bytes]) -> Iterator[bytes]:
     it = iter(comp)
     exhausted = False
     d = zlib.decompressobj(wbits=31)
+    fed = False  # has the CURRENT decompressobj consumed any bytes?
     tail = b""  # compressed bytes owed to the CURRENT decompressobj
     while True:
         if d.eof:
             rest = d.unused_data
             d = zlib.decompressobj(wbits=31)
+            fed = False
             tail = rest  # start of the next member (possibly empty)
         while not tail and not exhausted:  # skip any empty chunks
             try:
@@ -99,10 +101,17 @@ def _gunzip_stream(comp: Iterator[bytes]) -> Iterator[bytes]:
             except StopIteration:
                 exhausted = True
         if not tail:
-            if not d.eof and d.flush():
+            # a member that consumed bytes but never reached its
+            # end-of-stream marker is truncated REGARDLESS of whether
+            # flush() has pending output (ADVICE r14: the old
+            # `d.flush()` guard let a cut at a deflate-block boundary
+            # return silently — silent record loss when the cut also
+            # aligned with a WARC record boundary)
+            if fed and not d.eof:
                 raise ValueError("truncated gzip member in WARC shard")
             return
         chunk, tail = tail, b""
+        fed = True
         out = d.decompress(chunk, _OUT_CHUNK)
         if out:
             yield out
@@ -272,6 +281,26 @@ def _records_gen(batch_records: int):
     return gen
 
 
+def _shard_uri_prefix(path: str, fs_internal_path: str) -> str:
+    """Prefix that turns a pyarrow FileInfo.path back into a URI that
+    round-trips through ``fs.resolve`` to the SAME store. Schemes with
+    an authority component (``hdfs://nn:8020/dir``) list FileInfo
+    paths WITHOUT it — naive ``scheme + '://' + info.path`` yields
+    ``hdfs:///dir``, and the executor-side reconnect silently lands
+    on the libhdfs DEFAULT namenode, not the one the caller named
+    (ADVICE r14). s3/gs FileInfo paths already embed the bucket
+    (== netloc), so those keep the bare scheme prefix."""
+    scheme = path.partition("://")[0] if "://" in path else ""
+    if not scheme or scheme == "file":
+        return ""
+    from urllib.parse import urlsplit
+
+    netloc = urlsplit(path).netloc
+    if netloc and not fs_internal_path.lstrip("/").startswith(netloc):
+        return f"{scheme}://{netloc}"
+    return f"{scheme}://"
+
+
 def load_warc(
     spark: SparkSession,
     path: str,
@@ -315,8 +344,7 @@ def load_warc(
     from pyarrow import fs as pafs
 
     sp = fs.resolve(path)
-    scheme = path.partition("://")[0] if "://" in path else ""
-    prefix = f"{scheme}://" if scheme and scheme != "file" else ""
+    prefix = _shard_uri_prefix(path, sp.path)
     infos = sp.fs.get_file_info(
         pafs.FileSelector(sp.path, recursive=False)
     )
@@ -457,9 +485,15 @@ def write_warc_shards(
 
     Commit protocol (task retries / speculative execution — caught in
     review): every attempt writes to a ``.part-<n>-<attempt>.tmp``
-    name the reader's ``*.warc.gz`` glob never matches, then
-    os.replace()s onto the DETERMINISTIC final name — a failed
-    attempt leaves only an ignored temp file. Record IDs are uuid5 of
+    name the reader's ``*.warc.gz`` glob never matches, then promotes
+    it onto the DETERMINISTIC final name (atomic rename on
+    local/HDFS, server-side copy + tmp delete on object stores — see
+    ``io/fs.py``). A failed attempt leaves AT WORST an ignored temp
+    file on every scheme: the error path may close() — and on object
+    stores thereby complete — a truncated upload, but only at the
+    tmp key, never at a name a reader matches (ADVICE r14: the
+    earlier write-final-key-directly object-store path could publish
+    a truncated shard if the abort delete failed). Record IDs are uuid5 of
     (out_dir, partition, sequence) rather than per-attempt uuid4, so
     a duplicate/speculative attempt re-produces byte-identical shards
     and a late commit can never make the collected manifest's n_bytes
@@ -478,7 +512,13 @@ def write_warc_shards(
     returns a LAZY DataFrame of per-record CDX index rows (url,
     timestamp, shard, member offset, member length, payload md5)
     instead of the eager manifest: record-count-sized output must
-    never collect to the driver. Consuming the frame runs the write;
+    never collect to the driver. CDX rows are buffered per partition
+    and yielded only AFTER the shard commits (ADVICE r14: yielding
+    before commit let an early-terminated consumer — ``.limit()``,
+    an aborted scan — close the generator into the abort path,
+    handing the caller index rows for shards that were then deleted).
+    The buffer is index-tuple-sized (~100 B/record), not
+    payload-sized. Consuming the frame runs the write;
     re-consumption rewrites byte-identical shards (deterministic
     record IDs), so materialize it ONCE to parquet and feed that to
     ``cdx_export`` (which runs multiple actions for the global SURT
@@ -523,9 +563,11 @@ def write_warc_shards(
         n = 0
         size = 0
         fh = None  # lazy: empty partitions create no object at all
+        # CDX rows for the WHOLE partition, yielded only after the
+        # shard commits (index-tuple-sized, not payload-sized)
+        cdx_buf: list[tuple] = []
         try:
             for pdf in batches:
-                cdx_buf: list[tuple] = []
                 for row in pdf.itertuples(index=False):
                     if fh is None:
                         fh = sp.open_write(tmp)
@@ -595,10 +637,11 @@ def write_warc_shards(
                         )
                     size += len(gz)
                     n += 1
-                if emit_cdx and cdx_buf:
-                    yield pd.DataFrame(cdx_buf, columns=cdx_cols)
         except BaseException:
             if fh is not None:
+                # closing may complete a truncated upload — but only
+                # at the tmp key, which no reader glob matches; the
+                # delete then reclaims it (best-effort)
                 fh.close()
                 sp.abort(tmp)
             raise
@@ -610,7 +653,14 @@ def write_warc_shards(
             return
         fh.close()
         sp.commit(tmp)
-        if not emit_cdx:
+        # only now — after the shard is visible at its final name —
+        # may index/manifest rows escape to the caller
+        if emit_cdx:
+            for i in range(0, len(cdx_buf), 65536):
+                yield pd.DataFrame(
+                    cdx_buf[i : i + 65536], columns=cdx_cols
+                )
+        else:
             yield pd.DataFrame(
                 [{"shard": sp.uri, "n_records": n, "n_bytes": size}]
             )
@@ -792,6 +842,7 @@ def stream_warc_sink(
     http_content_type: str = "text/plain",
     record_kind: str = "response",
     warc_date: str = _DEFAULT_WARC_DATE,
+    trigger: dict | None = None,
 ):
     """Streaming WARC sink (NEW r14): each micro-batch writes its own
     ``batch-<id>/part-*.warc.gz`` shard set through
@@ -802,8 +853,12 @@ def stream_warc_sink(
     replayed batch after failure re-writes byte-identical shards onto
     the same deterministic names (uuid5 record IDs + mtime=0 — the
     same idempotency contract the batch sink guarantees), so replays
-    are invisible. Returns the started StreamingQuery (availableNow
-    semantics are the caller's trigger choice)."""
+    are invisible. ``trigger`` is passed to ``writeStream.trigger``
+    (e.g. ``{"processingTime": "30 seconds"}`` for a continuous live
+    crawl, ``{"availableNow": True}`` — the default — for a
+    drain-what's-there run), so the trigger really is the caller's
+    choice (ADVICE r14: it was hardcoded availableNow). Returns the
+    started StreamingQuery."""
 
     def sink_batch(bdf: DataFrame, batch_id: int) -> None:
         write_warc_shards(
@@ -821,7 +876,7 @@ def stream_warc_sink(
     return (
         df.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

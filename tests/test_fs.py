@@ -43,13 +43,32 @@ def test_abort_removes_tmp(tmp_path):
     target.abort(tmp)  # idempotent on missing files
 
 
-def test_object_store_schemes_write_final_directly():
-    """On stores without atomic rename, tmp IS the final path (PUT
-    visibility-on-complete is the commit)."""
-    sp = fs.SinkPath(fs=None, path="bucket/k/part-0", scheme="s3")
+def test_object_store_commit_is_copy_then_delete():
+    """On stores without atomic rename, attempts write a .tmp KEY the
+    reader glob never matches; commit promotes it with a server-side
+    copy then deletes the tmp (ADVICE r14: writing the final key
+    directly let an error-path close() publish a truncated shard)."""
+
+    class FakeFS:
+        def __init__(self):
+            self.calls = []
+
+        def copy_file(self, src, dst):
+            self.calls.append(("copy", src, dst))
+
+        def delete_file(self, path):
+            self.calls.append(("delete", path))
+
+    fake = FakeFS()
+    sp = fs.SinkPath(fs=fake, path="bucket/k/part-0", scheme="s3")
     assert not sp.atomic_rename
-    assert sp.tmp_path("3") == "bucket/k/part-0"
-    sp.commit("bucket/k/part-0")  # no-op, must not touch fs
+    tmp = sp.tmp_path("3")
+    assert tmp == "bucket/k/.part-0-3.tmp"  # never the final key
+    sp.commit(tmp)
+    assert fake.calls == [
+        ("copy", tmp, "bucket/k/part-0"),
+        ("delete", tmp),
+    ]
 
 
 def test_unsupported_scheme_rejected():

@@ -577,3 +577,109 @@ def test_stream_warc_sink_matches_batch_corpus(spark, tmp_path):
         for r in back.filter(F.col("warc_type") == "response").collect()
     }
     assert got == {f"https://s/{i}": f"b{i}".encode() for i in range(30)}
+
+
+def test_truncation_at_deflate_block_boundary_raises():
+    """ADVICE r14: a shard cut at a deflate-block boundary leaves the
+    decompressor with NO pending output — the old `flush()` guard
+    returned silently (silent record loss when the cut also aligned
+    with a record boundary). A member that never reaches its
+    end-of-stream marker must raise regardless."""
+    rec = _spec_record("resource", {"WARC-Target-URI": "u"}, b"abc")
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    # valid gzip prefix, ends exactly at a block boundary, all record
+    # bytes recoverable, but no end-of-stream marker / trailer
+    cut = co.compress(rec) + co.flush(zlib.Z_FULL_FLUSH)
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        list(parse_warc_records(cut))
+    # a COMPLETE member followed by the same cut prefix also raises
+    whole = gzip.compress(rec, 6) + cut
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        list(parse_warc_records(whole))
+    # complete members alone still parse (no false positive from the
+    # fresh decompressobj seeded after the last member)
+    assert len(list(parse_warc_records(gzip.compress(rec, 6)))) == 1
+
+
+def test_shard_uri_prefix_preserves_authority():
+    """ADVICE r14: hdfs:// FileInfo paths drop the authority; the
+    rebuilt shard URI must keep the namenode the caller named."""
+    from openeo_processes_dask_ml_spark.io.warc import _shard_uri_prefix
+
+    # hdfs: internal path has no authority -> re-attach it
+    assert (
+        _shard_uri_prefix("hdfs://nn:8020/crawl", "/crawl")
+        == "hdfs://nn:8020"
+    )
+    # s3/gs: bucket (== netloc) already embedded in the internal path
+    assert _shard_uri_prefix("s3://bkt/crawl", "bkt/crawl") == "s3://"
+    assert _shard_uri_prefix("gs://bkt/c", "bkt/c") == "gs://"
+    # local bare / file:// need no prefix
+    assert _shard_uri_prefix("/data/crawl", "/data/crawl") == ""
+    assert _shard_uri_prefix("file:///data/c", "/data/c") == ""
+
+
+def test_cdx_rows_only_reference_committed_shards(spark, tmp_path):
+    """ADVICE r14: CDX rows must be yielded only AFTER the shard
+    commits, so an early-terminated consumer (limit / aborted scan)
+    can never hold index rows for shards that were then deleted."""
+    import os
+
+    src = spark.range(200).select(
+        F.concat(F.lit("https://x/"), F.col("id")).alias("uri"),
+        F.concat(F.lit("body"), F.col("id")).alias("body"),
+    )
+    out = str(tmp_path / "cdx_commit")
+    cdx = write_warc_shards(src, out, n_shards=4, emit_cdx=True)
+    few = cdx.limit(3).collect()  # early-terminated consumption
+    assert len(few) == 3
+    for r in few:
+        assert os.path.exists(r["shard"]), (
+            "CDX row references a shard that is not committed"
+        )
+    # no half-written tmp shard left visible to the reader glob
+    names = os.listdir(out)
+    assert all(not n.endswith(".tmp") for n in names)
+
+
+def test_stream_warc_sink_trigger_is_configurable(spark, tmp_path):
+    """ADVICE r14: the trigger really is the caller's choice."""
+    from openeo_processes_dask_ml_spark.io.warc import stream_warc_sink
+
+    staging = str(tmp_path / "stage_trig")
+    spark.range(5).select(
+        F.concat(F.lit("https://t/"), F.col("id")).alias("uri"),
+        F.col("id").cast("string").alias("body"),
+    ).coalesce(1).write.parquet(staging)
+    out = str(tmp_path / "trig_out")
+    q = stream_warc_sink(
+        spark.readStream.schema("uri string, body string").parquet(staging),
+        out,
+        str(tmp_path / "trig_ckpt"),
+        n_shards=1,
+        trigger={"processingTime": "1 seconds"},
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            import os
+
+            if os.path.isdir(out) and any(
+                f.endswith(".warc.gz")
+                for b in os.listdir(out)
+                for f in os.listdir(os.path.join(out, b))
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {
+        bytes(r["payload"])
+        for r in load_warc(spark, f"{out}/batch-*")
+        .filter(F.col("warc_type") == "response")
+        .collect()
+    }
+    assert got == {str(i).encode() for i in range(5)}
