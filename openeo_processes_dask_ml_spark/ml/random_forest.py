@@ -127,23 +127,64 @@ def mlm_class_random_forest(
     )
 
 
-def _kappa_from_confusion(pred: DataFrame, label_col: str, pred_col: str) -> float:
-    """Cohen's kappa from a groupBy confusion matrix (the distributed
-    form of the reference's cohen_kappa_score at
-    scikit_learn_model.py:204)."""
+def _metrics_from_confusion(
+    pred: DataFrame, label_col: str, pred_col: str
+) -> dict:
+    """Full validation report from ONE groupBy confusion matrix — the
+    distributed form of the reference's validation block
+    (scikit_learn_model.py:193-207: accuracy_score, cohen_kappa_score
+    AND the per-class classification_report). The matrix is
+    class-count² rows, so a single collect is bounded; everything —
+    n_valid, accuracy, kappa, per-class precision/recall/F1/support,
+    macro + weighted averages — derives from it driver-side with no
+    further job."""
     cm = pred.groupBy(label_col, pred_col).count().collect()
     total = sum(r["count"] for r in cm)
     if total == 0:
-        return 0.0
+        return {"accuracy": 0.0, "kappa": 0.0, "n_valid": 0, "per_class": {}}
     agree = sum(r["count"] for r in cm if r[label_col] == r[pred_col])
-    row_tot: dict = {}
-    col_tot: dict = {}
+    row_tot: dict = {}  # support (true count) per class
+    col_tot: dict = {}  # predicted count per class
+    diag: dict = {}
     for r in cm:
         row_tot[r[label_col]] = row_tot.get(r[label_col], 0) + r["count"]
         col_tot[r[pred_col]] = col_tot.get(r[pred_col], 0) + r["count"]
+        if r[label_col] == r[pred_col]:
+            diag[r[label_col]] = r["count"]
     po = agree / total
     pe = sum(row_tot.get(k, 0) * col_tot.get(k, 0) for k in row_tot) / (total * total)
-    return (po - pe) / (1 - pe) if pe < 1 else 0.0
+    kappa = (po - pe) / (1 - pe) if pe < 1 else 0.0
+    # sklearn classification_report conventions: classes = union of
+    # true and predicted labels; 0.0 where a denominator is zero
+    per_class: dict = {}
+    for k in sorted(set(row_tot) | set(col_tot)):
+        tp = diag.get(k, 0)
+        prec = tp / col_tot[k] if col_tot.get(k) else 0.0
+        rec = tp / row_tot[k] if row_tot.get(k) else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+        per_class[k] = {
+            "precision": prec,
+            "recall": rec,
+            "f1": f1,
+            "support": row_tot.get(k, 0),
+        }
+    ncls = len(per_class)
+    macro = {
+        m: sum(c[m] for c in per_class.values()) / ncls
+        for m in ("precision", "recall", "f1")
+    }
+    weighted = {
+        m: sum(c[m] * c["support"] for c in per_class.values()) / total
+        for m in ("precision", "recall", "f1")
+    }
+    return {
+        "accuracy": po,
+        "kappa": kappa,
+        "n_valid": total,
+        "per_class": per_class,
+        "macro_avg": macro,
+        "weighted_avg": weighted,
+    }
 
 
 def fit_on_features(
@@ -185,18 +226,18 @@ def fit_on_features(
     )
     model = est.fit(train)
     pred = model.transform(valid)
-    n_valid = pred.count()
-    accuracy = (
-        pred.filter(F.col("label_idx") == F.col("prediction")).count() / n_valid
-        if n_valid
-        else 0.0
-    )
-    kappa = _kappa_from_confusion(pred, "label_idx", "prediction") if n_valid else 0.0
+    metrics = _metrics_from_confusion(pred, "label_idx", "prediction")
+    # per-class keys back to the caller's label names (the reference's
+    # classification_report is keyed by original class name)
+    idx_to_label = {float(i): lab for lab, i in label_to_idx.items()}
+    metrics["per_class"] = {
+        idx_to_label.get(k, k): v for k, v in metrics["per_class"].items()
+    }
 
     fitted = copy.copy(rf)
     fitted.model = model
     fitted.labels = labels
-    fitted.metrics = {"accuracy": accuracy, "kappa": kappa, "n_valid": n_valid}
+    fitted.metrics = metrics
     fitted.descriptor = copy.deepcopy(rf.descriptor)
     fitted.descriptor.pretrained = True
     fitted.descriptor.item["properties"]["mlm:pretrained"] = True
@@ -204,7 +245,10 @@ def fit_on_features(
 
 
 def ml_fit(
-    rf: RfClassModel, training_cube: CubeFrame, target: str = "class_name"
+    rf: RfClassModel,
+    training_cube: CubeFrame,
+    target: str = "class_name",
+    max_features: int = 100_000,
 ) -> RfClassModel:
     """openEO ml_fit on a vector cube: pivot (time, band) into compound
     "<time>_<band>" feature columns (the reference's stacked feature
@@ -213,6 +257,14 @@ def ml_fit(
     Also backfills the MLM metadata from the training set the way
     ml_fit does (reference ml_fit.py:35-88): bands list, input shape,
     output dim renamed to the target.
+
+    The pivot width — distinct (time, band) combinations — becomes
+    BOTH a driver-side name list and the MLlib feature-vector length,
+    so it is capped (``max_features``, default 1e5) with the same
+    explicit-error-plus-guidance posture as the inference axis cap
+    (VERDICT r14): the cap is enforced INSIDE the aggregation
+    (sort_array + slice on the single agg row), so an oversized
+    vocabulary never crosses to the driver before the check fires.
     """
     bcol = training_cube.dim_col("bands")
     tcol = training_cube.dims.get("time")
@@ -228,7 +280,20 @@ def ml_fit(
         feat_name.alias("feature"),
         F.col(training_cube.value_col).alias("value"),
     )
-    feature_names = sorted(r[0] for r in long.select("feature").distinct().collect())
+    feature_names = list(
+        long.agg(
+            F.slice(
+                F.sort_array(F.collect_set("feature")), 1, max_features + 1
+            ).alias("f")
+        ).collect()[0]["f"]
+    )
+    if len(feature_names) > max_features:
+        raise ValueError(
+            f"ml_fit pivot width exceeds max_features={max_features} "
+            f"distinct (time, band) feature columns; reduce the cube "
+            "(filter_bands / aggregate_temporal_period) or raise the "
+            "cap explicitly"
+        )
     wide = (
         long.groupBy("geometry_id", "target")
         .pivot("feature", feature_names)

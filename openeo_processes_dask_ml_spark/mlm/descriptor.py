@@ -139,11 +139,17 @@ def load_stac_ml(
     model_asset: str | None = None,
     input_index: int = 0,
     output_index: int = 0,
+    validate_schema: bool = True,
 ) -> MLModelDescriptor:
     """Load + validate a STAC-MLM Item (reference
     process_implementations/load_model.py:20-98): check the MLM schema
-    is declared, the framework is known, and the requested input/output
-    indexes exist; select the weights asset by role ``mlm:model``."""
+    is declared, validate the item against the vendored MLM jsonschema
+    (the offline analog of the reference's hosted-schema validation,
+    load_model.py:36 + init_models.py:240 — see ``mlm/schema.py``),
+    check the framework is one this engine can execute, and the
+    requested input/output indexes exist; select the weights asset by
+    role ``mlm:model``. ``validate_schema=False`` skips only the
+    jsonschema pass (for deliberately minimal in-code items)."""
     if isinstance(uri_or_item, dict):
         item = uri_or_item
     elif uri_or_item.startswith(("http://", "https://")):
@@ -156,6 +162,10 @@ def load_stac_ml(
     exts = item.get("stac_extensions", [])
     if not any(e.startswith(MLM_SCHEMA_PREFIX) for e in exts):
         raise ValueError("item does not declare the STAC-MLM extension")
+    if validate_schema:
+        from openeo_processes_dask_ml_spark.mlm.schema import validate_mlm_item
+
+        validate_mlm_item(item)
     props = item.get("properties", {})
     framework = (props.get("mlm:framework") or "").lower()
     if framework not in SUPPORTED_FRAMEWORKS:

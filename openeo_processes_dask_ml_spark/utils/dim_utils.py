@@ -16,8 +16,10 @@ from collections.abc import Iterable
 DIM_ALIASES: dict[str, tuple[str, ...]] = {
     "bands": ("band", "bands", "b", "channel", "channels"),
     "time": ("time", "times", "t", "date", "dates"),
-    "x": ("x", "lon", "lng", "longitude"),
-    "y": ("y", "lat", "latitude"),
+    # "width"/"height" are the STAC-MLM dim_order convention for the
+    # spatial axes (e.g. [batch, channel, height, width] input shapes)
+    "x": ("x", "lon", "lng", "longitude", "width"),
+    "y": ("y", "lat", "latitude", "height"),
     "batch": ("batch", "batches"),
 }
 

@@ -228,14 +228,19 @@ def test_graph_unbound_parameter():
 def _item(framework="pytorch", exts=None):
     return {
         "type": "Feature",
+        "stac_version": "1.0.0",
         "stac_extensions": exts
         if exts is not None
         else ["https://stac-extensions.github.io/mlm/v1.4.0/schema.json"],
         "id": "m",
         "properties": {
+            "mlm:name": "m",
+            "mlm:architecture": "CNN",
+            "mlm:tasks": ["classification"],
             "mlm:framework": framework,
             "mlm:input": [
                 {
+                    "name": "bands",
                     "bands": ["red", "nir"],
                     "input": {
                         "shape": [-1, 2, 4, 4],
@@ -245,7 +250,15 @@ def _item(framework="pytorch", exts=None):
                 }
             ],
             "mlm:output": [
-                {"result": {"shape": [-1, 1], "dim_order": ["batch", "out"]}}
+                {
+                    "name": "out",
+                    "tasks": ["classification"],
+                    "result": {
+                        "shape": [-1, 1],
+                        "dim_order": ["batch", "out"],
+                        "data_type": "float32",
+                    },
+                }
             ],
         },
         "assets": {

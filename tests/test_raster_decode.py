@@ -644,15 +644,21 @@ def test_graph_make_embeddings_shape_no_predict_fn(spark, tmp_path):
         return b"P5\n4 4\n255\n" + arr.tobytes()
 
     mlm_item = {
+        "type": "Feature",
+        "stac_version": "1.0.0",
         "id": "fake-model",
         "stac_extensions": [
             "https://stac-extensions.github.io/mlm/v1.4.0/schema.json"
         ],
         "properties": {
+            "mlm:name": "fake-model",
+            "mlm:architecture": "fake",
+            "mlm:tasks": ["regression"],
             "mlm:framework": "fake",
             "mlm:batch_size_suggestion": 2,
             "mlm:input": [
                 {
+                    "name": "bands",
                     "bands": ["nir", "red"],
                     "input": {
                         "shape": [-1, 2, 2, 2],
@@ -663,10 +669,13 @@ def test_graph_make_embeddings_shape_no_predict_fn(spark, tmp_path):
             ],
             "mlm:output": [
                 {
+                    "name": "out",
+                    "tasks": ["regression"],
                     "result": {
                         "shape": [-1, 2, 2],
                         "dim_order": ["batch", "x", "y"],
-                    }
+                        "data_type": "float64",
+                    },
                 }
             ],
         },

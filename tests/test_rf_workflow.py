@@ -117,3 +117,80 @@ def test_fit_on_features_is_seed_deterministic(spark):
     p1 = [r["p"] for r in ml_predict(f1, df, out_col="p").orderBy("vec_id").collect()]
     p2 = [r["p"] for r in ml_predict(f2, df, out_col="p").orderBy("vec_id").collect()]
     assert p1 == p2
+
+
+def test_per_class_report_hand_computed(spark):
+    """Per-class precision/recall/F1 parity with the reference's
+    classification_report (scikit_learn_model.py:193-207), asserted
+    against a hand-computed confusion fixture:
+        true=1: pred 1 x3, pred 2 x1      true=2: pred 2 x2, pred 1 x1
+        true=3: pred 3 x1, pred 1 x1
+    """
+    from openeo_processes_dask_ml_spark.ml.random_forest import (
+        _metrics_from_confusion,
+    )
+
+    pairs = (
+        [(1.0, 1.0)] * 3
+        + [(1.0, 2.0)]
+        + [(2.0, 2.0)] * 2
+        + [(2.0, 1.0)]
+        + [(3.0, 3.0), (3.0, 1.0)]
+    )
+    pred = spark.createDataFrame(pairs, "label_idx double, prediction double")
+    m = _metrics_from_confusion(pred, "label_idx", "prediction")
+    assert m["n_valid"] == 9
+    assert m["accuracy"] == pytest.approx(6 / 9)
+    assert m["kappa"] == pytest.approx(23 / 50)  # (6/9 - 31/81)/(1 - 31/81)
+    pc = m["per_class"]
+    assert pc[1.0]["precision"] == pytest.approx(3 / 5)
+    assert pc[1.0]["recall"] == pytest.approx(3 / 4)
+    assert pc[1.0]["f1"] == pytest.approx(2 / 3)
+    assert pc[1.0]["support"] == 4
+    assert pc[2.0] == {
+        "precision": pytest.approx(2 / 3),
+        "recall": pytest.approx(2 / 3),
+        "f1": pytest.approx(2 / 3),
+        "support": 3,
+    }
+    assert pc[3.0]["precision"] == 1.0
+    assert pc[3.0]["recall"] == 0.5
+    assert pc[3.0]["support"] == 2
+    assert m["macro_avg"]["precision"] == pytest.approx((0.6 + 2 / 3 + 1) / 3)
+    assert m["weighted_avg"]["precision"] == pytest.approx(6.4 / 9)
+    # sklearn conventions when a class is only ever PREDICTED:
+    # it appears with support 0 and recall 0
+    pred2 = spark.createDataFrame(
+        pairs + [(2.0, 4.0)], "label_idx double, prediction double"
+    )
+    m2 = _metrics_from_confusion(pred2, "label_idx", "prediction")
+    assert m2["per_class"][4.0] == {
+        "precision": 0.0,
+        "recall": 0.0,
+        "f1": 0.0,
+        "support": 0,
+    }
+    # empty validation split degrades gracefully
+    empty = spark.createDataFrame([], "label_idx double, prediction double")
+    m3 = _metrics_from_confusion(empty, "label_idx", "prediction")
+    assert m3 == {"accuracy": 0.0, "kappa": 0.0, "n_valid": 0, "per_class": {}}
+
+
+def test_fit_metrics_include_per_class_by_label_name(spark, training_cube):
+    rf = mlm_class_random_forest(max_variables="sqrt", num_trees=15, seed=7)
+    from openeo_processes_dask_ml_spark.ml.random_forest import ml_fit as _fit
+
+    fitted = _fit(rf, training_cube, target="class_name")
+    pc = fitted.metrics["per_class"]
+    assert set(pc) <= {"a", "b", "c"} and pc  # keyed by label NAME
+    for v in pc.values():
+        assert 0.0 <= v["precision"] <= 1.0 and 0.0 <= v["f1"] <= 1.0
+    assert "macro_avg" in fitted.metrics and "weighted_avg" in fitted.metrics
+
+
+def test_ml_fit_pivot_width_cap(spark, training_cube):
+    """Over-cap pivot width raises with guidance (same posture as the
+    inference axis cap); the gate path is unaffected at default cap."""
+    rf = mlm_class_random_forest(max_variables="sqrt", num_trees=5, seed=1)
+    with pytest.raises(ValueError, match="max_features=3"):
+        ml_fit(rf, training_cube, target="class_name", max_features=3)
