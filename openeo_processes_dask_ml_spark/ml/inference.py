@@ -151,6 +151,39 @@ class _TiledDim:
     cube_col: str
     tile: int  # model input size on this dim (-1 -> full extent)
     coords: np.ndarray  # global sorted coordinates (raster-resolution-sized)
+    next_after: object | None = None  # first coord AFTER this axis slice
+    # (set on chunked sub-requests so the last tile of a chunk still
+    # sees its true successor for datetime coordinate regeneration)
+
+
+def _collect_axis_chunks(df, col: str, chunk_len: int) -> list[tuple]:
+    """Collect an oversized coordinate axis in sorted, bounded chunks
+    of ``chunk_len`` values — plus ONE lookahead value per chunk (the
+    next chunk's first coordinate), which chunked tiling needs for
+    exact datetime coordinate regeneration at chunk boundaries. Each
+    round is one capped aggregation (slice-inside-agg, the axis-cap
+    discipline: at most chunk_len+1 values ever reach the driver) over
+    rows strictly above the previous boundary, so driver memory stays
+    O(chunk_len) no matter how long the axis is. K = ceil(axis/chunk)
+    scans — the price of not holding the axis; each sub-request scans
+    its slice again anyway."""
+    chunks: list[tuple] = []
+    last = None
+    while True:
+        src = df if last is None else df.filter(F.col(col) > F.lit(last))
+        vals = src.agg(
+            F.slice(
+                F.sort_array(F.collect_set(col)), 1, chunk_len + 1
+            ).alias("a")
+        ).collect()[0]["a"]
+        if not vals:
+            return chunks
+        if len(vals) > chunk_len:
+            chunks.append((np.array(vals[:chunk_len]), vals[chunk_len]))
+            last = vals[chunk_len - 1]
+        else:
+            chunks.append((np.array(vals), None))
+            return chunks
 
 
 def run_model_tiled(
@@ -159,6 +192,8 @@ def run_model_tiled(
     predict_fn: Callable[[np.ndarray], np.ndarray],
     out_value_col: str = "value",
     max_axis_elements: int = 10_000_000,
+    auto_chunk: bool = True,
+    _axis_override: dict | None = None,
 ) -> DataFrame:
     """Apply ``predict_fn`` (batch tensor in model dim_order ->
     output tensor in output dim_order) over the cube, tiled to the
@@ -171,9 +206,27 @@ def run_model_tiled(
     MLM pre/post-processing expressions (reference
     run_pytorch_model.py:18-37: pre-expr -> no_grad forward ->
     post-expr) wrap ``predict_fn`` inside the UDF, resolved through the
-    allowlisted importlib dispatch."""
+    allowlisted importlib dispatch.
+
+    An axis longer than ``max_axis_elements`` no longer raises: with
+    ``auto_chunk`` (default) the request self-partitions into
+    sub-grid requests along the oversized axes — the Spark analog of
+    the reference's ``get_index_subsets`` chunk walk
+    (data_model.py:393-424). Chunk boundaries are MULTIPLES OF THE
+    TILE SIZE in global index space, so every sub-request's tiles are
+    exactly the global tiling's tiles and only the global trailing
+    remainder is dropped; each chunk carries one lookahead coordinate
+    so datetime regeneration at chunk boundaries sees its true
+    successor. The only observable difference vs one giant request is
+    batch COMPOSITION (tiles are batched within a chunk), which
+    affects model-call grouping, never values. Axes the model
+    consumes whole (shape -1) and the band universe cannot chunk and
+    still raise with guidance. ``_axis_override`` is the internal
+    recursion channel carrying pre-collected ``{col: (coords,
+    next_after)}`` axes so sub-requests never rescan."""
     from openeo_processes_dask_ml_spark.utils.dim_utils import resolve_dim
 
+    orig_predict_fn = predict_fn  # recursion must not double-wrap pre/post
     pre = descriptor.input.pre_processing_function
     post = descriptor.output.post_processing_function
     if pre or post:
@@ -224,7 +277,12 @@ def run_model_tiled(
     # axis. Axes are bounded (they become driver-side tile grids either
     # way); ordering happens driver-side.
     band_hint = cube.attrs.get("band_labels") if band_col else None
-    scan_cols = list(dict.fromkeys(c for _, _, _, c in resolved))
+    override = dict(_axis_override or {})
+    scan_cols = list(
+        dict.fromkeys(
+            c for _, _, _, c in resolved if c not in override
+        )
+    )
     want_bands_scan = bool(model_bands and band_col) and band_hint is None
     if want_bands_scan and band_col not in scan_cols:
         scan_cols.append(band_col)
@@ -248,23 +306,101 @@ def run_model_tiled(
                 for c in scan_cols
             ]
         ).collect()[0]
-        for c in scan_cols:
-            if len(axes_row[c]) > max_axis_elements:
+        over = [c for c in scan_cols if len(axes_row[c]) > max_axis_elements]
+        if over:
+            tile_of = {col: s for _, s, _, col in resolved}
+            unchunkable = [
+                c
+                for c in over
+                if c not in tile_of or tile_of[c] == -1 or not auto_chunk
+            ]
+            if unchunkable:
                 raise ValueError(
-                    f"cube axis {c!r} exceeds max_axis_elements="
-                    f"{max_axis_elements}; tile the request (filter the "
-                    "cube to a sub-grid per call) or raise the cap "
-                    "explicitly"
+                    f"cube axis {unchunkable[0]!r} exceeds "
+                    f"max_axis_elements={max_axis_elements} and cannot "
+                    "auto-chunk (band universe / full-extent model dim "
+                    "/ auto_chunk=False); tile the request yourself or "
+                    "raise the cap explicitly"
                 )
+            # self-partition into sub-grid requests along the
+            # oversized axes; under-cap axes (and the band universe,
+            # via the attrs hint below) pass through pre-collected so
+            # sub-requests run zero axis scans
+            passdown = dict(override)
+            for c in scan_cols:
+                if c not in over and c != band_col:
+                    passdown[c] = (np.array(axes_row[c]), None)
+            sub_attrs = dict(cube.attrs)
+            if want_bands_scan and band_col in scan_cols:
+                sub_attrs["band_labels"] = [
+                    v.item() if hasattr(v, "item") else v
+                    for v in axes_row[band_col]
+                ]
+            chunk_lists: dict[str, list[tuple]] = {}
+            for c in over:
+                tile = tile_of[c]
+                chunk_len = max(tile, (max_axis_elements // tile) * tile)
+                chunk_lists[c] = [
+                    ch
+                    for ch in _collect_axis_chunks(cube.df, c, chunk_len)
+                    # a trailing chunk shorter than one tile holds only
+                    # the global remainder — dropped, as global tiling
+                    # would drop it
+                    if len(ch[0]) >= tile
+                ]
+            import itertools
+
+            parts: list[DataFrame] = []
+            combos = itertools.product(*(chunk_lists[c] for c in over))
+            for combo in combos:
+                sub_df = cube.df
+                sub_over = {}
+                for c, (coords, nxt) in zip(over, combo):
+                    lo, hi = (
+                        v.item() if hasattr(v, "item") else v
+                        for v in (coords.flat[0], coords.flat[-1])
+                    )
+                    sub_df = sub_df.filter(
+                        (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+                    )
+                    sub_over[c] = (coords, nxt)
+                sub_cube = CubeFrame(
+                    sub_df, dict(cube.dims), cube.value_col, sub_attrs
+                )
+                parts.append(
+                    run_model_tiled(
+                        sub_cube,
+                        descriptor,
+                        orig_predict_fn,
+                        out_value_col=out_value_col,
+                        max_axis_elements=max_axis_elements,
+                        auto_chunk=False,  # chunks are cap-sized by construction
+                        _axis_override={**passdown, **sub_over},
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         axis_by_col = {c: np.array(axes_row[c]) for c in scan_cols}
     else:
         axis_by_col = {}
+    next_after_by_col: dict[str, object] = {}
+    for c, (coords, nxt) in override.items():
+        axis_by_col[c] = coords
+        next_after_by_col[c] = nxt
     for d, s, role, col in resolved:
         coords = axis_by_col[col]
         cube_sizes[role] = coords.size
         coords_by_col[col] = coords
         tiled.append(
-            _TiledDim(d, col, s if s != -1 else coords.size, coords)
+            _TiledDim(
+                d,
+                col,
+                s if s != -1 else coords.size,
+                coords,
+                next_after_by_col.get(col),
+            )
         )
 
     if model_bands and band_col:
@@ -382,6 +518,7 @@ def run_model_tiled(
 
     tile_sizes = {td.cube_col: td.tile for td in tiled}
     tile_coords = {td.cube_col: td.coords for td in tiled}
+    next_after_of = {td.cube_col: td.next_after for td in tiled}
     model_dtype = inp.data_type
     dim_order = [d for d in inp.dim_order if d.lower() not in BATCH_DIM_NAMES]
     value_col = cube.value_col
@@ -472,7 +609,11 @@ def run_model_tiled(
                         t * tile_sizes[col] : (t + 1) * tile_sizes[col]
                     ]
                     end = (t + 1) * tile_sizes[col]
-                    nxt = full_axis[end] if end < full_axis.size else None
+                    nxt = (
+                        full_axis[end]
+                        if end < full_axis.size
+                        else next_after_of[col]  # chunk lookahead
+                    )
                     width = (
                         full_axis[1] - full_axis[0]
                         if full_axis.size > 1
