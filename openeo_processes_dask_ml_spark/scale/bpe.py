@@ -12,19 +12,26 @@ every production trainer uses:
    groupBy. This is the only stage proportional to corpus bytes; at
    100 TB the word table is ~10^7-10^8 rows (Heaps' law), i.e. tiny
    relative to the corpus and comfortably distributed.
-2. Each merge iteration runs entirely on the word table:
+2. Each ROUND runs entirely on the word table:
    - pair counting: explode adjacent symbol pairs weighted by word
      frequency, groupBy(left, right) + sum — map-side combined, all
      JVM codegen;
-   - global argmax: orderBy(count desc, left, right).limit(1) — one
-     driver row, deterministic tie-break so every engine/run learns
-     the identical merge sequence;
-   - rewrite: a left-to-right non-overlapping merge pass expressed as
-     an ``F.aggregate`` fold over the symbol array — no Python UDF,
-     stays inside whole-stage codegen.
-   The word table is localCheckpointed per iteration so the k-deep
+   - batched selection: the top-of-table window comes to the driver
+     once and up to ``batch_merges`` merges whose one-at-a-time
+     equivalence is PROVABLE are selected together
+     (``_select_safe_batch`` — symbol-disjoint strict-majority prefix
+     + a merged-token collision probe), deterministic tie-break
+     (count desc, left, right) so every engine/run/cluster size
+     learns the identical merge sequence;
+   - rewrite: each merge is a left-to-right non-overlapping pass
+     expressed as an ``F.aggregate`` fold over the symbol array — no
+     Python UDF, stays inside whole-stage codegen; a round's picks
+     chain their folds inside ONE projection/job.
+   The word table is localCheckpointed per round so the k-deep
    lineage never replays (same discipline as
-   scale/dedup.py::duplicate_clusters).
+   scale/dedup.py::duplicate_clusters). Driver round-trips are
+   O(num_merges / batch) instead of O(num_merges) — the VERDICT r14
+   #7 job-count cut — with the learned table bit-identical to K=1.
 
 Encoding then becomes a dictionary join against the trained word table
 (word -> final symbol sequence; broadcast when small — AQE decides, see
@@ -114,11 +121,77 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     return pairs.groupBy("p.left", "p.right").agg(F.sum("freq").alias("cnt"))
 
 
+def _select_safe_batch(
+    rows,
+    limit: int,
+    max_picks: int,
+    min_pair_count: int,
+    known_tokens: frozenset = frozenset(),
+) -> list[tuple]:
+    """From the collected top-``limit`` pair window (sorted by count
+    desc, left asc, right asc), pick the LONGEST prefix of merges that
+    provably yields the SAME learned table as one-merge-at-a-time
+    training (VERDICT r14 #7 asked for batching; equivalence is the
+    hard part). Sequential BPE recounts after every merge, so a pick
+    p_j is safe only if no count evolution from earlier picks can
+    overtake it:
+
+    - picks are pairwise SYMBOL-DISJOINT (and disjoint from earlier
+      picks' merged-token strings), so each pick's own count is
+      unchanged when its turn comes, and unchanged pairs keep their
+      original order;
+    - every pair whose count CAN change touches a pick's symbols; any
+      such pair inside the window would end the scan (``blocker``),
+      and everything outside the window counts ≤ the window's last
+      row (``floor``). New pairs born from a merge, e.g. (x, ab),
+      inherit count ≤ their source adjacency (x, a) — a dirty-
+      touching pair, so ≤ the same bound;
+    - picks after the first must therefore count STRICTLY ABOVE that
+      bound (ties could flip on the lexicographic tie-break, so
+      equality is unsafe — p_1 alone is exempt: it is the argmax no
+      matter what).
+
+    One residual hazard needs NO Spark probe: a pick's merged-token
+    string that already exists as a symbol lets pre-existing pairs
+    GROW (e.g. merging (a, b) adds occurrences to an old pair
+    (x, "ab")), which the window-local count bound cannot cover. But
+    the symbol universe's multi-character members are EXACTLY the
+    end-of-word marker plus previously merged tokens (initial symbols
+    are single characters), and a merged token is always ≥ 2 chars —
+    so ``known_tokens`` (maintained driver-side by the trainer)
+    decides collision exactly: the batch truncates right AFTER a
+    colliding pick (the pick itself is still the argmax at its step;
+    everything later could be overtaken by the grown pairs)."""
+    floor = rows[-1]["cnt"] if len(rows) == limit else 0
+    picks: list[tuple] = []
+    dirty: set[str] = set()
+    block = floor
+    collided = False
+    for r in rows:
+        left, right, cnt = r["left"], r["right"], int(r["cnt"])
+        if cnt < min_pair_count:
+            break
+        if left in dirty or right in dirty:
+            block = max(block, cnt)
+            break  # sorted desc: nothing after can beat this blocker
+        token = left + right
+        if token in known_tokens or token in dirty:
+            collided = True
+        picks.append((left, right, cnt))
+        dirty.update((left, right, token))
+        if collided or len(picks) >= max_picks:
+            break
+    while len(picks) > 1 and picks[-1][2] <= block:
+        picks.pop()
+    return picks
+
+
 def bpe_train(
     df: DataFrame,
     num_merges: int = 30,
     text_col: str = "text",
     min_pair_count: int = 2,
+    batch_merges: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges; returns (merges_df, words_df).
 
@@ -132,7 +205,21 @@ def bpe_train(
     noise). Determinism: ties broken by (count desc, left asc,
     right asc), so reruns and other cluster sizes learn the same
     table.
-    """
+
+    Job shape (VERDICT r14 #7): one pair-count job per merge is
+    inherent to NAIVE BPE, but provably independent merges can share
+    a round — each round runs exactly ONE job (pair-count +
+    TakeOrdered window to the driver), selects up to ``batch_merges``
+    picks whose sequential equivalence is guaranteed
+    (``_select_safe_batch``; the merged-token collision hazard is
+    decided driver-side from the known token set, no probe job), and
+    applies all picks as chained codegen folds. Rewrites are LAZY:
+    the word table localCheckpoints only once ~``batch_merges`` folds
+    have accumulated (a pending projection is re-executed by at most
+    one round's pair count — vocab-sized, cheap — while each skipped
+    eager checkpoint saves a whole materialization job). The learned
+    table is bit-identical to ``batch_merges=1`` — pinned by a
+    hypothesis test against the pure-Python sequential reference."""
     spark = df.sparkSession
     words = (
         word_frequencies(df, text_col)
@@ -140,20 +227,37 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple] = []
-    for rank in range(num_merges):
-        best = (
+    window = max(4 * batch_merges, 16)
+    pending_folds = 0
+    while len(merges) < num_merges:
+        rows = (
             _pair_counts(words)
             .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-            .limit(1)
+            .limit(window)
             .collect()
         )
-        if not best or best[0]["cnt"] < min_pair_count:
+        picks = _select_safe_batch(
+            rows,
+            window,
+            min(batch_merges, num_merges - len(merges)),
+            min_pair_count,
+            frozenset({END_OF_WORD} | {m[3] for m in merges}),
+        )
+        if not picks:
             break
-        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
-        merges.append((rank, left, right, left + right, int(cnt)))
-        words = words.withColumn(
-            "syms", _merge_pass(F.col("syms"), left, right)
-        ).localCheckpoint(eager=True)
+        syms = F.col("syms")
+        for left, right, cnt in picks:
+            merges.append(
+                (len(merges), left, right, left + right, int(cnt))
+            )
+            syms = _merge_pass(syms, left, right)
+        words = words.withColumn("syms", syms)
+        pending_folds += len(picks)
+        if pending_folds >= max(batch_merges, 4):
+            words = words.localCheckpoint(eager=True)
+            pending_folds = 0
+    if pending_folds:
+        words = words.localCheckpoint(eager=True)
         # No explicit unpersist of the previous iteration: localCheckpoint
         # persists the INTERNAL RDD directly (not via the cache manager),
         # so DataFrame.unpersist() cannot release it — the blocks are

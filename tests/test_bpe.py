@@ -184,3 +184,62 @@ def test_artifact_lifecycle_roundtrip(spark, docs, tmp_path):
     direct = bpe_encode(new, merges, words).collect()
     reloaded = bpe_encode(new, m2, w2).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, reloaded))
+
+
+def test_batched_rounds_match_sequential_on_fixture(spark, docs):
+    """batch_merges>1 must learn the bit-identical table (VERDICT r14
+    #7 equivalence condition) while issuing fewer rounds."""
+    want, ref_words = ref_bpe(_ref_word_freqs(), 12)
+    merges_df, words_df = bpe_train(docs, num_merges=12, batch_merges=8)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    assert got == want
+    got_words = {
+        tuple(r["syms"]): r["freq"]
+        for r in words_df.select("syms", "freq").collect()
+    }
+    assert got_words == ref_words
+
+
+def test_batched_equivalence_hypothesis(spark):
+    """Adversarial corpora from a 2-letter alphabet maximize the nasty
+    cases (symbol-sharing top pairs, merged-token collisions like a
+    pre-existing 'aa' symbol, ties everywhere); the batched trainer
+    must match the pure-Python sequential reference on every one."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    corpus = st.lists(
+        st.tuples(word, st.integers(min_value=1, max_value=5)),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpus=corpus)
+    def check(corpus):
+        wf = {}
+        for w, f in corpus:
+            wf[w] = wf.get(w, 0) + f
+        text = " ".join(
+            " ".join([w] * f) for w, f in sorted(wf.items())
+        )
+        df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+        want, _ = ref_bpe(wf, num_merges=10, min_pair_count=1)
+        merges_df, _ = bpe_train(
+            df, num_merges=10, min_pair_count=1, batch_merges=6
+        )
+        got = [
+            (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in merges_df.orderBy("rank").collect()
+        ]
+        assert got == want
+
+    check()
