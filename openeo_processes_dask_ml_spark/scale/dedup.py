@@ -75,29 +75,32 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
 def shingle_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) rows: posexplode tokens + window
-    lead() joins n consecutive tokens.
+    """Distinct (doc_id, shingle) rows — a PURE PROJECTION, no shuffle
+    (r15): whitespace-normalize, then one ``regexp_extract_all`` with
+    a lookahead group pulls every OVERLAPPING n-gram in a single
+    codegen pass — the capture ``(?=(tok tok tok))`` reads the gram,
+    the consumed ``\\S+ ?`` advances exactly one token, so matches
+    land on every token start and nowhere else. ``array_distinct``
+    dedups within the doc (the semantic unit) and ``explode`` emits
+    rows.
 
-    This is the scale shape: every step (split, explode, lead, concat,
-    distinct) runs in whole-stage codegen; the only data movement is
-    the window shuffle on doc_id and the distinct. The array-expression
-    alternative re-evaluates the tokenizer inside an interpreted lambda
-    — measured 6x slower at 5000 docs."""
-    from pyspark.sql import Window
-
-    ex = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "tok"),
+    Two earlier shapes this replaces, both measured slower at 5k docs:
+    posexplode + window ``lead()`` (whole-stage codegen but pays a
+    window shuffle on doc_id + a global ``distinct`` shuffle PER
+    EVALUATION — and pair pipelines evaluate the index 3x), and a
+    ``transform`` over a token array (interpreted HOF, ~10x slower
+    than the regexp). 5k docs / 260k shingles: 0.4s vs 0.8s warm —
+    and zero exchanges, so downstream groupBys are the plan's ONLY
+    shuffles."""
+    tok = r"\\S+"
+    pat = "(?=(" + " ".join([tok] * n) + r"))\\S+ ?"
+    grams = F.expr(
+        f"regexp_extract_all(regexp_replace(trim(lower(`{text_col}`)),"
+        f" '\\\\s+', ' '), '{pat}', 1)"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
-    gram = F.concat_ws(" ", F.col("tok"), *leads)
-    tail = leads[-1] if leads else F.col("tok")
-    return (
-        ex.select("doc_id", gram.alias("shingle"), tail.alias("__tail"))
-        .filter(F.col("__tail").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
     )
 
 
@@ -383,16 +386,28 @@ def _pair_shared_shingles(
     )
     inv_cold = flagged.filter(F.col("__hot").isNull()).select("doc_id", "shingle")
 
-    a, b = inv_cold.alias("a"), inv_cold.alias("b")
+    # postings-list pair generation (r15 perf): ONE groupBy(shingle)
+    # builds each cold shingle's sorted doc list; singleton postings —
+    # the vast majority of shingles in any real corpus — can never
+    # produce a pair and die HERE, before any pair expansion, whereas
+    # the previous inverted-index SELF-join shuffled every singleton
+    # row through both join sides first. Pair expansion is a JVM-side
+    # nested transform over the sorted ids (i<j => id_a < id_b, same
+    # pair orientation as before); group size is bounded by the hot
+    # cap, so the expansion is at most cap^2/2 rows per shingle.
+    posting = (
+        inv_cold.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1),"
+        " i -> transform(slice(ids, 1, i),"
+        " a -> struct(a as id_a, ids[i] as id_b))))"
+    )
     shared_cold = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        posting.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a"), F.col("p.id_b"))
         .agg(F.count(F.lit(1)).alias("shared_cold"))
     )
     shared = F.col("shared_cold") + F.size(
