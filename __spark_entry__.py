@@ -8365,7 +8365,7 @@ FROM r WHERE rank <= 3
     _dsir_core = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-  FROM documents
+  FROM documents WHERE trim(text) <> ''
 ), grams AS (
   SELECT doc_id, unnest(toks) AS g FROM toks
   UNION ALL
@@ -8446,7 +8446,7 @@ LIMIT 50
     sql["dsir_bucket_hist"] = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-  FROM documents
+  FROM documents WHERE trim(text) <> ''
 ), grams AS (
   SELECT doc_id, unnest(toks) AS g FROM toks
   UNION ALL
@@ -8473,7 +8473,7 @@ FROM t_dist t FULL OUTER JOIN r_dist r ON t.bucket = r.bucket
     sql["dsir_doc_grams"] = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-  FROM documents WHERE doc_id % 17 <> 3
+  FROM documents WHERE doc_id % 17 <> 3 AND trim(text) <> ''
 ), grams AS (
   SELECT doc_id, unnest(toks) AS g FROM toks
   UNION ALL

@@ -687,29 +687,26 @@ def _dsir_bucket_rows(
     featurization (Xie et al. 2023, "Data Selection for Language
     Models via Importance Resampling"): every unigram and bigram
     hashes into one of ``n_buckets`` buckets, COUNTS kept (not
-    distinct). Shape: posexplode tokens + ONE lead() window for the
-    bigram, everything else whole-stage codegen; the only movement is
-    the window shuffle on doc_id."""
-    ex = df.select(
+    distinct). Shape (r15): a PURE PROJECTION — two lookahead
+    ``regexp_extract_all`` passes over the normalized text (unigrams,
+    then overlapping bigrams — the shingle_rows trick) concatenated
+    and exploded, all codegen, ZERO exchanges; the previous
+    posexplode + lead() spelling paid a window shuffle on doc_id per
+    evaluation and dsir_select evaluates the featurization on both
+    sides. Empty/whitespace-only docs now contribute no grams (the
+    old token-split emitted one ''-gram for them; the oracle twin
+    carries the same guard)."""
+    norm = (
+        f"regexp_replace(trim(lower(`{text_col}`)), '\\\\s+', ' ')"
+    )
+    uni = F.expr(f"regexp_extract_all({norm}, '(\\\\S+)', 1)")
+    bi = F.expr(
+        f"regexp_extract_all({norm}, '(?=(\\\\S+ \\\\S+))\\\\S+ ?', 1)"
+    )
+    return df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    # materialize the lead in its own projection: a window expression
-    # cannot live inside the Generate of the explode that follows
-    led = ex.select(
-        "doc_id", "tok", F.lead("tok", 1).over(w).alias("nxt")
-    )
-    grams = F.array_compact(
-        F.array(
-            F.col("tok"),
-            F.when(
-                F.col("nxt").isNotNull(),
-                F.concat_ws(" ", F.col("tok"), F.col("nxt")),
-            ),
-        )
-    )
-    return led.select("doc_id", F.explode(grams).alias("gram")).select(
+        F.explode(F.concat(uni, bi)).alias("gram"),
+    ).select(
         "doc_id",
         F.pmod(hash60(F.col("gram"), "dsir"), F.lit(n_buckets)).alias("bucket"),
     )

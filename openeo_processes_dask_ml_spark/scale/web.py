@@ -107,12 +107,59 @@ def url_dedup(
     )
 
 
+def _pagerank_driver(
+    spark, edge_rows, n_domains: int, iters: int, damping: float,
+    teleport: float,
+) -> DataFrame:
+    """Driver-side tier of ``domain_pagerank`` (edge table under the
+    bound): the SAME power iteration, each float accumulation a
+    sequential loop in the SAME order the distributed tier folds —
+    dangling mass over domains ascending, per-dst contributions over
+    src ascending, term spelled rank*cnt/outdeg with the identical
+    IEEE op order — so both tiers and the SQL oracle replay are
+    bit-identical, not merely close."""
+    outdeg: dict[int, float] = {}
+    by_dst: dict[int, list] = {}
+    for r in edge_rows:
+        s, d, cnt = int(r["s"]), int(r["d"]), float(r["cnt"])
+        outdeg[s] = outdeg.get(s, 0.0) + cnt
+        by_dst.setdefault(d, []).append((s, cnt))
+    for lst in by_dst.values():
+        lst.sort()  # fold order: src ascending (the sort_array order)
+    dangling = sorted(set(range(n_domains)) - set(outdeg))
+    rank = [1.0 / float(n_domains)] * n_domains
+    for _ in range(iters):
+        m = 0.0
+        for dom in dangling:  # domain ascending (struct sort order)
+            m = m + rank[dom]
+        new = []
+        for dom in range(n_domains):
+            c = 0.0
+            for s, cnt in by_dst.get(dom, ()):
+                c = c + rank[s] * cnt / outdeg[s]
+            new.append(
+                teleport + damping * (c + m / float(n_domains))
+            )
+        rank = new
+    import math
+
+    q = [int(math.floor(r * 1e6 + 0.5)) for r in rank]
+    order = sorted(range(n_domains), key=lambda d: (-q[d], d))
+    rows = [
+        (d, float(q[d]) / 1e6, pos + 1) for pos, d in enumerate(order)
+    ]
+    return spark.createDataFrame(
+        rows, "domain bigint, rank double, pos int"
+    )
+
+
 def domain_pagerank(
     docs: DataFrame,
     n_domains: int = 97,
     iters: int = 8,
     damping: float = 0.85,
     id_col: str = "doc_id",
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over a crawl domain graph — the canonical crawl-
     prioritization signal (CommonCrawl publishes exactly this family
@@ -127,12 +174,21 @@ def domain_pagerank(
     proper dangling-mass redistribution.
 
     100 TB shape: the expensive stage is the corpus -> edge-list
-    aggregation (ONE shuffle, map-side combined); the rank vector is
-    domains-sized (millions of rows at web scale, 97 here), so each
-    iteration is a broadcast join of rank into the edge table plus a
-    tiny per-dst aggregation, ``localCheckpoint``ed to keep the plan
-    from doubling per round (the bpe_merges posture). Nothing
-    all-pairs; the driver never sees per-edge data.
+    aggregation (ONE shuffle, map-side combined). The iteration state
+    is DOMAIN-graph-sized, orders of magnitude below the corpus, so
+    it takes the dup_clusters two-tier shape (r15): when the
+    aggregated edge table fits a bound (``max_driver_edges``, checked
+    on the checkpointed aggregate — one cheap count), the power
+    iteration runs driver-side in a tight loop that replicates the
+    distributed arithmetic operation-for-operation, deleting 8
+    rounds of job scheduling + checkpoints; above the bound, the
+    distributed loop runs: each iteration a broadcast join of the
+    rank vector into the edge table plus a tiny per-dst aggregation,
+    ``localCheckpoint``ed to keep the plan from doubling per round
+    (the bpe_merges posture). Nothing all-pairs; the driver only ever
+    holds the bounded aggregate, never per-doc data. Both tiers are
+    pinned equal by a unit test and both replay bit-identically in
+    the oracle.
 
     Float posture (the ann_ivf_trained/dsir discipline): every
     accumulation is a FOLD-ORDERED ``sort_array + F.aggregate`` sum
@@ -163,6 +219,10 @@ def domain_pagerank(
     # join reads it (un-checkpointed it would re-derive from the
     # corpus 8 times)
     edges = edges.localCheckpoint()
+    if edges.count() <= max_driver_edges:
+        return _pagerank_driver(
+            spark, edges.collect(), n_domains, iters, damping, teleport
+        )
     outdeg = (
         edges.groupBy("s").agg(F.sum("cnt").alias("outdeg")).localCheckpoint()
     )

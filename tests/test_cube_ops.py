@@ -807,3 +807,21 @@ def test_domain_pagerank_mass_and_dangling(spark):
     # quantized ranks: mass conserves to ~1 within quantization error
     assert abs(mass - 1.0) < 1e-4
     assert all(r["rank"] > 0 for r in rows)
+
+
+def test_domain_pagerank_driver_tier_matches_distributed(spark):
+    """The r15 two-tier shape: the driver-side power iteration (edge
+    table under the bound) must be BIT-identical to the distributed
+    broadcast-join loop — same fold orders, same IEEE op order."""
+    from openeo_processes_dask_ml_spark.scale.web import domain_pagerank
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    fast = domain_pagerank(df, n_domains=23, iters=6).collect()
+    slow = domain_pagerank(
+        df, n_domains=23, iters=6, max_driver_edges=0
+    ).collect()
+    key = lambda r: (r["domain"], r["rank"], r["pos"])  # noqa: E731
+    assert sorted(map(key, fast)) == sorted(map(key, slow))
+    assert fast and len(fast) == 23
