@@ -327,6 +327,7 @@ def cosine_pairs_lsh(
             T.StructField("vid", T.LongType()),
             T.StructField("band", T.IntegerType()),
             T.StructField("bucket", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
         ]
     )
 
@@ -359,34 +360,37 @@ def cosine_pairs_lsh(
                             "vid": np.repeat(vids[s : s + rows], n_bands),
                             "band": np.tile(bands, rows),
                             "bucket": buckets.reshape(-1),
+                            "v": [
+                                r
+                                for r in pdf["v"].iloc[s : s + rows]
+                                for _ in range(n_bands)
+                            ],
                         }
                     )
                 )
             yield pd.concat(out, ignore_index=True)
 
-    # ONE bucketize pass; same-bucket pairs come from packing each
-    # (band, bucket) group and exploding index-ordered combinations —
-    # no self-join (which would run bucketize twice) and no candidate
-    # distinct (duplicates across bands survive to the verify step,
-    # whose output is tiny, and are deduped there).
+    # ONE bucketize pass; verification happens INSIDE each (band,
+    # bucket) group (r15): vectors ride the bucket shuffle once per
+    # band membership (n x bands x dim doubles — the standard LSH
+    # signature-shuffle shape) and pairs form in numpy within the
+    # group. The previous shape exploded candidate pairs and joined
+    # both vectors back per pair, which pushed ~collision_rate * n^2
+    # PAIRS each carrying 2 x dim doubles through Arrow — at this
+    # gate's synthetic threshold that was GBs of pair traffic for a
+    # 2.5 MB corpus. Duplicate pairs across bands still verify more
+    # than once (group-local work) and dedup on the tiny verified
+    # output, as before.
     buckets = base.mapInPandas(bucketize, schema=bucket_schema)
     grouped = (
         buckets.groupBy("band", "bucket")
-        .agg(F.collect_list("vid").alias("vids"))
-        .filter(F.size("vids") > 1)
+        .agg(F.collect_list(F.struct("vid", "v")).alias("members"))
+        .filter(F.size("members") > 1)
     )
-    cand = (
-        grouped.select(F.explode("vids").alias("id_a"), F.col("vids"))
-        .select("id_a", F.explode("vids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    # re-spread AFTER the explode: the packed-buckets shuffle is tiny in
+    # re-spread AFTER packing: the packed-buckets shuffle is small in
     # bytes, so AQE coalesces it to ~1 partition — which would run the
-    # exploded candidate set (and the verify pass) on one core
-    cand = _spread(cand)
-    withv = cand.join(
-        base.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a"
-    ).join(base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    # whole pairwise verify on one core
+    packed = _spread(grouped.select("members"))
 
     out_schema = T.StructType(
         [
@@ -396,27 +400,47 @@ def cosine_pairs_lsh(
         ]
     )
 
-    def verify(batches):
+    def verify_groups(batches):
         for pdf in batches:
-            if not len(pdf):
-                continue
-            Va = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
-            Vb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
-            dots = np.cumsum(Va * Vb, axis=1)[:, -1]
-            na = np.sqrt(np.cumsum(Va * Va, axis=1)[:, -1])
-            nb = np.sqrt(np.cumsum(Vb * Vb, axis=1)[:, -1])
-            cos = dots / (na * nb)
-            keep = cos >= threshold
+            a_out, b_out, c_out = [], [], []
+            for members in pdf["members"]:
+                vids = np.array([m["vid"] for m in members], dtype=np.int64)
+                order = np.argsort(vids, kind="stable")
+                vids = vids[order]
+                V = np.stack(
+                    [
+                        np.asarray(members[i]["v"], dtype=np.float64)
+                        for i in order
+                    ]
+                )
+                m = V.shape[0]
+                # per-vector norms: same strict fold as the pair path
+                nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+                # row tiles bound the m^2 x dim intermediate
+                tile = max(1, int(64e6 // max(m * V.shape[1] * 8, 1)))
+                for s in range(0, m, tile):
+                    Vc = V[s : s + tile]
+                    dots = np.cumsum(
+                        Vc[:, None, :] * V[None, :, :], axis=2
+                    )[:, :, -1]
+                    cos = dots / (nrm[s : s + tile, None] * nrm[None, :])
+                    ii, jj = np.nonzero(cos >= threshold)
+                    gi = ii + s  # global row index
+                    keep = gi < jj  # ordered pairs only (id_a < id_b)
+                    a_out.append(vids[gi[keep]])
+                    b_out.append(vids[jj[keep]])
+                    c_out.append(
+                        np.floor(cos[ii[keep], jj[keep]] * 1e6 + 0.5) / 1e6
+                    )
             yield pd.DataFrame(
                 {
-                    "id_a": pdf["id_a"].to_numpy(np.int64)[keep],
-                    "id_b": pdf["id_b"].to_numpy(np.int64)[keep],
-                    # dround twin: floor(x*1e6 + 0.5)/1e6
-                    "cosine": np.floor(cos[keep] * 1e6 + 0.5) / 1e6,
+                    "id_a": np.concatenate(a_out) if a_out else np.array([], np.int64),
+                    "id_b": np.concatenate(b_out) if b_out else np.array([], np.int64),
+                    "cosine": np.concatenate(c_out) if c_out else np.array([], np.float64),
                 }
             )
 
-    return withv.mapInPandas(verify, schema=out_schema).distinct()
+    return packed.mapInPandas(verify_groups, schema=out_schema).distinct()
 
 
 def ann_topk_bruteforce(
