@@ -72,6 +72,26 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
+def ngram_array_expr(text_col: str, n: int) -> Column:
+    """Overlapping token ``n``-grams of a text column as an array,
+    positionally ordered (element ``i`` is the gram starting at token
+    ``i``) with duplicates KEPT — ONE codegen ``regexp_extract_all``
+    pass over the whitespace-normalized text, no shuffle, no
+    interpreted HOF. The lookahead group ``(?=(tok .. tok))`` reads
+    the gram; the consumed ``\\S+ ?`` advances exactly one token, so
+    matches land on every token start and nowhere else. Texts with
+    fewer than ``n`` tokens yield an empty array. Shared by
+    ``shingle_rows``, the DSIR featurizer, and the span builders —
+    the r15 replacement for the posexplode + window ``lead()``
+    spelling that paid a doc_id window shuffle per evaluation."""
+    tok = r"\\S+"
+    pat = "(?=(" + " ".join([tok] * n) + r"))\\S+ ?"
+    return F.expr(
+        f"regexp_extract_all(regexp_replace(trim(lower(`{text_col}`)),"
+        f" '\\\\s+', ' '), '{pat}', 1)"
+    )
+
+
 def shingle_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -92,15 +112,11 @@ def shingle_rows(
     than the regexp). 5k docs / 260k shingles: 0.4s vs 0.8s warm —
     and zero exchanges, so downstream groupBys are the plan's ONLY
     shuffles."""
-    tok = r"\\S+"
-    pat = "(?=(" + " ".join([tok] * n) + r"))\\S+ ?"
-    grams = F.expr(
-        f"regexp_extract_all(regexp_replace(trim(lower(`{text_col}`)),"
-        f" '\\\\s+', ' '), '{pat}', 1)"
-    )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(grams)).alias("shingle"),
+        F.explode(
+            F.array_distinct(ngram_array_expr(text_col, n))
+        ).alias("shingle"),
     )
 
 

@@ -424,18 +424,15 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    ex = df.select(
+    from openeo_processes_dask_ml_spark.scale.dedup import ngram_array_expr
+
+    # span build is a pure projection (r15 — ngram_array_expr): the
+    # posexplode + lead() spelling paid a doc_id window shuffle per
+    # evaluation, and the "combine" shape evaluates the build twice
+    spans = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, span_tokens)]
-    span = F.concat_ws(" ", F.col("tok"), *leads)
-    spans = (
-        ex.select("doc_id", F.md5(span).alias("h"), leads[-1].alias("__t"))
-        .filter(F.col("__t").isNotNull())
-        .select("doc_id", "h")
-    )
+        F.explode(ngram_array_expr(text_col, span_tokens)).alias("span"),
+    ).select("doc_id", F.md5(F.col("span")).alias("h"))
     # Two plan shapes for the occurrence count, chosen by ``shape``
     # (ADVICE r6: real web crawls DO have one boilerplate span in
     # >>10^7 docs, so the crawl-scale caller must be able to pick the
@@ -592,23 +589,21 @@ def remove_duplicated_spans(
     """
     from pyspark.sql import Window
 
+    from openeo_processes_dask_ml_spark.scale.dedup import ngram_array_expr
+
     toks_df = df.select(
         F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("l")
     )
-    ex = df.select(
+    # span build is a pure projection (r15 — ngram_array_expr, see
+    # duplicated_spans): posexplode of the positionally-ordered gram
+    # array gives pos == starting token index, identical to the old
+    # window-lead spelling, without its per-evaluation doc_id shuffle
+    spans = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, span_tokens)]
-    span = F.concat_ws(" ", F.col("tok"), *leads)
-    spans = (
-        ex.select(
-            "doc_id", "pos", F.md5(span).alias("h"), leads[-1].alias("__t")
-        )
-        .filter(F.col("__t").isNotNull())
-        .select("doc_id", "pos", "h")
-    )
+        F.posexplode(ngram_array_expr(text_col, span_tokens)).alias(
+            "pos", "span"
+        ),
+    ).select("doc_id", "pos", F.md5(F.col("span")).alias("h"))
     # n_occ + canonical (min doc_id, pos) per fingerprint, in the shape
     # ``shape`` picks — same trade-off as duplicated_spans (ADVICE r6):
     # "window" builds spans once (one shuffle on h, spill-safe window
