@@ -340,14 +340,21 @@ def run_model_tiled(
             for c in over:
                 tile = tile_of[c]
                 chunk_len = max(tile, (max_axis_elements // tile) * tile)
-                chunk_lists[c] = [
+                all_chunks = _collect_axis_chunks(cube.df, c, chunk_len)
+                kept = [
                     ch
-                    for ch in _collect_axis_chunks(cube.df, c, chunk_len)
+                    for ch in all_chunks
                     # a trailing chunk shorter than one tile holds only
                     # the global remainder — dropped, as global tiling
                     # would drop it
                     if len(ch[0]) >= tile
                 ]
+                # every chunk under one tile (tile > cap with a short
+                # axis): keep one sub-request so the recursion
+                # reproduces the GLOBAL semantics for an axis shorter
+                # than the model tile (validate_cube's size check
+                # raises), instead of silently returning nothing
+                chunk_lists[c] = kept or all_chunks[:1]
             import itertools
 
             parts: list[DataFrame] = []

@@ -500,3 +500,39 @@ def test_run_model_tiled_chunked_skips_axis_rescans(spark, raster_cube):
     assert len(calls) == 5 and calls[0] is None
     for ov in calls[1:]:
         assert set(ov) == {"x", "y"}  # both axes handed down pre-collected
+
+
+def test_run_model_tiled_chunked_short_axis_matches_global_error(
+    spark, raster_cube
+):
+    """tile > cap with an axis shorter than one tile: global semantics
+    is validate_cube's size error; the chunked dispatch must reproduce
+    it, not silently return nothing."""
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": ["red"],
+                "input": {
+                    "shape": [-1, 1, 5, 5],  # 5x5 tile over a 4x4 grid
+                    "dim_order": ["batch", "bands", "x", "y"],
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 5, 5], "dim_order": ["batch", "x", "y"]}}
+        ),
+        framework="fake",
+    )
+    with pytest.raises(ValueError, match="< model input"):
+        run_model_tiled(
+            raster_cube, descriptor, lambda b: b[:, 0],
+            max_axis_elements=1000,
+        ).collect()
+    with pytest.raises(ValueError, match="< model input"):
+        run_model_tiled(
+            raster_cube, descriptor, lambda b: b[:, 0],
+            max_axis_elements=2,  # forces the chunked dispatch
+        ).collect()
