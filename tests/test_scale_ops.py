@@ -755,3 +755,44 @@ def test_boilerplate_removal_rules(spark):
         "A perfectly normal sentence here.\nAnother good line survives."
     )
     assert row["n_lines"] == 8 and row["n_removed"] == 6
+
+
+def test_ngram_array_expr_matches_python_reference(spark):
+    """The lookahead-regexp n-gram extractor (r15) vs a pure-Python
+    tokenize-and-slide reference, over hypothesis-generated texts with
+    adversarial whitespace (tabs, newlines, runs, leading/trailing),
+    mixed case, and regex metacharacters in tokens."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from openeo_processes_dask_ml_spark.scale.dedup import ngram_array_expr
+
+    token = st.text(
+        alphabet=st.sampled_from(list("abZ9.*()[\\^$|?+{}-")), min_size=1,
+        max_size=4,
+    )
+    ws = st.sampled_from([" ", "  ", "\t", "\n", " \t "])
+    texts = st.lists(
+        st.tuples(ws, token), min_size=0, max_size=8
+    ).map(lambda parts: "".join(w + t for w, t in parts))
+
+    def ref(text, n):
+        toks = text.strip().lower().split()
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(text=texts, n=st.integers(min_value=1, max_value=4))
+    def check(text, n):
+        row = (
+            spark.range(1)
+            .select(F.lit(text).alias("text"))
+            .select(ngram_array_expr("text", n).alias("g"))
+            .first()
+        )
+        assert list(row["g"]) == ref(text, n)
+
+    check()
