@@ -350,6 +350,33 @@ def _hot_shingles(
     )
 
 
+def _hot_shingle_list(
+    df: DataFrame,
+    inv: DataFrame,
+    id_col: str,
+    max_df_frac: float,
+    min_df_cap: int,
+    collect_cap: int = 100_000,
+) -> list | None:
+    """The hot-shingle set collected to the driver — a BOUNDED
+    collect by the ``_hot_shingles`` size argument (at most
+    index_rows / cap values; with cap = max_df_frac * n_docs that is
+    avg_shingles_per_doc / max_df_frac, corpus-size-independent).
+    Materializing it once lets every consumer filter with a plan
+    literal instead of re-deriving the hot aggregation per evaluation
+    (r15: the broadcast-subquery shape recomputed the full df
+    histogram inside EACH consumer's plan; usually the set is EMPTY
+    and the consumers then skip hot handling entirely). Returns None
+    when the set exceeds ``collect_cap`` — callers fall back to the
+    broadcast-join shape (never expected in practice; the bound is
+    documented, the cap is defense-in-depth)."""
+    hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
+    rows = hot.limit(collect_cap + 1).collect()
+    if len(rows) > collect_cap:  # pragma: no cover - bound exceeded
+        return None
+    return [r["shingle"] for r in rows]
+
+
 def _drop_hot_shingles(
     df: DataFrame,
     inv: DataFrame,
@@ -359,8 +386,13 @@ def _drop_hot_shingles(
 ) -> DataFrame:
     """Candidate-generation index with hot shingles removed (see
     ``_hot_shingles``)."""
-    hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
-    return inv.join(F.broadcast(hot), "shingle", "left_anti")
+    hot_list = _hot_shingle_list(df, inv, id_col, max_df_frac, min_df_cap)
+    if hot_list is None:  # pragma: no cover - bound exceeded
+        hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
+        return inv.join(F.broadcast(hot), "shingle", "left_anti")
+    if not hot_list:
+        return inv
+    return inv.filter(~F.col("shingle").isin(hot_list))
 
 
 # --------------------------------------------------------------------------
@@ -392,15 +424,34 @@ def _pair_shared_shingles(
     are ALL ultra-common can be missed — such pairs carry no
     discriminative signal for either overlap measure."""
     inv = shingle_rows(df, text_col, id_col, shingle_n)
-    hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
-    flagged = inv.join(
-        F.broadcast(hot.withColumn("__hot", F.lit(True))), "shingle", "left"
-    )
-    stats = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        F.collect_set(F.when(F.col("__hot"), F.col("shingle"))).alias("hot_set"),
-    )
-    inv_cold = flagged.filter(F.col("__hot").isNull()).select("doc_id", "shingle")
+    # hot set materialized ONCE (bounded driver list — see
+    # _hot_shingle_list); the empty case (the norm: the cap targets
+    # pathological stop-word shingles) skips hot handling entirely —
+    # no flag join, no per-doc collect_set, no intersect correction
+    hot_list = _hot_shingle_list(df, inv, id_col, max_df_frac, min_df_cap)
+    if hot_list == []:
+        stats = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        stats = stats.withColumn(
+            "hot_set", F.array().cast("array<string>")
+        )
+        inv_cold = inv
+    else:
+        if hot_list is None:  # pragma: no cover - bound exceeded
+            hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
+            flagged = inv.join(
+                F.broadcast(hot.withColumn("__hot", F.lit(True))),
+                "shingle",
+                "left",
+            )
+            is_hot = F.col("__hot").isNotNull()
+        else:
+            flagged = inv
+            is_hot = F.col("shingle").isin(hot_list)
+        stats = flagged.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.collect_set(F.when(is_hot, F.col("shingle"))).alias("hot_set"),
+        )
+        inv_cold = flagged.filter(~is_hot).select("doc_id", "shingle")
 
     # postings-list pair generation (r15 perf): ONE groupBy(shingle)
     # builds each cold shingle's sorted doc list; singleton postings —
