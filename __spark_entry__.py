@@ -5254,7 +5254,7 @@ def _minhash_oracle(num_hashes: int = 24, bands: int = 8, threshold: float = 0.2
     rows = num_hashes // bands
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -6027,7 +6027,7 @@ GROUP BY 1 HAVING count(*) > 1
 
     sql["dedup_ngram_jaccard"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -6067,7 +6067,7 @@ WHERE has_cold = 1
     # per new doc (ties to the smallest historical id)
     sql["incremental_minhash"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -6197,7 +6197,7 @@ FROM toks
 
     sql["dup_clusters"] = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -6323,7 +6323,7 @@ SELECT train_id, eval_id, cosine FROM ranked WHERE rank = 1
 
     sql["decontaminate_fuzzy"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -6467,7 +6467,7 @@ FROM docs CROSS JOIN cuts
     # CLUSTER id decides the split.
     sql["leakage_safe_split"] = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -6609,7 +6609,7 @@ FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
 
     sql["doc_fingerprint"] = """
 WITH toks AS (
-  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id, text, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -6883,7 +6883,7 @@ FROM flagged GROUP BY doc_id
     # 1-based, hence the i - 1)
     sql["span_removal"] = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS l FROM documents
 ), hs AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(len(l) - 19, 0) + 1),
@@ -6924,7 +6924,7 @@ FROM outp
 
     sql["duplicated_spans"] = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS l FROM documents
 ), spans AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(len(l) - 19, 0) + 1),
@@ -7486,7 +7486,7 @@ WHERE floor(cum / 500.0) > floor(prev / 500.0)
 
     sql["dedup_canonical"] = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -7570,7 +7570,7 @@ FROM raster GROUP BY 1, 2
 
     sql["dedup_fuzzy"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -7618,7 +7618,7 @@ SELECT * FROM verified WHERE norm_dist <= 0.4
 
     sql["decontaminate"] = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t FROM documents
 ), g AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(t) - 1),
@@ -8005,7 +8005,7 @@ FROM cosed WHERE raw >= 0.9
     # stay exact over the FULL shingle sets.
     sql["containment"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -8085,7 +8085,7 @@ FROM scored GROUP BY doc_id
     # oracle is the plain exact-join decontamination on the % 89 split.
     sql["bloom_decontaminate"] = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t FROM documents
 ), g AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(t) - 1),
@@ -8364,8 +8364,10 @@ FROM r WHERE rank <= 3
     # only the integer columns (the shape-bisect twin).
     _dsir_core = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
 ), grams AS (
   SELECT doc_id, unnest(toks) AS g FROM toks
   UNION ALL
@@ -8445,8 +8447,8 @@ LIMIT 50
     # the dist CTE verbatim, and the per-doc gram totals.
     sql["dsir_bucket_hist"] = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+  FROM documents
 ), grams AS (
   SELECT doc_id, unnest(toks) AS g FROM toks
   UNION ALL
@@ -8472,8 +8474,8 @@ FROM t_dist t FULL OUTER JOIN r_dist r ON t.bucket = r.bucket
 """
     sql["dsir_doc_grams"] = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-  FROM documents WHERE doc_id % 17 <> 3 AND trim(text) <> ''
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id % 17 <> 3
 ), grams AS (
   SELECT doc_id, unnest(toks) AS g FROM toks
   UNION ALL

@@ -89,7 +89,22 @@ class SinkPath:
         # object stores: server-side copy (atomic PUT at the final
         # key — readers never see a partial object) then drop the tmp
         # key; a failed delete leaves only an ignored .tmp object.
-        self.fs.copy_file(tmp, self.path)
+        # S3 caps a single CopyObject at 5 GiB (r15 review); when the
+        # copy fails, fall back to a bounded-memory stream re-upload —
+        # a multipart PUT has no size ceiling and its completion is
+        # just as atomic. Slower than a server-side copy, but shards
+        # that large are already outside every sink's sizing guidance.
+        try:
+            self.fs.copy_file(tmp, self.path)
+        except Exception:
+            with self.fs.open_input_stream(tmp) as src, (
+                self.fs.open_output_stream(self.path)
+            ) as dst:
+                while True:
+                    buf = src.read(8 << 20)
+                    if not buf:
+                        break
+                    dst.write(buf)
         self.abort(tmp)
 
     def abort(self, tmp: str) -> None:

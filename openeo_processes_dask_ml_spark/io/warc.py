@@ -296,8 +296,13 @@ def _shard_uri_prefix(path: str, fs_internal_path: str) -> str:
     from urllib.parse import urlsplit
 
     netloc = urlsplit(path).netloc
-    if netloc and not fs_internal_path.lstrip("/").startswith(netloc):
-        return f"{scheme}://{netloc}"
+    # keyed on the SCHEME, not a startswith probe of the internal path
+    # (r15 review: 'hdfs://prod/prod-data' has an internal path whose
+    # first component starts with the host name, which a string probe
+    # misreads as bucket-embedded): s3/s3a/gs FileInfo paths embed the
+    # bucket (== netloc); hdfs never embeds the authority.
+    if scheme == "hdfs" and netloc:
+        return f"hdfs://{netloc}"
     return f"{scheme}://"
 
 

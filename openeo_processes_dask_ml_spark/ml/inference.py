@@ -154,6 +154,9 @@ class _TiledDim:
     next_after: object | None = None  # first coord AFTER this axis slice
     # (set on chunked sub-requests so the last tile of a chunk still
     # sees its true successor for datetime coordinate regeneration)
+    width: object | None = None  # GLOBAL cell width override — chunked
+    # sub-requests must not derive the width from their chunk-local
+    # first spacing on irregular axes (r15 review)
 
 
 def _collect_axis_chunks(df, col: str, chunk_len: int) -> list[tuple]:
@@ -329,7 +332,7 @@ def run_model_tiled(
             passdown = dict(override)
             for c in scan_cols:
                 if c not in over and c != band_col:
-                    passdown[c] = (np.array(axes_row[c]), None)
+                    passdown[c] = (np.array(axes_row[c]), None, None)
             sub_attrs = dict(cube.attrs)
             if want_bands_scan and band_col in scan_cols:
                 sub_attrs["band_labels"] = [
@@ -370,7 +373,18 @@ def run_model_tiled(
                     sub_df = sub_df.filter(
                         (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
                     )
-                    sub_over[c] = (coords, nxt)
+                    # the GLOBAL cell width is the first chunk's first
+                    # spacing (chunks are consecutive slices of the
+                    # sorted axis); chunk-local spacings differ on
+                    # irregular axes and would shift regenerated cell
+                    # centers vs the unchunked run (r15 review)
+                    g0 = chunk_lists[c][0][0]
+                    width = None
+                    if g0.size > 1 and np.issubdtype(
+                        np.asarray(g0).dtype, np.number
+                    ):
+                        width = g0[1] - g0[0]
+                    sub_over[c] = (coords, nxt, width)
                 sub_cube = CubeFrame(
                     sub_df, dict(cube.dims), cube.value_col, sub_attrs
                 )
@@ -393,9 +407,12 @@ def run_model_tiled(
     else:
         axis_by_col = {}
     next_after_by_col: dict[str, object] = {}
-    for c, (coords, nxt) in override.items():
+    width_by_col: dict[str, object] = {}
+    for c, ov in override.items():
+        coords, nxt = ov[0], ov[1]
         axis_by_col[c] = coords
         next_after_by_col[c] = nxt
+        width_by_col[c] = ov[2] if len(ov) > 2 else None
     for d, s, role, col in resolved:
         coords = axis_by_col[col]
         cube_sizes[role] = coords.size
@@ -407,6 +424,7 @@ def run_model_tiled(
                 s if s != -1 else coords.size,
                 coords,
                 next_after_by_col.get(col),
+                width_by_col.get(col),
             )
         )
 
@@ -526,6 +544,7 @@ def run_model_tiled(
     tile_sizes = {td.cube_col: td.tile for td in tiled}
     tile_coords = {td.cube_col: td.coords for td in tiled}
     next_after_of = {td.cube_col: td.next_after for td in tiled}
+    width_of = {td.cube_col: td.width for td in tiled}
     model_dtype = inp.data_type
     dim_order = [d for d in inp.dim_order if d.lower() not in BATCH_DIM_NAMES]
     value_col = cube.value_col
@@ -622,9 +641,13 @@ def run_model_tiled(
                         else next_after_of[col]  # chunk lookahead
                     )
                     width = (
-                        full_axis[1] - full_axis[0]
-                        if full_axis.size > 1
-                        else None
+                        width_of[col]
+                        if width_of[col] is not None
+                        else (
+                            full_axis[1] - full_axis[0]
+                            if full_axis.size > 1
+                            else None
+                        )
                     )
                 else:
                     in_c = np.array([])

@@ -356,7 +356,7 @@ def _hot_shingle_list(
     id_col: str,
     max_df_frac: float,
     min_df_cap: int,
-    collect_cap: int = 100_000,
+    collect_cap: int = 2_000,
 ) -> list | None:
     """The hot-shingle set collected to the driver — a BOUNDED
     collect by the ``_hot_shingles`` size argument (at most
@@ -368,8 +368,11 @@ def _hot_shingle_list(
     histogram inside EACH consumer's plan; usually the set is EMPTY
     and the consumers then skip hot handling entirely). Returns None
     when the set exceeds ``collect_cap`` — callers fall back to the
-    broadcast-join shape (never expected in practice; the bound is
-    documented, the cap is defense-in-depth)."""
+    broadcast-join shape. The cap is LOW (2k, r15 review) because the
+    literal path inlines the values into an ``isin`` In-list:
+    thousands of entries bloat the serialized plan and push the
+    filter out of whole-stage codegen, exactly where the O(1)-plan
+    broadcast join is the better shape."""
     hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
     rows = hot.limit(collect_cap + 1).collect()
     if len(rows) > collect_cap:  # pragma: no cover - bound exceeded

@@ -426,7 +426,11 @@ def cosine_pairs_lsh(
                     cos = dots / (nrm[s : s + tile, None] * nrm[None, :])
                     ii, jj = np.nonzero(cos >= threshold)
                     gi = ii + s  # global row index
-                    keep = gi < jj  # ordered pairs only (id_a < id_b)
+                    # ordered by ID VALUE, not sorted position: with
+                    # duplicate vids in the corpus, position order
+                    # would emit (x, x, 1.0) self-pairs the old
+                    # id_a < id_b candidate filter excluded (r15 review)
+                    keep = vids[gi] < vids[jj]
                     a_out.append(vids[gi[keep]])
                     b_out.append(vids[jj[keep]])
                     c_out.append(

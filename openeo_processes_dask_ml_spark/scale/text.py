@@ -591,8 +591,18 @@ def remove_duplicated_spans(
 
     from openeo_processes_dask_ml_spark.scale.dedup import ngram_array_expr
 
+    # the reconstruction token list MUST index the same tokens the
+    # span positions count: ngram_array_expr positions are \S+ token
+    # indexes, while tokens_expr's split keeps a leading '' token for
+    # text starting with non-space whitespace (F.trim strips only
+    # spaces), which shifted every removal interval by one on such
+    # docs (r15 review, confirmed repro). Filter the empties so the
+    # list is exactly the \S+ sequence.
     toks_df = df.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("l")
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            tokens_expr(F.col(text_col)), lambda t: t != F.lit("")
+        ).alias("l"),
     )
     # span build is a pure projection (r15 — ngram_array_expr, see
     # duplicated_spans): posexplode of the positionally-ordered gram

@@ -536,3 +536,41 @@ def test_run_model_tiled_chunked_short_axis_matches_global_error(
             raster_cube, descriptor, lambda b: b[:, 0],
             max_axis_elements=2,  # forces the chunked dispatch
         ).collect()
+
+
+def test_run_model_tiled_chunked_irregular_axis_same_values(spark):
+    """r15 review: chunked sub-requests must regenerate coordinates
+    with the GLOBAL cell width, not their chunk-local first spacing —
+    an irregular axis with a different spacing at a chunk boundary
+    must produce identical outputs chunked and unchunked."""
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+
+    xs = [0.0, 2.0, 4.0, 6.0, 10.0, 11.0, 12.0, 13.0]  # spacing 2 then 1
+    rows = [("red", x, float(i)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["band", "x", "value"])
+    cube = CubeFrame(df, {"bands": "band", "x": "x"}, "value")
+    descriptor = MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": ["red"],
+                "input": {
+                    "shape": [-1, 1, 2],
+                    "dim_order": ["batch", "bands", "x"],
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            # upsample 2 -> 4: regenerated x coords depend on the width
+            {"result": {"shape": [-1, 4], "dim_order": ["batch", "x"]}}
+        ),
+        framework="fake",
+    )
+    up = lambda b: np.repeat(b[:, 0], 2, axis=-1)  # noqa: E731
+    whole = run_model_tiled(cube, descriptor, up, max_axis_elements=1000)
+    chunked = run_model_tiled(cube, descriptor, up, max_axis_elements=4)
+    key = lambda r: (round(r["x"], 9), r["value"])  # noqa: E731
+    assert sorted(map(key, chunked.collect())) == sorted(
+        map(key, whole.collect())
+    )

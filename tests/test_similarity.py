@@ -519,3 +519,20 @@ def test_pq_mllib_trainer_and_cap_guard(spark, emb_df):
         _pq_codebooks(base, 4, 8, 2, True, 1.0, max_train_rows=10)
     with pytest.raises(ValueError, match="unknown PQ trainer"):
         _pq_codebooks(base, 4, 8, 2, True, 1.0, trainer="nope")
+
+
+def test_cosine_pairs_lsh_no_self_pairs_on_duplicate_ids(spark):
+    """r15 review: with duplicate vec_ids the group verify must order
+    by ID VALUE — position order emitted (x, x, 1.0) self-pairs."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    v = [1.0] + [0.0] * 63
+    w = [0.0, 1.0] + [0.0] * 62
+    df = spark.createDataFrame(
+        [(7, v), (7, v), (9, w)], "vec_id long, embedding array<double>"
+    )
+    rows = cosine_pairs_lsh(df, threshold=0.9).collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert not any(r["id_a"] == 7 and r["id_b"] == 7 for r in rows)

@@ -683,3 +683,20 @@ def test_stream_warc_sink_trigger_is_configurable(spark, tmp_path):
         .collect()
     }
     assert got == {str(i).encode() for i in range(5)}
+
+
+def test_shard_uri_prefix_hdfs_path_starting_with_hostname():
+    """r15 review: the decision is keyed on the scheme — an internal
+    path whose first component merely STARTS with the host name must
+    still get the authority re-attached."""
+    from openeo_processes_dask_ml_spark.io.warc import _shard_uri_prefix
+
+    assert (
+        _shard_uri_prefix("hdfs://prod/prod-data/warcs", "/prod-data/warcs")
+        == "hdfs://prod"
+    )
+    assert (
+        _shard_uri_prefix("hdfs://prod:8020/prod-data", "/prod-data")
+        == "hdfs://prod:8020"
+    )
+    assert _shard_uri_prefix("s3://bkt/bkt-data", "bkt/bkt-data") == "s3://"
