@@ -82,6 +82,14 @@ def _compare(spark_df, oracle_rows, oracle_cols):
         "dsir_doc_grams",
         "dsir_bucket_hist",
         "decontaminate_fuzzy",
+        # tokens_expr-based twins (both sides keep ''-edge tokens —
+        # pinned so the two tokenization families can't drift)
+        "dedup_exact",
+        "token_count",
+        "repetition_stats",
+        "chunk_dedup",
+        "tfidf_cosine",
+        "text_quality",
     ],
 )
 def test_nasty_corpus_engine_matches_oracle(spark, nasty_dir, qname):
