@@ -5024,18 +5024,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for 24 queries (the r11-cohort remainder leading the r15
     # window); everything else is <= 2 rounds old.
     return {
-        # --- slots 1-2: NEW r14 gates ---
-        "bm25_from_index": q_bm25_from_index,
+        # --- r15 window (slots 1-34): every query whose engine
+        #     or oracle changed this round (shingle/span/DSIR
+        #     tokenization alignment, postings pair-gen, LSH group
+        #     verify, BPE batching, pagerank two-tier, RF metrics,
+        #     MLM schema validation, WARC commit protocol) ---
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "containment": q_containment,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "dedup_canonical": q_dedup_canonical,
+        "dup_clusters": q_dup_clusters,
+        "leakage_safe_split": q_leakage_safe_split,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "incremental_minhash": q_incremental_minhash,
+        "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "doc_fingerprint": q_doc_fingerprint,
+        "duplicated_spans": q_duplicated_spans,
+        "duplicated_spans_combine": q_duplicated_spans_combine,
+        "span_removal": q_span_removal,
+        "dsir_select": q_dsir_select,
+        "dsir_select_picks": q_dsir_select_picks,
+        "dsir_bucket_hist": q_dsir_bucket_hist,
+        "dsir_doc_grams": q_dsir_doc_grams,
+        "bpe_merges": q_bpe_merges,
+        "domain_pagerank": q_domain_pagerank,
+        "pipeline_crawl_frontier": q_pipeline_crawl_frontier,
+        "dedup_embedding": q_dedup_embedding,
+        "ml_fit_predict_rf": q_ml_fit_predict_rf,
+        "ml_predict_tiled": q_ml_predict_tiled,
+        "ml_predict_preproc": q_ml_predict_preproc,
+        "process_graph": q_process_graph,
+        "graph_ml_pipeline": q_graph_ml_pipeline,
+        "streaming_warc_sink": q_streaming_warc_sink,
         "cdx_export": q_cdx_export,
         "cdx_revisit": q_cdx_revisit,
+        "warc_ingest": q_warc_ingest,
+        "wet_export": q_wet_export,
+        "wat_export": q_wat_export,
+        # --- rotation tail: greens from prior rounds, oldest first ---
+        "bm25_from_index": q_bm25_from_index,
         "robots_directives": q_robots_directives,
         "boilerplate_removal": q_boilerplate_removal,
-        "pipeline_crawl_frontier": q_pipeline_crawl_frontier,
         "sitemap_urls": q_sitemap_urls,
-        "streaming_warc_sink": q_streaming_warc_sink,
-        # --- slots 9-26: the 18 never-driver-checked r13
-        #     additions (VERDICT r13 #1); robots_filter/tpch_q15/the
-        #     WARC family also changed r14 ---
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
@@ -5045,28 +5077,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
-        "warc_ingest": q_warc_ingest,
         "warc_html_pipeline": q_warc_html_pipeline,
         "streaming_warc_ingest": q_streaming_warc_ingest,
-        "wet_export": q_wet_export,
-        "wat_export": q_wat_export,
         "robots_filter": q_robots_filter,
         "line_dedup": q_line_dedup,
         "global_sort_index": q_global_sort_index,
         "zorder_layout": q_zorder_layout,
-        # --- slots 27-28: changed r13 (zarr decode refactor) ---
         "zarr_roundtrip": q_zarr_roundtrip,
         "streaming_zarr_ingest": q_streaming_zarr_ingest,
-        # --- slots 29-50: the 22 oldest greens (r11); the cohort
-        #     remainder shifted to the tail head as the eight r14
-        #     gates took the window header ---
         "raster_decode_webp": q_raster_decode_webp,
         "video_decode_mjpeg": q_video_decode_mjpeg,
         "tpch_q4": q_tpch_q4,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "streaming_enrich": q_streaming_enrich,
         "unigram_logprob": q_unigram_logprob,
@@ -5080,18 +5104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "resample_cube_temporal": q_resample_cube_temporal,
         "ann_pq": q_ann_pq,
-        "incremental_minhash": q_incremental_minhash,
-        "span_removal": q_span_removal,
         "streaming_incremental_dedup": q_streaming_incremental_dedup,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "ann_ivf": q_ann_ivf,
         "semantic_dedup": q_semantic_dedup,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "leakage_safe_split": q_leakage_safe_split,
-        # --- tail: the remaining r11 greens (they lead the r15
-        #     window; leakage_safe_split displaced from the window by
-        #     cdx_revisit) ---
-        "dup_clusters": q_dup_clusters,
         "sessionize": q_sessionize,
         "apply_dimension": q_apply_dimension,
         "apply_neighborhood": q_apply_neighborhood,
@@ -5103,26 +5118,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
         "profile_table_cols": q_profile_table_cols,
-        "bpe_merges": q_bpe_merges,
         "ann_ivf_trained": q_ann_ivf_trained,
         "streaming_spend_alerts": q_streaming_spend_alerts,
         "text_chunks": q_text_chunks,
         "embedding_quantize": q_embedding_quantize,
         "quality_filter": q_quality_filter,
-        # --- tail: the 50 r12 greens ---
-        "dsir_bucket_hist": q_dsir_bucket_hist,
-        "dsir_doc_grams": q_dsir_doc_grams,
-        "dsir_select": q_dsir_select,
-        "dsir_select_picks": q_dsir_select_picks,
-        "ml_predict_preproc": q_ml_predict_preproc,
-        "domain_pagerank": q_domain_pagerank,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "flatten_unflatten": q_flatten_unflatten,
         "aggregate_spatial_window": q_aggregate_spatial_window,
-        "decontaminate": q_decontaminate,
         "training_shards": q_training_shards,
         "topk_per_group": q_topk_per_group,
-        "ml_fit_predict_rf": q_ml_fit_predict_rf,
         "mask_polygon": q_mask_polygon,
         "mask": q_mask,
         "array_interpolate_linear": q_interpolate,
@@ -5131,7 +5136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_exact": q_dedup_embedding_exact,
         "ann_topk": q_ann_topk,
         "text_quality": q_text_quality,
@@ -5144,15 +5148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "ann_ivf_from_index": q_ann_ivf_from_index,
         "ann_pq_from_index": q_ann_pq_from_index,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_fuzzy": q_dedup_fuzzy,
         "merge_cubes": q_merge_cubes,
         "image_neardup": q_image_neardup,
         "ann_ivfpq": q_ann_ivfpq,
         "tfidf_cosine": q_tfidf_cosine,
-        "containment": q_containment,
         "bigram_logprob": q_bigram_logprob,
-        "bloom_decontaminate": q_bloom_decontaminate,
         "random_projection": q_random_projection,
         "bin_pack": q_bin_pack,
         "tpch_q5": q_tpch_q5,
@@ -5160,7 +5160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk": q_streaming_topk,
         "weighted_sample": q_weighted_sample,
         "profile_table": q_profile_table,
-        # --- tail: the 50 r13-window greens (freshest last) ---
         "quality_classifier": q_quality_classifier,
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "bm25_topk": q_bm25_topk,
@@ -5172,12 +5171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_web_ingest": q_pipeline_web_ingest,
         "skew_salted_agg": q_skew_salted_agg,
         "corpus_diff": q_corpus_diff,
-        "duplicated_spans": q_duplicated_spans,
         "pipeline_end_to_end": q_pipeline_end_to_end,
-        "graph_ml_pipeline": q_graph_ml_pipeline,
-        "ml_predict_tiled": q_ml_predict_tiled,
         "ml_predict_linear": q_ml_predict_linear,
-        "process_graph": q_process_graph,
         "graph_mask_pipeline": q_graph_mask_pipeline,
         "fit_curve": q_fit_curve,
         "predict_curve": q_predict_curve,
@@ -5196,10 +5191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_bands": q_filter_bands,
         "filter_temporal": q_filter_temporal,
         "apply_unary": q_apply_unary,
-        "doc_fingerprint": q_doc_fingerprint,
         "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
         "quarantine_ingest": q_quarantine_ingest,
-        "duplicated_spans_combine": q_duplicated_spans_combine,
         "raster_decode_cube": q_raster_decode_cube,
         "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
         "raster_roundtrip_gtiff": q_raster_roundtrip_gtiff,
