@@ -226,9 +226,9 @@ def test_span_removal_token_conservation(spark, texts):
         toks = texts[r["doc_id"]]
         assert 0 <= r["n_removed"] <= r["n_tokens"]
         if not toks:
-            # split("") quirk: empty text tokenizes to [''] — one
-            # empty token, nothing removable
-            assert r["n_tokens"] == 1 and r["n_removed"] == 0
+            # r15 \S+ semantics: empty text has ZERO tokens (the old
+            # split kept one '' token); nothing removable either way
+            assert r["n_tokens"] == 0 and r["n_removed"] == 0
             continue
         assert r["n_tokens"] == len(toks)
         n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
