@@ -76,3 +76,43 @@ def test_unsupported_scheme_rejected():
         fs.resolve("ftp://host/path")
     with pytest.raises(ValueError, match="supported"):
         fs.resolve("webdav://x/y")
+
+
+def test_object_store_commit_falls_back_to_stream_copy():
+    """r15 review: S3 caps single CopyObject at 5 GiB — when the
+    server-side copy fails, commit re-uploads the tmp object through
+    bounded-memory streams instead of failing the task forever."""
+    import io
+
+    class FakeFS:
+        def __init__(self):
+            self.objects = {"k/.part-0-1.tmp": b"x" * (3 << 20)}
+            self.deleted = []
+
+        def copy_file(self, src, dst):
+            raise OSError("CopyObject: object too large")
+
+        def open_input_stream(self, path):
+            return io.BytesIO(self.objects[path])
+
+        def open_output_stream(self, path):
+            buf = io.BytesIO()
+            close = buf.close
+            fsref = self
+
+            def capture():
+                fsref.objects[path] = buf.getvalue()
+                close()
+
+            buf.close = capture
+            return buf
+
+        def delete_file(self, path):
+            self.deleted.append(path)
+            self.objects.pop(path, None)
+
+    fake = FakeFS()
+    sp = fs.SinkPath(fs=fake, path="k/part-0", scheme="s3")
+    sp.commit("k/.part-0-1.tmp")
+    assert fake.objects["k/part-0"] == b"x" * (3 << 20)
+    assert "k/.part-0-1.tmp" in fake.deleted
