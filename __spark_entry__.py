@@ -5024,11 +5024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for 24 queries (the r11-cohort remainder leading the r15
     # window); everything else is <= 2 rounds old.
     return {
-        # --- r15 window (slots 1-34): every query whose engine
-        #     or oracle changed this round (shingle/span/DSIR
-        #     tokenization alignment, postings pair-gen, LSH group
-        #     verify, BPE batching, pagerank two-tier, RF metrics,
-        #     MLM schema validation, WARC commit protocol) ---
+        # --- r15 window slots 1-34: every query whose engine or
+        #     oracle changed this round (tokenization alignment,
+        #     postings pair-gen, LSH group verify, BPE batching,
+        #     pagerank two-tier, RF metrics, MLM schema, WARC commit) ---
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "containment": q_containment,
         "dedup_fuzzy": q_dedup_fuzzy,
@@ -5063,7 +5062,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "wet_export": q_wet_export,
         "wat_export": q_wat_export,
-        # --- rotation tail: greens from prior rounds, oldest first ---
+        # --- slots 35-50: the 16 oldest greens (deepest tail of the
+        #     r14 ordering), per the rotation protocol ---
+        "filter_bands": q_filter_bands,
+        "filter_temporal": q_filter_temporal,
+        "apply_unary": q_apply_unary,
+        "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
+        "quarantine_ingest": q_quarantine_ingest,
+        "raster_decode_cube": q_raster_decode_cube,
+        "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
+        "raster_roundtrip_gtiff": q_raster_roundtrip_gtiff,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "text_language_id": q_text_language_id,
+        "reduce_dimension": q_reduce_dimension,
+        "aggregate_temporal_period": q_aggregate_temporal_period,
+        "ndvi_bandmath": q_ndvi_bandmath,
+        "window_running_sum": q_window_running_sum,
+        "graph_fit_curve": q_graph_fit_curve,
+        "graph_zonal": q_graph_zonal,
+        # --- rotation tail: last-round greens first, then the rest ---
         "bm25_from_index": q_bm25_from_index,
         "robots_directives": q_robots_directives,
         "boilerplate_removal": q_boilerplate_removal,
@@ -5188,22 +5205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "multimodal_features": q_multimodal_features,
         "ann_lsh": q_ann_lsh,
-        "filter_bands": q_filter_bands,
-        "filter_temporal": q_filter_temporal,
-        "apply_unary": q_apply_unary,
-        "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
-        "quarantine_ingest": q_quarantine_ingest,
-        "raster_decode_cube": q_raster_decode_cube,
-        "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
-        "raster_roundtrip_gtiff": q_raster_roundtrip_gtiff,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "text_language_id": q_text_language_id,
-        "reduce_dimension": q_reduce_dimension,
-        "aggregate_temporal_period": q_aggregate_temporal_period,
-        "ndvi_bandmath": q_ndvi_bandmath,
-        "window_running_sum": q_window_running_sum,
-        "graph_fit_curve": q_graph_fit_curve,
-        "graph_zonal": q_graph_zonal,
     }
 
 
