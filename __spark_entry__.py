@@ -4976,235 +4976,250 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_process_graph(spark, SF001)
 
 
+# ROTATION PROTOCOL (standing, VERDICT r2 item 1 / r4 item 1): the
+# driver checks only the FIRST 50 entries each round. Queries whose
+# latest green CORRECTNESS row is OLDEST go first; queries green in
+# the immediately-previous round rotate to the tail. When editing:
+# (1) new/changed queries -> front, (2) then oldest-green,
+# (3) last-round greens -> tail.
+#
+# r14 window (slots 1-50), per VERDICT r13 directive 1:
+#   slots 1-4:   NEW r14 gates — bm25_from_index (the BM25
+#     build-once/query-many index lifecycle, VERDICT r13 #6),
+#     cdx_export (the CDX(J) product + random-access fetch,
+#     VERDICT r13 #4), cdx_revisit (cross-crawl revisit
+#     resolution — Common Crawl's dedup model),
+#     robots_directives (crawl-delay + sitemap pointers),
+#     sitemap_urls (frontier <loc> extraction),
+#     streaming_warc_sink (the foreachBatch write twin),
+#     boilerplate_removal (RefinedWeb line-wise corrections), and
+#     pipeline_crawl_frontier (the r14 web operators composed:
+#     sitemap -> canonicalize -> dedup -> robots). The window
+#     header is slots 1-8 now.
+#   slots 9-26:  ALL 18 r13 additions that have never been inside
+#     a driver window (the nine TPC-H completions, the WARC/WET/
+#     WAT product suite + streaming twin, robots_filter +
+#     line_dedup, global_sort_index, zorder_layout) — exactly the
+#     set VERDICT r13 #1 mandates. robots_filter, tpch_q15 and
+#     the four WARC-family gates also CHANGED r14 (RFC 9309
+#     wildcards + CRLF + row-preserving output; exact-integer max
+#     gate; bounded-memory streaming decompressor + deterministic
+#     record IDs) — their first driver check covers the new
+#     semantics.
+#   slots 27-28: zarr_roundtrip + streaming_zarr_ingest (CHANGED
+#     r13 — raw-store decode + one-agg axis collection; mandated
+#     into this window by VERDICT r13 #1).
+#   slots 29-50: the 22 OLDEST greens (r11 cohort, 3 rounds old).
+# Tail: the remaining 24 r11 greens (streaming_incremental_dedup,
+# decontaminate_fuzzy, ann_ivf, semantic_dedup,
+# dedup_ngram_jaccard, leakage_safe_split first — they complete
+# the r11 cohort in the r15 window), then the 50 r12 greens, then
+# the 50 r13-window greens (freshest last).
+#
+# Rotation arithmetic (standing, stated honestly): at 174 queries
+# (166 + the eight r14 gates) and a 50-slot window the
+# steady-state re-verification cadence is ceil(174/50) = 4
+# rounds. After r14 the oldest driver green on the surface is r12
+# for 24 queries (the r11-cohort remainder leading the r15
+# window); everything else is <= 2 rounds old.
+#
+# QUERY_ORDER is the single source of truth for the rotation queue:
+# queries() is built from it, the first 50 names ARE the driver window,
+# and tools/driver_window.json mirrors it (pinned by
+# tests/test_oracle_parity.py). Rotate with tools/rotate_window.py —
+# never by hand-reordering — so the manifest, the dict, and the pin
+# can never drift apart again (the r15 closing defect).
+QUERY_ORDER = [
+    # --- r15 window slots 1-34: every query whose engine or
+    #     oracle changed this round (tokenization alignment,
+    #     postings pair-gen, LSH group verify, BPE batching,
+    #     pagerank two-tier, RF metrics, MLM schema, WARC commit) ---
+    "dedup_ngram_jaccard",
+    "containment",
+    "dedup_fuzzy",
+    "dedup_canonical",
+    "dup_clusters",
+    "leakage_safe_split",
+    "dedup_minhash_lsh",
+    "incremental_minhash",
+    "decontaminate",
+    "decontaminate_fuzzy",
+    "bloom_decontaminate",
+    "doc_fingerprint",
+    "duplicated_spans",
+    "duplicated_spans_combine",
+    "span_removal",
+    "dsir_select",
+    "dsir_select_picks",
+    "dsir_bucket_hist",
+    "dsir_doc_grams",
+    "bpe_merges",
+    "domain_pagerank",
+    "pipeline_crawl_frontier",
+    "dedup_embedding",
+    "ml_fit_predict_rf",
+    "ml_predict_tiled",
+    "ml_predict_preproc",
+    "process_graph",
+    "graph_ml_pipeline",
+    "streaming_warc_sink",
+    "cdx_export",
+    "cdx_revisit",
+    "warc_ingest",
+    "wet_export",
+    "wat_export",
+    # --- slots 35-50: the 16 oldest greens (deepest tail of the
+    #     r14 ordering), per the rotation protocol ---
+    "filter_bands",
+    "filter_temporal",
+    "apply_unary",
+    "ann_ivfpq_from_index",
+    "quarantine_ingest",
+    "raster_decode_cube",
+    "raster_ndvi_pipeline",
+    "raster_roundtrip_gtiff",
+    "decontaminate_semantic",
+    "text_language_id",
+    "reduce_dimension",
+    "aggregate_temporal_period",
+    "ndvi_bandmath",
+    "window_running_sum",
+    "graph_fit_curve",
+    "graph_zonal",
+    # --- rotation tail: last-round greens first, then the rest ---
+    "bm25_from_index",
+    "robots_directives",
+    "boilerplate_removal",
+    "sitemap_urls",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q22",
+    "warc_html_pipeline",
+    "streaming_warc_ingest",
+    "robots_filter",
+    "line_dedup",
+    "global_sort_index",
+    "zorder_layout",
+    "zarr_roundtrip",
+    "streaming_zarr_ingest",
+    "raster_decode_webp",
+    "video_decode_mjpeg",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q19",
+    "pack_sequences",
+    "streaming_enrich",
+    "unigram_logprob",
+    "ccnet_buckets",
+    "mixture_sample",
+    "incremental_dedup",
+    "hard_negatives",
+    "property_filter",
+    "json_extract",
+    "cube_agg",
+    "asof_join",
+    "resample_cube_temporal",
+    "ann_pq",
+    "streaming_incremental_dedup",
+    "ann_ivf",
+    "semantic_dedup",
+    "sessionize",
+    "apply_dimension",
+    "apply_neighborhood",
+    "aggregate_temporal",
+    "resample_cube_spatial",
+    "array_ops",
+    "pii_scrub",
+    "repetition_stats",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "profile_table_cols",
+    "ann_ivf_trained",
+    "streaming_spend_alerts",
+    "text_chunks",
+    "embedding_quantize",
+    "quality_filter",
+    "cdc_chunk_dedup",
+    "flatten_unflatten",
+    "aggregate_spatial_window",
+    "training_shards",
+    "topk_per_group",
+    "mask_polygon",
+    "mask",
+    "array_interpolate_linear",
+    "scale_values",
+    "aggregate_spatial",
+    "rollup_revenue",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_exact",
+    "ann_topk",
+    "text_quality",
+    "token_count",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "approx_aggregates",
+    "apply_kernel",
+    "climatology_anomaly",
+    "chunk_dedup",
+    "ann_ivf_from_index",
+    "ann_pq_from_index",
+    "merge_cubes",
+    "image_neardup",
+    "ann_ivfpq",
+    "tfidf_cosine",
+    "bigram_logprob",
+    "random_projection",
+    "bin_pack",
+    "tpch_q5",
+    "tpch_q18",
+    "streaming_topk",
+    "weighted_sample",
+    "profile_table",
+    "quality_classifier",
+    "netcdf_roundtrip",
+    "bm25_topk",
+    "raster_decode_overview",
+    "raster_decode_jpeg",
+    "raster_decode_png",
+    "url_dedup",
+    "cluster_balanced_sample",
+    "pipeline_web_ingest",
+    "skew_salted_agg",
+    "corpus_diff",
+    "pipeline_end_to_end",
+    "ml_predict_linear",
+    "graph_mask_pipeline",
+    "fit_curve",
+    "predict_curve",
+    "dimension_ops",
+    "resample_spatial",
+    "quantiles_extrema",
+    "cumulative_ops",
+    "set_ops",
+    "tpch_q1",
+    "tpch_q3",
+    "top_k_orders",
+    "streaming_rollup",
+    "streaming_sessionize",
+    "multimodal_features",
+    "ann_lsh",
+]
+
+# queries() keys that do not follow the "q_<name>" naming convention.
+_QUERY_ALIASES = {"array_interpolate_linear": "q_interpolate"}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION PROTOCOL (standing, VERDICT r2 item 1 / r4 item 1): the
-    # driver checks only the FIRST 50 entries each round. Queries whose
-    # latest green CORRECTNESS row is OLDEST go first; queries green in
-    # the immediately-previous round rotate to the tail. When editing:
-    # (1) new/changed queries -> front, (2) then oldest-green,
-    # (3) last-round greens -> tail.
-    #
-    # r14 window (slots 1-50), per VERDICT r13 directive 1:
-    #   slots 1-4:   NEW r14 gates — bm25_from_index (the BM25
-    #     build-once/query-many index lifecycle, VERDICT r13 #6),
-    #     cdx_export (the CDX(J) product + random-access fetch,
-    #     VERDICT r13 #4), cdx_revisit (cross-crawl revisit
-    #     resolution — Common Crawl's dedup model),
-    #     robots_directives (crawl-delay + sitemap pointers),
-    #     sitemap_urls (frontier <loc> extraction),
-    #     streaming_warc_sink (the foreachBatch write twin),
-    #     boilerplate_removal (RefinedWeb line-wise corrections), and
-    #     pipeline_crawl_frontier (the r14 web operators composed:
-    #     sitemap -> canonicalize -> dedup -> robots). The window
-    #     header is slots 1-8 now.
-    #   slots 9-26:  ALL 18 r13 additions that have never been inside
-    #     a driver window (the nine TPC-H completions, the WARC/WET/
-    #     WAT product suite + streaming twin, robots_filter +
-    #     line_dedup, global_sort_index, zorder_layout) — exactly the
-    #     set VERDICT r13 #1 mandates. robots_filter, tpch_q15 and
-    #     the four WARC-family gates also CHANGED r14 (RFC 9309
-    #     wildcards + CRLF + row-preserving output; exact-integer max
-    #     gate; bounded-memory streaming decompressor + deterministic
-    #     record IDs) — their first driver check covers the new
-    #     semantics.
-    #   slots 27-28: zarr_roundtrip + streaming_zarr_ingest (CHANGED
-    #     r13 — raw-store decode + one-agg axis collection; mandated
-    #     into this window by VERDICT r13 #1).
-    #   slots 29-50: the 22 OLDEST greens (r11 cohort, 3 rounds old).
-    # Tail: the remaining 24 r11 greens (streaming_incremental_dedup,
-    # decontaminate_fuzzy, ann_ivf, semantic_dedup,
-    # dedup_ngram_jaccard, leakage_safe_split first — they complete
-    # the r11 cohort in the r15 window), then the 50 r12 greens, then
-    # the 50 r13-window greens (freshest last).
-    #
-    # Rotation arithmetic (standing, stated honestly): at 174 queries
-    # (166 + the eight r14 gates) and a 50-slot window the
-    # steady-state re-verification cadence is ceil(174/50) = 4
-    # rounds. After r14 the oldest driver green on the surface is r12
-    # for 24 queries (the r11-cohort remainder leading the r15
-    # window); everything else is <= 2 rounds old.
     return {
-        # --- r15 window slots 1-34: every query whose engine or
-        #     oracle changed this round (tokenization alignment,
-        #     postings pair-gen, LSH group verify, BPE batching,
-        #     pagerank two-tier, RF metrics, MLM schema, WARC commit) ---
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "containment": q_containment,
-        "dedup_fuzzy": q_dedup_fuzzy,
-        "dedup_canonical": q_dedup_canonical,
-        "dup_clusters": q_dup_clusters,
-        "leakage_safe_split": q_leakage_safe_split,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "incremental_minhash": q_incremental_minhash,
-        "decontaminate": q_decontaminate,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "doc_fingerprint": q_doc_fingerprint,
-        "duplicated_spans": q_duplicated_spans,
-        "duplicated_spans_combine": q_duplicated_spans_combine,
-        "span_removal": q_span_removal,
-        "dsir_select": q_dsir_select,
-        "dsir_select_picks": q_dsir_select_picks,
-        "dsir_bucket_hist": q_dsir_bucket_hist,
-        "dsir_doc_grams": q_dsir_doc_grams,
-        "bpe_merges": q_bpe_merges,
-        "domain_pagerank": q_domain_pagerank,
-        "pipeline_crawl_frontier": q_pipeline_crawl_frontier,
-        "dedup_embedding": q_dedup_embedding,
-        "ml_fit_predict_rf": q_ml_fit_predict_rf,
-        "ml_predict_tiled": q_ml_predict_tiled,
-        "ml_predict_preproc": q_ml_predict_preproc,
-        "process_graph": q_process_graph,
-        "graph_ml_pipeline": q_graph_ml_pipeline,
-        "streaming_warc_sink": q_streaming_warc_sink,
-        "cdx_export": q_cdx_export,
-        "cdx_revisit": q_cdx_revisit,
-        "warc_ingest": q_warc_ingest,
-        "wet_export": q_wet_export,
-        "wat_export": q_wat_export,
-        # --- slots 35-50: the 16 oldest greens (deepest tail of the
-        #     r14 ordering), per the rotation protocol ---
-        "filter_bands": q_filter_bands,
-        "filter_temporal": q_filter_temporal,
-        "apply_unary": q_apply_unary,
-        "ann_ivfpq_from_index": q_ann_ivfpq_from_index,
-        "quarantine_ingest": q_quarantine_ingest,
-        "raster_decode_cube": q_raster_decode_cube,
-        "raster_ndvi_pipeline": q_raster_ndvi_pipeline,
-        "raster_roundtrip_gtiff": q_raster_roundtrip_gtiff,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "text_language_id": q_text_language_id,
-        "reduce_dimension": q_reduce_dimension,
-        "aggregate_temporal_period": q_aggregate_temporal_period,
-        "ndvi_bandmath": q_ndvi_bandmath,
-        "window_running_sum": q_window_running_sum,
-        "graph_fit_curve": q_graph_fit_curve,
-        "graph_zonal": q_graph_zonal,
-        # --- rotation tail: last-round greens first, then the rest ---
-        "bm25_from_index": q_bm25_from_index,
-        "robots_directives": q_robots_directives,
-        "boilerplate_removal": q_boilerplate_removal,
-        "sitemap_urls": q_sitemap_urls,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "warc_html_pipeline": q_warc_html_pipeline,
-        "streaming_warc_ingest": q_streaming_warc_ingest,
-        "robots_filter": q_robots_filter,
-        "line_dedup": q_line_dedup,
-        "global_sort_index": q_global_sort_index,
-        "zorder_layout": q_zorder_layout,
-        "zarr_roundtrip": q_zarr_roundtrip,
-        "streaming_zarr_ingest": q_streaming_zarr_ingest,
-        "raster_decode_webp": q_raster_decode_webp,
-        "video_decode_mjpeg": q_video_decode_mjpeg,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q19": q_tpch_q19,
-        "pack_sequences": q_pack_sequences,
-        "streaming_enrich": q_streaming_enrich,
-        "unigram_logprob": q_unigram_logprob,
-        "ccnet_buckets": q_ccnet_buckets,
-        "mixture_sample": q_mixture_sample,
-        "incremental_dedup": q_incremental_dedup,
-        "hard_negatives": q_hard_negatives,
-        "property_filter": q_property_filter,
-        "json_extract": q_json_extract,
-        "cube_agg": q_cube_agg,
-        "asof_join": q_asof_join,
-        "resample_cube_temporal": q_resample_cube_temporal,
-        "ann_pq": q_ann_pq,
-        "streaming_incremental_dedup": q_streaming_incremental_dedup,
-        "ann_ivf": q_ann_ivf,
-        "semantic_dedup": q_semantic_dedup,
-        "sessionize": q_sessionize,
-        "apply_dimension": q_apply_dimension,
-        "apply_neighborhood": q_apply_neighborhood,
-        "aggregate_temporal": q_aggregate_temporal,
-        "resample_cube_spatial": q_resample_cube_spatial,
-        "array_ops": q_array_ops,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_interval_join": q_streaming_interval_join,
-        "profile_table_cols": q_profile_table_cols,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "streaming_spend_alerts": q_streaming_spend_alerts,
-        "text_chunks": q_text_chunks,
-        "embedding_quantize": q_embedding_quantize,
-        "quality_filter": q_quality_filter,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "flatten_unflatten": q_flatten_unflatten,
-        "aggregate_spatial_window": q_aggregate_spatial_window,
-        "training_shards": q_training_shards,
-        "topk_per_group": q_topk_per_group,
-        "mask_polygon": q_mask_polygon,
-        "mask": q_mask,
-        "array_interpolate_linear": q_interpolate,
-        "scale_values": q_scale_values,
-        "aggregate_spatial": q_aggregate_spatial,
-        "rollup_revenue": q_rollup_revenue,
-        "dedup_exact": q_dedup_exact,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_exact": q_dedup_embedding_exact,
-        "ann_topk": q_ann_topk,
-        "text_quality": q_text_quality,
-        "token_count": q_token_count,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "stratified_sample": q_stratified_sample,
-        "approx_aggregates": q_approx_aggregates,
-        "apply_kernel": q_apply_kernel,
-        "climatology_anomaly": q_climatology_anomaly,
-        "chunk_dedup": q_chunk_dedup,
-        "ann_ivf_from_index": q_ann_ivf_from_index,
-        "ann_pq_from_index": q_ann_pq_from_index,
-        "merge_cubes": q_merge_cubes,
-        "image_neardup": q_image_neardup,
-        "ann_ivfpq": q_ann_ivfpq,
-        "tfidf_cosine": q_tfidf_cosine,
-        "bigram_logprob": q_bigram_logprob,
-        "random_projection": q_random_projection,
-        "bin_pack": q_bin_pack,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q18": q_tpch_q18,
-        "streaming_topk": q_streaming_topk,
-        "weighted_sample": q_weighted_sample,
-        "profile_table": q_profile_table,
-        "quality_classifier": q_quality_classifier,
-        "netcdf_roundtrip": q_netcdf_roundtrip,
-        "bm25_topk": q_bm25_topk,
-        "raster_decode_overview": q_raster_decode_overview,
-        "raster_decode_jpeg": q_raster_decode_jpeg,
-        "raster_decode_png": q_raster_decode_png,
-        "url_dedup": q_url_dedup,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "pipeline_web_ingest": q_pipeline_web_ingest,
-        "skew_salted_agg": q_skew_salted_agg,
-        "corpus_diff": q_corpus_diff,
-        "pipeline_end_to_end": q_pipeline_end_to_end,
-        "ml_predict_linear": q_ml_predict_linear,
-        "graph_mask_pipeline": q_graph_mask_pipeline,
-        "fit_curve": q_fit_curve,
-        "predict_curve": q_predict_curve,
-        "dimension_ops": q_dimension_ops,
-        "resample_spatial": q_resample_spatial,
-        "quantiles_extrema": q_quantiles_extrema,
-        "cumulative_ops": q_cumulative_ops,
-        "set_ops": q_set_ops,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "top_k_orders": q_top_k_orders,
-        "streaming_rollup": q_streaming_rollup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "multimodal_features": q_multimodal_features,
-        "ann_lsh": q_ann_lsh,
+        n: globals()[_QUERY_ALIASES.get(n, "q_" + n)] for n in QUERY_ORDER
     }
 
 

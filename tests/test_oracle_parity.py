@@ -3,6 +3,7 @@ an oracle_sql() twin must match DuckDB on row count, column names, and
 values (order-insensitive) at sf0.001."""
 
 import math
+from pathlib import Path
 
 import duckdb
 import pytest
@@ -10,6 +11,7 @@ import pytest
 import __spark_entry__ as entry
 
 SF_DIR = "/root/testdata/sf0.001"
+REPO = Path(__file__).resolve().parent.parent
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -118,34 +120,77 @@ def test_entry_surface_consistency():
 
 
 def test_driver_window_composition_pinned():
-    """The first 50 queries() entries ARE the driver's r14 verification
-    window — its composition is deliberate (rotation protocol in the
-    queries() header): the 8 NEW r14 gates, the 18 never-driver-checked
-    r13 additions, the 2 r13-changed zarr queries, then the oldest
-    (r11) greens. Pin it so an accidental reorder fails CI instead of
-    silently skewing the rotation. When rotating for a new round,
-    update this pin IN THE SAME COMMIT as the dict reorder."""
+    """The first 50 queries() entries ARE the driver's verification
+    window. Instead of a hard-coded name list (which went stale when
+    the r15 closing rotation commit reordered queries() without
+    updating it — the one pytest failure of that round), this derives
+    the pin from the rotation protocol's artifacts:
+
+    - ``tools/driver_window.json`` is the manifest the rotation tool
+      (``tools/rotate_window.py``) writes in the SAME operation that
+      reorders ``QUERY_ORDER`` — dict and manifest cannot drift.
+    - the manifest's ``changed`` set must lead the window (their first
+      driver check covers the new semantics);
+    - if the manifest's round already has a committed CORRECTNESS
+      file, its keys must be exactly the current window (the driver
+      checked what we think it checked).
+    """
     import importlib
+    import glob
+    import json
+    import re
 
     entry = importlib.import_module("__spark_entry__")
-    window = list(entry.queries().keys())[:50]
-    assert window == [
-        "bm25_from_index", "cdx_export", "cdx_revisit",
-        "robots_directives", "boilerplate_removal",
-        "pipeline_crawl_frontier", "sitemap_urls",
-        "streaming_warc_sink",
-        "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q12", "tpch_q13",
-        "tpch_q15", "tpch_q17", "tpch_q21", "tpch_q22",
-        "warc_ingest", "warc_html_pipeline", "streaming_warc_ingest",
-        "wet_export", "wat_export", "robots_filter", "line_dedup",
-        "global_sort_index", "zorder_layout",
-        "zarr_roundtrip", "streaming_zarr_ingest",
-        "raster_decode_webp", "video_decode_mjpeg",
-        "tpch_q4", "tpch_q6", "tpch_q14", "tpch_q19",
-        "dedup_minhash_lsh", "pack_sequences", "streaming_enrich",
-        "unigram_logprob", "ccnet_buckets", "mixture_sample",
-        "incremental_dedup", "hard_negatives", "property_filter",
-        "json_extract", "cube_agg", "asof_join",
-        "resample_cube_temporal", "ann_pq", "incremental_minhash",
-        "span_removal",
-    ]
+    order = list(entry.queries().keys())
+    assert order == entry.QUERY_ORDER, "queries() must derive from QUERY_ORDER"
+    assert len(set(order)) == len(order), "duplicate query names"
+    window = order[:50]
+
+    manifest = json.loads((REPO / "tools" / "driver_window.json").read_text())
+    changed = manifest["changed"]
+    assert len(changed) <= 50
+    assert window == manifest["window"], (
+        "QUERY_ORDER window drifted from tools/driver_window.json — "
+        "rotate with tools/rotate_window.py, never by hand"
+    )
+    assert window[: len(changed)] == changed, "changed queries must lead the window"
+
+    # Post-driver consistency: once the driver has recorded this
+    # round's CORRECTNESS file, its keys are exactly the window.
+    rounds = {
+        int(re.search(r"r(\d+)", p).group(1)): p
+        for p in glob.glob(str(REPO / "CORRECTNESS_r*.json"))
+    }
+    this_round = rounds.get(manifest["round"])
+    if this_round:
+        recorded = set(json.loads(open(this_round).read()))
+        assert recorded == set(window), (
+            "the committed CORRECTNESS file for this round does not match "
+            "the current window — rotation happened after the driver ran"
+        )
+
+    # Rotation-freshness: nothing outside the window may be MORE stale
+    # than the fill portion of the window. "Staleness" = last round a
+    # query appeared in a committed CORRECTNESS file, taken over rounds
+    # BEFORE the manifest round (the manifest round's own file records
+    # this very window). Changed queries are exempt (they jump the
+    # queue); never-checked queries count as round 0.
+    last_green: dict[str, int] = {}
+    for r, p in sorted(rounds.items()):
+        if r >= manifest["round"]:
+            continue
+        for k in json.loads(open(p).read()):
+            last_green[k] = r
+    fill = [n for n in window if n not in changed]
+    outside = [n for n in order[50:] if n not in changed]
+    if fill and outside:
+        newest_fill = max(last_green.get(n, 0) for n in fill)
+        stalest_out = min(last_green.get(n, 0) for n in outside)
+        # Queue-order is the protocol's source of truth; CORRECTNESS
+        # ages can straddle one round because a cohort may split
+        # across windows. More than one round of inversion means the
+        # rotation skipped genuinely stale queries.
+        assert newest_fill - stalest_out <= 2, (
+            f"window fill (newest green r{newest_fill}) skipped queries "
+            f"outside the window stale since r{stalest_out}"
+        )

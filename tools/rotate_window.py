@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Rotate the driver verification window (the first 50 ``QUERY_ORDER``
+entries in ``__spark_entry__.py``) for a new round.
+
+Queue discipline (the standing rotation protocol, VERDICT r2 #1 /
+r4 #1 / r15 #1):
+
+1. queries whose engine or oracle CHANGED this round jump to the
+   front (their first driver check must cover the new semantics);
+2. the remainder of the new window is filled from the head of the
+   old post-window queue — the queries longest-unchecked, because
+   every previous round's checked window was rotated to the tail;
+3. the old window (just checked by the driver) rotates to the tail.
+
+This tool rewrites BOTH the ``QUERY_ORDER`` list in
+``__spark_entry__.py`` and the ``tools/driver_window.json`` manifest
+in one shot, so the dict ordering, the manifest, and the pinning test
+(``tests/test_oracle_parity.py::test_driver_window_composition_pinned``)
+can never drift apart — the defect that broke the r15 closing battery.
+
+Usage:
+    python tools/rotate_window.py --round 16 --changed name1,name2,...
+    python tools/rotate_window.py --round 16 --changed-file changed.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+ENTRY = REPO / "__spark_entry__.py"
+MANIFEST = REPO / "tools" / "driver_window.json"
+WINDOW = 50
+
+
+def read_order(src: str) -> list[str]:
+    m = re.search(r"^QUERY_ORDER = \[\n(.*?)^\]$", src, re.S | re.M)
+    if not m:
+        raise SystemExit("QUERY_ORDER list not found in __spark_entry__.py")
+    return re.findall(r'^\s*"([^"]+)",\s*$', m.group(1), re.M)
+
+
+def rotate(old: list[str], changed: list[str]) -> list[str]:
+    unknown = [n for n in changed if n not in old]
+    # changed names not yet in the queue are NEW queries this round —
+    # they join the front like any other changed query.
+    old_window, old_tail = old[:WINDOW], old[WINDOW:]
+    front = list(dict.fromkeys(changed))
+    fill = [n for n in old_tail if n not in front]
+    rotated_out = [n for n in old_window if n not in front]
+    new = front + fill + rotated_out
+    assert sorted(new) == sorted(set(old) | set(unknown)), "rotation lost names"
+    return new
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--changed", default="")
+    ap.add_argument("--changed-file")
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args()
+
+    changed = [n for n in args.changed.split(",") if n]
+    if args.changed_file:
+        changed += Path(args.changed_file).read_text().split()
+    if len(changed) > WINDOW:
+        raise SystemExit(f"{len(changed)} changed queries exceed the {WINDOW}-slot window")
+
+    src = ENTRY.read_text()
+    old = read_order(src)
+    new = rotate(old, changed)
+
+    manifest = {"round": args.round, "changed": changed, "window": new[:WINDOW]}
+    if args.dry_run:
+        print(json.dumps(manifest, indent=1))
+        return
+
+    body = "\n".join(f'    "{n}",' for n in new)
+    new_src, nsub = re.subn(
+        r"^QUERY_ORDER = \[\n.*?^\]$",
+        "QUERY_ORDER = [\n" + body + "\n]",
+        src,
+        count=1,
+        flags=re.S | re.M,
+    )
+    assert nsub == 1
+    ENTRY.write_text(new_src)
+    MANIFEST.write_text(json.dumps(manifest, indent=1) + "\n")
+    print(
+        f"rotated for r{args.round}: {len(changed)} changed lead the window, "
+        f"{WINDOW - len(changed)} filled from the queue head; "
+        f"old window moved to tail ({len(new)} total)"
+    )
+    print("now run: python -m pytest tests/test_oracle_parity.py -q  (same commit!)")
+
+
+if __name__ == "__main__":
+    main()
