@@ -214,10 +214,9 @@ def compact_record(
     return record
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+def make_session(cpus: str) -> SparkSession:
+    """The bench session config — shared with tools/oracle_bench.py so
+    paired Spark-vs-DuckDB timing runs the identical engine setup."""
     spark = (
         SparkSession.builder.appName("bench")
         .master(f"local[{cpus}]")
@@ -236,6 +235,14 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = make_session(cpus)
     qs = entry.queries()
 
     # warm-up: JVM + codegen + parquet footer reads

@@ -96,7 +96,28 @@ class SinkPath:
         # that large are already outside every sink's sizing guidance.
         try:
             self.fs.copy_file(tmp, self.path)
-        except Exception:
+        except Exception as copy_err:
+            # Retry the cheap server-side copy once: transient network
+            # or throttling faults are far more common than the
+            # genuine >5 GiB EntityTooLarge case, and a retry avoids
+            # silently paying a full re-transfer for them (ADVICE r15).
+            try:
+                self.fs.copy_file(tmp, self.path)
+            except Exception:
+                self._stream_copy(tmp, copy_err)
+        self.abort(tmp)
+
+    def _stream_copy(self, tmp: str, copy_err: Exception) -> None:
+        """Bounded-memory re-upload fallback for object-store commits
+        whose server-side copy failed twice. A mid-copy failure must
+        NOT let the context manager close() — i.e. COMPLETE — a
+        truncated multipart upload at the FINAL key (ADVICE r15
+        medium: that would re-open the corrupt-shard hazard the
+        tmp-key protocol exists to eliminate). On any failure the
+        final key is best-effort deleted, the tmp object is left in
+        place for the retry, and the error is re-raised chained to
+        the original copy_file failure."""
+        try:
             with self.fs.open_input_stream(tmp) as src, (
                 self.fs.open_output_stream(self.path)
             ) as dst:
@@ -105,7 +126,12 @@ class SinkPath:
                     if not buf:
                         break
                     dst.write(buf)
-        self.abort(tmp)
+        except Exception as stream_err:
+            try:
+                self.fs.delete_file(self.path)
+            except Exception:  # pragma: no cover - best-effort cleanup
+                pass
+            raise stream_err from copy_err
 
     def abort(self, tmp: str) -> None:
         try:

@@ -40,6 +40,8 @@ from __future__ import annotations
 import gzip
 import hashlib
 import os
+import pickle
+import tempfile
 import uuid
 import zlib
 from typing import Iterator
@@ -464,6 +466,11 @@ CDX_ROW_SCHEMA = (
 
 _DEFAULT_WARC_DATE = "2024-01-01T00:00:00Z"
 
+# CDX index tuples held in executor Python memory per shard before
+# spilling to an executor-local temp file (~100 B/tuple -> ~6 MB heap
+# ceiling); also the emitted Arrow batch size after commit.
+_CDX_SPILL_ROWS = 65536
+
 
 def write_warc_shards(
     df: DataFrame,
@@ -569,8 +576,14 @@ def write_warc_shards(
         size = 0
         fh = None  # lazy: empty partitions create no object at all
         # CDX rows for the WHOLE partition, yielded only after the
-        # shard commits (index-tuple-sized, not payload-sized)
+        # shard commits. Bounded in executor memory (ADVICE r15): only
+        # the newest _CDX_SPILL_ROWS tuples stay in the Python heap —
+        # full blocks spill to an anonymous executor-local temp file
+        # (auto-reclaimed on close/process death) and stream back
+        # after the commit, so a skewed shard with hundreds of
+        # millions of records cannot OOM the worker.
         cdx_buf: list[tuple] = []
+        cdx_spill = None
         try:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
@@ -640,9 +653,20 @@ def write_warc_shards(
                                 hashlib.md5(bytes(body)).hexdigest(),
                             )
                         )
+                        if len(cdx_buf) >= _CDX_SPILL_ROWS:
+                            if cdx_spill is None:
+                                cdx_spill = tempfile.TemporaryFile()
+                            pickle.dump(
+                                cdx_buf,
+                                cdx_spill,
+                                protocol=pickle.HIGHEST_PROTOCOL,
+                            )
+                            cdx_buf = []
                     size += len(gz)
                     n += 1
         except BaseException:
+            if cdx_spill is not None:
+                cdx_spill.close()  # anonymous: close == delete
             if fh is not None:
                 # closing may complete a truncated upload — but only
                 # at the tmp key, which no reader glob matches; the
@@ -661,9 +685,18 @@ def write_warc_shards(
         # only now — after the shard is visible at its final name —
         # may index/manifest rows escape to the caller
         if emit_cdx:
-            for i in range(0, len(cdx_buf), 65536):
+            if cdx_spill is not None:
+                cdx_spill.seek(0)
+                while True:
+                    try:
+                        chunk = pickle.load(cdx_spill)
+                    except EOFError:
+                        break
+                    yield pd.DataFrame(chunk, columns=cdx_cols)
+                cdx_spill.close()
+            for i in range(0, len(cdx_buf), _CDX_SPILL_ROWS):
                 yield pd.DataFrame(
-                    cdx_buf[i : i + 65536], columns=cdx_cols
+                    cdx_buf[i : i + _CDX_SPILL_ROWS], columns=cdx_cols
                 )
         else:
             yield pd.DataFrame(

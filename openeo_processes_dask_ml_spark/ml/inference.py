@@ -71,6 +71,44 @@ def tile_count(n_cells: int, tile: int) -> int:
     return n_cells // tile
 
 
+def _axis_kind(df: DataFrame, col: str) -> str | None:
+    """'ts' / 'date' for temporal axis columns, None otherwise —
+    derived from the schema, not the values, so chunked sub-requests
+    agree with the outer request."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    return None
+
+
+def _axis_array(vals, kind: str | None) -> np.ndarray:
+    """Coordinate array for one collected axis. Spark collects
+    timestamp/date values as python datetime/date objects, which
+    numpy keeps as dtype=object — but regenerate_coords' datetime
+    branch (and every timedelta computation) needs real datetime64
+    arrays, so temporal axes are normalized here. Without this, a
+    model that RESIZES a temporal dim fell through to the string
+    fallback and emitted strings into a timestamp column (r16 fix)."""
+    if kind is not None:
+        try:
+            return np.array(vals, dtype="datetime64[ns]")
+        except (ValueError, TypeError):  # tz-aware edge: keep objects
+            return np.array(vals)
+    return np.array(vals)
+
+
+def _py_scalar(v, kind: str | None):
+    """A numpy coordinate back to the python scalar Spark literals
+    expect. datetime64[ns].item() is an INTEGER (nanoseconds) — it
+    must go through [us]/[D] first to round-trip as datetime/date."""
+    if isinstance(v, np.datetime64):
+        unit = "D" if kind == "date" else "us"
+        return v.astype(f"datetime64[{unit}]").item()
+    return v.item() if hasattr(v, "item") else v
+
+
 def regenerate_coords(
     in_coords: np.ndarray,
     out_len: int,
@@ -111,6 +149,16 @@ def regenerate_coords(
         axis = np.asarray(full_axis) if full_axis is not None else in_coords
         if next_coord is not None:
             end = np.datetime64(next_coord, "ns").astype(np.int64)
+        elif coord_width is not None:
+            # chunked sub-requests pass the GLOBAL mean spacing —
+            # their full_axis is chunk-local, whose mean differs on
+            # irregular axes (ADVICE r15: 'only batch composition
+            # differs, never values')
+            end = (
+                (in_coords[-1] + np.timedelta64(coord_width))
+                .astype("datetime64[ns]")
+                .astype(np.int64)
+            )
         elif axis.size > 1:
             mean_diff = np.mean(axis[1:] - axis[:-1])
             end = (in_coords[-1] + mean_diff).astype("datetime64[ns]").astype(np.int64)
@@ -159,7 +207,9 @@ class _TiledDim:
     # first spacing on irregular axes (r15 review)
 
 
-def _collect_axis_chunks(df, col: str, chunk_len: int) -> list[tuple]:
+def _collect_axis_chunks(
+    df, col: str, chunk_len: int, kind: str | None = None
+) -> list[tuple]:
     """Collect an oversized coordinate axis in sorted, bounded chunks
     of ``chunk_len`` values — plus ONE lookahead value per chunk (the
     next chunk's first coordinate), which chunked tiling needs for
@@ -182,10 +232,10 @@ def _collect_axis_chunks(df, col: str, chunk_len: int) -> list[tuple]:
         if not vals:
             return chunks
         if len(vals) > chunk_len:
-            chunks.append((np.array(vals[:chunk_len]), vals[chunk_len]))
+            chunks.append((_axis_array(vals[:chunk_len], kind), vals[chunk_len]))
             last = vals[chunk_len - 1]
         else:
-            chunks.append((np.array(vals), None))
+            chunks.append((_axis_array(vals, kind), None))
             return chunks
 
 
@@ -332,7 +382,11 @@ def run_model_tiled(
             passdown = dict(override)
             for c in scan_cols:
                 if c not in over and c != band_col:
-                    passdown[c] = (np.array(axes_row[c]), None, None)
+                    passdown[c] = (
+                        _axis_array(axes_row[c], _axis_kind(cube.df, c)),
+                        None,
+                        None,
+                    )
             sub_attrs = dict(cube.attrs)
             if want_bands_scan and band_col in scan_cols:
                 sub_attrs["band_labels"] = [
@@ -340,10 +394,37 @@ def run_model_tiled(
                     for v in axes_row[band_col]
                 ]
             chunk_lists: dict[str, list[tuple]] = {}
+            axis_width: dict[str, object] = {}
+            axis_kinds: dict[str, str | None] = {}
             for c in over:
                 tile = tile_of[c]
+                axis_kinds[c] = _axis_kind(cube.df, c)
                 chunk_len = max(tile, (max_axis_elements // tile) * tile)
-                all_chunks = _collect_axis_chunks(cube.df, c, chunk_len)
+                all_chunks = _collect_axis_chunks(
+                    cube.df, c, chunk_len, axis_kinds[c]
+                )
+                # the GLOBAL cell width (numeric: the axis' first
+                # spacing; datetime: the full-axis MEAN spacing, which
+                # telescopes to (last-first)/(n-1) so it never needs
+                # the whole axis in driver memory). Chunk-local
+                # spacings differ on irregular axes and would shift
+                # regenerated coordinates vs the unchunked run
+                # (r15 review; ADVICE r15 for the datetime analog).
+                g0 = all_chunks[0][0]
+                width = None
+                if np.issubdtype(g0.dtype, np.number):
+                    if g0.size > 1:
+                        width = g0[1] - g0[0]
+                elif np.issubdtype(g0.dtype, np.datetime64):
+                    n_total = sum(len(ch[0]) for ch in all_chunks)
+                    if n_total > 1:
+                        span = (
+                            all_chunks[-1][0][-1] - all_chunks[0][0][0]
+                        ).astype("timedelta64[ns]")
+                        # positive-span floor division == np.mean's
+                        # float-then-truncate over the diffs
+                        width = span // (n_total - 1)
+                axis_width[c] = width
                 kept = [
                     ch
                     for ch in all_chunks
@@ -367,24 +448,13 @@ def run_model_tiled(
                 sub_over = {}
                 for c, (coords, nxt) in zip(over, combo):
                     lo, hi = (
-                        v.item() if hasattr(v, "item") else v
+                        _py_scalar(v, axis_kinds[c])
                         for v in (coords.flat[0], coords.flat[-1])
                     )
                     sub_df = sub_df.filter(
                         (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
                     )
-                    # the GLOBAL cell width is the first chunk's first
-                    # spacing (chunks are consecutive slices of the
-                    # sorted axis); chunk-local spacings differ on
-                    # irregular axes and would shift regenerated cell
-                    # centers vs the unchunked run (r15 review)
-                    g0 = chunk_lists[c][0][0]
-                    width = None
-                    if g0.size > 1 and np.issubdtype(
-                        np.asarray(g0).dtype, np.number
-                    ):
-                        width = g0[1] - g0[0]
-                    sub_over[c] = (coords, nxt, width)
+                    sub_over[c] = (coords, nxt, axis_width[c])
                 sub_cube = CubeFrame(
                     sub_df, dict(cube.dims), cube.value_col, sub_attrs
                 )
@@ -403,7 +473,10 @@ def run_model_tiled(
             for p in parts[1:]:
                 out = out.unionByName(p)
             return out
-        axis_by_col = {c: np.array(axes_row[c]) for c in scan_cols}
+        axis_by_col = {
+            c: _axis_array(axes_row[c], _axis_kind(cube.df, c))
+            for c in scan_cols
+        }
     else:
         axis_by_col = {}
     next_after_by_col: dict[str, object] = {}
@@ -480,7 +553,14 @@ def run_model_tiled(
     for td in tiled:
         full = tile_count(td.coords.size, td.tile)
         n_tiles[td.cube_col] = full
-        idx_rows = [(v, i) for i, v in enumerate(td.coords.tolist())]
+        # datetime64[ns].tolist() yields raw int nanoseconds — convert
+        # temporal axes back to the python objects Spark rows accept
+        # (µs for timestamps — Spark's native precision — days for dates)
+        coord_vals = td.coords
+        if np.issubdtype(coord_vals.dtype, np.datetime64):
+            unit = "D" if _axis_kind(cube.df, td.cube_col) == "date" else "us"
+            coord_vals = coord_vals.astype(f"datetime64[{unit}]")
+        idx_rows = [(v, i) for i, v in enumerate(coord_vals.tolist())]
         idx_df = spark.createDataFrame(
             idx_rows, schema=f"`{td.cube_col}` {df.schema[td.cube_col].dataType.simpleString()}, `__idx_{td.cube_col}` long"
         )
@@ -545,6 +625,7 @@ def run_model_tiled(
     tile_coords = {td.cube_col: td.coords for td in tiled}
     next_after_of = {td.cube_col: td.next_after for td in tiled}
     width_of = {td.cube_col: td.width for td in tiled}
+    kind_of = {td.cube_col: _axis_kind(cube.df, td.cube_col) for td in tiled}
     model_dtype = inp.data_type
     dim_order = [d for d in inp.dim_order if d.lower() not in BATCH_DIM_NAMES]
     value_col = cube.value_col
@@ -640,15 +721,18 @@ def run_model_tiled(
                         if end < full_axis.size
                         else next_after_of[col]  # chunk lookahead
                     )
-                    width = (
-                        width_of[col]
-                        if width_of[col] is not None
-                        else (
-                            full_axis[1] - full_axis[0]
-                            if full_axis.size > 1
-                            else None
-                        )
-                    )
+                    # numeric default: the axis' first spacing. Datetime
+                    # axes get NO default — their branch uses the
+                    # full-axis MEAN spacing (reference data_model.py:834)
+                    # unless a chunked sub-request passed the global
+                    # mean down as the override.
+                    width = width_of[col]
+                    if (
+                        width is None
+                        and full_axis.size > 1
+                        and np.issubdtype(full_axis.dtype, np.number)
+                    ):
+                        width = full_axis[1] - full_axis[0]
                 else:
                     in_c = np.array([])
                     nxt, width = None, None
@@ -657,18 +741,33 @@ def run_model_tiled(
                     if d in in_dim_names
                     else None
                 )
-                coords_per_axis.append(
-                    regenerate_coords(
-                        in_c, n_out, next_coord=nxt, coord_width=width,
-                        full_axis=axis,
-                    )
+                regen = regenerate_coords(
+                    in_c, n_out, next_coord=nxt, coord_width=width,
+                    full_axis=axis,
                 )
+                # Temporal columns: regeneration works in datetime64[ns]
+                # but the engine types are coarser — truncate to µs
+                # (TimestampType's native precision; the safe Arrow cast
+                # rejects sub-µs remainders) or to days for DateType
+                # (as date objects — a date column holds nothing finer).
+                if d in in_dim_names and np.issubdtype(
+                    np.asarray(regen).dtype, np.datetime64
+                ):
+                    kind = kind_of.get(in_dim_names[d].cube_col)
+                    if kind == "date":
+                        regen = regen.astype("datetime64[D]").astype(object)
+                    elif kind == "ts":
+                        regen = regen.astype("datetime64[us]")
+                coords_per_axis.append(regen)
             collapsed_vals = {}
             for td in collapsed:
                 t = tid[tiled_cols.index(td.cube_col)]
-                collapsed_vals[td.cube_col] = collapse_coords(
+                cval = collapse_coords(
                     tile_coords[td.cube_col][t * td.tile : (t + 1) * td.tile]
                 )
+                if isinstance(cval, np.datetime64):
+                    cval = _py_scalar(cval, kind_of.get(td.cube_col))
+                collapsed_vals[td.cube_col] = cval
             flat_val = out[bi].ravel()
             data: dict = {}
             if coords_per_axis:

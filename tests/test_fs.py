@@ -116,3 +116,92 @@ def test_object_store_commit_falls_back_to_stream_copy():
     sp.commit("k/.part-0-1.tmp")
     assert fake.objects["k/part-0"] == b"x" * (3 << 20)
     assert "k/.part-0-1.tmp" in fake.deleted
+
+
+def test_object_store_copy_retried_before_stream_fallback():
+    """ADVICE r15: a transient server-side copy fault is retried once
+    (cheap) instead of paying a full stream re-upload."""
+
+    class FakeFS:
+        def __init__(self):
+            self.copies = 0
+            self.deleted = []
+            self.streamed = False
+
+        def copy_file(self, src, dst):
+            self.copies += 1
+            if self.copies == 1:
+                raise OSError("throttled")
+
+        def open_input_stream(self, path):
+            self.streamed = True
+            raise AssertionError("stream fallback must not run")
+
+        def delete_file(self, path):
+            self.deleted.append(path)
+
+    fake = FakeFS()
+    sp = fs.SinkPath(fs=fake, path="k/part-0", scheme="s3")
+    sp.commit("k/.part-0-1.tmp")
+    assert fake.copies == 2
+    assert not fake.streamed
+    assert fake.deleted == ["k/.part-0-1.tmp"]
+
+
+def test_stream_fallback_failure_never_publishes_partial_final_key():
+    """ADVICE r15 medium: if the stream re-upload dies mid-copy, the
+    context manager must not complete a truncated multipart upload at
+    the FINAL key — commit deletes the partial final object, leaves
+    the tmp in place for the retry, and re-raises chained to the
+    original copy_file error."""
+    import io
+
+    class FakeFS:
+        def __init__(self):
+            self.objects = {"k/.part-0-1.tmp": b"x" * 100}
+            self.deleted = []
+
+        def copy_file(self, src, dst):
+            raise OSError("CopyObject: object too large")
+
+        def open_input_stream(self, path):
+            class DyingReader(io.BytesIO):
+                reads = 0
+
+                def read(self, n=-1):
+                    DyingReader.reads += 1
+                    if DyingReader.reads > 1:
+                        raise ConnectionError("socket reset mid-copy")
+                    return b"x" * 10
+
+            return DyingReader(self.objects[path])
+
+        def open_output_stream(self, path):
+            buf = io.BytesIO()
+            close = buf.close
+            fsref = self
+
+            def capture():  # close() == multipart COMPLETE on S3
+                fsref.objects[path] = buf.getvalue()
+                close()
+
+            buf.close = capture
+            return buf
+
+        def delete_file(self, path):
+            self.deleted.append(path)
+            self.objects.pop(path, None)
+
+    fake = FakeFS()
+    sp = fs.SinkPath(fs=fake, path="k/part-0", scheme="s3")
+    with pytest.raises(ConnectionError) as exc_info:
+        sp.commit("k/.part-0-1.tmp")
+    # chained to the original copy error so the root cause survives
+    assert isinstance(exc_info.value.__cause__, OSError)
+    # the truncated final object was removed; whether the context
+    # manager published it first is pyarrow's business — what matters
+    # is it does not persist where readers look
+    assert "k/part-0" not in fake.objects
+    assert "k/part-0" in fake.deleted
+    # the tmp object survives for the task retry
+    assert "k/.part-0-1.tmp" in fake.objects

@@ -574,3 +574,81 @@ def test_run_model_tiled_chunked_irregular_axis_same_values(spark):
     assert sorted(map(key, chunked.collect())) == sorted(
         map(key, whole.collect())
     )
+
+
+def _time_resize_descriptor():
+    return MLModelDescriptor(
+        item={"id": "t"},
+        input=ModelInput.parse(
+            {
+                "bands": ["red"],
+                "input": {"shape": [-1, 1, 2], "dim_order": ["batch", "bands", "time"]},
+            }
+        ),
+        # upsample 2 -> 4: regenerated time coords depend on the axis
+        # spacing, exercising the datetime regeneration end-to-end
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 4], "dim_order": ["batch", "time"]}}
+        ),
+        framework="fake",
+    )
+
+
+_IRREGULAR_DAYS = [1, 2, 3, 6, 7, 8, 9, 10]  # spacing 1d,1d,3d,1d,1d,1d,1d
+
+
+def test_run_model_tiled_resized_timestamp_axis_chunk_equivalence(spark):
+    """r16: a model that RESIZES a timestamp dim used to crash —
+    Spark collects timestamp coords as python datetime objects
+    (numpy object arrays), so regenerate_coords' datetime64 branch
+    never fired and the string fallback emitted strings into a
+    timestamp column. Axis arrays are now schema-normalized to
+    datetime64, and chunked sub-requests carry the GLOBAL mean
+    spacing (ADVICE r15: chunk-local means differ on irregular axes),
+    so chunked == unchunked to the value."""
+    from datetime import datetime
+
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+
+    rows = [
+        ("red", datetime(2024, 1, d), float(i))
+        for i, d in enumerate(_IRREGULAR_DAYS)
+    ]
+    df = spark.createDataFrame(rows, ["band", "time", "value"])
+    cube = CubeFrame(df, {"bands": "band", "time": "time"}, "value")
+    up = lambda b: np.repeat(b[:, 0], 2, axis=-1)  # noqa: E731
+    whole = run_model_tiled(cube, _time_resize_descriptor(), up, max_axis_elements=1000)
+    chunked = run_model_tiled(cube, _time_resize_descriptor(), up, max_axis_elements=4)
+    key = lambda r: (str(r["time"]), r["value"])  # noqa: E731
+    w = sorted(map(key, whole.collect()))
+    assert w == sorted(map(key, chunked.collect()))
+    # sub-tile midpoints regenerated (1d spacing tile -> 12h steps)
+    assert ("2024-01-01 12:00:00", 0.0) in w
+    # the global-last tile extrapolates by the GLOBAL mean spacing
+    # (9d span / 7 gaps), not the chunk-local 1d mean
+    assert len(w) == 16
+
+
+def test_run_model_tiled_resized_date_axis_chunk_equivalence(spark):
+    """Date axes resize too: regeneration happens in datetime64[ns]
+    and truncates back to date objects at emission (a date column
+    holds nothing finer than days)."""
+    from datetime import date
+
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+
+    rows = [
+        ("red", date(2024, 1, d), float(i)) for i, d in enumerate(_IRREGULAR_DAYS)
+    ]
+    df = spark.createDataFrame(rows, ["band", "time", "value"])
+    cube = CubeFrame(df, {"bands": "band", "time": "time"}, "value")
+    up = lambda b: np.repeat(b[:, 0], 2, axis=-1)  # noqa: E731
+    whole = run_model_tiled(cube, _time_resize_descriptor(), up, max_axis_elements=1000)
+    chunked = run_model_tiled(cube, _time_resize_descriptor(), up, max_axis_elements=4)
+    key = lambda r: (str(r["time"]), r["value"])  # noqa: E731
+    w = sorted(map(key, whole.collect()))
+    assert w == sorted(map(key, chunked.collect()))
+    assert len(w) == 16
+    assert all(len(t) == 10 for t, _ in w)  # real dates, not strings

@@ -700,3 +700,41 @@ def test_shard_uri_prefix_hdfs_path_starting_with_hostname():
         == "hdfs://prod:8020"
     )
     assert _shard_uri_prefix("s3://bkt/bkt-data", "bkt/bkt-data") == "s3://"
+
+
+def test_cdx_buffer_spills_to_local_disk(spark, tmp_path, monkeypatch):
+    """ADVICE r15: the per-shard CDX buffer must stay bounded in
+    executor Python memory — with the spill threshold forced tiny,
+    rows round-trip through the executor-local spill file and come
+    back complete, ordered, and identical to the unspilled run."""
+    from openeo_processes_dask_ml_spark.io import warc as warc_mod
+
+    src = spark.range(50).select(
+        F.concat(F.lit("https://www.s"), F.col("id"), F.lit(".com/p")).alias(
+            "uri"
+        ),
+        F.concat(F.lit("body-"), F.col("id")).alias("body"),
+    )
+    # record IDs embed out_dir, so byte offsets are only comparable
+    # within one run — compare the dir-independent columns across runs
+    key = lambda r: (r["url"], r["cdx_ts"], r["digest"])  # noqa: E731
+    out_plain = str(tmp_path / "no_spill")
+    baseline = sorted(
+        map(key, write_warc_shards(
+            src, out_plain, n_shards=2, emit_cdx=True
+        ).collect())
+    )
+    monkeypatch.setattr(warc_mod, "_CDX_SPILL_ROWS", 4)
+    out_spill = str(tmp_path / "spill")
+    rows = write_warc_shards(
+        src, out_spill, n_shards=2, emit_cdx=True
+    ).collect()
+    assert sorted(map(key, rows)) == baseline
+    assert len(rows) == 50
+    # spilled offsets/lengths still frame standalone gzip members
+    for r in rows[:6]:
+        with open(r["shard"], "rb") as fh:
+            fh.seek(r["offset"])
+            member = gzip.decompress(fh.read(r["length"]))
+        (rec,) = parse_warc_records(member)
+        assert rec["target_uri"] == r["url"]
