@@ -390,9 +390,13 @@ def _drop_hot_shingles(
     """Candidate-generation index with hot shingles removed (see
     ``_hot_shingles``)."""
     hot_list = _hot_shingle_list(df, inv, id_col, max_df_frac, min_df_cap)
-    if hot_list is None:  # pragma: no cover - bound exceeded
+    if hot_list is None:  # bound exceeded -> broadcast-join shape
         hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
-        return inv.join(F.broadcast(hot), "shingle", "left_anti")
+        # anti-join puts the join key first — restore inv's column
+        # order so both shapes return identical frames
+        return inv.join(F.broadcast(hot), "shingle", "left_anti").select(
+            *inv.columns
+        )
     if not hot_list:
         return inv
     return inv.filter(~F.col("shingle").isin(hot_list))
