@@ -449,9 +449,20 @@ def duplicated_spans(
     #    (shared-subtree duplication). At crawl scale this is the
     #    shape that survives.
     if shape == "combine":
-        counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
-        flagged = spans.join(counts, "h").select(
-            "doc_id", (F.col("n_occ") >= min_count).alias("dup")
+        # filter to DUPLICATED fingerprints before the join-back: the
+        # join side shrinks from every distinct span (mostly
+        # singletons) to only the dup spans, so AQE can usually
+        # broadcast it and the spans side never shuffles; when the dup
+        # set is still huge the shuffle join runs on a strictly
+        # smaller side (r16 — the combine shape pays the span build
+        # twice, so its join is the part worth shrinking)
+        counts = (
+            spans.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") >= min_count)
+        )
+        flagged = spans.join(counts, "h", "left").select(
+            "doc_id", F.col("n_occ").isNotNull().alias("dup")
         )
     elif shape == "window":
         flagged = spans.withColumn(
