@@ -281,6 +281,7 @@ def cosine_pairs_lsh(
     planes_per_band: int = 7,
     n_bands: int = 40,
     dim: int = 64,
+    max_bucket_verify: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs via banded hyperplane LSH + exact verify —
     the 100 TB default for embedding near-dup detection (the exact
@@ -301,9 +302,19 @@ def cosine_pairs_lsh(
     in-bucket combinations — one keyed shuffle, no self-join;
     verification is one Arrow-batched pass, and the dedup across bands
     runs on the (tiny) verified output. Pairwise work ~=
-    collision_rate * n^2, never a full cross join. A pathologically hot
-    bucket (many near-identical vectors) concentrates in one group —
-    the standard LSH skew caveat; raise planes_per_band to split it.
+    collision_rate * n^2, never a full cross join.
+
+    Hot buckets self-heal (VERDICT r15 #4): a (band, bucket) group
+    larger than ``max_bucket_verify`` is BLOCK-DECOMPOSED — its
+    vid-sorted members split into cap-sized chunks and every chunk
+    pair (i <= j, the upper triangle) verifies as its own task row —
+    so per-task work is bounded by cap^2 no matter how degenerate the
+    bucket, while the compared pair set (and therefore every output
+    hash) is exactly the unsplit group's. Secondary hyperplane bits
+    were considered and rejected: near-identical vectors produce
+    IDENTICAL sign bits, so re-hashing cannot split exactly the
+    buckets that need it, and on mixed buckets it silently drops
+    cross-sub-bucket pairs (a recall change).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -384,13 +395,34 @@ def cosine_pairs_lsh(
     buckets = base.mapInPandas(bucketize, schema=bucket_schema)
     grouped = (
         buckets.groupBy("band", "bucket")
-        .agg(F.collect_list(F.struct("vid", "v")).alias("members"))
+        .agg(F.array_sort(F.collect_list(F.struct("vid", "v"))).alias("members"))
         .filter(F.size("members") > 1)
+    )
+    # block decomposition: members are vid-sorted (array_sort on the
+    # struct — deterministic), sliced into cap-sized chunks, and every
+    # upper-triangle chunk pair becomes one verify row. Under-cap
+    # groups produce exactly one (self, self) block — the common case
+    # pays only the array_sort.
+    cap = int(max_bucket_verify)
+    blocks_expr = F.expr(
+        f"""
+        flatten(transform(sequence(0, int(ceil(size(members) / {cap})) - 1,
+        1), i -> transform(sequence(i, int(ceil(size(members) / {cap})) - 1,
+        1), j -> struct(
+            slice(members, i * {cap} + 1, {cap}) as ma,
+            slice(members, j * {cap} + 1, {cap}) as mb,
+            i = j as same))))
+        """
+    )
+    blocks = grouped.select(F.explode(blocks_expr).alias("b")).select(
+        F.col("b.ma").alias("ma"),
+        F.col("b.mb").alias("mb"),
+        F.col("b.same").alias("same"),
     )
     # re-spread AFTER packing: the packed-buckets shuffle is small in
     # bytes, so AQE coalesces it to ~1 partition — which would run the
     # whole pairwise verify on one core
-    packed = _spread(grouped.select("members"))
+    packed = _spread(blocks)
 
     out_schema = T.StructType(
         [
@@ -401,48 +433,63 @@ def cosine_pairs_lsh(
     )
 
     def verify_groups(batches):
+        def unpack(members):
+            vids = np.array([m["vid"] for m in members], dtype=np.int64)
+            V = np.stack(
+                [np.asarray(m["v"], dtype=np.float64) for m in members]
+            )
+            # per-vector norms: same strict fold as the pair path
+            nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            return vids, V, nrm
+
         for pdf in batches:
-            a_out, b_out, c_out = [], [], []
-            for members in pdf["members"]:
-                vids = np.array([m["vid"] for m in members], dtype=np.int64)
-                order = np.argsort(vids, kind="stable")
-                vids = vids[order]
-                V = np.stack(
-                    [
-                        np.asarray(members[i]["v"], dtype=np.float64)
-                        for i in order
-                    ]
+            for ma, mb, same in zip(pdf["ma"], pdf["mb"], pdf["same"]):
+                a_out, b_out, c_out = [], [], []
+                va, VA, na = unpack(ma)
+                if same:
+                    vb, VB, nb = va, VA, na
+                else:
+                    vb, VB, nb = unpack(mb)
+                # row tiles bound the |A| x |B| x dim intermediate
+                tile = max(
+                    1, int(64e6 // max(VB.shape[0] * VA.shape[1] * 8, 1))
                 )
-                m = V.shape[0]
-                # per-vector norms: same strict fold as the pair path
-                nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-                # row tiles bound the m^2 x dim intermediate
-                tile = max(1, int(64e6 // max(m * V.shape[1] * 8, 1)))
-                for s in range(0, m, tile):
-                    Vc = V[s : s + tile]
+                for s in range(0, VA.shape[0], tile):
+                    Vc = VA[s : s + tile]
                     dots = np.cumsum(
-                        Vc[:, None, :] * V[None, :, :], axis=2
+                        Vc[:, None, :] * VB[None, :, :], axis=2
                     )[:, :, -1]
-                    cos = dots / (nrm[s : s + tile, None] * nrm[None, :])
+                    cos = dots / (na[s : s + tile, None] * nb[None, :])
                     ii, jj = np.nonzero(cos >= threshold)
-                    gi = ii + s  # global row index
+                    gi = ii + s  # global row index in A
                     # ordered by ID VALUE, not sorted position: with
                     # duplicate vids in the corpus, position order
                     # would emit (x, x, 1.0) self-pairs the old
-                    # id_a < id_b candidate filter excluded (r15 review)
-                    keep = vids[gi] < vids[jj]
-                    a_out.append(vids[gi[keep]])
-                    b_out.append(vids[jj[keep]])
+                    # id_a < id_b candidate filter excluded (r15
+                    # review). Cross blocks (vid-sorted chunks) orient
+                    # the same way; equal vids are self-pairs either
+                    # way and drop.
+                    if same:
+                        keep = va[gi] < vb[jj]
+                        ka, kb = va[gi[keep]], vb[jj[keep]]
+                    else:
+                        keep = va[gi] != vb[jj]
+                        ka = np.minimum(va[gi[keep]], vb[jj[keep]])
+                        kb = np.maximum(va[gi[keep]], vb[jj[keep]])
+                    a_out.append(ka)
+                    b_out.append(kb)
                     c_out.append(
                         np.floor(cos[ii[keep], jj[keep]] * 1e6 + 0.5) / 1e6
                     )
-            yield pd.DataFrame(
-                {
-                    "id_a": np.concatenate(a_out) if a_out else np.array([], np.int64),
-                    "id_b": np.concatenate(b_out) if b_out else np.array([], np.int64),
-                    "cosine": np.concatenate(c_out) if c_out else np.array([], np.float64),
-                }
-            )
+                # one output frame per block row: a degenerate bucket's
+                # pair volume never accumulates across the whole batch
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(a_out) if a_out else np.array([], np.int64),
+                        "id_b": np.concatenate(b_out) if b_out else np.array([], np.int64),
+                        "cosine": np.concatenate(c_out) if c_out else np.array([], np.float64),
+                    }
+                )
 
     return packed.mapInPandas(verify_groups, schema=out_schema).distinct()
 
