@@ -407,6 +407,160 @@ def _drop_hot_shingles(
 # --------------------------------------------------------------------------
 
 
+def _pairgen_probe(inv: DataFrame, threshold: float, cap: float) -> str:
+    """Choose the candidate-generation plan from the corpus' shingle
+    document-frequency distribution — ONE count-only aggregation over
+    the postings (VERDICT r15 #6).
+
+    'count' (inverted-index counting, ``_pair_shared_shingles``) pays
+    sum_s C(df_s, 2) pair rows — but its sorted-postings design
+    already kills SINGLETON shingles before any pair expansion, so a
+    pure head+singleton-tail Zipf corpus is cheap for it (measured r16:
+    50k docs, count 4.3 s vs prefix 7.0 s). Prefix filtering wins in
+    the MID-DF regime: shingles common enough to blow up C(df, 2) but
+    too common to land in any doc's (1-t)-rarest prefix (measured r16:
+    20k docs in 100-doc template clusters at t=0.8, prefix 3.9 s vs
+    count 5.4 s, identical output). Hence two conditions flip to
+    'prefix': (a) singleton mass can fill the corpus' prefix slots
+    (singles >= (1-t) * postings — prefixes then generate ~no
+    candidates) AND (b) the counting pair volume actually dominates
+    the index build (v_count >= 4 * postings — otherwise counting is
+    already near-linear and the per-doc ordering + exact verify
+    overhead cannot pay for itself; the r15 overlap-heavy measurement
+    fails (a), the singleton-tail corpus fails (b)). All sums run over
+    the COLD shingles only (df <= ``cap`` — both paths drop hot
+    shingles, so a stop-word shingle's C(df, 2) must not sway the
+    decision)."""
+    row = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= cap)
+        .agg(
+            F.sum("c").alias("postings"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("singles"),
+            F.sum(F.expr("c * (c - 1) / 2")).alias("v_count"),
+        )
+        .first()
+    )
+    if not row["postings"]:
+        return "count"
+    return (
+        "prefix"
+        if row["singles"] >= (1.0 - threshold) * row["postings"]
+        and row["v_count"] >= 4 * row["postings"]
+        else "count"
+    )
+
+
+def _prefix_pair_shared_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+    max_df_frac: float,
+    min_df_cap: int,
+) -> DataFrame:
+    """AllPairs/PPJoin-style candidate generation (Bayardo et al. 2007;
+    Chaudhuri et al. 2006) with the hot-set-corrected prefix length
+    recorded in SCALE_NOTES r15: for Jaccard >= t, a qualifying pair
+    shares >= ceil(t*|a|) shingles, of which at most h_a can be hot,
+    so it shares k_a = max(ceil(t*|a|) - h_a, 1) COLD shingles — and
+    by the standard prefix theorem (common global df-ascending order)
+    the pair's globally-smallest shared cold shingle sits inside both
+    docs' first |cold| - k + 1 shingles. Candidates therefore come
+    from an inverted index over PREFIXES only; each candidate is then
+    verified EXACTLY via array_intersect over the full shingle sets,
+    so the (id_a, id_b, shared, n_a, n_b) frame is value-identical to
+    ``_pair_shared_shingles`` after the caller's threshold filter —
+    same oracle, different plan. Wins on Zipfian corpora where
+    singleton shingles fill the prefixes (see ``_pairgen_probe``);
+    loses on overlap-heavy ones where the exact verify outweighs the
+    candidate reduction (the r15 measurement)."""
+    inv = shingle_rows(df, text_col, id_col, shingle_n)
+    hot_list = _hot_shingle_list(df, inv, id_col, max_df_frac, min_df_cap)
+    if hot_list == []:
+        stats = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        stats = stats.withColumn("hot_set", F.array().cast("array<string>"))
+        inv_cold = inv
+    else:
+        if hot_list is None:  # bound exceeded -> broadcast-join flag
+            hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
+            flagged = inv.join(
+                F.broadcast(hot.withColumn("__hot", F.lit(True))),
+                "shingle",
+                "left",
+            )
+            is_hot = F.col("__hot").isNotNull()
+        else:
+            flagged = inv
+            is_hot = F.col("shingle").isin(hot_list)
+        stats = flagged.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.collect_set(F.when(is_hot, F.col("shingle"))).alias("hot_set"),
+        )
+        inv_cold = flagged.filter(~is_hot).select("doc_id", "shingle")
+
+    dfc = inv_cold.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfs"))
+    # per-doc shingles in the GLOBAL (df asc, shingle asc) order — the
+    # common order the prefix theorem requires; ties deterministic
+    docs = (
+        inv_cold.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dfs", "shingle"))
+            ).alias("ordered")
+        )
+        .join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_sh",
+            "hot_set",
+            F.expr("transform(ordered, x -> x.shingle)").alias("cold"),
+        )
+    )
+    k = F.greatest(
+        F.ceil(F.lit(float(threshold)) * F.col("n_sh")) - F.size("hot_set"),
+        F.lit(1),
+    )
+    prefix_len = F.greatest(F.size("cold") - k + 1, F.lit(0))
+    prefix_inv = docs.select(
+        "doc_id", F.explode(F.slice("cold", 1, prefix_len)).alias("shingle")
+    )
+    # same sorted-postings pair expansion as the counting path; cold
+    # df <= the hot cap bounds every group here too
+    posting = (
+        prefix_inv.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1),"
+        " i -> transform(slice(ids, 1, i),"
+        " a -> struct(a as id_a, ids[i] as id_b))))"
+    )
+    cand = (
+        posting.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    shared = F.size(F.array_intersect(F.col("na.cold"), F.col("nb.cold"))) + (
+        F.size(F.array_intersect(F.col("na.hot_set"), F.col("nb.hot_set")))
+    )
+    return (
+        cand.join(docs.alias("na"), F.col("id_a") == F.col("na.doc_id"))
+        .join(docs.alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            shared.alias("shared"),
+            F.col("na.n_sh").alias("n_a"),
+            F.col("nb.n_sh").alias("n_b"),
+        )
+    )
+
+
 def _pair_shared_shingles(
     df: DataFrame,
     text_col: str,
@@ -508,15 +662,41 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df_frac: float = 0.2,
     min_df_cap: int = 128,
+    mode: str = "count",
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via the shared-shingle inverted index:
     distinct shingle rows, equi-join on shingle, count shared per
     pair, |A∩B| / (|A| + |B| - |A∩B|). No cross join anywhere.
     Candidate generation and the hot-shingle skew guard (exactness
-    preserved) live in ``_pair_shared_shingles``."""
-    pairs = _pair_shared_shingles(
-        df, text_col, id_col, shingle_n, max_df_frac, min_df_cap
-    )
+    preserved) live in ``_pair_shared_shingles``.
+
+    ``mode``: 'count' (default — the r15 measurement showed it wins on
+    overlap-heavy corpora and it costs no probe pass), 'prefix'
+    (AllPairs prefix filtering — wins on Zipfian corpora, see
+    ``_prefix_pair_shared_shingles``), or 'auto' (one count-only
+    postings aggregation picks per corpus, ``_pairgen_probe``). All
+    three produce value-identical output — the choice is plan shape
+    only, so every oracle holds under every mode."""
+    if mode == "auto":
+        n_docs = df.count()
+        mode = _pairgen_probe(
+            shingle_rows(df, text_col, id_col, shingle_n),
+            threshold,
+            max(float(min_df_cap), max_df_frac * n_docs),
+        )
+    if mode == "prefix":
+        pairs = _prefix_pair_shared_shingles(
+            df, text_col, id_col, shingle_n, threshold, max_df_frac,
+            min_df_cap,
+        )
+    elif mode == "count":
+        pairs = _pair_shared_shingles(
+            df, text_col, id_col, shingle_n, max_df_frac, min_df_cap
+        )
+    else:
+        raise ValueError(
+            f"mode must be 'count', 'prefix' or 'auto', got {mode!r}"
+        )
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )

@@ -847,3 +847,102 @@ def test_hot_shingle_bound_exceeded_fallback_matches_list_path(
     assert sorted(map(tuple, ngram_jaccard_pairs(df, threshold=0.4, **kw).collect())) == base_jac
     assert sorted(map(tuple, containment_pairs(df, threshold=0.4, **kw).collect())) == base_cont
     assert base_jac  # the near-dup pair survived both shapes
+
+
+def _zipfian_corpus(n_docs=400):
+    """Deterministic Zipf-ish corpus: a tiny head vocabulary shared by
+    everyone (hot/high-df shingles) + a long singleton tail per doc,
+    plus a few true near-dup pairs found through rare shared tails."""
+    rows = []
+    for i in range(n_docs):
+        head = "the of and to in "  # high-df mass
+        tail = " ".join(f"tail{i}w{j}" for j in range(12))  # singletons
+        rows.append((i, head + tail))
+    # near-dups: share the rare tail, differ in one token
+    rows.append((9000, "the of and to in " + " ".join(f"dup{j}" for j in range(12))))
+    rows.append((9001, "the of and to in " + " ".join(f"dup{j}" for j in range(11)) + " other"))
+    return rows
+
+
+def test_ngram_jaccard_prefix_mode_matches_count_mode(spark):
+    """VERDICT r15 #6: prefix filtering (AllPairs with the hot-set
+    prefix correction) must be value-identical to inverted-index
+    counting on BOTH corpus shapes, and the probe must pick 'prefix'
+    on the Zipfian corpus and 'count' on the overlap-heavy one."""
+    from openeo_processes_dask_ml_spark.scale.dedup import (
+        _pairgen_probe,
+        ngram_jaccard_pairs,
+        shingle_rows,
+    )
+
+    zipf = spark.createDataFrame(_zipfian_corpus(), ["doc_id", "text"])
+    # overlap-heavy: every doc shares most shingles with every other
+    overlap = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta epsilon zeta eta theta "
+                + f"x{i % 3} y{i % 2}")
+            for i in range(60)
+        ],
+        ["doc_id", "text"],
+    )
+
+    for corpus, kw in [
+        (zipf, dict(threshold=0.5, max_df_frac=0.2, min_df_cap=8)),
+        (overlap, dict(threshold=0.3, max_df_frac=0.9, min_df_cap=1000)),
+    ]:
+        count = sorted(
+            map(tuple, ngram_jaccard_pairs(corpus, mode="count", **kw).collect())
+        )
+        prefix = sorted(
+            map(tuple, ngram_jaccard_pairs(corpus, mode="prefix", **kw).collect())
+        )
+        auto = sorted(
+            map(tuple, ngram_jaccard_pairs(corpus, mode="auto", **kw).collect())
+        )
+        assert prefix == count
+        assert auto == count
+
+    # the Zipfian near-dup pair is found by every mode
+    found = ngram_jaccard_pairs(
+        zipf, mode="prefix", threshold=0.5, max_df_frac=0.2, min_df_cap=8
+    ).collect()
+    assert any((r["id_a"], r["id_b"]) == (9000, 9001) for r in found)
+
+    # probe decisions per corpus shape (measured r16, SCALE_NOTES):
+    # - singleton-tail Zipf -> 'count' (sorted postings already kill
+    #   singletons pre-expansion; prefix's ordering overhead loses)
+    # - overlap-heavy -> 'count' (the r15 measurement)
+    # - mid-df template clusters at high t -> 'prefix' (C(df,2) blows
+    #   up the counting volume while prefixes hold only singletons)
+    assert _pairgen_probe(shingle_rows(zipf, "text", "doc_id", 3), 0.5, 80.0) == "count"
+    assert _pairgen_probe(shingle_rows(overlap, "text", "doc_id", 3), 0.3, 54.0) == "count"
+    clusters = spark.createDataFrame(
+        [
+            (c * 20 + i,
+             " ".join(f"c{c}t{j}" for j in range(12))
+             + " " + " ".join(f"u{c * 20 + i}w{j}" for j in range(8)))
+            for c in range(10)
+            for i in range(20)
+        ],
+        ["doc_id", "text"],
+    )
+    assert (
+        _pairgen_probe(shingle_rows(clusters, "text", "doc_id", 3), 0.8, 1000.0)
+        == "prefix"
+    )
+    cl_kw = dict(threshold=0.8, max_df_frac=0.9, min_df_cap=1000)
+    assert sorted(
+        map(tuple, ngram_jaccard_pairs(clusters, mode="prefix", **cl_kw).collect())
+    ) == sorted(
+        map(tuple, ngram_jaccard_pairs(clusters, mode="count", **cl_kw).collect())
+    )
+
+
+def test_ngram_jaccard_rejects_unknown_mode(spark):
+    import pytest as _pytest
+
+    from openeo_processes_dask_ml_spark.scale.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="mode"):
+        ngram_jaccard_pairs(df, mode="nope").collect()
