@@ -542,6 +542,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs prefix-filtering mode of ngram_jaccard_pairs (r16,
+    VERDICT r15 #6: `scale/dedup.py::_prefix_pair_shared_shingles`)
+    under the SAME value oracle as dedup_ngram_jaccard — the mode is
+    plan shape only (prefix candidate generation + exact
+    array_intersect verify), so pairs and jaccards must hash-match
+    the counting path's SQL replica exactly."""
+    from openeo_processes_dask_ml_spark.scale.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, mode="prefix"
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openeo_processes_dask_ml_spark.scale.dedup import minhash_lsh_pairs
 
@@ -600,6 +614,57 @@ def q_duplicated_spans_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(
         _t(spark, sf_dir, "documents"), span_tokens=20, shape="combine"
     )
+
+
+def q_ml_predict_time_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiled inference where the model RESIZES the temporal dimension
+    (r16: temporal axes are schema-normalized to datetime64 — this
+    path previously crashed, ml/inference.py). An irregular daily axis
+    (days with day-of-month % 7 == 0 removed) tiles by 2 and the model
+    upsamples each tile to 4, so coordinate regeneration runs the
+    datetime epoch-linspace branch end-to-end: per-tile start, the
+    NEXT coordinate as the exclusive end (tile lookahead), and the
+    full-axis MEAN spacing for the global-last tile (reference
+    data_model.py:822-844). The oracle replays np.linspace's exact
+    float64 arithmetic — trunc(j * ((end-start)/4.0) + start) on ns
+    epochs — so timestamps hash-match to the microsecond. Values are
+    per-day COUNTS (exact integers: no float fold-order hazard)."""
+    import numpy as np
+
+    from openeo_processes_dask_ml_spark.cube import CubeFrame
+    from openeo_processes_dask_ml_spark.ml.inference import run_model_tiled
+    from openeo_processes_dask_ml_spark.mlm.descriptor import (
+        MLModelDescriptor,
+        ModelInput,
+        ModelOutput,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.dayofmonth("ts") % 7 != 0)
+        .groupBy(F.date_trunc("day", "ts").alias("t"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("band", F.lit("n"))
+    )
+    cube = CubeFrame(daily, {"time": "t", "bands": "band"}, "value")
+    descriptor = MLModelDescriptor(
+        item={"id": "time-resize"},
+        input=ModelInput.parse(
+            {
+                "bands": ["n"],
+                "input": {
+                    "shape": [-1, 1, 2],
+                    "dim_order": ["batch", "bands", "time"],
+                },
+            }
+        ),
+        output=ModelOutput.parse(
+            {"result": {"shape": [-1, 4], "dim_order": ["batch", "time"]}}
+        ),
+        framework="fake",
+    )
+    up = lambda b: np.repeat(b[:, 0], 2, axis=-1)  # noqa: E731
+    return run_model_tiled(cube, descriptor, up).select("t", "value")
 
 
 def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5233,6 +5298,8 @@ QUERY_ORDER = [
     "streaming_sessionize",
     "multimodal_features",
     "ann_lsh",
+    "dedup_ngram_prefix",
+    "ml_predict_time_resize",
 ]
 
 # queries() keys that do not follow the "q_<name>" naming convention.
@@ -6088,6 +6155,45 @@ JOIN sh sa ON id_a = sa.doc_id
 JOIN sh sb ON id_b = sb.doc_id
 WHERE has_cold = 1
   AND shared::DOUBLE / (len(sa.shingles) + len(sb.shingles) - shared) >= 0.5
+"""
+
+    # prefix-filtering mode: identical semantics, different plan —
+    # the SAME oracle must hash-match both modes (r16)
+    sql["dedup_ngram_prefix"] = sql["dedup_ngram_jaccard"]
+
+    # datetime regeneration replay (r16): np.linspace computes
+    # y = j * ((end - start) / 4.0) + start in float64 and truncates
+    # to int64 ns; every op below mirrors that order bit-for-bit
+    # (delta as an INT difference cast once, division by the power-of
+    # -two num exact, trunc toward zero, then ns -> us floor).
+    # mean spacing = trunc of the telescoped integer division, the
+    # np.mean(timedelta64) semantics.
+    sql["ml_predict_time_resize"] = """
+WITH vals AS (
+  SELECT date_trunc('day', ts) AS t, CAST(count(*) AS DOUBLE) AS value
+  FROM events WHERE day(ts) % 7 <> 0 GROUP BY 1
+), ord AS (
+  SELECT t, value, row_number() OVER (ORDER BY t) - 1 AS i FROM vals
+), params AS (
+  SELECT (epoch_ns(max(t)) - epoch_ns(min(t))) // (count(*) - 1) AS mean_ns
+  FROM ord
+), tiles AS (
+  SELECT a.i // 2 AS tile,
+         epoch_ns(a.t) AS s_ns,
+         COALESCE(epoch_ns(nxt.t),
+                  epoch_ns(b.t) + (SELECT mean_ns FROM params)) AS e_ns,
+         a.value AS v0, b.value AS v1
+  FROM ord a
+  JOIN ord b ON b.i = a.i + 1 AND a.i % 2 = 0
+  LEFT JOIN ord nxt ON nxt.i = a.i + 2
+), outp AS (
+  SELECT trunc(CAST(j AS DOUBLE)
+               * (CAST(e_ns - s_ns AS DOUBLE) / 4.0)
+               + CAST(s_ns AS DOUBLE)) AS o_ns,
+         CASE WHEN j < 2 THEN v0 ELSE v1 END AS value
+  FROM tiles, range(4) r(j)
+)
+SELECT make_timestamp(CAST(o_ns AS BIGINT) // 1000) AS t, value FROM outp
 """
 
     sql["dedup_minhash_lsh"] = _minhash_oracle()
