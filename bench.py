@@ -174,6 +174,13 @@ HEADLINE = [
     "streaming_warc_sink",
     "boilerplate_removal",
     "pipeline_crawl_frontier",
+    # round 16 addition: the datetime-resizing tiled-inference gate.
+    # dedup_ngram_prefix stays a CORRECTNESS gate only: the sf fixture
+    # is the overlap-heavy regime where prefix filtering deliberately
+    # loses to counting (5.6 vs 3.1 s — that trade is the point of
+    # _pairgen_probe), so benching it would time a plan the auto mode
+    # would never pick here.
+    "ml_predict_time_resize",
 ]
 
 
