@@ -472,6 +472,22 @@ _DEFAULT_WARC_DATE = "2024-01-01T00:00:00Z"
 _CDX_SPILL_ROWS = 65536
 
 
+def _spill_dir() -> str | None:
+    """Scratch dir for executor-side spills: Spark's configured local
+    dirs (SPARK_LOCAL_DIRS; LOCAL_DIRS under YARN) win over the
+    system default — on cluster images /tmp is often a small root
+    partition or RAM-backed tmpfs, which would turn a tens-of-GB CDX
+    spill into ENOSPC or the very memory pressure the spill exists to
+    bound (r16 review). None -> tempfile's default (local mode)."""
+    for var in ("SPARK_LOCAL_DIRS", "LOCAL_DIRS"):
+        dirs = os.environ.get(var, "")
+        for d in dirs.split(","):
+            d = d.strip()
+            if d and os.path.isdir(d):
+                return d
+    return None
+
+
 def write_warc_shards(
     df: DataFrame,
     out_dir: str,
@@ -655,7 +671,9 @@ def write_warc_shards(
                         )
                         if len(cdx_buf) >= _CDX_SPILL_ROWS:
                             if cdx_spill is None:
-                                cdx_spill = tempfile.TemporaryFile()
+                                cdx_spill = tempfile.TemporaryFile(
+                                    dir=_spill_dir()
+                                )
                             pickle.dump(
                                 cdx_buf,
                                 cdx_spill,

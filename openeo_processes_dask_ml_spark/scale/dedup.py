@@ -460,6 +460,7 @@ def _prefix_pair_shared_shingles(
     threshold: float,
     max_df_frac: float,
     min_df_cap: int,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """AllPairs/PPJoin-style candidate generation (Bayardo et al. 2007;
     Chaudhuri et al. 2006) with the hot-set-corrected prefix length
@@ -477,7 +478,8 @@ def _prefix_pair_shared_shingles(
     singleton shingles fill the prefixes (see ``_pairgen_probe``);
     loses on overlap-heavy ones where the exact verify outweighs the
     candidate reduction (the r15 measurement)."""
-    inv = shingle_rows(df, text_col, id_col, shingle_n)
+    if inv is None:
+        inv = shingle_rows(df, text_col, id_col, shingle_n)
     hot_list = _hot_shingle_list(df, inv, id_col, max_df_frac, min_df_cap)
     if hot_list == []:
         stats = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -520,8 +522,16 @@ def _prefix_pair_shared_shingles(
             F.expr("transform(ordered, x -> x.shingle)").alias("cold"),
         )
     )
+    # ceil over t*n computed 1e-9 CONSERVATIVE: float64 can overshoot
+    # an exact product (0.07 * 100 -> 7.000000000000001 -> ceil 8),
+    # which would shorten the prefix and drop pairs the counting
+    # path's float filter emits (r16 review). The epsilon dominates
+    # the product's rounding error (<= n * ulp(t) ~ 1e-11 at n = 1e6)
+    # and at worst lengthens a prefix by one slot — extra candidates
+    # are harmless, the verify is exact.
     k = F.greatest(
-        F.ceil(F.lit(float(threshold)) * F.col("n_sh")) - F.size("hot_set"),
+        F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
+        - F.size("hot_set"),
         F.lit(1),
     )
     prefix_len = F.greatest(F.size("cold") - k + 1, F.lit(0))
@@ -568,6 +578,7 @@ def _pair_shared_shingles(
     shingle_n: int,
     max_df_frac: float,
     min_df_cap: int,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, shared, n_a, n_b) for every candidate pair sharing
     at least one COLD shingle — the common core of
@@ -584,7 +595,8 @@ def _pair_shared_shingles(
     pair with zero extra shuffles. Only pairs whose shared shingles
     are ALL ultra-common can be missed — such pairs carry no
     discriminative signal for either overlap measure."""
-    inv = shingle_rows(df, text_col, id_col, shingle_n)
+    if inv is None:
+        inv = shingle_rows(df, text_col, id_col, shingle_n)
     # hot set materialized ONCE (bounded driver list — see
     # _hot_shingle_list); the empty case (the norm: the cap targets
     # pathological stop-word shingles) skips hot handling entirely —
@@ -677,21 +689,25 @@ def ngram_jaccard_pairs(
     postings aggregation picks per corpus, ``_pairgen_probe``). All
     three produce value-identical output — the choice is plan shape
     only, so every oracle holds under every mode."""
+    inv = None
     if mode == "auto":
+        # build the shingle projection ONCE and hand it to the chosen
+        # path (r16 review: auto paid a second full tokenize/explode);
+        # df.count() on a parquet-backed corpus is metadata-only
         n_docs = df.count()
+        inv = shingle_rows(df, text_col, id_col, shingle_n)
         mode = _pairgen_probe(
-            shingle_rows(df, text_col, id_col, shingle_n),
-            threshold,
-            max(float(min_df_cap), max_df_frac * n_docs),
+            inv, threshold, max(float(min_df_cap), max_df_frac * n_docs)
         )
     if mode == "prefix":
         pairs = _prefix_pair_shared_shingles(
             df, text_col, id_col, shingle_n, threshold, max_df_frac,
-            min_df_cap,
+            min_df_cap, inv=inv,
         )
     elif mode == "count":
         pairs = _pair_shared_shingles(
-            df, text_col, id_col, shingle_n, max_df_frac, min_df_cap
+            df, text_col, id_col, shingle_n, max_df_frac, min_df_cap,
+            inv=inv,
         )
     else:
         raise ValueError(

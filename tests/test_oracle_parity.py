@@ -158,7 +158,7 @@ def test_driver_window_composition_pinned():
     # Post-driver consistency: once the driver has recorded this
     # round's CORRECTNESS file, its keys are exactly the window.
     rounds = {
-        int(re.search(r"r(\d+)", p).group(1)): p
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1)): p
         for p in glob.glob(str(REPO / "CORRECTNESS_r*.json"))
     }
     this_round = rounds.get(manifest["round"])
@@ -182,7 +182,16 @@ def test_driver_window_composition_pinned():
         for k in json.loads(open(p).read()):
             last_green[k] = r
     fill = [n for n in window if n not in changed]
-    outside = [n for n in order[50:] if n not in changed]
+    # queries with NO green history are exempt from the staleness
+    # comparison: they are this round's additions, appended to the
+    # tail until the next rotation puts them (as changed) at the
+    # front — counting them as "stale since r0" made the pin test go
+    # red the moment a new gate landed mid-round (r16 review).
+    outside = [
+        n
+        for n in order[50:]
+        if n not in changed and last_green.get(n, 0) > 0
+    ]
     if fill and outside:
         newest_fill = max(last_green.get(n, 0) for n in fill)
         stalest_out = min(last_green.get(n, 0) for n in outside)

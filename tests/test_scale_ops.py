@@ -946,3 +946,24 @@ def test_ngram_jaccard_rejects_unknown_mode(spark):
     df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="mode"):
         ngram_jaccard_pairs(df, mode="nope").collect()
+
+
+def test_ngram_jaccard_prefix_mode_float_threshold_boundary(spark):
+    """r16 review: ceil(t*n) in float64 can overshoot an exact product
+    (0.07*100 -> 7.000000000000001 -> ceil 8), shortening the prefix
+    and dropping pairs the counting path emits. The conservative
+    epsilon must keep the modes identical at such boundaries."""
+    from openeo_processes_dask_ml_spark.scale.dedup import ngram_jaccard_pairs
+
+    # doc 1 has 100 distinct shingles (102 tokens), doc 2's 7 shingles
+    # are a subset -> jaccard = 7/100 = exactly 0.07
+    toks_a = [f"w{i}" for i in range(102)]
+    toks_b = toks_a[:9]  # 7 shingles, all shared
+    df = spark.createDataFrame(
+        [(1, " ".join(toks_a)), (2, " ".join(toks_b))], ["doc_id", "text"]
+    )
+    kw = dict(threshold=0.07, max_df_frac=0.9, min_df_cap=1000)
+    count = sorted(map(tuple, ngram_jaccard_pairs(df, mode="count", **kw).collect()))
+    prefix = sorted(map(tuple, ngram_jaccard_pairs(df, mode="prefix", **kw).collect()))
+    assert count and count[0][:2] == (1, 2)
+    assert prefix == count

@@ -68,6 +68,10 @@ def main() -> None:
     changed = [n for n in args.changed.split(",") if n]
     if args.changed_file:
         changed += Path(args.changed_file).read_text().split()
+    # dedup BEFORE the guard and the manifest write: rotate() dedups
+    # the window front, so an un-deduped manifest would fail the very
+    # pin test this tool exists to keep green (r16 review)
+    changed = list(dict.fromkeys(changed))
     if len(changed) > WINDOW:
         raise SystemExit(f"{len(changed)} changed queries exceed the {WINDOW}-slot window")
 
