@@ -5063,59 +5063,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_process_graph(spark, SF001)
 
 
-# ROTATION PROTOCOL (standing, VERDICT r2 item 1 / r4 item 1): the
-# driver checks only the FIRST 50 entries each round. Queries whose
-# latest green CORRECTNESS row is OLDEST go first; queries green in
-# the immediately-previous round rotate to the tail. When editing:
-# (1) new/changed queries -> front, (2) then oldest-green,
-# (3) last-round greens -> tail.
+# ROTATION PROTOCOL (standing, VERDICT r2 #1 / r4 #1 / r15 #1): the
+# driver checks only the FIRST 50 entries of QUERY_ORDER each round.
+# QUERY_ORDER is a rotation QUEUE: each round, (1) queries whose
+# engine or oracle changed jump to the front (their first driver
+# check covers the new semantics), (2) the rest of the window fills
+# from the head of the old tail (the longest-unchecked queries,
+# because every checked window rotates to the tail), (3) the old
+# window moves to the tail. At ~175 queries and a 50-slot window the
+# steady-state re-verification cadence is ceil(175/50) = 4 rounds.
 #
-# r14 window (slots 1-50), per VERDICT r13 directive 1:
-#   slots 1-4:   NEW r14 gates — bm25_from_index (the BM25
-#     build-once/query-many index lifecycle, VERDICT r13 #6),
-#     cdx_export (the CDX(J) product + random-access fetch,
-#     VERDICT r13 #4), cdx_revisit (cross-crawl revisit
-#     resolution — Common Crawl's dedup model),
-#     robots_directives (crawl-delay + sitemap pointers),
-#     sitemap_urls (frontier <loc> extraction),
-#     streaming_warc_sink (the foreachBatch write twin),
-#     boilerplate_removal (RefinedWeb line-wise corrections), and
-#     pipeline_crawl_frontier (the r14 web operators composed:
-#     sitemap -> canonicalize -> dedup -> robots). The window
-#     header is slots 1-8 now.
-#   slots 9-26:  ALL 18 r13 additions that have never been inside
-#     a driver window (the nine TPC-H completions, the WARC/WET/
-#     WAT product suite + streaming twin, robots_filter +
-#     line_dedup, global_sort_index, zorder_layout) — exactly the
-#     set VERDICT r13 #1 mandates. robots_filter, tpch_q15 and
-#     the four WARC-family gates also CHANGED r14 (RFC 9309
-#     wildcards + CRLF + row-preserving output; exact-integer max
-#     gate; bounded-memory streaming decompressor + deterministic
-#     record IDs) — their first driver check covers the new
-#     semantics.
-#   slots 27-28: zarr_roundtrip + streaming_zarr_ingest (CHANGED
-#     r13 — raw-store decode + one-agg axis collection; mandated
-#     into this window by VERDICT r13 #1).
-#   slots 29-50: the 22 OLDEST greens (r11 cohort, 3 rounds old).
-# Tail: the remaining 24 r11 greens (streaming_incremental_dedup,
-# decontaminate_fuzzy, ann_ivf, semantic_dedup,
-# dedup_ngram_jaccard, leakage_safe_split first — they complete
-# the r11 cohort in the r15 window), then the 50 r12 greens, then
-# the 50 r13-window greens (freshest last).
-#
-# Rotation arithmetic (standing, stated honestly): at 174 queries
-# (166 + the eight r14 gates) and a 50-slot window the
-# steady-state re-verification cadence is ceil(174/50) = 4
-# rounds. After r14 the oldest driver green on the surface is r12
-# for 24 queries (the r11-cohort remainder leading the r15
-# window); everything else is <= 2 rounds old.
-#
-# QUERY_ORDER is the single source of truth for the rotation queue:
-# queries() is built from it, the first 50 names ARE the driver window,
-# and tools/driver_window.json mirrors it (pinned by
-# tests/test_oracle_parity.py). Rotate with tools/rotate_window.py —
-# never by hand-reordering — so the manifest, the dict, and the pin
-# can never drift apart again (the r15 closing defect).
+# Do NOT reorder by hand: run
+#   python tools/rotate_window.py --round N --changed a,b,c
+# which rewrites this list AND tools/driver_window.json in one shot;
+# tests/test_oracle_parity.py::test_driver_window_composition_pinned
+# derives its pin from that manifest plus the committed CORRECTNESS
+# history, so a hand edit or a missed manifest update fails pytest
+# (the r15 closing defect this machinery eliminates). New queries are
+# appended to the tail mid-round and join the front as "changed" at
+# the next rotation.
 QUERY_ORDER = [
     # --- r15 window slots 1-34: every query whose engine or
     #     oracle changed this round (tokenization alignment,
