@@ -5083,10 +5083,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # appended to the tail mid-round and join the front as "changed" at
 # the next rotation.
 QUERY_ORDER = [
-    # --- r15 window slots 1-34: every query whose engine or
-    #     oracle changed this round (tokenization alignment,
-    #     postings pair-gen, LSH group verify, BPE batching,
-    #     pagerank two-tier, RF metrics, MLM schema, WARC commit) ---
+    "dedup_ngram_prefix",
+    "ml_predict_time_resize",
     "dedup_ngram_jaccard",
     "containment",
     "dedup_fuzzy",
@@ -5095,91 +5093,22 @@ QUERY_ORDER = [
     "leakage_safe_split",
     "dedup_minhash_lsh",
     "incremental_minhash",
-    "decontaminate",
     "decontaminate_fuzzy",
-    "bloom_decontaminate",
-    "doc_fingerprint",
     "duplicated_spans",
     "duplicated_spans_combine",
     "span_removal",
-    "dsir_select",
-    "dsir_select_picks",
-    "dsir_bucket_hist",
-    "dsir_doc_grams",
-    "bpe_merges",
-    "domain_pagerank",
-    "pipeline_crawl_frontier",
     "dedup_embedding",
-    "ml_fit_predict_rf",
     "ml_predict_tiled",
-    "ml_predict_preproc",
-    "process_graph",
-    "graph_ml_pipeline",
-    "streaming_warc_sink",
     "cdx_export",
     "cdx_revisit",
     "warc_ingest",
     "wet_export",
     "wat_export",
-    # --- slots 35-50: the 16 oldest greens (deepest tail of the
-    #     r14 ordering), per the rotation protocol ---
-    "filter_bands",
-    "filter_temporal",
-    "apply_unary",
-    "ann_ivfpq_from_index",
-    "quarantine_ingest",
-    "raster_decode_cube",
-    "raster_ndvi_pipeline",
-    "raster_roundtrip_gtiff",
-    "decontaminate_semantic",
-    "text_language_id",
-    "reduce_dimension",
-    "aggregate_temporal_period",
-    "ndvi_bandmath",
-    "window_running_sum",
-    "graph_fit_curve",
-    "graph_zonal",
-    # --- rotation tail: last-round greens first, then the rest ---
-    "bm25_from_index",
-    "robots_directives",
-    "boilerplate_removal",
-    "sitemap_urls",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q21",
-    "tpch_q22",
     "warc_html_pipeline",
     "streaming_warc_ingest",
-    "robots_filter",
-    "line_dedup",
-    "global_sort_index",
-    "zorder_layout",
-    "zarr_roundtrip",
+    "streaming_warc_sink",
     "streaming_zarr_ingest",
-    "raster_decode_webp",
-    "video_decode_mjpeg",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q14",
-    "tpch_q19",
-    "pack_sequences",
-    "streaming_enrich",
-    "unigram_logprob",
-    "ccnet_buckets",
-    "mixture_sample",
-    "incremental_dedup",
-    "hard_negatives",
-    "property_filter",
-    "json_extract",
-    "cube_agg",
-    "asof_join",
-    "resample_cube_temporal",
-    "ann_pq",
+    "ann_ivfpq_from_index",
     "streaming_incremental_dedup",
     "ann_ivf",
     "semantic_dedup",
@@ -5264,8 +5193,72 @@ QUERY_ORDER = [
     "streaming_sessionize",
     "multimodal_features",
     "ann_lsh",
-    "dedup_ngram_prefix",
-    "ml_predict_time_resize",
+    "bm25_from_index",
+    "robots_directives",
+    "boilerplate_removal",
+    "sitemap_urls",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q22",
+    "robots_filter",
+    "line_dedup",
+    "global_sort_index",
+    "zorder_layout",
+    "zarr_roundtrip",
+    "raster_decode_webp",
+    "video_decode_mjpeg",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q19",
+    "pack_sequences",
+    "streaming_enrich",
+    "unigram_logprob",
+    "ccnet_buckets",
+    "mixture_sample",
+    "incremental_dedup",
+    "hard_negatives",
+    "property_filter",
+    "json_extract",
+    "cube_agg",
+    "asof_join",
+    "resample_cube_temporal",
+    "ann_pq",
+    "decontaminate",
+    "bloom_decontaminate",
+    "doc_fingerprint",
+    "dsir_select",
+    "dsir_select_picks",
+    "dsir_bucket_hist",
+    "dsir_doc_grams",
+    "bpe_merges",
+    "domain_pagerank",
+    "pipeline_crawl_frontier",
+    "ml_fit_predict_rf",
+    "ml_predict_preproc",
+    "process_graph",
+    "graph_ml_pipeline",
+    "filter_bands",
+    "filter_temporal",
+    "apply_unary",
+    "quarantine_ingest",
+    "raster_decode_cube",
+    "raster_ndvi_pipeline",
+    "raster_roundtrip_gtiff",
+    "decontaminate_semantic",
+    "text_language_id",
+    "reduce_dimension",
+    "aggregate_temporal_period",
+    "ndvi_bandmath",
+    "window_running_sum",
+    "graph_fit_curve",
+    "graph_zonal",
 ]
 
 # queries() keys that do not follow the "q_<name>" naming convention.

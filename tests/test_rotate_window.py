@@ -60,3 +60,31 @@ def test_dry_run_round_trips_manifest_shape():
     assert m["round"] == 98
     assert m["window"][0] == "dedup_exact"
     assert len(m["window"]) == 50
+
+
+def test_rotate_age_based_fill():
+    """r16: the fill portion picks the OLDEST greens by CORRECTNESS
+    age, not queue position — jump-to-front rotations drift the queue
+    away from age; position remains the in-cohort tie-break."""
+    old = [f"q{i}" for i in range(120)]
+    last = {n: 5 for n in old}
+    for i in range(100, 120):
+        last[f"q{i}"] = 1  # deep tail, genuinely stalest
+    new = rw.rotate(old, ["q3"], last)
+    fill = new[1:50]
+    assert fill[:20] == [f"q{i}" for i in range(100, 120)]
+    assert fill[20:] == [n for n in old[50:100] if n != "q3"][:29]
+
+
+def test_read_last_green_matches_history():
+    import json
+
+    last = rw.read_last_green(99)
+    files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    assert files
+    # spot-check: every query in the newest file maps to that round
+    import re
+    newest = files[-1]
+    r = int(re.search(r"r(\d+)", newest.name).group(1))
+    for name in json.loads(newest.read_text()):
+        assert last[name] == r

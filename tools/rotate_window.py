@@ -44,17 +44,44 @@ def read_order(src: str) -> list[str]:
     return re.findall(r'^\s*"([^"]+)",\s*$', m.group(1), re.M)
 
 
-def rotate(old: list[str], changed: list[str]) -> list[str]:
+def rotate(
+    old: list[str],
+    changed: list[str],
+    last_green: dict[str, int] | None = None,
+) -> list[str]:
     unknown = [n for n in changed if n not in old]
     # changed names not yet in the queue are NEW queries this round —
     # they join the front like any other changed query.
     old_window, old_tail = old[:WINDOW], old[WINDOW:]
     front = list(dict.fromkeys(changed))
     fill = [n for n in old_tail if n not in front]
+    if last_green is not None:
+        # fill by ACTUAL staleness (last round each query appeared in
+        # a committed CORRECTNESS file), not by queue position: jump-
+        # to-front rotations drift the queue away from age (the r15
+        # window carried r13 greens while r11 greens sat deeper in
+        # the tail), and the pin test checks the ages. Queue position
+        # stays the deterministic tie-break within a cohort.
+        pos = {n: i for i, n in enumerate(old)}
+        fill.sort(key=lambda n: (last_green.get(n, 0), pos[n]))
     rotated_out = [n for n in old_window if n not in front]
     new = front + fill + rotated_out
     assert sorted(new) == sorted(set(old) | set(unknown)), "rotation lost names"
     return new
+
+
+def read_last_green(upto_round: int) -> dict[str, int]:
+    """query -> newest round (< upto_round) whose committed
+    CORRECTNESS file contains it; absent = never driver-checked."""
+    last: dict[str, int] = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        r = int(m.group(1))
+        if r >= upto_round:
+            continue
+        for name in json.loads(p.read_text()):
+            last[name] = max(last.get(name, 0), r)
+    return last
 
 
 def main() -> None:
@@ -77,7 +104,7 @@ def main() -> None:
 
     src = ENTRY.read_text()
     old = read_order(src)
-    new = rotate(old, changed)
+    new = rotate(old, changed, read_last_green(args.round))
 
     manifest = {"round": args.round, "changed": changed, "window": new[:WINDOW]}
     if args.dry_run:
@@ -97,8 +124,8 @@ def main() -> None:
     MANIFEST.write_text(json.dumps(manifest, indent=1) + "\n")
     print(
         f"rotated for r{args.round}: {len(changed)} changed lead the window, "
-        f"{WINDOW - len(changed)} filled from the queue head; "
-        f"old window moved to tail ({len(new)} total)"
+        f"{WINDOW - len(changed)} filled oldest-green-first from the "
+        f"CORRECTNESS history; old window moved to tail ({len(new)} total)"
     )
     print("now run: python -m pytest tests/test_oracle_parity.py -q  (same commit!)")
 
