@@ -404,13 +404,19 @@ def cosine_pairs_lsh(
     # groups produce exactly one (self, self) block — the common case
     # pays only the array_sort.
     cap = int(max_bucket_verify)
+    # same-blocks carry an EMPTY mb (slice(members, 1, 0)) instead of a
+    # second copy of ma: the common under-cap case would otherwise
+    # double every group's vector bytes through the shuffle/Arrow
+    # boundary (r16 bench: dedup_embedding 1.6 -> 2.4 s from exactly
+    # that duplication)
     blocks_expr = F.expr(
         f"""
         flatten(transform(sequence(0, int(ceil(size(members) / {cap})) - 1,
         1), i -> transform(sequence(i, int(ceil(size(members) / {cap})) - 1,
         1), j -> struct(
             slice(members, i * {cap} + 1, {cap}) as ma,
-            slice(members, j * {cap} + 1, {cap}) as mb,
+            if(i = j, slice(members, 1, 0),
+               slice(members, j * {cap} + 1, {cap})) as mb,
             i = j as same))))
         """
     )
@@ -441,6 +447,23 @@ def cosine_pairs_lsh(
             # per-vector norms: same strict fold as the pair path
             nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
             return vids, V, nrm
+
+        # accumulate small groups and flush at ~64k pairs: one Arrow
+        # frame per tiny group was thousands of micro-batches (r16
+        # bench regression); degenerate blocks still flush alone
+        acc_a, acc_b, acc_c, acc_n = [], [], [], 0
+
+        def flush():
+            nonlocal acc_a, acc_b, acc_c, acc_n
+            out = pd.DataFrame(
+                {
+                    "id_a": np.concatenate(acc_a) if acc_a else np.array([], np.int64),
+                    "id_b": np.concatenate(acc_b) if acc_b else np.array([], np.int64),
+                    "cosine": np.concatenate(acc_c) if acc_c else np.array([], np.float64),
+                }
+            )
+            acc_a, acc_b, acc_c, acc_n = [], [], [], 0
+            return out
 
         for pdf in batches:
             for ma, mb, same in zip(pdf["ma"], pdf["mb"], pdf["same"]):
@@ -481,15 +504,17 @@ def cosine_pairs_lsh(
                     c_out.append(
                         np.floor(cos[ii[keep], jj[keep]] * 1e6 + 0.5) / 1e6
                     )
-                # one output frame per block row: a degenerate bucket's
-                # pair volume never accumulates across the whole batch
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(a_out) if a_out else np.array([], np.int64),
-                        "id_b": np.concatenate(b_out) if b_out else np.array([], np.int64),
-                        "cosine": np.concatenate(c_out) if c_out else np.array([], np.float64),
-                    }
-                )
+                acc_a += a_out
+                acc_b += b_out
+                acc_c += c_out
+                acc_n += sum(len(x) for x in a_out)
+                # flush at ~64k pairs: bounds the buffered pair volume
+                # (a degenerate block flushes on its own) without
+                # paying one Arrow frame per tiny group
+                if acc_n >= 65536:
+                    yield flush()
+            if acc_n:
+                yield flush()
 
     return packed.mapInPandas(verify_groups, schema=out_schema).distinct()
 
