@@ -143,10 +143,18 @@ def main() -> None:
         "mode": "paired",
         "reps": reps,
         # per-rep total ratio: each rep is one contiguous pass where
-        # every pair shared ambient load — the spread across reps IS
-        # the co-tenancy noise gauge
+        # every pair shared ambient load. Rep 1 is systematically
+        # Spark-biased (every query's FIRST run pays whole-stage
+        # codegen; DuckDB has no JIT), so the warm spread — over reps
+        # 2..n, whose remaining variation is ambient phase drift
+        # between ~20-minute passes — is the honest noise gauge.
         "rep_ratios": rep_ratio,
         "ratio_spread": round(max(rep_ratio) - min(rep_ratio), 3),
+        "warm_ratio_spread": round(
+            max(rep_ratio[1:]) - min(rep_ratio[1:]), 3
+        )
+        if len(rep_ratio) > 1
+        else 0.0,
         "pair_ratio_top5": dict(
             sorted(
                 ((n, r) for n, r in pair_ratio.items() if r is not None),
