@@ -786,3 +786,44 @@ def test_boilerplate_matches_pure_python_reference(spark):
         assert got == {i: ref(p) for i, p in enumerate(docs)}
 
     run()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    threshold=st.sampled_from([0.07, 0.13, 0.3, 0.5, 0.66, 0.8]),
+)
+def test_prefix_mode_equals_count_mode_on_random_corpora(
+    spark, seed, threshold
+):
+    """r16 invariant: ngram_jaccard_pairs mode='prefix' is value-
+    identical to mode='count' for ANY corpus and threshold (the modes
+    differ in plan shape only — prefix candidate generation must be a
+    superset of every float-filter-passing cold-sharing pair). Random
+    corpora mix cluster templates, unique tails, near-dups, and short
+    docs; thresholds include non-dyadic floats (the r16 ceil-overshoot
+    regression class)."""
+    import random as _random
+
+    from openeo_processes_dask_ml_spark.scale.dedup import ngram_jaccard_pairs
+
+    rng = _random.Random(seed)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = []
+    for i in range(rng.randint(8, 25)):
+        n = rng.randint(1, 25)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3 and docs:
+            # near-dup of an earlier doc with a small edit
+            base = docs[rng.randrange(len(docs))][1].split()
+            toks = base[: max(1, len(base) - rng.randint(0, 2))] + toks[:2]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kw = dict(
+        threshold=threshold,
+        max_df_frac=rng.choice([0.2, 0.5, 0.9]),
+        min_df_cap=rng.choice([1, 4, 128]),
+    )
+    count = sorted(map(tuple, ngram_jaccard_pairs(df, mode="count", **kw).collect()))
+    prefix = sorted(map(tuple, ngram_jaccard_pairs(df, mode="prefix", **kw).collect()))
+    assert prefix == count
