@@ -2475,20 +2475,35 @@ def q_ann_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"ivf_index_{os.path.basename(sf_dir.rstrip(chr(47)))}_{os.getpid()}",
     )
-    seeds_df.write.mode("overwrite").parquet(f"{root}/seeds")
+    # ONE write job (r16, the ivfpq meta-fold pattern): the n_lists
+    # seed rows ride the partitioned write as the reserved partition
+    # list_id = -1 (schema-harmonized: seed_id/sv/snrm -> vid/v/nrm),
+    # so querying still partition-prunes to exactly the probed lists
+    # and the separate tiny seeds write job disappears.
     # repartition on the partition column BEFORE a partitioned write —
     # otherwise every shuffle partition writes into every list dir
     # (32 x n_lists small files; at warehouse scale that's the classic
     # small-files explosion). One file per list here.
-    lists_df.repartition("list_id").write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{root}/lists"
+    seeds_as_rows = seeds_df.select(
+        F.col("seed_id").alias("vid"),
+        F.lit(-1).alias("list_id"),
+        F.col("sv").alias("v"),
+        F.col("snrm").alias("nrm"),
     )
+    lists_df.unionByName(seeds_as_rows).repartition("list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{root}/lists")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    stored = spark.read.parquet(f"{root}/lists")
     return ivf_topk_from_index(
-        spark.read.parquet(f"{root}/seeds"),
-        spark.read.parquet(f"{root}/lists"),
+        stored.filter(F.col("list_id") == -1).select(
+            F.col("vid").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nrm").alias("snrm"),
+        ),
+        stored.filter(F.col("list_id") >= 0),
         queries,
         k=5,
         n_probe=2,
@@ -2514,17 +2529,31 @@ def q_ann_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"pq_index_{os.path.basename(sf_dir.rstrip(chr(47)))}_{os.getpid()}",
     )
-    cb_df.write.mode("overwrite").parquet(f"{root}/codebooks")
+    # ONE write job (r16, the ivfpq meta-fold pattern): codebooks are
+    # m*ks tiny rows — persist them alongside the codes in a single
+    # parquet with a kind discriminator and split on reload.
     # m small ints per row compress to ~nothing: target a few fat
     # files, not one per shuffle partition (small-files hygiene; at
     # warehouse scale pick files ~= target HDFS/S3 block size)
-    codes_df.coalesce(4).write.mode("overwrite").parquet(f"{root}/codes")
+    null = lambda t: F.lit(None).cast(t)  # noqa: E731
+    merged = codes_df.select(
+        F.lit("codes").alias("kind"), "vid", "codes",
+        null("int").alias("j"), null("int").alias("c"),
+        null("array<double>").alias("w"),
+    ).unionByName(
+        cb_df.select(
+            F.lit("cb").alias("kind"), null("long").alias("vid"),
+            null("array<int>").alias("codes"), "j", "c", "w",
+        )
+    )
+    merged.coalesce(4).write.mode("overwrite").parquet(f"{root}/codes")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    stored = spark.read.parquet(f"{root}/codes")
     return pq_topk_from_index(
-        spark.read.parquet(f"{root}/codebooks"),
-        spark.read.parquet(f"{root}/codes"),
+        stored.filter(F.col("kind") == "cb").select("j", "c", "w"),
+        stored.filter(F.col("kind") == "codes").select("vid", "codes"),
         queries,
         k=5,
     )
