@@ -112,12 +112,17 @@ def main() -> None:
     qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     con.execute(sql["tpch_q1"]).fetchall()
 
+    # reps are QUERY-LOCAL (S,D,S,D,... within seconds of each other,
+    # r16): ambient load drifts on ~minutes timescales, so running all
+    # of a query's reps adjacently makes every Spark/DuckDB pair — and
+    # therefore every per-rep total — share the same load phase. The
+    # earlier whole-pass rep loop left ~20 minutes between a query's
+    # reps, which re-introduced exactly the phase drift pairing was
+    # meant to cancel (first paired run: warm rep ratios 1.31/1.07).
     s_times: dict[str, list] = {n: [] for n in matched}
     d_times: dict[str, list] = {n: [] for n in matched}
-    rep_ratio: list[float] = []
-    for _ in range(reps):
-        s_tot = d_tot = 0.0
-        for name in matched:
+    for name in matched:
+        for _ in range(reps):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             t1 = time.time()
@@ -125,13 +130,18 @@ def main() -> None:
             t2 = time.time()
             s_times[name].append(t1 - t0)
             d_times[name].append(t2 - t1)
-            s_tot += t1 - t0
-            d_tot += t2 - t1
-            for rdd in list(
-                spark.sparkContext._jsc.getPersistentRDDs().values()
-            ):
-                rdd.unpersist(False)
-        rep_ratio.append(round(s_tot / d_tot, 3))
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist(False)
+    rep_ratio = [
+        round(
+            sum(s_times[n][i] for n in matched)
+            / sum(d_times[n][i] for n in matched),
+            3,
+        )
+        for i in range(reps)
+    ]
 
     spark_q = {n: round(min(ts), 3) for n, ts in s_times.items()}
     duck_q = {n: round(min(ts), 3) for n, ts in d_times.items()}
