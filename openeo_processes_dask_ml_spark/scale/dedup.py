@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openeo_processes_dask_ml_spark.scale.tuning import (
+    fan_out,
+    materialize,
+    materialize_eager,
+)
 from openeo_processes_dask_ml_spark.utils.rounding import dround
 
 # --------------------------------------------------------------------------
@@ -111,7 +116,16 @@ def shingle_rows(
     ``transform`` over a token array (interpreted HOF, ~10x slower
     than the regexp). 5k docs / 260k shingles: 0.4s vs 0.8s warm —
     and zero exchanges, so downstream groupBys are the plan's ONLY
-    shuffles."""
+    shuffles.
+
+    r16 note: an input ``fan_out`` (round-robin repartition up to the
+    session parallelism) was measured here and REJECTED — the pair
+    pipelines launch their consumers as concurrent broadcast builds,
+    so job-level overlap already spreads the tokenize across cores,
+    and the extra exchange + 32-way task scheduling cost +0.3-0.5 s
+    per query at sf0.1 (matrix in OPTIMIZATION_r16.md). The repeated
+    serial-scan cost is instead removed by materializing the index
+    once (``tuning.materialize*`` in the callers)."""
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -194,6 +208,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 24,
     shingle_n: int = 3,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingles, sig) where sig[k] = min over shingles of
     (A_k * h + B_k) mod P, h = one md5-derived 60-bit hash mod P.
@@ -207,8 +222,13 @@ def minhash_signatures(
     k min() aggregates (map-side combined). Computing the signature as
     a nested array-transform expression instead is a trap: Catalyst's
     CollapseProject inlines it into every downstream band expression
-    and recomputes every hash per band. Returns (doc_id, sig)."""
-    inv = shingle_rows(df, text_col, id_col, shingle_n)
+    and recomputes every hash per band. Returns (doc_id, sig).
+
+    ``inv``: pre-built (doc_id, shingle) rows — pass when the caller
+    also consumes the shingle index (LSH verify) so one materialized
+    index feeds both instead of re-tokenizing the corpus per use."""
+    if inv is None:
+        inv = shingle_rows(df, text_col, id_col, shingle_n)
     h0 = (hash60(F.col("shingle")) % MINHASH_P).alias("h0")
     hashed = inv.select("doc_id", h0).select(
         "doc_id",
@@ -479,7 +499,10 @@ def _prefix_pair_shared_shingles(
     loses on overlap-heavy ones where the exact verify outweighs the
     candidate reduction (the r15 measurement)."""
     if inv is None:
-        inv = shingle_rows(df, text_col, id_col, shingle_n)
+        # materialized once over a fanned-out scan (r16): hot-list
+        # collect, per-doc ordering, and the exact verify all consume
+        # this index (see _pair_shared_shingles)
+        inv = materialize(shingle_rows(fan_out(df), text_col, id_col, shingle_n))
     hot_list = _hot_shingle_list(df, inv, id_col, max_df_frac, min_df_cap)
     if hot_list == []:
         stats = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -596,7 +619,14 @@ def _pair_shared_shingles(
     are ALL ultra-common can be missed — such pairs carry no
     discriminative signal for either overlap measure."""
     if inv is None:
-        inv = shingle_rows(df, text_col, id_col, shingle_n)
+        # materialized once over a fanned-out scan (r16): the hot-list
+        # collect plus the stats and posting aggregations below are 3
+        # consumers of this index, and the eager collect populates the
+        # cache before the lazy consumers run. fan_out first, so the
+        # cached partitions carry the session parallelism into every
+        # downstream partial aggregation (a 1-partition cache would
+        # serialize them; measured matrix in OPTIMIZATION_r16.md)
+        inv = materialize(shingle_rows(fan_out(df), text_col, id_col, shingle_n))
     # hot set materialized ONCE (bounded driver list — see
     # _hot_shingle_list); the empty case (the norm: the cap targets
     # pathological stop-word shingles) skips hot handling entirely —
@@ -695,7 +725,7 @@ def ngram_jaccard_pairs(
         # path (r16 review: auto paid a second full tokenize/explode);
         # df.count() on a parquet-backed corpus is metadata-only
         n_docs = df.count()
-        inv = shingle_rows(df, text_col, id_col, shingle_n)
+        inv = materialize(shingle_rows(fan_out(df), text_col, id_col, shingle_n))
         mode = _pairgen_probe(
             inv, threshold, max(float(min_df_cap), max_df_frac * n_docs)
         )
@@ -856,7 +886,14 @@ def hamming_pairs(
     identical fingerprints, so the quadratic-in-bucket work scales with
     distinct sketches, not rows."""
     assert max_hamming < bands
-    fps = fps.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("fp"))
+    # materialized once (r16): the distinct-fp band join plus the two
+    # fp->id expansion sides are 3 consumers of the fingerprint table,
+    # whose lineage is a full corpus tokenize + hash aggregation
+    # EAGER (r16): the consumers launch as concurrent broadcast
+    # builds — see tuning.materialize_eager
+    fps = materialize_eager(
+        fps.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("fp"))
+    )
     ufps = fps.select("fp").distinct()
     band_width = bits // bands
     bandvals = F.array(
