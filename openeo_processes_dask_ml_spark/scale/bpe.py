@@ -186,12 +186,67 @@ def _select_safe_batch(
     return picks
 
 
+def _train_driver(
+    word_rows: list, num_merges: int, min_pair_count: int
+) -> tuple[list, list]:
+    """Sequential Sennrich trainer on a collected (word, freq) list —
+    the bounded driver tier of :func:`bpe_train`. One merge at a time
+    (the semantic spec the batched distributed loop proves itself
+    equivalent to): recount adjacent pairs weighted by word frequency,
+    argmax with the (count desc, left asc, right asc) tie-break, stop
+    below ``min_pair_count``, rewrite left-to-right non-overlapping.
+    Integer counts only, so the result is exactly the distributed
+    table (pinned by tests/test_bpe.py driver-vs-distributed tests).
+
+    Returns (merges rows, encoded word rows [(word, freq, syms)])."""
+    freqs: dict[str, int] = {}
+    syms_by_word: dict[str, list] = {}
+    for r in word_rows:
+        w = r["word"]
+        freqs[w] = freqs.get(w, 0) + int(r["freq"])
+        if w not in syms_by_word:
+            syms_by_word[w] = list(w) + [END_OF_WORD]
+    merges: list[tuple] = []
+    for rank in range(num_merges):
+        counts: dict[tuple, int] = {}
+        for w, syms in syms_by_word.items():
+            fr = freqs[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + fr
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, left, right, left + right, int(cnt)))
+        for w, syms in syms_by_word.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    ns.append(left + right)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms_by_word[w] = ns
+    words = [(w, freqs[w], syms) for w, syms in syms_by_word.items()]
+    return merges, words
+
+
 def bpe_train(
     df: DataFrame,
     num_merges: int = 30,
     text_col: str = "text",
     min_pair_count: int = 2,
     batch_merges: int = 8,
+    max_driver_words: int = 500_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges; returns (merges_df, words_df).
 
@@ -219,10 +274,40 @@ def bpe_train(
     one round's pair count — vocab-sized, cheap — while each skipped
     eager checkpoint saves a whole materialization job). The learned
     table is bit-identical to ``batch_merges=1`` — pinned by a
-    hypothesis test against the pure-Python sequential reference."""
+    hypothesis test against the pure-Python sequential reference.
+
+    TWO TIERS (r16, the ``domain_pagerank``/``duplicate_clusters``
+    bounded-vs-distributed dichotomy): the merge loop runs entirely on
+    the unique-word table, which Heaps' law keeps ~10^7-10^8 rows even
+    at 100 TB — and on any smaller corpus it is BOUNDED-collect-sized.
+    Below ``max_driver_words`` distinct words, ONE job collects
+    (word, freq) and the sequential driver trainer (:func:`_train_driver`)
+    learns the identical table with zero per-round Spark jobs — the
+    distributed loop paid ~2 driver round-trips plus a re-analyzed
+    chained-fold plan PER ROUND (measured 2.6 s of driver/plan time of
+    bpe_merges' 4.3 s wall at sf0.1 for a 31-word vocabulary). Above
+    the cap the distributed loop below runs unchanged (equivalence
+    pinned by tests across the threshold). The one corpus-scale stage
+    (``word_frequencies``) is distributed in both tiers; the limit+1
+    collect decides the tier and supplies the small-tier data in the
+    same job (the ``duplicate_clusters`` probe idiom)."""
     spark = df.sparkSession
+    wf = word_frequencies(df, text_col)
+    if max_driver_words > 0:
+        head = wf.limit(max_driver_words + 1).collect()
+        if len(head) <= max_driver_words:
+            m_rows, w_rows = _train_driver(head, num_merges, min_pair_count)
+            merges_df = spark.createDataFrame(
+                m_rows,
+                "rank int, left string, right string, merged string,"
+                " pair_count bigint",
+            )
+            words_df = spark.createDataFrame(
+                w_rows, "word string, freq bigint, syms array<string>"
+            )
+            return merges_df, words_df
     words = (
-        word_frequencies(df, text_col)
+        wf
         .withColumn("syms", _char_symbols(F.col("word")))
         .localCheckpoint(eager=True)
     )

@@ -190,7 +190,9 @@ def test_batched_rounds_match_sequential_on_fixture(spark, docs):
     """batch_merges>1 must learn the bit-identical table (VERDICT r14
     #7 equivalence condition) while issuing fewer rounds."""
     want, ref_words = ref_bpe(_ref_word_freqs(), 12)
-    merges_df, words_df = bpe_train(docs, num_merges=12, batch_merges=8)
+    merges_df, words_df = bpe_train(
+        docs, num_merges=12, batch_merges=8, max_driver_words=0
+    )
     got = [
         (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
         for r in merges_df.orderBy("rank").collect()
@@ -234,7 +236,8 @@ def test_batched_equivalence_hypothesis(spark):
         df = spark.createDataFrame([(0, text)], "doc_id int, text string")
         want, _ = ref_bpe(wf, num_merges=10, min_pair_count=1)
         merges_df, _ = bpe_train(
-            df, num_merges=10, min_pair_count=1, batch_merges=6
+            df, num_merges=10, min_pair_count=1, batch_merges=6,
+            max_driver_words=0,
         )
         got = [
             (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
@@ -243,3 +246,22 @@ def test_batched_equivalence_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_driver_tier_matches_distributed(spark, docs):
+    """The r16 bounded driver tier (vocab <= max_driver_words collects
+    once, sequential trainer) must learn the bit-identical table AND
+    encoded word dictionary as the distributed merge loop."""
+    m_drv, w_drv = bpe_train(docs, num_merges=12)
+    m_dst, w_dst = bpe_train(docs, num_merges=12, max_driver_words=0)
+    key = lambda df: [  # noqa: E731
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in df.orderBy("rank").collect()
+    ]
+    assert key(m_drv) == key(m_dst)
+    words = lambda df: {  # noqa: E731
+        r["word"]: (r["freq"], tuple(r["syms"]))
+        for r in df.select("word", "freq", "syms").collect()
+    }
+    assert words(w_drv) == words(w_dst)
+    assert dict(w_drv.dtypes) == dict(w_dst.dtypes)
