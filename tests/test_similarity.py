@@ -576,3 +576,38 @@ def test_cosine_pairs_lsh_hot_bucket_block_decomposition(spark):
     assert len(split) == n * (n - 1) // 2  # the full quadratic truth
     assert not any(10_000 in p for p in split)
 
+
+
+def test_pq_encode_matches_sql_spec(spark, emb_df):
+    """The r16 Arrow/numpy PQ encode must be BIT-identical to the
+    retained SQL-replicable expression spec (_pq_encode_expr) — same
+    per-element products, same dim-order accumulation, same first-min
+    ties — on the clustered fixture (near-tie heavy: every vector sits
+    close to one of 6 cluster centers, so codeword distances collide
+    constantly)."""
+    from pyspark.sql import functions as F
+
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        _pq_codebooks,
+        _pq_encode,
+        _pq_encode_expr,
+    )
+
+    m, ks, d_sub = 4, 4, 2
+    base = emb_df.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    for train in (False, True):
+        cb = _pq_codebooks(base, m, ks, d_sub, train, 1.0)
+        want = {
+            r["vid"]: list(r["codes"])
+            for r in _pq_encode_expr(base, cb, m, ks, d_sub).collect()
+        }
+        got = {
+            r["vid"]: list(r["codes"])
+            for r in _pq_encode(base, cb, m, ks, d_sub).collect()
+        }
+        assert got == want
