@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from openeo_processes_dask_ml_spark.scale.dedup import hash60, shingle_rows, tokens_expr
+from openeo_processes_dask_ml_spark.scale.tuning import fan_out, materialize
 from openeo_processes_dask_ml_spark.utils.rounding import dround
 
 
@@ -724,8 +725,13 @@ def _dsir_dist(
     featurization core of :func:`dsir_select` and its bisect gate
     :func:`dsir_bucket_hist`. One definition, so the gate's
     'verbatim-intermediate' contract cannot drift."""
-    doc_bucket = (
-        _dsir_bucket_rows(raw, text_col, id_col, n_buckets)
+    # fanned out + materialized once (r16): the featurization (two
+    # regexp passes + one md5 per gram) is the dominant per-row cost
+    # and this aggregation feeds BOTH the raw distribution rollup and
+    # the weight join (dsir_select) — measured 2.6 s of 1-task
+    # broadcast-build time at sf0.1 without it
+    doc_bucket = materialize(
+        _dsir_bucket_rows(fan_out(raw), text_col, id_col, n_buckets)
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
