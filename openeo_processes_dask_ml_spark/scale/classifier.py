@@ -167,13 +167,13 @@ def hashed_ngram_features(
     return per_doc.select(F.col(id_col), xs.alias("xs"))
 
 
-def _lms_train_py(
+def _lms_train_ref(
     rows: list[tuple[list[float], float]], iters: int, lr: float
 ) -> list[float]:
-    """Deterministic full-batch LMS: ``rows`` MUST already be in the
-    pinned (id) order. Fold orders mirror DuckDB ``list_reduce``
-    exactly: first term initializes, subsequent terms accumulate
-    left-to-right; one division by n per weight per iteration."""
+    """The scalar REFERENCE trainer — the shape the DuckDB oracle's
+    unrolled ``list_reduce`` CTEs replay term-for-term. Retained as
+    the parity-test spec for :func:`_lms_train_py`; not on the hot
+    path."""
     n = len(rows)
     width = len(rows[0][0])
     w = [0.0] * width
@@ -192,6 +192,45 @@ def _lms_train_py(
             nxt.append(w[j] - lr * g / n)
         w = nxt
     return w
+
+
+def _lms_train_py(
+    rows: list[tuple[list[float], float]], iters: int, lr: float
+) -> list[float]:
+    """Deterministic full-batch LMS: ``rows`` MUST already be in the
+    pinned (id) order. Fold orders mirror DuckDB ``list_reduce``
+    exactly: first term initializes, subsequent terms accumulate
+    left-to-right; one division by n per weight per iteration.
+
+    r16: numpy-vectorized WITHOUT changing one float op (the
+    :func:`_lloyd_py` technique): the response fold vectorizes across
+    DOCS and accumulates sequentially across the width (``s += w[j] *
+    X[:, j]`` in j order — elementwise IEEE doubles, each element's
+    accumulation order identical to the scalar loop); the gradient
+    fold vectorizes across WIDTH and accumulates sequentially across
+    docs (``g += errs[d] * X[d]`` in d order — the spec's
+    first-term-initialized doc fold). Pure Python paid ~1.3 s per
+    3.5k x 33 x 8-iter fit on the driver (profiled r16); this is the
+    same arithmetic vectorized. Equivalence is pinned by
+    tests/test_classifier.py::test_lms_numpy_matches_reference plus
+    the strict quality_classifier oracle gate."""
+    import numpy as np
+
+    n = len(rows)
+    width = len(rows[0][0])
+    X = np.array([r[0] for r in rows], dtype=np.float64)  # id order
+    y = np.array([r[1] for r in rows], dtype=np.float64)
+    w = np.zeros(width, dtype=np.float64)
+    for _ in range(iters):
+        s = w[0] * X[:, 0]
+        for j in range(1, width):  # the spec's width-order fold
+            s = s + w[j] * X[:, j]
+        errs = s - y
+        g = errs[0] * X[0]
+        for d in range(1, n):  # the spec's doc-order fold
+            g = g + errs[d] * X[d]
+        w = w - lr * g / n
+    return [float(v) for v in w]
 
 
 def train_quality_classifier(

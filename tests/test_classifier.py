@@ -168,3 +168,32 @@ def test_word_char_mode_concatenates_spaces(spark):
     assert abs(sum(xs[:-1]) - 1.0) < 1e-12  # still a distribution
     with _pytest.raises(ValueError, match="mode"):
         hashed_ngram_features(df, mode="chars")
+
+
+def test_lms_numpy_matches_reference_bit_identical():
+    """The r16 vectorized trainer must equal the scalar reference
+    BIT-FOR-BIT (not allclose): the oracle unrolls the scalar fold, so
+    any reassociation in the numpy path would flip strict gate hashes.
+    Random corpora, widths and iteration counts."""
+    import random
+
+    from openeo_processes_dask_ml_spark.scale.classifier import (
+        _lms_train_ref,
+    )
+
+    rng = random.Random(20260817)
+    for trial in range(25):
+        n = rng.randint(1, 40)
+        width = rng.randint(1, 12)
+        iters = rng.randint(1, 9)
+        lr = rng.choice([0.5, 0.25, 0.1, 1.0])
+        rows = [
+            (
+                [rng.uniform(-2, 2) for _ in range(width)],
+                float(rng.randint(0, 1)),
+            )
+            for _ in range(n)
+        ]
+        got = _lms_train_py(rows, iters=iters, lr=lr)
+        want = _lms_train_ref(rows, iters=iters, lr=lr)
+        assert got == want, (trial, n, width, iters, lr)
