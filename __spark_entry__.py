@@ -773,11 +773,16 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from openeo_processes_dask_ml_spark.scale.dedup import tokens_expr
 
+    from openeo_processes_dask_ml_spark.scale.tuning import fan_out
+
     docs = _t(spark, sf_dir, "documents")
     # checkpoint: the feature table is read three times (trainer
     # sample collect, predict, and the join below) — without this the
-    # explode+two-agg plan re-executes each time (r13 bench fix)
-    feats = hashed_ngram_features(docs, k_buckets=32).localCheckpoint(
+    # explode+two-agg plan re-executes each time (r13 bench fix).
+    # fan_out (r16): the gram explode + hash otherwise run inside the
+    # single-split scan's one task (0.93 s profiled); counts and the
+    # per-element xs division are layout-independent
+    feats = hashed_ngram_features(fan_out(docs), k_buckets=32).localCheckpoint(
         eager=False
     )
     labels = docs.select(
