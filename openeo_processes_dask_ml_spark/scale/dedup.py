@@ -422,6 +422,61 @@ def _drop_hot_shingles(
     return inv.filter(~F.col("shingle").isin(hot_list))
 
 
+def _hot_from_postings(
+    df: DataFrame,
+    posting_all: DataFrame,
+    id_col: str,
+    max_df_frac: float,
+    min_df_cap: int,
+) -> DataFrame:
+    """:func:`_hot_shingles` computed from the postings aggregation
+    instead of the raw index — document frequency is ``size(ids)``, so
+    the hot set costs a filter over an already-built (and cached)
+    frame rather than a second full groupBy(shingle) histogram."""
+    n_docs = df.select(id_col).agg(F.count(F.lit(1)).alias("__n_docs"))
+    cap = F.greatest(
+        F.lit(float(min_df_cap)), F.col("__n_docs") * F.lit(max_df_frac)
+    )
+    return (
+        posting_all.select("shingle", F.size("ids").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") > cap)
+        .select("shingle")
+    )
+
+
+def _hot_list_from_postings(
+    df: DataFrame,
+    posting_all: DataFrame,
+    id_col: str,
+    max_df_frac: float,
+    min_df_cap: int,
+    collect_cap: int = 2_000,
+) -> list | None:
+    """:func:`_hot_shingle_list` over the postings aggregation, as ONE
+    one-shot bounded agg instead of an escalating ``limit().collect()``
+    — the incremental collect re-ran the reduce stage up to 4 times on
+    the (normal) empty result. ``collect_list`` here is safe: the hot
+    set is provably at most index_rows / cap values (the
+    :func:`_hot_shingles` bound), and the slice caps what crosses to
+    the driver at ``collect_cap + 1`` entries either way. The agg also
+    eagerly materializes ``posting_all`` (and, transitively, the
+    shingle index) so every lazy consumer reads the cache."""
+    row = (
+        _hot_from_postings(df, posting_all, id_col, max_df_frac, min_df_cap)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.slice(
+                F.sort_array(F.collect_list("shingle")), 1, collect_cap + 1
+            ).alias("s"),
+        )
+        .first()
+    )
+    if row["n"] > collect_cap:  # pragma: no cover - bound exceeded
+        return None
+    return list(row["s"])
+
+
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard (inverted-index join)
 # --------------------------------------------------------------------------
@@ -619,57 +674,68 @@ def _pair_shared_shingles(
     are ALL ultra-common can be missed — such pairs carry no
     discriminative signal for either overlap measure."""
     if inv is None:
-        # materialized once over a fanned-out scan (r16): the hot-list
-        # collect plus the stats and posting aggregations below are 3
-        # consumers of this index, and the eager collect populates the
-        # cache before the lazy consumers run. fan_out first, so the
-        # cached partitions carry the session parallelism into every
-        # downstream partial aggregation (a 1-partition cache would
-        # serialize them; measured matrix in OPTIMIZATION_r16.md)
+        # materialized once over a fanned-out scan (r16): the postings
+        # build and the stats aggregation below both consume this
+        # index. fan_out first, so the cached partitions carry the
+        # session parallelism into every downstream partial
+        # aggregation (a 1-partition cache would serialize them;
+        # measured matrix in OPTIMIZATION_r16.md)
         inv = materialize(shingle_rows(fan_out(df), text_col, id_col, shingle_n))
-    # hot set materialized ONCE (bounded driver list — see
-    # _hot_shingle_list); the empty case (the norm: the cap targets
-    # pathological stop-word shingles) skips hot handling entirely —
-    # no flag join, no per-doc collect_set, no intersect correction
-    hot_list = _hot_shingle_list(df, inv, id_col, max_df_frac, min_df_cap)
+    # postings-list pair generation (r15 perf): ONE groupBy(shingle)
+    # builds each shingle's sorted doc list; singleton postings — the
+    # vast majority of shingles in any real corpus — can never produce
+    # a pair and die before any pair expansion, whereas the previous
+    # inverted-index SELF-join shuffled every singleton row through
+    # both join sides first. r16: this aggregation now ALSO powers hot
+    # detection — document frequency is just size(ids) — so the
+    # separate full groupBy(shingle) histogram the hot-list collect
+    # used to pay (plus its escalating limit-collect re-scans) is
+    # gone; the one-shot bounded agg inside _hot_list_from_postings
+    # doubles as the eager cache populator for both materializations.
+    posting_all = materialize(
+        inv.groupBy("shingle").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ids")
+        )
+    )
+    # hot set materialized ONCE (bounded driver list); the empty case
+    # (the norm: the cap targets pathological stop-word shingles)
+    # skips hot handling entirely — no flag join, no per-doc
+    # collect_set, no intersect correction
+    hot_list = _hot_list_from_postings(
+        df, posting_all, id_col, max_df_frac, min_df_cap
+    )
     if hot_list == []:
         stats = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         stats = stats.withColumn(
             "hot_set", F.array().cast("array<string>")
         )
-        inv_cold = inv
+        posting = posting_all
     else:
         if hot_list is None:  # pragma: no cover - bound exceeded
-            hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
+            hot = _hot_from_postings(
+                df, posting_all, id_col, max_df_frac, min_df_cap
+            )
             flagged = inv.join(
                 F.broadcast(hot.withColumn("__hot", F.lit(True))),
                 "shingle",
                 "left",
             )
             is_hot = F.col("__hot").isNotNull()
+            posting = posting_all.join(F.broadcast(hot), "shingle", "left_anti")
         else:
             flagged = inv
             is_hot = F.col("shingle").isin(hot_list)
+            posting = posting_all.filter(~F.col("shingle").isin(hot_list))
         stats = flagged.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_sh"),
             F.collect_set(F.when(is_hot, F.col("shingle"))).alias("hot_set"),
         )
-        inv_cold = flagged.filter(~is_hot).select("doc_id", "shingle")
 
-    # postings-list pair generation (r15 perf): ONE groupBy(shingle)
-    # builds each cold shingle's sorted doc list; singleton postings —
-    # the vast majority of shingles in any real corpus — can never
-    # produce a pair and die HERE, before any pair expansion, whereas
-    # the previous inverted-index SELF-join shuffled every singleton
-    # row through both join sides first. Pair expansion is a JVM-side
-    # nested transform over the sorted ids (i<j => id_a < id_b, same
-    # pair orientation as before); group size is bounded by the hot
-    # cap, so the expansion is at most cap^2/2 rows per shingle.
-    posting = (
-        inv_cold.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
+    # pair expansion is a JVM-side nested transform over the sorted
+    # ids (i<j => id_a < id_b, same pair orientation as before); group
+    # size is bounded by the hot cap, so the expansion is at most
+    # cap^2/2 rows per shingle.
+    posting = posting.filter(F.size("ids") >= 2)
     pair_expr = F.expr(
         "flatten(transform(sequence(1, size(ids) - 1),"
         " i -> transform(slice(ids, 1, i),"

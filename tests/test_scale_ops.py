@@ -840,8 +840,28 @@ def test_hot_shingle_bound_exceeded_fallback_matches_list_path(
             df, inv, id_col, frac, cap, collect_cap=0
         ),
     )
-    # sanity: the patched list now refuses to materialize (non-empty set)
+    # r16: the count path derives its hot list from the postings
+    # aggregation — force that collect cap to 0 too so BOTH fallback
+    # branches run
+    orig_post = dedup_mod._hot_list_from_postings
+    monkeypatch.setattr(
+        dedup_mod,
+        "_hot_list_from_postings",
+        lambda df, posting_all, id_col, frac, cap, collect_cap=2_000: (
+            orig_post(df, posting_all, id_col, frac, cap, collect_cap=0)
+        ),
+    )
+    # sanity: both patched lists now refuse to materialize (non-empty set)
     assert dedup_mod._hot_shingle_list(df, inv, "doc_id", 0.5, 5) is None
+    from pyspark.sql import functions as _F
+
+    posting_all = inv.groupBy("shingle").agg(
+        _F.array_sort(_F.collect_list("doc_id")).alias("ids")
+    )
+    assert (
+        dedup_mod._hot_list_from_postings(df, posting_all, "doc_id", 0.5, 5)
+        is None
+    )
 
     assert sorted(map(tuple, _drop_hot_shingles(df, inv, "doc_id", **kw).collect())) == base_drop
     assert sorted(map(tuple, ngram_jaccard_pairs(df, threshold=0.4, **kw).collect())) == base_jac
