@@ -29,6 +29,7 @@ bit-for-bit (see scale/dedup.py::hash60).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -940,15 +941,17 @@ def global_sorted_index(
     (O(log n) per row, constant plan size). Both paths produce
     identical buckets from identical boundaries.
 
-    Plan: one scan for count + null validation, one for the tiny
-    hash-threshold sample, then ONE shuffle hash-partitioned on the
-    bucket id feeding the per-bucket window, plus a broadcast join of
-    the bucket-offset table.
+    Plan (r16): one bottom-k-by-md5 boundary sample (per-partition
+    top-k, no shuffle, no prior count needed), one bucket-counts
+    aggregation that doubles as the null validation, then ONE shuffle
+    hash-partitioned on the bucket id feeding the per-bucket window,
+    plus a broadcast join of the bucket-offset table — two driver
+    actions and two full passes, down from three of each.
 
     Preconditions (validated where cheap): ``order_cols`` entries are
     column NAMES, optionally ``(name, "asc"|"desc")`` tuples —
     expression keys must be materialized as columns first; key
-    columns must be NON-NULL (checked in the count pass — null
+    columns must be NON-NULL (checked in the counts pass — null
     comparisons would silently corrupt buckets); the composite key
     must be a total order (add an id tiebreak); and ``df`` must be
     deterministically recomputable (file-backed, no unseeded
@@ -980,53 +983,70 @@ def global_sorted_index(
     ]
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
 
-    # one validation pass: total count + per-key-column null counts
-    stats = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.col(name).isNull().cast("int")).alias(f"__null_{i}")
-            for i, name in enumerate(names)
-        ],
-    ).collect()[0]
-    total = stats["__n"]
-    if total == 0:
-        return df.withColumn(rank_col, F.lit(0).cast("bigint"))
-    for i, name in enumerate(names):
-        if stats[f"__null_{i}"]:
-            raise ValueError(
-                f"key column {name!r} contains "
-                f"{stats[f'__null_{i}']} NULLs — the composite key "
-                "must be a non-null total order (null comparisons "
-                "would silently corrupt bucket assignment)"
-            )
-
-    # deterministic sample: md5 of the key tuple under a threshold —
-    # every job (and every retry) selects the same rows
+    # deterministic bounded boundary sample in ONE job (r16, guide §5
+    # driver round-trips): the k rows with the smallest md5 of the key
+    # tuple — a uniform hash-ordered bottom-k that needs NO prior
+    # count, compiled to TakeOrderedAndProject (per-partition top-k +
+    # driver merge; no shuffle, no escalating limit re-runs, and the
+    # same rows under any retry or layout because the order key is a
+    # pure function of the data). Replaces the old shape's separate
+    # count/null-stats pass + threshold-filtered full-sort sample —
+    # one full pass over the data fewer; the null validation now rides
+    # the bucket-counts aggregation below. Boundary CHOICE only moves
+    # bucket balance, never ranks: a row's bucket is #{boundaries <
+    # row}, monotone in the key order for ANY boundary set, and
+    # offsets come from the actual bucket counts.
     key_str = F.concat_ws(
         "\x1f", *[F.col(name).cast("string") for name in names]
     )
-    frac = min(1.0, (sample_per_partition * n) / total)
     hash60 = F.conv(F.substring(F.md5(key_str), 1, 15), 16, 10).cast(
         "bigint"
     )
+    k_rows = max(sample_per_partition * n, 1)
     sample = (
-        df.filter(hash60 < int(frac * (16 ** 15)))
-        .select(*names)
-        .orderBy(*sort_cols)
+        df.select(*names, hash60.alias("__h60"))
+        # null keys are a precondition violation, raised by the counts
+        # pass below — keep them out of the boundary sample so the
+        # driver-side sort stays total
+        .where(
+            reduce(
+                lambda a, b: a & b,
+                [F.col(name).isNotNull() for name in names],
+            )
+        )
+        .orderBy("__h60", *sort_cols)
+        .limit(k_rows)
         .collect()
     )
-    if not sample and n > 1 and total > sample_per_partition:
-        raise RuntimeError(
-            "boundary sample came back empty on a non-trivial input — "
-            "the key tuple likely has (near-)constant string form, so "
-            "bucketing would silently funnel into one partition; "
-            "check the total-order precondition"
+    # driver-side key-order sort (tuple compare == the engine's
+    # lexicographic column order; _Rev flips desc entries) — boundary
+    # spacing steers balance only, see above
+    sample.sort(
+        key=lambda r: tuple(
+            r[name] if asc else _Rev(r[name]) for name, asc in spec
         )
+    )
     boundaries = [
         sample[(i * len(sample)) // n]
         for i in range(1, n)
         if sample
     ]
+    if (
+        n > 1
+        and len(sample) == k_rows
+        and boundaries
+        and all(
+            tuple(b[nm] for nm in names)
+            == tuple(boundaries[0][nm] for nm in names)
+            for b in boundaries
+        )
+    ):
+        raise RuntimeError(
+            "boundary sample is a single repeated key on a non-trivial "
+            "input — the key tuple likely has (near-)constant string "
+            "form, so bucketing would silently funnel into one "
+            "partition; check the total-order precondition"
+        )
 
     if (len(boundaries)) * len(spec) <= max_expr_terms:
         # codegen path: unrolled lexicographic compares
@@ -1073,14 +1093,37 @@ def global_sorted_index(
 
     keyed = df.withColumn("__bucket", bucket)
 
-    # tiny: one (bucket, count) row per bucket reaches the driver;
-    # bucket ids are monotone in the key order by construction
-    counts = dict(
-        (r["__bucket"], r["cnt"])
-        for r in keyed.groupBy("__bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # tiny: one (bucket, count [, null counts]) row per bucket reaches
+    # the driver; bucket ids are monotone in the key order by
+    # construction. The per-key-column null validation rides THIS
+    # aggregation (r16 — it was a separate full count pass before):
+    # a null key comparison yields NULL -> the when() folds to 0, so
+    # null rows land in bucket 0 and are counted here, and we raise
+    # before anything downstream can silently misrank them.
+    count_rows = (
+        keyed.groupBy("__bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[
+                F.sum(F.col(name).isNull().cast("int")).alias(
+                    f"__null_{i}"
+                )
+                for i, name in enumerate(names)
+            ],
+        )
         .collect()
     )
+    for i, name in enumerate(names):
+        nulls = sum(r[f"__null_{i}"] for r in count_rows)
+        if nulls:
+            raise ValueError(
+                f"key column {name!r} contains {nulls} NULLs — the "
+                "composite key must be a non-null total order (null "
+                "comparisons would silently corrupt bucket assignment)"
+            )
+    counts = dict((r["__bucket"], r["cnt"]) for r in count_rows)
+    if not counts:
+        return df.withColumn(rank_col, F.lit(0).cast("bigint"))
     offsets, acc = [], 0
     for bid in sorted(counts):
         offsets.append((bid, acc))
