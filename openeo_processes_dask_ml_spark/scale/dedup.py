@@ -394,10 +394,20 @@ def _hot_shingle_list(
     filter out of whole-stage codegen, exactly where the O(1)-plan
     broadcast join is the better shape."""
     hot = _hot_shingles(df, inv, id_col, max_df_frac, min_df_cap)
-    rows = hot.limit(collect_cap + 1).collect()
+    # ONE job (r16): folding the limit through collect_list replaces
+    # CollectLimit's escalating partial scans — on the normal EMPTY
+    # result the escalation re-ran the reduce stage up to 4x just to
+    # prove there was nothing to fetch. LocalLimit still bounds memory
+    # before the exchange; the set is deterministic whenever it is
+    # used (<= cap rows means the limit returned everything).
+    rows = (
+        hot.limit(collect_cap + 1)
+        .agg(F.collect_list("shingle").alias("s"))
+        .first()["s"]
+    )
     if len(rows) > collect_cap:  # pragma: no cover - bound exceeded
         return None
-    return [r["shingle"] for r in rows]
+    return list(rows)
 
 
 def _drop_hot_shingles(
@@ -1054,7 +1064,19 @@ def duplicate_clusters(
         # ONE evaluation decides the plan AND supplies the small-graph
         # data: if limit(t+1) returns <= t rows we already hold every
         # edge, so no second job runs on the expensive pairs pipeline.
-        head = edges.limit(driver_edge_threshold + 1).collect()
+        # r16: folded through collect_list so the collect is ONE
+        # aggregation job (CollectLimit's escalating partial scans
+        # re-ran the expensive pair reduce stage up to 4x on the
+        # normal under-threshold result); LocalLimit still bounds
+        # memory, and the edge SET is deterministic whenever the
+        # driver tier is taken (<= t rows = the whole edge set; the
+        # union-find labels are edge-order-independent either way:
+        # cluster_id = min member of the connected component).
+        head = (
+            edges.limit(driver_edge_threshold + 1)
+            .agg(F.collect_list(F.struct("a", "b")).alias("e"))
+            .first()["e"]
+        )
         if len(head) <= driver_edge_threshold:
             parent: dict = {}
 

@@ -783,14 +783,22 @@ def tfidf_cosine_pairs(
         and dense_vocab_max * (tf_cap * idf_cap) ** 2 < 2**53
     )
     if threshold > 0 and dense_exact:
-        # ONE bounded driver action decides the plan: limit(max+1)
-        # caps the collect regardless of true vocabulary size
-        head = vocab.select("term").limit(dense_vocab_max + 1).collect()
-        terms = (
-            [r["term"] for r in head]
-            if len(head) <= dense_vocab_max
-            else None
+        # ONE bounded driver action decides the plan, in ONE job (r16):
+        # limit(max+1) caps memory everywhere (LocalLimit truncates
+        # each partition before the exchange), and folding the capped
+        # rows through collect_list makes the collect a single
+        # aggregation job instead of CollectLimit's escalating
+        # partial scans (which re-ran the reduce stage up to 4x to
+        # fill the quota on this normally-small result). The term SET
+        # is deterministic exactly when it is used: <= max rows means
+        # the limit returned the whole vocabulary.
+        head = (
+            vocab.select("term")
+            .limit(dense_vocab_max + 1)
+            .agg(F.collect_list("term").alias("t"))
+            .first()["t"]
         )
+        terms = head if len(head) <= dense_vocab_max else None
         if terms is not None:
             from openeo_processes_dask_ml_spark.scale.similarity import (
                 cosine_pairs_blocked,
