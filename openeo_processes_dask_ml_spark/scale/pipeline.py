@@ -457,7 +457,11 @@ def bloom_decontaminate(
         hit = (bs[pv >> 6] >> (pv & 63)) & 1 == 1
         return pd.Series(hit.all(axis=1))
 
-    grams = shingle_rows(train, text_col, id_col, n)
+    # probe side fanned out (r16): the shingling + k-bit membership UDF
+    # otherwise fuse into the train scan's stage — one task on a
+    # single-split input while every other core idles. Downstream is a
+    # doc_id-keyed aggregation, so layout cannot move values.
+    grams = shingle_rows(fan_out(train), text_col, id_col, n)
     pos_arr = F.array(*positions(F.col("shingle")))
     candidates = grams.filter(maybe_hit(pos_arr))
     return (
