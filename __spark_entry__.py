@@ -852,7 +852,7 @@ def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_bm25_index,
     )
 
-    post, dl, stats = build_bm25_index(_t(spark, sf_dir, "documents"))
+    post, _dl, _stats = build_bm25_index(_t(spark, sf_dir, "documents"))
     d = tempfile.mkdtemp(prefix="bm25idx_")
     (
         post.repartition(4, "term")
@@ -860,8 +860,27 @@ def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(f"{d}/postings")
     )
-    dl.write.mode("overwrite").parquet(f"{d}/doclen")
-    stats.write.mode("overwrite").parquet(f"{d}/stats")
+    # ONE corpus tokenize pass (r16): doclen is derivable from the
+    # postings just written — dl = SUM(tf) per doc is the exact
+    # integer identity of counting the exploded tokens — and stats
+    # from the re-read doclen, so passes 2 and 3 scan tiny index
+    # artifacts instead of re-tokenizing the corpus per artifact.
+    (
+        spark.read.parquet(f"{d}/postings")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{d}/doclen")
+    )
+    (
+        spark.read.parquet(f"{d}/doclen")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{d}/stats")
+    )
     return bm25_topk_from_index(
         spark.read.parquet(f"{d}/postings"),
         spark.read.parquet(f"{d}/doclen"),
