@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openeo_processes_dask_ml_spark.scale.tuning import fan_out
+
 
 def _render(col: Column, dtype: str, mode: str) -> Column:
     """Stringify a min/max value for the profile row.
@@ -133,7 +135,14 @@ def profile_table_typed(
             mn_s.alias(f"__mins_{c}"),
             mx_s.alias(f"__maxs_{c}"),
         ]
-    wide = df.agg(*aggs)
+    # fan the Expand + partial aggregation past a single-split scan
+    # (r16): exact NDV replicates every row k-fold BEFORE the partial
+    # agg, and on a one-file input all of it ran in the scan's single
+    # task. Project to the profiled columns first so the round-robin
+    # exchange moves only what the profile reads; every aggregate here
+    # is layout-independent. No-op when the scan already carries
+    # >= parallelism splits.
+    wide = fan_out(df.select(*[F.col(c) for c in cols])).agg(*aggs)
     if not per_stat:
         pairs = ", ".join(
             f"'{c}', __n_{c}, __null_{c}, __ndv_{c}, "
@@ -229,7 +238,8 @@ def profile_table(
             _render(F.min(F.col(c)), dtypes[c], render).alias(f"__min_{c}"),
             _render(F.max(F.col(c)), dtypes[c], render).alias(f"__max_{c}"),
         ]
-    wide = df.agg(*aggs)
+    # same single-split fan-out as profile_table_typed (r16)
+    wide = fan_out(df.select(*[F.col(c) for c in cols])).agg(*aggs)
     # pivot the single wide row to long form with a stack expression —
     # still one job, the per-column structs are built from the agg row
     pairs = ", ".join(
