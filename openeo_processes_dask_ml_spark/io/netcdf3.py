@@ -296,6 +296,15 @@ def write_netcdf3_cube(
         .applyInPandas(encode_slab, schema="lead bigint, payload binary")
         .orderBy("lead")
     )
+    # materialize the sorted slabs ONCE before streaming (r16):
+    # toLocalIterator launches one job per output partition, and each
+    # job re-ran the join/encode/sort lineage for its slice (profiled:
+    # four escalating 32-task jobs, 2.7 s of a 2.8 s wall). The eager
+    # localCheckpoint computes every slab in one parallel job; the
+    # iterator's per-partition jobs then just fetch executor-cached
+    # blocks (MEMORY_AND_DISK — spills, never concentrates; the driver
+    # still holds one slab at a time).
+    slabs = slabs.localCheckpoint(eager=True)
 
     # --- driver assembly: header + coord vars + streamed slabs ------
     # io.fs-routed (r14): the format-mandated single sequential file
