@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from openeo_processes_dask_ml_spark.scale.dedup import hash60, shingle_rows, tokens_expr
-from openeo_processes_dask_ml_spark.scale.tuning import fan_out, materialize
+from openeo_processes_dask_ml_spark.scale.tuning import (
+    fan_out,
+    materialize,
+    materialize_eager,
+)
 from openeo_processes_dask_ml_spark.utils.rounding import dround
 
 
@@ -724,18 +728,28 @@ def _dsir_dist(
     n_buckets: int,
     text_col: str,
     id_col: str,
+    eager: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(doc_bucket, dist): the per-(doc, bucket) count table and the
     per-bucket (t_cnt, r_cnt) distribution table — the SHARED
     featurization core of :func:`dsir_select` and its bisect gate
     :func:`dsir_bucket_hist`. One definition, so the gate's
-    'verbatim-intermediate' contract cannot drift."""
+    'verbatim-intermediate' contract cannot drift.
+
+    ``eager``: dsir_select consumes ``doc_bucket`` from concurrent
+    broadcast builds (totals, ratios) plus the weight join — a lazy
+    persist lets those race, each recomputing the full featurization
+    before any cache lands (profiled: three 65-task passes at sf0.1).
+    It passes eager=True (one localCheckpoint job, every consumer
+    reads cached blocks). dsir_bucket_hist consumes it exactly once,
+    where forced materialization is pure overhead — it stays lazy.
+    """
     # fanned out + materialized once (r16): the featurization (two
     # regexp passes + one md5 per gram) is the dominant per-row cost
-    # and this aggregation feeds BOTH the raw distribution rollup and
-    # the weight join (dsir_select) — measured 2.6 s of 1-task
-    # broadcast-build time at sf0.1 without it
-    doc_bucket = materialize(
+    # — measured 2.6 s of 1-task broadcast-build time at sf0.1 without
+    # the fan_out
+    mat = materialize_eager if eager else materialize
+    doc_bucket = mat(
         _dsir_bucket_rows(fan_out(raw), text_col, id_col, n_buckets)
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -797,7 +811,9 @@ def dsir_select(
     protocol): if the picks match while the full query diverges, the
     chosen set is right and only the reported floats differ.
     """
-    doc_bucket, dist = _dsir_dist(raw, target, n_buckets, text_col, id_col)
+    doc_bucket, dist = _dsir_dist(
+        raw, target, n_buckets, text_col, id_col, eager=True
+    )
     totals = dist.agg(
         F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
     )
