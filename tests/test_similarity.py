@@ -611,3 +611,38 @@ def test_pq_encode_matches_sql_spec(spark, emb_df):
             for r in _pq_encode(base, cb, m, ks, d_sub).collect()
         }
         assert got == want
+
+
+def test_cosine_pairs_exact_bit_identical_to_cumsum_fold():
+    """The r16 BLAS-prefilter pair kernel must return EXACTLY the pairs
+    the cumsum strict-left-fold reference selects, with BIT-identical
+    cosine values — including thresholds landing exactly on a computed
+    cosine (the boundary the 1e-9 band exists to protect)."""
+    from openeo_processes_dask_ml_spark.scale.similarity import (
+        _cosine_pairs_exact,
+        _fold_dots_exact,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        a_n, b_n, d = 37, 53, 16
+        VA = rng.standard_normal((a_n, d))
+        VB = rng.standard_normal((b_n, d))
+        na = np.sqrt(np.cumsum(VA * VA, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(VB * VB, axis=1)[:, -1])
+        ref_dots = np.cumsum(VA[:, None, :] * VB[None, :, :], axis=2)[:, :, -1]
+        ref_cos = ref_dots / (na[:, None] * nb[None, :])
+        # a mid-range threshold plus thresholds EQUAL to actual cosines
+        thresholds = [0.3, float(np.sort(ref_cos.ravel())[-5])]
+        for thr in thresholds:
+            ii, jj, cos = _cosine_pairs_exact(VA, na, VB, nb, thr)
+            want = np.nonzero(ref_cos >= thr)
+            assert np.array_equal(ii, want[0])
+            assert np.array_equal(jj, want[1])
+            assert np.array_equal(cos, ref_cos[want])
+    # the fold helper itself is the cumsum fold, element for element
+    A = rng.standard_normal((11, 9))
+    B = rng.standard_normal((11, 9))
+    assert np.array_equal(
+        _fold_dots_exact(A, B), np.cumsum(A * B, axis=1)[:, -1]
+    )
