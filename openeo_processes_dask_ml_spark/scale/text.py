@@ -608,6 +608,13 @@ def remove_duplicated_spans(
 
     from openeo_processes_dask_ml_spark.scale.dedup import ngram_array_expr
 
+    # fan_out (r16, as in duplicated_spans): the span build (ngram
+    # regexp + md5) and the token-list projection otherwise run inside
+    # the scan's task count — 1 task on a single-file input (profiled:
+    # a 1.54 s single-task job of a 3.6 s wall). Both consumers derive
+    # from the SAME fanned frame, so ReuseExchange ships the rows once;
+    # every downstream step is keyed on h or doc_id, layout-independent.
+    df = fan_out(df)
     # the reconstruction token list MUST index the same tokens the
     # span positions count: ngram_array_expr positions are \S+ token
     # indexes, while tokens_expr's split keeps a leading '' token for
@@ -760,7 +767,7 @@ def tfidf_cosine_pairs(
     cap = F.greatest(
         F.lit(float(min_df_cap)), F.col("__n_docs") * F.lit(max_df_frac)
     )
-    vocab = (
+    vocab_full = (
         dfreq.crossJoin(F.broadcast(n_docs_df))
         .filter(F.col("dfc").cast("double") <= cap)
         .select(
@@ -770,8 +777,10 @@ def tfidf_cosine_pairs(
             )
             .cast("bigint")
             .alias("idf"),
+            "__n_docs",
         )
     )
+    vocab = vocab_full.select("term", "idf")
     w = (
         F.least(F.col("tf"), F.lit(tf_cap)).cast("bigint") * F.col("idf")
     ).alias("w")
@@ -792,28 +801,49 @@ def tfidf_cosine_pairs(
         # fill the quota on this normally-small result). The term SET
         # is deterministic exactly when it is used: <= max rows means
         # the limit returned the whole vocabulary.
-        head = (
-            vocab.select("term")
-            .limit(dense_vocab_max + 1)
-            .agg(F.collect_list("term").alias("t"))
-            .first()["t"]
+        #
+        # The decision collect returns (term, idf) AND n_docs (r16,
+        # guide §1.2/§5.4): when the dense path fires, the bounded
+        # vocabulary it just fetched IS the weight table — rebuilding
+        # it distributed put the dfreq groupBy + corpus-count subtrees
+        # into the final plan a second time, and sizing blocks cost a
+        # third scan (df.count()). idf is a deterministic integer per
+        # term, so the broadcast-local rebuild is value-identical.
+        head_row = (
+            vocab_full.limit(dense_vocab_max + 1)
+            .agg(
+                F.collect_list(F.struct("term", "idf")).alias("t"),
+                F.first("__n_docs").alias("n"),
+            )
+            .first()
         )
+        head = head_row["t"]
         terms = head if len(head) <= dense_vocab_max else None
         if terms is not None:
             from openeo_processes_dask_ml_spark.scale.similarity import (
                 cosine_pairs_blocked,
             )
 
-            terms.sort()
-            V = len(terms)
+            vocab_rows = sorted((r["term"], int(r["idf"])) for r in terms)
+            V = len(vocab_rows)
             if V == 0:
                 return posts.select(
                     F.col("doc_id").alias("id_a"),
                     F.col("doc_id").alias("id_b"),
                     F.lit(0.0).alias("cosine"),
                 ).limit(0)
+            # weight table as a broadcast LOCAL relation: the final
+            # plan's posts join reads the rows the decision collect
+            # already fetched instead of re-running dfreq + the corpus
+            # count (same integers by construction)
+            local_vocab = df.sparkSession.createDataFrame(
+                vocab_rows, "term string, idf bigint"
+            )
+            posts = tf.join(F.broadcast(local_vocab), "term").select(
+                "doc_id", "term", w
+            )
             idx = F.create_map(
-                *[x for i, t in enumerate(terms)
+                *[x for i, (t, _) in enumerate(vocab_rows)
                   for x in (F.lit(t), F.lit(i))]
             )
             dense = (
@@ -836,9 +866,10 @@ def tfidf_cosine_pairs(
                     ).alias("v"),
                 )
             )
-            # size blocks from the RAW doc count (one cheap scan) —
-            # counting `dense` would re-execute the whole pivot
-            n_blocks = max(2, min(16, df.count() // 512 + 1))
+            # size blocks from the corpus count the decision collect
+            # already carries (r16 — df.count() was a third full scan;
+            # counting `dense` would re-execute the whole pivot)
+            n_blocks = max(2, min(16, int(head_row["n"]) // 512 + 1))
             return cosine_pairs_blocked(
                 dense,
                 vec_col="v",
