@@ -5136,8 +5136,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # appended to the tail mid-round and join the front as "changed" at
 # the next rotation.
 QUERY_ORDER = [
-    "dedup_ngram_prefix",
     "ml_predict_time_resize",
+    "dedup_ngram_prefix",
+    "span_removal",
+    "tfidf_cosine",
+    "dedup_embedding_exact",
+    "dedup_embedding",
+    "semantic_dedup",
+    "decontaminate_semantic",
     "dedup_ngram_jaccard",
     "containment",
     "dedup_fuzzy",
@@ -5145,12 +5151,11 @@ QUERY_ORDER = [
     "dup_clusters",
     "leakage_safe_split",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "incremental_minhash",
     "decontaminate_fuzzy",
     "duplicated_spans",
     "duplicated_spans_combine",
-    "span_removal",
-    "dedup_embedding",
     "ml_predict_tiled",
     "cdx_export",
     "cdx_revisit",
@@ -5162,30 +5167,25 @@ QUERY_ORDER = [
     "streaming_warc_sink",
     "streaming_zarr_ingest",
     "ann_ivfpq_from_index",
-    "streaming_incremental_dedup",
-    "ann_ivf",
-    "semantic_dedup",
-    "sessionize",
-    "apply_dimension",
-    "apply_neighborhood",
-    "aggregate_temporal",
-    "resample_cube_spatial",
-    "array_ops",
-    "pii_scrub",
-    "repetition_stats",
-    "streaming_dedup",
-    "streaming_interval_join",
-    "profile_table_cols",
+    "ann_ivf_from_index",
+    "ann_pq_from_index",
+    "ann_pq",
+    "ann_ivfpq",
     "ann_ivf_trained",
-    "streaming_spend_alerts",
-    "text_chunks",
     "embedding_quantize",
-    "quality_filter",
-    "cdc_chunk_dedup",
-    "flatten_unflatten",
-    "aggregate_spatial_window",
-    "training_shards",
-    "topk_per_group",
+    "bpe_merges",
+    "corpus_diff",
+    "dsir_select",
+    "dsir_select_picks",
+    "dsir_bucket_hist",
+    "dsir_doc_grams",
+    "quality_classifier",
+    "global_sort_index",
+    "domain_pagerank",
+    "bloom_decontaminate",
+    "bm25_from_index",
+    "profile_table_cols",
+    "netcdf_roundtrip",
     "mask_polygon",
     "mask",
     "array_interpolate_linear",
@@ -5193,8 +5193,6 @@ QUERY_ORDER = [
     "aggregate_spatial",
     "rollup_revenue",
     "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding_exact",
     "ann_topk",
     "text_quality",
     "token_count",
@@ -5204,12 +5202,8 @@ QUERY_ORDER = [
     "apply_kernel",
     "climatology_anomaly",
     "chunk_dedup",
-    "ann_ivf_from_index",
-    "ann_pq_from_index",
     "merge_cubes",
     "image_neardup",
-    "ann_ivfpq",
-    "tfidf_cosine",
     "bigram_logprob",
     "random_projection",
     "bin_pack",
@@ -5218,8 +5212,6 @@ QUERY_ORDER = [
     "streaming_topk",
     "weighted_sample",
     "profile_table",
-    "quality_classifier",
-    "netcdf_roundtrip",
     "bm25_topk",
     "raster_decode_overview",
     "raster_decode_jpeg",
@@ -5228,7 +5220,6 @@ QUERY_ORDER = [
     "cluster_balanced_sample",
     "pipeline_web_ingest",
     "skew_salted_agg",
-    "corpus_diff",
     "pipeline_end_to_end",
     "ml_predict_linear",
     "graph_mask_pipeline",
@@ -5246,7 +5237,6 @@ QUERY_ORDER = [
     "streaming_sessionize",
     "multimodal_features",
     "ann_lsh",
-    "bm25_from_index",
     "robots_directives",
     "boilerplate_removal",
     "sitemap_urls",
@@ -5261,7 +5251,6 @@ QUERY_ORDER = [
     "tpch_q22",
     "robots_filter",
     "line_dedup",
-    "global_sort_index",
     "zorder_layout",
     "zarr_roundtrip",
     "raster_decode_webp",
@@ -5282,16 +5271,8 @@ QUERY_ORDER = [
     "cube_agg",
     "asof_join",
     "resample_cube_temporal",
-    "ann_pq",
     "decontaminate",
-    "bloom_decontaminate",
     "doc_fingerprint",
-    "dsir_select",
-    "dsir_select_picks",
-    "dsir_bucket_hist",
-    "dsir_doc_grams",
-    "bpe_merges",
-    "domain_pagerank",
     "pipeline_crawl_frontier",
     "ml_fit_predict_rf",
     "ml_predict_preproc",
@@ -5304,7 +5285,6 @@ QUERY_ORDER = [
     "raster_decode_cube",
     "raster_ndvi_pipeline",
     "raster_roundtrip_gtiff",
-    "decontaminate_semantic",
     "text_language_id",
     "reduce_dimension",
     "aggregate_temporal_period",
@@ -5312,6 +5292,26 @@ QUERY_ORDER = [
     "window_running_sum",
     "graph_fit_curve",
     "graph_zonal",
+    "streaming_incremental_dedup",
+    "ann_ivf",
+    "sessionize",
+    "apply_dimension",
+    "apply_neighborhood",
+    "aggregate_temporal",
+    "resample_cube_spatial",
+    "array_ops",
+    "pii_scrub",
+    "repetition_stats",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "streaming_spend_alerts",
+    "text_chunks",
+    "quality_filter",
+    "cdc_chunk_dedup",
+    "flatten_unflatten",
+    "aggregate_spatial_window",
+    "training_shards",
+    "topk_per_group",
 ]
 
 # queries() keys that do not follow the "q_<name>" naming convention.
