@@ -184,15 +184,43 @@ HEADLINE = [
 ]
 
 
+# Queries whose timings live ONLY in BENCH_SELF.json: the printed
+# record cannot hold all 125 names (the names alone are 1807 B against
+# the driver's ~2 kB tail capture), and the r16 policy of dropping the
+# SMALLEST-time entries made the printed set vary with timings — PERF
+# r16 misread one newly-fast query as dropped_from_bench (VERDICT r16
+# #3). The omission set is now FIXED BY NAME (exactly the 50 queries
+# the r16 record omitted, so every query printed in r16 stays printed),
+# making every query's presence deterministic round-over-round. Full
+# timings for these 50 still land in BENCH_SELF.json every run.
+PRINT_OMIT = frozenset([
+    "tpch_q1", "reduce_dimension", "aggregate_temporal_period",
+    "ndvi_bandmath", "array_interpolate_linear", "window_running_sum",
+    "dedup_exact", "dedup_embedding_exact", "ann_topk", "text_quality",
+    "token_count", "quality_filter", "embedding_quantize", "text_chunks",
+    "decontaminate", "pack_sequences", "training_shards",
+    "ml_predict_linear", "process_graph", "fit_curve", "graph_fit_curve",
+    "unigram_logprob", "mixture_sample", "incremental_dedup",
+    "streaming_incremental_dedup", "random_projection", "bin_pack",
+    "tpch_q18", "weighted_sample", "url_dedup", "cluster_balanced_sample",
+    "skew_salted_agg", "corpus_diff", "video_decode_mjpeg", "tpch_q4",
+    "tpch_q6", "tpch_q14", "tpch_q19", "dsir_doc_grams",
+    "domain_pagerank", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q15",
+    "tpch_q17", "tpch_q22", "warc_ingest", "line_dedup", "zorder_layout",
+    "sitemap_urls",
+])
+
+
 def compact_record(
     timings: dict[str, float], total: float, sf_val, reps: int
 ) -> str:
     """The PRINTED record, sized for the driver's bounded (~2 kB) tail
     capture — r5 and r6 both shipped unparseable records because the
-    full form outgrew it (VERDICT r6 item 1). Degrade gracefully, never
-    unparseably: 2 dp -> 1 dp -> drop the SMALLEST-time entries (an
-    "omitted" count says how many; their timings stay in
-    BENCH_SELF.json) until it fits."""
+    full form outgrew it (VERDICT r6 item 1). The printed query set is
+    the FIXED name set HEADLINE - PRINT_OMIT (deterministic presence,
+    VERDICT r16 #3); precision degrades 2 dp -> 1 dp before the legacy
+    smallest-first dropping, which remains only as a safety valve (the
+    fixed 75-name set renders ~1784 B at 1 dp, inside the cap)."""
 
     def render(q: dict[str, float], digits: int, omitted: int) -> str:
         doc = {
@@ -207,12 +235,14 @@ def compact_record(
             doc["omitted"] = omitted
         return json.dumps(doc, separators=(",", ":"))
 
+    printed = {k: v for k, v in timings.items() if k not in PRINT_OMIT}
+    n_omit = len(timings) - len(printed)
     for digits in (2, 1):
-        record = render(timings, digits, 0)
+        record = render(printed, digits, n_omit)
         if len(record) < 1800:
             return record
-    by_size = sorted(timings, key=lambda k: (timings[k], k))
-    kept = dict(timings)
+    by_size = sorted(printed, key=lambda k: (printed[k], k))
+    kept = dict(printed)
     for name in by_size:
         del kept[name]
         record = render(kept, 1, len(timings) - len(kept))

@@ -139,49 +139,72 @@ def _select_safe_batch(
     - picks are pairwise SYMBOL-DISJOINT (and disjoint from earlier
       picks' merged-token strings), so each pick's own count is
       unchanged when its turn comes, and unchanged pairs keep their
-      original order;
-    - every pair whose count CAN change touches a pick's symbols; any
-      such pair inside the window would end the scan (``blocker``),
-      and everything outside the window counts ≤ the window's last
-      row (``floor``). New pairs born from a merge, e.g. (x, ab),
-      inherit count ≤ their source adjacency (x, a) — a dirty-
-      touching pair, so ≤ the same bound;
-    - picks after the first must therefore count STRICTLY ABOVE that
-      bound (ties could flip on the lexicographic tie-break, so
-      equality is unsafe — p_1 alone is exempt: it is the argmax no
-      matter what).
+      original order; picks are a CONTIGUOUS PREFIX of the window
+      (the scan stops at the first non-pickable row), so any
+      unchanged pair either sorts after the last pick or lies outside
+      the window;
+    - every pair whose count CAN change touches a pick's symbols
+      ("dirty-touching"). New pairs born from a merge, e.g. (x, ab),
+      inherit count ≤ their source adjacency (x, a) — itself a
+      dirty-touching pair of the pre-round table (chained births
+      (ab, cd) map to (b, c), also dirty-touching, and never a pick
+      because picks are symbol-disjoint). The max count over ALL
+      dirty-touching non-pick pairs is therefore bounded by
+      ``hazard`` = max(first dirty-touching row in the window AT OR
+      AFTER where the scan stopped — sorted desc, so the first is the
+      max — and the ``floor``, the window's last count, bounding
+      everything outside a full window). The scan-stop point matters:
+      the r16 version only recorded a blocker the scan itself hit, so
+      a batch cut short by ``max_picks`` never saw the hazard row
+      sitting just past it (VERIFY_r16 falsifying corpus, pinned in
+      tests/test_bpe.py);
+    - picks after the first must count STRICTLY ABOVE ``hazard``
+      (ties could flip on the lexicographic tie-break, so equality is
+      unsafe — p_1 alone is exempt: it is the argmax no matter what).
 
-    One residual hazard needs NO Spark probe: a pick's merged-token
-    string that already exists as a symbol lets pre-existing pairs
-    GROW (e.g. merging (a, b) adds occurrences to an old pair
-    (x, "ab")), which the window-local count bound cannot cover. But
-    the symbol universe's multi-character members are EXACTLY the
-    end-of-word marker plus previously merged tokens (initial symbols
-    are single characters), and a merged token is always ≥ 2 chars —
-    so ``known_tokens`` (maintained driver-side by the trainer)
-    decides collision exactly: the batch truncates right AFTER a
-    colliding pick (the pick itself is still the argmax at its step;
-    everything later could be overtaken by the grown pairs)."""
+    Two pick shapes defeat the window bound entirely and instead
+    TERMINATE the batch right after themselves (the pick is still the
+    argmax at its own step; everything later could be overtaken):
+
+    - merged-token collision: a pick whose token already exists as a
+      symbol lets pre-existing pairs GROW (merging (a, b) adds
+      occurrences to an old pair (x, "ab")). The symbol universe's
+      multi-char members are exactly the end-of-word marker plus
+      previously merged tokens (initial symbols are single chars), so
+      ``known_tokens`` (maintained driver-side) decides collision
+      exactly, with no Spark probe;
+    - a RUN pair (left == right): its born pairs' source adjacency is
+      the pick ITSELF (merging (a, a) over an "aaaa" run births
+      (aa, aa) whose pre-round source is (a, a)), so their counts are
+      bounded only by the pick's own count — above any later pick by
+      construction, hence unsafe for everything after."""
     floor = rows[-1]["cnt"] if len(rows) == limit else 0
     picks: list[tuple] = []
     dirty: set[str] = set()
-    block = floor
-    collided = False
-    for r in rows:
+    terminal = False
+    scan_end = len(rows)
+    for idx, r in enumerate(rows):
         left, right, cnt = r["left"], r["right"], int(r["cnt"])
         if cnt < min_pair_count:
+            scan_end = idx
             break
         if left in dirty or right in dirty:
-            block = max(block, cnt)
-            break  # sorted desc: nothing after can beat this blocker
+            scan_end = idx
+            break  # sorted desc: nothing after can be picked either
         token = left + right
-        if token in known_tokens or token in dirty:
-            collided = True
+        if token in known_tokens or token in dirty or left == right:
+            terminal = True
         picks.append((left, right, cnt))
         dirty.update((left, right, token))
-        if collided or len(picks) >= max_picks:
+        if terminal or len(picks) >= max_picks:
+            scan_end = idx + 1
             break
-    while len(picks) > 1 and picks[-1][2] <= block:
+    hazard = floor
+    for r in rows[scan_end:]:
+        if r["left"] in dirty or r["right"] in dirty:
+            hazard = max(hazard, int(r["cnt"]))
+            break  # sorted desc: the first dirty-touching row is the max
+    while len(picks) > 1 and picks[-1][2] <= hazard:
         picks.pop()
     return picks
 

@@ -68,6 +68,25 @@ def test_compact_record_fits_driver_capture_worst_case():
     assert all(v >= 0.1 for v in doc["queries"].values())
 
 
+def test_printed_query_set_is_deterministic():
+    """VERDICT r16 #3: the r16 policy dropped the SMALLEST-time entries,
+    so the printed set varied with timings and PERF misread one newly-
+    fast query as dropped_from_bench. The omission set is now fixed BY
+    NAME (PRINT_OMIT): any two timing profiles in the realistic range
+    must print the identical query set — exactly HEADLINE - PRINT_OMIT,
+    which is precisely the 75 queries the r16 record printed."""
+    from bench import PRINT_OMIT, compact_record
+
+    names = _headline()
+    assert PRINT_OMIT <= set(names)
+    profile_a = {n: 0.7 for n in names}
+    profile_b = {n: (0.1 if i % 2 else 4.9) for i, n in enumerate(names)}
+    keys_a = set(json.loads(compact_record(profile_a, 87.5, 0.1, 3))["queries"])
+    keys_b = set(json.loads(compact_record(profile_b, 87.5, 0.1, 3))["queries"])
+    assert keys_a == keys_b == set(names) - PRINT_OMIT
+    assert len(keys_a) == 75
+
+
 def test_headline_queries_all_exist():
     import __spark_entry__ as entry
 

@@ -205,6 +205,63 @@ def test_batched_rounds_match_sequential_on_fixture(spark, docs):
     assert got_words == ref_words
 
 
+@pytest.mark.parametrize(
+    "corpus,batch",
+    [
+        # VERIFY_r16's falsifying corpus: a pair born from an earlier
+        # pick in the same batch (('abb','a</w>'), created by ab+b→abb)
+        # tied a later pick's stale count and won the lexicographic
+        # tie-break — the r16 window-blocker bound never saw it because
+        # the scan stopped at max_picks before reaching the hazard row.
+        ([("b", 3), ("ab", 3), ("bb", 3), ("abba", 3), ("baaaa", 4), ("bbb", 1)], 6),
+        # run-pair hazard: pick (a,a) births (aa,aa) with count 10 — the
+        # born pair's source adjacency is the pick ITSELF, so no window
+        # bound covers it; (a,a) must terminate its batch.
+        ([("bb", 5), ("aab", 1), ("aaaaaa", 5), ("aabbbb", 1)], 2),
+        # max_picks cut the scan before the (bb,b)/(b,a</w>) hazard rows
+        # that bound the (abb,b) pair born from pick (a,bb).
+        ([("aa", 1), ("abbba", 4), ("ab", 2), ("b", 2)], 2),
+        ([("aabbb", 4), ("bbba", 5), ("b", 7), ("aaa", 4), ("aaaab", 1), ("abb", 4)], 8),
+    ],
+)
+def test_batched_equivalence_pinned_corpora(spark, corpus, batch):
+    """Deterministic regressions for the batched-selection holes found
+    by VERIFY_r16's hypothesis run and this round's 100k-trial fuzz of
+    the pure-Python mirror (VERDICT r16 #1)."""
+    wf = {}
+    for w, f in corpus:
+        wf[w] = wf.get(w, 0) + f
+    text = " ".join(" ".join([w] * f) for w, f in sorted(wf.items()))
+    df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    want, _ = ref_bpe(wf, num_merges=10, min_pair_count=1)
+    merges_df, _ = bpe_train(
+        df, num_merges=10, min_pair_count=1, batch_merges=batch,
+        max_driver_words=0,
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    assert got == want
+
+
+def test_batched_selection_fuzz_mirror():
+    """No-Spark fuzz of the REAL ``_select_safe_batch`` through a
+    driver-side mirror of the distributed loop (tools/fuzz_bpe_batch):
+    4k deterministic trials per suite run, versus the Spark-backed
+    hypothesis test's 30 — the r16 selection hole survived four green
+    12-example hypothesis runs but falls to this harness within ~200
+    trials of seed 0. The full 100k-trial battery runs from the CLI."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "tools" / "fuzz_bpe_batch.py"
+    spec = importlib.util.spec_from_file_location("fuzz_bpe_batch", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.run_fuzz(4000, 0, 4) is None
+
+
 def test_batched_equivalence_hypothesis(spark):
     """Adversarial corpora from a 2-letter alphabet maximize the nasty
     cases (symbol-sharing top pairs, merged-token collisions like a
@@ -221,7 +278,7 @@ def test_batched_equivalence_hypothesis(spark):
     )
 
     @settings(
-        max_examples=12,
+        max_examples=30,
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow],
     )
