@@ -22,6 +22,7 @@ from dataclasses import dataclass, field, replace
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openeo_processes_dask_ml_spark.scale.tuning import local_rows_df
 from openeo_processes_dask_ml_spark.utils.dim_utils import resolve_bands, resolve_dim
 
 # Reducer name -> aggregate builder. `sd`/`variance` use the sample
@@ -353,12 +354,13 @@ class CubeFrame:
             )
         tcol = self.dim_col("time")
         spark = self.df.sparkSession
-        ivals = spark.createDataFrame(
+        ivals = local_rows_df(
+            spark,
             [
                 (str(lab), str(s), str(e))
                 for lab, (s, e) in zip(labels, intervals)
             ],
-            schema="__label string, __start string, __end string",
+            "__label string, __start string, __end string",
         ).select(
             F.col("__label"),
             F.col("__start").cast("timestamp").alias("__start"),

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openeo_processes_dask_ml_spark.cube import CubeFrame
+from openeo_processes_dask_ml_spark.scale.tuning import local_rows_df
 
 
 # Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
@@ -275,7 +276,8 @@ def load_source_quarantine(
                         UserWarning,
                         stacklevel=2,
                     )
-            firsts_local = spark.createDataFrame(
+            firsts_local = local_rows_df(
+                spark,
                 [(r["__file"], r["__first"]) for r in first_rows],
                 "__file string, __first long",
             )

@@ -36,6 +36,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from . import fs
+from ..scale.tuning import local_rows_df
 
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
 _TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
@@ -249,9 +250,13 @@ def write_netcdf3_cube(
     # ordinal, one big-endian byte block per slab ---------------------
     keyed = df.select(value_col, *dim_cols)
     for d in dim_cols:
-        axis_df = spark.createDataFrame(
+        # axis-sized local table, sliced by size (r17: the default
+        # 32-slice parallelize cost one Python task per core per
+        # broadcast ordinal build — see tuning.local_rows_df)
+        axis_df = local_rows_df(
+            spark,
             [(v, i) for i, v in enumerate(axis_vals[d])],
-            schema=f"`{d}` {spark_types[d]}, `__ord_{d}` bigint",
+            f"`{d}` {spark_types[d]}, `__ord_{d}` bigint",
         )
         keyed = keyed.join(F.broadcast(axis_df), on=d, how="inner")
     slab_shape = shape[1:]
@@ -529,9 +534,15 @@ def read_netcdf3_cube(
         (i, begin + i * slab_cells * item, slab_cells * item)
         for i in range(shape[0])
     ]
+    # slice the slab list to the decode parallelism at parallelize
+    # time (r17): the old repartition spread the same way but paid a
+    # 32-Python-task scan of the tiny list plus a shuffle
     slabs_df = spark.createDataFrame(
-        slab_meta, schema="lead bigint, off bigint, nbytes bigint"
-    ).repartition(max(1, min(shape[0], 64)))
+        spark.sparkContext.parallelize(
+            slab_meta, max(1, min(shape[0], 64))
+        ),
+        "lead bigint, off bigint, nbytes bigint",
+    )
     slab_shape = shape[1:]
 
     import pandas as pd

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import fs
+from ..scale.tuning import local_rows_df
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -367,9 +368,15 @@ def load_warc(
         )
     # round-robin repartition: exactly one shard per task (hash
     # partitioning on path could double-up shards and idle tasks)
+    # one shard per SLICE at parallelize time: the old repartition
+    # spread identically but paid a defaultParallelism-task Python
+    # scan of the tiny path list plus a shuffle (r17)
     files = spark.createDataFrame(
-        [(s,) for s in shards], "path string"
-    ).repartition(len(shards))
+        spark.sparkContext.parallelize(
+            [(s,) for s in shards], len(shards)
+        ),
+        "path string",
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -726,7 +733,8 @@ def write_warc_shards(
     manifest = src.mapInPandas(
         sink, schema="shard string, n_records long, n_bytes long"
     ).collect()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [tuple(r) for r in manifest] or [("", 0, 0)],
         "shard string, n_records long, n_bytes long",
     ).filter(F.col("n_records") > 0)

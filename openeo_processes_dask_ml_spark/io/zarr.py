@@ -49,6 +49,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from . import fs
+from ..scale.tuning import local_rows_df
 
 _ZARR_FORMAT = 2
 _COMPRESSOR = {"id": "zlib", "level": 1}
@@ -297,9 +298,14 @@ def _write_chunks(
     keyed = df.select(value_col, *dim_cols)
     chunk_cols, local_cols = [], []
     for d, cl in zip(dim_cols, chunks):
-        axis_df = spark.createDataFrame(
+        # axis-sized local table: sliced by size, NOT one slice per
+        # core — the default 32-slice parallelize made every broadcast
+        # ordinal build a 32-Python-task job (r17 profile: 3 such jobs
+        # per streaming micro-batch dominated the sink wall)
+        axis_df = local_rows_df(
+            spark,
             [(v, i) for i, v in ords[d]],
-            schema=f"`{d}` {spark_types[d]}, `__ord_{d}` bigint",
+            f"`{d}` {spark_types[d]}, `__ord_{d}` bigint",
         )
         keyed = keyed.join(F.broadcast(axis_df), on=d, how="inner")
         keyed = keyed.withColumn(
@@ -361,8 +367,27 @@ def _write_chunks(
             }
         )
 
-    plan = keyed.groupBy(*chunk_cols).applyInPandas(
-        write_chunk, schema=ZARR_MANIFEST_SCHEMA
+    # right-size the one chunk-layout shuffle to the REAL group count
+    # (computable driver-side from ords x chunk lengths) instead of
+    # the session default: the eager-localCheckpoint execution below
+    # bypasses AQE coalescing, so a 12-row streaming micro-batch was
+    # paying 32 reduce tasks — 32 Python worker spin-ups for ~1
+    # non-empty group (profiled r17: 3 x 32-task jobs, ~2.4 s of the
+    # 4.4 s streaming_zarr_ingest wall). Scale-adaptive: capped at
+    # 2 x defaultParallelism so warehouse-scale chunk grids still fan
+    # wide, and a task holding several groups just writes them in
+    # sequence (same applyInPandas semantics, same chunk bytes).
+    n_groups = 1
+    for d, cl in zip(dim_cols, chunks):
+        n_groups *= len({i // cl for i, _ in ords[d]})
+    n_parts = max(
+        1,
+        min(n_groups, 2 * spark.sparkContext.defaultParallelism),
+    )
+    plan = (
+        keyed.repartition(n_parts, *chunk_cols)
+        .groupBy(*chunk_cols)
+        .applyInPandas(write_chunk, schema=ZARR_MANIFEST_SCHEMA)
     )
     # the manifest is chunk-count-sized; localCheckpoint forces the
     # writes to actually happen exactly once
@@ -692,9 +717,17 @@ def read_zarr_cube(
     chunk_files = sorted(
         n for n in os.listdir(adir) if not n.startswith(".")
     )
+    # slice the file list to the decode parallelism directly at
+    # parallelize time: the old repartition spread the work the same
+    # way but paid a 32-Python-task scan of the tiny list PLUS a
+    # shuffle before the decode tasks (r17)
     files_df = spark.createDataFrame(
-        [(n,) for n in chunk_files], schema="chunk string"
-    ).repartition(max(1, min(len(chunk_files), 64)))
+        spark.sparkContext.parallelize(
+            [(n,) for n in chunk_files],
+            max(1, min(len(chunk_files), 64)),
+        ),
+        "chunk string",
+    )
 
     import pandas as pd
 

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from openeo_processes_dask_ml_spark.cube import CubeFrame
+from openeo_processes_dask_ml_spark.scale.tuning import local_rows_df
 from openeo_processes_dask_ml_spark.mlm.descriptor import MLModelDescriptor, validate_cube
 from openeo_processes_dask_ml_spark.utils.scaling import apply_scaling
 
@@ -561,8 +562,10 @@ def run_model_tiled(
             unit = "D" if _axis_kind(cube.df, td.cube_col) == "date" else "us"
             coord_vals = coord_vals.astype(f"datetime64[{unit}]")
         idx_rows = [(v, i) for i, v in enumerate(coord_vals.tolist())]
-        idx_df = spark.createDataFrame(
-            idx_rows, schema=f"`{td.cube_col}` {df.schema[td.cube_col].dataType.simpleString()}, `__idx_{td.cube_col}` long"
+        idx_df = local_rows_df(
+            spark,
+            idx_rows,
+            f"`{td.cube_col}` {df.schema[td.cube_col].dataType.simpleString()}, `__idx_{td.cube_col}` long",
         )
         df = df.join(F.broadcast(idx_df), td.cube_col, "inner").filter(
             F.col(f"__idx_{td.cube_col}") < full * td.tile

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from openeo_processes_dask_ml_spark.cube import CubeFrame
+from openeo_processes_dask_ml_spark.scale.tuning import local_rows_df
 
 
 def _axis_indices(df, cols, spark):
@@ -44,9 +45,10 @@ def _axis_indices(df, cols, spark):
     out = {}
     for col in cols:
         coords = sorted(row[col])
-        idx_df = spark.createDataFrame(
+        idx_df = local_rows_df(
+            spark,
             [(v, i) for i, v in enumerate(coords)],
-            schema=f"`{col}` {dtypes[col]}, `__i_{col}` long",
+            f"`{col}` {dtypes[col]}, `__i_{col}` long",
         )
         out[col] = (F.broadcast(idx_df), len(coords))
     return out

@@ -53,6 +53,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from openeo_processes_dask_ml_spark.scale.tuning import local_rows_df
+
 END_OF_WORD = "</w>"
 
 
@@ -320,13 +322,14 @@ def bpe_train(
         head = wf.limit(max_driver_words + 1).collect()
         if len(head) <= max_driver_words:
             m_rows, w_rows = _train_driver(head, num_merges, min_pair_count)
-            merges_df = spark.createDataFrame(
+            merges_df = local_rows_df(
+                spark,
                 m_rows,
                 "rank int, left string, right string, merged string,"
                 " pair_count bigint",
             )
-            words_df = spark.createDataFrame(
-                w_rows, "word string, freq bigint, syms array<string>"
+            words_df = local_rows_df(
+                spark, w_rows, "word string, freq bigint, syms array<string>"
             )
             return merges_df, words_df
     words = (
@@ -374,8 +377,10 @@ def bpe_train(
         # small: the word table is corpus-vocabulary-sized (~10^4-10^6
         # narrow rows, NOT corpus-sized), stored MEMORY_AND_DISK, and at
         # most a GC-lag's worth of superseded iterations is ever held.
-    merges_df = spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    merges_df = local_rows_df(
+        spark,
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
     )
     return merges_df, words
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from openeo_processes_dask_ml_spark.scale.tuning import (
     fan_out,
+    local_rows_df,
     materialize,
     materialize_eager,
 )
@@ -1110,7 +1111,8 @@ def duplicate_clusters(
             from pyspark.sql.types import StructField, StructType
 
             id_type = edges.schema["a"].dataType
-            return pairs.sparkSession.createDataFrame(
+            return local_rows_df(
+                pairs.sparkSession,
                 rows,
                 StructType(
                     [

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from openeo_processes_dask_ml_spark.scale.dedup import hash60, shingle_rows, tokens_expr
 from openeo_processes_dask_ml_spark.scale.tuning import (
     fan_out,
+    local_rows_df,
     materialize,
     materialize_eager,
 )
@@ -1148,8 +1149,8 @@ def global_sorted_index(
     for bid in sorted(counts):
         offsets.append((bid, acc))
         acc += counts[bid]
-    off_df = df.sparkSession.createDataFrame(
-        offsets, "__bucket int, __offset long"
+    off_df = local_rows_df(
+        df.sparkSession, offsets, "__bucket int, __offset long"
     )
     w = Window.partitionBy("__bucket").orderBy(*sort_cols)
     return (

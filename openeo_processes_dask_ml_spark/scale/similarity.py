@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openeo_processes_dask_ml_spark.scale.tuning import local_rows_df
 from openeo_processes_dask_ml_spark.utils.partitioning import spread as _spread
 from openeo_processes_dask_ml_spark.utils.rounding import dround
 
@@ -811,7 +812,8 @@ def _coarse_assign(
         centroids = _lloyd_py(
             [(r["vid"], list(r["v"])) for r in rows], k=n_lists, iters=20
         )
-        seeds = df.sparkSession.createDataFrame(
+        seeds = local_rows_df(
+            df.sparkSession,
             [(i, c) for i, c in enumerate(centroids)],
             "seed_id long, sv array<double>",
         ).withColumn("snrm", _norm(F.col("sv")))
@@ -826,7 +828,8 @@ def _coarse_assign(
             k=n_lists, seed=42, maxIter=20, featuresCol="__fv"
         ).fit(sample.withColumn("__fv", array_to_vector("v")))
         # centroids are tiny (n_lists x dim) — a literal broadcast table
-        seeds = df.sparkSession.createDataFrame(
+        seeds = local_rows_df(
+            df.sparkSession,
             [
                 (i, [float(x) for x in c])
                 for i, c in enumerate(model.clusterCenters())
@@ -1377,8 +1380,8 @@ def _pq_adc_score(
         )
         for qid, qv in queries
     ]
-    adc_df = spark.createDataFrame(
-        adc_rows, "query_id long, adc array<array<double>>"
+    adc_df = local_rows_df(
+        spark, adc_rows, "query_id long, adc array<array<double>>"
     )
     approx = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -1487,8 +1490,8 @@ def _exact_rerank(
     never moves wholesale. Ranks by (rounded exact distance, id)."""
     from pyspark.sql import Window
 
-    qv_df = base.sparkSession.createDataFrame(
-        queries, "query_id long, qv array<double>"
+    qv_df = local_rows_df(
+        base.sparkSession, queries, "query_id long, qv array<double>"
     )
     exact = F.aggregate(
         F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
@@ -1544,7 +1547,8 @@ def build_pq_index(
         base, m, ks, d_sub, train_codebooks, sample_fraction,
         trainer=codebook_trainer, max_train_rows=max_train_rows,
     )
-    cb_df = df.sparkSession.createDataFrame(
+    cb_df = local_rows_df(
+        df.sparkSession,
         [(j, c, cb[j][c]) for j in range(m) for c in range(ks)],
         "j int, c int, w array<double>",
     )
@@ -1662,8 +1666,8 @@ def ivfpq_topk(
         )
         for qid, qv in queries
     ]
-    adc_df = df.sparkSession.createDataFrame(
-        adc_rows, "query_id long, adc array<array<double>>"
+    adc_df = local_rows_df(
+        df.sparkSession, adc_rows, "query_id long, adc array<array<double>>"
     ).join(probes, "query_id")
 
     approx = F.aggregate(
@@ -1826,7 +1830,8 @@ def build_ivfpq_index(
         base, m, ks, d_sub, train_codebooks, sample_fraction,
         trainer=codebook_trainer, max_train_rows=max_train_rows,
     )
-    cb_df = df.sparkSession.createDataFrame(
+    cb_df = local_rows_df(
+        df.sparkSession,
         [(j, c, cb[j][c]) for j in range(m) for c in range(ks)],
         "j int, c int, w array<double>",
     )
@@ -1907,9 +1912,11 @@ def ivfpq_topk_from_index(
             )
         )
     spark = codes_df.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long")
-    adc_df = spark.createDataFrame(
-        adc_rows, "query_id long, adc array<array<double>>"
+    probes = local_rows_df(
+        spark, probe_rows, "query_id long, list_id long"
+    )
+    adc_df = local_rows_df(
+        spark, adc_rows, "query_id long, adc array<array<double>>"
     ).join(probes, "query_id")
 
     probed_ids = sorted({lid for _, lid in probe_rows})

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from openeo_processes_dask_ml_spark.scale.dedup import hash60, shingle_rows, tokens_expr
-from openeo_processes_dask_ml_spark.scale.tuning import fan_out
+from openeo_processes_dask_ml_spark.scale.tuning import fan_out, local_rows_df
 from openeo_processes_dask_ml_spark.utils.rounding import dround
 
 # Marker words per language. The count trick — (len(s) - len(replace(s,
@@ -836,8 +836,8 @@ def tfidf_cosine_pairs(
             # plan's posts join reads the rows the decision collect
             # already fetched instead of re-running dfreq + the corpus
             # count (same integers by construction)
-            local_vocab = df.sparkSession.createDataFrame(
-                vocab_rows, "term string, idf bigint"
+            local_vocab = local_rows_df(
+                df.sparkSession, vocab_rows, "term string, idf bigint"
             )
             posts = tf.join(F.broadcast(local_vocab), "term").select(
                 "doc_id", "term", w
@@ -1130,7 +1130,7 @@ def _bm25_query_terms(spark, queries: list[tuple[int, str]]) -> DataFrame:
     )
     if not qt_rows:
         raise ValueError("bm25: no query terms")
-    return spark.createDataFrame(qt_rows, "query_id bigint, term string")
+    return local_rows_df(spark, qt_rows, "query_id bigint, term string")
 
 
 def _bm25_rank(

@@ -39,6 +39,48 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(want)
 
 
+def local_rows_df(
+    spark,
+    rows,
+    schema,
+    rows_per_slice: int = 20_000,
+) -> DataFrame:
+    """``createDataFrame`` for small driver-side row lists without the
+    32-empty-Python-task scan.
+
+    ``SparkSession.createDataFrame(list)`` parallelizes the rows over
+    ``defaultParallelism`` slices no matter how few there are, so every
+    materialization of a tiny local table (broadcast ordinal/axis
+    tables, codebooks, ADC literals, query batches) runs one Python
+    task per CORE — measured 0.4-0.5 s warm and ~1.5 s on the first
+    touch of a session's worker pool, PER build, for 2-4 actual rows
+    (r17 profile: the zarr sink's three axis tables were 3 x 32-task
+    broadcast-build jobs per micro-batch). Slicing by a target
+    rows-per-slice instead gives tiny tables ONE task (~0.25 s) while
+    genuinely large lists (e.g. a 500k-word driver-trained BPE
+    dictionary) still fan out to ``defaultParallelism``. Values are
+    identical — only the slice count changes. NOT for data whose
+    DOWNSTREAM is per-row heavy (e.g. synthetic binary payloads feeding
+    a decode) — those want one slice per core regardless of row count;
+    keep plain createDataFrame there."""
+    rows = rows if isinstance(rows, list) else list(rows)
+    sc = spark.sparkContext
+    slices = max(
+        1,
+        min(
+            (len(rows) + rows_per_slice - 1) // rows_per_slice,
+            sc.defaultParallelism,
+        ),
+    )
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(sc.parallelize(rows, slices), schema)
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Mark a multi-consumer intermediate for query-lifetime reuse
     (MEMORY_AND_DISK persist).

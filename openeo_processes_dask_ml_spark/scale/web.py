@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from openeo_processes_dask_ml_spark.scale.tuning import local_rows_df
+
 # RE2-safe pieces shared with the DuckDB oracle (__spark_entry__.py)
 _HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -148,8 +150,8 @@ def _pagerank_driver(
     rows = [
         (d, float(q[d]) / 1e6, pos + 1) for pos, d in enumerate(order)
     ]
-    return spark.createDataFrame(
-        rows, "domain bigint, rank double, pos int"
+    return local_rows_df(
+        spark, rows, "domain bigint, rank double, pos int"
     )
 
 
