@@ -863,28 +863,39 @@ def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus tokenize pass (r16): doclen is derivable from the
     # postings just written — dl = SUM(tf) per doc is the exact
     # integer identity of counting the exploded tokens — and stats
-    # from the re-read doclen, so passes 2 and 3 scan tiny index
-    # artifacts instead of re-tokenizing the corpus per artifact.
-    (
+    # from doclen, so passes 2 and 3 scan tiny index artifacts
+    # instead of re-tokenizing the corpus per artifact. r17 (VERDICT
+    # r16 #5): doclen + stats fold into ONE parquet with a kind
+    # discriminator (the ivfpq meta pattern), collapsing the
+    # write -> re-read -> derive -> write chain's two tiny sequential
+    # write jobs into one; the single-row stats subtree re-aggregates
+    # the re-read doclen lineage inside the same job (both sides scan
+    # the just-written postings, never the corpus).
+    null = lambda t: F.lit(None).cast(t)  # noqa: E731
+    doclen = (
         spark.read.parquet(f"{d}/postings")
         .groupBy("doc_id")
         .agg(F.sum("tf").alias("dl"))
-        .write.mode("overwrite")
-        .parquet(f"{d}/doclen")
     )
-    (
-        spark.read.parquet(f"{d}/doclen")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    meta = doclen.select(
+        F.lit("dl").alias("kind"), "doc_id", "dl",
+        null("bigint").alias("n_docs"), null("double").alias("avgdl"),
+    ).unionByName(
+        stats.select(
+            F.lit("stats").alias("kind"), null("bigint").alias("doc_id"),
+            null("bigint").alias("dl"), "n_docs", "avgdl",
         )
-        .write.mode("overwrite")
-        .parquet(f"{d}/stats")
     )
+    meta.write.mode("overwrite").parquet(f"{d}/meta")
+    meta_back = spark.read.parquet(f"{d}/meta")
     return bm25_topk_from_index(
         spark.read.parquet(f"{d}/postings"),
-        spark.read.parquet(f"{d}/doclen"),
-        spark.read.parquet(f"{d}/stats"),
+        meta_back.filter(F.col("kind") == "dl").select("doc_id", "dl"),
+        meta_back.filter(F.col("kind") == "stats").select("n_docs", "avgdl"),
         BM25_GATE_QUERIES,
         k=10,
     )
@@ -2607,38 +2618,54 @@ def q_ann_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"ivfpq_index_{os.path.basename(sf_dir.rstrip(chr(47)))}_{os.getpid()}",
     )
-    # seeds + codebooks are tiny (n_lists and m*ks rows) — persist both
-    # in ONE parquet with a kind discriminator (VERDICT r15 #3: two
-    # separate small writes were two separate Spark jobs), split back
-    # by filter on reload
+    # seeds + codebooks are tiny (n_lists and m*ks rows) — r17 (VERDICT
+    # r16 #5): they now ride the codes' partitioned write as the
+    # reserved partition list_id = -1 (the q_ann_ivf_from_index
+    # pattern), so the WHOLE index is ONE write job instead of the r16
+    # two (meta + codes). The meta columns are nulls on every codes row
+    # (parquet RLE definition levels — ~zero bytes at any scale), and a
+    # query session still partition-prunes: the serve-side reload
+    # filters list_id = -1 for the metadata and the probed list ids for
+    # the codes, each reading only its own directories.
     null = lambda t: F.lit(None).cast(t)  # noqa: E731
     meta = seeds_df.select(
-        F.lit("seed").alias("kind"), "seed_id", "sv", "snrm",
+        F.lit("seed").alias("kind"),
+        F.col("seed_id").alias("vid"),
+        null("array<int>").alias("codes"), "sv", "snrm",
         null("int").alias("j"), null("int").alias("c"),
         null("array<double>").alias("w"),
+        F.lit(-1).alias("list_id"),
     ).unionByName(
         cb_df.select(
-            F.lit("cb").alias("kind"), null("long").alias("seed_id"),
+            F.lit("cb").alias("kind"), null("long").alias("vid"),
+            null("array<int>").alias("codes"),
             null("array<double>").alias("sv"), null("double").alias("snrm"),
-            "j", "c", "w",
+            "j", "c", "w", F.lit(-1).alias("list_id"),
         )
     )
-    # repartition(1), NOT coalesce(1): coalesce would fuse the seeds
-    # lineage (a parallel scan of embeddings) into one task
-    meta.repartition(1).write.mode("overwrite").parquet(f"{root}/meta")
+    merged = codes_df.select(
+        F.lit("codes").alias("kind"), "vid", "codes",
+        null("array<double>").alias("sv"), null("double").alias("snrm"),
+        null("int").alias("j"), null("int").alias("c"),
+        null("array<double>").alias("w"), "list_id",
+    ).unionByName(meta)
     # repartition on the partition column first (small-files hygiene:
-    # one file per probed list — n_lists shuffle partitions, not 32)
-    codes_df.repartition(n_lists, "list_id").write.mode(
+    # one file per probed list — n_lists(+meta) shuffle partitions,
+    # not 32)
+    merged.repartition(n_lists + 1, "list_id").write.mode(
         "overwrite"
-    ).partitionBy("list_id").parquet(f"{root}/codes")
+    ).partitionBy("list_id").parquet(f"{root}/index")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    meta_back = spark.read.parquet(f"{root}/meta")
+    stored = spark.read.parquet(f"{root}/index")
+    meta_back = stored.filter(F.col("list_id") == -1)
     return ivfpq_topk_from_index(
-        meta_back.filter(F.col("kind") == "seed").select("seed_id", "sv", "snrm"),
+        meta_back.filter(F.col("kind") == "seed").select(
+            F.col("vid").alias("seed_id"), "sv", "snrm"
+        ),
         meta_back.filter(F.col("kind") == "cb").select("j", "c", "w"),
-        spark.read.parquet(f"{root}/codes"),
+        stored.filter(F.col("list_id") >= 0).select("vid", "codes", "list_id"),
         queries,
         k=5,
         n_probe=2,
@@ -4284,6 +4311,8 @@ def q_streaming_warc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_warc_sink,
     )
 
+    import glob as _glob
+
     docs = _t(spark, sf_dir, "documents")
     staging = tempfile.mkdtemp(prefix="warc_sink_src_")
     src = docs.select(
@@ -4293,14 +4322,24 @@ def q_streaming_warc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("body"),
         (F.col("doc_id") % 3).alias("part"),
     )
+    # ONE staging job (r17): the r16 shape ran three sequential
+    # filter+coalesce(1) writes — three corpus scans and three driver
+    # round-trips. A single partitionBy("part") write produces exactly
+    # one file per part (each part's rows land in one task via the
+    # repartition), and the driver renames them into the flat staging
+    # dir the file stream watches. File-to-micro-batch assignment is
+    # unchanged in effect: three files, maxFilesPerTrigger=1, three
+    # batches; the surfaced corpus is batch-assignment-independent.
+    staging_raw = tempfile.mkdtemp(prefix="warc_sink_raw_")
+    (
+        src.repartition(3, "part")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(staging_raw)
+    )
     for p in range(3):
-        (
-            src.filter(F.col("part") == p)
-            .drop("part")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(staging)
-        )
+        [f] = _glob.glob(os.path.join(staging_raw, f"part={p}", "*.parquet"))
+        os.rename(f, os.path.join(staging, f"part-{p}.parquet"))
     stream = (
         spark.readStream.schema("uri string, body string")
         .option("maxFilesPerTrigger", 1)
